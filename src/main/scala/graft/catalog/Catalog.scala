@@ -1,0 +1,188 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+import graft.functions.gfunctions._
+import graft.de.Stats
+
+/** Named query catalog: one entry per SURVEY §2 operator (plus the
+  * LLM-data-pipeline extensions), each expressed over the driver's parquet
+  * test tables with a matching DuckDB oracle where the semantics are
+  * ANSI-SQL-expressible.
+  *
+  * Conventions (driver contract):
+  *  - Spark output column names == oracle SQL aliases (compare sorts columns
+  *    by name before hashing).
+  *  - Every query ends in a deterministic ORDER BY on both sides.
+  *  - Computed doubles are rounded on both sides (sums of 2-decimal money
+  *    to 2 dp, means/ratios to 4 dp) so IEEE accumulation-order noise can't
+  *    flip the hash.
+  *  - count()/sums of integers are cast to BIGINT in DuckDB (its sum(int)
+  *    is HUGEINT).
+  */
+object Catalog {
+
+  final case class Q(name: String,
+                     run: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- A: core relational
+
+  /** A5/A6/A11: grouped sums/avgs/counts with map-side partial aggregation
+    * (TPC-H Q1 shape). */
+  private val q1 = Q("q1_pricing_agg",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           | round(sum(l_quantity), 2) AS sum_qty,
+           | round(sum(l_extendedprice), 2) AS sum_base_price,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           | round(avg(l_quantity), 4) AS avg_qty,
+           | round(avg(l_discount), 4) AS avg_disc,
+           | count(*) AS count_order
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** F2/F5 + §2.6: selective filter + global agg (TPC-H Q6 shape); the
+    * filter and both referenced columns push down to the parquet scan. */
+  private val q2 = Q("q2_filter_revenue",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           | count(*) AS n_rows
+           |FROM lineitem
+           |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))
+
+  /** J1: broadcast hash join of the fact table against a small dimension
+    * (probe->gene mapping shape, `pipeline2.py:515-520`). */
+  private val q3 = Q("q3_broadcast_join",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum($"l_extendedprice"), 2).as("revenue"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand, count(*) AS n_items,
+           | round(sum(l_extendedprice), 2) AS revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
+  /** A7 (sufficient-statistics half): Welch t-statistic and
+    * Welch–Satterthwaite df per part type, comparing l_extendedprice
+    * between returnflag groups — exactly the reference's per-gene
+    * case-vs-control shape (`pipeline2.py:586-603`), one hash agg, no
+    * self-join. */
+  private val q13 = Q("q13_welch_stats",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val st = li.filter($"l_returnflag".isin("A", "N"))
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_type")
+        .agg(
+          avg(when($"l_returnflag" === "A", $"l_extendedprice")).as("mean_a"),
+          var_samp(when($"l_returnflag" === "A", $"l_extendedprice")).as("var_a"),
+          count(when($"l_returnflag" === "A", $"l_extendedprice")).as("n_a"),
+          avg(when($"l_returnflag" === "N", $"l_extendedprice")).as("mean_n"),
+          var_samp(when($"l_returnflag" === "N", $"l_extendedprice")).as("var_n"),
+          count(when($"l_returnflag" === "N", $"l_extendedprice")).as("n_n"))
+      st.select($"p_type",
+          round(welch_t($"mean_a", $"var_a", $"n_a", $"mean_n", $"var_n", $"n_n"), 4).as("t_stat"),
+          round(welch_df($"var_a", $"n_a", $"var_n", $"n_n"), 4).as("t_df"))
+        .orderBy($"p_type")
+    },
+    Some("""WITH st AS (
+           |  SELECT p_type,
+           |    avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS mean_a,
+           |    var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS var_a,
+           |    count(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS n_a,
+           |    avg(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS mean_n,
+           |    var_samp(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS var_n,
+           |    count(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS n_n
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE l_returnflag IN ('A', 'N')
+           |  GROUP BY p_type)
+           |SELECT p_type,
+           |  round((mean_a - mean_n) / NULLIF(sqrt(var_a / n_a + var_n / n_n), 0), 4) AS t_stat,
+           |  round(power(var_a / n_a + var_n / n_n, 2)
+           |        / NULLIF(power(var_a / n_a, 2) / (n_a - 1)
+           |                 + power(var_n / n_n, 2) / (n_n - 1), 0), 4) AS t_df
+           |FROM st ORDER BY p_type""".stripMargin))
+
+  /** A7 (full): Welch p-values via the custom TTestPValue Catalyst
+    * expression — not expressible in DuckDB (no t CDF), so rows-only check
+    * here; numeric parity with scipy is pinned in StatsSpec. */
+  private val q14 = Q("q14_welch_pvalue",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .select($"p_type", $"l_returnflag".as("grp"), $"l_extendedprice".as("v"))
+      Stats.welchTTest(li, Seq("p_type"), "grp", "v", caseVal = "A", controlVal = "N")
+        .select($"p_type", round($"t_stat", 4).as("t_stat"),
+          round($"pvalue", 6).as("pvalue"))
+        .orderBy($"p_type")
+    },
+    None)
+
+  /** A8: Benjamini–Hochberg FDR over a deterministic pseudo-p derived from
+    * integer keys (exact rational arithmetic — bit-identical across
+    * engines). Exercises the rank window + reverse running-min
+    * (`pipeline2.py:619-627`). */
+  private val q15 = Q("q15_bh_fdr",
+    (s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "orders")
+        .filter($"o_orderkey" < 2000)
+        .select($"o_orderkey".as("id"),
+          (($"o_orderkey" * 9973) % 10007 / lit(10007.0)).as("pvalue"))
+      Stats.bhAdjust(p, "pvalue", "adjusted_pvalue", tieBreak = Seq("id"))
+        .orderBy($"id")
+    },
+    Some("""WITH p AS (
+           |  SELECT o_orderkey AS id,
+           |         ((o_orderkey * 9973) % 10007) / 10007.0 AS pvalue
+           |  FROM orders WHERE o_orderkey < 2000),
+           |r AS (
+           |  SELECT id, pvalue,
+           |         row_number() OVER (ORDER BY pvalue, id) AS rk,
+           |         CAST(count(*) OVER () AS DOUBLE) AS m
+           |  FROM p)
+           |SELECT id, pvalue,
+           |  least(1.0, min(pvalue * m / rk)
+           |    OVER (ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS adjusted_pvalue
+           |FROM r ORDER BY id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q1, q2, q3, q13, q14, q15)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, SimHash64, TTestPValue}
+import org.apache.spark.sql.types.DoubleType
+
+/** graft's function surface: custom Catalyst expressions exposed as
+  * `Column`s plus pure-column helpers composed from Spark built-ins.
+  * Everything here is usable inside whole-stage codegen'd plans.
+  */
+object gfunctions {
+
+  /** Two-sided Student-t p-value P(|T_df| >= |t|) (Welch t-test, A7). */
+  def t_test_pvalue(t: Column, df: Column): Column =
+    ColumnBridge.column(TTestPValue(
+      ColumnBridge.expression(t.cast(DoubleType)),
+      ColumnBridge.expression(df.cast(DoubleType))))
+
+  /** Cosine similarity of two ARRAY<DOUBLE> columns (codegen'd). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** 64-bit SimHash of an ARRAY<STRING> token column. */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** NaN / +-Inf -> null (F4, `pipeline2.py:617` inf coercion plus graft's
+    * NaN-as-null discipline, SURVEY §1.2). */
+  def nan_inf_to_null(c: Column): Column =
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity,
+      lit(null).cast(DoubleType)).otherwise(c)
+
+  /** Welch t-statistic from per-group sufficient statistics
+    * (t = (meanA - meanB) / sqrt(varA/nA + varB/nB); A = case, B = control
+    * to match `scipy.stats.ttest_ind(case, control)`). Division by a zero
+    * standard error yields null (scipy yields NaN; normalized to null). */
+  def welch_t(meanA: Column, varA: Column, nA: Column,
+              meanB: Column, varB: Column, nB: Column): Column = {
+    val se = sqrt(varA / nA + varB / nB)
+    (meanA - meanB) / nullif(se, lit(0.0))
+  }
+
+  /** Welch–Satterthwaite degrees of freedom. Null when either group has
+    * fewer than 2 observations (sample variance undefined). */
+  def welch_df(varA: Column, nA: Column, varB: Column, nB: Column): Column = {
+    val a = varA / nA
+    val b = varB / nB
+    val num = (a + b) * (a + b)
+    val den = (a * a) / (nA - lit(1)) + (b * b) / (nB - lit(1))
+    num / nullif(den, lit(0.0))
+  }
+
+  /** Gene-symbol validity predicate (F6, `pipeline2.py:794-827`): length
+    * 1..20, no "_at", no UNKNOWN_ prefix, at least one letter, charset
+    * alnum plus '.' and '-'. Pure built-ins, no UDF. */
+  def is_valid_symbol(c: Column): Column =
+    c.isNotNull &&
+      length(c).between(1, 20) &&
+      !lower(c).contains("_at") &&
+      !c.startsWith("UNKNOWN_") &&
+      c.rlike("[A-Za-z]") &&
+      c.rlike("^[A-Za-z0-9.\\-]+$")
+
+  /** Register the SQL-callable names (usable from `spark.sql`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "t_test_pvalue", exprs => TTestPValue(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+  }
+}

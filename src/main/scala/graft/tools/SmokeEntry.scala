@@ -1,0 +1,21 @@
+// Driven via: sbt "runMain graft.tools.SmokeEntry"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object SmokeEntry {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.entry(spark)
+    val rows = df.collect()
+    println(s"ENTRY_ROWS=${rows.length}")
+    df.show(5, truncate = false)
+    spark.stop()
+  }
+}

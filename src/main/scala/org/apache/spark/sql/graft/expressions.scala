@@ -1,0 +1,134 @@
+package org.apache.spark.sql.graft
+
+import org.apache.commons.math3.special.Beta
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Two-sided Student-t p-value: P(|T_df| >= |t|).
+  *
+  * The one scalar function the reference surface needs that Spark SQL lacks
+  * (Welch t-test p-values, `drug_target_gse46602/pipeline2.py:598-603` uses
+  * `scipy.stats.ttest_ind(equal_var=False)`). Uses the standard identity
+  * p = I_{df/(df+t^2)}(df/2, 1/2) with the regularized incomplete beta from
+  * commons-math3 (on the Spark classpath). Returns null for non-positive or
+  * NaN df (scipy returns NaN there; graft normalizes NaN to null, SURVEY
+  * §1.2).
+  */
+case class TTestPValue(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "t_test_pvalue"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(tVal: Any, dfVal: Any): Any = {
+    val t = tVal.asInstanceOf[Double]
+    val df = dfVal.asInstanceOf[Double]
+    if (df.isNaN || t.isNaN || df <= 0.0) null
+    else Beta.regularizedBeta(df / (df + t * t), df / 2.0, 0.5)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity between two double arrays, with whole-stage codegen.
+  *
+  * Backbone of the similarity-search / embedding-dedup operators. Nulls and
+  * length mismatches follow "truncate to shorter" semantics; a zero-norm
+  * input yields null. Arrays must not contain null elements (embedding
+  * vectors never do).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(aVal: Any, bVal: Any): Any = {
+    val a = aVal.asInstanceOf[ArrayData]
+    val b = bVal.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val den = ctx.freshName("den")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = $a.getDouble($i); double y = $b.getDouble($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($den == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $den; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash over an array of token strings (near-dup fingerprint).
+  *
+  * Each token is hashed with Murmur3-128 (Guava-free, via Spark's XXH64 is
+  * not stable across impls, so we use the token's MD5 first 8 bytes — stable
+  * and engine-independent); bit b of the result is 1 iff the sum of
+  * (+1/-1) votes from token-hash bit b is positive. Hamming distance between
+  * simhashes approximates token-multiset similarity.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i).getBytes
+        val h = md.digest(tok)
+        // first 8 bytes of md5 -> long
+        var hash = 0L
+        var j = 0
+        while (j < 8) { hash = (hash << 8) | (h(j) & 0xffL); j += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((hash >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        md.reset()
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB against the sf parquet tables,
+and compares row count, column names, and values (sorted rows, sorted column
+names, exact match after string normalization; floats compared exactly —
+queries are expected to round on both sides).
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+def table(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in idx) for r in rows]
+    return sorted(out), [cols[i] for i in idx]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_rows, got_cols_raw = got_rel.fetchall(), [d[0] for d in got_rel.description]
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            failures += 1
+            continue
+        try:
+            exp_rel = con.execute(sql)
+            exp_rows, exp_cols_raw = exp_rel.fetchall(), [d[0] for d in exp_rel.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        got, gc = table(got_rows, got_cols_raw)
+        exp, ec = table(exp_rows, exp_cols_raw)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            failures += 1
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            failures += 1
+        elif got != exp:
+            bad = [(g, e) for g, e in zip(got, exp) if g != e][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+    # rows-only queries (no oracle)
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            try:
+                n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+                print(f"OK   {name} (rows-only: {n} rows)")
+            except Exception as e:
+                print(f"FAIL {name}: rows-only unreadable: {e}")
+                failures += 1
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {failures} failures")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

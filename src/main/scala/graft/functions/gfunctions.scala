@@ -43,12 +43,15 @@ object gfunctions {
   }
 
   /** Welch–Satterthwaite degrees of freedom. Null when either group has
-    * fewer than 2 observations (sample variance undefined). */
+    * fewer than 2 observations (sample variance undefined). The nullif
+    * guards keep this ANSI-safe: division by zero yields null, never an
+    * error, matching scipy's NaN-on-degenerate-input. */
   def welch_df(varA: Column, nA: Column, varB: Column, nB: Column): Column = {
     val a = varA / nA
     val b = varB / nB
     val num = (a + b) * (a + b)
-    val den = (a * a) / (nA - lit(1)) + (b * b) / (nB - lit(1))
+    val den = (a * a) / nullif(nA - lit(1), lit(0)) +
+      (b * b) / nullif(nB - lit(1), lit(0))
     num / nullif(den, lit(0.0))
   }
 

@@ -1,0 +1,62 @@
+package graft.prep
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Expression-matrix preprocessing over the long form (F1, A1–A4;
+  * `pipeline2.py:476-498`).
+  *
+  * All four per-probe steps (non-null threshold, median impute, conditional
+  * log2, z-score) are window aggregates over `partitionBy(probe_id)`: one
+  * shuffle of the fact table total, every subsequent pass reuses the same
+  * partitioning — no join-back of per-probe statistics. At 1000 executors
+  * the probe key is high-cardinality (54k at reference scale, unbounded for
+  * larger arrays), so the partitioning is balanced by construction.
+  */
+object Preprocess {
+
+  /** A1: global missing-value count (logged by the reference, py:483). */
+  def missingCount(expr: DataFrame): Long =
+    expr.agg(count(when(col("value").isNull, 1))).first().getLong(0)
+
+  /** F1 + A2 + A3 + A4.
+    *
+    * @param expr     long (probe_id, sample_id, value) with nulls for NaN
+    * @param nSamples number of sample columns in the source matrix (the
+    *                 denominator of the 20% threshold, py:484)
+    */
+  def run(expr: DataFrame, nSamples: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+    val threshold = 0.2 * nSamples
+
+    // F1: keep probes with >= 20%·n non-null values; A2: fill the rest with
+    // the probe's median (exact median, Spark >= 3.4 built-in).
+    val imputed = expr
+      .withColumn("__nn", count(col("value")).over(w))
+      .filter(col("__nn") >= threshold)
+      .withColumn("value",
+        coalesce(col("value"), median(col("value")).over(w)))
+      .drop("__nn")
+
+    // A3: conditional log2(x+1) — an adaptive plan branch picked from one
+    // collected scalar, like the reference's `if data_max > 100` (py:488-491).
+    val dataMax = imputed.agg(max("value")).first() match {
+      case r if r.isNullAt(0) => Double.NegativeInfinity
+      case r => r.getDouble(0)
+    }
+    val scaled =
+      if (dataMax > 100) imputed.withColumn("value", log2(col("value") + 1))
+      else imputed
+
+    // A4: per-probe standardization, sklearn StandardScaler semantics
+    // (population std, ddof=0; zero-variance rows map to 0, py:492-494).
+    scaled
+      .withColumn("__mu", avg("value").over(w))
+      .withColumn("__sd", stddev_pop("value").over(w))
+      .withColumn("value",
+        when(col("__sd") === 0.0, lit(0.0))
+          .otherwise((col("value") - col("__mu")) / col("__sd")))
+      .drop("__mu", "__sd")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.de
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class StatsSpec extends SparkSuite {
+
+  test("welchTTest matches scipy ttest_ind(equal_var=False) on a pinned case") {
+    import spark.implicits._
+    // case = [3.1,4.2,5.3,4.8], control = [2.0,2.5,1.8,2.2,2.4]; expected
+    // values computed with an independent incomplete-beta implementation
+    // (scipy semantics, tolerance 1e-9).
+    val rows = Seq(3.1, 4.2, 5.3, 4.8).map(v => ("g1", "case", v)) ++
+      Seq(2.0, 2.5, 1.8, 2.2, 2.4).map(v => ("g1", "control", v))
+    val df = rows.toDF("gene", "condition", "value")
+    val r = Stats.welchTTest(df, Seq("gene"), "condition", "value").collect().head
+    assert(approx(r.getAs[Double]("mean_case"), 4.35))
+    assert(approx(r.getAs[Double]("mean_control"), 2.18))
+    assert(approx(r.getAs[Double]("log2fc"), 2.17))
+    assert(approx(r.getAs[Double]("t_stat"), 4.424273929811939))
+    assert(approx(r.getAs[Double]("t_df"), 3.441202274363128))
+    assert(approx(r.getAs[Double]("pvalue"), 0.016005107446869053))
+  }
+
+  test("welch t flips sign under group swap; p unchanged") {
+    import spark.implicits._
+    val rows = Seq(1.0, 2.0, 3.0).map(v => ("g", "case", v)) ++
+      Seq(4.0, 5.5, 6.0, 7.0).map(v => ("g", "control", v))
+    val df = rows.toDF("gene", "condition", "value")
+    val a = Stats.welchTTest(df, Seq("gene"), "condition", "value").collect().head
+    val swapped = df.withColumn("condition",
+      when($"condition" === "case", "control").otherwise("case"))
+    val b = Stats.welchTTest(swapped, Seq("gene"), "condition", "value").collect().head
+    assert(approx(a.getAs[Double]("t_stat"), -b.getAs[Double]("t_stat")))
+    assert(approx(a.getAs[Double]("pvalue"), b.getAs[Double]("pvalue")))
+  }
+
+  test("welch p null when a group is constant-free (n<2) or zero-SE") {
+    import spark.implicits._
+    val df = Seq(("g", "case", 1.0), ("g", "case", 1.0),
+      ("g", "control", 1.0), ("g", "control", 1.0)).toDF("gene", "condition", "value")
+    val r = Stats.welchTTest(df, Seq("gene"), "condition", "value").collect().head
+    // zero variance both sides -> SE 0 -> t null -> p null (scipy: NaN)
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+    assert(r.isNullAt(r.fieldIndex("pvalue")))
+  }
+
+  test("bhAdjust matches statsmodels fdr_bh on a pinned case, nulls isolated") {
+    import spark.implicits._
+    val df = Seq(("a", Some(0.01)), ("b", Some(0.04)), ("c", Some(0.03)),
+      ("d", Some(0.005)), ("e", None), ("f", Some(0.20)))
+      .toDF("id", "pvalue")
+    val out = Stats.bhAdjust(df, "pvalue", "adj", tieBreak = Seq("id"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("adj"))) None else Some(r.getAs[Double]("adj")))).toMap
+    assert(approx(out("a").get, 0.025))
+    assert(approx(out("b").get, 0.05))
+    assert(approx(out("c").get, 0.049999999999999996))
+    assert(approx(out("d").get, 0.025))
+    assert(out("e").isEmpty)   // null p stays null, excluded from m
+    assert(approx(out("f").get, 0.20))
+  }
+
+  test("bhAdjust properties: monotone in p-rank, within [0,1], idempotent cut") {
+    import spark.implicits._
+    // deterministic pseudo-random p's
+    val ps = (1 to 200).map(i => ("k" + i, ((i * 7919) % 1009) / 1009.0))
+    val out = Stats.bhAdjust(ps.toDF("id", "pvalue"), "pvalue", "adj", Seq("id"))
+      .orderBy("pvalue").collect().map(_.getAs[Double]("adj"))
+    assert(out.forall(a => a >= 0.0 && a <= 1.0))
+    assert(out.sliding(2).forall { case Array(x, y) => x <= y; case _ => true })
+  }
+
+  test("tied p-values receive identical adjusted values") {
+    import spark.implicits._
+    val df = Seq(("a", 0.02), ("b", 0.02), ("c", 0.02), ("d", 0.5))
+      .toDF("id", "pvalue")
+    val out = Stats.bhAdjust(df, "pvalue", "adj", Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("adj")).toMap
+    assert(out("a") == out("b") && out("b") == out("c"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.prep
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class PreprocessSpec extends SparkSuite {
+
+  test("F1 threshold + A2 median impute + A4 z-score (no log2 branch)") {
+    import spark.implicits._
+    // 5 samples; probe p1 full, p2 has 2 nulls (60% non-null, kept),
+    // p3 has 4+ nulls (<=20%: dropped when 1 of 5 non-null = 20% -> kept?
+    // threshold is >= 0.2*5 = 1 non-null -> p3 with exactly 1 survives;
+    // p4 all null -> dropped).
+    val rows =
+      Seq("s1" -> Some(1.0), "s2" -> Some(2.0), "s3" -> Some(3.0),
+        "s4" -> Some(4.0), "s5" -> Some(5.0)).map { case (s, v) => ("p1", s, v) } ++
+      Seq("s1" -> Some(10.0), "s2" -> None, "s3" -> Some(20.0),
+        "s4" -> None, "s5" -> Some(30.0)).map { case (s, v) => ("p2", s, v) } ++
+      Seq("s1" -> None, "s2" -> None, "s3" -> None,
+        "s4" -> None, "s5" -> Some(7.0)).map { case (s, v) => ("p3", s, v) } ++
+      Seq("s1" -> Option.empty[Double], "s2" -> None, "s3" -> None,
+        "s4" -> None, "s5" -> None).map { case (s, v) => ("p4", s, v) }
+    val df = rows.toDF("probe_id", "sample_id", "value")
+    val out = Preprocess.run(df, nSamples = 5)
+    val byProbe = out.collect().groupBy(_.getString(0))
+    assert(byProbe.keySet == Set("p1", "p2", "p3"))   // p4 dropped (0 < 1)
+
+    // p2 nulls imputed with median(10,20,30)=20, then z-scored:
+    // values [10,20,20,20,30], mu=20, sd_pop=sqrt(200/5 - 0)=sqrt(40)... =
+    // mean((x-mu)^2) = (100+0+0+0+100)/5 = 40 -> sd = 6.3245...
+    val p2 = byProbe("p2").map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val sd = math.sqrt(40.0)
+    assert(approx(p2("s1"), -10.0 / sd))
+    assert(approx(p2("s2"), 0.0))
+    assert(approx(p2("s5"), 10.0 / sd))
+
+    // p3: single value -> sd 0 -> z-score 0 everywhere (sklearn scale_=1
+    // on zero variance => (x - mu)/1 = 0 for the imputed constant row)
+    assert(byProbe("p3").forall(_.getDouble(2) == 0.0))
+  }
+
+  test("A3: log2 branch taken when max > 100") {
+    import spark.implicits._
+    val df = Seq(("p", "s1", Some(1023.0)), ("p", "s2", Some(255.0)),
+      ("p", "s3", Some(511.0))).toDF("probe_id", "sample_id", "value")
+    val out = Preprocess.run(df, nSamples = 3).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // log2(x+1) = 10, 8, 9 -> mu 9, sd_pop sqrt(2/3)
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(approx(out("s1"), 1.0 / sd))
+    assert(approx(out("s2"), -1.0 / sd))
+    assert(approx(out("s3"), 0.0))
+  }
+
+  test("A1 missing count") {
+    import spark.implicits._
+    val df = Seq(("p", "s1", Some(1.0)), ("p", "s2", Option.empty[Double]),
+      ("q", "s1", None)).toDF("probe_id", "sample_id", "value")
+    assert(Preprocess.missingCount(df) == 2)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.graph
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph centrality kernels (G2–G4, `pipeline2.py:747-749`), networkx
+  * numeric parity.
+  *
+  * Degree is pure DataFrame. Betweenness and eigenvector operate on a
+  * collected, integer-indexed adjacency — the graph is dimension-bounded by
+  * construction (top-N genes, A12), so the edge list fits on the driver /
+  * in a broadcast even when the expression data is 100 TB. Betweenness
+  * distributes its per-source Brandes passes over the cluster (source
+  * vertices are an RDD; adjacency is a broadcast), which is the standard
+  * scale-out for exact betweenness: embarrassingly parallel per source.
+  */
+object Centrality {
+
+  /** G2: nx.degree_centrality = degree / (n-1). Isolated nodes (added via
+    * add_node, never in an edge) get 0. */
+  def degreeCentrality(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val n = nodes.count()
+    val denom = math.max(n - 1L, 1L).toDouble
+    val endpoints = edges.select(col("src").as("gene"))
+      .unionAll(edges.select(col("dst").as("gene")))
+      .groupBy("gene").agg(count(lit(1)).as("__deg"))
+    nodes.join(endpoints, Seq("gene"), "left")
+      .select(col("gene"),
+        (coalesce(col("__deg"), lit(0L)) / denom).as("degree_centrality"))
+  }
+
+  private def indexGraph(nodes: Seq[String], edgeList: Seq[(String, String)])
+      : Array[Array[Int]] = {
+    val idx = nodes.zipWithIndex.toMap
+    val adj = Array.fill(nodes.length)(mutable.ArrayBuffer.empty[Int])
+    edgeList.foreach { case (a, b) =>
+      (idx.get(a), idx.get(b)) match {
+        case (Some(i), Some(j)) if i != j => adj(i) += j; adj(j) += i
+        case _ => ()
+      }
+    }
+    adj.map(_.distinct.sorted.toArray)
+  }
+
+  /** G3: exact betweenness centrality, Brandes' algorithm, unweighted,
+    * normalized — matches `nx.betweenness_centrality(G)` defaults. The
+    * per-source BFS passes run distributed: sources are parallelized,
+    * adjacency broadcast, partial dependency vectors summed.
+    */
+  def betweennessCentrality(spark: SparkSession, nodes: DataFrame,
+                            edges: DataFrame): DataFrame = {
+    val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
+    val edgeSeq = edges.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val n = nodeSeq.length
+    val adj = indexGraph(nodeSeq, edgeSeq)
+    val bcAdj = spark.sparkContext.broadcast(adj)
+
+    val partial = spark.sparkContext
+      .parallelize(0 until n, math.min(math.max(n / 16, 1), 256))
+      .mapPartitions { sources =>
+        val a = bcAdj.value
+        val nn = a.length
+        val acc = new Array[Double](nn)
+        sources.foreach { s =>
+          // Brandes single-source shortest-path accumulation
+          val sigma = new Array[Double](nn)
+          val dist = Array.fill(nn)(-1)
+          val delta = new Array[Double](nn)
+          val preds = Array.fill(nn)(mutable.ArrayBuffer.empty[Int])
+          val stack = mutable.ArrayBuffer.empty[Int]
+          val queue = mutable.Queue.empty[Int]
+          sigma(s) = 1.0; dist(s) = 0; queue.enqueue(s)
+          while (queue.nonEmpty) {
+            val v = queue.dequeue()
+            stack += v
+            var k = 0
+            val nbrs = a(v)
+            while (k < nbrs.length) {
+              val w = nbrs(k)
+              if (dist(w) < 0) { dist(w) = dist(v) + 1; queue.enqueue(w) }
+              if (dist(w) == dist(v) + 1) { sigma(w) += sigma(v); preds(w) += v }
+              k += 1
+            }
+          }
+          var i = stack.length - 1
+          while (i >= 0) {
+            val w = stack(i)
+            preds(w).foreach { v =>
+              delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+            }
+            if (w != s) acc(w) += delta(w)
+            i -= 1
+          }
+        }
+        Iterator.single(acc)
+      }
+      .treeReduce { (x, y) =>
+        var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+      }
+
+    // nx _rescale, normalized=True, undirected: scale = 1/((n-1)(n-2)) over
+    // the double-counted raw sums; identity for n <= 2.
+    val scale = if (n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else 1.0
+    val rows = nodeSeq.zipWithIndex.map { case (g, i) =>
+      Row(g, partial(i) * scale)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("gene", StringType, nullable = false),
+        StructField("betweenness_centrality", DoubleType, nullable = false))))
+  }
+
+  /** G4: eigenvector centrality, nx semantics: power iteration on (I + A)
+    * from x = 1/n, L2-normalized each step, stop when sum|Δ| < n·tol.
+    * Throws IllegalStateException past maxIter like nx's
+    * PowerIterationFailedConvergence — the pipeline catches it into the
+    * zero-filled frame (G7, `pipeline2.py:778-792`).
+    */
+  def eigenvectorCentrality(spark: SparkSession, nodes: DataFrame,
+                            edges: DataFrame, maxIter: Int = 1000,
+                            tol: Double = 1e-6): DataFrame = {
+    val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
+    val edgeSeq = edges.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val n = nodeSeq.length
+    val adj = indexGraph(nodeSeq, edgeSeq)
+
+    var x = Array.fill(n)(1.0 / n)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val xNew = x.clone()
+      var v = 0
+      while (v < n) {
+        val nbrs = adj(v); var k = 0
+        while (k < nbrs.length) { xNew(nbrs(k)) += x(v); k += 1 }
+        v += 1
+      }
+      val norm = math.sqrt(xNew.map(d => d * d).sum) match {
+        case 0.0 => 1.0
+        case d => d
+      }
+      var i = 0
+      while (i < n) { xNew(i) /= norm; i += 1 }
+      var err = 0.0
+      i = 0
+      while (i < n) { err += math.abs(xNew(i) - x(i)); i += 1 }
+      x = xNew
+      if (err < n * tol) converged = true
+      iter += 1
+    }
+    if (!converged && n > 0)
+      throw new IllegalStateException(
+        s"eigenvector centrality failed to converge in $maxIter iterations")
+
+    val rows = nodeSeq.zipWithIndex.map { case (g, i) => Row(g, x(i)) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("gene", StringType, nullable = false),
+        StructField("eigenvector_centrality", DoubleType, nullable = false))))
+  }
+
+  /** A14 + A15: min-max normalize the three centralities (sklearn
+    * MinMaxScaler: zero range -> 0) and average them into the composite
+    * score (`pipeline2.py:758-769`), sorted descending with gene as the
+    * deterministic tiebreak. Global min/max come from a 1-row aggregate
+    * cross join — no single-partition window. */
+  def compositeScores(centralities: DataFrame): DataFrame = {
+    val cols = Seq("degree_centrality", "betweenness_centrality",
+      "eigenvector_centrality")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val stats = centralities.agg(aggs.head, aggs.tail: _*)
+    val normed = cols.foldLeft(centralities.crossJoin(broadcast(stats))) {
+      (df, c) =>
+        val range = col(s"__max_$c") - col(s"__min_$c")
+        df.withColumn(c,
+          when(range === 0.0, lit(0.0))
+            .otherwise((col(c) - col(s"__min_$c")) / range))
+    }.drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+    normed
+      .withColumn("composite_score",
+        (col("degree_centrality") + col("betweenness_centrality") +
+          col("eigenvector_centrality")) / 3)
+      .orderBy(col("composite_score").desc, col("gene"))
+  }
+}

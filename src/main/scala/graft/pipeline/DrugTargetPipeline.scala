@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.de.DifferentialExpression
+import graft.enrich.TargetValidation
+import graft.geo.GeoMatrixReader
+import graft.graph.Centrality
+import graft.mapping.ProbeMapping
+import graft.net.CoExpressionNetwork
+import graft.prep.Preprocess
+import graft.report.Sinks
+
+/** Configuration for one pipeline run (mirrors the reference ctor +
+  * hard-coded constants, `pipeline2.py:140-153,661,944`). */
+final case class PipelineConfig(
+    matrixPath: String,
+    mappingCsvPath: String,
+    outputDir: String,
+    ensemblSnapshotPath: Option[String] = None,
+    openTargetsSnapshotPath: Option[String] = None,
+    nTopGenes: Int = 500,
+    corrThreshold: Double = 0.7,
+    topNValidation: Int = 20)
+
+final case class PipelineResult(
+    differential: Option[DataFrame],
+    significant: Option[DataFrame],
+    targetScores: Option[DataFrame],
+    finalTargets: Option[DataFrame],
+    failures: Seq[(String, Throwable)])
+
+/** The nine-stage DAG (E1, `pipeline2.py:1148-1230`) as lazy Catalyst plans
+  * materialized at each sink, with the reference's per-stage error isolation:
+  * parse failure aborts, anything later degrades and the run continues.
+  *
+  * The normalized gene-level frame is persisted (MEMORY_AND_DISK): it feeds
+  * differential analysis AND network construction — the two heaviest
+  * consumers — so the scan/shuffle pipeline up to it runs once.
+  */
+final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
+
+  private val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
+
+  private def stage[T](name: String)(body: => T): Option[T] =
+    try Some(body)
+    catch {
+      case e: Throwable =>
+        failures += name -> e
+        None
+    }
+
+  def run(): PipelineResult = {
+    val out = config.outputDir
+
+    // Stage 1: parse (hard abort on failure, py:1158-1159)
+    val geo = GeoMatrixReader.read(spark, config.matrixPath)
+    stage("metadata_sink") {
+      Sinks.writeCsv(geo.metadata.drop("characteristics").orderBy("ordinal"),
+        s"$out/data/metadata")
+    }
+
+    // Stages 2+3: preprocess + probe collapse
+    val genes = stage("preprocess_and_map") {
+      val prepped = Preprocess.run(geo.expression, geo.sampleIds.length)
+      val mapping = ProbeMapping.loadMappingCsv(spark, config.mappingCsvPath)
+      val g = ProbeMapping.collapseToGenes(prepped, mapping)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Sinks.writeCsv(
+        Sinks.pivotWide(g, "gene", "sample_id", "value", geo.sampleIds),
+        s"$out/data/gene_mapped")
+      g
+    }
+
+    // Stage 4: differential expression
+    val differential = genes.flatMap { g =>
+      stage("differential_analysis") {
+        val res = DifferentialExpression
+          .run(spark, g, geo.sampleIds, geo.metadata)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        Sinks.writeCsv(res.orderBy("gene"), s"$out/data/differential_results")
+        Sinks.writeCsv(Sinks.volcanoData(res).orderBy("gene"),
+          s"$out/data/volcano_data")
+        res
+      }
+    }
+    val significant = differential.flatMap { d =>
+      stage("significant_genes") {
+        val sig = DifferentialExpression.significant(d)
+        Sinks.writeCsv(sig.orderBy("gene"), s"$out/data/significant_genes")
+        sig
+      }
+    }
+
+    // Stage 5: network construction
+    val network = genes.flatMap { g =>
+      stage("construct_network") {
+        val top = CoExpressionNetwork.topGenes(g, significant, config.nTopGenes)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val corrs = CoExpressionNetwork.correlations(g, top)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val edges = CoExpressionNetwork.edges(corrs, config.corrThreshold)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val topSeq = top.collect().map(_.getString(0)).toSeq
+        Sinks.writeCsv(
+          Sinks.pivotWide(
+            corrs.select(col("g1"), col("g2"), col("corr"))
+              .unionAll(corrs.select(col("g2"), col("g1"), col("corr")))
+              .unionAll(top.select(col("gene").as("g1"), col("gene").as("g2"),
+                lit(1.0).as("corr"))),
+            "g1", "g2", "corr", topSeq),
+          s"$out/data/correlation_matrix")
+        val edgeSeq = edges.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+        Sinks.writeGexf(topSeq, edgeSeq, s"$out/data/gene_network.gexf")
+        (top, edges)
+      }
+    }
+
+    // Stage 6: centrality analysis (G7 guards: < 2 nodes -> zero frame)
+    val targetScores = network.flatMap { case (top, edges) =>
+      stage("analyze_network") {
+        val nNodes = top.count()
+        val scores =
+          if (nNodes < 2) {
+            import spark.implicits._
+            val names =
+              if (nNodes == 0) Seq("PLACEHOLDER")
+              else top.collect().map(_.getString(0)).toSeq
+            names.map((_, 0.0, 0.0, 0.0, 0.0))
+              .toDF("gene", "degree_centrality", "betweenness_centrality",
+                "eigenvector_centrality", "composite_score")
+          } else {
+            val nodes = top.select("gene")
+            val deg = Centrality.degreeCentrality(nodes, edges)
+            val btw = Centrality.betweennessCentrality(spark, nodes, edges)
+            val eig = Centrality.eigenvectorCentrality(spark, nodes, edges)
+            Centrality.compositeScores(
+              deg.join(btw, Seq("gene")).join(eig, Seq("gene")))
+          }
+        Sinks.writeCsv(scores, s"$out/data/network_targets")
+        scores.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+
+    // Stage 7: target validation against offline snapshots (skipped, like a
+    // failed API, when no snapshot is configured)
+    val finalTargets = targetScores.flatMap { ts =>
+      (config.ensemblSnapshotPath, config.openTargetsSnapshotPath) match {
+        case (Some(ens), Some(ot)) =>
+          stage("validate_targets") {
+            val ft = TargetValidation.validate(ts,
+              TargetValidation.loadEnsemblSnapshot(spark, ens),
+              TargetValidation.loadOpenTargetsSnapshot(spark, ot),
+              config.topNValidation)
+            Sinks.writeCsv(ft, s"$out/data/final_targets")
+            ft
+          }
+        case _ => None
+      }
+    }
+
+    // Stage 8: summary report
+    stage("summary_report") {
+      val meta = geo.metadata
+      val nCase = meta.filter(col("condition") === "case").count()
+      val nControl = meta.filter(col("condition") === "control").count()
+      val nProbes = geo.expression.select("probe_id").distinct().count()
+      val nGenes = genes.map(_.select("gene").distinct().count()).getOrElse(0L)
+      val nSig = significant.map(_.count()).getOrElse(0L)
+      val nUp = significant.map(_.filter(col("log2FC") > 0).count()).getOrElse(0L)
+      val nDown = significant.map(_.filter(col("log2FC") < 0).count()).getOrElse(0L)
+      val nNodes = network.map(_._1.count()).getOrElse(0L)
+      val nEdges = network.map(_._2.count()).getOrElse(0L)
+      val topTargets = targetScores.map(
+        _.orderBy(col("composite_score").desc, col("gene")).limit(10)
+          .collect().map(r => (r.getString(0),
+            r.getAs[Double]("composite_score"))).toSeq)
+        .getOrElse(Seq.empty)
+      Sinks.summaryReport(geo.sampleIds.length.toLong, nCase, nControl,
+        nProbes, nGenes, nSig, nUp, nDown, nNodes, nEdges, topTargets,
+        s"$out/summary.txt")
+    }
+
+    PipelineResult(differential, significant, targetScores, finalTargets,
+      failures.toSeq)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.graph
+
+import graft.SparkSuite
+
+class CentralitySpec extends SparkSuite {
+
+  private def graph(nodes: Seq[String], edges: Seq[(String, String)]) = {
+    import spark.implicits._
+    (nodes.toDF("gene"),
+      edges.map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "weight"))
+  }
+
+  private def byGene(df: org.apache.spark.sql.DataFrame, col: String) =
+    df.collect().map(r => r.getString(0) -> r.getAs[Double](col)).toMap
+
+  test("star S4: center degree/betweenness 1.0, leaves 0") {
+    val (nodes, edges) = graph(Seq("c", "l1", "l2", "l3"),
+      Seq("c" -> "l1", "c" -> "l2", "c" -> "l3"))
+    val deg = byGene(Centrality.degreeCentrality(nodes, edges), "degree_centrality")
+    assert(approx(deg("c"), 1.0) && approx(deg("l1"), 1.0 / 3))
+    val btw = byGene(Centrality.betweennessCentrality(spark, nodes, edges),
+      "betweenness_centrality")
+    assert(approx(btw("c"), 1.0) && approx(btw("l1"), 0.0))
+  }
+
+  test("path P4: nx-parity centralities") {
+    val (nodes, edges) = graph(Seq("a", "b", "c", "d"),
+      Seq("a" -> "b", "b" -> "c", "c" -> "d"))
+    val deg = byGene(Centrality.degreeCentrality(nodes, edges), "degree_centrality")
+    assert(approx(deg("a"), 1.0 / 3) && approx(deg("b"), 2.0 / 3))
+    val btw = byGene(Centrality.betweennessCentrality(spark, nodes, edges),
+      "betweenness_centrality")
+    // nx.betweenness_centrality(path_graph(4)) = {0: 0, 1: 2/3, 2: 2/3, 3: 0}
+    assert(approx(btw("a"), 0.0) && approx(btw("b"), 2.0 / 3) &&
+      approx(btw("c"), 2.0 / 3) && approx(btw("d"), 0.0))
+    // analytic eigenvector of P4: proportional to sin(k*pi/5)
+    val eig = byGene(Centrality.eigenvectorCentrality(spark, nodes, edges),
+      "eigenvector_centrality")
+    val raw = Seq(math.sin(math.Pi / 5), math.sin(2 * math.Pi / 5),
+      math.sin(3 * math.Pi / 5), math.sin(4 * math.Pi / 5))
+    val norm = math.sqrt(raw.map(x => x * x).sum)
+    assert(approx(eig("a"), raw.head / norm, 1e-4))
+    assert(approx(eig("b"), raw(1) / norm, 1e-4))
+  }
+
+  test("cycle C5: uniform centralities") {
+    val ns = (0 until 5).map("n" + _)
+    val (nodes, edges) = graph(ns,
+      (0 until 5).map(i => ns(i) -> ns((i + 1) % 5)))
+    val deg = byGene(Centrality.degreeCentrality(nodes, edges), "degree_centrality")
+    assert(ns.forall(n => approx(deg(n), 0.5)))
+    val btw = byGene(Centrality.betweennessCentrality(spark, nodes, edges),
+      "betweenness_centrality")
+    assert(ns.forall(n => approx(btw(n), 1.0 / 6)))
+    val eig = byGene(Centrality.eigenvectorCentrality(spark, nodes, edges),
+      "eigenvector_centrality")
+    assert(ns.forall(n => approx(eig(n), 1.0 / math.sqrt(5), 1e-6)))
+  }
+
+  test("isolated node gets zero degree; disconnected handled") {
+    val (nodes, edges) = graph(Seq("a", "b", "iso"), Seq("a" -> "b"))
+    val deg = byGene(Centrality.degreeCentrality(nodes, edges), "degree_centrality")
+    assert(approx(deg("iso"), 0.0) && approx(deg("a"), 0.5))
+    val btw = byGene(Centrality.betweennessCentrality(spark, nodes, edges),
+      "betweenness_centrality")
+    assert(btw.values.forall(_ == 0.0))
+  }
+
+  test("compositeScores: min-max + mean, zero-range column -> 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 0.2, 0.0, 5.0), ("g2", 0.6, 0.0, 10.0), ("g3", 1.0, 0.0, 7.5))
+      .toDF("gene", "degree_centrality", "betweenness_centrality",
+        "eigenvector_centrality")
+    val out = Centrality.compositeScores(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("composite_score")).toMap
+    // degree normalizes to 0/0.5/1, betweenness all 0, eigen 0/1/0.5
+    assert(approx(out("g1"), 0.0))
+    assert(approx(out("g2"), (0.5 + 0.0 + 1.0) / 3))
+    assert(approx(out("g3"), (1.0 + 0.0 + 0.5) / 3))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.gfunctions._
+
+/** Similarity search over an embedding column (array<float|double>).
+  *
+  *  - Brute-force top-k: the exact baseline. The query side is broadcast
+  *    (bounded query set), so the corpus streams through map-side — no
+  *    shuffle of the 100 TB side; cost is |corpus| * |queries| dot
+  *    products inside whole-stage codegen (CosineSimilarity is a native
+  *    codegen'd expression).
+  *  - Random-hyperplane LSH: deterministic pseudo-random hyperplanes
+  *    (integer LCG, reproducible in any engine, including the DuckDB
+  *    oracle); bucket = sign-bit pack of `planes` dot products. ANN top-k
+  *    then joins query buckets to corpus buckets (shuffle on the compact
+  *    bucket key, never all-pairs) and re-ranks candidates exactly.
+  */
+object Similarity {
+
+  /** Deterministic hyperplane component w[p][j] in [-1, 1): LCG over the
+    * flat index p*dim+j. Reproducible bit-for-bit in SQL (all integer
+    * arithmetic; 1103515245/12345 are the classic glibc constants). */
+  def planeComponent(p: Int, j: Int, dim: Int): Double = {
+    val seed = (p.toLong * dim + j) & 0x7fffffffL
+    val v = (1103515245L * seed + 12345L) % 2147483648L
+    v.toDouble / 1073741824.0 - 1.0
+  }
+
+  /** The hyperplane matrix as literal arrays (planes x dim). */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(j => planeComponent(p, j, dim)))
+
+  private def dot(vec: Column, plane: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, array(plane.map(lit): _*), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-bit-packed LSH bucket id of an embedding column. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    planes(nPlanes, dim).zipWithIndex.map { case (pl, p) =>
+      when(dot(vec.cast("array<double>"), pl) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact top-k neighbors by cosine for each query row. `queries` must be
+    * small enough to broadcast (it is crossJoin-broadcast against the full
+    * corpus). Output: (query_id, neighbor_id, cos_sim, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_similarity(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+  }
+
+  /** Corpus rows with their LSH bucket (single table of nPlanes planes). */
+  def withBucket(df: DataFrame, vecCol: String, nPlanes: Int,
+                 dim: Int): DataFrame =
+    df.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+
+  /** Per-table LSH buckets: `tables` independent hash tables of
+    * `planesPerTable` hyperplanes each (planes t*P..t*P+P-1 feed table t).
+    * Emitted as (table, bucket) pairs via explode — OR-amplification:
+    * two vectors are candidates if they collide in ANY table, which is
+    * what keeps recall high while each table's bucket join stays sparse. */
+  def withTableBuckets(df: DataFrame, vecCol: String, tables: Int,
+                       planesPerTable: Int, dim: Int): DataFrame = {
+    val all = planes(tables * planesPerTable, dim)
+    val v = col(vecCol).cast("array<double>")
+    val bucketCols = (0 until tables).map { t =>
+      val b = (0 until planesPerTable).map { p =>
+        when(dot(v, all(t * planesPerTable + p)) > 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), b.as("bucket"))
+    }
+    df.withColumn("tb", explode(array(bucketCols: _*)))
+      .withColumn("table", col("tb.table"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
+  /** ANN top-k via multi-table LSH: candidates are corpus rows sharing a
+    * (table, bucket) key with the query in any of `tables` hash tables,
+    * deduplicated, then exactly re-ranked by cosine. The only shuffle is
+    * the bucket-key join + the per-query top-k window; the corpus is
+    * never self-joined all-pairs. Recall vs bruteForceTopK is pinned in
+    * the spec. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, tables: Int = 8,
+              planesPerTable: Int = 8): DataFrame = {
+    val c = withTableBuckets(corpus, vecCol, tables, planesPerTable, dim)
+      .select(col(idCol).as("neighbor_id"), col("table"), col("bucket"))
+    val q = broadcast(
+      withTableBuckets(queries, vecCol, tables, planesPerTable, dim)
+        .select(col(idCol).as("query_id"),
+          col(vecCol).cast("array<double>").as("qv"),
+          col("table"), col("bucket")))
+    val cand = c.join(q, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_similarity(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+  }
+}

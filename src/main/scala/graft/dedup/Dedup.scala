@@ -1,0 +1,225 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gfunctions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for LLM training-data pipelines, each designed
+  * around a bounded shuffle — never an all-pairs comparison:
+  *
+  *  - exact: hash-groupBy on content hash (one shuffle on the hash key).
+  *  - simhash near-dup: 64-bit fingerprint -> 4x16-bit bands -> shuffle on
+  *    band key -> in-bucket pairing only (two docs collide in a band iff
+  *    their fingerprints agree on 16 bits; hamming<=k docs are guaranteed
+  *    to share >=1 band for k<=3 by pigeonhole). O(sum bucket^2), bucket
+  *    sizes bounded by fingerprint entropy; a bucket-size cap guards
+  *    degenerate data.
+  *  - minhash LSH: per-shingle hashes -> per-doc signature -> band keys ->
+  *    in-bucket candidate pairs -> exact-Jaccard verification on the
+  *    candidates only.
+  *  - n-gram Jaccard: inverted shingle index (shuffle on shingle) ->
+  *    per-pair intersection counts -> Jaccard filter. Frequent-shingle cap
+  *    bounds the index fan-out (a shingle appearing in f docs contributes
+  *    f^2 pairs).
+  *
+  * All hashes derive from [[HashUtil.md5Lower8LE]] (DuckDB
+  * `md5_number_lower`-compatible), so every stage is oracle-checkable.
+  */
+object Dedup {
+
+  /** Exact dedup: group rows by md5(textCol), keep the row with the
+    * minimum idCol per group. Output: (keep_id, n_dups) one row per
+    * distinct content. Single shuffle on the 128-bit hash. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup keeping full rows: drops every row whose content was
+    * already seen under a smaller id. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Simhash fingerprint + the b band keys used for LSH bucketing.
+    * bandBits * bands must be <= 64. */
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", simhash64(TextAnalysis.tokens(col(textCol))))
+
+  private def bandKey(sig: Column, band: Int, bandBits: Int): Column =
+    shiftrightunsigned(sig, band * bandBits)
+      .bitwiseAND(lit((1L << bandBits) - 1))
+
+  /** Candidate near-dup pairs by simhash banding: docs sharing any of the
+    * `bands` sub-keys are paired, then filtered to hamming(sig) <= maxDist.
+    * Returns (id_a, id_b, hamming) with id_a < id_b, distinct.
+    *
+    * Scale: the only shuffle is groupBy(band, key); pair generation is a
+    * per-bucket self-join. `maxBucket` drops degenerate buckets (e.g. empty
+    * docs all hashing to 0) and is logged as a coverage cap. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, maxDist: Int = 3,
+                   maxBucket: Int = 10000): DataFrame = {
+    val bandBits = 64 / bands
+    val sigs = withSimhash(df, textCol).select(col(idCol).as("id"), col("simhash"))
+    val banded = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), bandKey(col("simhash"), b, bandBits).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    val big = banded.groupBy("band", "key").count()
+      .filter(col("count") > maxBucket).select("band", "key")
+    a.join(big, Seq("band", "key"), "left_anti")
+      .join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: each node's component label converges to the
+    * minimum id reachable from it. Iteration count is bounded by the
+    * component diameter (near-dup clusters are shallow); each step is one
+    * shuffle. Returns (id, component). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"),
+          (col("nbr_min") < col("component")).as("changed"))
+      updated.cache()
+      val nChanged = updated.filter(col("changed") === true).count()
+      labels = updated.select("id", "component")
+      converged = nChanged == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full simhash near-dup dedup: pairs -> components -> keep min id per
+    * component; singletons (no near-dup) keep themselves. Returns the kept
+    * rows of `df`. */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    val pairs = simhashPairs(df, idCol, textCol, bands, maxDist)
+    val comp = connectedComponents(pairs)
+    val drop = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** MinHash signature values: for each of `numHashes` hash functions i,
+    * sig_i = min over distinct shingles s of md5_long(i || ':' || s).
+    * Output: (id, sig: array<long>). One shuffle (groupBy id). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode_outer(array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)))
+        .as("shingle"))
+    val hashed = sh.select(col("id"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => md5_long(concat(i.cast("string"), lit(":"),
+          coalesce(col("shingle"), lit("")))))
+        .as("hs"))
+    hashed.groupBy("id").agg(
+      aggregate(collect_list(col("hs")),
+        transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+        (acc, hs) => zip_with(acc, hs, (x, y) => least(x, y))).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: signature rows are grouped into
+    * `bands` bands of numHashes/bands rows; docs sharing a band key are
+    * candidates. Verified with exact n-gram Jaccard >= minJaccard.
+    * Returns (id_a, id_b, jaccard). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+    val banded = sigs.select(col("id"), explode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5_long(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    verifyJaccard(df, idCol, textCol, cand, shingleSize, minJaccard)
+  }
+
+  /** Exact word-n-gram Jaccard near-dup pairs via an inverted shingle
+    * index: explode distinct shingles, self-join on shingle (the inverted
+    * index — one shuffle on the shingle key), count common shingles per
+    * pair, Jaccard from per-doc set sizes. `maxShingleDocs` drops shingles
+    * appearing in more docs (stopword-like n-grams would otherwise fan out
+    * f^2 pairs). Returns (id_a, id_b, jaccard >= minJaccard). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, minJaccard: Double = 0.5,
+                        maxShingleDocs: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)))
+        .as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocs).select("shingle")
+    val idx = sh.join(rare, Seq("shingle"))
+    val common = idx.as("x").join(idx.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common.join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (used by LSH paths):
+    * joins each candidate pair to the two docs' distinct-shingle sets and
+    * computes |A∩B| / |A∪B|. Work is proportional to candidates, not
+    * pairs. */
+  def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
+                    candidates: DataFrame, shingleSize: Int,
+                    minJaccard: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize))
+        .as("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("n_common") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch operators over the `events` stream table: gap-based
+  * sessionization, tumbling-window aggregation, and bounded-window dedup —
+  * the batch halves of the Structured Streaming surface (the streaming
+  * variants share the same column logic over readStream with a
+  * watermark).
+  *
+  * Scale: both sessionization windows partition by user_id (shuffle on
+  * user, fine-grained key, no global sort); tumbling windows are a plain
+  * hash aggregate on (bucket, type).
+  */
+object Sessionize {
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapSeconds`. Session ids
+    * are a running sum of session-start flags per user. Timestamps
+    * compared in exact integer microseconds (unix_micros) so the gap
+    * predicate is engine-independent. */
+  def withSessionIds(events: DataFrame, tsCol: String, userCol: String,
+                     gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol))
+    val gap = us - lag(us, 1).over(w)
+    val isNew = when(gap.isNull || gap > gapSeconds * 1000000L, 1).otherwise(0)
+    events.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session aggregates: (user_id, session_seq, n_events, start/end,
+    * duration in seconds, total value). */
+  def sessions(events: DataFrame, tsCol: String, userCol: String,
+               valueCol: String, gapSeconds: Long): DataFrame =
+    withSessionIds(events, tsCol, userCol, gapSeconds)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          / 1000000.0).as("duration_sec"),
+        round(sum(col(valueCol)), 4).as("total_value"))
+
+  /** Tumbling-window aggregate: events bucketed by date_trunc(unit) x
+    * event_type, with count and rounded value stats. The bucket is
+    * emitted as a formatted string so the result is
+    * representation-independent across engines. */
+  def tumbling(events: DataFrame, tsCol: String, typeCol: String,
+               valueCol: String, unit: String): DataFrame =
+    events
+      .groupBy(date_format(date_trunc(unit, col(tsCol)),
+        "yyyy-MM-dd HH:mm:ss").as("bucket"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("sum_value"),
+        round(avg(col(valueCol)), 4).as("avg_value"))
+
+  /** Bounded-window dedup (batch analogue of
+    * dropDuplicatesWithinWatermark): one row per (user, type, minute
+    * bucket), keeping the earliest event. */
+  def dedupWithinWindow(events: DataFrame, tsCol: String, userCol: String,
+                        typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol),
+        date_trunc("minute", col(tsCol)))
+      .orderBy(col(tsCol).asc, col("event_id").asc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, SimHash64, TTestPValue}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, Md5Long, RollingHash64, SimHash64, TTestPValue}
 import org.apache.spark.sql.types.DoubleType
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -25,6 +25,14 @@ object gfunctions {
   /** 64-bit SimHash of an ARRAY<STRING> token column. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** 64-bit string hash (md5 low 8 bytes LE == DuckDB md5_number_lower). */
+  def md5_long(c: Column): Column =
+    ColumnBridge.column(Md5Long(ColumnBridge.expression(c)))
+
+  /** Order-sensitive 64-bit rolling-hash fingerprint of a token array. */
+  def rolling_hash64(tokens: Column): Column =
+    ColumnBridge.column(RollingHash64(ColumnBridge.expression(tokens)))
 
   /** NaN / +-Inf -> null (F4, `pipeline2.py:617` inf coercion plus graft's
     * NaN-as-null discipline, SURVEY §1.2). */
@@ -75,5 +83,9 @@ object gfunctions {
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "md5_long", exprs => Md5Long(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
   }
 }

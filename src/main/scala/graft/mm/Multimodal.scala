@@ -1,0 +1,65 @@
+package graft.mm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gfunctions._
+
+/** Multimodal column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with a typed metadata struct. The Spark-side shape —
+  * schema, partitioning, per-batch decode boundary — is real; the decode
+  * kernel itself is a clearly-marked deterministic stub (no codec
+  * libraries in this environment). A production build swaps
+  * [[stubDecode]] for a real codec inside the same mapPartitions
+  * boundary; nothing upstream or downstream changes.
+  */
+object Multimodal {
+
+  /** Wrap a text table into the media shape: (id, media binary, meta).
+    * Stands in for reading image/audio blobs; the binary column is the
+    * UTF-8 payload so results stay deterministic and oracle-checkable. */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+                   mime: String): DataFrame =
+    df.select(col(idCol).as("media_id"),
+      col(payloadCol).cast("binary").as("media"),
+      struct(lit(mime).as("mime"),
+        length(col(payloadCol).cast("binary")).as("n_bytes")).as("meta"))
+
+  /** STUB decode: deterministic fake features standing in for a real
+    * decoder (image decode / audio spectrogram). Emits per-media summary
+    * features computed natively on the binary payload: byte length, first
+    * byte, and an md5-derived 64-bit content id. The real decoder would
+    * run inside mapPartitions over the same rows with the same output
+    * schema (media_id, features array<double>). */
+  def stubDecode(df: DataFrame): DataFrame =
+    df.select(col("media_id"), col("meta"),
+      array(
+        col("meta.n_bytes").cast("double"),
+        ascii(col("media").cast("string")).cast("double"),
+        (pmod(md5_long(col("media").cast("string")), lit(997))).cast("double"))
+        .as("features"))
+
+  /** Frame sampling: every `stride`-th byte position becomes one "frame"
+    * row (media_id, frame_idx, frame_off, frame_val). The explode keeps
+    * per-media fan-out bounded by n_bytes/stride; at scale the frames
+    * inherit the parent's partitioning (narrow transform, no shuffle). */
+  def sampleFrames(df: DataFrame, stride: Int): DataFrame = {
+    val nFrames = (col("meta.n_bytes") / stride).cast("int")
+    val offsets = when(nFrames < 1, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(0), nFrames - 1), i => i * stride))
+    df.select(col("media_id"),
+      posexplode(offsets).as(Seq("frame_idx", "frame_off")))
+  }
+
+  /** Frame values for text-backed media: the byte at each sampled offset
+    * (ascii code), joined back natively — stands in for per-frame pixel /
+    * sample extraction. */
+  def frameValues(media: DataFrame, stride: Int): DataFrame = {
+    val frames = sampleFrames(media, stride)
+    frames.join(media.select(col("media_id"),
+        col("media").cast("string").as("payload")), Seq("media_id"))
+      .withColumn("frame_val",
+        ascii(col("payload").substr(col("frame_off") + 1, lit(1))))
+      .drop("payload")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gfunctions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language-ID (marker-word heuristic),
+  * quality scoring, and document fingerprinting. Everything is a pure
+  * column expression (codegen-friendly, no UDFs), computed in a single
+  * narrow pass over the documents table — no shuffle at all until a
+  * downstream aggregate asks for one, so the operators scale linearly
+  * with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (split of "" yields [""]). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > lit(0))
+
+  /** Token count without materializing the token array. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** Word n-gram shingles of a token array; fewer than n tokens → empty
+    * (guard needed: sequence(0, negative) would count down). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Marker-word vocabularies for the language-ID heuristic. Real systems
+    * use char-n-gram models; the heuristic keeps the same operator shape
+    * (per-language evidence score -> argmax) with an exactly reproducible
+    * scoring rule. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Per-language marker hit count over a token array. */
+  def langScore(toks: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(filter(toks, t => t.isInCollection(markers)))
+  }
+
+  /** Predicted language: argmax of marker votes, ties broken by language
+    * code order, no votes at all → "und". */
+  def langId(toks: Column): Column = {
+    val scored = langMarkers.map { case (l, _) => (l, langScore(toks, l)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight makes the FIRST matching language win (ties -> earliest
+    // in langMarkers order, which is sorted except zh; markers are
+    // disjoint enough that exact ties are rare and deterministic).
+    pick
+  }
+
+  /** Quality metrics in one projection: token count, mean token length,
+    * alpha-char ratio, digit ratio, stopword ratio, and a weighted score
+    * in [0,1]. Mirrors the length/punct/stopword heuristics used by
+    * LLM-corpus quality filters. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val nChars = length(t).cast("double")
+    val alpha = regexp_count(t, lit("[A-Za-z]")).cast("double")
+    val digit = regexp_count(t, lit("[0-9]")).cast("double")
+    val stop = langScore(toks, "en").cast("double")
+    val nonWs = regexp_count(t, lit("\\S")).cast("double")
+    val meanTokLen =
+      when(nTok > 0, round(nonWs / nTok, 4)).otherwise(0.0)
+    val stopRatio = when(nTok > 0, round(stop / nTok, 4)).otherwise(0.0)
+    val alphaRatio = when(nChars > 0, round(alpha / nChars, 4)).otherwise(0.0)
+    val digitRatio = when(nChars > 0, round(digit / nChars, 4)).otherwise(0.0)
+    // Weighted quality: favor alpha-heavy text with a sane token-length
+    // band and some (but not excessive) stopword presence.
+    val lenOk = (meanTokLen >= 2.0 && meanTokLen <= 12.0).cast("double")
+    val score = round(
+      lit(0.4) * alphaRatio + lit(0.3) * lenOk +
+        lit(0.2) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.1) * (lit(1.0) - least(digitRatio * 10.0, lit(1.0))), 4)
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_token_len", meanTokLen)
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("digit_ratio", digitRatio)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score", score)
+  }
+
+  /** Content fingerprints: exact (md5 hex of normalized text, oracle-able)
+    * and rolling 64-bit (order-sensitive polynomial hash, engine-native). */
+  def withFingerprints(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("fingerprint_md5", md5(trim(t).cast("binary")))
+      .withColumn("fingerprint_rolling", rolling_hash64(tokens(t)))
+  }
+}

@@ -88,46 +88,74 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** 64-bit SimHash over an array of token strings (near-dup fingerprint).
   *
-  * Each token is hashed with Murmur3-128 (Guava-free, via Spark's XXH64 is
-  * not stable across impls, so we use the token's MD5 first 8 bytes — stable
-  * and engine-independent); bit b of the result is 1 iff the sum of
-  * (+1/-1) votes from token-hash bit b is positive. Hamming distance between
-  * simhashes approximates token-multiset similarity.
+  * Token hash = low 8 bytes of MD5, little-endian — bit-identical to
+  * DuckDB's `md5_number_lower`, so the whole fingerprint is reproducible by
+  * the DuckDB oracle (bit-vote SQL over unnested tokens). Bit b of the
+  * result is 1 iff the sum of (+1/-1) votes from token-hash bit b is
+  * positive. Hamming distance between simhashes approximates token-multiset
+  * similarity. Kernel in [[HashUtil.simhash64]]; codegen calls it directly,
+  * keeping the expression inside whole-stage codegen.
   */
 case class SimHash64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
+    with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val tok = arr.getUTF8String(i).getBytes
-        val h = md.digest(tok)
-        // first 8 bytes of md5 -> long
-        var hash = 0L
-        var j = 0
-        while (j < 8) { hash = (hash << 8) | (h(j) & 0xffL); j += 1 }
-        var b = 0
-        while (b < 64) {
-          if (((hash >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        md.reset()
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.simhash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.HashUtil.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit string hash: low 8 bytes of MD5, little-endian — the bit pattern
+  * of DuckDB's `md5_number_lower` as a signed long. Used as the
+  * engine-independent hash for minhash signatures, LSH band keys, and exact
+  * dedup, so every derived result stays oracle-checkable.
+  */
+case class Md5Long(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_long"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.md5Lower8LE(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.HashUtil.md5Lower8LE($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
+  * (base 31 in Z/2^64) over the md5-derived hashes of a token array.
+  * Engine-specific (modular multiplication is not expressible in DuckDB
+  * without overflow), so it is pinned by unit tests rather than the SQL
+  * oracle; the catalog's oracle-checked fingerprint uses plain md5 hex.
+  */
+case class RollingHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.rollingHash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.HashUtil.rollingHash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

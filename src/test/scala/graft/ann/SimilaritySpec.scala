@@ -1,0 +1,76 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.gfunctions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine_similarity: known values, zero-norm null") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), Some(1.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), Some(0.0)),
+      (Seq(1.0, 2.0), Seq(2.0, 4.0), Some(1.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), Some(-1.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0), None)).toDF("a", "b", "want")
+    val got = df.select(cosine_similarity($"a", $"b"), $"want")
+      .as[(Option[Double], Option[Double])].collect()
+    got.foreach { case (g, w) =>
+      (g, w) match {
+        case (Some(gv), Some(wv)) => assert(approx(gv, wv))
+        case (None, None) =>
+        case other => fail(s"mismatch $other")
+      }
+    }
+  }
+
+  test("planeComponent is deterministic and in [-1, 1)") {
+    val vals = for (p <- 0 until 16; j <- 0 until 64)
+      yield Similarity.planeComponent(p, j, 64)
+    assert(vals.forall(v => v >= -1.0 && v < 1.0))
+    assert(vals.distinct.length > 900) // LCG spreads values
+    assert(Similarity.planeComponent(3, 7, 64) ==
+      Similarity.planeComponent(3, 7, 64))
+  }
+
+  test("bruteForceTopK returns exact neighbors in rank order") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val got = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("annTopK: same-bucket neighbors found; recall sane on real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // At 500 vectors, 4 planes/table x 16 tables keeps per-table collision
+    // probability high (OR-amplification does the recall work); at real
+    // scale planesPerTable grows with log(corpus) to keep buckets sparse.
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", k,
+      dim = 64, tables = 16, planesPerTable = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+    assert(ann.nonEmpty)
+  }
+
+  test("lshBucket is stable across runs and engines (LCG planes)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val b1 = Similarity.withBucket(emb, "embedding", 8, 64)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val b2 = Similarity.withBucket(emb, "embedding", 8, 64)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1, "buckets must spread")
+  }
+}

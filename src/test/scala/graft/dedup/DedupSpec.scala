@@ -1,0 +1,88 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.gfunctions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "completely different content about spark engines and scale"),
+    (6L, "zzz yyy xxx www vvv")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content group") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    val dup = groups.filter($"n_dups" === 2).select("keep_id").as[Long].collect()
+    assert(dup.toSeq == Seq(1L))
+  }
+
+  test("simhash identical docs have equal fingerprints; near dups are close") {
+    val sigs = Dedup.withSimhash(docs, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val dNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val dFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(6L))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+  }
+
+  test("simhashPairs finds the exact-dup pair at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    // pairs are unique and ordered
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("connectedComponents groups transitive chains to min label") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+  }
+
+  test("simhashDedup removes exact dup, keeps distinct docs") {
+    val kept = Dedup.simhashDedup(docs, "doc_id", "text", maxDist = 0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(!kept.contains(2L))
+    assert(kept.contains(1L) && kept.contains(4L) && kept.contains(6L))
+  }
+
+  test("ngramJaccardPairs: exact dup has jaccard 1.0; near dup above 0.5") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((1L, 6L)))
+  }
+
+  test("minhash signatures: identical docs identical sigs; lsh finds dups") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .select("id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).length == 16)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("verifyJaccard matches set arithmetic") {
+    val cand = Seq((4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.verifyJaccard(docs, "doc_id", "text", cand, 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+    // doc4: 4 trigrams; doc5: 6 trigrams; common = 4 -> j = 4/6
+    assert(got.length == 1 && approx(got(0)._3, 0.6667, 1e-4))
+  }
+}

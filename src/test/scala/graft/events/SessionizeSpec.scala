@@ -1,0 +1,54 @@
+package graft.events
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SessionizeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01 10:10:00"), 7L, "view", 2.0),   // same session (10m)
+    (3L, ts("2024-01-01 11:30:00"), 7L, "click", 3.0),  // new session (80m gap)
+    (4L, ts("2024-01-01 10:05:00"), 8L, "click", 4.0),
+    (5L, ts("2024-01-01 10:05:30"), 8L, "click", 5.0)   // same minute dup
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionization splits on gap > 30min") {
+    val s = Sessionize.sessions(events, "ts", "user_id", "value", 1800L)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events", "total_value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(s.toSeq == Seq((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 3.0),
+      (8L, 1L, 2L, 9.0)))
+  }
+
+  test("session duration is exact in seconds") {
+    val s = Sessionize.sessions(events, "ts", "user_id", "value", 1800L)
+      .filter($"user_id" === 7L && $"session_seq" === 1L)
+      .select("duration_sec").as[Double].collect()
+    assert(s.toSeq == Seq(600.0))
+  }
+
+  test("tumbling hourly window groups by bucket and type") {
+    val t = Sessionize.tumbling(events, "ts", "event_type", "value", "hour")
+      .orderBy("bucket", "event_type")
+      .select("bucket", "event_type", "n_events", "sum_value")
+      .as[(String, String, Long, Double)].collect()
+    assert(t.toSeq == Seq(
+      ("2024-01-01 10:00:00", "click", 3L, 10.0),
+      ("2024-01-01 10:00:00", "view", 1L, 2.0),
+      ("2024-01-01 11:00:00", "click", 1L, 3.0)))
+  }
+
+  test("dedupWithinWindow keeps earliest per (user, type, minute)") {
+    val d = Sessionize.dedupWithinWindow(events, "ts", "user_id", "event_type")
+      .select("event_id").as[Long].collect().sorted
+    assert(d.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+}

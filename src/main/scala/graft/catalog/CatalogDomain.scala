@@ -1,0 +1,352 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog.Q
+import graft.events.Sessionize
+import graft.functions.gfunctions._
+import graft.util.Tables
+
+/** Oracle-checked catalog entries for the SURVEY §2 domain operators —
+  * the reference pipeline's relational shapes transplanted onto the
+  * driver's test tables so the DuckDB compare can verify each one.
+  * Conventions follow Catalog.scala (matching aliases, deterministic
+  * ORDER BY, rounding on both sides).
+  */
+object CatalogDomain {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** A2: per-group median imputation (`pipeline2.py:487` per-probe
+    * fillna(median)) — nulls synthesized from small quantities, filled
+    * with the per-partkey window median. */
+  private val q4 = Q("q4_median_impute",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_partkey")
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+          when($"l_quantity" <= 2, lit(null).cast("double"))
+            .otherwise($"l_quantity").as("q"))
+        .select($"l_orderkey", $"l_linenumber",
+          round(coalesce($"q", median($"q").over(w)), 2).as("qty_filled"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey,
+           |  CASE WHEN l_quantity <= 2 THEN NULL ELSE l_quantity END AS q
+           |  FROM lineitem)
+           |SELECT l_orderkey, l_linenumber,
+           |  round(coalesce(q, median(q) OVER (PARTITION BY l_partkey)), 2) AS qty_filled
+           |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** A4: per-group population z-score (`pipeline2.py:492-494`
+    * StandardScaler with ddof=0). */
+  private val q5 = Q("q5_zscore",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          round(($"l_extendedprice" - avg($"l_extendedprice").over(w))
+            / stddev_pop($"l_extendedprice").over(w), 4).as("z"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  round((l_extendedprice - avg(l_extendedprice) OVER w)
+           |        / stddev_pop(l_extendedprice) OVER w, 4) AS z
+           |FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** A5: probe-collapse by group median (`pipeline2.py:523-528`). */
+  private val q6 = Q("q6_group_median",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(round(median($"l_extendedprice"), 2).as("median_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand, round(median(l_extendedprice), 2) AS median_price,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
+  /** A14+A15: min-max normalization of three metrics + composite mean
+    * (`pipeline2.py:758-769`), global stats via 1-row cross join (no
+    * single-partition window). */
+  private val q7 = Q("q7_minmax_composite",
+    (s, dir) => {
+      import s.implicits._
+      val m = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice").as("total_price"),
+          avg($"o_totalprice").as("avg_price"))
+      val stats = m.agg(
+        min($"n_orders").as("min_n"), max($"n_orders").as("max_n"),
+        min($"total_price").as("min_t"), max($"total_price").as("max_t"),
+        min($"avg_price").as("min_a"), max($"avg_price").as("max_a"))
+      val normN = ($"n_orders" - $"min_n") / nullif($"max_n" - $"min_n", lit(0))
+      val normT = ($"total_price" - $"min_t") / nullif($"max_t" - $"min_t", lit(0.0))
+      val normA = ($"avg_price" - $"min_a") / nullif($"max_a" - $"min_a", lit(0.0))
+      m.crossJoin(broadcast(stats))
+        .select($"c_nationkey",
+          round(normN, 4).as("norm_orders"),
+          round(normT, 4).as("norm_total"),
+          round(normA, 4).as("norm_avg"),
+          round((normN + normT + normA) / 3, 4).as("composite"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""WITH m AS (
+           |  SELECT c_nationkey, count(*) AS n_orders,
+           |         sum(o_totalprice) AS total_price, avg(o_totalprice) AS avg_price
+           |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey),
+           |s AS (SELECT min(n_orders) AS min_n, max(n_orders) AS max_n,
+           |             min(total_price) AS min_t, max(total_price) AS max_t,
+           |             min(avg_price) AS min_a, max(avg_price) AS max_a FROM m)
+           |SELECT c_nationkey,
+           |  round((n_orders - min_n) / nullif(max_n - min_n, 0), 4) AS norm_orders,
+           |  round((total_price - min_t) / nullif(max_t - min_t, 0), 4) AS norm_total,
+           |  round((avg_price - min_a) / nullif(max_a - min_a, 0), 4) AS norm_avg,
+           |  round(((n_orders - min_n) / nullif(max_n - min_n, 0)
+           |       + (total_price - min_t) / nullif(max_t - min_t, 0)
+           |       + (avg_price - min_a) / nullif(max_a - min_a, 0)) / 3, 4) AS composite
+           |FROM m, s ORDER BY c_nationkey""".stripMargin))
+
+  /** F8/J8: left-semi and left-anti joins, per-nation counts of customers
+    * with/without orders. */
+  private val q8 = Q("q8_semi_anti",
+    (s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val nations = cust.select($"c_nationkey").distinct()
+      val withO = cust.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_with_orders"))
+      val withoutO = cust.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_without_orders"))
+      nations.join(withO, Seq("c_nationkey"), "left")
+        .join(withoutO, Seq("c_nationkey"), "left")
+        .select($"c_nationkey",
+          coalesce($"n_with_orders", lit(0L)).as("n_with_orders"),
+          coalesce($"n_without_orders", lit(0L)).as("n_without_orders"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""SELECT c_nationkey,
+           |  sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |      THEN 1 ELSE 0 END)::BIGINT AS n_with_orders,
+           |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |      THEN 1 ELSE 0 END)::BIGINT AS n_without_orders
+           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  /** F6: symbol-validity predicate (`pipeline2.py:794-827`) applied to
+    * the first p_name token (valid) vs the raw multi-word name
+    * (invalid: spaces / length) — discriminating on real data. */
+  private val q9 = Q("q9_symbol_filter",
+    (s, dir) => {
+      import s.implicits._
+      val tok1 = element_at(split($"p_name", "\\s+"), 1)
+      t(s, dir, "part")
+        .select($"p_brand", tok1.as("tok1"), $"p_name".as("raw"))
+        .groupBy($"p_brand")
+        .agg(
+          sum(when(is_valid_symbol($"tok1"), 1).otherwise(0)).as("n_valid_token"),
+          sum(when(is_valid_symbol($"raw"), 1).otherwise(0)).as("n_valid_raw"))
+        .orderBy($"p_brand")
+    },
+    Some("""WITH c AS (SELECT p_brand,
+           |    regexp_extract_all(p_name, '\S+')[1] AS tok1, p_name AS raw FROM part)
+           |SELECT p_brand,
+           |  sum(CASE WHEN length(tok1) BETWEEN 1 AND 20 AND NOT contains(lower(tok1), '_at')
+           |    AND NOT starts_with(tok1, 'UNKNOWN_') AND regexp_matches(tok1, '[A-Za-z]')
+           |    AND regexp_matches(tok1, '^[A-Za-z0-9.\-]+$') THEN 1 ELSE 0 END)::BIGINT AS n_valid_token,
+           |  sum(CASE WHEN length(raw) BETWEEN 1 AND 20 AND NOT contains(lower(raw), '_at')
+           |    AND NOT starts_with(raw, 'UNKNOWN_') AND regexp_matches(raw, '[A-Za-z]')
+           |    AND regexp_matches(raw, '^[A-Za-z0-9.\-]+$') THEN 1 ELSE 0 END)::BIGINT AS n_valid_raw
+           |FROM c GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
+  /** §2.6: top-k via orderBy+limit (TakeOrderedAndProject — no full
+    * sort). */
+  private val q10 = Q("q10_topk",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("total"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+    },
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+           |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+
+  /** J4/J5/G1: correlation self-join + threshold edges
+    * (`pipeline2.py:702-716`): per-(type, day) series, all type pairs,
+    * |corr| > 0.1 edge flag. Series pre-rounded to 6dp on both sides so
+    * corr inputs are identical across engines. */
+  private val q11 = Q("q11_corr_edges",
+    (s, dir) => {
+      import s.implicits._
+      val series = t(s, dir, "events")
+        .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+        .agg(round(sum($"value"), 6).as("v"))
+      val a = series.select($"event_type".as("type_a"), $"d", $"v".as("va"))
+      val b = series.select($"event_type".as("type_b"), $"d", $"v".as("vb"))
+      a.join(b, Seq("d")).filter($"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b")
+        .agg(corr($"va", $"vb").as("r"))
+        .select($"type_a", $"type_b", round($"r", 4).as("corr_val"),
+          (abs($"r") > 0.1).as("is_edge"))
+        .orderBy($"type_a", $"type_b")
+    },
+    Some("""WITH s AS (SELECT event_type, date_trunc('day', ts) AS d,
+           |             round(sum(value), 6) AS v
+           |           FROM events GROUP BY 1, 2),
+           |c AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |             corr(a.v, b.v) AS r
+           |      FROM s a JOIN s b ON a.d = b.d AND a.event_type < b.event_type
+           |      GROUP BY 1, 2)
+           |SELECT type_a, type_b, round(r, 4) AS corr_val, abs(r) > 0.1 AS is_edge
+           |FROM c ORDER BY type_a, type_b""".stripMargin))
+
+  /** G2: degree centrality as a relational aggregate
+    * (`pipeline2.py:747`, degree/(n-1)) over the nation trade graph. */
+  private val q12 = Q("q12_degree_centrality",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val edges = li
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .filter($"c_nationkey" =!= $"s_nationkey")
+        .groupBy(least($"c_nationkey", $"s_nationkey").as("a"),
+          greatest($"c_nationkey", $"s_nationkey").as("b"))
+        .agg(sum($"l_extendedprice").as("rev"))
+        .filter($"rev" > 9500000)
+      val ends = edges.select($"a".as("x")).union(edges.select($"b".as("x")))
+      val deg = ends.groupBy($"x").agg(count(lit(1)).as("degree"))
+      val n = deg.agg(count(lit(1)).as("cnt"))
+      deg.crossJoin(broadcast(n))
+        .select($"x".as("nationkey"), $"degree",
+          round($"degree" / ($"cnt" - lit(1.0)), 4).as("centrality"))
+        .orderBy($"nationkey")
+    },
+    Some("""WITH e AS (
+           |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+           |         greatest(c.c_nationkey, s.s_nationkey) AS b,
+           |         sum(l_extendedprice) AS rev
+           |  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+           |    JOIN customer c ON o_custkey = c_custkey
+           |    JOIN supplier s ON l_suppkey = s_suppkey
+           |  WHERE c.c_nationkey != s.s_nationkey
+           |  GROUP BY 1, 2
+           |  HAVING sum(l_extendedprice) > 9500000),
+           |deg AS (SELECT x, count(*)::BIGINT AS degree
+           |        FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e) GROUP BY x),
+           |n AS (SELECT count(*)::BIGINT AS cnt FROM deg)
+           |SELECT deg.x AS nationkey, deg.degree,
+           |       round(deg.degree / (n.cnt - 1.0), 4) AS centrality
+           |FROM deg, n ORDER BY nationkey""".stripMargin))
+
+  /** A13/A16-shape: JSON extraction + weighted score
+    * (`pipeline2.py:970-998` flatten + drugability arithmetic) over the
+    * events.props JSON column. */
+  private val q16 = Q("q16_json_props",
+    (s, dir) => {
+      import s.implicits._
+      val k = get_json_object($"props", "$.k").cast("double")
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(round(avg(k), 4).as("avg_k"),
+          max(k.cast("bigint")).as("max_k"),
+          round(lit(0.6) * avg($"value") + lit(0.4) * avg(k), 4).as("score"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           |  round(0.6 * avg(value)
+           |      + 0.4 * avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS score
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Gap-based sessionization (30-min) rolled up per user. */
+  private val q17 = Q("q17_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      Sessionize.sessions(t(s, dir, "events"), "ts", "user_id", "value", 1800L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max($"n_events").as("max_session_events"),
+          round(sum($"duration_sec"), 2).as("total_duration_sec"),
+          round(sum($"total_value"), 4).as("total_value"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH x AS (
+           |  SELECT user_id, ts, value,
+           |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+           |              THEN 1 ELSE 0 END AS is_new
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |y AS (SELECT user_id, ts, value,
+           |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           |      FROM x),
+           |s AS (SELECT user_id, sess, count(*) AS n_events,
+           |        (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur,
+           |        round(sum(value), 4) AS val
+           |      FROM y GROUP BY 1, 2)
+           |SELECT user_id, count(*)::BIGINT AS n_sessions,
+           |       max(n_events)::BIGINT AS max_session_events,
+           |       round(sum(dur), 2) AS total_duration_sec,
+           |       round(sum(val), 4) AS total_value
+           |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Tumbling 1-hour window aggregate over the events stream table. */
+  private val q18 = Q("q18_hourly_window",
+    (s, dir) => {
+      import s.implicits._
+      Sessionize.tumbling(t(s, dir, "events"), "ts", "event_type", "value", "hour")
+        .orderBy($"bucket", $"event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           |       event_type, count(*) AS n_events,
+           |       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** J2 positional-fallback shape (`pipeline2.py:392-401`): two relations
+    * aligned by rank position. Bounded input (top-100), so the global
+    * row_number windows are safe. */
+  private val q19 = Q("q19_positional_join",
+    (s, dir) => {
+      import s.implicits._
+      val wc = Window.orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      val wo = Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      val c = t(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal", row_number().over(wc).as("pos"))
+        .filter($"pos" <= 100)
+      val o = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice", row_number().over(wo).as("pos"))
+        .filter($"pos" <= 100)
+      c.join(o, Seq("pos"))
+        .select($"pos", $"c_custkey", $"o_orderkey",
+          round($"c_acctbal" + $"o_totalprice", 2).as("combined"))
+        .orderBy($"pos")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_acctbal,
+           |             row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos
+           |           FROM customer),
+           |o AS (SELECT o_orderkey, o_totalprice,
+           |        row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+           |      FROM orders)
+           |SELECT c.pos AS pos, c_custkey, o_orderkey,
+           |       round(c_acctbal + o_totalprice, 2) AS combined
+           |FROM c JOIN o ON c.pos = o.pos WHERE c.pos <= 100 ORDER BY pos""".stripMargin))
+
+  val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
+    q16, q17, q18, q19)
+}

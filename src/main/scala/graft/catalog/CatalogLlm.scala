@@ -1,0 +1,327 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.catalog.Catalog.Q
+import graft.dedup.Dedup
+import graft.events.Sessionize
+import graft.mm.Multimodal
+import graft.text.TextAnalysis
+import graft.util.Tables
+
+/** Oracle-checked catalog entries for the LLM-data-pipeline operators:
+  * dedup (exact / simhash-banded / n-gram Jaccard), similarity search
+  * (brute-force + LSH ANN), text analysis, and multimodal plumbing —
+  * over the driver's documents/embeddings tables.
+  *
+  * The oracle can replicate even the hash paths because every graft hash
+  * derives from md5 (DuckDB `md5_number_lower`); the simhash oracle is an
+  * ALL-PAIRS ground truth while the engine runs banded LSH — pigeonhole
+  * (4 bands of 16 bits, hamming <= 3) guarantees the banded result equals
+  * the exhaustive one, so the compare verifies the banding itself.
+  *
+  * Near-dup corpora are synthesized deterministically (the shipped table
+  * has no duplicates): exact copies for doc_id % 7 == 0 and one-token
+  * mutations for doc_id % 5 == 0.
+  */
+object CatalogLlm {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared dup-seeded corpus (id, text). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    docs.select($"doc_id".as("id"), $"text")
+      .union(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000).as("id"), $"text"))
+      .union(docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 2000000).as("id"),
+          concat($"text", lit(" extra")).as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text || ' extra' FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** Exact dedup: hash-groupBy on content md5, keep min id
+    * (dup-seeded corpus). */
+  private val q20 = Q("q20_exact_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val c = docs.select($"doc_id", $"text")
+        .union(docs.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      Dedup.exactGroups(c, "doc_id", "text")
+        .select($"content_md5", $"keep_id", $"n_dups")
+        .orderBy($"keep_id")
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+           |SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+           |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin))
+
+  /** Token counting per language (regexp_count, no array
+    * materialization). */
+  private val q21 = Q("q21_token_stats",
+    (s, dir) => {
+      import s.implicits._
+      val n = TextAnalysis.tokenCount($"text")
+      t(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(n), 4).as("avg_tokens"),
+          max(n).cast("long").as("max_tokens"),
+          sum(n).as("total_tokens"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens,
+           |  max(len(regexp_extract_all(text, '\S+')))::BIGINT AS max_tokens,
+           |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS total_tokens
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Per-doc quality metrics + weighted score (TextAnalysis.withQuality). */
+  private val q22 = Q("q22_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+        .select($"doc_id", $"n_tokens", $"mean_token_len", $"alpha_ratio",
+          $"digit_ratio", $"stopword_ratio", $"quality_score")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH m AS (SELECT doc_id,
+           |  len(regexp_extract_all(text, '\S+')) AS n_tok,
+           |  length(text) AS n_chars,
+           |  len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+           |  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+           |  len(regexp_extract_all(text, '\S')) AS n_nonws,
+           |  len(list_filter(regexp_extract_all(text, '\S+'),
+           |      t -> t IN ('the','a','is','and','of'))) AS n_stop
+           |  FROM documents),
+           |r AS (SELECT doc_id, n_tok,
+           |  CASE WHEN n_tok > 0 THEN round(n_nonws / CAST(n_tok AS DOUBLE), 4) ELSE 0.0 END AS mean_token_len,
+           |  CASE WHEN n_chars > 0 THEN round(n_alpha / CAST(n_chars AS DOUBLE), 4) ELSE 0.0 END AS alpha_ratio,
+           |  CASE WHEN n_chars > 0 THEN round(n_digit / CAST(n_chars AS DOUBLE), 4) ELSE 0.0 END AS digit_ratio,
+           |  CASE WHEN n_tok > 0 THEN round(n_stop / CAST(n_tok AS DOUBLE), 4) ELSE 0.0 END AS stopword_ratio
+           |  FROM m)
+           |SELECT doc_id, n_tok::BIGINT AS n_tokens, mean_token_len, alpha_ratio,
+           |       digit_ratio, stopword_ratio,
+           |  round(0.4 * alpha_ratio
+           |      + 0.3 * (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+           |      + 0.2 * least(stopword_ratio * 5.0, 1.0)
+           |      + 0.1 * (1.0 - least(digit_ratio * 10.0, 1.0)), 4) AS quality_score
+           |FROM r ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID heuristic: marker-word argmax, first-match tie-break,
+    * "und" when no votes. */
+  private val q23 = Q("q23_langid",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(TextAnalysis.langId(TextAnalysis.tokens($"text"))
+          .as("predicted_lang"))
+        .groupBy($"predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"predicted_lang")
+    },
+    Some("""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+           |s AS (SELECT doc_id,
+           |  len(list_filter(tk, x -> x IN ('the','a','is','and','of'))) AS s_en,
+           |  len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+           |  len(list_filter(tk, x -> x IN ('el','la','de','y','es'))) AS s_es,
+           |  len(list_filter(tk, x -> x IN ('le','la','et','les','est'))) AS s_fr,
+           |  len(list_filter(tk, x -> x IN ('的','是','了','在','和'))) AS s_zh
+           |  FROM t),
+           |p AS (SELECT doc_id,
+           |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+           |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+           |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+           |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+           |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+           |       ELSE 'und' END AS predicted_lang FROM s)
+           |SELECT predicted_lang, count(*) AS n_docs FROM p
+           |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin))
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted shingle index. */
+  private val q24 = Q("q24_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(corpus(s, dir), "id", "text",
+          shingleSize = 3, minJaccard = 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH $corpusSql,
+            |toks AS (SELECT id, regexp_extract_all(text, '\\S+') AS tk FROM corpus),
+            |sh AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+            |       FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+            |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            |common AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_common
+            |           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+            |           GROUP BY 1, 2),
+            |j AS (SELECT id_a, id_b,
+            |        round(n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+            |      FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b)
+            |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Simhash-banded near-dup pairs; oracle is the all-pairs ground truth
+    * (banding completeness check by pigeonhole). */
+  private val q25 = Q("q25_simhash_banded",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairs(corpus(s, dir), "id", "text",
+          bands = 4, maxDist = 3)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH $corpusSql,
+            |tok AS (SELECT id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM corpus),
+            |th AS (SELECT id, md5_number_lower(tok) AS h FROM tok),
+            |bits AS (SELECT unnest(generate_series(0, 63)) AS b),
+            |votes AS (SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            |          FROM th, bits GROUP BY id, b),
+            |sigu AS (SELECT id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS su
+            |         FROM votes GROUP BY id),
+            |sig AS (SELECT id, (su::HUGEINT - CASE WHEN su >= 9223372036854775808::HUGEINT
+            |          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS s
+            |        FROM sigu)
+            |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.s, b.s)) AS hamming
+            |FROM sig a JOIN sig b ON a.id < b.id
+            |WHERE bit_count(xor(a.s, b.s)) <= 3
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Brute-force exact cosine top-k (the ANN baseline). */
+  private val q26 = Q("q26_cosine_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", 3)
+        .select($"query_id", $"neighbor_id", $"rank", $"cos_sim")
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |             list_cosine_similarity(q.e, c.e) AS cs
+           |      FROM q, v c WHERE c.vec_id != q.vec_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cs DESC, neighbor_id) AS rank FROM s)
+           |SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim
+           |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  /** LSH bucket histogram (8 deterministic LCG hyperplanes) — the oracle
+    * regenerates the planes from the same integer recurrence. */
+  private val q27 = Q("q27_lsh_buckets",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.withBucket(t(s, dir, "embeddings"), "embedding", 8, 64)
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH planes AS (
+           |  SELECT p, j, ((1103515245 * ((p * 64 + j) % 2147483648) + 12345) % 2147483648)
+           |           / 1073741824.0 - 1.0 AS w
+           |  FROM (SELECT unnest(generate_series(0, 7)) AS p),
+           |       (SELECT unnest(generate_series(0, 63)) AS j)),
+           |ev AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+           |              unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+           |dots AS (SELECT vec_id, p, sum(x * w) AS d FROM ev JOIN planes USING (j)
+           |         GROUP BY vec_id, p),
+           |b AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
+           |      FROM dots GROUP BY vec_id)
+           |SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Multi-table LSH ANN top-k (4 tables x 4 planes) with exact cosine
+    * re-rank — the oracle replays candidate generation and re-rank. */
+  private val q28 = Q("q28_ann_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter($"vec_id" < 10), "vec_id",
+          "embedding", 5, dim = 64, tables = 4, planesPerTable = 4)
+        .select($"query_id", $"neighbor_id", $"rank", $"cos_sim")
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""WITH planes AS (
+           |  SELECT p, j, ((1103515245 * ((p * 64 + j) % 2147483648) + 12345) % 2147483648)
+           |           / 1073741824.0 - 1.0 AS w
+           |  FROM (SELECT unnest(generate_series(0, 15)) AS p),
+           |       (SELECT unnest(generate_series(0, 63)) AS j)),
+           |ev AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+           |              unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+           |dots AS (SELECT vec_id, p, sum(x * w) AS d FROM ev JOIN planes USING (j)
+           |         GROUP BY vec_id, p),
+           |tb AS (SELECT vec_id, p // 4 AS tbl,
+           |         sum(CASE WHEN d > 0 THEN (1 << (p % 4)) ELSE 0 END)::BIGINT AS bucket
+           |       FROM dots GROUP BY vec_id, p // 4),
+           |q AS (SELECT * FROM tb WHERE vec_id < 10),
+           |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |         FROM q JOIN tb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+           |         WHERE c.vec_id != q.vec_id),
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv.e, cv.e) AS cs
+           |      FROM cand JOIN v qv ON qv.vec_id = query_id
+           |                JOIN v cv ON cv.vec_id = neighbor_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cs DESC, neighbor_id) AS rank FROM s)
+           |SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Multimodal frame sampling: every 64th byte of the (ASCII) payload
+    * becomes a frame row — the oracle replays offsets + byte values. */
+  private val q29 = Q("q29_mm_frames",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"),
+        "doc_id", "text", "text/plain")
+      Multimodal.frameValues(media, 64)
+        .select($"media_id", $"frame_idx", $"frame_off", $"frame_val")
+        .orderBy($"media_id", $"frame_idx")
+    },
+    Some("""WITH f AS (SELECT doc_id, text,
+           |    unnest(generate_series(0, CAST(length(text) // 64 AS INT) - 1)) AS i
+           |  FROM documents)
+           |SELECT doc_id AS media_id, i AS frame_idx, i * 64 AS frame_off,
+           |       ascii(substr(text, CAST(i * 64 + 1 AS INT), 1)) AS frame_val
+           |FROM f ORDER BY media_id, frame_idx""".stripMargin))
+
+  /** Bounded-window dedup over events (batch analogue of
+    * dropDuplicatesWithinWatermark). */
+  private val q30 = Q("q30_window_dedup",
+    (s, dir) => {
+      import s.implicits._
+      Sessionize.dedupWithinWindow(t(s, dir, "events"), "ts", "user_id",
+          "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type,
+           |             date_trunc('minute', ts) ORDER BY ts, event_id) AS rn FROM events)
+           |SELECT event_type, count(*) AS n_kept FROM d WHERE rn = 1
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Content fingerprint (md5 of trimmed text; the 64-bit rolling-hash
+    * variant is engine-native, pinned in TextAnalysisSpec). */
+  private val q31 = Q("q31_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.withFingerprints(t(s, dir, "documents"), "text")
+        .select($"doc_id", $"fingerprint_md5")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, md5(trim(text)) AS fingerprint_md5
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
+    q29, q30, q31)
+}

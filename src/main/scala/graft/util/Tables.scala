@@ -1,9 +1,25 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
-/** Loaders for the driver test tables (TESTDATA.md). */
+/** Loaders for the driver test tables (TESTDATA.md).
+  *
+  * The driver writes `events.ts` as parquet TIMESTAMP(NANOS) (pandas
+  * default), which Spark 4 refuses outright. We read nanos as a plain
+  * long (legacy conf) and rebuild a micros timestamp with integer
+  * division — the same ns->us truncation DuckDB applies when it reads
+  * the file, so both engines see identical timestamps. Integer `div`
+  * (not `/`) matters: nanos ~1.7e18 exceed double precision.
+  */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
 }

@@ -34,16 +34,11 @@ object Similarity {
   def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map(p => (0 until dim).map(j => planeComponent(p, j, dim)))
 
-  private def dot(vec: Column, plane: Seq[Double]): Column =
-    aggregate(
-      zip_with(vec, array(plane.map(lit): _*), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Sign-bit-packed LSH bucket id of an embedding column. */
+  /** Sign-bit-packed LSH bucket id of an embedding column (single table;
+    * one native kernel call — see [[LshTableBuckets]]). */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
-    planes(nPlanes, dim).zipWithIndex.map { case (pl, p) =>
-      when(dot(vec.cast("array<double>"), pl) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(
+      lsh_table_buckets(vec.cast("array<double>"), 1, nPlanes, dim), 1)
 
   /** Exact top-k neighbors by cosine for each query row. `queries` must be
     * small enough to broadcast (it is crossJoin-broadcast against the full
@@ -76,21 +71,10 @@ object Similarity {
     * two vectors are candidates if they collide in ANY table, which is
     * what keeps recall high while each table's bucket join stays sparse. */
   def withTableBuckets(df: DataFrame, vecCol: String, tables: Int,
-                       planesPerTable: Int, dim: Int): DataFrame = {
-    val all = planes(tables * planesPerTable, dim)
-    val v = col(vecCol).cast("array<double>")
-    val bucketCols = (0 until tables).map { t =>
-      val b = (0 until planesPerTable).map { p =>
-        when(dot(v, all(t * planesPerTable + p)) > 0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), b.as("bucket"))
-    }
-    df.withColumn("tb", explode(array(bucketCols: _*)))
-      .withColumn("table", col("tb.table"))
-      .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
-  }
+                       planesPerTable: Int, dim: Int): DataFrame =
+    df.select(col("*"),
+      posexplode(lsh_table_buckets(col(vecCol).cast("array<double>"),
+        tables, planesPerTable, dim)).as(Seq("table", "bucket")))
 
   /** ANN top-k via multi-table LSH: candidates are corpus rows sharing a
     * (table, bucket) key with the query in any of `tables` hash tables,

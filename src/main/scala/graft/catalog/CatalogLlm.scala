@@ -150,18 +150,21 @@ object CatalogLlm {
            |SELECT predicted_lang, count(*) AS n_docs FROM p
            |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin))
 
-  /** Exact n-gram Jaccard near-dup pairs via the inverted shingle index. */
+  /** Exact n-gram Jaccard near-dup pairs via the prefix-filtered inverted
+    * shingle index. 5-gram shingles: distinctive enough that the rare-
+    * shingle prefixes actually prune (trigrams over a small vocabulary
+    * are all frequent, which defeats any inverted-index scheme). */
   private val q24 = Q("q24_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
       Dedup.ngramJaccardPairs(corpus(s, dir), "id", "text",
-          shingleSize = 3, minJaccard = 0.5)
+          shingleSize = 5, minJaccard = 0.5)
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""WITH $corpusSql,
             |toks AS (SELECT id, regexp_extract_all(text, '\\S+') AS tk FROM corpus),
-            |sh AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-            |       FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+            |sh AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS shingle
+            |       FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 4)) AS i FROM toks)),
             |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
             |common AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_common
             |           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id

@@ -16,19 +16,30 @@ object DifferentialExpression {
   /** J2: resolve each expression sample to 'case'/'control'.
     *
     * Mirrors `reconcile_sample_ids` + the in-stage fallback
-    * (`pipeline2.py:349-432,564-573`): id-match against metadata first;
-    * if either group then has < 2 matched samples, fall back to an
-    * arbitrary half split of ALL expression samples in source-column order
-    * (first half control, rest case).
+    * (`pipeline2.py:349-432,564-573`), in the reference's precedence
+    * order:
+    *  1. id-match against metadata (quote/space-stripped keys);
+    *  2. positional fallback (`pipeline2.py:392-401`): when NO id matches
+    *     but the sample counts agree, the i-th expression column takes
+    *     the i-th metadata sample's condition (metadata ordered by its
+    *     `ordinal` source position when present);
+    *  3. arbitrary half split of ALL expression samples in source-column
+    *     order (first half control, rest case) when either group still
+    *     has < 2 samples.
     *
     * @param sampleIds expression sample ids in source-column order
-    * @param metadata  (sample_id, condition, ...) — condition may be null
+    * @param metadata  (sample_id, condition, ...) — condition may be null;
+    *                  an `ordinal` column, if present, fixes the metadata
+    *                  sample order for the positional fallback
     */
   def resolveGroups(sampleIds: Seq[String],
                     metadata: DataFrame): Seq[(String, String)] = {
-    val meta = metadata.select("sample_id", "condition")
-      .filter(col("condition").isNotNull)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ordered =
+      if (metadata.columns.contains("ordinal")) metadata.orderBy("ordinal")
+      else metadata
+    val metaSeq = ordered.select("sample_id", "condition")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val meta = metaSeq.collect { case (k, v) if v != null => k -> v }.toMap
     def strip(s: String) = {
       var a = 0; var b = s.length
       while (a < b && "\"' ".indexOf(s.charAt(a)) >= 0) a += 1
@@ -38,9 +49,16 @@ object DifferentialExpression {
     val matched = sampleIds.flatMap { sid =>
       meta.get(strip(sid)).map(sid -> _)
     }
-    val nControl = matched.count(_._2 == "control")
-    val nCase = matched.count(_._2 == "case")
-    if (nControl >= 2 && nCase >= 2) matched
+    val positional =
+      if (matched.isEmpty && metaSeq.length == sampleIds.length)
+        sampleIds.zip(metaSeq).collect {
+          case (sid, (_, cond)) if cond != null => sid -> cond
+        }
+      else matched
+    def ok(gs: Seq[(String, String)]) =
+      gs.count(_._2 == "control") >= 2 && gs.count(_._2 == "case") >= 2
+    if (ok(matched)) matched
+    else if (ok(positional)) positional
     else {
       val mid = sampleIds.length / 2
       sampleIds.zipWithIndex.map { case (sid, i) =>

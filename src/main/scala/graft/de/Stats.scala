@@ -19,33 +19,109 @@ object Stats {
     * with j the ascending p-rank. Null/NaN p's are excluded from m and get
     * a null adjusted value (`pipeline2.py:620-627`).
     *
-    * Scale note: the rank and reverse-cummin run in a single global window
-    * ordered by p — a single-partition sort. That is safe here because BH is
-    * applied after heavy per-gene aggregation (row count = number of tested
-    * genes, bounded in the millions, not the raw 100 TB). `tieBreak` makes
-    * the rank deterministic under tied p's; tied p's receive identical
-    * adjusted values regardless of tie order (the reverse cummin equalizes
-    * them), so the tie-break only stabilizes intermediate ranks.
+    * Below `distributedThreshold` valid rows the rank + reverse-cummin run
+    * in a single global window (one-partition sort — cheap because BH is
+    * applied after heavy per-gene aggregation). Above it the computation
+    * switches to [[bhAdjustDistributed]], which never materializes a
+    * single-partition sort. Both forms are float-identical (same
+    * operations in the same order); equality is property-tested.
+    * `tieBreak` makes the rank deterministic under tied p's; tied p's
+    * receive identical adjusted values regardless of tie order (the
+    * reverse cummin equalizes them).
     */
   def bhAdjust(df: DataFrame, pCol: String, outCol: String,
-               tieBreak: Seq[String] = Seq.empty): DataFrame = {
+               tieBreak: Seq[String] = Seq.empty,
+               distributedThreshold: Long = 2000000L): DataFrame = {
     val p = col(pCol)
     val bad = p.isNull || isnan(p)
     val invalid = df.filter(bad).withColumn(outCol, lit(null).cast("double"))
     val valid = df.filter(!bad)
-    // m via 1-row cross join: no single-partition pass over the data just to
-    // count, and keeps the count reusable by Catalyst.
-    val m = valid.agg(count(lit(1)).cast("double").as("__bh_m"))
+    val m = valid.count()
+    val adjusted =
+      if (m == 0) valid.withColumn(outCol, lit(null).cast("double"))
+      else if (m <= distributedThreshold) bhWindowed(valid, p, outCol, m, tieBreak)
+      else bhAdjustDistributed(valid, pCol, outCol, m, tieBreak)
+    adjusted.unionByName(invalid)
+  }
+
+  /** Windowed BH core over m valid rows (single-partition sort). */
+  private def bhWindowed(valid: DataFrame, p: Column, outCol: String,
+                         m: Long, tieBreak: Seq[String]): DataFrame = {
     val wAsc = Window.orderBy((p.asc +: tieBreak.map(col(_).asc)): _*)
-    val ranked = valid.crossJoin(m)
-      .withColumn("__bh_rk", row_number().over(wAsc))
     val wDesc = Window.orderBy(col("__bh_rk").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked
+    valid
+      .withColumn("__bh_rk", row_number().over(wAsc))
       .withColumn(outCol,
-        least(lit(1.0), min(p * col("__bh_m") / col("__bh_rk")).over(wDesc)))
-      .drop("__bh_rk", "__bh_m")
-      .unionByName(invalid)
+        least(lit(1.0), min(p * lit(m.toDouble) / col("__bh_rk")).over(wDesc)))
+      .drop("__bh_rk")
+  }
+
+  /** Scale-safe BH core: distributed rank via range repartitioning + a
+    * per-partition offset pass, then the reverse cummin as a per-partition
+    * suffix scan combined with the collected suffix-mins of later
+    * partitions. Three light jobs over the range-sorted (cached) data,
+    * never a single-partition sort; partition row counts are balanced by
+    * the range partitioner. p must be a double column.
+    */
+  def bhAdjustDistributed(valid: DataFrame, pCol: String, outCol: String,
+                          m: Long, tieBreak: Seq[String]): DataFrame = {
+    val spark = valid.sparkSession
+    val sortCols = col(pCol).asc +: tieBreak.map(col(_).asc)
+    val nPart = math.max(spark.sparkContext.defaultParallelism,
+      (m / 500000L).toInt + 1)
+    val sorted = valid.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .cache()
+    val pIdx = sorted.schema.fieldIndex(pCol)
+    val mD = m.toDouble
+
+    // Job 1: per-partition row counts -> global rank offsets.
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2.toLong)
+    val offsets = counts.scanLeft(0L)(_ + _)
+
+    // Job 2: per-partition min of p*m/rank -> suffix mins of later parts.
+    val partMins = sorted.rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        var r = offsets(pi)
+        var mn = Double.MaxValue
+        it.foreach { row =>
+          r += 1
+          mn = math.min(mn, row.getDouble(pIdx) * mD / r)
+        }
+        Iterator((pi, mn))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val suffixAfter = new Array[Double](partMins.length + 1)
+    suffixAfter(partMins.length) = Double.MaxValue
+    for (i <- partMins.length - 1 to 0 by -1)
+      suffixAfter(i) = math.min(suffixAfter(i + 1), partMins(i))
+    // suffixAfter(i+1) = min factor over all partitions AFTER i.
+
+    // Job 3: within-partition suffix scan (reverse over the materialized
+    // partition — bounded by the range partitioner's balanced splits).
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.DoubleType, nullable = true))
+    val out = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rows = it.toArray
+      val n = rows.length
+      val adj = new Array[Double](n)
+      var run = suffixAfter(pi + 1)
+      var i = n - 1
+      while (i >= 0) {
+        val rank = offsets(pi) + i + 1
+        run = math.min(run, rows(i).getDouble(pIdx) * mD / rank)
+        adj(i) = math.min(1.0, run)
+        i -= 1
+      }
+      rows.iterator.zipWithIndex.map { case (row, j) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ adj(j))
+      }
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** Welch t-test over a long-form (key..., group, value) DataFrame.

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.gfunctions._
@@ -44,9 +45,10 @@ object Dedup {
   }
 
   /** Simhash fingerprint + the b band keys used for LSH bucketing.
-    * bandBits * bands must be <= 64. */
+    * bandBits * bands must be <= 64. word_shingles(text, 1) is the native
+    * tokenizer (codegen'd, same boundaries as TextAnalysis.tokens). */
   def withSimhash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("simhash", simhash64(TextAnalysis.tokens(col(textCol))))
+    df.withColumn("simhash", simhash64(word_shingles(col(textCol), 1)))
 
   private def bandKey(sig: Column, band: Int, bandBits: Int): Column =
     shiftrightunsigned(sig, band * bandBits)
@@ -132,8 +134,7 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      explode_outer(array_distinct(
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)))
+      explode_outer(array_distinct(word_shingles(col(textCol), shingleSize)))
         .as("shingle"))
     val hashed = sh.select(col("id"),
       transform(sequence(lit(0), lit(numHashes - 1)),
@@ -169,57 +170,78 @@ object Dedup {
     verifyJaccard(df, idCol, textCol, cand, shingleSize, minJaccard)
   }
 
-  /** Exact word-n-gram Jaccard near-dup pairs via an inverted shingle
-    * index: explode distinct shingles, self-join on shingle (the inverted
-    * index — one shuffle on the shingle key), count common shingles per
-    * pair, Jaccard from per-doc set sizes. `maxShingleDocs` drops shingles
-    * appearing in more docs (stopword-like n-grams would otherwise fan out
-    * f^2 pairs). Returns (id_a, id_b, jaccard >= minJaccard). */
+  /** Exact word-n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
+    * inverted shingle index (the classic set-similarity-join scheme):
+    * shingles are globally ordered by document frequency (rarest first)
+    * and each doc indexes only its first |S| - ceil(tau*|S|) + 1
+    * shingles in that order — any pair with Jaccard >= tau must collide
+    * inside those prefixes, so the self-join sees the RARE shingles only
+    * and the f^2 fan-out of stopword-like n-grams never happens.
+    * Candidates are then verified with the exact intersection
+    * ([[verifyJaccard]]). The prefix bound uses tau - 1e-4 so pairs that
+    * only reach tau after 4-dp rounding are still caught.
+    *
+    * Shuffles: shingle doc-freq agg, per-doc rank window (keyed by doc),
+    * prefix self-join on shingle, verification join — all on fine-grained
+    * keys; no all-pairs stage at any point. Exact, no coverage caps. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, minJaccard: Double = 0.5,
-                        maxShingleDocs: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)))
-        .as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDocs).select("shingle")
-    val idx = sh.join(rare, Seq("shingle"))
-    val common = idx.as("x").join(idx.as("y"),
+                        shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // The exploded postings feed four consumers (doc-freq, prefix rank,
+    // candidate join, verification); the native word_shingles expression
+    // makes each recompute a cheap codegen'd scan, so no persist is forced
+    // here — callers owning a long-lived corpus can persist upstream.
+    val sh = postings(df, idCol, textCol, shingleSize)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val tauEff = math.max(0.0, minJaccard - 1e-4)
+    val wDoc = Window.partitionBy("id")
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk",
+        row_number().over(wDoc.orderBy(col("df").asc, col("shingle").asc)))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+    val prefix = ranked
+      .filter(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
+      .select("id", "shingle")
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common.join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    verifyFromPostings(sh, cand, minJaccard)
+  }
+
+  /** Distinct (id, shingle) postings of a document table (native
+    * word_shingles expression — stays in whole-stage codegen). */
+  private def postings(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(word_shingles(col(textCol), shingleSize)))
+        .as("shingle"))
+
+  /** Exact-Jaccard verification of candidate pairs from exploded
+    * postings: count common shingles per pair relationally (join on
+    * (doc, shingle)), Jaccard from per-doc set sizes. Work is
+    * candidate-proportional; no array materialization, no higher-order
+    * expressions in the hot path. Pairs with zero common shingles are
+    * omitted (their Jaccard is 0 — below any positive threshold). */
+  def verifyFromPostings(sh: DataFrame, candidates: DataFrame,
+                         minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
-        round(col("n_common") /
-          (col("n_a") + col("n_b") - col("n_common")), 4))
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact-Jaccard verification of candidate pairs (used by LSH paths):
-    * joins each candidate pair to the two docs' distinct-shingle sets and
-    * computes |A∩B| / |A∪B|. Work is proportional to candidates, not
-    * pairs. */
+  /** Exact-Jaccard verification of candidate pairs against the documents
+    * table (convenience wrapper over [[verifyFromPostings]]). */
   def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
                     candidates: DataFrame, shingleSize: Int,
-                    minJaccard: Double): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize))
-        .as("sh"))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("n_common") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
-  }
+                    minJaccard: Double): DataFrame =
+    verifyFromPostings(postings(df, idCol, textCol, shingleSize),
+      candidates, minJaccard)
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, Md5Long, RollingHash64, SimHash64, TTestPValue}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, RollingHash64, SimHash64, TTestPValue, WordShingles}
 import org.apache.spark.sql.types.DoubleType
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -33,6 +33,18 @@ object gfunctions {
   /** Order-sensitive 64-bit rolling-hash fingerprint of a token array. */
   def rolling_hash64(tokens: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(tokens)))
+
+  /** Word n-gram shingles of a STRING column, native + codegen'd (the
+    * dedup hot path; same token boundaries as TextAnalysis.shingles). */
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Per-table LSH buckets of an ARRAY<DOUBLE> column (deterministic LCG
+    * hyperplanes, one kernel call per row). */
+  def lsh_table_buckets(vec: Column, tables: Int, planesPerTable: Int,
+                        dim: Int): Column =
+    ColumnBridge.column(LshTableBuckets(
+      ColumnBridge.expression(vec), tables, planesPerTable, dim))
 
   /** NaN / +-Inf -> null (F4, `pipeline2.py:617` inf coercion plus graft's
     * NaN-as-null discipline, SURVEY §1.2). */

@@ -53,7 +53,14 @@ object GeoMatrixReader {
   }
 
   def read(spark: SparkSession, path: String): GeoData = {
+    // One physical scan feeds all three consumers (header collect,
+    // metadata collect, expression parse) — without the cache each would
+    // re-read the whole file to find its lines. At cluster scale the
+    // header/metadata block lives in the first split while the cache
+    // spills the rest to local disk; callers persist the parsed
+    // expression frame and may unpersist this afterwards.
     val lines = spark.read.text(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = col("value")
 
     // Sample header (single line): ids keep their source order.

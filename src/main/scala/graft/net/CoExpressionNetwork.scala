@@ -47,11 +47,23 @@ object CoExpressionNetwork {
     val e = geneExpr.join(broadcast(top.select("gene")), Seq("gene"))
     val a = e.select(col("gene").as("g1"), col("sample_id"), col("value").as("v1"))
     val b = e.select(col("gene").as("g2"), col("sample_id"), col("value").as("v2"))
-    a.join(b, Seq("sample_id"))
+    // The filtered side is bounded by construction (top-N genes × samples),
+    // so broadcast it: sample_id has ~#samples distinct values and a
+    // shuffled join would funnel the pair explosion through that narrow
+    // key; the broadcast keeps the join map-side with no skew exposure.
+    a.join(broadcast(b), Seq("sample_id"))
       .filter(col("g1") < col("g2"))                    // J5 upper triangle
       .groupBy("g1", "g2")
       .agg(corr(col("v1"), col("v2")).as("corr"))
   }
+
+  /** G5: edge-induced subgraph on `nodes` (`pipeline2.py:1066`) — two
+    * left-semi joins, one per endpoint. */
+  def subgraph(edges: DataFrame, nodes: DataFrame): DataFrame =
+    edges
+      .join(nodes.select(col("gene").as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col("gene").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst", "weight")
 
   /** G1: undirected weighted edges where |corr| > threshold
     * (`pipeline2.py:712-716`; weight = |corr|). */

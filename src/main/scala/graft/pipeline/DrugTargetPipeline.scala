@@ -55,8 +55,12 @@ final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
   def run(): PipelineResult = {
     val out = config.outputDir
 
-    // Stage 1: parse (hard abort on failure, py:1158-1159)
+    // Stage 1: parse (hard abort on failure, py:1158-1159). The parsed
+    // long-form expression is persisted: preprocessing AND the summary's
+    // probe count read it — without the persist the summary stage would
+    // re-scan and re-parse the raw matrix text.
     val geo = GeoMatrixReader.read(spark, config.matrixPath)
+    geo.expression.persist(StorageLevel.MEMORY_AND_DISK)
     stage("metadata_sink") {
       Sinks.writeCsv(geo.metadata.drop("characteristics").orderBy("ordinal"),
         s"$out/data/metadata")
@@ -143,6 +147,23 @@ final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
         Sinks.writeCsv(scores, s"$out/data/network_targets")
         scores.persist(StorageLevel.MEMORY_AND_DISK)
       }
+    }
+
+    // Stage 6b: figure-data sinks (S10 network viz + barplot tables;
+    // G5 subgraph + F10 placeholder filter live inside the builders)
+    (network, targetScores) match {
+      case (Some((_, edges)), Some(ts)) =>
+        stage("figure_data") {
+          val (vizNodes, vizEdges) = Sinks.networkVizData(ts, edges)
+          Sinks.writeCsv(vizNodes.orderBy(col("node_size").desc, col("gene")),
+            s"$out/data/network_viz_nodes")
+          Sinks.writeCsv(vizEdges.orderBy("src", "dst"),
+            s"$out/data/network_viz_edges")
+          Sinks.writeCsv(
+            Sinks.barplotData(ts).orderBy(col("composite_score").desc, col("gene")),
+            s"$out/data/top_targets_barplot")
+        }
+      case _ => ()
     }
 
     // Stage 7: target validation against offline snapshots (skipped, like a

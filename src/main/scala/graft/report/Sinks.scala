@@ -68,6 +68,26 @@ object Sinks {
       (col("adjusted_pvalue") < pThreshold &&
         abs(col("log2FC")) > fcThreshold).as("significant"))
 
+  /** S10 network-viz *data* (`pipeline2.py:1059-1094`): top-N nodes by
+    * composite score with PLACEHOLDER rows dropped (F10,
+    * `pipeline2.py:1062-1063`), node size = composite score (J6 lookup),
+    * plus the induced subgraph's edges (G5). */
+  def networkVizData(targetScores: DataFrame, edges: DataFrame,
+                     topN: Int = 30): (DataFrame, DataFrame) = {
+    val top = targetScores.filter(col("gene") =!= "PLACEHOLDER")
+      .orderBy(col("composite_score").desc, col("gene")).limit(topN)
+      .select(col("gene"), col("composite_score").as("node_size"))
+    val sub = graft.net.CoExpressionNetwork.subgraph(edges, top.select("gene"))
+    (top, sub)
+  }
+
+  /** S10 barplot *data* (`pipeline2.py:1096-1114`): top-N targets by
+    * composite score, placeholders dropped (F10). */
+  def barplotData(targetScores: DataFrame, topN: Int = 20): DataFrame =
+    targetScores.filter(col("gene") =!= "PLACEHOLDER")
+      .orderBy(col("composite_score").desc, col("gene")).limit(topN)
+      .select("gene", "composite_score")
+
   /** S11: the summary.txt contract (`pipeline2.py:1118-1146`). */
   def summaryReport(nSamples: Long, nCase: Long, nControl: Long,
                     nProbes: Long, nGenes: Long, nSignificant: Long,

@@ -70,3 +70,101 @@ object HashUtil {
     h
   }
 }
+
+/** Text kernels for the dedup/text operators (callable from generated
+  * code). Tokenization matches Java regex \s+ splitting — the same token
+  * boundaries as the declarative `split`/`regexp_extract_all('\S+')`
+  * paths and the DuckDB oracle.
+  */
+object TextKernels {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(s: UTF8String): Array[String] = {
+    val raw = Ws.split(s.toString)
+    var n = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) n += 1; i += 1 }
+    if (n == raw.length) raw
+    else {
+      val out = new Array[String](n)
+      var j = 0
+      i = 0
+      while (i < raw.length) {
+        if (raw(i).nonEmpty) { out(j) = raw(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Word n-gram shingles (space-joined) in one pass — the codegen-able
+    * replacement for the interpreted transform/slice/concat_ws chain. */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(s)
+    val m = toks.length - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Random-hyperplane LSH kernel: all table buckets of a vector in one
+  * pass. Planes are deterministic LCG values (identical to
+  * graft.ann.Similarity.planeComponent and the SQL oracle's integer
+  * recurrence), memoized per (nPlanes, dim).
+  */
+object LshKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def planeComponent(p: Int, j: Int, dim: Int): Double = {
+    val seed = (p.toLong * dim + j) & 0x7fffffffL
+    val v = (1103515245L * seed + 12345L) % 2147483648L
+    v.toDouble / 1073741824.0 - 1.0
+  }
+
+  def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nPlanes, dim), { case (np, d) =>
+      Array.tabulate(np, d)((p, j) => planeComponent(p, j, d))
+    })
+
+  /** Per-table sign-bit-packed buckets: element t = bucket in table t
+    * (planes t*planesPerTable .. t*planesPerTable+planesPerTable-1, bit
+    * position = plane index within the table). dot == 0 -> bit 0. */
+  def tableBuckets(vec: ArrayData, tables: Int, planesPerTable: Int,
+                   dim: Int): ArrayData = {
+    val pl = planesFor(tables * planesPerTable, dim)
+    val n = math.min(vec.numElements(), dim)
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val w = pl(t * planesPerTable + p)
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += vec.getDouble(j) * w(j); j += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -137,6 +137,60 @@ case class Md5Long(child: Expression)
     copy(child = newChild)
 }
 
+/** Word n-gram shingles of a string in a single native pass (tokenize on
+  * \s+, join n consecutive tokens with one space). Replaces the
+  * interpreted transform/slice/concat_ws chain in the dedup hot path —
+  * higher-order functions are not codegen'd in Spark, and projection
+  * collapsing multiplies their cost; this expression stays inside
+  * whole-stage codegen. Token boundaries match the declarative path and
+  * the DuckDB oracle exactly.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.wordShingles(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-table LSH bucket ids of an embedding column, one kernel call per
+  * row (array<long>, element t = table t's sign-bit-packed bucket).
+  * Replaces a per-plane column expression fan-out whose generated code
+  * (tables x planes x dim literal arrays) dominated runtime via janino
+  * compilation; this stays a single small codegen call.
+  */
+case class LshTableBuckets(child: Expression, tables: Int,
+                           planesPerTable: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(tables >= 1 && planesPerTable >= 1 && planesPerTable <= 64)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_table_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    LshKernel.tableBuckets(v.asInstanceOf[ArrayData], tables, planesPerTable, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.LshKernel.tableBuckets($c, $tables, $planesPerTable, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
   * (base 31 in Z/2^64) over the md5-derived hashes of a token array.
   * Engine-specific (modular multiplication is not expressible in DuckDB

@@ -58,4 +58,29 @@ class DifferentialExpressionSpec extends SparkSuite {
     assert(fb == Seq("GSM1" -> "control", "GSM2" -> "control",
       "GSM3" -> "case", "GSM4" -> "case"))
   }
+
+  test("resolveGroups: positional fallback on count-matched, id-mismatched input") {
+    import spark.implicits._
+    // Zero ids match but counts agree -> i-th sample takes the i-th
+    // metadata condition (`pipeline2.py:392-401`), NOT the half/half split
+    // (which would put SAMP_A/SAMP_B in control).
+    val meta = Seq(("GSMX1", "case", 0), ("GSMX2", "control", 1),
+      ("GSMX3", "case", 2), ("GSMX4", "control", 3))
+      .toDF("sample_id", "condition", "ordinal")
+    val got = DifferentialExpression.resolveGroups(
+      Seq("SAMP_A", "SAMP_B", "SAMP_C", "SAMP_D"), meta)
+    assert(got == Seq("SAMP_A" -> "case", "SAMP_B" -> "control",
+      "SAMP_C" -> "case", "SAMP_D" -> "control"))
+
+    // metadata order follows ordinal, not incoming row order
+    val shuffled = meta.orderBy($"sample_id".desc)
+    val got2 = DifferentialExpression.resolveGroups(
+      Seq("SAMP_A", "SAMP_B", "SAMP_C", "SAMP_D"), shuffled)
+    assert(got2 == got)
+
+    // count mismatch -> straight to half/half
+    val got3 = DifferentialExpression.resolveGroups(
+      Seq("SAMP_A", "SAMP_B", "SAMP_C", "SAMP_D", "SAMP_E"), meta)
+    assert(got3.map(_._2) == Seq("control", "control", "case", "case", "case"))
+  }
 }

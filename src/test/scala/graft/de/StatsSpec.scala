@@ -72,6 +72,25 @@ class StatsSpec extends SparkSuite {
     assert(out.sliding(2).forall { case Array(x, y) => x <= y; case _ => true })
   }
 
+  test("distributed BH equals windowed BH exactly (incl. nulls and ties)") {
+    import spark.implicits._
+    val ps = (1 to 997).map { i =>
+      val p = if (i % 19 == 0) None else Some(((i * 7919) % 1009) / 1009.0)
+      ("k" + i, p)
+    } ++ Seq(("t1", Some(0.25)), ("t2", Some(0.25)), ("t3", Some(0.25)))
+    val df = ps.toDF("id", "pvalue").repartition(7)
+    val windowed = Stats.bhAdjust(df, "pvalue", "adj", Seq("id"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("adj"))) None else Some(r.getDouble(r.fieldIndex("adj"))))).toMap
+    val distributed = Stats.bhAdjust(df, "pvalue", "adj", Seq("id"),
+        distributedThreshold = 1L)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("adj"))) None else Some(r.getDouble(r.fieldIndex("adj"))))).toMap
+    assert(windowed.size == distributed.size)
+    // bit-exact equality: both forms apply the same operations in order
+    windowed.foreach { case (k, v) => assert(distributed(k) == v, s"at $k") }
+  }
+
   test("tied p-values receive identical adjusted values") {
     import spark.implicits._
     val df = Seq(("a", 0.02), ("b", 0.02), ("c", 0.02), ("d", 0.5))

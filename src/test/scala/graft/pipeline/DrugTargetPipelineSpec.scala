@@ -20,7 +20,8 @@ class DrugTargetPipelineSpec extends SparkSuite {
       s"stage failures: ${result.failures.map { case (n, e) => s"$n: $e" }}")
     for (d <- Seq("metadata", "gene_mapped", "differential_results",
         "volcano_data", "significant_genes", "correlation_matrix",
-        "network_targets", "final_targets")) {
+        "network_targets", "final_targets", "network_viz_nodes",
+        "network_viz_edges", "top_targets_barplot")) {
       assert(new java.io.File(s"$out/data/$d").exists(), s"missing sink $d")
     }
     assert(new java.io.File(s"$out/data/gene_network.gexf").exists())

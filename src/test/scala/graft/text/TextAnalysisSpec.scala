@@ -68,6 +68,16 @@ class TextAnalysisSpec extends SparkSuite {
       fp2(1).getAs[Long]("fingerprint_rolling"))
   }
 
+  test("native word_shingles matches the declarative shingles exactly") {
+    val texts = Seq("a b c d e f", "one two", "", "  padded   out  x y z ",
+      "exact five token doc here")
+    val df = texts.toDF("t")
+    val declarative = df.select(
+      TextAnalysis.shingles(TextAnalysis.tokens($"t"), 3)).as[Seq[String]].collect()
+    val native = df.select(word_shingles($"t", 3)).as[Seq[String]].collect()
+    assert(native.toSeq == declarative.toSeq)
+  }
+
   test("md5_long matches DuckDB md5_number_lower reference values") {
     // Reference values from `select md5_number_lower(...)` in DuckDB 1.0,
     // reinterpreted as signed 64-bit.

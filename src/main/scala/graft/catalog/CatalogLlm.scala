@@ -325,6 +325,87 @@ object CatalogLlm {
     Some("""SELECT doc_id, md5(trim(text)) AS fingerprint_md5
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Embedding-cosine near-dup dedup: LSH bucket candidates -> cosine
+    * >= 0.99 pairs -> connected components -> keep min id. The corpus is
+    * dup-seeded with exact vector copies; the oracle replays buckets +
+    * cosine and drops dominated ids (components here are size-2, so
+    * NOT-IN reproduces the component-min rule). */
+  private val q32 = Q("q32_embedding_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val vecs = emb.select($"vec_id", $"embedding")
+        .union(emb.filter($"vec_id" % 10 === 0)
+          .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+      Dedup.embeddingDedup(vecs, "vec_id", "embedding", dim = 64,
+          minCos = 0.99, tables = 4, planesPerTable = 4)
+        .select($"vec_id".as("kept_id"))
+        .orderBy($"kept_id")
+    },
+    Some("""WITH vecs AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  UNION ALL SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
+           |  WHERE vec_id % 10 = 0),
+           |planes AS (
+           |  SELECT p, j, ((1103515245 * ((p * 64 + j) % 2147483648) + 12345) % 2147483648)
+           |           / 1073741824.0 - 1.0 AS w
+           |  FROM (SELECT unnest(generate_series(0, 15)) AS p),
+           |       (SELECT unnest(generate_series(0, 63)) AS j)),
+           |ev AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS j, unnest(e) AS x FROM vecs),
+           |dots AS (SELECT vec_id, p, sum(x * w) AS d FROM ev JOIN planes USING (j)
+           |         GROUP BY vec_id, p),
+           |tb AS (SELECT vec_id, p // 4 AS tbl,
+           |         sum(CASE WHEN d > 0 THEN (1 << (p % 4)) ELSE 0 END)::BIGINT AS bucket
+           |       FROM dots GROUP BY vec_id, p // 4),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |         FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+           |                           AND a.vec_id < b.vec_id),
+           |pairs AS (SELECT id_a, id_b FROM cand
+           |          JOIN vecs va ON va.vec_id = id_a JOIN vecs vb ON vb.vec_id = id_b
+           |          WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.99)
+           |SELECT vec_id AS kept_id FROM vecs
+           |WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+           |ORDER BY kept_id""".stripMargin))
+
+  /** MinHash-LSH near-dup pairs, fully oracled: 16 md5-derived hash
+    * functions -> per-doc signature -> 4 bands -> in-bucket candidates ->
+    * exact-Jaccard verification. The oracle replays the identical hashes
+    * (signed reinterpretation of md5_number_lower, so the MIN picks the
+    * same element as the engine's signed longs) and compares band keys as
+    * raw signature strings — equal iff the engine's md5-hashed band keys
+    * are equal. */
+  private val q33 = Q("q33_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.minhashLshPairs(corpus(s, dir), "id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH $corpusSql,
+            |toks AS (SELECT id, regexp_extract_all(text, '\\S+') AS tk FROM corpus),
+            |sh AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+            |       FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+            |idx AS (SELECT unnest(generate_series(0, 15)) AS i),
+            |th0 AS (SELECT id, i, md5_number_lower(CAST(i AS VARCHAR) || ':' || shingle) AS hu
+            |        FROM sh, idx),
+            |th AS (SELECT id, i, (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+            |         THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS h FROM th0),
+            |sigs AS (SELECT id, i, min(h) AS sig FROM th GROUP BY id, i),
+            |bk AS (SELECT id, i // 4 AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS key
+            |       FROM sigs GROUP BY id, i // 4),
+            |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+            |         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+            |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            |common AS (SELECT id_a, id_b, count(*) AS n_common
+            |           FROM cand JOIN sh a ON a.id = id_a
+            |                     JOIN sh b ON b.id = id_b AND b.shingle = a.shingle
+            |           GROUP BY id_a, id_b),
+            |j AS (SELECT id_a, id_b,
+            |        round(n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+            |      FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b)
+            |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31)
+    q29, q30, q31, q32, q33)
 }

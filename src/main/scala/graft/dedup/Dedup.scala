@@ -237,6 +237,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-dup pairs: multi-table hyperplane-LSH bucket
+    * candidates -> exact cosine verification >= minCos. The corpus is
+    * never self-joined all-pairs: the only quadratic work happens inside
+    * LSH buckets, whose size is controlled by planesPerTable. Returns
+    * (id_a, id_b, cos_sim) with id_a < id_b. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     minCos: Double, tables: Int = 4,
+                     planesPerTable: Int = 4): DataFrame = {
+    val b = graft.ann.Similarity
+      .withTableBuckets(df, vecCol, tables, planesPerTable, dim)
+      .select(col(idCol).as("id"), col("table"), col("bucket"))
+    val cand = b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val vecs = df.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    cand
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine_similarity(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Embedding near-dup dedup: cosine pairs -> connected components ->
+    * keep the minimum id per duplicate cluster. */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     minCos: Double, tables: Int = 4,
+                     planesPerTable: Int = 4): DataFrame = {
+    val pairs = embeddingPairs(df, idCol, vecCol, dim, minCos, tables,
+      planesPerTable)
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the documents
     * table (convenience wrapper over [[verifyFromPostings]]). */
   def verifyJaccard(df: DataFrame, idCol: String, textCol: String,

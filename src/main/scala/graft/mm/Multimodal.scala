@@ -51,6 +51,46 @@ object Multimodal {
       posexplode(offsets).as(Seq("frame_idx", "frame_off")))
   }
 
+  /** Deterministic STUB decode kernel: byte length, first byte, and a
+    * fold checksum. Stands in for a real codec (JPEG decode, audio
+    * spectrogram — no codec libraries in this environment); output shape
+    * (fixed-width float features) matches what a real kernel returns. */
+  val stubKernel: Array[Byte] => Array[Float] = { bytes =>
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+    Array(bytes.length.toFloat,
+      if (bytes.nonEmpty) (bytes(0) & 0xff).toFloat else 0f,
+      math.floorMod(checksum, 997L).toFloat)
+  }
+
+  /** The production decode boundary: a per-partition batch loop over
+    * (media_id, media) with a pluggable kernel. Per-partition resource
+    * lifecycle (codec/buffer init once per partition, not per row) lives
+    * here; swapping [[stubKernel]] for a real decoder changes nothing
+    * upstream or downstream — schema and partitioning are fixed. Output:
+    * (media_id, features array<float>). */
+  def decodePartitions(media: DataFrame,
+                       kernel: Array[Byte] => Array[Float] = stubKernel): DataFrame = {
+    val spark = media.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false)))
+    val rdd = media.select(col("media_id").cast("long"), col("media")).rdd
+      .mapPartitions { it =>
+        // a real codec allocates its native buffers HERE, once per batch
+        it.map { row =>
+          org.apache.spark.sql.Row(row.getLong(0),
+            kernel(row.getAs[Array[Byte]](1)).toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Frame values for text-backed media: the byte at each sampled offset
     * (ascii code), joined back natively — stands in for per-frame pixel /
     * sample extraction. */

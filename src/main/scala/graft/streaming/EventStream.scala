@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events shape
+  * (event_id, ts, user_id, event_type, value): the streaming halves of
+  * graft.events.Sessionize, sharing the same aggregation semantics so a
+  * batch backfill and the live stream produce the same rows.
+  *
+  * All operators take an unbounded streaming DataFrame (from
+  * `spark.readStream` or MemoryStream in tests) and return a streaming
+  * DataFrame; callers pick the sink/trigger. State is bounded by
+  * watermarks: late rows beyond the watermark are dropped and window /
+  * dedup / session state is evicted as the watermark advances — the
+  * properties that make these plans runnable indefinitely at cluster
+  * scale.
+  */
+object EventStream {
+
+  /** Tumbling-window aggregate with watermark: counts + value sums per
+    * (window, event_type), emitted when the watermark passes the window
+    * end (append mode). Batch twin: Sessionize.tumbling. */
+  def tumblingCounts(events: DataFrame, windowLen: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window aggregate (windowLen every slide). */
+  def slidingCounts(events: DataFrame, windowLen: String, slide: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Streaming dedup bounded by the watermark: one row per
+    * (user_id, event_type, minute), dropping later duplicates while the
+    * state for a minute bucket lives only until the watermark passes it.
+    * Batch twin: Sessionize.dedupWithinWindow (keep-first semantics under
+    * event-time order; in a stream, arrival order decides among
+    * in-watermark duplicates). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(sessionSeq: Long, lastTs: Long,
+                                nEvents: Long, startTs: Long, totalValue: Double)
+  final case class SessionOut(user_id: Long, session_seq: Long,
+                              n_events: Long, duration_sec: Double,
+                              total_value: Double)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME timeout: a session closes (and is emitted) when a later
+    * event of the same user opens the next session, or when the watermark
+    * passes last-event + gap. Batch twin: Sessionize.sessions — same
+    * (n_events, duration, total_value) per closed session, gaps measured
+    * in event time on both sides.
+    *
+    * State per user is one open session (constant size); the event-time
+    * timeout evicts idle users as the watermark advances, so total state
+    * is O(users active within the watermark horizon).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+                 watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionSeq, s.nEvents,
+              (s.lastTs - s.startTs) / 1000000.0, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var current = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L   // ms -> us to mirror unix_micros
+              current match {
+                case Some(s) if us - s.lastTs <= gapSeconds * 1000000L =>
+                  current = Some(s.copy(lastTs = us, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionSeq, s.nEvents,
+                    (s.lastTs - s.startTs) / 1000000.0, s.totalValue)
+                  current = Some(SessionState(s.sessionSeq + 1, us, 1L, us, e.value))
+                case None =>
+                  current = Some(SessionState(1L, us, 1L, us, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last event + gap (ms)
+              state.setTimeoutTimestamp(s.lastTs / 1000L + gapSeconds * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

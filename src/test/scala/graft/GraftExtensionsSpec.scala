@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends SparkSuite {
+
+  test("extensions register SQL-callable functions at session build") {
+    val base = spark // force shared-session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT md5_long('abc') AS m,
+          |       t_test_pvalue(2.0, 10.0) AS p,
+          |       simhash64(array('x','x','y')) AS s,
+          |       cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |       rolling_hash64(array('a','b')) AS rh
+          |""".stripMargin).collect()(0)
+      assert(r.getAs[Long]("m") == 8250560606382298838L)
+      assert(math.abs(r.getAs[Double]("p") - 0.0733880348) < 1e-6)
+      assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

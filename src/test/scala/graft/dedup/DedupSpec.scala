@@ -78,6 +78,21 @@ class DedupSpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }
 
+  test("embeddingDedup drops exact vector copies, keeps originals") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select($"vec_id", $"embedding")
+      .union(emb.filter($"vec_id" % 50 === 0)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val kept = Dedup.embeddingDedup(vecs, "vec_id", "embedding", dim = 64,
+        minCos = 0.99)
+      .select("vec_id").as[Long].collect()
+    assert(kept.forall(_ < 10000), "all copies must be dropped")
+    assert(kept.length == emb.count())
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 64, 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty && pairs.forall(p => p._2 == p._1 + 10000 && p._3 >= 0.99))
+  }
+
   test("verifyJaccard matches set arithmetic") {
     val cand = Seq((4L, 5L)).toDF("id_a", "id_b")
     val got = Dedup.verifyJaccard(docs, "doc_id", "text", cand, 3, 0.0)

@@ -29,6 +29,18 @@ class MultimodalSpec extends SparkSuite {
     assert(f == f2)
   }
 
+  test("decodePartitions: mapPartitions boundary, deterministic stub kernel") {
+    val m = Multimodal.asMediaTable(docs, "id", "payload", "text/plain")
+    val f = Multimodal.decodePartitions(m)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toMap
+    assert(f(1L).length == 3 && f(1L)(0) == 8.0f && f(1L)(1) == 'a'.toFloat)
+    assert(f(3L) == Seq(0f, 0f, 0f))
+    // a custom kernel slots into the same boundary
+    val g = Multimodal.decodePartitions(m, bytes => Array(bytes.length * 2.0f))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toMap
+    assert(g(1L) == Seq(16.0f) && g(2L) == Seq(4.0f))
+  }
+
   test("frame sampling: every stride-th byte, short media empty") {
     val m = Multimodal.asMediaTable(docs, "id", "payload", "text/plain")
     val fr = Multimodal.frameValues(m, stride = 3)

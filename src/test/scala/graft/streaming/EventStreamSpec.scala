@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+import graft.streaming.EventStream.Event
+
+class EventStreamSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+                          name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-ck-$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming tumbling window matches batch aggregation once watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:20:00"), 7, "click", 2.0),
+      Event(3, ts("2024-01-01 10:40:00"), 8, "view", 3.0),
+      Event(4, ts("2024-01-01 11:10:00"), 7, "click", 4.0))
+    // flush event: advances the watermark far past the 10:00 and 11:00
+    // windows so append mode emits them
+    in.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+
+    runToMemory(EventStream.tumblingCounts(in.toDF(), "1 hour", "10 minutes"),
+      "tumbling")
+    val got = spark.table("tumbling")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+    assert(got.contains((ts("2024-01-01 10:00:00"), "view", 1L, 3.0)))
+    assert(got.contains((ts("2024-01-01 11:00:00"), "click", 1L, 4.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per (user, type, minute)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 10:05:10"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:05:40"), 7, "click", 2.0),   // same minute dup
+      Event(3, ts("2024-01-01 10:06:10"), 7, "click", 3.0),   // next minute
+      Event(4, ts("2024-01-01 10:05:20"), 8, "click", 4.0))   // other user
+
+    runToMemory(EventStream.dedupWithinWatermark(in.toDF(), "10 minutes"),
+      "streamdedup")
+    val got = spark.table("streamdedup").select("event_id")
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("stateful sessionization: next-session close + event-time timeout close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 7, "view", 2.0),
+      Event(3, ts("2024-01-01 11:30:00"), 7, "click", 3.0))  // 80-min gap
+    // watermark-advancing event: pushes event time past 11:30 + gap so
+    // user 7's open session times out and is emitted
+    in.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+
+    val out = EventStream.sessionize(in.toDS(), gapSeconds = 1800L)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck-sess").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .select("user_id", "session_seq", "n_events", "duration_sec", "total_value")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .filter(_._1 == 7L).toSet
+    // session 1 (2 events, 600 s, value 3.0) closed by session 2's
+    // arrival; session 2 (1 event, 0 s) closed by the event-time timeout
+    assert(got == Set((7L, 1L, 2L, 600.0, 3.0), (7L, 2L, 1L, 0.0, 3.0)))
+  }
+
+  test("sliding windows overlap: one event lands in two 60/30-min windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(Event(1, ts("2024-01-01 10:40:00"), 7, "click", 1.0))
+    in.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+
+    runToMemory(
+      EventStream.slidingCounts(in.toDF(), "1 hour", "30 minutes", "10 minutes"),
+      "sliding")
+    val got = spark.table("sliding")
+      .filter($"event_type" === "click")
+      .select("window_start").as[Timestamp].collect().toSet
+    assert(got == Set(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+  }
+}

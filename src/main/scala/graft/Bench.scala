@@ -48,6 +48,9 @@ object Bench {
     val results = headline.flatMap { name =>
       queries.get(name).map { fn =>
         val times = (1 to 2).map { _ =>
+          // operators may persist internal multi-consumer frames; clear
+          // between runs so no query is timed against another's cache
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>

@@ -228,10 +228,17 @@ object CatalogDomain {
           greatest($"c_nationkey", $"s_nationkey").as("b"))
         .agg(sum($"l_extendedprice").as("rev"))
         .filter($"rev" > 9500000)
-      val ends = edges.select($"a".as("x")).union(edges.select($"b".as("x")))
+      // explode (not union) keeps ONE copy of the 4-table join subtree in
+      // the plan, and the node count comes from a window over the tiny
+      // degree aggregate — without these the join pipeline appears 4x in
+      // the physical plan (union duplicates it, the count consumes it
+      // again), i.e. 4 scans of the fact table at scale.
+      val ends = edges.select(explode(array($"a", $"b")).as("x"))
       val deg = ends.groupBy($"x").agg(count(lit(1)).as("degree"))
-      val n = deg.agg(count(lit(1)).as("cnt"))
-      deg.crossJoin(broadcast(n))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy()                      // 25 rows: single partition is fine
+      deg
+        .withColumn("cnt", count(lit(1)).over(wAll))
         .select($"x".as("nationkey"), $"degree",
           round($"degree" / ($"cnt" - lit(1.0)), 4).as("centrality"))
         .orderBy($"nationkey")

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.Catalog
+
+/** Plan audit: prints the formatted physical plan of selected catalog
+  * queries so pushdown / broadcast / codegen can be inspected. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q2_filter_revenue", "q3_broadcast_join", "q12_degree_centrality",
+      "q24_ngram_jaccard", "q25_simhash_banded", "q28_ann_topk")
+    val qs = Catalog.queries
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      qs(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -105,22 +105,22 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-    var prev: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
         .agg(min(col("component")).as("nbr_min"))
+      // labels feeds both the neighbor-min and the update join each
+      // round: localCheckpoint truncates the lineage so the logical plan
+      // stays constant-size across iterations.
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
           (col("nbr_min") < col("component")).as("changed"))
-      updated.cache()
+        .localCheckpoint()
       val nChanged = updated.filter(col("changed") === true).count()
-      prev.foreach(_.unpersist(false))
-      prev = Some(updated)
       labels = updated.select("id", "component")
       converged = nChanged == 0
       iter += 1

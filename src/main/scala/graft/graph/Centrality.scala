@@ -118,10 +118,19 @@ object Centrality {
     * Throws IllegalStateException past maxIter like nx's
     * PowerIterationFailedConvergence — the pipeline catches it into the
     * zero-filled frame (G7, `pipeline2.py:778-792`).
+    *
+    * Dispatches on graph size: below `distributedThreshold` nodes the
+    * collected driver loop runs (exact, no per-iteration job overhead);
+    * above it the iteration runs as a distributed DataFrame loop
+    * ([[eigenvectorCentralityDistributed]]) that never collects the
+    * graph.
     */
   def eigenvectorCentrality(spark: SparkSession, nodes: DataFrame,
                             edges: DataFrame, maxIter: Int = 1000,
-                            tol: Double = 1e-6): DataFrame = {
+                            tol: Double = 1e-6,
+                            distributedThreshold: Long = 100000L): DataFrame = {
+    if (nodes.count() > distributedThreshold)
+      return eigenvectorCentralityDistributed(spark, nodes, edges, maxIter, tol)
     val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
     val edgeSeq = edges.select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -160,6 +169,64 @@ object Centrality {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("gene", StringType, nullable = false),
         StructField("eigenvector_centrality", DoubleType, nullable = false))))
+  }
+
+  /** G4 at scale: the same (I + A) power iteration as a distributed
+    * DataFrame loop — scores and edges stay partitioned; each step is one
+    * join + aggregate (neighbor sums), a 1-row norm aggregate, and an
+    * error aggregate against the previous scores. The graph is never
+    * collected, so this is the path for graphs that outgrow the driver
+    * (the GraphX-PageRank iteration pattern with per-round persist /
+    * unpersist to keep lineage flat).
+    */
+  def eigenvectorCentralityDistributed(spark: SparkSession, nodes: DataFrame,
+                                       edges: DataFrame, maxIter: Int = 1000,
+                                       tol: Double = 1e-6): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0) {
+      sym.unpersist(false)
+      return nodes.select(col("gene"),
+        lit(0.0).as("eigenvector_centrality"))
+    }
+    // Each round references x twice (neighbor sums + the error diff), so
+    // without lineage truncation the logical plan doubles per iteration;
+    // the eager localCheckpoint pins each round's scores as a LogicalRDD
+    // and keeps the plan constant-size (the standard pattern for
+    // iterative DataFrame algorithms).
+    var x = nodes.select(col("gene")).withColumn("x", lit(1.0 / n))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val contrib = sym.join(x, sym("src") === x("gene"))
+        .groupBy(sym("dst").as("gene"))
+        .agg(sum(col("x")).as("__nbr"))
+      val xRaw = x.withColumnRenamed("x", "__x0")
+        .join(contrib, Seq("gene"), "left")
+        .select(col("gene"), col("__x0"),
+          (col("__x0") + coalesce(col("__nbr"), lit(0.0))).as("__xr"))
+      val norm = xRaw.agg(sqrt(sum(col("__xr") * col("__xr"))).as("__norm"))
+      val xNew = xRaw.crossJoin(broadcast(norm))
+        .select(col("gene"), col("__x0"),
+          when(col("__norm") === 0.0, col("__xr"))
+            .otherwise(col("__xr") / col("__norm")).as("x"))
+        .localCheckpoint()
+      val err = xNew.agg(sum(abs(col("x") - col("__x0"))).as("e"))
+        .collect()(0).getDouble(0)
+      x = xNew.select("gene", "x")
+      converged = err < n * tol
+      iter += 1
+    }
+    sym.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"eigenvector centrality failed to converge in $maxIter iterations")
+    x.select(col("gene"), col("x").as("eigenvector_centrality"))
   }
 
   /** A14 + A15: min-max normalize the three centralities (sklearn

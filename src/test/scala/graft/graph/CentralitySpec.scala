@@ -66,6 +66,26 @@ class CentralitySpec extends SparkSuite {
     assert(btw.values.forall(_ == 0.0))
   }
 
+  test("distributed eigenvector matches the driver loop (P4 + C5 + star)") {
+    for ((ns, es) <- Seq(
+        (Seq("a", "b", "c", "d"), Seq("a" -> "b", "b" -> "c", "c" -> "d")),
+        ((0 until 5).map("n" + _),
+          (0 until 5).map(i => ("n" + i) -> ("n" + (i + 1) % 5))),
+        (Seq("c", "l1", "l2", "l3"),
+          Seq("c" -> "l1", "c" -> "l2", "c" -> "l3")))) {
+      val (nodes, edges) = graph(ns, es)
+      val driver = byGene(
+        Centrality.eigenvectorCentrality(spark, nodes, edges),
+        "eigenvector_centrality")
+      val dist = byGene(
+        Centrality.eigenvectorCentralityDistributed(spark, nodes, edges),
+        "eigenvector_centrality")
+      ns.foreach { n =>
+        assert(approx(driver(n), dist(n), 1e-5), s"node $n: ${driver(n)} vs ${dist(n)}")
+      }
+    }
+  }
+
   test("compositeScores: min-max + mean, zero-range column -> 0") {
     import spark.implicits._
     val df = Seq(

@@ -354,6 +354,61 @@ object CatalogDomain {
            |       round(c_acctbal + o_totalprice, 2) AS combined
            |FROM c JOIN o ON c.pos = o.pos WHERE c.pos <= 100 ORDER BY pos""".stripMargin))
 
+  /** F1: row-NA threshold filter (`pipeline2.py:484-485`): keep groups
+    * with >= 20% non-null values; nulls synthesized from small
+    * quantities. */
+  private val q34 = Q("q34_na_threshold",
+    (s, dir) => {
+      import s.implicits._
+      val q = when($"l_quantity" <= 10, lit(null).cast("double"))
+        .otherwise($"l_quantity")
+      t(s, dir, "lineitem")
+        .select($"l_partkey", q.as("q"))
+        .groupBy($"l_partkey")
+        .agg(count($"q").as("n_ok"), count(lit(1)).as("n"))
+        .filter($"n_ok" >= lit(0.2) * $"n")
+        .agg(count(lit(1)).as("n_kept_parts"), sum($"n_ok").as("total_vals"))
+    },
+    Some("""WITH t AS (SELECT l_partkey,
+           |  CASE WHEN l_quantity <= 10 THEN NULL ELSE l_quantity END AS q
+           |  FROM lineitem),
+           |g AS (SELECT l_partkey, count(q) AS n_ok, count(*) AS n
+           |      FROM t GROUP BY l_partkey)
+           |SELECT count(*) AS n_kept_parts, sum(n_ok)::BIGINT AS total_vals
+           |FROM g WHERE n_ok >= 0.2 * n""".stripMargin))
+
+  /** A9: variance-ranked top-N fallback gene selection
+    * (`pipeline2.py:684-685`) — ranking on the ROUNDED variance so the
+    * limit boundary is engine-independent. */
+  private val q35 = Q("q35_variance_topn",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(round(var_samp($"l_extendedprice"), 2).as("var_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"var_price".desc, $"l_partkey".asc)
+        .limit(50)
+    },
+    Some("""SELECT l_partkey, round(var_samp(l_extendedprice), 2) AS var_price,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY l_partkey
+           |ORDER BY var_price DESC, l_partkey LIMIT 50""".stripMargin))
+
+  /** A12: the reference's "top N in stored (sorted-key) order" quirk
+    * (`pipeline2.py:679-680`) — a key-ordered head, not a metric
+    * ranking. */
+  private val q36 = Q("q36_stored_order_topn",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_name", $"p_partkey")
+        .orderBy($"p_name".asc, $"p_partkey".asc)
+        .limit(50)
+    },
+    Some("""SELECT p_name, p_partkey FROM part
+           |ORDER BY p_name, p_partkey LIMIT 50""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
-    q16, q17, q18, q19)
+    q16, q17, q18, q19, q34, q35, q36)
 }

@@ -406,6 +406,35 @@ object CatalogLlm {
             |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** BPE-ish token counting (approximate LLM-token budget per doc,
+    * aggregated per source). The pattern avoids lookahead so Java regex
+    * (engine) and RE2 (oracle) segment identically. */
+  private val q37 = Q("q37_bpe_tokens",
+    (s, dir) => {
+      import s.implicits._
+      val n = TextAnalysis.bpeTokenCount($"text")
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(n).as("total_bpeish_tokens"),
+          round(avg(n), 4).as("avg_bpeish_tokens"),
+          round(avg(n / TextAnalysis.tokenCount($"text")), 4)
+            .as("tokens_per_word"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+           |  sum(len(regexp_extract_all(text,
+           |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))::BIGINT
+           |    AS total_bpeish_tokens,
+           |  round(avg(len(regexp_extract_all(text,
+           |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 4)
+           |    AS avg_bpeish_tokens,
+           |  round(avg(len(regexp_extract_all(text,
+           |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+           |    / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)), 4)
+           |    AS tokens_per_word
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33)
+    q29, q30, q31, q32, q33, q37)
 }

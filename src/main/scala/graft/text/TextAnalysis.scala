@@ -22,6 +22,17 @@ object TextAnalysis {
   /** Token count without materializing the token array. */
   def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
+  /** BPE-ish token segmentation (GPT-2-style classes without lookahead,
+    * so the same pattern runs under Java regex and RE2): common English
+    * contractions, optionally space-prefixed letter runs, digit runs,
+    * and punctuation runs. Whitespace itself is not a token. */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Approximate LLM-token count: matches of [[BpeishPattern]]. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern))
+
   /** Word n-gram shingles of a token array; fewer than n tokens → empty
     * (guard needed: sequence(0, negative) would count down). */
   def shingles(toks: Column, n: Int): Column =

@@ -23,6 +23,29 @@ class StatsSpec extends SparkSuite {
     assert(approx(r.getAs[Double]("pvalue"), 0.016005107446869053))
   }
 
+  test("t-CDF p-values match the exact regularized incomplete beta at pinned points") {
+    import spark.implicits._
+    import graft.functions.gfunctions.t_test_pvalue
+    // reference values computed with 30-digit mpmath betainc
+    val pinned = Seq(
+      (2.0, 10.0, 0.073388034771),
+      (1.0, 5.0, 0.363217467649),
+      (0.5, 1000.0, 0.617185080834),
+      (3.2, 4000.0, 0.001385018910),
+      (0.1, 2.5, 0.927806544062),
+      (5.5, 12345.0, 3.8735e-8),
+      (0.01, 3.0, 0.992649111413),
+      (1.7, 49.2, 0.095445342429),
+      (-2.0, 10.0, 0.073388034771))  // two-sided: sign-invariant
+    val got = pinned.map { case (t, df, _) => (t, df) }
+      .toDF("t", "df")
+      .select($"t", $"df", t_test_pvalue($"t", $"df").as("p"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    pinned.foreach { case (t, df, want) =>
+      assert(approx(got((t, df)), want, 1e-7), s"t=$t df=$df")
+    }
+  }
+
   test("welch t flips sign under group swap; p unchanged") {
     import spark.implicits._
     val rows = Seq(1.0, 2.0, 3.0).map(v => ("g", "case", v)) ++

@@ -68,6 +68,16 @@ class TextAnalysisSpec extends SparkSuite {
       fp2(1).getAs[Long]("fingerprint_rolling"))
   }
 
+  test("bpeTokenCount: contractions, letter/digit/punct runs") {
+    val df = Seq(
+      "it's done",          // it + 's + (space)done = 3
+      "abc123,,",           // abc + 123 + ,, = 3
+      "hello world",        // 2
+      "").toDF("t")
+    val got = df.select(TextAnalysis.bpeTokenCount($"t")).as[Int].collect()
+    assert(got.toSeq == Seq(3, 3, 2, 0))
+  }
+
   test("native word_shingles matches the declarative shingles exactly") {
     val texts = Seq("a b c d e f", "one two", "", "  padded   out  x y z ",
       "exact five token doc here")

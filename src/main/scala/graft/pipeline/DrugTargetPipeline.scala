@@ -30,7 +30,8 @@ final case class PipelineResult(
     significant: Option[DataFrame],
     targetScores: Option[DataFrame],
     finalTargets: Option[DataFrame],
-    failures: Seq[(String, Throwable)])
+    failures: Seq[(String, Throwable)],
+    stageSeconds: Seq[(String, Double)] = Seq.empty)
 
 /** The nine-stage DAG (E1, `pipeline2.py:1148-1230`) as lazy Catalyst plans
   * materialized at each sink, with the reference's per-stage error isolation:
@@ -43,14 +44,20 @@ final case class PipelineResult(
 final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
 
   private val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
+  private val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
-  private def stage[T](name: String)(body: => T): Option[T] =
-    try Some(body)
-    catch {
-      case e: Throwable =>
-        failures += name -> e
-        None
-    }
+  private def stage[T](name: String)(body: => T): Option[T] = {
+    val t0 = System.nanoTime()
+    val out =
+      try Some(body)
+      catch {
+        case e: Throwable =>
+          failures += name -> e
+          None
+      }
+    timings += name -> (System.nanoTime() - t0) / 1e9
+    out
+  }
 
   def run(): PipelineResult = {
     val out = config.outputDir
@@ -144,8 +151,12 @@ final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
             Centrality.compositeScores(
               deg.join(btw, Seq("gene")).join(eig, Seq("gene")))
           }
-        Sinks.writeCsv(scores, s"$out/data/network_targets")
-        scores.persist(StorageLevel.MEMORY_AND_DISK)
+        // persist BEFORE the sink write: the write materializes the cache,
+        // so the figure-data and summary stages reuse the centralities
+        // instead of recomputing Brandes + power iteration
+        val persisted = scores.persist(StorageLevel.MEMORY_AND_DISK)
+        Sinks.writeCsv(persisted, s"$out/data/network_targets")
+        persisted
       }
     }
 
@@ -153,12 +164,16 @@ final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
     // G5 subgraph + F10 placeholder filter live inside the builders)
     (network, targetScores) match {
       case (Some((_, edges)), Some(ts)) =>
-        stage("figure_data") {
-          val (vizNodes, vizEdges) = Sinks.networkVizData(ts, edges)
+        val (vizNodes, vizEdges) = Sinks.networkVizData(ts, edges)
+        stage("figure_viz_nodes") {
           Sinks.writeCsv(vizNodes.orderBy(col("node_size").desc, col("gene")),
             s"$out/data/network_viz_nodes")
+        }
+        stage("figure_viz_edges") {
           Sinks.writeCsv(vizEdges.orderBy("src", "dst"),
             s"$out/data/network_viz_edges")
+        }
+        stage("figure_barplot") {
           Sinks.writeCsv(
             Sinks.barplotData(ts).orderBy(col("composite_score").desc, col("gene")),
             s"$out/data/top_targets_barplot")
@@ -206,6 +221,6 @@ final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
     }
 
     PipelineResult(differential, significant, targetScores, finalTargets,
-      failures.toSeq)
+      failures.toSeq, timings.toSeq)
   }
 }

@@ -38,6 +38,9 @@ object Preprocess {
       .withColumn("value",
         coalesce(col("value"), median(col("value")).over(w)))
       .drop("__nn")
+      // consumed twice: by the A3 max aggregate below AND the main flow —
+      // persist so the imputation window shuffle runs once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // A3: conditional log2(x+1) — an adaptive plan branch picked from one
     // collected scalar, like the reference's `if data_max > 100` (py:488-491).

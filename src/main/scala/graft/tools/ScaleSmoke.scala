@@ -95,6 +95,7 @@ object ScaleSmoke {
 
     val summary = Files.readString(java.nio.file.Paths.get(s"$tmp/out/summary.txt"))
     println(summary)
+    result.stageSeconds.foreach { case (n, s) => println(f"[stage] $n%-24s $s%8.2f s") }
     println(s"[scale-smoke] probes=$nProbes samples=$n gen=${genT}s " +
       s"pipeline=${runT}s failures=${result.failures.map(_._1).mkString(",")}")
     spark.stop()

@@ -409,6 +409,45 @@ object CatalogDomain {
     Some("""SELECT p_name, p_partkey FROM part
            |ORDER BY p_name, p_partkey LIMIT 50""".stripMargin))
 
+  /** Distinct aggregate: per-type distinct users (Spark plans the
+    * two-phase distinct-agg expansion). */
+  private val q38 = Q("q38_distinct_users",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+           |  count(*) AS n_events
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Sliding-window aggregate (1 hour every 30 minutes) via Spark's
+    * native window() generator; the oracle expands each event into its
+    * two covering windows explicitly. */
+  private val q39 = Q("q39_sliding_window",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 4).as("sum_value"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), $"event_type", $"n_events", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""WITH w AS (
+           |  SELECT e.*, unnest([
+           |    to_timestamp(floor(epoch(ts) / 1800) * 1800),
+           |    to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)]) AS ws
+           |  FROM events e)
+           |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+           |FROM w WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
-    q16, q17, q18, q19, q34, q35, q36)
+    q16, q17, q18, q19, q34, q35, q36, q38, q39)
 }

@@ -23,7 +23,8 @@ object Bench {
     "q13_welch_stats", "q14_welch_pvalue", "q15_bh_fdr",
     "q4_median_impute", "q5_zscore", "q12_degree_centrality",
     "q17_sessionize", "q24_ngram_jaccard", "q25_simhash_banded",
-    "q26_cosine_topk", "q28_ann_topk")
+    "q26_cosine_topk", "q28_ann_topk", "q32_embedding_dedup",
+    "q33_minhash_lsh", "q39_sliding_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,9 +49,16 @@ object Centrality {
     * normalized — matches `nx.betweenness_centrality(G)` defaults. The
     * per-source BFS passes run distributed: sources are parallelized,
     * adjacency broadcast, partial dependency vectors summed.
+    *
+    * `sampleSources = Some(k)` switches to the Brandes–Pich estimator:
+    * k evenly-spread source vertices, dependencies scaled by n/k — the
+    * scale path when exact O(V·E) is too much (sampling error
+    * ~O(1/sqrt(k)); with k >= n it is exact). Deterministic source
+    * choice (every n/k-th vertex in key order), never random.
     */
   def betweennessCentrality(spark: SparkSession, nodes: DataFrame,
-                            edges: DataFrame): DataFrame = {
+                            edges: DataFrame,
+                            sampleSources: Option[Int] = None): DataFrame = {
     val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
     val edgeSeq = edges.select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -59,8 +66,16 @@ object Centrality {
     val adj = indexGraph(nodeSeq, edgeSeq)
     val bcAdj = spark.sparkContext.broadcast(adj)
 
+    val sources: Seq[Int] = sampleSources match {
+      case Some(k) if k > 0 && k < n =>
+        val step = n.toDouble / k
+        (0 until k).map(i => (i * step).toInt).distinct
+      case _ => 0 until n
+    }
+    val estimatorScale = n.toDouble / sources.length
+
     val partial = spark.sparkContext
-      .parallelize(0 until n, math.min(math.max(n / 16, 1), 256))
+      .parallelize(sources, math.min(math.max(sources.length / 16, 1), 256))
       .mapPartitions { sources =>
         val a = bcAdj.value
         val nn = a.length
@@ -103,8 +118,10 @@ object Centrality {
       }
 
     // nx _rescale, normalized=True, undirected: scale = 1/((n-1)(n-2)) over
-    // the double-counted raw sums; identity for n <= 2.
-    val scale = if (n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else 1.0
+    // the double-counted raw sums; identity for n <= 2. The estimator
+    // scale (n/k) corrects for sampled sources (1.0 when exact).
+    val scale =
+      (if (n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else 1.0) * estimatorScale
     val rows = nodeSeq.zipWithIndex.map { case (g, i) =>
       Row(g, partial(i) * scale)
     }

@@ -66,6 +66,24 @@ class CentralitySpec extends SparkSuite {
     assert(btw.values.forall(_ == 0.0))
   }
 
+  test("sampled betweenness: exact at k>=n, symmetric-graph parity at k<n") {
+    // cycle C6: all nodes symmetric, so any evenly-spread sample gives
+    // the exact answer after the n/k estimator correction
+    val ns = (0 until 6).map("n" + _)
+    val (nodes, edges) = graph(ns, (0 until 6).map(i => ns(i) -> ns((i + 1) % 6)))
+    val exact = byGene(Centrality.betweennessCentrality(spark, nodes, edges),
+      "betweenness_centrality")
+    val full = byGene(Centrality.betweennessCentrality(spark, nodes, edges,
+      sampleSources = Some(6)), "betweenness_centrality")
+    val sampled = byGene(Centrality.betweennessCentrality(spark, nodes, edges,
+      sampleSources = Some(3)), "betweenness_centrality")
+    ns.foreach(g => assert(approx(full(g), exact(g))))
+    // C6 is vertex-transitive: every source contributes the same total
+    // dependency, so the n/k estimator preserves the total mass exactly
+    assert(approx(sampled.values.sum, exact.values.sum, 1e-9),
+      s"${sampled.values.sum} vs ${exact.values.sum}")
+  }
+
   test("distributed eigenvector matches the driver loop (P4 + C5 + star)") {
     for ((ns, es) <- Seq(
         (Seq("a", "b", "c", "d"), Seq("a" -> "b", "b" -> "c", "c" -> "d")),

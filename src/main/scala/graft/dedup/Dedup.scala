@@ -150,10 +150,7 @@ object Dedup {
       explode_outer(array_distinct(word_shingles(col(textCol), shingleSize)))
         .as("shingle"))
     val hashed = sh.select(col("id"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => md5_long(concat(i.cast("string"), lit(":"),
-          coalesce(col("shingle"), lit("")))))
-        .as("hs"))
+      minhash_hashes(coalesce(col("shingle"), lit("")), numHashes).as("hs"))
     hashed.groupBy("id").agg(
       aggregate(collect_list(col("hs")),
         transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, RollingHash64, SimHash64, TTestPValue, WordShingles}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, MinhashHashes, RollingHash64, SimHash64, TTestPValue, WordShingles}
 import org.apache.spark.sql.types.DoubleType
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -38,6 +38,11 @@ object gfunctions {
     * dedup hot path; same token boundaries as TextAnalysis.shingles). */
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** The k MinHash hash-family values of a shingle STRING column
+    * (== md5_long("i:" + shingle) for each i), one codegen call. */
+  def minhash_hashes(shingle: Column, k: Int): Column =
+    ColumnBridge.column(MinhashHashes(ColumnBridge.expression(shingle), k))
 
   /** Per-table LSH buckets of an ARRAY<DOUBLE> column (deterministic LCG
     * hyperplanes, one kernel call per row). */

@@ -168,3 +168,34 @@ object LshKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** MinHash hash-family kernel: the k md5-derived hashes of one shingle
+  * ("i:shingle" for i in 0..k-1) in one call — identical values to
+  * md5_number_lower(CAST(i AS VARCHAR) || ':' || shingle) in the oracle,
+  * computed without per-hash string concatenation or interpreted
+  * higher-order functions.
+  */
+object MinhashKernel {
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def hashes(s: UTF8String, k: Int): ArrayData = {
+    val payload = s.getBytes
+    val md = md5Local.get()
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      md.reset()
+      md.update(Integer.toString(i).getBytes)
+      md.update(':'.toByte)
+      md.update(payload)
+      val d = md.digest()
+      var h = 0L
+      var j = 7
+      while (j >= 0) { h = (h << 8) | (d(8 + j) & 0xffL); j -= 1 }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

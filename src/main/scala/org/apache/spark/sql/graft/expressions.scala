@@ -191,6 +191,31 @@ case class LshTableBuckets(child: Expression, tables: Int,
     copy(child = newChild)
 }
 
+/** The k MinHash hash-family values of a shingle string in one codegen
+  * call (values identical to md5_long("i:" + shingle) for i in 0..k-1,
+  * hence to the DuckDB oracle). Replaces an interpreted transform()
+  * lambda doing k concat+md5 rounds per posting.
+  */
+case class MinhashHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(k >= 1, "hash count must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    MinhashKernel.hashes(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.MinhashKernel.hashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
   * (base 31 in Z/2^64) over the md5-derived hashes of a token array.
   * Engine-specific (modular multiplication is not expressible in DuckDB

@@ -88,6 +88,16 @@ class TextAnalysisSpec extends SparkSuite {
     assert(native.toSeq == declarative.toSeq)
   }
 
+  test("minhash_hashes equals md5_long of 'i:shingle' per index") {
+    val df = Seq("the quick brown", "x y z").toDF("s")
+    val viaKernel = df.select(minhash_hashes($"s", 4)).as[Seq[Long]].collect()
+    val viaConcat = (0 until 4).map { i =>
+      df.select(md5_long(concat(lit(s"$i:"), $"s"))).as[Long].collect()
+    }
+    for (r <- 0 until 2; i <- 0 until 4)
+      assert(viaKernel(r)(i) == viaConcat(i)(r), s"row $r hash $i")
+  }
+
   test("md5_long matches DuckDB md5_number_lower reference values") {
     // Reference values from `select md5_number_lower(...)` in DuckDB 1.0,
     // reinterpreted as signed 64-bit.

@@ -76,6 +76,64 @@ object Similarity {
       posexplode(lsh_table_buckets(col(vecCol).cast("array<double>"),
         tables, planesPerTable, dim)).as(Seq("table", "bucket")))
 
+  /** IVF (inverted-file) index: a seeded MLlib KMeans coarse quantizer
+    * partitions the corpus into nLists cells; a query probes its nProbe
+    * nearest centroids and exactly re-ranks only those cells' vectors.
+    * The scale shape: centroids are a broadcast dimension, the corpus is
+    * scanned once to assign cells (narrow), and search shuffles only on
+    * the cell key. Complements the hyperplane-LSH path (data-adaptive
+    * cells vs oblivious hashes); recall pinned in the spec. KMeans is
+    * seeded but float-sum order makes exact centroids run-dependent, so
+    * this operator is unit-tested rather than DuckDB-oracled. */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nLists: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = org.apache.spark.ml.functions.array_to_vector(
+      col(vecCol).cast("array<double>"))
+    val feat = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("arr"), toVec.as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(20)
+      .fit(feat.select("features"))
+    val assigned = model.transform(feat)
+      .select(col("id"), col("arr"), col("prediction").as("cell"))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF ANN top-k: probe the nProbe nearest cells per query, re-rank
+    * exactly by cosine. */
+  def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
+              queries: DataFrame, idCol: String, vecCol: String, k: Int,
+              nProbe: Int): DataFrame = {
+    val centersLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val qv = col(vecCol).cast("array<double>")
+    // nProbe nearest centroids by cosine: score each centroid, sort, take
+    // the cell indices — all inside one projection over the small query set
+    val scored = queries.select(col(idCol).as("query_id"), qv.as("qv"),
+      centersLit.as("cs"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(col("cs"),
+          (c, i) => struct(cosine_similarity(col("qv"), c).as("sim"),
+            i.as("cell")))).as("sc"))
+      .select(col("query_id"), col("qv"), col("sc.sim"), col("sc.cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc_nulls_last, col("cell").asc)
+    val probes = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"),
+        col("id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("arr")).as("cos_sim"))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+  }
+
   /** ANN top-k via multi-table LSH: candidates are corpus rows sharing a
     * (table, bucket) key with the query in any of `tables` hash tables,
     * deduplicated, then exactly re-ranked by cosine. The only shuffle is

@@ -64,6 +64,22 @@ class SimilaritySpec extends SparkSuite {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN: cell-probed search reaches high recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val (assigned, centers) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nLists = 8)
+    assert(assigned.select("cell").distinct().count() > 1)
+    val ivf = Similarity.ivfTopK(assigned, centers, queries, "vec_id",
+        "embedding", k, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf recall@5 = $recall")
+  }
+
   test("lshBucket is stable across runs and engines (LCG planes)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.withBucket(emb, "embedding", 8, 64)

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft._
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions as SQL functions at session construction, so any session
@@ -34,5 +35,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", classOf[RollingHash64]),
       (es: Seq[Expression]) => RollingHash64(es.head)))
+    // parameterized expressions: the int arguments must be literals
+    // (they shape the output schema / generated code)
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", classOf[WordShingles]),
+      (es: Seq[Expression]) =>
+        WordShingles(es(0), litInt(es(1), "word_shingles(text, n)"))))
+    ext.injectFunction((FunctionIdentifier("minhash_hashes"),
+      info("minhash_hashes", classOf[MinhashHashes]),
+      (es: Seq[Expression]) =>
+        MinhashHashes(es(0), litInt(es(1), "minhash_hashes(s, k)"))))
+    ext.injectFunction((FunctionIdentifier("lsh_table_buckets"),
+      info("lsh_table_buckets", classOf[LshTableBuckets]),
+      (es: Seq[Expression]) => LshTableBuckets(es(0),
+        litInt(es(1), "lsh_table_buckets tables"),
+        litInt(es(2), "lsh_table_buckets planesPerTable"),
+        litInt(es(3), "lsh_table_buckets dim"))))
+  }
+
+  private def litInt(e: Expression, ctx: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$ctx requires an integer literal, got $other")
   }
 }

@@ -21,11 +21,17 @@ class GraftExtensionsSpec extends SparkSuite {
           |       t_test_pvalue(2.0, 10.0) AS p,
           |       simhash64(array('x','x','y')) AS s,
           |       cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
-          |       rolling_hash64(array('a','b')) AS rh
+          |       rolling_hash64(array('a','b')) AS rh,
+          |       word_shingles('a b c d', 3) AS ws,
+          |       minhash_hashes('a b c', 2) AS mh,
+          |       lsh_table_buckets(array(1.0d, 0.5d), 2, 4, 2) AS lb
           |""".stripMargin).collect()(0)
       assert(r.getAs[Long]("m") == 8250560606382298838L)
       assert(math.abs(r.getAs[Double]("p") - 0.0733880348) < 1e-6)
       assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+      assert(r.getSeq[String](r.fieldIndex("ws")).toSeq == Seq("a b c", "b c d"))
+      assert(r.getSeq[Long](r.fieldIndex("mh")).length == 2)
+      assert(r.getSeq[Long](r.fieldIndex("lb")).length == 2)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -30,6 +30,18 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  /** Materialize a bounded operator result (localCheckpoint) and release
+    * the operator-internal persists that produced it. Pair outputs are
+    * candidate-proportional (small next to the corpus), so eager
+    * materialization is cheap and leaves no dangling cached corpus data
+    * in a long-lived session. */
+  private def materializeAndRelease(out: DataFrame,
+                                    internals: DataFrame*): DataFrame = {
+    val r = out.localCheckpoint()
+    internals.foreach(_.unpersist(false))
+    r
+  }
+
   /** Exact dedup: group rows by md5(textCol), keep the row with the
     * minimum idCol per group. Output: (keep_id, n_dups) one row per
     * distinct content. Single shuffle on the 128-bit hash. */
@@ -65,7 +77,15 @@ object Dedup {
                    bands: Int = 4, maxDist: Int = 3,
                    maxBucket: Int = 10000): DataFrame = {
     val bandBits = 64 / bands
-    val sigs = withSimhash(df, textCol).select(col(idCol).as("id"), col("simhash"))
+    // Token-less (empty/whitespace-only) docs all get simhash 0 and would
+    // collide pairwise in every band as hamming-0 "near-dups"; a doc with
+    // no content has no meaningful fingerprint, so they are excluded from
+    // near-dup pairing (matching the all-pairs ground truth, where docs
+    // without tokens contribute no votes).
+    val sigs = df
+      .select(col(idCol).as("id"), word_shingles(col(textCol), 1).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), simhash64(col("toks")).as("simhash"))
     // banded feeds both self-join sides plus the big-bucket filter;
     // persist so the corpus is tokenized + fingerprinted once.
     val banded = sigs.select(col("id"), col("simhash"),
@@ -80,21 +100,95 @@ object Dedup {
       col("id").as("id_b"), col("simhash").as("sig_b"))
     val big = banded.groupBy("band", "key").count()
       .filter(col("count") > maxBucket).select("band", "key")
-    a.join(big, Seq("band", "key"), "left_anti")
+    val pairs = a.join(big, Seq("band", "key"), "left_anti")
       .join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
+    materializeAndRelease(pairs, banded)
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation: each node's component label converges to the
-    * minimum id reachable from it. Iteration count is bounded by the
-    * component diameter (near-dup clusters are shallow); each step is one
-    * shuffle. Returns (id, component). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Connected components over an undirected edge list (id_a, id_b),
+    * returning (id, component) where component is the minimum id reachable
+    * from the node. Uses the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round is two grouped shuffles and the edge set
+    * contracts to a forest of stars rooted at each component's minimum id
+    * in O(log n) rounds on ANY graph — including long near-dup chains
+    * (boilerplate series in scraped corpora), where plain min-label
+    * propagation needs O(diameter) rounds and a bounded iteration cap
+    * would return wrong labels silently. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = edges.select(col("id_a").as("id"))
+      .union(edges.select(col("id_b").as("id"))).distinct()
+    // Canonical larger-first orientation, self-loops dropped.
+    var e = edges.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      // Each round's outputs feed two consumers (the next step's groupBy
+      // and join) and the next iteration; localCheckpoint keeps the
+      // logical plan constant-size and avoids recomputing the round.
+      val ls = largeStar(e).localCheckpoint()
+      val ss = smallStar(ls).localCheckpoint()
+      // Edge-set signature: converged when the (unordered) edge set is
+      // stable. 32-bit per-edge hash summed into a long cannot overflow
+      // (ANSI-safe) below 2^32 edges.
+      val sigRow = ss.agg(count(lit(1)).as("n"),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+        .first()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == prevSig || sigRow.getLong(0) == 0L
+      prevSig = sig
+      e = ss
+      iter += 1
+    }
+    // Converged edges form stars (child -> component root); roots appear
+    // only on the v side. min(v) per u is a safety net, not a semantic.
+    val stars = e.groupBy(col("u").as("id")).agg(min(col("v")).as("root"))
+    nodes.join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+  }
+
+  /** Large-star step: every node connects its LARGER neighbors to the
+    * minimum of its neighborhood (incl. itself). Output larger-first. */
+  private[dedup] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star step: every node connects its SMALLER neighbors (and
+    * itself) to the minimum of those. Input and output larger-first. */
+  private[dedup] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    e.join(mins, Seq("u"))
+      .select(col("v").as("n"), col("m"))
+      .union(mins.select(col("u").as("n"), col("m")))
+      .filter(col("n") =!= col("m"))
+      .select(greatest(col("n"), col("m")).as("u"),
+        least(col("n"), col("m")).as("v"))
+      .distinct()
+  }
+
+  /** Min-label propagation components — O(diameter) rounds; kept as the
+    * reference implementation for the equality spec (the star algorithm
+    * above is the production path). */
+  private[dedup] def connectedComponentsLabelProp(edges: DataFrame,
+                                                  maxIter: Int = 300): DataFrame = {
     // Both the symmetrized edges and each iteration's labels are
     // persisted: the loop joins sym every round, and labels' lineage
     // would otherwise grow by one join per iteration (re-deriving the
@@ -143,7 +237,16 @@ object Dedup {
 
   /** MinHash signature values: for each of `numHashes` hash functions i,
     * sig_i = min over distinct shingles s of md5_long(i || ':' || s).
-    * Output: (id, sig: array<long>). One shuffle (groupBy id). */
+    * Output: (id, sig: array<long>). One shuffle (groupBy id).
+    *
+    * The signature is built from `numHashes` independent `min` aggregates
+    * (one per hash position) rather than a collect_list + fold: `min`
+    * combines map-side, so the shuffle carries numHashes longs per DOC
+    * per map partition instead of numHashes longs per SHINGLE — at corpus
+    * scale that is the difference between shuffling ~16 longs/doc and
+    * ~16 longs/shingle (≈50× more), and the whole aggregation stays
+    * inside codegen'd HashAggregate instead of an interpreted
+    * higher-order fold. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
@@ -151,10 +254,12 @@ object Dedup {
         .as("shingle"))
     val hashed = sh.select(col("id"),
       minhash_hashes(coalesce(col("shingle"), lit("")), numHashes).as("hs"))
-    hashed.groupBy("id").agg(
-      aggregate(collect_list(col("hs")),
-        transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
-        (acc, hs) => zip_with(acc, hs, (x, y) => least(x, y))).as("sig"))
+    val mins = (0 until numHashes).map(i =>
+      min(element_at(col("hs"), i + 1)).as(s"s$i"))
+    hashed.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: signature rows are grouped into
@@ -178,7 +283,8 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    verifyJaccard(df, idCol, textCol, cand, shingleSize, minJaccard)
+    materializeAndRelease(
+      verifyJaccard(df, idCol, textCol, cand, shingleSize, minJaccard), sigs)
   }
 
   /** Exact word-n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
@@ -218,7 +324,7 @@ object Dedup {
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    verifyFromPostings(sh, cand, minJaccard)
+    materializeAndRelease(verifyFromPostings(sh, cand, minJaccard), sh)
   }
 
   /** Distinct (id, shingle) postings of a document table (native
@@ -269,12 +375,13 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val vecs = df.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-    cand
+    val pairs = cand
       .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine_similarity(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
+    materializeAndRelease(pairs, b)
   }
 
   /** Embedding near-dup dedup: cosine pairs -> connected components ->

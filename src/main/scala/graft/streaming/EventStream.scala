@@ -58,6 +58,14 @@ object EventStream {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
+
+  /** Full-precision event-time micros, mirroring `unix_micros` in the
+    * batch twin. `getTime` alone truncates to milliseconds, which makes
+    * gap predicates disagree with batch on sub-ms data; the sub-ms part
+    * lives in `getNanos` (which also carries the ms fraction, hence the
+    * floorDiv to whole seconds first). */
+  private[streaming] def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   final case class SessionState(sessionSeq: Long, lastTs: Long,
                                 nEvents: Long, startTs: Long, totalValue: Double)
   final case class SessionOut(user_id: Long, session_seq: Long,
@@ -90,11 +98,11 @@ object EventStream {
             Iterator(SessionOut(userId, s.sessionSeq, s.nEvents,
               (s.lastTs - s.startTs) / 1000000.0, s.totalValue))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var current = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L   // ms -> us to mirror unix_micros
+              val us = micros(e.ts)
               current match {
                 case Some(s) if us - s.lastTs <= gapSeconds * 1000000L =>
                   current = Some(s.copy(lastTs = us, nEvents = s.nEvents + 1,

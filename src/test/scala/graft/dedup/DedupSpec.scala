@@ -51,6 +51,34 @@ class DedupSpec extends SparkSuite {
     assert(comp(5L) == 5L && comp(6L) == 5L)
   }
 
+  test("star components converge on a 200-node chain in O(log n) rounds") {
+    // 1-2-3-...-200: min-label propagation needs ~199 rounds here; the
+    // alternating-star path must finish inside a logarithmic cap or this
+    // blows the maxIter bound and labels come back wrong.
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain, maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(comp.length == 200)
+    assert(comp.forall(_._2 == 1L), s"bad labels: ${comp.filter(_._2 != 1L).take(5).toSeq}")
+    // equality against the reference label-propagation implementation on
+    // a shallow multi-component graph
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 9L)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponentsLabelProp(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop, s"star=$star prop=$prop")
+    assert(star(9L) == 9L, "self-loop-only node keeps itself")
+  }
+
+  test("simhashPairs excludes token-less documents") {
+    val withEmpty = docs.union(Seq((7L, ""), (8L, "   ")).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashPairs(withEmpty, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L || p._1 == 8L || p._2 == 8L),
+      s"empty docs paired: ${pairs.toSeq}")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
   test("simhashDedup removes exact dup, keeps distinct docs") {
     val kept = Dedup.simhashDedup(docs, "doc_id", "text", maxDist = 0)
       .select("doc_id").as[Long].collect().sorted

@@ -92,6 +92,45 @@ class EventStreamSpec extends SparkSuite {
     assert(got == Set((7L, 1L, 2L, 600.0, 3.0), (7L, 2L, 1L, 0.0, 3.0)))
   }
 
+  test("sub-millisecond timestamps: streaming sessions equal batch sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Two events exactly gap + 500µs apart: with ms-truncated event time
+    // the gap reads as exactly `gap` (same session); with full µs
+    // precision it exceeds the gap and splits into two sessions. The
+    // batch twin uses unix_micros, so only the µs reading agrees.
+    val gap = 30L
+    val e1 = ts("2024-01-01 10:00:00"); e1.setNanos(499000)   // +499 µs (0 ms)
+    val e2 = ts("2024-01-01 10:00:30"); e2.setNanos(999000)   // +999 µs (0 ms)
+    // µs gap = 30.000500 s > gap (split); ms-truncated gap = 30.000 s
+    // (no split) — so this case catches any ms truncation.
+    val events = Seq(
+      Event(1, e1, 7, "click", 1.0),
+      Event(2, e2, 7, "click", 2.0))
+
+    val batch = graft.events.Sessionize
+      .sessions(events.toDF(), "ts", "user_id", "value", gap)
+      .select($"user_id", $"session_seq".cast("long"), $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == Set((7L, 1L, 1L), (7L, 2L, 1L)), s"batch=$batch")
+
+    val in = MemoryStream[Event]
+    in.addData(events: _*)
+    in.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+    val out = EventStream.sessionize(in.toDS(), gapSeconds = gap)
+    val q = out.writeStream.format("memory").queryName("subms")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck-subms").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("subms")
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().filter(_._1 == 7L).toSet
+    assert(stream == batch, s"stream=$stream batch=$batch")
+  }
+
   test("sliding windows overlap: one event lands in two 60/30-min windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

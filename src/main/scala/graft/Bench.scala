@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Benchmark main (driver contract): one JSON line with per-query and
   * total wall seconds over SPARK_GRAFT_SF_DIR.
@@ -11,10 +12,18 @@ import org.apache.spark.sql.SparkSession
   *   timed plan entirely.
   * - A warm-up pass (session init + a small scan/agg) runs before timing
   *   so the first query doesn't carry JVM + session start-up.
+  * - Per-query output row counts ride along via `observe` (a
+  *   CollectMetrics node over the rows already flowing to the sink — no
+  *   second execution), so a silently-empty result is visible in the
+  *   JSON ("rows") instead of reading as a fast success.
+  * - A query that throws is reported in "failed" and EXCLUDED from the
+  *   total, rather than its near-zero exception-path elapsed time
+  *   deflating the headline number.
   * - The headline set keeps the round-1 queries (comparable across
   *   rounds) and adds the heavy new operators: window imputation,
-  *   z-score, graph degree, sessionization, n-gram/simhash dedup, and
-  *   brute-force vs LSH similarity search.
+  *   z-score, graph degree, sessionization, n-gram/simhash/minhash
+  *   dedup, exact dedup, quality scoring, and brute-force vs LSH
+  *   similarity search.
   */
 object Bench {
 
@@ -22,8 +31,9 @@ object Bench {
     "q1_pricing_agg", "q2_filter_revenue", "q3_broadcast_join",
     "q13_welch_stats", "q14_welch_pvalue", "q15_bh_fdr",
     "q4_median_impute", "q5_zscore", "q12_degree_centrality",
-    "q17_sessionize", "q24_ngram_jaccard", "q25_simhash_banded",
-    "q26_cosine_topk", "q28_ann_topk", "q32_embedding_dedup",
+    "q17_sessionize", "q20_exact_dedup", "q22_quality_score",
+    "q24_ngram_jaccard", "q25_simhash_banded", "q26_cosine_topk",
+    "q27_lsh_buckets", "q28_ann_topk", "q32_embedding_dedup",
     "q33_minhash_lsh", "q39_sliding_window")
 
   def main(args: Array[String]): Unit = {
@@ -46,26 +56,40 @@ object Bench {
     // Best-of-2 per query: the second run amortizes one-time codegen /
     // JIT and shields the recorded number from transient host noise.
     val queries = SparkEntry.queries
-    val results = headline.flatMap { name =>
-      queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
-          // operators may persist internal multi-consumer frames; clear
-          // between runs so no query is timed against another's cache
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val results: Seq[(String, Either[String, (Double, Long)])] =
+      headline.flatMap { name =>
+        queries.get(name).map { fn =>
+          try {
+            var rows = 0L
+            val times = (1 to 2).map { i =>
+              // operators may persist internal multi-consumer frames; clear
+              // between runs so no query is timed against another's cache
+              spark.catalog.clearCache()
+              val obs = Observation(s"$name-$i")
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).observe(obs, count(lit(1)).as("rows"))
+                .write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              rows = obs.get("rows").asInstanceOf[Long]
+              dt
+            }
+            name -> Right((times.min, rows))
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              name -> Left(e.getClass.getSimpleName)
           }
-          (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
       }
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.collect { case (n, Right(v)) => n -> v }
+    val failed = results.collect { case (n, Left(_)) => n }
+    val qs = ok.map { case (k, (t, _)) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rows = ok.map { case (k, (_, r)) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -326,19 +326,30 @@ object CatalogDomain {
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** J2 positional-fallback shape (`pipeline2.py:392-401`): two relations
-    * aligned by rank position. Bounded input (top-100), so the global
-    * row_number windows are safe. */
+    * aligned by rank position. The global top-100 is taken with
+    * orderBy().limit() — planned as TakeOrderedAndProject (per-partition
+    * top-100, 100-row driver merge) — and ranks are assigned on the
+    * collected rows; no single-partition WindowExec ever sees the full
+    * table, so the plan is the one you'd run at 100 TB. */
   private val q19 = Q("q19_positional_join",
     (s, dir) => {
       import s.implicits._
-      val wc = Window.orderBy($"c_acctbal".desc, $"c_custkey".asc)
-      val wo = Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-      val c = t(s, dir, "customer")
-        .select($"c_custkey", $"c_acctbal", row_number().over(wc).as("pos"))
-        .filter($"pos" <= 100)
-      val o = t(s, dir, "orders")
-        .select($"o_orderkey", $"o_totalprice", row_number().over(wo).as("pos"))
-        .filter($"pos" <= 100)
+      def top100(df: DataFrame,
+                 by: org.apache.spark.sql.Column*): DataFrame = {
+        val rows = df.orderBy(by: _*).limit(100).collect()
+        val ranked = rows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq((i + 1) +: r.toSeq)
+        }
+        s.createDataFrame(s.sparkContext.parallelize(ranked.toSeq, 1),
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("pos",
+              org.apache.spark.sql.types.IntegerType, nullable = false) +:
+              df.schema.fields))
+      }
+      val c = top100(t(s, dir, "customer").select($"c_custkey", $"c_acctbal"),
+        $"c_acctbal".desc, $"c_custkey".asc)
+      val o = top100(t(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+        $"o_totalprice".desc, $"o_orderkey".asc)
       c.join(o, Seq("pos"))
         .select($"pos", $"c_custkey", $"o_orderkey",
           round($"c_acctbal" + $"o_totalprice", 2).as("combined"))
@@ -448,6 +459,46 @@ object CatalogDomain {
            |FROM w WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** J7/A13/A16 nested-snapshot shape (`pipeline2.py:970-998`): explode
+    * the OpenTargets associatedDiseases.rows array-of-structs, average
+    * the non-null scores (0.0 when none), and compute drugability from
+    * the UNrounded average. The fixture is a repo-local NDJSON file read
+    * by both engines (Spark struct schema; DuckDB read_json + LEFT JOIN
+    * LATERAL unnest, which matches explode_outer's keep-empty
+    * semantics), so the nested explode path gets a real oracle rather
+    * than unit-only coverage. */
+  private val otFixture = "/root/repo/src/test/resources/opentargets_nested.json"
+  private val q40 = Q("q40_nested_enrich",
+    (s, dir) => {
+      import s.implicits._
+      graft.enrich.TargetValidation.loadOpenTargetsSnapshot(s, otFixture)
+        .select($"ensembl_id", $"approvedSymbol".as("symbol"),
+          coalesce($"knownDrugs.count", lit(0L)).as("n_drugs"),
+          explode_outer($"associatedDiseases.rows").as("r"))
+        .groupBy($"ensembl_id", $"symbol", $"n_drugs")
+        .agg(round(coalesce(avg($"r.score"), lit(0.0)), 3).as("avg_score"),
+          count($"r.score").as("n_scores"),
+          round($"n_drugs" * 0.6 + coalesce(avg($"r.score"), lit(0.0)) * 0.4, 3)
+            .as("drugability"))
+        .orderBy($"drugability".desc, $"ensembl_id")
+    },
+    Some(s"""WITH snap AS (SELECT * FROM read_json('$otFixture',
+           |  format='newline_delimited',
+           |  columns={ensembl_id:'VARCHAR', approvedSymbol:'VARCHAR',
+           |    biotype:'VARCHAR',
+           |    knownDrugs:'STRUCT(count BIGINT, rows STRUCT(drug STRUCT(id VARCHAR, name VARCHAR))[])',
+           |    associatedDiseases:'STRUCT(count BIGINT, rows STRUCT(disease STRUCT(id VARCHAR, name VARCHAR), score DOUBLE)[])'})),
+           |x AS (SELECT s.ensembl_id, s.approvedSymbol AS symbol,
+           |        coalesce(s.knownDrugs.count, 0) AS n_drugs, u.r.score AS score
+           |      FROM snap s
+           |      LEFT JOIN LATERAL (SELECT unnest(s.associatedDiseases.rows) AS r) u ON true)
+           |SELECT ensembl_id, symbol, n_drugs,
+           |  round(coalesce(avg(score), 0.0), 3) AS avg_score,
+           |  count(score)::BIGINT AS n_scores,
+           |  round(n_drugs * 0.6 + coalesce(avg(score), 0.0) * 0.4, 3) AS drugability
+           |FROM x GROUP BY 1, 2, 3
+           |ORDER BY drugability DESC, ensembl_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
-    q16, q17, q18, q19, q34, q35, q36, q38, q39)
+    q16, q17, q18, q19, q34, q35, q36, q38, q39, q40)
 }

@@ -7,7 +7,10 @@ import java.util.zip.GZIPInputStream
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.util.LineReader
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -16,6 +19,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSourceV2 `geo` format: `spark.read.format("geo").load(path)` yields
   * the long-form expression table (probe_id, sample_id, value) straight
@@ -24,11 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * semantics are shared with [[GeoMatrixReader]] via [[GeoLineParser]]
   * and pinned equal by the spec.
   *
-  * One input partition per file: the format is line-stateful only in its
-  * header (sample ids), which each reader re-reads from its file head —
-  * data rows then stream. Gzip files are unsplittable anyway; for huge
-  * uncompressed matrices the [[GeoMatrixReader]] path (spark.read.text +
-  * column expressions) remains the split-parallel option.
+  * Partitioning: gzip files are unsplittable and plan one partition each;
+  * uncompressed files split into byte ranges of `maxSplitBytes` (option;
+  * defaults to the session's `spark.sql.files.maxPartitionBytes`) with
+  * standard text-split semantics — a split skips its first partial line
+  * unless it starts at byte 0 and consumes the line that straddles its
+  * end. Every split re-reads the file head for the sample-id header
+  * (bounded: the header sits above the data block in the format).
+  *
+  * The session's Hadoop configuration is carried to the scan planner and
+  * the executor-side readers via [[SerializableConfiguration]], so fs
+  * settings and credentials configured on the SparkSession apply.
   */
 class GeoDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "geo"
@@ -52,65 +62,119 @@ final class GeoTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoScanBuilder(Option(options.get("path")).getOrElse(path))
+    new GeoScanBuilder(Option(options.get("path")).getOrElse(path), options)
 }
 
-final class GeoScanBuilder(path: String) extends ScanBuilder with Scan with Batch {
+final class GeoScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+  private val confSer = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+  private val maxSplitBytes: Long = math.max(1L,
+    Option(options.get("maxSplitBytes")).map(_.toLong).getOrElse(
+      SparkSession.active.sessionState.conf.filesMaxPartitionBytes))
+
   override def build(): Scan = this
   override def readSchema(): StructType = GeoDataSource.Schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = p.getFileSystem(confSer.value)
+    val stat = fs.getFileStatus(p)
     val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-          .filterNot(f => f.startsWith("_") || f.startsWith("."))
-      else Array(path)
-    files.sorted.map(f => GeoInputPartition(f): InputPartition)
+      if (stat.isDirectory)
+        // Skip metadata/hidden files by FILE NAME (_SUCCESS, .crc, ...)
+        // — the full path string always starts with a scheme, so a
+        // path-string test would never match.
+        fs.listStatus(p).filter(_.isFile).filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+      else Array(stat)
+    files.sortBy(_.getPath.toString).flatMap { s =>
+      val f = s.getPath.toString
+      if (f.endsWith(".gz") || s.getLen == 0)
+        Seq(GeoInputPartition(f, 0L, Long.MaxValue))
+      else
+        (0L until s.getLen by maxSplitBytes).map(st =>
+          GeoInputPartition(f, st, math.min(maxSplitBytes, s.getLen - st)))
+    }.map(x => x: InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoReaderFactory
+    new GeoReaderFactory(confSer)
 }
 
-final case class GeoInputPartition(file: String) extends InputPartition
+/** Byte range [start, start+length) of one file; standard text-split line
+  * ownership (see [[GeoPartitionReader]]). Gzip files always get the full
+  * range. */
+final case class GeoInputPartition(file: String, start: Long, length: Long)
+  extends InputPartition
 
-final class GeoReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GeoPartitionReader(partition.asInstanceOf[GeoInputPartition].file)
-}
-
-/** Streams one file: header pass fixes the sample ids, then each data
-  * row fans out to n (probe, sample, value) rows. */
-final class GeoPartitionReader(file: String) extends PartitionReader[InternalRow] {
-  private val reader: BufferedReader = {
-    val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new Configuration())
-    val in = fs.open(p)
-    val stream =
-      if (file.endsWith(".gz")) new GZIPInputStream(in) else in
-    new BufferedReader(new InputStreamReader(stream, "UTF-8"))
+final class GeoReaderFactory(confSer: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GeoInputPartition]
+    new GeoPartitionReader(p.file, p.start, p.length, confSer.value)
   }
-  private var sampleIds: Array[UTF8String] = _
+}
+
+/** Streams one byte range of one file: a bounded head pass fixes the
+  * sample ids, then data rows in the range fan out to n
+  * (probe, sample, value) rows. Line ownership follows Hadoop text
+  * splits: a reader starting past byte 0 discards its first (partial)
+  * line, and a line is processed iff its first byte lies in
+  * [start, end] — the straddling line at `end` is consumed whole here
+  * and skipped by the next split. */
+final class GeoPartitionReader(file: String, start: Long, length: Long,
+                               conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val path = new Path(file)
+  private val fs = path.getFileSystem(conf)
+  private val gz = file.endsWith(".gz")
+  private val end: Long =
+    if (gz || length == Long.MaxValue) Long.MaxValue else start + length
+
+  /** Sample ids from the file-head header scan; empty when the file has
+    * no ID_REF header (then the split yields no rows, matching the
+    * DataFrame path's explicit failure being handled by the caller). */
+  private lazy val sampleIds: Array[UTF8String] = {
+    val in = fs.open(path)
+    val br = new BufferedReader(new InputStreamReader(
+      if (gz) new GZIPInputStream(in) else in, "UTF-8"))
+    try {
+      var line = br.readLine()
+      while (line != null && !GeoLineParser.isHeader(line)) line = br.readLine()
+      if (line == null) Array.empty
+      else GeoLineParser.parseHeader(line).map(UTF8String.fromString).toArray
+    } finally br.close()
+  }
+
+  private var lineReader: LineReader = _
+  private var pos: Long = start
+  private val text = new Text()
   private var current: (UTF8String, Array[java.lang.Double]) = _
   private var idx = 0
   private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
 
-  private def ensureHeader(): Boolean = {
-    if (sampleIds != null) return true
-    var line = reader.readLine()
-    while (line != null && !GeoLineParser.isHeader(line)) line = reader.readLine()
-    if (line == null) return false
-    sampleIds = GeoLineParser.parseHeader(line)
-      .map(UTF8String.fromString).toArray
-    sampleIds.nonEmpty
+  private def nextLine(): String = {
+    if (lineReader == null) {
+      val in = fs.open(path)
+      if (gz) lineReader = new LineReader(new GZIPInputStream(in))
+      else {
+        if (start > 0) in.seek(start)
+        lineReader = new LineReader(in)
+        if (start > 0) pos += lineReader.readLine(text)   // discard partial line
+      }
+    }
+    if (pos > end) return null
+    val n = lineReader.readLine(text)
+    if (n == 0) null else { pos += n; text.toString }
   }
 
   override def next(): Boolean = {
-    if (!ensureHeader()) return false
+    if (sampleIds.isEmpty) return false
     while (current == null || idx >= sampleIds.length) {
-      val line = reader.readLine()
+      val line = nextLine()
       if (line == null) return false
       GeoLineParser.parseDataRow(line, sampleIds.length) match {
         case Some((probe, values)) =>
@@ -128,5 +192,5 @@ final class GeoPartitionReader(file: String) extends PartitionReader[InternalRow
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (lineReader != null) lineReader.close()
 }

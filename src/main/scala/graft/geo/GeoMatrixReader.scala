@@ -53,14 +53,14 @@ object GeoMatrixReader {
   }
 
   def read(spark: SparkSession, path: String): GeoData = {
-    // One physical scan feeds all three consumers (header collect,
-    // metadata collect, expression parse) — without the cache each would
-    // re-read the whole file to find its lines. At cluster scale the
-    // header/metadata block lives in the first split while the cache
-    // spills the rest to local disk; callers persist the parsed
-    // expression frame and may unpersist this afterwards.
+    // Two bounded driver-side collects (header line, '!' metadata block —
+    // both live at the file head, dimension-sized by construction) plus a
+    // distributed expression scan through the DSv2 `geo` format, which
+    // splits uncompressed files by byte range. No raw-text cache: at
+    // 100 TB caching the matrix text would store the dataset twice, and
+    // the header/metadata reads touch only the first split's worth of
+    // lines via their pushed filters + limit.
     val lines = spark.read.text(path)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = col("value")
 
     // Sample header (single line): ids keep their source order.
@@ -80,7 +80,7 @@ object GeoMatrixReader {
       .collect().map(_.getString(0)).toSeq
     val metadata = buildMetadata(spark, metaLines)
 
-    GeoData(parseExpression(lines, sampleIds), metadata, sampleIds)
+    GeoData(spark.read.format("geo").load(path), metadata, sampleIds)
   }
 
   /** S3: data rows -> long form. Probe-id cleanup reproduces

@@ -18,16 +18,35 @@ object ProbeMapping {
   /** S5: read a PROBEID,SYMBOL csv; drop blank/NA symbols
     * (`generate_probe_mappings_csv.r:129`, `pipeline2.py:107-108`).
     * Duplicate PROBEIDs keep the last occurrence — dict-insertion semantics
-    * of the reference's csv loader (`pipeline2.py:98-119`), pinned with an
-    * explicit file-order max_by instead of relying on partition order. */
-  def loadMappingCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").csv(path)
-      .select(col("PROBEID").as("probe_id"), col("SYMBOL").as("symbol"))
+    * of the reference's csv loader (`pipeline2.py:98-119`).
+    *
+    * "Last" is pinned to the explicit order key (file name asc, line
+    * number within file): each file is read whole (`wholetext`) and line
+    * numbers assigned with posexplode, because a plain csv read would
+    * inherit Spark's size-bin-packed split order — listing- and
+    * split-dependent, so "last occurrence" across multiple files (or even
+    * across splits of one large file) would be nondeterministic. The
+    * mapping is dimension-sized by construction (54k rows at reference
+    * scale — always the broadcast side), so one row per file is bounded.
+    * Column layout is the reference's fixed PROBEID,SYMBOL; line 0 of
+    * each file is its header. */
+  def loadMappingCsv(spark: SparkSession, path: String): DataFrame = {
+    val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "PROBEID STRING, SYMBOL STRING")
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("__file"),
+        posexplode(split(col("value"), "\r?\n")).as(Seq("__line_no", "__line")))
+      .filter(col("__line_no") > 0 && trim(col("__line")) =!= "")
+      .select(col("__file"), col("__line_no"),
+        from_csv(col("__line"), rowSchema, Map.empty[String, String]).as("r"))
+      .select(col("__file"), col("__line_no"),
+        col("r.PROBEID").as("probe_id"), col("r.SYMBOL").as("symbol"))
       .filter(col("symbol").isNotNull && col("symbol") =!= "" &&
         col("symbol") =!= "NA")
-      .withColumn("__ord", monotonically_increasing_id())
       .groupBy("probe_id")
-      .agg(max_by(col("symbol"), col("__ord")).as("symbol"))
+      .agg(max_by(col("symbol"),
+        struct(col("__file"), col("__line_no"))).as("symbol"))
+  }
 
   /** J1 + F3 + A5: inner broadcast join then per-(gene, sample) median.
     * Output: (gene, sample_id, value). */

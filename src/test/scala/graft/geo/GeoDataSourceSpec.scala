@@ -1,19 +1,54 @@
 package graft.geo
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import graft.SparkSuite
 
 class GeoDataSourceSpec extends SparkSuite {
 
-  test("format(\"geo\") yields the same long expression table as GeoMatrixReader") {
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+
+  test("format(\"geo\") equals the column-expression parse path") {
     val path = resource("tiny_geo_matrix.txt")
-    val viaDsv2 = spark.read.format("geo").load(path)
-      .collect().map(r => (r.getString(0), r.getString(1),
-        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
-    val viaReader = GeoMatrixReader.read(spark, path).expression
-      .collect().map(r => (r.getString(0), r.getString(1),
-        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
-    assert(viaDsv2 == viaReader)
+    val viaDsv2 = rows(spark.read.format("geo").load(path))
+    // the DataFrame-expression twin (GeoMatrixReader.parseExpression) is
+    // the independent implementation of the same GeoLineParser semantics
+    val sampleIds = GeoMatrixReader.read(spark, path).sampleIds
+    val viaExpr = rows(GeoMatrixReader.parseExpression(
+      spark.read.text(path), sampleIds))
+    assert(viaDsv2 == viaExpr)
     assert(viaDsv2.nonEmpty)
+  }
+
+  test("split uncompressed read (many tiny byte ranges) equals unsplit read") {
+    val path = resource("tiny_geo_matrix.txt")
+    val unsplit = rows(spark.read.format("geo").load(path))
+    // 64-byte ranges force many splits across header and data lines;
+    // line ownership must neither drop nor duplicate any row
+    val split = spark.read.format("geo").option("maxSplitBytes", "64").load(path)
+    assert(split.rdd.getNumPartitions > 1)
+    assert(rows(split) == unsplit)
+    // a mid-file split size exercises the straddling-line handoff too
+    assert(rows(spark.read.format("geo").option("maxSplitBytes", "700")
+      .load(path)) == unsplit)
+  }
+
+  test("directory load skips _metadata and dotfiles by file name") {
+    val dir = Files.createTempDirectory("geo-dir")
+    Files.copy(Paths.get(resource("tiny_geo_matrix.txt")),
+      dir.resolve("matrix.txt"), StandardCopyOption.REPLACE_EXISTING)
+    // decoys that would inject rows if scanned: a _SUCCESS marker and a
+    // hidden file, both with an ID_REF header and one data line
+    val decoy = "ID_REF\tGSMX\nBAD_PROBE\t1.0\n"
+    Files.writeString(dir.resolve("_SUCCESS"), decoy)
+    Files.writeString(dir.resolve(".hidden"), decoy)
+    val got = rows(spark.read.format("geo").load(dir.toString))
+    val expected = rows(spark.read.format("geo")
+      .load(dir.resolve("matrix.txt").toString))
+    assert(got == expected)
+    assert(!got.exists(_._1 == "BAD_PROBE"))
   }
 
   test("line parser: probe cleanup, row drop, nan/inf -> null") {

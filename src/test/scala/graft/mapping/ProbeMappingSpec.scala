@@ -40,4 +40,17 @@ class ProbeMappingSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m == Map("p1" -> "NEW", "p2" -> "KEEP"))   // p3 blank dropped
   }
+
+  test("multi-file mapping dir: last occurrence keyed by (file, line), not listing order") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-map2")
+    // written in REVERSE name order so any listing-order dependence that
+    // happens to follow creation order would flip the winner
+    java.nio.file.Files.writeString(tmp.resolve("b_second.csv"),
+      "PROBEID,SYMBOL\npX,FROM_B\npB,ONLY_B\n")
+    java.nio.file.Files.writeString(tmp.resolve("a_first.csv"),
+      "PROBEID,SYMBOL\npX,FROM_A\npA,ONLY_A\n")
+    val m = ProbeMapping.loadMappingCsv(spark, tmp.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("pX" -> "FROM_B", "pA" -> "ONLY_A", "pB" -> "ONLY_B"))
+  }
 }

@@ -7,6 +7,7 @@ import graft.ann.Similarity
 import graft.catalog.Catalog.Q
 import graft.dedup.Dedup
 import graft.events.Sessionize
+import graft.functions.gfunctions.word_shingles
 import graft.mm.Multimodal
 import graft.text.TextAnalysis
 import graft.util.Tables
@@ -435,6 +436,225 @@ object CatalogLlm {
            |    AS tokens_per_word
            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Benchmark decontamination: corpus docs sharing any 8-gram with the
+    * benchmark subset (doc_id % 50 == 0) — the GPT-era n-gram-overlap
+    * rule. Broadcast semi-join of the corpus postings against the
+    * dimension-sized benchmark shingle set. */
+  private val q41 = Q("q41_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"), $"text")
+      graft.dedup.Decontaminate
+        .overlaps(docs, "id", "text", docs.filter($"id" % 50 === 0), "text",
+          shingleSize = 8, minOverlap = 1)
+        .orderBy($"id")
+    },
+    Some("""WITH toks AS (SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS tk
+           |              FROM documents),
+           |sh AS (SELECT DISTINCT id,
+           |         tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+           |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7] AS shingle
+           |       FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+           |             FROM toks)),
+           |bs AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0)
+           |SELECT id, count(*) AS n_overlap
+           |FROM sh JOIN bs USING (shingle)
+           |GROUP BY id ORDER BY id""".stripMargin))
+
+  /** Repetition quality signals (Gopher-style): repeated-trigram fraction
+    * and most-frequent-token share per document — one narrow projection. */
+  private val q42 = Q("q42_repetition",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.withRepetition(t(s, dir, "documents"), "text", n = 3)
+        .select($"doc_id", $"rep_ngram_ratio", $"top_token_ratio")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS tk
+           |              FROM documents),
+           |g AS (SELECT id, tk[i]||' '||tk[i+1]||' '||tk[i+2] AS s
+           |      FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+           |            FROM toks)),
+           |r AS (SELECT id, count(*) AS total, count(DISTINCT s) AS dst
+           |      FROM g GROUP BY id),
+           |tt AS (SELECT id, tok, count(*) AS c
+           |       FROM (SELECT id, unnest(tk) AS tok FROM toks) GROUP BY id, tok),
+           |tm AS (SELECT id, max(c) AS mx, sum(c) AS nt FROM tt GROUP BY id)
+           |SELECT d.doc_id,
+           |  coalesce(round(1.0 - dst / CAST(total AS DOUBLE), 4), 0.0)
+           |    AS rep_ngram_ratio,
+           |  coalesce(round(mx / CAST(nt AS DOUBLE), 4), 0.0) AS top_token_ratio
+           |FROM documents d
+           |LEFT JOIN r ON r.id = d.doc_id
+           |LEFT JOIN tm ON tm.id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
+  /** Top-3 TF-IDF terms per document (shown for doc_id < 20): token
+    * explode -> two partial-agg passes -> per-doc window rank. Exact ties
+    * in tf*ln(N/df) (same tf, same df) break by term, so the rank is
+    * engine-independent. */
+  private val q43 = Q("q43_tfidf_topk",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"), $"text")
+      graft.text.Relevance.tfidfTopTerms(docs, "id", "text", k = 3)
+        .filter($"id" < 20)
+        .orderBy($"id", $"rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id AS id, unnest(regexp_extract_all(text, '\S+')) AS term
+           |              FROM documents),
+           |posts AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+           |dfreq AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+           |sc AS (SELECT id, term, tf,
+           |         tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) AS x
+           |       FROM posts JOIN dfreq USING (term)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY id
+           |        ORDER BY x DESC, term) AS rank FROM sc)
+           |SELECT id, term, tf::BIGINT AS tf, round(x, 4) AS tfidf, rank
+           |FROM r WHERE rank <= 3 AND id < 20 ORDER BY id, rank""".stripMargin))
+
+  /** Deterministic stratified sample: 20 docs per source in md5-hash
+    * order — reproducible across runs/engines/partitionings, with the
+    * per-partition top-n pushed ahead of the shuffle by WindowGroupLimit. */
+  private val q44 = Q("q44_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      graft.sample.Sampling
+        .stratifiedHashSample(t(s, dir, "documents"), "source", "doc_id", 20)
+        .select($"source", $"doc_id")
+        .orderBy($"source", $"doc_id")
+    },
+    Some("""WITH h AS (SELECT source, doc_id,
+           |    md5_number_lower(':' || doc_id::VARCHAR) AS hu FROM documents),
+           |sgn AS (SELECT source, doc_id,
+           |    (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hs
+           |  FROM h),
+           |r AS (SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS rn
+           |  FROM sgn)
+           |SELECT source, doc_id FROM r WHERE rn <= 20
+           |ORDER BY source, doc_id""".stripMargin))
+
+  /** Deterministic Bernoulli sample (10%): md5-derived uniform < 0.1 —
+    * a pure narrow filter that pushes to the scan. */
+  private val q45 = Q("q45_hash_sample",
+    (s, dir) => {
+      import s.implicits._
+      graft.sample.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.1)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+           |    md5_number_lower(':' || doc_id::VARCHAR) AS hu FROM documents),
+           |sgn AS (SELECT doc_id,
+           |    (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hs
+           |  FROM h)
+           |SELECT doc_id FROM sgn
+           |WHERE hs / 18446744073709551616.0 + 0.5 < 0.1
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Exact interpolated percentiles of document length per source
+    * (Spark `percentile` == DuckDB `quantile_cont`, both linear
+    * interpolation). */
+  private val q46 = Q("q46_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(round(percentile($"n_chars", lit(0.25)), 4).as("p25"),
+          round(percentile($"n_chars", lit(0.5)), 4).as("p50"),
+          round(percentile($"n_chars", lit(0.9)), 4).as("p90"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source,
+           |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+           |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           |  count(*) AS n_docs
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Corpus-wide top-20 trigrams: explode -> partial-agg count ->
+    * TakeOrdered on (count desc, shingle) — no global sort. */
+  private val q47 = Q("q47_top_ngrams",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(word_shingles($"text", 3)).as("shingle"))
+        .groupBy($"shingle")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"shingle".asc)
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS tk FROM documents),
+           |g AS (SELECT tk[i]||' '||tk[i+1]||' '||tk[i+2] AS shingle
+           |      FROM (SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+           |            FROM toks))
+           |SELECT shingle, count(*) AS n FROM g GROUP BY shingle
+           |ORDER BY n DESC, shingle LIMIT 20""".stripMargin))
+
+  /** PII scrubbing: deterministic synthetic emails injected on
+    * doc_id % 7 == 0 (both engines build the same text), then a
+    * regexp_replace scrub + match count. Output: affected docs only. */
+  private val q48 = Q("q48_pii_scrub",
+    (s, dir) => {
+      import s.implicits._
+      val pat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val text2 = concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" mail user"), $"doc_id", lit("@example.com now")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select($"doc_id", text2.as("t2"))
+        .select($"doc_id",
+          regexp_count($"t2", lit(pat)).as("n_emails"),
+          length(regexp_replace($"t2", pat, "<EMAIL>")).as("scrubbed_chars"))
+        .filter($"n_emails" > 0)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t2 AS (SELECT doc_id,
+           |    text || CASE WHEN doc_id % 7 = 0
+           |      THEN ' mail user' || doc_id::VARCHAR || '@example.com now'
+           |      ELSE '' END AS t2
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(t2, '[a-z0-9]+@[a-z]+\.[a-z]+'))::BIGINT
+           |    AS n_emails,
+           |  length(regexp_replace(t2, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'))
+           |    AS scrubbed_chars
+           |FROM t2
+           |WHERE len(regexp_extract_all(t2, '[a-z0-9]+@[a-z]+\.[a-z]+')) > 0
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Okapi BM25 top-20 docs for a fixed query-term bag; the rank key is
+    * the ROUNDED score (then id) so the limit boundary is
+    * engine-independent (the q35 lesson). */
+  private val q49 = Q("q49_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"), $"text")
+      graft.text.Relevance
+        .bm25TopDocs(docs, "id", "text", Seq("spark", "query", "window"), 20)
+    },
+    Some("""WITH toks AS (SELECT doc_id AS id, unnest(regexp_extract_all(text, '\S+')) AS term
+           |              FROM documents),
+           |posts AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+           |dl AS (SELECT id, sum(tf) AS dl FROM posts GROUP BY id),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+           |q(term) AS (VALUES ('spark'), ('query'), ('window')),
+           |dfq AS (SELECT term, count(*) AS df FROM posts JOIN q USING (term)
+           |        GROUP BY term),
+           |sc AS (SELECT id,
+           |         round(sum(ln(1 + (st.n - df + 0.5) / (df + 0.5))
+           |           * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4)
+           |           AS bm25
+           |       FROM posts JOIN dfq USING (term) JOIN dl USING (id), st
+           |       GROUP BY id)
+           |SELECT id, bm25 FROM sc ORDER BY bm25 DESC, id LIMIT 20""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33, q37)
+    q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
+    q48, q49)
 }

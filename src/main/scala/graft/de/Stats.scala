@@ -121,7 +121,15 @@ object Stats {
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ adj(j))
       }
     }
-    spark.createDataFrame(out, schema)
+    // The cache above is correctness-load-bearing, not just a speedup:
+    // repartitionByRange samples to pick bounds, so a recompute could
+    // place rows differently while offsets/suffixAfter still describe the
+    // cached layout. Materialize the result against the cached layout
+    // (eager localCheckpoint), then release the cache so repeated calls
+    // don't accumulate a sorted copy of the input per invocation.
+    val result = spark.createDataFrame(out, schema).localCheckpoint()
+    sorted.unpersist(false)
+    result
   }
 
   /** Welch t-test over a long-form (key..., group, value) DataFrame.

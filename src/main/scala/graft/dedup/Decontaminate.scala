@@ -1,0 +1,49 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.gfunctions._
+
+/** Benchmark decontamination for training corpora: drop (or flag) corpus
+  * documents that share word n-grams with a benchmark/eval set — the
+  * standard n-gram-overlap rule used before LLM pretraining (e.g. the
+  * 8-gram/13-gram overlap checks of GPT-2/3-era data work).
+  *
+  * Scale shape: the benchmark is evaluation-sized (thousands of docs, not
+  * the corpus), so its distinct shingle set is dimension-sized and the
+  * match is a broadcast semi-join against the corpus postings — one
+  * narrow pass over the corpus, no corpus-side shuffle at all for the
+  * minOverlap=1 fast path, one fine-grained groupBy(doc) otherwise.
+  */
+object Decontaminate {
+
+  /** Corpus documents overlapping the benchmark: (id, n_overlap) for every
+    * corpus doc sharing >= minOverlap DISTINCT shingles with the union of
+    * benchmark shingles. */
+  def overlaps(corpus: DataFrame, idCol: String, textCol: String,
+               bench: DataFrame, benchTextCol: String,
+               shingleSize: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(word_shingles(col(textCol), shingleSize)))
+        .as("shingle"))
+    val benchSh = bench
+      .select(explode(array_distinct(word_shingles(col(benchTextCol), shingleSize)))
+        .as("shingle"))
+      .distinct()
+    corpusSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** The decontaminated corpus: rows of `corpus` minus the overlapping
+    * documents. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    shingleSize: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val bad = overlaps(corpus, idCol, textCol, bench, benchTextCol,
+      shingleSize, minOverlap).select(col("id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}

@@ -38,13 +38,18 @@ object Preprocess {
       .withColumn("value",
         coalesce(col("value"), median(col("value")).over(w)))
       .drop("__nn")
-      // consumed twice: by the A3 max aggregate below AND the main flow —
-      // persist so the imputation window shuffle runs once, not twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // A3: conditional log2(x+1) — an adaptive plan branch picked from one
     // collected scalar, like the reference's `if data_max > 100` (py:488-491).
-    val dataMax = imputed.agg(max("value")).first() match {
+    // max(imputed value) == max(raw value) over the kept probes (the median
+    // fill never exceeds a probe's own max), so the branch scalar comes
+    // from a cheap partial-agg pass instead of the imputation window — no
+    // full-matrix persist needed to avoid running that window twice.
+    val dataMax = expr
+      .groupBy("probe_id")
+      .agg(count(col("value")).as("__nn"), max(col("value")).as("__mx"))
+      .filter(col("__nn") >= threshold)
+      .agg(max(col("__mx"))).first() match {
       case r if r.isNullAt(0) => Double.NegativeInfinity
       case r => r.getDouble(0)
     }

@@ -1,0 +1,45 @@
+package graft.sample
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.gfunctions._
+
+/** Deterministic sampling for training-data pipelines. Random sampling is
+  * useless at corpus scale when re-runs must be reproducible and samples
+  * must be JOINABLE across tables/runs — so every operator here derives
+  * its randomness from a content hash (md5, DuckDB-mirrorable), never
+  * from an RNG: the same row is in the same sample on every engine, every
+  * run, any partitioning.
+  */
+object Sampling {
+
+  /** Deterministic Bernoulli sample: keep rows whose md5-derived uniform
+    * in [0,1) is < fraction. Pure narrow filter — pushes to the scan side
+    * of any downstream join. `salt` decorrelates independent samples. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = ""): DataFrame =
+    df.filter(hashUnit(keyCol, salt) < fraction)
+
+  /** md5-derived uniform in [0,1): low 8 bytes (LE, signed) of
+    * md5(salt:key), shifted to unsigned range, scaled by 2^-64. */
+  private def hashUnit(keyCol: String, salt: String) =
+    (md5_long(concat_ws(":", lit(salt), col(keyCol).cast("string")))
+      .cast("double") / lit(math.pow(2.0, 64))) + lit(0.5)
+
+  /** Deterministic stratified sample: the n rows per stratum with the
+    * smallest hash values (hash order = uniform order, ties broken by
+    * key). Window partitioned by stratum — fine-grained key, no global
+    * sort; at 100 TB Spark's WindowGroupLimit pushes the per-partition
+    * top-n ahead of the shuffle. */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, keyCol: String,
+                           n: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5_long(concat_ws(":", lit(salt), col(keyCol).cast("string"))).asc,
+        col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

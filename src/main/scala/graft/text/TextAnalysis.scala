@@ -104,6 +104,30 @@ object TextAnalysis {
       .withColumn("quality_score", score)
   }
 
+  /** Repetition signals (Gopher-style quality rules): the fraction of
+    * repeated word n-grams per document — high values flag boilerplate,
+    * keyword stuffing, and degenerate generations. One narrow projection
+    * (the n-gram arrays live only inside the row's expressions, never
+    * shuffled):
+    *   - `rep_ngram_ratio` = 1 - distinct/total n-grams (0 when < n tokens)
+    *   - `top_token_ratio` = occurrences of the most frequent token / total
+    */
+  def withRepetition(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    val sh = shingles(toks, n)
+    val total = size(sh).cast("double")
+    val distinctN = size(array_distinct(sh)).cast("double")
+    val nTok = size(toks).cast("double")
+    // most frequent token count via aggregate over the distinct tokens:
+    // for bounded per-doc token sets this stays a per-row expression
+    val topCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    df.withColumn("rep_ngram_ratio",
+        when(total > 0, round(lit(1.0) - distinctN / total, 4)).otherwise(0.0))
+      .withColumn("top_token_ratio",
+        when(nTok > 0, round(topCount.cast("double") / nTok, 4)).otherwise(0.0))
+  }
+
   /** Content fingerprints: exact (md5 hex of normalized text, oracle-able)
     * and rolling 64-bit (order-sensitive polynomial hash, engine-native). */
   def withFingerprints(df: DataFrame, textCol: String): DataFrame = {

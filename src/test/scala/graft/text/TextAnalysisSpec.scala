@@ -98,6 +98,23 @@ class TextAnalysisSpec extends SparkSuite {
       assert(viaKernel(r)(i) == viaConcat(i)(r), s"row $r hash $i")
   }
 
+  test("repetition signals: repeated trigrams and dominant-token share") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),      // trigrams: 7 total, 3 distinct
+      (2L, "all words here are fully distinct tokens"),
+      (3L, "x"),                       // < 3 tokens -> ratio 0
+      (4L, "")).toDF("id", "text")
+    val got = TextAnalysis.withRepetition(df, "text", n = 3)
+      .select("id", "rep_ngram_ratio", "top_token_ratio")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx(got(1L)._1, 1.0 - 3.0 / 7.0, 1e-3))
+    assert(approx(got(1L)._2, 3.0 / 9.0, 1e-3))    // 'a' x3 of 9 tokens
+    assert(got(2L)._1 == 0.0)
+    assert(approx(got(2L)._2, 1.0 / 7.0, 1e-3))
+    assert(got(3L) == (0.0, 1.0))
+    assert(got(4L) == (0.0, 0.0))
+  }
+
   test("md5_long matches DuckDB md5_number_lower reference values") {
     // Reference values from `select md5_number_lower(...)` in DuckDB 1.0,
     // reinterpreted as signed 64-bit.

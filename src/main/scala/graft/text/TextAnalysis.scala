@@ -74,16 +74,20 @@ object TextAnalysis {
   /** Quality metrics in one projection: token count, mean token length,
     * alpha-char ratio, digit ratio, stopword ratio, and a weighted score
     * in [0,1]. Mirrors the length/punct/stopword heuristics used by
-    * LLM-corpus quality filters. */
+    * LLM-corpus quality filters. All five counts come from ONE native
+    * single-pass kernel call (`text_quality_counts`) — the regexp_count
+    * route materializes a match array per metric and its CASE-branch
+    * duplicates escape subexpression elimination, costing ~10 regex scans
+    * per row. */
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val nTok = size(toks).cast("double")
+    val cnt = text_quality_counts(t, langMarkers.toMap.apply("en"))
+    val nTok = element_at(cnt, 1).cast("double")
+    val nonWs = element_at(cnt, 2).cast("double")
+    val alpha = element_at(cnt, 3).cast("double")
+    val digit = element_at(cnt, 4).cast("double")
+    val stop = element_at(cnt, 5).cast("double")
     val nChars = length(t).cast("double")
-    val alpha = regexp_count(t, lit("[A-Za-z]")).cast("double")
-    val digit = regexp_count(t, lit("[0-9]")).cast("double")
-    val stop = langScore(toks, "en").cast("double")
-    val nonWs = regexp_count(t, lit("\\S")).cast("double")
     val meanTokLen =
       when(nTok > 0, round(nonWs / nTok, 4)).otherwise(0.0)
     val stopRatio = when(nTok > 0, round(stop / nTok, 4)).otherwise(0.0)

@@ -120,6 +120,49 @@ object TextKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** All quality-metric counts of a text in ONE character pass — no regex,
+    * no token-array allocation. Returns
+    * [n_tokens, n_non_ws, n_alpha, n_digit, n_marker_tokens].
+    * Semantics match the regex definitions used by the DuckDB oracle:
+    * whitespace is the ASCII \s class (space, \t, \n, \x0B, \f, \r — both
+    * Java default \s and RE2 \s), a token is a maximal non-ws run, alpha
+    * is [A-Za-z], digit is [0-9], and a marker hit is token == marker
+    * (checked with regionMatches, no substring allocation). */
+  def qualityCounts(s: UTF8String, markers: Array[String]): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    var nTok = 0; var nonWs = 0; var alpha = 0; var digit = 0; var stop = 0
+    var tokStart = -1
+    var i = 0
+    while (i <= n) {
+      val c = if (i == n) ' ' else str.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (!ws) {
+        nonWs += 1
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
+        else if (c >= '0' && c <= '9') digit += 1
+        if (tokStart < 0) tokStart = i
+      } else if (tokStart >= 0) {
+        nTok += 1
+        val len = i - tokStart
+        var k = 0
+        var matched = false
+        while (k < markers.length && !matched) {
+          val mk = markers(k)
+          if (mk.length == len && str.regionMatches(tokStart, mk, 0, len))
+            matched = true
+          k += 1
+        }
+        if (matched) stop += 1
+        tokStart = -1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](nTok, nonWs, alpha, digit, stop))
+  }
 }
 
 /** Random-hyperplane LSH kernel: all table buckets of a vector in one

@@ -216,6 +216,38 @@ case class MinhashHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** All text-quality counts in one native character pass:
+  * [n_tokens, n_non_ws, n_alpha, n_digit, n_marker_tokens]. The
+  * regexp_count route evaluates one regexp_extract_all (full match-array
+  * materialization) per metric per reference — and CASE-branch duplicates
+  * escape subexpression elimination — so a 6-metric quality projection
+  * pays ~10 regex scans per row; this is one scan, no allocation, inside
+  * whole-stage codegen. Count semantics match the DuckDB oracle's regex
+  * definitions (see [[TextKernels.qualityCounts]]).
+  */
+case class TextQualityCounts(child: Expression, markers: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "text_quality_counts"
+
+  @transient private lazy val markerArr: Array[String] = markers.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.qualityCounts(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], markerArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("markers", markerArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.qualityCounts($c, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
   * (base 31 in Z/2^64) over the md5-derived hashes of a token array.
   * Engine-specific (modular multiplication is not expressible in DuckDB

@@ -119,8 +119,14 @@ object Dedup {
     * in O(log n) rounds on ANY graph — including long near-dup chains
     * (boilerplate series in scraped corpora), where plain min-label
     * propagation needs O(diameter) rounds and a bounded iteration cap
-    * would return wrong labels silently. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * would return wrong labels silently.
+    *
+    * Edge sets up to `driverThreshold` (with long ids) dispatch to a
+    * driver-side union-find instead — one job end-to-end vs several per
+    * star round; near-dup pair sets are candidate-proportional, so this
+    * is the common case even for very large corpora. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          driverThreshold: Long = 2000000L): DataFrame = {
     val nodes = edges.select(col("id_a").as("id"))
       .union(edges.select(col("id_b").as("id"))).distinct()
     // Canonical larger-first orientation, self-loops dropped.
@@ -129,9 +135,49 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .distinct()
       .localCheckpoint()
+    val nEdges = e.count()
+    // Size dispatch (the bhAdjust pattern): near-dup pair sets are
+    // candidate-proportional — usually millions of edges even from a
+    // 100 TB corpus — and a driver union-find labels them in ONE job,
+    // where the distributed loop pays several jobs per round. The star
+    // loop below remains the unbounded-scale path.
+    if (nEdges <= driverThreshold && nEdges > 0 &&
+        e.schema.head.dataType == org.apache.spark.sql.types.LongType) {
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r) != r) r = parent.get(r)
+        var x = x0
+        while (parent.get(x) != r) { val nx = parent.get(x); parent.put(x, r); x = nx }
+        r
+      }
+      e.collect().foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = find(u); val rv = find(v)
+        // attach the LARGER root under the smaller -> every root is its
+        // component's minimum id
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val spark = edges.sparkSession
+      val labelRows = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(id => org.apache.spark.sql.Row(id.longValue(), find(id.longValue())))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("root",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labels = spark.createDataFrame(
+        spark.sparkContext.parallelize(labelRows.toSeq,
+          math.max(1, labelRows.length / 500000)), schema)
+      return nodes.join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+    }
     var prevSig: (Long, Long) = (-1L, -1L)
     var iter = 0
-    var converged = e.isEmpty
+    var converged = nEdges == 0L
     while (!converged && iter < maxIter) {
       // Each round's outputs feed two consumers (the next step's groupBy
       // and join) and the next iteration; localCheckpoint keeps the

@@ -56,18 +56,25 @@ class DedupSpec extends SparkSuite {
     // alternating-star path must finish inside a logarithmic cap or this
     // blows the maxIter bound and labels come back wrong.
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(chain, maxIter = 20)
+    // driverThreshold = 0 forces the distributed star path
+    val comp = Dedup.connectedComponents(chain, maxIter = 20, driverThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(comp.length == 200)
     assert(comp.forall(_._2 == 1L), s"bad labels: ${comp.filter(_._2 != 1L).take(5).toSeq}")
-    // equality against the reference label-propagation implementation on
-    // a shallow multi-component graph
+    // three-way equality on a shallow multi-component graph: star path ==
+    // driver union-find path == reference label propagation
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 9L)).toDF("id_a", "id_b")
-    val star = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponents(edges, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val uf = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
     val prop = Dedup.connectedComponentsLabelProp(edges)
       .as[(Long, Long)].collect().toMap
     assert(star == prop, s"star=$star prop=$prop")
+    assert(uf == prop, s"uf=$uf prop=$prop")
     assert(star(9L) == 9L, "self-loop-only node keeps itself")
+    // union-find path on the chain too (its default path)
+    val ufChain = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(ufChain.length == 200 && ufChain.forall(_._2 == 1L))
   }
 
   test("simhashPairs excludes token-less documents") {

@@ -56,6 +56,16 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
 
+  /** Stream-static enrichment join: every micro-batch joins the static
+    * dimension (broadcast — dimensions are bounded by definition);
+    * unmatched stream rows survive with nulls (left join), mirroring the
+    * batch enrichment joins' miss semantics. The static side is re-read
+    * per batch by Structured Streaming, so a dimension refresh (e.g. a
+    * new snapshot file) is picked up without restarting the query. */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+                          key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

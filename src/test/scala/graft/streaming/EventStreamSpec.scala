@@ -131,6 +131,39 @@ class EventStreamSpec extends SparkSuite {
     assert(stream == batch, s"stream=$stream batch=$batch")
   }
 
+  test("stream-static enrichment join keeps unmatched rows with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "trial")).toDF("user_id", "segment")
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:00:01"), 9, "click", 2.0))   // no dim row
+    runToMemory(EventStream.enrichWithDimension(in.toDF(), dim, "user_id"),
+      "enriched")
+    val got = spark.table("enriched")
+      .select($"event_id", $"segment")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> None))
+  }
+
+  test("narrow text operators run unchanged on a stream (quality filter)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "the quick brown fox is a fine and proper sentence of words"),
+      (2L, "1 2 3 4 5 6 7 8 9 0 11 22 33 44"))
+    runToMemory(
+      graft.text.TextAnalysis.withQuality(
+        in.toDF().toDF("doc_id", "text"), "text")
+        .filter($"quality_score" >= 0.5)
+        .select($"doc_id", $"quality_score"),
+      "streamquality")
+    val ids = spark.table("streamquality").select("doc_id").as[Long].collect()
+    assert(ids.toSeq == Seq(1L), "digit-soup doc must be filtered out")
+  }
+
   test("sliding windows overlap: one event lands in two 60/30-min windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -34,7 +34,8 @@ object Bench {
     "q17_sessionize", "q20_exact_dedup", "q22_quality_score",
     "q24_ngram_jaccard", "q25_simhash_banded", "q26_cosine_topk",
     "q27_lsh_buckets", "q28_ann_topk", "q32_embedding_dedup",
-    "q33_minhash_lsh", "q39_sliding_window")
+    "q33_minhash_lsh", "q39_sliding_window", "q41_decontaminate",
+    "q42_repetition", "q43_tfidf_topk", "q49_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, MinhashHashes, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, MinhashHashes, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.DoubleType
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -38,6 +38,11 @@ object gfunctions {
     * dedup hot path; same token boundaries as TextAnalysis.shingles). */
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Repetition counts of a STRING column in one native pass:
+    * [total n-grams, distinct n-grams, n_tokens, max token count]. */
+  def repetition_counts(text: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionCounts(ColumnBridge.expression(text), n))
 
   /** Quality-metric counts of a STRING column in one native pass:
     * [n_tokens, n_non_ws, n_alpha, n_digit, n_marker_tokens]. */

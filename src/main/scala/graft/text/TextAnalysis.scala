@@ -117,19 +117,19 @@ object TextAnalysis {
     *   - `top_token_ratio` = occurrences of the most frequent token / total
     */
   def withRepetition(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val toks = tokens(col(textCol))
-    val sh = shingles(toks, n)
-    val total = size(sh).cast("double")
-    val distinctN = size(array_distinct(sh)).cast("double")
-    val nTok = size(toks).cast("double")
-    // most frequent token count via aggregate over the distinct tokens:
-    // for bounded per-doc token sets this stays a per-row expression
-    val topCount = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
+    // one native kernel pass per row (the declarative
+    // transform/array_distinct/filter fold is interpreted and
+    // O(distinct × total) per document — 10× the whole-bench cost at
+    // sf0.1 before this kernel existed)
+    val cnt = repetition_counts(col(textCol), n)
+    val total = element_at(cnt, 1).cast("double")
+    val distinctN = element_at(cnt, 2).cast("double")
+    val nTok = element_at(cnt, 3).cast("double")
+    val topCount = element_at(cnt, 4).cast("double")
     df.withColumn("rep_ngram_ratio",
         when(total > 0, round(lit(1.0) - distinctN / total, 4)).otherwise(0.0))
       .withColumn("top_token_ratio",
-        when(nTok > 0, round(topCount.cast("double") / nTok, 4)).otherwise(0.0))
+        when(nTok > 0, round(topCount / nTok, 4)).otherwise(0.0))
   }
 
   /** Content fingerprints: exact (md5 hex of normalized text, oracle-able)

@@ -163,6 +163,45 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](nTok, nonWs, alpha, digit, stop))
   }
+
+  /** Repetition counts of a text in one pass:
+    * [total n-grams, distinct n-grams, n_tokens, max single-token count].
+    * The declarative route (transform over array_distinct x filter) is an
+    * interpreted O(distinct x total) fold per row; this is O(tokens) with
+    * two per-row hash maps. */
+  def repetitionCounts(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(s)
+    val tokCounts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = tokCounts.merge(toks(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val m = toks.length - n + 1
+    var total = 0
+    var distinct = 0
+    if (m > 0) {
+      total = m
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        if (seen.add(sb.toString)) distinct += 1
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](total, distinct, toks.length, top))
+  }
 }
 
 /** Random-hyperplane LSH kernel: all table buckets of a vector in one

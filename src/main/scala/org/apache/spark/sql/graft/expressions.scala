@@ -248,6 +248,31 @@ case class TextQualityCounts(child: Expression, markers: Seq[String])
     copy(child = newChild)
 }
 
+/** Repetition counts in one native pass:
+  * [total n-grams, distinct n-grams, n_tokens, max single-token count].
+  * See [[TextKernels.repetitionCounts]] — replaces an interpreted
+  * O(distinct×total) per-row fold.
+  */
+case class RepetitionCounts(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "repetition_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.repetitionCounts(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.repetitionCounts($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
   * (base 31 in Z/2^64) over the md5-derived hashes of a token array.
   * Engine-specific (modular multiplication is not expressible in DuckDB

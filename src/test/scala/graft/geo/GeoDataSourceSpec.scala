@@ -35,6 +35,21 @@ class GeoDataSourceSpec extends SparkSuite {
       .load(path)) == unsplit)
   }
 
+  test("gzip file reads whole (single partition) and equals uncompressed") {
+    val src = Paths.get(resource("tiny_geo_matrix.txt"))
+    val dir = Files.createTempDirectory("geo-gz")
+    val gz = dir.resolve("matrix.txt.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(Files.readAllBytes(src)); out.close()
+    val viaGz = spark.read.format("geo").load(gz.toString)
+    assert(viaGz.rdd.getNumPartitions == 1, "gzip is unsplittable")
+    assert(rows(viaGz) == rows(spark.read.format("geo").load(src.toString)))
+    // mixed directory: gzip + uncompressed copies of the same matrix
+    Files.copy(src, dir.resolve("matrix2.txt"))
+    val both = spark.read.format("geo").load(dir.toString)
+    assert(both.count() == 2 * viaGz.count())
+  }
+
   test("directory load skips _metadata and dotfiles by file name") {
     val dir = Files.createTempDirectory("geo-dir")
     Files.copy(Paths.get(resource("tiny_geo_matrix.txt")),

@@ -51,6 +51,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litInt(es(1), "lsh_table_buckets tables"),
         litInt(es(2), "lsh_table_buckets planesPerTable"),
         litInt(es(3), "lsh_table_buckets dim"))))
+    ext.injectFunction((FunctionIdentifier("repetition_counts"),
+      info("repetition_counts", classOf[RepetitionCounts]),
+      (es: Seq[Expression]) =>
+        RepetitionCounts(es(0), litInt(es(1), "repetition_counts(text, n)"))))
+    // marker words as a comma-separated string literal
+    ext.injectFunction((FunctionIdentifier("text_quality_counts"),
+      info("text_quality_counts", classOf[TextQualityCounts]),
+      (es: Seq[Expression]) => TextQualityCounts(es(0), es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString.split(",").toSeq
+        case other => throw new IllegalArgumentException(
+          s"text_quality_counts(text, 'w1,w2,...') requires a string literal, got $other")
+      })))
   }
 
   private def litInt(e: Expression, ctx: String): Int = e match {

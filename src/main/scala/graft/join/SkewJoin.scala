@@ -1,0 +1,31 @@
+package graft.join
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys. AQE's skew-join handling re-plans
+  * most skew at runtime; salting is the static-plan fallback when the
+  * hot-key side is too large to broadcast and the plan must be fixed up
+  * front (e.g. inside Structured Streaming, where AQE does not apply).
+  *
+  * The large side gets a deterministic per-row salt in [0, salts) hashed
+  * from its full row (identical duplicate rows land on the same salt, but
+  * hot KEYS — the actual skew driver — spread across all salts); the
+  * small side replicates once per salt. Join output is row-identical to
+  * the unsalted join; the hot key's rows now hash to `salts` shuffle
+  * partitions instead of one.
+  */
+object SkewJoin {
+
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer", s"unsupported join type $joinType")
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

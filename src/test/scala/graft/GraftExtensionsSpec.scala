@@ -24,7 +24,9 @@ class GraftExtensionsSpec extends SparkSuite {
           |       rolling_hash64(array('a','b')) AS rh,
           |       word_shingles('a b c d', 3) AS ws,
           |       minhash_hashes('a b c', 2) AS mh,
-          |       lsh_table_buckets(array(1.0d, 0.5d), 2, 4, 2) AS lb
+          |       lsh_table_buckets(array(1.0d, 0.5d), 2, 4, 2) AS lb,
+          |       repetition_counts('a b a b', 2) AS rc,
+          |       text_quality_counts('the cat 12', 'the,a') AS qc
           |""".stripMargin).collect()(0)
       assert(r.getAs[Long]("m") == 8250560606382298838L)
       assert(math.abs(r.getAs[Double]("p") - 0.0733880348) < 1e-6)
@@ -32,6 +34,10 @@ class GraftExtensionsSpec extends SparkSuite {
       assert(r.getSeq[String](r.fieldIndex("ws")).toSeq == Seq("a b c", "b c d"))
       assert(r.getSeq[Long](r.fieldIndex("mh")).length == 2)
       assert(r.getSeq[Long](r.fieldIndex("lb")).length == 2)
+      // 3 bigrams ("a b","b a","a b"), 2 distinct, 4 tokens, 'a'/'b' x2
+      assert(r.getSeq[Int](r.fieldIndex("rc")).toSeq == Seq(3, 2, 4, 2))
+      // 3 tokens, 8 non-ws chars, 6 alpha, 2 digits, 1 marker hit ("the")
+      assert(r.getSeq[Int](r.fieldIndex("qc")).toSeq == Seq(3, 8, 6, 2, 1))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -313,6 +313,42 @@ object CatalogDomain {
            |       round(sum(val), 4) AS total_value
            |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Spark's NATIVE session_window aggregation (Catalyst SessionWindow —
+    * the same operator Structured Streaming uses for session state), as
+    * opposed to q17's lag/running-sum construction. Boundary semantics
+    * differ from the lag form at exact-gap spacing: an event at
+    * last_ts + gap falls OUTSIDE the [last_ts, last_ts + gap) window and
+    * starts a NEW session, so the oracle's gap predicate is >=, not >. */
+  private val q50 = Q("q50_session_window",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 4).as("session_value"))
+        .select($"user_id",
+          date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          $"n_events", $"session_value")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH x AS (
+           |  SELECT user_id, ts, value,
+           |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+           |              THEN 1 ELSE 0 END AS is_new
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |y AS (SELECT user_id, ts, value,
+           |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           |      FROM x),
+           |s AS (SELECT user_id,
+           |        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           |        count(*) AS n_events, round(sum(value), 4) AS session_value
+           |      FROM y GROUP BY user_id, sess)
+           |SELECT user_id, session_start, n_events, session_value
+           |FROM s ORDER BY user_id, session_start""".stripMargin))
+
   /** Tumbling 1-hour window aggregate over the events stream table. */
   private val q18 = Q("q18_hourly_window",
     (s, dir) => {
@@ -500,5 +536,5 @@ object CatalogDomain {
            |ORDER BY drugability DESC, ensembl_id""".stripMargin))
 
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
-    q16, q17, q18, q19, q34, q35, q36, q38, q39, q40)
+    q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50)
 }

@@ -77,6 +77,24 @@ class DedupSpec extends SparkSuite {
     assert(ufChain.length == 200 && ufChain.forall(_._2 == 1L))
   }
 
+  test("components: star, union-find, and label-prop agree on random graphs") {
+    val rnd = new scala.util.Random(42)   // fixed seed: deterministic
+    for (_ <- 1 to 3) {
+      val nEdges = 40 + rnd.nextInt(60)
+      val edges = (1 to nEdges)
+        .map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .toDF("id_a", "id_b")
+      val uf = Dedup.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponents(edges, driverThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.connectedComponentsLabelProp(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop && uf == prop,
+        s"disagreement on $nEdges-edge graph")
+    }
+  }
+
   test("simhashPairs excludes token-less documents") {
     val withEmpty = docs.union(Seq((7L, ""), (8L, "   ")).toDF("doc_id", "text"))
     val pairs = Dedup.simhashPairs(withEmpty, "doc_id", "text", maxDist = 3)

@@ -654,7 +654,24 @@ object CatalogLlm {
            |       GROUP BY id)
            |SELECT id, bm25 FROM sc ORDER BY bm25 DESC, id LIMIT 20""".stripMargin))
 
+  /** IVF ANN search (KMeans coarse quantizer, cell-probed exact re-rank).
+    * No DuckDB oracle by design: KMeans centroids are seeded but
+    * float-sum order makes them run-dependent — the driver records the
+    * rows-only check, and IvfSpec pins recall against brute force. */
+  private val q51 = Q("q51_ivf_ann",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val (assigned, centers) =
+        Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 16)
+      Similarity.ivfTopK(assigned, centers, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .select($"query_id", $"neighbor_id", $"rank", $"cos_sim")
+        .orderBy($"query_id", $"rank")
+    },
+    None)
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49)
+    q48, q49, q51)
 }

@@ -360,11 +360,17 @@ object Dedup {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val tauEff = math.max(0.0, minJaccard - 1e-4)
     val wDoc = Window.partitionBy("id")
+    // per-doc set sizes as a hash agg + join rather than a second window
+    // function: a count() window with no frame still pays a full pass
+    // over the id-sorted partitions, while the doc-size aggregate is
+    // map-side partial and its join lands on the ranked side's existing
+    // hashpartitioning(id) — only the doc-cardinality side shuffles.
+    // (NOT broadcast: at corpus scale one-row-per-doc outgrows it.)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val ranked = sh.join(dfreq, Seq("shingle"))
       .withColumn("rk",
         row_number().over(wDoc.orderBy(col("df").asc, col("shingle").asc)))
-      .withColumn("n_sh", count(lit(1)).over(wDoc))
-    val prefix = ranked
+    val prefix = ranked.join(sizes, Seq("id"))
       .filter(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
       .select("id", "shingle")
     val cand = prefix.as("x").join(prefix.as("y"),

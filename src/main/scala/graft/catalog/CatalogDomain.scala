@@ -535,6 +535,48 @@ object CatalogDomain {
            |FROM x GROUP BY 1, 2, 3
            |ORDER BY drugability DESC, ensembl_id""".stripMargin))
 
+  /** Shared nation co-trade graph for the graph-kernel entries (same
+    * construction as q12). */
+  private def nationGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .groupBy(least($"c_nationkey", $"s_nationkey").as("a"),
+        greatest($"c_nationkey", $"s_nationkey").as("b"))
+      .agg(sum($"l_extendedprice").as("rev"))
+      .filter($"rev" > 9500000)
+      .select($"a".cast("string").as("src"), $"b".cast("string").as("dst"))
+    val nodes = edges.select(explode(array($"src", $"dst")).as("gene")).distinct()
+    (nodes, edges)
+  }
+
+  /** G3 exact Brandes betweenness through the driver contract (rows-only
+    * check: the kernel is networkx-parity-pinned in CentralitySpec; its
+    * normalized doubles are not stable enough across engines for a
+    * value-level SQL oracle). */
+  private val q52 = Q("q52_betweenness",
+    (s, dir) => {
+      import s.implicits._
+      val (nodes, edges) = nationGraph(s, dir)
+      graft.graph.Centrality.betweennessCentrality(s, nodes, edges)
+        .orderBy($"gene")
+    },
+    None)
+
+  /** G4 eigenvector centrality (power iteration, auto-dispatch) through
+    * the driver contract — rows-only, analytically pinned in the spec. */
+  private val q53 = Q("q53_eigenvector",
+    (s, dir) => {
+      import s.implicits._
+      val (nodes, edges) = nationGraph(s, dir)
+      graft.graph.Centrality.eigenvectorCentrality(s, nodes, edges)
+        .orderBy($"gene")
+    },
+    None)
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
-    q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50)
+    q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53)
 }

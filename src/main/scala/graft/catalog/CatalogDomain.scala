@@ -503,7 +503,10 @@ object CatalogDomain {
     * LATERAL unnest, which matches explode_outer's keep-empty
     * semantics), so the nested explode path gets a real oracle rather
     * than unit-only coverage. */
-  private val otFixture = "/root/repo/src/test/resources/opentargets_nested.json"
+  // Absolute by driver contract (both engines must resolve the same file
+  // from different working directories); override for other checkouts.
+  private val otFixture = sys.env.getOrElse("GRAFT_OT_FIXTURE",
+    "/root/repo/src/test/resources/opentargets_nested.json")
   private val q40 = Q("q40_nested_enrich",
     (s, dir) => {
       import s.implicits._

@@ -175,7 +175,7 @@ object Dedup {
       return nodes.join(labels, Seq("id"), "left")
         .select(col("id"), coalesce(col("root"), col("id")).as("component"))
     }
-    var prevSig: (Long, Long) = (-1L, -1L)
+    var prevSig: (Long, Long, Long) = (-1L, -1L, -1L)
     var iter = 0
     var converged = nEdges == 0L
     while (!converged && iter < maxIter) {
@@ -185,12 +185,17 @@ object Dedup {
       val ls = largeStar(e).localCheckpoint()
       val ss = smallStar(ls).localCheckpoint()
       // Edge-set signature: converged when the (unordered) edge set is
-      // stable. 32-bit per-edge hash summed into a long cannot overflow
-      // (ANSI-safe) below 2^32 edges.
+      // stable. Three independent components — count, sum of 32-bit
+      // hashes (cannot overflow a long below 2^32 edges, ANSI-safe), and
+      // xor of 64-bit hashes (xor never overflows; sound as a SET
+      // signature because the edge set is distinct) — so a false
+      // convergence needs a simultaneous ~2^-95 collision between
+      // consecutive rounds, vs 2^-64 for the sum alone.
       val sigRow = ss.agg(count(lit(1)).as("n"),
-        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
         .first()
-      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      val sig = (sigRow.getLong(0), sigRow.getLong(1), sigRow.getLong(2))
       converged = sig == prevSig || sigRow.getLong(0) == 0L
       prevSig = sig
       e = ss
@@ -314,9 +319,16 @@ object Dedup {
     * Returns (id_a, id_b, jaccard). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 16,
-                      bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+                      bands: Int = 4, minJaccard: Double = 0.5,
+                      maxBucket: Int = 100000): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+    // Shingle-less docs (< shingleSize tokens) would all share the
+    // sentinel signature and pair O(m²) in EVERY band; they cannot reach
+    // any positive Jaccard anyway (no shingles to intersect), so drop
+    // them from pairing — same rationale as simhashPairs' token-less
+    // exclusion.
+    val eligible = df.filter(size(word_shingles(col(textCol), shingleSize)) > 0)
+    val sigs = minhashSignatures(eligible, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), explode(
       array((0 until bands).map { b =>
@@ -325,7 +337,13 @@ object Dedup {
             .as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    val cand = banded.as("x").join(banded.as("y"),
+    // degenerate-bucket cap, as in simhashPairs: boilerplate-identical
+    // corpora can still make one band key huge; candidates are bounded
+    // at the price of logged coverage loss
+    val big = banded.groupBy("band", "key").count()
+      .filter(col("count") > maxBucket).select("band", "key")
+    val capped = banded.join(big, Seq("band", "key"), "left_anti")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
@@ -376,7 +394,8 @@ object Dedup {
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    materializeAndRelease(verifyFromPostings(sh, cand, minJaccard), sh)
+    materializeAndRelease(
+      verifyFromPostings(sh, cand, minJaccard, Some(sizes)), sh)
   }
 
   /** Distinct (id, shingle) postings of a document table (native
@@ -394,8 +413,12 @@ object Dedup {
     * expressions in the hot path. Pairs with zero common shingles are
     * omitted (their Jaccard is 0 — below any positive threshold). */
   def verifyFromPostings(sh: DataFrame, candidates: DataFrame,
-                         minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+                         minJaccard: Double,
+                         precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    // callers that already aggregated per-doc sizes (ngramJaccardPairs'
+    // prefix bound) pass them in instead of paying the aggregation twice
+    val sizes = precomputedSizes.getOrElse(
+      sh.groupBy("id").agg(count(lit(1)).as("n_sh")))
     val common = candidates
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))

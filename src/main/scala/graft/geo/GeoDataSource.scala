@@ -136,15 +136,26 @@ final class GeoPartitionReader(file: String, start: Long, length: Long,
 
   /** Sample ids from the file-head header scan; empty when the file has
     * no ID_REF header (then the split yields no rows, matching the
-    * DataFrame path's explicit failure being handled by the caller). */
+    * DataFrame path's explicit failure being handled by the caller).
+    * The scan is BOUNDED (64 MB of head): the header precedes the data
+    * block in the format and metadata blocks are dimension-sized, so a
+    * real header always sits well inside the bound — while a multi-GB
+    * headerless file dropped in the directory costs each split at most
+    * the bound, not a full re-read per split. */
   private lazy val sampleIds: Array[UTF8String] = {
+    val maxHeaderScanChars = 64L << 20
     val in = fs.open(path)
     val br = new BufferedReader(new InputStreamReader(
       if (gz) new GZIPInputStream(in) else in, "UTF-8"))
     try {
+      var scanned = 0L
       var line = br.readLine()
-      while (line != null && !GeoLineParser.isHeader(line)) line = br.readLine()
-      if (line == null) Array.empty
+      while (line != null && !GeoLineParser.isHeader(line) &&
+             scanned <= maxHeaderScanChars) {
+        scanned += line.length + 1
+        line = br.readLine()
+      }
+      if (line == null || !GeoLineParser.isHeader(line)) Array.empty
       else GeoLineParser.parseHeader(line).map(UTF8String.fromString).toArray
     } finally br.close()
   }

@@ -22,10 +22,28 @@ object SkewJoin {
     require(salts >= 1, "salts must be >= 1")
     require(joinType == "inner" || joinType == "left" ||
       joinType == "left_outer", s"unsupported join type $joinType")
-    val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts)).cast("int"))
-    val replicated = small.withColumn("__salt",
+    // xxhash64 rejects MapType inputs (and hashing a map would be
+    // order-ambiguous anyway) — salt from the hashable columns only
+    val hashable = large.schema.fields.filterNot(f =>
+      hasMapType(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty,
+      "saltedJoin needs at least one non-map column to derive the salt")
+    val saltCol = "__graft_salt"
+    require(!large.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"input already has a $saltCol column")
+    val salted = large.withColumn(saltCol,
+      pmod(xxhash64(struct(hashable: _*)), lit(salts)).cast("int"))
+    val replicated = small.withColumn(saltCol,
       explode(array((0 until salts).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    salted.join(replicated, Seq(key, saltCol), joinType).drop(saltCol)
   }
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasMapType(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+      case _ => false
+    }
 }

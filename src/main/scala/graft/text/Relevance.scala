@@ -57,7 +57,9 @@ object Relevance {
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first()
     val n = stats.getLong(0).toDouble
     val avgdl = stats.getDouble(1)
-    val q = queryTerms.toDF("term")
+    // distinct: a duplicated query term would multiply its posting rows
+    // through the join below, doubling df (wrong idf for every doc)
+    val q = queryTerms.distinct.toDF("term")
     val dfreq = posts.join(broadcast(q), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))

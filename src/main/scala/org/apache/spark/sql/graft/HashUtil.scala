@@ -135,14 +135,18 @@ object TextKernels {
     var nTok = 0; var nonWs = 0; var alpha = 0; var digit = 0; var stop = 0
     var tokStart = -1
     var i = 0
+    // iterate CODE POINTS, not UTF-16 units: regex counting ('\\S') is
+    // per-code-point on both engines, so a surrogate pair (emoji etc.)
+    // must count as ONE non-ws char — charAt iteration would count 2
     while (i <= n) {
-      val c = if (i == n) ' ' else str.charAt(i)
-      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
-        c == '\f' || c == '\r'
+      val cp = if (i == n) ' '.toInt else str.codePointAt(i)
+      val step = if (i == n) 1 else Character.charCount(cp)
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
       if (!ws) {
         nonWs += 1
-        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
-        else if (c >= '0' && c <= '9') digit += 1
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) alpha += 1
+        else if (cp >= '0' && cp <= '9') digit += 1
         if (tokStart < 0) tokStart = i
       } else if (tokStart >= 0) {
         nTok += 1
@@ -158,7 +162,7 @@ object TextKernels {
         if (matched) stop += 1
         tokStart = -1
       }
-      i += 1
+      i += step
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](nTok, nonWs, alpha, digit, stop))

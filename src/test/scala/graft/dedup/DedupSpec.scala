@@ -121,6 +121,18 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((1L, 6L)))
   }
 
+  test("minhash lsh: shingle-less docs never pair (no sentinel-signature bucket)") {
+    val withStubs = docs.union(
+      Seq((10L, "x"), (11L, "y"), (12L, "z z"), (13L, ""))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLshPairs(withStubs, "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L),
+      s"sub-shingle docs paired: ${pairs.filter(p => p._1 >= 10L || p._2 >= 10L).toSeq}")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
   test("minhash signatures: identical docs identical sigs; lsh finds dups") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
       .select("id", "sig").as[(Long, Seq[Long])].collect().toMap

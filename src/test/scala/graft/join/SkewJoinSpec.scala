@@ -28,6 +28,15 @@ class SkewJoinSpec extends SparkSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("map-typed columns on the large side do not break the salt hash") {
+    val withMap = large.withColumn("meta",
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"), $"payload"))
+    val plain = withMap.join(small, Seq("k")).count()
+    val salted = SkewJoin.saltedJoin(withMap, small, "k", salts = 4).count()
+    assert(salted == plain)
+  }
+
   test("hot key spreads across multiple salt values") {
     val nSalts = SkewJoin.saltedJoin(large, small, "k", salts = 8)
       .filter($"k" === 1L)

@@ -29,6 +29,15 @@ class RelevanceSpec extends SparkSuite {
     assert(approx(m((2L, "planner")), math.rint(math.log(4.0 / 1) * 1e4) / 1e4, 1e-9))
   }
 
+  test("bm25: duplicate query terms do not inflate document frequency") {
+    val once = Relevance.bm25TopDocs(docs, "id", "text", Seq("spark", "query"), 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dup = Relevance.bm25TopDocs(docs, "id", "text",
+        Seq("spark", "spark", "query"), 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(once == dup, s"once=$once dup=$dup")
+  }
+
   test("bm25: docs containing more query terms with shorter length rank higher") {
     val got = Relevance.bm25TopDocs(docs, "id", "text",
         Seq("spark", "query"), k = 4)

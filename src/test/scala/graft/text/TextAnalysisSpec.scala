@@ -115,6 +115,16 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(4L) == (0.0, 0.0))
   }
 
+  test("quality counts are per code point: surrogate pairs count once") {
+    // "😀😀 ab": regex '\S' counts code points (2 emoji + a + b = 4);
+    // a UTF-16 charAt loop would report 6
+    val got = Seq("😀😀 ab").toDF("t")
+      .select(text_quality_counts($"t", Seq("the")))
+      .as[Seq[Int]].collect().head
+    assert(got == Seq(2, 4, 2, 0, 0),
+      s"[nTok, nonWs, alpha, digit, stop] = $got")
+  }
+
   test("md5_long matches DuckDB md5_number_lower reference values") {
     // Reference values from `select md5_number_lower(...)` in DuckDB 1.0,
     // reinterpreted as signed 64-bit.

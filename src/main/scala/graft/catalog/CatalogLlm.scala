@@ -671,7 +671,50 @@ object CatalogLlm {
     },
     None)
 
+  /** Token-window chunking (64-token chunks, 8-token overlap) shown for
+    * doc_id < 20: per-row fan-out bounded by each doc's own chunk count. */
+  private val q54 = Q("q54_chunking",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.Chunking.chunk(
+          t(s, dir, "documents").filter($"doc_id" < 20), "doc_id", "text",
+          chunkTokens = 64, overlap = 8)
+        .orderBy($"id", $"chunk_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS tk
+           |              FROM documents WHERE doc_id < 20),
+           |st AS (SELECT id, tk, unnest(generate_series(0, len(tk) - 1, 56)) AS s
+           |       FROM toks WHERE len(tk) > 0),
+           |ch AS (SELECT id, tk, s,
+           |         (row_number() OVER (PARTITION BY id ORDER BY s) - 1)::INT
+           |           AS chunk_id
+           |       FROM st WHERE s = 0 OR s + 8 < len(tk))
+           |SELECT id, chunk_id,
+           |  array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text,
+           |  least(64, len(tk) - s)::INT AS n_chunk_tokens
+           |FROM ch ORDER BY id, chunk_id""".stripMargin))
+
+  /** Concatenate-and-split sequence packing per source (id order,
+    * 512-token budget): one running sum windowed by the stratum key. */
+  private val q55 = Q("q55_seq_packing",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.Chunking.packSequences(
+          t(s, dir, "documents"), "source", "doc_id", "text",
+          budgetTokens = 512)
+        .select($"source", $"doc_id", $"n_tokens", $"seq_id")
+        .orderBy($"source", $"doc_id")
+    },
+    Some("""WITH n AS (SELECT source, doc_id,
+           |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+           |  FROM documents)
+           |SELECT source, doc_id, n_tokens,
+           |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+           |    / 512.0) AS BIGINT) AS seq_id
+           |FROM n ORDER BY source, doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q51)
+    q48, q49, q51, q54, q55)
 }

@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-length operators for training-data preparation: token-window
+  * chunking (long documents → overlapping context windows) and
+  * deterministic sequence packing (documents → fixed-token-budget
+  * training sequences).
+  *
+  * Both are narrow per-row / per-group constructions: chunking fans out
+  * each row by its own chunk count (no shuffle), packing is one running
+  * sum windowed by the stratum key — never a global single-partition
+  * window.
+  */
+object Chunking {
+
+  /** Split each document into chunks of `chunkTokens` whitespace tokens
+    * with `overlap` tokens of leading context. Chunk starts step by
+    * chunkTokens - overlap; a chunk past the first must contribute at
+    * least one token beyond its overlap (no fully-redundant tail chunk).
+    * Output: (id, chunk_id, chunk_text, n_chunk_tokens), one row per
+    * chunk; empty docs produce no rows. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens >= 1 and 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nTok = size(toks)
+    val starts = filter(
+      when(nTok > 0, sequence(lit(0), nTok - 1, lit(step)))
+        .otherwise(array().cast("array<int>")),
+      s => s === 0 || s + overlap < nTok)
+    df.select(col(idCol).as("id"), toks.as("__toks"),
+        posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(col("id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__start"))
+          .as("n_chunk_tokens"))
+  }
+
+  /** Deterministic concatenate-and-split packing (the GPT-style
+    * pipeline: concatenate the stratum's documents in id order, cut every
+    * `budgetTokens`): seq_id = floor(exclusive-running-token-sum /
+    * budget) is the training sequence in which the document's FIRST
+    * token lands. Documents may straddle a cut — this labels where each
+    * doc starts, it does not enforce per-sequence capacity (true greedy
+    * bin packing is a sequential fold, not a window). Output adds
+    * (n_tokens, seq_id). */
+  def packSequences(df: DataFrame, strataCol: String, idCol: String,
+                    textCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1, "budget must be >= 1")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = TextAnalysis.tokenCount(col(textCol))
+    df.withColumn("n_tokens", n.cast("long"))
+      .withColumn("seq_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+          / lit(budgetTokens)).cast("long"))
+  }
+}

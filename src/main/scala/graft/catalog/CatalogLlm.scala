@@ -714,7 +714,40 @@ object CatalogLlm {
            |    / 512.0) AS BIGINT) AS seq_id
            |FROM n ORDER BY source, doc_id""".stripMargin))
 
+  /** URL/domain extraction + per-domain aggregates (domain-based corpus
+    * filtering). Deterministic synthetic URLs injected on doc_id % 5 == 0
+    * (both engines build the same text); the domain comes from the first
+    * URL match per doc — regexp_extract group semantics agree across
+    * Java regex and RE2. */
+  private val q56 = Q("q56_domains",
+    (s, dir) => {
+      import s.implicits._
+      val t2 = concat($"text",
+        when($"doc_id" % 5 === 0,
+          concat(lit(" see https://site"), $"doc_id" % 7,
+            lit(".example.com/p/"), $"doc_id")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select($"doc_id", t2.as("t2"))
+        .select($"doc_id",
+          regexp_extract($"t2", "https?://([a-z0-9.-]+)", 1).as("domain"))
+        .filter($"domain" =!= "")
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+        .orderBy($"domain")
+    },
+    Some("""WITH t2 AS (SELECT doc_id,
+           |    text || CASE WHEN doc_id % 5 = 0
+           |      THEN ' see https://site' || (doc_id % 7)::VARCHAR
+           |           || '.example.com/p/' || doc_id::VARCHAR
+           |      ELSE '' END AS t2
+           |  FROM documents),
+           |d AS (SELECT doc_id,
+           |        regexp_extract(t2, 'https?://([a-z0-9.-]+)', 1) AS domain
+           |      FROM t2)
+           |SELECT domain, count(*) AS n_docs, min(doc_id) AS first_doc
+           |FROM d WHERE domain != '' GROUP BY domain ORDER BY domain""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q51, q54, q55)
+    q48, q49, q51, q54, q55, q56)
 }

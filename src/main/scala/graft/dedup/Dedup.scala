@@ -30,6 +30,8 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Materialize a bounded operator result (localCheckpoint) and release
     * the operator-internal persists that produced it. Pair outputs are
     * candidate-proportional (small next to the corpus), so eager
@@ -100,6 +102,10 @@ object Dedup {
       col("id").as("id_b"), col("simhash").as("sig_b"))
     val big = banded.groupBy("band", "key").count()
       .filter(col("count") > maxBucket).select("band", "key")
+    val nBig = big.count()
+    if (nBig > 0) log.warn(
+      s"simhashPairs: dropping $nBig band buckets larger than $maxBucket " +
+        "docs — near-dup coverage is capped for their members")
     val pairs = a.join(big, Seq("band", "key"), "left_anti")
       .join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -324,11 +330,20 @@ object Dedup {
     val rows = numHashes / bands
     // Shingle-less docs (< shingleSize tokens) would all share the
     // sentinel signature and pair O(m²) in EVERY band; they cannot reach
-    // any positive Jaccard anyway (no shingles to intersect), so drop
-    // them from pairing — same rationale as simhashPairs' token-less
-    // exclusion.
-    val eligible = df.filter(size(word_shingles(col(textCol), shingleSize)) > 0)
-    val sigs = minhashSignatures(eligible, idCol, textCol, shingleSize, numHashes)
+    // any positive Jaccard anyway (no shingles to intersect). The plain
+    // (inner) explode drops them for free — one shingling pass, unlike a
+    // separate size() filter, which would tokenize the corpus twice.
+    val posts = df.select(col(idCol).as("id"),
+      explode(array_distinct(word_shingles(col(textCol), shingleSize)))
+        .as("shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(element_at(col("hs"), i + 1)).as(s"s$i"))
+    val sigs = posts
+      .select(col("id"), minhash_hashes(col("shingle"), numHashes).as("hs"))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), explode(
       array((0 until bands).map { b =>
@@ -339,9 +354,13 @@ object Dedup {
       .select(col("id"), col("bk.band"), col("bk.key"))
     // degenerate-bucket cap, as in simhashPairs: boilerplate-identical
     // corpora can still make one band key huge; candidates are bounded
-    // at the price of logged coverage loss
+    // and the cap is logged when it fires
     val big = banded.groupBy("band", "key").count()
       .filter(col("count") > maxBucket).select("band", "key")
+    val nBig = big.count()
+    if (nBig > 0) log.warn(
+      s"minhashLshPairs: dropping $nBig band buckets larger than " +
+        s"$maxBucket docs — near-dup coverage is capped for their members")
     val capped = banded.join(big, Seq("band", "key"), "left_anti")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -155,8 +155,17 @@ final class GeoPartitionReader(file: String, start: Long, length: Long,
         scanned += line.length + 1
         line = br.readLine()
       }
-      if (line == null || !GeoLineParser.isHeader(line)) Array.empty
-      else GeoLineParser.parseHeader(line).map(UTF8String.fromString).toArray
+      if (line != null && GeoLineParser.isHeader(line))
+        GeoLineParser.parseHeader(line).map(UTF8String.fromString).toArray
+      else if (line == null) Array.empty   // EOF: genuinely headerless file
+      else
+        // Bound hit with more file left: refuse loudly rather than return
+        // an empty result for what may be a valid matrix with an
+        // extraordinarily large metadata block.
+        throw new IllegalStateException(
+          s"no ID_REF header within the first $maxHeaderScanChars chars " +
+            s"of $file — not a GEO series matrix, or its metadata block " +
+            "exceeds the header-scan bound")
     } finally br.close()
   }
 

@@ -23,11 +23,17 @@ object SkewJoin {
     require(joinType == "inner" || joinType == "left" ||
       joinType == "left_outer", s"unsupported join type $joinType")
     // xxhash64 rejects MapType inputs (and hashing a map would be
-    // order-ambiguous anyway) — salt from the hashable columns only
-    val hashable = large.schema.fields.filterNot(f =>
-      hasMapType(f.dataType)).map(f => col(f.name))
+    // order-ambiguous anyway) — salt from the hashable NON-KEY columns.
+    // The key itself must not be the only salt input: it is constant per
+    // hot key, so the "salt" would be constant exactly where skew lives
+    // and the operator would silently do nothing.
+    val hashable = large.schema.fields
+      .filterNot(f => f.name == key || hasMapType(f.dataType))
+      .map(f => col(f.name))
     require(hashable.nonEmpty,
-      "saltedJoin needs at least one non-map column to derive the salt")
+      "saltedJoin needs at least one non-map column besides the join key " +
+        "to derive a per-row salt; add a distinguishing column (e.g. a " +
+        "row id) — salting from the key alone cannot spread a hot key")
     val saltCol = "__graft_salt"
     require(!large.columns.contains(saltCol) && !small.columns.contains(saltCol),
       s"input already has a $saltCol column")

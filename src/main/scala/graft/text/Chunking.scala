@@ -50,7 +50,11 @@ object Chunking {
     * token lands. Documents may straddle a cut — this labels where each
     * doc starts, it does not enforce per-sequence capacity (true greedy
     * bin packing is a sequential fold, not a window). Output adds
-    * (n_tokens, seq_id). */
+    * (n_tokens, seq_id).
+    *
+    * Precondition: idCol must be UNIQUE within each stratum — the running
+    * sum's ROWS frame has no deterministic order among duplicate ids, so
+    * duplicates would make seq_id run-dependent. */
   def packSequences(df: DataFrame, strataCol: String, idCol: String,
                     textCol: String, budgetTokens: Int): DataFrame = {
     require(budgetTokens >= 1, "budget must be >= 1")

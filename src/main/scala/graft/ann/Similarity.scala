@@ -21,18 +21,12 @@ import graft.functions.gfunctions._
   */
 object Similarity {
 
-  /** Deterministic hyperplane component w[p][j] in [-1, 1): LCG over the
-    * flat index p*dim+j. Reproducible bit-for-bit in SQL (all integer
-    * arithmetic; 1103515245/12345 are the classic glibc constants). */
-  def planeComponent(p: Int, j: Int, dim: Int): Double = {
-    val seed = (p.toLong * dim + j) & 0x7fffffffL
-    val v = (1103515245L * seed + 12345L) % 2147483648L
-    v.toDouble / 1073741824.0 - 1.0
-  }
-
-  /** The hyperplane matrix as literal arrays (planes x dim). */
-  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until nPlanes).map(p => (0 until dim).map(j => planeComponent(p, j, dim)))
+  /** Deterministic hyperplane component w[p][j] in [-1, 1) — delegates to
+    * the single source of truth in [[org.apache.spark.sql.graft.LshKernel]]
+    * (the native bucket kernel and the SQL oracle both derive from that
+    * recurrence; a second copy here could silently de-sync them). */
+  def planeComponent(p: Int, j: Int, dim: Int): Double =
+    org.apache.spark.sql.graft.LshKernel.planeComponent(p, j, dim)
 
   /** Sign-bit-packed LSH bucket id of an embedding column (single table;
     * one native kernel call — see [[LshTableBuckets]]). */
@@ -87,12 +81,20 @@ object Similarity {
     * this operator is unit-tested rather than DuckDB-oracled. */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                nLists: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = org.apache.spark.ml.functions.array_to_vector(
-      col(vecCol).cast("array<double>"))
+    // Cluster L2-NORMALIZED vectors: the quantizer assigns by Euclidean
+    // distance while search probes cells by cosine — on the unit sphere
+    // the two orders agree (||a-b||² = 2 - 2cosθ), so normalization makes
+    // assignment and probing consistent. Unnormalized embeddings would
+    // let KMeans split cells by magnitude and cosine probing would then
+    // pick cells near-arbitrarily, silently losing recall. The raw
+    // vectors are kept for the exact cosine re-rank (cosine is
+    // scale-invariant, so re-rank is unaffected either way).
+    val arr = col(vecCol).cast("array<double>")
+    val nrm = sqrt(aggregate(arr, lit(0.0), (acc, x) => acc + x * x))
+    val unit = when(nrm > 0.0, transform(arr, x => x / nrm)).otherwise(arr)
+    val toVec = org.apache.spark.ml.functions.array_to_vector(unit)
     val feat = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("arr"), toVec.as("features"))
+      arr.as("arr"), toVec.as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(20)
       .fit(feat.select("features"))

@@ -39,13 +39,15 @@ object DifferentialExpression {
       else metadata
     val metaSeq = ordered.select("sample_id", "condition")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val meta = metaSeq.collect { case (k, v) if v != null => k -> v }.toMap
     def strip(s: String) = {
       var a = 0; var b = s.length
       while (a < b && "\"' ".indexOf(s.charAt(a)) >= 0) a += 1
       while (b > a && "\"' ".indexOf(s.charAt(b - 1)) >= 0) b -= 1
       s.substring(a, b)
     }
+    // keys stripped too: metadata ids can arrive quoted just like the
+    // expression header's (both sides of the match normalize)
+    val meta = metaSeq.collect { case (k, v) if v != null => strip(k) -> v }.toMap
     val matched = sampleIds.flatMap { sid =>
       meta.get(strip(sid)).map(sid -> _)
     }

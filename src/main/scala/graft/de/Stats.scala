@@ -32,16 +32,23 @@ object Stats {
   def bhAdjust(df: DataFrame, pCol: String, outCol: String,
                tieBreak: Seq[String] = Seq.empty,
                distributedThreshold: Long = 2000000L): DataFrame = {
+    // df is consumed by the count() AND the adjusted/invalid branches; at
+    // pipeline scale the input is the heavy Welch aggregation, so an
+    // unpersisted plan would run that aggregation twice. The result is
+    // gene-cardinality — materialize it, then release the cache.
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p = col(pCol)
     val bad = p.isNull || isnan(p)
-    val invalid = df.filter(bad).withColumn(outCol, lit(null).cast("double"))
-    val valid = df.filter(!bad)
+    val invalid = cached.filter(bad).withColumn(outCol, lit(null).cast("double"))
+    val valid = cached.filter(!bad)
     val m = valid.count()
     val adjusted =
       if (m == 0) valid.withColumn(outCol, lit(null).cast("double"))
       else if (m <= distributedThreshold) bhWindowed(valid, p, outCol, m, tieBreak)
       else bhAdjustDistributed(valid, pCol, outCol, m, tieBreak)
-    adjusted.unionByName(invalid)
+    val result = adjusted.unionByName(invalid).localCheckpoint()
+    cached.unpersist(false)
+    result
   }
 
   /** Windowed BH core over m valid rows (single-partition sort). */

@@ -20,12 +20,21 @@ import org.apache.spark.sql.types._
 object Centrality {
 
   /** G2: nx.degree_centrality = degree / (n-1). Isolated nodes (added via
-    * add_node, never in an edge) get 0. */
+    * add_node, never in an edge) get 0. Matches nx.Graph edge semantics:
+    * parallel/bidirectional duplicates collapse to one edge and
+    * self-loops are dropped; a single-node graph scores 1 (nx
+    * special-cases len(G) <= 1). */
   def degreeCentrality(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val n = nodes.count()
-    val denom = math.max(n - 1L, 1L).toDouble
-    val endpoints = edges.select(col("src").as("gene"))
-      .unionAll(edges.select(col("dst").as("gene")))
+    if (n <= 1)
+      return nodes.select(col("gene"), lit(1.0).as("degree_centrality"))
+    val denom = (n - 1L).toDouble
+    val simple = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    val endpoints = simple.select(col("src").as("gene"))
+      .unionAll(simple.select(col("dst").as("gene")))
       .groupBy("gene").agg(count(lit(1)).as("__deg"))
     nodes.join(endpoints, Seq("gene"), "left")
       .select(col("gene"),
@@ -211,12 +220,28 @@ object Centrality {
         lit(0.0).as("eigenvector_centrality"))
     }
     // Each round references x twice (neighbor sums + the error diff), so
-    // without lineage truncation the logical plan doubles per iteration;
-    // the eager localCheckpoint pins each round's scores as a LogicalRDD
-    // and keeps the plan constant-size (the standard pattern for
-    // iterative DataFrame algorithms).
-    var x = nodes.select(col("gene")).withColumn("x", lit(1.0 / n))
-      .localCheckpoint()
+    // without lineage truncation the logical plan doubles per iteration.
+    // Each round is pinned as a persisted + locally-checkpointed typed
+    // RDD (constant-size LogicalRDD plan), and THE PREVIOUS round's RDD
+    // is unpersisted once the new one is materialized — the GraphX
+    // Pregel lifecycle. Dataset.localCheckpoint alone would leave one
+    // cached n-row frame per iteration to ContextCleaner's mercy, which
+    // on hundreds of rounds over a big graph fills the block store.
+    import spark.implicits._
+    var prevRdd: Option[org.apache.spark.rdd.RDD[(String, Double, Double)]] =
+      None
+    def pin(df: DataFrame): DataFrame = {
+      val rdd = df.as[(String, Double, Double)].rdd
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.localCheckpoint()
+      rdd.count()
+      val pinned = spark.createDataFrame(rdd).toDF("gene", "__x0", "x")
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = Some(rdd)
+      pinned
+    }
+    var x = pin(nodes.select(col("gene"), lit(0.0).as("__x0"),
+      lit(1.0 / n).as("x"))).select("gene", "x")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -228,11 +253,10 @@ object Centrality {
         .select(col("gene"), col("__x0"),
           (col("__x0") + coalesce(col("__nbr"), lit(0.0))).as("__xr"))
       val norm = xRaw.agg(sqrt(sum(col("__xr") * col("__xr"))).as("__norm"))
-      val xNew = xRaw.crossJoin(broadcast(norm))
+      val xNew = pin(xRaw.crossJoin(broadcast(norm))
         .select(col("gene"), col("__x0"),
           when(col("__norm") === 0.0, col("__xr"))
-            .otherwise(col("__xr") / col("__norm")).as("x"))
-        .localCheckpoint()
+            .otherwise(col("__xr") / col("__norm")).as("x")))
       val err = xNew.agg(sum(abs(col("x") - col("__x0"))).as("e"))
         .collect()(0).getDouble(0)
       x = xNew.select("gene", "x")

@@ -31,11 +31,17 @@ object Multimodal {
     * byte, and an md5-derived 64-bit content id. The real decoder would
     * run inside mapPartitions over the same rows with the same output
     * schema (media_id, features array<double>). */
+  /** First BYTE of a binary column as an int (hex of the 1-byte slice) —
+    * byte-accurate where ascii(cast to string) would return the first
+    * CODE POINT and mis-read any non-ASCII payload. */
+  private def byteAt(bin: Column, pos: Column): Column =
+    coalesce(conv(hex(bin.substr(pos, lit(1))), 16, 10).cast("int"), lit(0))
+
   def stubDecode(df: DataFrame): DataFrame =
     df.select(col("media_id"), col("meta"),
       array(
         col("meta.n_bytes").cast("double"),
-        ascii(col("media").cast("string")).cast("double"),
+        byteAt(col("media"), lit(1)).cast("double"),
         (pmod(md5_long(col("media").cast("string")), lit(997))).cast("double"))
         .as("features"))
 
@@ -84,22 +90,28 @@ object Multimodal {
       .mapPartitions { it =>
         // a real codec allocates its native buffers HERE, once per batch
         it.map { row =>
-          org.apache.spark.sql.Row(row.getLong(0),
-            kernel(row.getAs[Array[Byte]](1)).toSeq)
+          // loud per-row validation: a null/non-numeric id or null payload
+          // would otherwise surface as an opaque executor NPE
+          if (row.isNullAt(0)) throw new IllegalArgumentException(
+            "decodePartitions: media_id is null or not castable to long")
+          val bytes = row.getAs[Array[Byte]](1)
+          if (bytes == null) throw new IllegalArgumentException(
+            s"decodePartitions: null media payload for id ${row.getLong(0)}")
+          org.apache.spark.sql.Row(row.getLong(0), kernel(bytes).toSeq)
         }
       }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Frame values for text-backed media: the byte at each sampled offset
-    * (ascii code), joined back natively — stands in for per-frame pixel /
-    * sample extraction. */
+  /** Frame values: the BYTE at each sampled offset, extracted from the
+    * binary payload directly (offsets come from meta.n_bytes, so the
+    * index space must be bytes — a cast-to-string substr would index
+    * characters and desynchronize on multi-byte payloads). Equals the
+    * ascii-code reading on ASCII payloads (the oracle's text view). */
   def frameValues(media: DataFrame, stride: Int): DataFrame = {
     val frames = sampleFrames(media, stride)
-    frames.join(media.select(col("media_id"),
-        col("media").cast("string").as("payload")), Seq("media_id"))
-      .withColumn("frame_val",
-        ascii(col("payload").substr(col("frame_off") + 1, lit(1))))
-      .drop("payload")
+    frames.join(media.select(col("media_id"), col("media")), Seq("media_id"))
+      .withColumn("frame_val", byteAt(col("media"), col("frame_off") + 1))
+      .drop("media")
   }
 }

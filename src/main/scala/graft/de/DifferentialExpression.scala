@@ -86,10 +86,20 @@ object DifferentialExpression {
       .select("gene", "log2FC", "pvalue", "adjusted_pvalue")
   }
 
+  /** The significance predicate as a COLUMN — the single copy shared by
+    * [[significant]] and the volcano sink's flag, so the thresholds and
+    * null handling cannot drift apart. Null inputs -> false (pandas NaN
+    * comparison semantics). */
+  def isSignificant(pCol: org.apache.spark.sql.Column,
+                    fcCol: org.apache.spark.sql.Column,
+                    pThreshold: Double = 0.05,
+                    fcThreshold: Double = 1.0): org.apache.spark.sql.Column =
+    coalesce(pCol < pThreshold && abs(fcCol) > fcThreshold &&
+      fcCol.isNotNull, lit(false))
+
   /** F5: the reference's hard-coded significance cut
     * (`pipeline2.py:639-643`): BH-adjusted p < 0.05, |log2FC| > 1, log2FC
     * not null. */
   def significant(results: DataFrame): DataFrame =
-    results.filter(col("adjusted_pvalue") < 0.05 &&
-      abs(col("log2FC")) > 1 && col("log2FC").isNotNull)
+    results.filter(isSignificant(col("adjusted_pvalue"), col("log2FC")))
 }

@@ -29,10 +29,15 @@ object TargetValidation {
   def loadOpenTargetsSnapshot(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(openTargetsSchema).json(path)
 
-  /** (symbol, ensembl_id) csv with header. */
+  /** (symbol, ensembl_id) csv with header. One row per symbol: real
+    * Ensembl snapshots can map a symbol to several ids, and a duplicate
+    * would fan out the enrichment left join into multiple final-target
+    * rows per gene (the reference's dict lookup holds exactly one
+    * mapping) — the minimum id wins, deterministically. */
   def loadEnsemblSnapshot(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").csv(path)
       .select(col("symbol"), col("ensembl_id"))
+      .groupBy("symbol").agg(min(col("ensembl_id")).as("ensembl_id"))
 
   /** F7 + §2.6 top-k + J7 + A13 + A16.
     *

@@ -23,8 +23,10 @@ object CoExpressionNetwork {
     val sigNonEmpty = significant.filter(!_.isEmpty)
     sigNonEmpty match {
       case Some(sig) =>
+        // no .distinct() on the semi-join's right side: semi-join
+        // semantics already emit each left row at most once
         sig.select("gene")
-          .join(geneExpr.select("gene").distinct(), Seq("gene"), "left_semi")
+          .join(geneExpr.select("gene"), Seq("gene"), "left_semi")
           .orderBy("gene").limit(n)
       case None =>
         geneExpr.groupBy("gene").agg(var_samp(col("value")).as("__var"))

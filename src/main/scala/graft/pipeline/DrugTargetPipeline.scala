@@ -164,12 +164,15 @@ final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
     // G5 subgraph + F10 placeholder filter live inside the builders)
     (network, targetScores) match {
       case (Some((_, edges)), Some(ts)) =>
-        val (vizNodes, vizEdges) = Sinks.networkVizData(ts, edges)
+        // plan construction sits inside a stage too: an AnalysisException
+        // from schema drift must degrade this stage, not abort the run
         stage("figure_viz_nodes") {
+          val (vizNodes, _) = Sinks.networkVizData(ts, edges)
           Sinks.writeCsv(vizNodes.orderBy(col("node_size").desc, col("gene")),
             s"$out/data/network_viz_nodes")
         }
         stage("figure_viz_edges") {
+          val (_, vizEdges) = Sinks.networkVizData(ts, edges)
           Sinks.writeCsv(vizEdges.orderBy("src", "dst"),
             s"$out/data/network_viz_edges")
         }

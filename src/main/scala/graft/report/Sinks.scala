@@ -59,14 +59,19 @@ object Sinks {
   }
 
   /** S10 (volcano *data* — the relational content behind the figure):
-    * (gene, log2FC, neg_log10_adj_p, significant). */
+    * (gene, log2FC, neg_log10_adj_p, significant). numpy/pandas parity:
+    * -log10(0) = +Infinity (not null), NaN-comparison flags = false (not
+    * null); the significance predicate is the SHARED
+    * [[graft.de.DifferentialExpression.isSignificant]] column. */
   def volcanoData(results: DataFrame, pThreshold: Double = 0.05,
                   fcThreshold: Double = 1.0): DataFrame =
     results.select(
       col("gene"), col("log2FC"),
-      (-log(10.0, col("adjusted_pvalue"))).as("neg_log10_adj_p"),
-      (col("adjusted_pvalue") < pThreshold &&
-        abs(col("log2FC")) > fcThreshold).as("significant"))
+      when(col("adjusted_pvalue") === 0.0, lit(Double.PositiveInfinity))
+        .otherwise(-log(10.0, col("adjusted_pvalue"))).as("neg_log10_adj_p"),
+      graft.de.DifferentialExpression.isSignificant(
+        col("adjusted_pvalue"), col("log2FC"), pThreshold, fcThreshold)
+        .as("significant"))
 
   /** S10 network-viz *data* (`pipeline2.py:1059-1094`): top-N nodes by
     * composite score with PLACEHOLDER rows dropped (F10,

@@ -21,18 +21,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Tumbling-window aggregate with watermark: counts + value sums per
+  /** Tumbling-window aggregate with watermark: counts + value stats per
     * (window, event_type), emitted when the watermark passes the window
-    * end (append mode). Batch twin: Sessionize.tumbling. */
+    * end (append mode). Output schema MATCHES the batch twin
+    * Sessionize.tumbling exactly — formatted-string bucket, n_events,
+    * sum_value, avg_value — so a backfill and the live stream union/diff
+    * without reconciliation. */
   def tumblingCounts(events: DataFrame, windowLen: String,
                      watermark: String): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n_events"), col("sum_value"),
+        col("avg_value"))
 
   /** Sliding-window aggregate (windowLen every slide). */
   def slidingCounts(events: DataFrame, windowLen: String, slide: String,
@@ -55,6 +61,7 @@ object EventStream {
       .withColumn("minute", date_trunc("minute", col("ts")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+      .drop("minute")   // helper column; output schema == input == batch twin
 
   /** Stream-static enrichment join: every micro-batch joins the static
     * dimension (broadcast — dimensions are bounded by definition);
@@ -76,6 +83,11 @@ object EventStream {
     * floorDiv to whole seconds first). */
   private[streaming] def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** HALF_UP 4-dp rounding — the same rule as Spark's round(col, 4) in
+    * the batch twin, so session values compare equal. */
+  private def round4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   final case class SessionState(sessionSeq: Long, lastTs: Long,
                                 nEvents: Long, startTs: Long, totalValue: Double)
   final case class SessionOut(user_id: Long, session_seq: Long,
@@ -86,12 +98,18 @@ object EventStream {
     * EVENT-TIME timeout: a session closes (and is emitted) when a later
     * event of the same user opens the next session, or when the watermark
     * passes last-event + gap. Batch twin: Sessionize.sessions — same
-    * (n_events, duration, total_value) per closed session, gaps measured
-    * in event time on both sides.
+    * (n_events, duration, total_value per closed session, value rounded
+    * to 4 dp on both sides), gaps measured in event time on both sides.
     *
     * State per user is one open session (constant size); the event-time
     * timeout evicts idle users as the watermark advances, so total state
-    * is O(users active within the watermark horizon).
+    * is O(users active within the watermark horizon). The eviction is
+    * also the one DOCUMENTED divergence from the batch twin:
+    * session_seq counts sessions within one state lifetime, so a user
+    * whose state was evicted restarts at 1 while a batch backfill keeps
+    * its running count — exact-parity seq numbering would require
+    * unbounded per-user state. Rows are batch-identical for users whose
+    * sessions fall within a single state lifetime.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long,
                  watermark: String = "10 minutes"): Dataset[SessionOut] = {
@@ -106,7 +124,7 @@ object EventStream {
             val s = state.get
             state.remove()
             Iterator(SessionOut(userId, s.sessionSeq, s.nEvents,
-              (s.lastTs - s.startTs) / 1000000.0, s.totalValue))
+              (s.lastTs - s.startTs) / 1000000.0, round4(s.totalValue)))
           } else {
             val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var current = state.getOption
@@ -119,7 +137,7 @@ object EventStream {
                     totalValue = s.totalValue + e.value))
                 case Some(s) =>
                   closed += SessionOut(userId, s.sessionSeq, s.nEvents,
-                    (s.lastTs - s.startTs) / 1000000.0, s.totalValue)
+                    (s.lastTs - s.startTs) / 1000000.0, round4(s.totalValue))
                   current = Some(SessionState(s.sessionSeq + 1, us, 1L, us, e.value))
                 case None =>
                   current = Some(SessionState(1L, us, 1L, us, e.value))

@@ -15,11 +15,24 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+    // The legacy conf is needed only while the parquet footer schema is
+    // resolved into the plan; restore the caller's setting afterwards so
+    // loading a test table doesn't permanently change how the session
+    // reads TIMESTAMP(NANOS) parquet elsewhere.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case None => df
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 }

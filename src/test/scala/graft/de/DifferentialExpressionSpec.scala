@@ -50,6 +50,15 @@ class DifferentialExpressionSpec extends SparkSuite {
       Seq("\"GSM1\"", "\"GSM2\"", "\"GSM3\"", "\"GSM4\""), meta)
     assert(quoted.map(_._2) == Seq("case", "case", "control", "control"))
 
+    // quoted METADATA ids match too (both sides normalize; previously the
+    // map keys kept their quotes and nothing matched -> silent fallback)
+    val metaQ = Seq(("\"GSM1\"", "case"), ("\"GSM2\"", "case"),
+      ("\"GSM3\"", "control"), ("\"GSM4\"", "control"))
+      .toDF("sample_id", "condition")
+    val bothQ = DifferentialExpression.resolveGroups(
+      Seq("GSM1", "\"GSM2\"", "GSM3", "GSM4"), metaQ)
+    assert(bothQ.map(_._2) == Seq("case", "case", "control", "control"))
+
     // only 1 control matched -> arbitrary halves over ALL samples in order
     val meta2 = Seq(("GSM1", "case"), ("GSM2", "case"), ("GSM3", "control"))
       .toDF("sample_id", "condition")

@@ -39,11 +39,22 @@ class EventStreamSpec extends SparkSuite {
     runToMemory(EventStream.tumblingCounts(in.toDF(), "1 hour", "10 minutes"),
       "tumbling")
     val got = spark.table("tumbling")
-      .select("window_start", "event_type", "n_events", "sum_value")
-      .as[(Timestamp, String, Long, Double)].collect().toSet
-    assert(got.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
-    assert(got.contains((ts("2024-01-01 10:00:00"), "view", 1L, 3.0)))
-    assert(got.contains((ts("2024-01-01 11:00:00"), "click", 1L, 4.0)))
+      .select("bucket", "event_type", "n_events", "sum_value", "avg_value")
+      .as[(String, String, Long, Double, Double)].collect().toSet
+    assert(got.contains(("2024-01-01 10:00:00", "click", 2L, 3.0, 1.5)))
+    assert(got.contains(("2024-01-01 10:00:00", "view", 1L, 3.0, 3.0)))
+    assert(got.contains(("2024-01-01 11:00:00", "click", 1L, 4.0, 4.0)))
+    // schema identical to the batch twin -> direct set-equality, no
+    // reconciliation
+    val batch = graft.events.Sessionize.tumbling(
+        spark.createDataFrame(Seq(
+          Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.0),
+          Event(2, ts("2024-01-01 10:20:00"), 7, "click", 2.0),
+          Event(3, ts("2024-01-01 10:40:00"), 8, "view", 3.0),
+          Event(4, ts("2024-01-01 11:10:00"), 7, "click", 4.0))),
+        "ts", "event_type", "value", "hour")
+      .as[(String, String, Long, Double, Double)].collect().toSet
+    assert(batch.subsetOf(got))
   }
 
   test("dropDuplicatesWithinWatermark keeps one row per (user, type, minute)") {

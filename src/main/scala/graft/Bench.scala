@@ -58,8 +58,14 @@ object Bench {
     // JIT and shields the recorded number from transient host noise.
     val queries = SparkEntry.queries
     val results: Seq[(String, Either[String, (Double, Long)])] =
-      headline.flatMap { name =>
-        queries.get(name).map { fn =>
+      headline.map { name =>
+        queries.get(name) match {
+          // a renamed/missing headline query must surface in "failed",
+          // not silently shrink the total into a fake speedup
+          case None =>
+            System.err.println(s"[bench] $name missing from the catalog")
+            name -> Left("missing")
+          case Some(fn) =>
           try {
             var rows = 0L
             val times = (1 to 2).map { i =>

@@ -199,8 +199,11 @@ object CatalogDomain {
       a.join(b, Seq("d")).filter($"type_a" < $"type_b")
         .groupBy($"type_a", $"type_b")
         .agg(corr($"va", $"vb").as("r"))
+        // is_edge from the ROUNDED corr on both sides: corr accumulates
+        // in engine-specific order, so the raw value can differ in
+        // low-order bits right at the 0.1 boundary
         .select($"type_a", $"type_b", round($"r", 4).as("corr_val"),
-          (abs($"r") > 0.1).as("is_edge"))
+          (abs(round($"r", 4)) > 0.1).as("is_edge"))
         .orderBy($"type_a", $"type_b")
     },
     Some("""WITH s AS (SELECT event_type, date_trunc('day', ts) AS d,
@@ -210,24 +213,34 @@ object CatalogDomain {
            |             corr(a.v, b.v) AS r
            |      FROM s a JOIN s b ON a.d = b.d AND a.event_type < b.event_type
            |      GROUP BY 1, 2)
-           |SELECT type_a, type_b, round(r, 4) AS corr_val, abs(r) > 0.1 AS is_edge
+           |SELECT type_a, type_b, round(r, 4) AS corr_val,
+           |       abs(round(r, 4)) > 0.1 AS is_edge
            |FROM c ORDER BY type_a, type_b""".stripMargin))
+
+  /** The nation co-trade edge list (a < b nationkey pairs whose summed
+    * trade revenue clears the threshold) — the SINGLE graph definition
+    * behind q12/q52/q53, so a threshold change cannot desynchronize the
+    * degree query from the kernels. */
+  private def nationEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .groupBy(least($"c_nationkey", $"s_nationkey").as("a"),
+        greatest($"c_nationkey", $"s_nationkey").as("b"))
+      .agg(sum($"l_extendedprice").as("rev"))
+      .filter($"rev" > 9500000)
+      .select($"a", $"b")
+  }
 
   /** G2: degree centrality as a relational aggregate
     * (`pipeline2.py:747`, degree/(n-1)) over the nation trade graph. */
   private val q12 = Q("q12_degree_centrality",
     (s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-      val edges = li
-        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
-        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
-        .filter($"c_nationkey" =!= $"s_nationkey")
-        .groupBy(least($"c_nationkey", $"s_nationkey").as("a"),
-          greatest($"c_nationkey", $"s_nationkey").as("b"))
-        .agg(sum($"l_extendedprice").as("rev"))
-        .filter($"rev" > 9500000)
+      val edges = nationEdges(s, dir)
       // explode (not union) keeps ONE copy of the 4-table join subtree in
       // the plan, and the node count comes from a window over the tiny
       // degree aggregate — without these the join pipeline appears 4x in
@@ -538,19 +551,11 @@ object CatalogDomain {
            |FROM x GROUP BY 1, 2, 3
            |ORDER BY drugability DESC, ensembl_id""".stripMargin))
 
-  /** Shared nation co-trade graph for the graph-kernel entries (same
-    * construction as q12). */
+  /** String-typed view of [[nationEdges]] for the graph kernels (their
+    * node ids are strings). */
   private def nationGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val edges = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
-      .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
-      .filter($"c_nationkey" =!= $"s_nationkey")
-      .groupBy(least($"c_nationkey", $"s_nationkey").as("a"),
-        greatest($"c_nationkey", $"s_nationkey").as("b"))
-      .agg(sum($"l_extendedprice").as("rev"))
-      .filter($"rev" > 9500000)
+    val edges = nationEdges(s, dir)
       .select($"a".cast("string").as("src"), $"b".cast("string").as("dst"))
     val nodes = edges.select(explode(array($"src", $"dst")).as("gene")).distinct()
     (nodes, edges)

@@ -329,8 +329,15 @@ object CatalogLlm {
   /** Embedding-cosine near-dup dedup: LSH bucket candidates -> cosine
     * >= 0.99 pairs -> connected components -> keep min id. The corpus is
     * dup-seeded with exact vector copies; the oracle replays buckets +
-    * cosine and drops dominated ids (components here are size-2, so
-    * NOT-IN reproduces the component-min rule). */
+    * cosine and drops dominated ids.
+    *
+    * ORACLE ASSUMPTION (data-dependent, verified at current fixtures):
+    * the NOT-IN form equals component-min dedup only while every cosine
+    * component is a simple pair. If the embeddings fixture or the
+    * dup-seeding ever creates a chain (a-c and b-c pairs without a-b),
+    * the engine keeps only the component min while NOT-IN keeps every
+    * non-id_b node — replace the oracle with a WITH RECURSIVE transitive
+    * closure if this compare starts failing after a fixture change. */
   private val q32 = Q("q32_embedding_dedup",
     (s, dir) => {
       import s.implicits._

@@ -9,8 +9,13 @@ import graft.catalog.Catalog
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // session conf MIRRORS Bench/Verify (ansi off, UTC, 32-ish shuffle
+    // partitions scaled down) — auditing plans under a different conf
+    // would show different cast/divide variants than the ones benched
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -20,7 +25,10 @@ object ExplainAudit {
     val qs = Catalog.queries
     names.foreach { n =>
       println(s"\n================ $n ================")
-      qs(n)(spark, sfDir).explain("formatted")
+      qs.get(n) match {
+        case Some(q) => q(spark, sfDir).explain("formatted")
+        case None => println(s"(unknown query '$n' — known: ${qs.keys.toSeq.sorted.mkString(", ")})")
+      }
     }
     spark.stop()
   }

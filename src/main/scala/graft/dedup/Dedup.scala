@@ -78,6 +78,11 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bands: Int = 4, maxDist: Int = 3,
                    maxBucket: Int = 10000): DataFrame = {
+    // bands must split the 64-bit fingerprint evenly, and bands = 1 is a
+    // degenerate all-pairs join (its 64-bit "mask" also wraps to 0 via
+    // shift-count semantics, keying every doc identically)
+    require(bands >= 2 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 and be >= 2, got $bands")
     val bandBits = 64 / bands
     // Token-less (empty/whitespace-only) docs all get simhash 0 and would
     // collide pairwise in every band as hamming-0 "near-dups"; a doc with
@@ -327,15 +332,24 @@ object Dedup {
                       shingleSize: Int = 3, numHashes: Int = 16,
                       bands: Int = 4, minJaccard: Double = 0.5,
                       maxBucket: Int = 100000): DataFrame = {
+    // bands must split the signature evenly: bands > numHashes gives
+    // empty band slices (every doc keys identically), and a non-divisor
+    // silently drops the remainder hashes from banding
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes ($numHashes), got $bands")
     val rows = numHashes / bands
     // Shingle-less docs (< shingleSize tokens) would all share the
     // sentinel signature and pair O(m²) in EVERY band; they cannot reach
     // any positive Jaccard anyway (no shingles to intersect). The plain
     // (inner) explode drops them for free — one shingling pass, unlike a
     // separate size() filter, which would tokenize the corpus twice.
+    // posts feeds the signature build AND the Jaccard verification (the
+    // postings ARE the shingle sets) — persist so the corpus is
+    // tokenized + shingled once, not 3-4 times
     val posts = df.select(col(idCol).as("id"),
       explode(array_distinct(word_shingles(col(textCol), shingleSize)))
         .as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mins = (0 until numHashes).map(i =>
       min(element_at(col("hs"), i + 1)).as(s"s$i"))
     val sigs = posts
@@ -367,7 +381,7 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     materializeAndRelease(
-      verifyJaccard(df, idCol, textCol, cand, shingleSize, minJaccard), sigs)
+      verifyFromPostings(posts, cand, minJaccard), sigs, posts)
   }
 
   /** Exact word-n-gram Jaccard near-dup pairs via a PREFIX-FILTERED

@@ -53,13 +53,14 @@ object GeoMatrixReader {
   }
 
   def read(spark: SparkSession, path: String): GeoData = {
-    // Two bounded driver-side collects (header line, '!' metadata block —
-    // both live at the file head, dimension-sized by construction) plus a
+    // Two driver-side collects (header line, '!' metadata block) plus a
     // distributed expression scan through the DSv2 `geo` format, which
     // splits uncompressed files by byte range. No raw-text cache: at
-    // 100 TB caching the matrix text would store the dataset twice, and
-    // the header/metadata reads touch only the first split's worth of
-    // lines via their pushed filters + limit.
+    // 100 TB caching the matrix text would store the dataset twice.
+    // The header collect short-circuits via limit(1); the metadata
+    // collect is one narrow full scan whose OUTPUT is dimension-sized
+    // (text sources don't push value predicates) — the price of not
+    // holding a second copy of the matrix.
     val lines = spark.read.text(path)
     val v = col("value")
 
@@ -73,8 +74,11 @@ object GeoMatrixReader {
     // The reference keeps raw (possibly quoted) sample ids in the expression
     // frame and strips quotes later during reconciliation
     // (`pipeline2.py:363-370`); graft folds the normalization into the parse.
-    val sampleIds: Seq[String] =
-      headerLine.split("\t").toSeq.drop(1).map(pyStrip(_, "\"' "))
+    // GeoLineParser.parseHeader is the single header-split implementation
+    // (split with -1 keeps trailing empty fields, like Python str.split) —
+    // a bare split("\t") here would disagree with the DSv2 reader on
+    // trailing-tab headers and silently drop every data row.
+    val sampleIds: Seq[String] = GeoLineParser.parseHeader(headerLine)
 
     val metaLines = lines.filter(v.startsWith("!"))
       .collect().map(_.getString(0)).toSeq
@@ -102,11 +106,14 @@ object GeoMatrixReader {
     val probeId = trim(regexp_replace(afterPrefix, "^[\"']+|[\"']+$", ""))
 
     val tokens = slice(col("__parts"), 2, n)
-    // Python float() accepts numbers and any-case nan/inf spellings; Spark's
-    // string->double try_cast (ANSI-safe: null, never an error, on junk)
-    // covers the numbers, the regex covers the rest.
+    // Python float() accepts numbers and any-case nan/inf spellings. Spark's
+    // string->double try_cast goes through Java parseDouble, which ALSO
+    // accepts 'd'/'f' type suffixes and hex floats that Python (and
+    // GeoLineParser.parseValue, the DSv2 twin) reject — the two extra
+    // guards keep the paths identical.
     val tokenOk = (x: org.apache.spark.sql.Column) =>
-      x.try_cast(DoubleType).isNotNull ||
+      (x.try_cast(DoubleType).isNotNull &&
+        !trim(x).rlike("[dDfF]$") && !trim(x).rlike("^[+-]?0[xX]")) ||
         lower(trim(x)).rlike("^[+-]?(nan|inf|infinity)$")
 
     lines
@@ -128,8 +135,10 @@ object GeoMatrixReader {
     * the half/half default when either group has < 2 samples. */
   private[geo] def buildMetadata(spark: SparkSession,
                                  metaLines: Seq[String]): DataFrame = {
+    // split limit -1: keep trailing empty fields (Python str.split
+    // semantics — the last sample's empty characteristic must survive)
     def firstLine(prefix: String): Option[Array[String]] =
-      metaLines.find(_.startsWith(prefix)).map(_.split("\t"))
+      metaLines.find(_.startsWith(prefix)).map(_.split("\t", -1))
 
     val sampleIds: Seq[String] = firstLine("!Sample_geo_accession")
       .map(_.drop(1).toSeq.map(pyStrip(_, "\""))).getOrElse(Seq.empty)
@@ -140,7 +149,7 @@ object GeoMatrixReader {
       sampleIds.map(_ -> scala.collection.mutable.LinkedHashMap.empty[String, String]).toMap
 
     metaLines.filter(_.startsWith("!Sample_characteristics_ch")).foreach { line =>
-      val parts = line.split("\t")
+      val parts = line.split("\t", -1)
       if (parts.length >= 2) {
         val first = pyStrip(parts(1), "\"").trim
         if (first.contains(":")) {

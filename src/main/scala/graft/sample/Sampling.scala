@@ -17,7 +17,12 @@ object Sampling {
 
   /** Deterministic Bernoulli sample: keep rows whose md5-derived uniform
     * in [0,1) is < fraction. Pure narrow filter — pushes to the scan side
-    * of any downstream join. `salt` decorrelates independent samples. */
+    * of any downstream join. `salt` decorrelates independent samples.
+    *
+    * Precondition: keyCol should be a non-null (ideally unique) id.
+    * Determinism comes FROM the key, so all null-key rows necessarily
+    * share one hash — they are kept or dropped as a block, never sampled
+    * independently. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
                  salt: String = ""): DataFrame =
     df.filter(hashUnit(keyCol, salt) < fraction)

@@ -28,16 +28,22 @@ object Relevance {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val n = df.count().toDouble
+    // posts feeds the doc-frequency aggregate AND the scoring join —
+    // persist so the corpus is tokenized/exploded/aggregated once
     val posts = postings(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id")
       .orderBy(col("__tfidf").desc, col("term").asc)
-    posts.join(broadcast(dfreq), Seq("term"))
+    val out = posts.join(broadcast(dfreq), Seq("term"))
       .withColumn("__tfidf", col("tf") * log(lit(n) / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("term"), col("tf"),
         round(col("__tfidf"), 4).as("tfidf"), col("rank"))
+      .localCheckpoint()
+    posts.unpersist(false)
+    out
   }
 
   /** Okapi BM25 scores of every document against a bag of query terms;
@@ -55,6 +61,18 @@ object Relevance {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = posts.groupBy("id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first()
+    if (stats.getLong(0) == 0L) {
+      // empty corpus (or all-whitespace docs): no postings, avgdl null —
+      // return an empty scored frame instead of NPEing on the null avg
+      posts.unpersist(false)
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("bm25",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     val n = stats.getLong(0).toDouble
     val avgdl = stats.getDouble(1)
     // distinct: a duplicated query term would multiply its posting rows

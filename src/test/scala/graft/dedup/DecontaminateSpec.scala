@@ -28,6 +28,13 @@ class DecontaminateSpec extends SparkSuite {
     val kept = Decontaminate.decontaminate(corpus, "id", "text", bench, "text")
       .select("id").as[Long].collect().toSeq
     assert(kept == Seq(3L))
+    // the minOverlap=1 fast path (semi-join, no counting) must equal the
+    // counted path with threshold 1
+    val counted = corpus.join(
+      Decontaminate.overlaps(corpus, "id", "text", bench, "text")
+        .select("id"), Seq("id"), "left_anti")
+      .select("id").as[Long].collect().toSeq
+    assert(kept == counted)
     // higher overlap threshold spares the partial match
     val kept3 = Decontaminate.decontaminate(corpus, "id", "text", bench, "text",
         minOverlap = 3)

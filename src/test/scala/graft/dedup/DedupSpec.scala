@@ -104,6 +104,21 @@ class DedupSpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("degenerate band parameters are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", bands = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", bands = 5)   // 64 % 5 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 16, bands = 32)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 16, bands = 3)
+    }
+  }
+
   test("simhashDedup removes exact dup, keeps distinct docs") {
     val kept = Dedup.simhashDedup(docs, "doc_id", "text", maxDist = 0)
       .select("doc_id").as[Long].collect().sorted

@@ -66,6 +66,21 @@ class GeoDataSourceSpec extends SparkSuite {
     assert(!got.exists(_._1 == "BAD_PROBE"))
   }
 
+  test("trailing-tab header: both read paths agree (Python split semantics)") {
+    val dir = Files.createTempDirectory("geo-ttab")
+    val f = dir.resolve("m.txt")
+    java.nio.file.Files.writeString(f,
+      "!Series_title\t\"x\"\nID_REF\tS1\tS2\t\np1\t1.0\t2.0\t\n")
+    // Python str.split('\t') keeps the trailing empty field -> 3 sample
+    // columns (S1, S2, ''); every data row's empty last token fails
+    // float() and the row drops — on BOTH paths identically (a bare Java
+    // split would see 2 samples on one path and keep the rows)
+    val viaReader = GeoMatrixReader.read(spark, f.toString)
+    assert(viaReader.sampleIds == Seq("S1", "S2", ""))
+    assert(viaReader.expression.collect().isEmpty)
+    assert(spark.read.format("geo").load(f.toString).collect().isEmpty)
+  }
+
   test("line parser: probe cleanup, row drop, nan/inf -> null") {
     assert(GeoLineParser.cleanProbeId("\"1007_s_at\"") == "1007_s_at")
     assert(GeoLineParser.cleanProbeId("1234:AFFX-x") == "AFFX-x")

@@ -38,6 +38,13 @@ class RelevanceSpec extends SparkSuite {
     assert(once == dup, s"once=$once dup=$dup")
   }
 
+  test("bm25: empty corpus returns an empty frame, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Relevance.bm25TopDocs(empty, "id", "text", Seq("x"), 5).count() == 0)
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    assert(Relevance.bm25TopDocs(blank, "id", "text", Seq("x"), 5).count() == 0)
+  }
+
   test("bm25: docs containing more query terms with shorter length rank higher") {
     val got = Relevance.bm25TopDocs(docs, "id", "text",
         Seq("spark", "query"), k = 4)

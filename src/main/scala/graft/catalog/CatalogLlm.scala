@@ -516,7 +516,7 @@ object CatalogLlm {
            |         tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) AS x
            |       FROM posts JOIN dfreq USING (term)),
            |r AS (SELECT *, row_number() OVER (PARTITION BY id
-           |        ORDER BY x DESC, term) AS rank FROM sc)
+           |        ORDER BY round(x, 4) DESC, term) AS rank FROM sc)
            |SELECT id, term, tf::BIGINT AS tf, round(x, 4) AS tfidf, rank
            |FROM r WHERE rank <= 3 AND id < 20 ORDER BY id, rank""".stripMargin))
 

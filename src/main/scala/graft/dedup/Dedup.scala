@@ -186,7 +186,7 @@ object Dedup {
       return nodes.join(labels, Seq("id"), "left")
         .select(col("id"), coalesce(col("root"), col("id")).as("component"))
     }
-    var prevSig: (Long, Long, Long) = (-1L, -1L, -1L)
+    var prevSig: (Long, String, Long) = (-1L, "", -1L)
     var iter = 0
     var converged = nEdges == 0L
     while (!converged && iter < maxIter) {
@@ -197,16 +197,19 @@ object Dedup {
       val ss = smallStar(ls).localCheckpoint()
       // Edge-set signature: converged when the (unordered) edge set is
       // stable. Three independent components — count, sum of 32-bit
-      // hashes (cannot overflow a long below 2^32 edges, ANSI-safe), and
-      // xor of 64-bit hashes (xor never overflows; sound as a SET
+      // hashes widened to decimal(20,0) (headroom to ~2^61 edges even if
+      // every hash is extreme, so ANSI mode cannot throw mid-iteration),
+      // and xor of 64-bit hashes (xor never overflows; sound as a SET
       // signature because the edge set is distinct) — so a false
       // convergence needs a simultaneous ~2^-95 collision between
       // consecutive rounds, vs 2^-64 for the sum alone.
       val sigRow = ss.agg(count(lit(1)).as("n"),
-        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"),
+        coalesce(sum(hash(col("u"), col("v")).cast("decimal(20,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("h"),
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
         .first()
-      val sig = (sigRow.getLong(0), sigRow.getLong(1), sigRow.getLong(2))
+      val sig = (sigRow.getLong(0), sigRow.getDecimal(1).toPlainString,
+        sigRow.getLong(2))
       converged = sig == prevSig || sigRow.getLong(0) == 0L
       prevSig = sig
       e = ss

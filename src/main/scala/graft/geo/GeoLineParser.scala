@@ -47,6 +47,10 @@ object GeoLineParser {
     val last = t.charAt(t.length - 1)
     if (last == 'd' || last == 'D' || last == 'f' || last == 'F')
       return specialValue(t)
+    // Java parseDouble accepts hex-float literals ('0x1.8p3'); Python
+    // float() and the column-expression twin (GeoMatrixReader's
+    // ^[+-]?0[xX] guard) both reject them — keep the three paths agreeing
+    if (hexPrefix.matcher(t).find()) return specialValue(t)
     try {
       val d = java.lang.Double.parseDouble(t)
       Some(if (d.isNaN || d.isInfinite) null else java.lang.Double.valueOf(d))
@@ -54,6 +58,8 @@ object GeoLineParser {
       case _: NumberFormatException => specialValue(t)
     }
   }
+
+  private val hexPrefix = java.util.regex.Pattern.compile("^[+-]?0[xX]")
 
   private def specialValue(t: String): Option[java.lang.Double] =
     if (t.toLowerCase.matches("[+-]?(nan|inf|infinity)")) Some(null) else None

@@ -33,8 +33,11 @@ object Relevance {
     val posts = postings(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    // rank on the ROUNDED score (q35/q49 pattern): distinct (tf, df)
+    // pairs can yield mathematically equal scores (2*ln 2 vs ln 4) that
+    // JVM and DuckDB libm order differently at the rank-k boundary
     val w = Window.partitionBy("id")
-      .orderBy(col("__tfidf").desc, col("term").asc)
+      .orderBy(round(col("__tfidf"), 4).desc, col("term").asc)
     val out = posts.join(broadcast(dfreq), Seq("term"))
       .withColumn("__tfidf", col("tf") * log(lit(n) / col("df")))
       .withColumn("rank", row_number().over(w))

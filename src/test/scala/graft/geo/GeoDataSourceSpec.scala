@@ -91,6 +91,9 @@ class GeoDataSourceSpec extends SparkSuite {
     assert(GeoLineParser.parseValue("-inf").contains(null: java.lang.Double))
     assert(GeoLineParser.parseValue("abc").isEmpty)
     assert(GeoLineParser.parseValue("1.5d").isEmpty)   // Python float() rejects
+    assert(GeoLineParser.parseValue("0x1.8p3").isEmpty)  // Java hex float; Python rejects
+    assert(GeoLineParser.parseValue("-0X10").isEmpty)
+    assert(GeoLineParser.parseValue("0").contains(0.0)) // plain zero still parses
     assert(GeoLineParser.parseDataRow("p1\t1.0\t2.0", 2).exists(_._1 == "p1"))
     assert(GeoLineParser.parseDataRow("p1\t1.0\tjunk", 2).isEmpty)
     assert(GeoLineParser.parseDataRow("p1\t1.0", 2).isEmpty)      // short row

@@ -561,29 +561,142 @@ object CatalogDomain {
     (nodes, edges)
   }
 
-  /** G3 exact Brandes betweenness through the driver contract (rows-only
-    * check: the kernel is networkx-parity-pinned in CentralitySpec; its
-    * normalized doubles are not stable enough across engines for a
-    * value-level SQL oracle). */
+  /** The q12 edge-list SQL, shared by the graph-kernel oracles so the
+    * three stay on the SINGLE graph definition (mirrors [[nationEdges]]). */
+  private val edgesSql =
+    """e0 AS (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS b
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1,2 HAVING sum(l.l_extendedprice) > 9500000
+      |),
+      |nd AS (SELECT gene, row_number() OVER (ORDER BY gene) AS i
+      |       FROM (SELECT DISTINCT unnest([a::VARCHAR, b::VARCHAR]) AS gene FROM e0)),
+      |nn AS (SELECT count(*)::INT AS n FROM nd),
+      |sym AS (
+      |  SELECT x.i AS ui, y.i AS vi
+      |  FROM e0 JOIN nd x ON e0.a::VARCHAR = x.gene JOIN nd y ON e0.b::VARCHAR = y.gene
+      |  UNION
+      |  SELECT y.i, x.i
+      |  FROM e0 JOIN nd x ON e0.a::VARCHAR = x.gene JOIN nd y ON e0.b::VARCHAR = y.gene
+      |)""".stripMargin
+
+  /** G3 exact Brandes betweenness through the driver contract, rounded to
+    * 6 dp so the oracle can value-check it (summation-order noise between
+    * the distributed Brandes reduce and the oracle's closed form is
+    * ~1e-15 relative, far inside the rounding).
+    *
+    * The oracle never runs Brandes: it counts shortest paths via matrix
+    * powers — sigma(s,t) = (A^dist(s,t))[s][t], since every walk of
+    * length dist is a shortest path — then applies the pair-dependency
+    * identity bc(v) = sum over ordered pairs s!=t (v interior, dist_sv +
+    * dist_vt = dist_st) of sigma_sv * sigma_vt / sigma_st, scaled by
+    * nx's normalized=True factor 1/((n-1)(n-2)). Walk counts are doubles;
+    * they are exact at l = dist for any graph whose shortest-path counts
+    * stay below 2^53 (guaranteed here: the graph is dimension-bounded by
+    * construction, SURVEY G3). */
   private val q52 = Q("q52_betweenness",
     (s, dir) => {
       import s.implicits._
       val (nodes, edges) = nationGraph(s, dir)
       graft.graph.Centrality.betweennessCentrality(s, nodes, edges)
+        .select($"gene",
+          round($"betweenness_centrality", 6).as("betweenness_centrality"))
         .orderBy($"gene")
     },
-    None)
+    Some(s"""WITH RECURSIVE
+           |$edgesSql,
+           |cell AS (
+           |  SELECT r.i AS ri, c.i AS ci,
+           |         CASE WHEN s.ui IS NOT NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS w
+           |  FROM nd r CROSS JOIN nd c
+           |  LEFT JOIN sym s ON s.ui = r.i AND s.vi = c.i
+           |),
+           |adjm AS (SELECT list(rw ORDER BY ri) AS A FROM
+           |          (SELECT ri, list(w ORDER BY ci) AS rw FROM cell GROUP BY ri)),
+           |pow AS (
+           |  SELECT 1 AS l, A AS m FROM adjm
+           |  UNION ALL
+           |  SELECT l+1,
+           |    list_transform(range(1, nn.n+1), i ->
+           |      list_transform(range(1, nn.n+1), j ->
+           |        list_reduce(list_transform(range(1, nn.n+1), k -> A[i][k]*m[k][j]),
+           |                    (acc,v) -> acc+v)))
+           |  FROM pow, adjm, nn WHERE l < nn.n - 1
+           |),
+           |pairs AS (SELECT l, r.i AS si, c.i AS ti, m[r.i][c.i] AS w
+           |          FROM pow CROSS JOIN nd r CROSS JOIN nd c WHERE r.i <> c.i),
+           |dist AS (SELECT si, ti, min(l) AS d FROM pairs WHERE w > 0 GROUP BY 1,2),
+           |sig AS (SELECT p.si, p.ti, d.d, p.w AS s
+           |        FROM pairs p JOIN dist d ON p.si=d.si AND p.ti=d.ti AND p.l=d.d),
+           |triple AS (
+           |  SELECT sv.ti AS v, sv.s * vt.s / st.s AS contrib
+           |  FROM sig sv
+           |  JOIN sig vt ON vt.si = sv.ti
+           |  JOIN sig st ON st.si = sv.si AND st.ti = vt.ti AND st.d = sv.d + vt.d
+           |  WHERE sv.si <> vt.ti
+           |),
+           |raw AS (SELECT v, sum(contrib) AS r FROM triple GROUP BY v)
+           |SELECT nd.gene,
+           |  round(coalesce(raw.r, 0.0) *
+           |    (CASE WHEN nn.n > 2 THEN 1.0/((nn.n-1.0)*(nn.n-2.0)) ELSE 1.0 END),
+           |    6) AS betweenness_centrality
+           |FROM nd CROSS JOIN nn LEFT JOIN raw ON raw.v = nd.i
+           |ORDER BY nd.gene""".stripMargin))
 
-  /** G4 eigenvector centrality (power iteration, auto-dispatch) through
-    * the driver contract — rows-only, analytically pinned in the spec. */
+  /** G4 eigenvector centrality (power iteration, auto-dispatch), rounded
+    * to 6 dp for the value-level oracle. The oracle replays the SAME
+    * nx-semantics iteration — x(k+1) = normalize((I+A) x(k)), stop when
+    * sum|dx| < n*tol — as a DuckDB recursive CTE carrying the whole score
+    * vector as a list in one row, with left-fold list_reduce sums. Both
+    * engines run the identical stopping rule, so they agree to summation
+    * -order noise (~1e-15), absorbed by the rounding. */
   private val q53 = Q("q53_eigenvector",
     (s, dir) => {
       import s.implicits._
       val (nodes, edges) = nationGraph(s, dir)
       graft.graph.Centrality.eigenvectorCentrality(s, nodes, edges)
+        .select($"gene",
+          round($"eigenvector_centrality", 6).as("eigenvector_centrality"))
         .orderBy($"gene")
     },
-    None)
+    Some(s"""WITH RECURSIVE
+           |$edgesSql,
+           |adjl AS (
+           |  SELECT list(nb ORDER BY i) AS adj FROM (
+           |    SELECT nd.i AS i, coalesce(a.nb, []) AS nb
+           |    FROM nd LEFT JOIN (SELECT ui AS i, list(vi ORDER BY vi) AS nb
+           |                       FROM sym GROUP BY ui) a USING (i))
+           |),
+           |it AS (
+           |  SELECT 0 AS iter,
+           |         list_transform(range(1, nn.n+1), i -> 1.0::DOUBLE/nn.n) AS x,
+           |         1e308::DOUBLE AS err
+           |  FROM nn
+           |  UNION ALL
+           |  SELECT iter+1, xn,
+           |         list_reduce(list_transform(range(1, q.n+1),
+           |           i -> abs(xn[i] - x[i])), (acc,v) -> acc+v)
+           |  FROM (
+           |    SELECT it.iter, it.x, t4.xn, nn.n
+           |    FROM it, adjl, nn,
+           |    LATERAL (SELECT list_transform(range(1, nn.n+1), i ->
+           |               list_reduce(list_prepend(it.x[i],
+           |                 list_transform(adjl.adj[i], v -> it.x[v])),
+           |                 (acc,v) -> acc+v)) AS rawv) t1,
+           |    LATERAL (SELECT sqrt(list_reduce(list_transform(t1.rawv, v -> v*v),
+           |               (acc,v) -> acc+v)) AS nrm0) t2,
+           |    LATERAL (SELECT CASE WHEN t2.nrm0 = 0.0 THEN 1.0::DOUBLE ELSE t2.nrm0 END AS nrm) t3,
+           |    LATERAL (SELECT list_transform(t1.rawv, v -> v / t3.nrm) AS xn) t4
+           |    WHERE it.err >= nn.n * 1e-6 AND it.iter < 1000
+           |  ) q
+           |),
+           |fin AS (SELECT x FROM it ORDER BY iter DESC LIMIT 1)
+           |SELECT nd.gene, round(fin.x[nd.i], 6) AS eigenvector_centrality
+           |FROM nd, fin ORDER BY nd.gene""".stripMargin))
 
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53)

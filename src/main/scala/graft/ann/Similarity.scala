@@ -103,6 +103,40 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** IVF with a deterministic hash-seeded coarse quantizer: the nLists
+    * corpus vectors that come FIRST in md5-hash order of their id become
+    * the cell centroids (cell = rank in that order), and every corpus
+    * vector is assigned to its max-cosine centroid in one narrow
+    * projection — no Lloyd iterations, so centroids are reproducible
+    * bit-for-bit in any engine (this is the DuckDB-oracled IVF path;
+    * [[ivfIndex]] keeps the data-adaptive KMeans quantizer, whose
+    * float-sum order is run-dependent, for recall-critical use).
+    *
+    * Scale shape matches ivfIndex: seed selection is a TakeOrdered on the
+    * 8-byte hash (no global sort), the centroid table is a broadcast-sized
+    * literal, and assignment is map-side — the corpus is scanned once and
+    * never shuffled. The argmax key is the ROUNDED cosine (9 dp, ties to
+    * the lowest cell) so the cell boundary is engine-independent. */
+  def ivfIndexSeeded(corpus: DataFrame, idCol: String, vecCol: String,
+                     nLists: Int): (DataFrame, Array[Array[Double]]) = {
+    val arr = col(vecCol).cast("array<double>")
+    val seeds = corpus
+      .select(col(idCol).cast("string").as("id"), arr.as("arr"))
+      .orderBy(md5_long(concat_ws(":", lit(""), col("id"))).asc, col("id").asc)
+      .limit(nLists)
+      .select("arr").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centersLit = array(seeds.map(c => array(c.map(lit): _*)): _*)
+    // argmax cell without a shuffle: max over struct(sim, nLists - cell)
+    // picks the highest rounded sim, then the LOWEST cell on ties
+    val best = array_max(transform(centersLit, (c, i) =>
+      struct(round(cosine_similarity(arr, c), 9).as("sim"),
+        (lit(seeds.length) - i).as("negcell"))))
+    val assigned = corpus.select(col(idCol).as("id"), arr.as("arr"),
+      (lit(seeds.length) - best.getField("negcell")).as("cell"))
+    (assigned, seeds)
+  }
+
   /** IVF ANN top-k: probe the nProbe nearest cells per query, re-rank
     * exactly by cosine. */
   def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
@@ -119,8 +153,10 @@ object Similarity {
           (c, i) => struct(cosine_similarity(col("qv"), c).as("sim"),
             i.as("cell")))).as("sc"))
       .select(col("query_id"), col("qv"), col("sc.sim"), col("sc.cell"))
+    // rounded rank key: the probe-set boundary must not depend on engine
+    // summation noise (the q35 lesson applied to cell selection)
     val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc_nulls_last, col("cell").asc)
+      .orderBy(round(col("sim"), 9).desc_nulls_last, col("cell").asc)
     val probes = scored.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))

@@ -661,22 +661,58 @@ object CatalogLlm {
            |       GROUP BY id)
            |SELECT id, bm25 FROM sc ORDER BY bm25 DESC, id LIMIT 20""".stripMargin))
 
-  /** IVF ANN search (KMeans coarse quantizer, cell-probed exact re-rank).
-    * No DuckDB oracle by design: KMeans centroids are seeded but
-    * float-sum order makes them run-dependent — the driver records the
-    * rows-only check, and IvfSpec pins recall against brute force. */
+  /** IVF ANN search (cell-probed exact re-rank) through the
+    * DETERMINISTIC hash-seeded quantizer — centroids are the 16 corpus
+    * vectors first in md5-hash order, so the oracle can replay seed
+    * selection (q44's signed-HUGEINT idiom), cell assignment (rounded-
+    * cosine argmax, ties to lowest cell), probing and re-rank exactly.
+    * The data-adaptive KMeans quantizer ([[Similarity.ivfIndex]]) stays
+    * the recall-critical production path, pinned by SimilaritySpec —
+    * its float-sum-order-dependent centroids are what kept this entry
+    * rows-only before. */
   private val q51 = Q("q51_ivf_ann",
     (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val (assigned, centers) =
-        Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 16)
+        Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nLists = 16)
       Similarity.ivfTopK(assigned, centers, emb.filter($"vec_id" < 10),
           "vec_id", "embedding", k = 5, nProbe = 4)
         .select($"query_id", $"neighbor_id", $"rank", $"cos_sim")
         .orderBy($"query_id", $"rank")
     },
-    None)
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |h AS (SELECT vec_id,
+           |    md5_number_lower(':' || vec_id::VARCHAR) AS hu FROM v),
+           |sgn AS (SELECT vec_id,
+           |    (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hs
+           |  FROM h),
+           |seeds AS (SELECT vec_id, e, cell FROM (
+           |    SELECT v.vec_id, v.e,
+           |      row_number() OVER (ORDER BY hs, vec_id::VARCHAR) - 1 AS cell
+           |    FROM sgn JOIN v USING (vec_id)) WHERE cell < 16),
+           |asg AS (SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, s.cell, row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY round(list_cosine_similarity(v.e, s.e), 9) DESC, s.cell) AS rn
+           |    FROM v CROSS JOIN seeds s) WHERE rn = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT query_id, cell FROM (
+           |    SELECT q.vec_id AS query_id, s.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY round(list_cosine_similarity(q.e, s.e), 9) DESC, s.cell) AS rn
+           |    FROM q CROSS JOIN seeds s) WHERE rn <= 4),
+           |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+           |         FROM probes p JOIN asg a USING (cell)
+           |         WHERE a.vec_id != p.query_id),
+           |s2 AS (SELECT query_id, neighbor_id,
+           |         list_cosine_similarity(qv.e, cv.e) AS cs
+           |       FROM cand JOIN v qv ON qv.vec_id = query_id
+           |                 JOIN v cv ON cv.vec_id = neighbor_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cs DESC, neighbor_id) AS rank FROM s2)
+           |SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   /** Token-window chunking (64-token chunks, 8-token overlap) shown for
     * doc_id < 20: per-row fan-out bounded by each doc's own chunk count. */

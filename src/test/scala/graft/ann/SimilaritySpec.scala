@@ -80,6 +80,28 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"ivf recall@5 = $recall")
   }
 
+  test("seeded IVF: deterministic cells, sane recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val (a1, c1) = Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", 8)
+    val (a2, c2) = Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", 8)
+    // hash-seeded quantizer is bit-for-bit reproducible (unlike KMeans)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(a1.select("id", "cell").as[(Long, Int)].collect().toMap ==
+      a2.select("id", "cell").as[(Long, Int)].collect().toMap)
+    assert(a1.select("cell").distinct().count() > 1)
+    val ivf = Similarity.ivfTopK(a1, c1, queries, "vec_id", "embedding",
+        k, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // seed centroids are corpus draws, not fitted: recall trails KMeans
+    // at equal nProbe; the bound documents the floor, not the target
+    assert(recall >= 0.4, s"seeded ivf recall@5 = $recall")
+  }
+
   test("lshBucket is stable across runs and engines (LCG planes)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.withBucket(emb, "embedding", 8, 64)

@@ -35,7 +35,9 @@ object Bench {
     "q24_ngram_jaccard", "q25_simhash_banded", "q26_cosine_topk",
     "q27_lsh_buckets", "q28_ann_topk", "q32_embedding_dedup",
     "q33_minhash_lsh", "q39_sliding_window", "q41_decontaminate",
-    "q42_repetition", "q43_tfidf_topk", "q49_bm25")
+    "q42_repetition", "q43_tfidf_topk", "q49_bm25",
+    "q51_ivf_ann", "q57_mixture_sample", "q58_gopher_rules",
+    "q59_token_kl", "q60_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -790,7 +790,139 @@ object CatalogLlm {
            |SELECT domain, count(*) AS n_docs, min(doc_id) AS first_doc
            |FROM d WHERE domain != '' GROUP BY domain ORDER BY domain""".stripMargin))
 
+  /** Deterministic domain-mixture resampling: rebalance four named
+    * sources toward 0.4/0.3/0.2/0.1 of a 120-row target; unlisted
+    * sources drop. The oracle recomputes the per-source acceptance rate
+    * with the same double arithmetic (explicit ::DOUBLE casts keep
+    * DuckDB off its decimal path so both engines evaluate
+    * (target·w)/n in IEEE double, bit-for-bit). */
+  private val q57 = Q("q57_mixture_sample",
+    (s, dir) => {
+      import s.implicits._
+      graft.sample.Sampling.mixtureSample(t(s, dir, "documents"),
+          "source", "doc_id",
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          targetRows = 120)
+        .select($"source", $"doc_id")
+        .orderBy($"source", $"doc_id")
+    },
+    Some("""WITH w(source, wt) AS (VALUES ('src0', 0.4::DOUBLE),
+           |  ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE), ('src3', 0.1::DOUBLE)),
+           |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           |rates AS (SELECT c.source,
+           |    least(1.0::DOUBLE, 120.0::DOUBLE * coalesce(w.wt, 0.0::DOUBLE)
+           |      / CAST(c.n AS DOUBLE)) AS p
+           |  FROM cnt c LEFT JOIN w USING (source)),
+           |h AS (SELECT source, doc_id,
+           |    md5_number_lower(':' || doc_id::VARCHAR) AS hu FROM documents),
+           |u AS (SELECT source, doc_id,
+           |    (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hs
+           |  FROM h)
+           |SELECT u.source, u.doc_id FROM u JOIN rates r ON u.source = r.source
+           |WHERE hs / 18446744073709551616.0 + 0.5 < r.p
+           |ORDER BY u.source, u.doc_id""".stripMargin))
+
+  /** Gopher-style hard quality gates: per-rule booleans + combined keep.
+    * Ratio rule inputs are rounded to 4 dp before comparison on both
+    * engines, so every boolean boundary is engine-independent. */
+  private val q58 = Q("q58_gopher_rules",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.gopherFilter(t(s, dir, "documents"), "text",
+          minWords = 30)
+        .select($"doc_id", $"rule_word_count", $"rule_mean_word_len",
+          $"rule_alpha", $"rule_stopwords", $"rule_repetition",
+          $"gopher_keep")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH m AS (SELECT doc_id,
+           |  len(regexp_extract_all(text, '\S+')) AS n_tok,
+           |  length(text) AS n_chars,
+           |  len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+           |  len(regexp_extract_all(text, '\S')) AS n_nonws,
+           |  len(list_filter(regexp_extract_all(text, '\S+'),
+           |      t -> t IN ('the','a','is','and','of'))) AS n_stop
+           |  FROM documents),
+           |toks AS (SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS tk
+           |         FROM documents),
+           |g AS (SELECT id, tk[i]||' '||tk[i+1]||' '||tk[i+2] AS sgl
+           |      FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+           |            FROM toks)),
+           |r AS (SELECT id, count(*) AS total, count(DISTINCT sgl) AS dst
+           |      FROM g GROUP BY id),
+           |mm AS (SELECT m.doc_id, m.n_tok, m.n_stop,
+           |  CASE WHEN m.n_tok > 0
+           |    THEN round(m.n_nonws / CAST(m.n_tok AS DOUBLE), 4) ELSE 0.0 END AS mean_len,
+           |  CASE WHEN m.n_chars > 0
+           |    THEN round(m.n_alpha / CAST(m.n_chars AS DOUBLE), 4) ELSE 0.0 END AS alpha_ratio,
+           |  coalesce(round(1.0 - r.dst / CAST(r.total AS DOUBLE), 4), 0.0) AS rep_ratio
+           |  FROM m LEFT JOIN r ON r.id = m.doc_id)
+           |SELECT doc_id,
+           |  (n_tok >= 30 AND n_tok <= 100000) AS rule_word_count,
+           |  (mean_len >= 3.0 AND mean_len <= 10.0) AS rule_mean_word_len,
+           |  (alpha_ratio >= 0.6) AS rule_alpha,
+           |  (n_stop >= 2) AS rule_stopwords,
+           |  (rep_ratio <= 0.2) AS rule_repetition,
+           |  (n_tok >= 30 AND n_tok <= 100000
+           |    AND mean_len >= 3.0 AND mean_len <= 10.0
+           |    AND alpha_ratio >= 0.6 AND n_stop >= 2
+           |    AND rep_ratio <= 0.2) AS gopher_keep
+           |FROM mm ORDER BY doc_id""".stripMargin))
+
+  /** Per-source token-distribution KL divergence vs the corpus blend
+    * (mixture diagnostics). Rounded to 4 dp: per-term contributions are
+    * bit-identical across engines, only the summation order differs
+    * (~1e-15 relative — the q13 precedent). */
+  private val q59 = Q("q59_token_kl",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.tokenDivergence(
+          t(s, dir, "documents"), "source", "text")
+        .withColumnRenamed("stratum", "source")
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS term
+           |             FROM documents),
+           |st AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY source, term),
+           |tt AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY term),
+           |ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+           |tot AS (SELECT sum(n_s) AS n_total FROM ns)
+           |SELECT st.source, max(ns.n_s)::BIGINT AS n_tokens,
+           |  count(*) AS n_terms,
+           |  round(sum((c_st / CAST(n_s AS DOUBLE))
+           |    * ln((c_st / CAST(n_s AS DOUBLE)) / (c_t / CAST(n_total AS DOUBLE)))), 4)
+           |    AS kl_divergence
+           |FROM st JOIN tt USING (term) JOIN ns USING (source), tot
+           |GROUP BY st.source ORDER BY source""".stripMargin))
+
+  /** Incremental exact dedup over the dup-seeded corpus: "seen" = even
+    * original ids' hash set, "batch" = everything else. Exercises both
+    * rules — cross-batch (copies of even %7 docs drop against the hash
+    * set) and in-batch first-wins (odd %7 originals beat their +1000000
+    * copies by min id). */
+  private val q60 = Q("q60_incremental_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val c = corpus(s, dir)
+      val seen = Dedup.exactGroups(
+          c.filter($"id" < 1000000 && $"id" % 2 === 0), "id", "text")
+        .select($"content_md5")
+      Dedup.incrementalExactDedup(
+          c.filter(!($"id" < 1000000 && $"id" % 2 === 0)), "id", "text", seen)
+        .select($"id")
+        .orderBy($"id")
+    },
+    Some(s"""WITH $corpusSql,
+           |seen AS (SELECT DISTINCT md5(text) AS h FROM corpus
+           |         WHERE id < 1000000 AND id % 2 = 0),
+           |batch AS (SELECT id, md5(text) AS h FROM corpus
+           |          WHERE NOT (id < 1000000 AND id % 2 = 0)),
+           |fresh AS (SELECT b.id, b.h FROM batch b
+           |          WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = b.h))
+           |SELECT min(id) AS id FROM fresh GROUP BY h ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q51, q54, q55, q56)
+    q48, q49, q51, q54, q55, q56, q57, q58, q59, q60)
 }

@@ -58,6 +58,26 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the production shape at corpus scale: each
+    * ingest batch dedups against the HASH SET of everything already
+    * accepted (content_md5 column, e.g. accumulated [[exactGroups]]
+    * output), never against the historical text itself. Keeps batch rows
+    * whose content is (a) absent from `seenHashes` (anti join on the
+    * 128-bit hash — shuffle ∝ batch + hash set, and at 100 TB the hash
+    * table is bucketed on content_md5 so the anti join is co-located and
+    * shuffle-free) and (b) first within the batch under idCol (the same
+    * min-id rule as [[exactDedup]]). */
+  def incrementalExactDedup(batch: DataFrame, idCol: String, textCol: String,
+                            seenHashes: DataFrame): DataFrame = {
+    val withH = batch.withColumn("__h", md5(col(textCol)))
+    val fresh = withH.join(
+      seenHashes.select(col("content_md5").as("__h")), Seq("__h"), "left_anti")
+    val keep = fresh.groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    batch.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Simhash fingerprint + the b band keys used for LSH bucketing.
     * bandBits * bands must be <= 64. word_shingles(text, 1) is the native
     * tokenizer (codegen'd, same boundaries as TextAnalysis.tokens). */

@@ -33,6 +33,32 @@ object Sampling {
     (md5_long(concat_ws(":", lit(salt), col(keyCol).cast("string")))
       .cast("double") / lit(math.pow(2.0, 64))) + lit(0.5)
 
+  /** Deterministic mixture resampling toward target stratum weights: the
+    * output totals ~`targetRows` with stratum s contributing
+    * targetRows·w(s) rows in expectation, capped at what s actually has
+    * (acceptance rate p_s = min(1, targetRows·w(s)/n_s)). This is the
+    * domain-mixing step of a training-data pipeline (rebalance scraped
+    * sources toward a target mixture) as one tiny count aggregate
+    * broadcast back onto a narrow hash filter — the corpus is scanned
+    * once and never shuffled. Strata missing from `weights` get weight 0
+    * (dropped). Rates and the accept test are md5-derived, so the sample
+    * is reproducible across runs, engines, and partitionings. */
+  def mixtureSample(df: DataFrame, strataCol: String, keyCol: String,
+                    weights: Map[String, Double], targetRows: Long,
+                    salt: String = ""): DataFrame = {
+    val wlit = typedLit(weights)
+    val rates = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(strataCol),
+        least(lit(1.0),
+          lit(targetRows.toDouble) *
+            coalesce(element_at(wlit, col(strataCol).cast("string")), lit(0.0)) /
+            col("__n").cast("double")).as("__p"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashUnit(keyCol, salt) < col("__p"))
+      .drop("__p")
+  }
+
   /** Deterministic stratified sample: the n rows per stratum with the
     * smallest hash values (hash order = uniform order, ties broken by
     * key). Window partitioned by stratum — fine-grained key, no global

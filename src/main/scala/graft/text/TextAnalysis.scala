@@ -132,6 +132,55 @@ object TextAnalysis {
         when(nTok > 0, round(topCount / nTok, 4)).otherwise(0.0))
   }
 
+  /** Gopher-style hard quality GATES (the Rae et al. 2021 App. A filter
+    * shape): one boolean per rule plus the combined keep decision — the
+    * operator a corpus pipeline actually filters with, where
+    * [[withQuality]] only scores. Layered on the same two single-pass
+    * native kernels (`text_quality_counts`, `repetition_counts`), so the
+    * whole gate is one narrow codegen'd projection — no shuffle, scales
+    * linearly with input splits. Rules (documents version of the
+    * word-level originals):
+    *   - word count within [minWords, maxWords]
+    *   - mean token length within [minMeanLen, maxMeanLen]
+    *   - alpha-char ratio ≥ minAlphaRatio
+    *   - at least minStopHits stopword occurrences
+    *   - repeated-trigram ratio ≤ maxRepRatio
+    * Ratio rule inputs are rounded to 4 dp BEFORE comparison so the
+    * boolean boundary is engine-independent (the q35 lesson). */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   minAlphaRatio: Double = 0.6, minStopHits: Int = 2,
+                   maxRepRatio: Double = 0.2): DataFrame = {
+    val t = col(textCol)
+    val cnt = text_quality_counts(t, langMarkers.toMap.apply("en"))
+    val nTok = element_at(cnt, 1)
+    val nonWs = element_at(cnt, 2).cast("double")
+    val alpha = element_at(cnt, 3).cast("double")
+    val stop = element_at(cnt, 5)
+    val rep = repetition_counts(t, 3)
+    val total = element_at(rep, 1).cast("double")
+    val dist = element_at(rep, 2).cast("double")
+    val nChars = length(t).cast("double")
+    val meanLen = when(nTok > 0, round(nonWs / nTok.cast("double"), 4))
+      .otherwise(0.0)
+    val alphaRatio = when(nChars > 0, round(alpha / nChars, 4)).otherwise(0.0)
+    val repRatio = when(total > 0, round(lit(1.0) - dist / total, 4))
+      .otherwise(0.0)
+    val rWords = nTok >= minWords && nTok <= maxWords
+    val rMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rAlpha = alphaRatio >= minAlphaRatio
+    val rStop = stop >= minStopHits
+    val rRep = repRatio <= maxRepRatio
+    df.withColumn("rule_word_count", rWords)
+      .withColumn("rule_mean_word_len", rMeanLen)
+      .withColumn("rule_alpha", rAlpha)
+      .withColumn("rule_stopwords", rStop)
+      .withColumn("rule_repetition", rRep)
+      .withColumn("gopher_keep",
+        rWords && rMeanLen && rAlpha && rStop && rRep)
+  }
+
   /** Content fingerprints: exact (md5 hex of normalized text, oracle-able)
     * and rolling 64-bit (order-sensitive polynomial hash, engine-native). */
   def withFingerprints(df: DataFrame, textCol: String): DataFrame = {

@@ -25,6 +25,26 @@ class DedupSpec extends SparkSuite {
     assert(dup.toSeq == Seq(1L))
   }
 
+  test("incremental dedup: drops seen content, first-wins within batch") {
+    // seen corpus = doc 1's content; batch has a copy of it (7), an
+    // in-batch dup pair (8, 9), and fresh content (10)
+    val seen = Dedup.exactGroups(docs.filter($"doc_id" === 1L),
+      "doc_id", "text").select("content_md5")
+    val batch = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog"), // seen -> drop
+      (8L, "brand new batch content"),                     // keep (min id)
+      (9L, "brand new batch content"),                     // in-batch dup
+      (10L, "other fresh content")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactDedup(batch, "doc_id", "text", seen)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(8L, 10L))
+    // empty seen set degrades to plain exact dedup
+    val noSeen = Dedup.incrementalExactDedup(batch, "doc_id", "text",
+      seen.filter(lit(false)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(noSeen.toSeq == Seq(7L, 8L, 10L))
+  }
+
   test("simhash identical docs have equal fingerprints; near dups are close") {
     val sigs = Dedup.withSimhash(docs, "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

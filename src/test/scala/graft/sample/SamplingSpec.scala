@@ -19,6 +19,29 @@ class SamplingSpec extends SparkSuite {
     assert(c != a.toSet)
   }
 
+  test("mixtureSample: hits target mixture in expectation, drops unlisted") {
+    // 250 rows per stratum; target 200 rows at 0.5/0.3/0.2 over three of
+    // the four strata -> acceptance rates 0.4/0.24/0.16, s3 dropped
+    val w = Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+    val got = Sampling.mixtureSample(rows, "g", "k", w, targetRows = 200)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(!got.contains("s3"), "unlisted stratum must drop")
+    // each stratum within ±50% of its expected contribution (hash noise)
+    assert(got("s0") > 50 && got("s0") < 150, s"s0=${got("s0")} of ~100")
+    assert(got("s1") > 30 && got("s1") < 90, s"s1=${got("s1")} of ~60")
+    assert(got("s2") > 20 && got("s2") < 60, s"s2=${got("s2")} of ~40")
+    // a stratum whose share already undershoots its target is kept whole
+    val all = Sampling.mixtureSample(rows, "g", "k", Map("s0" -> 1.0),
+      targetRows = 5000)
+    assert(all.count() == 250, "rate caps at 1.0 — every s0 row kept")
+    // deterministic and partitioning-independent
+    val a = Sampling.mixtureSample(rows, "g", "k", w, 200)
+      .select("k").as[Long].collect().sorted
+    val b = Sampling.mixtureSample(rows.repartition(11), "g", "k", w, 200)
+      .select("k").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("stratifiedHashSample: exactly n per stratum, deterministic") {
     val got = Sampling.stratifiedHashSample(rows, "g", "k", 10)
       .groupBy("g").count().as[(String, Long)].collect().toMap

@@ -1,0 +1,35 @@
+package graft.text
+
+import graft.SparkSuite
+
+class CorpusStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokenDivergence: uniform strata diverge by zero") {
+    val docs = Seq(
+      ("s0", "x y x y"),
+      ("s1", "x y x y")).toDF("source", "text")
+    val got = CorpusStats.tokenDivergence(docs, "source", "text")
+      .select("stratum", "n_tokens", "n_terms", "kl_divergence")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set("s0", "s1"))
+    // both strata match the blend exactly -> KL = 0
+    assert(got.values.forall { case (n, t, kl) =>
+      n == 4L && t == 2L && kl == 0.0 })
+  }
+
+  test("tokenDivergence: hand-computed two-stratum KL") {
+    // s0: a a a b (p_a=3/4, p_b=1/4); s1: a b b b (p_a=1/4, p_b=3/4)
+    // blend: p_a = p_b = 1/2 -> KL(s0) = KL(s1)
+    //   = 0.75 ln(1.5) + 0.25 ln(0.5) = 0.130812...
+    val docs = Seq(("s0", "a a a b"), ("s1", "a b b b"))
+      .toDF("source", "text")
+    val got = CorpusStats.tokenDivergence(docs, "source", "text")
+      .select("stratum", "kl_divergence").as[(String, Double)]
+      .collect().toMap
+    val want = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    assert(approx(got("s0"), want, 1e-4))
+    assert(approx(got("s1"), want, 1e-4))
+  }
+}

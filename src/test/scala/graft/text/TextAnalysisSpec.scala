@@ -55,6 +55,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(q > 0 && q <= 1)
   }
 
+  test("gopherFilter: each rule gates the doc it should") {
+    // crafted failures, one per rule (thresholds: >=3 words, mean len
+    // [3,10], alpha>=0.6, >=1 stopword hit, rep ratio <= 0.5)
+    val good = "the quick brown foxes jumped over a lazily sleeping dog"
+    val docs = Seq(
+      (0L, good),                                    // passes all
+      (1L, "the dog"),                               // too few words
+      (2L, "a is of by up the an we he it"),         // mean len < 3
+      (3L, "the 11 22 33 44 55 66 77 88 99"),        // alpha ratio low
+      (4L, "zebra quokka wombat numbat dingo koala"),// no stopwords
+      (5L, "the cat sat the cat sat the cat sat the cat sat") // repetitive
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs, "text", minWords = 3,
+        maxWords = 100, minMeanLen = 3.0, maxMeanLen = 10.0,
+        minAlphaRatio = 0.6, minStopHits = 1, maxRepRatio = 0.5)
+      .select("doc_id", "rule_word_count", "rule_mean_word_len",
+        "rule_alpha", "rule_stopwords", "rule_repetition", "gopher_keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got(0L) == ((true, true, true, true, true, true)))
+    assert(!got(1L)._1 && !got(1L)._6)
+    assert(!got(2L)._2 && !got(2L)._6)
+    assert(!got(3L)._3 && !got(3L)._6)
+    assert(!got(4L)._4 && !got(4L)._6)
+    assert(!got(5L)._5 && !got(5L)._6)
+  }
+
   test("rolling fingerprint is order-sensitive, md5 fingerprint is not") {
     val df = Seq("a b c", "c b a").toDF("t")
     val fp = TextAnalysis.withFingerprints(df, "t").collect()

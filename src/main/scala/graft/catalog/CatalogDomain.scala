@@ -698,6 +698,25 @@ object CatalogDomain {
            |SELECT nd.gene, round(fin.x[nd.i], 6) AS eigenvector_centrality
            |FROM nd, fin ORDER BY nd.gene""".stripMargin))
 
+  /** Shuffle-key skew report for events.user_id — the measurement that
+    * picks between plain shuffle / AQE / salted join before a 100-TB
+    * run. hot_key parity: Spark's struct-max == the SQL (cnt DESC,
+    * key DESC) LIMIT 1 scalar subquery. */
+  private val q61 = Q("q61_key_skew",
+    (s, dir) =>
+      graft.join.SkewStats.keySkew(t(s, dir, "events"), "user_id"),
+    Some("""WITH pk AS (SELECT user_id::VARCHAR AS key, count(*) AS cnt
+           |            FROM events GROUP BY 1)
+           |SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS n_rows,
+           |  max(cnt) AS max_rows_per_key,
+           |  round(avg(cnt), 4) AS avg_rows_per_key,
+           |  round(max(cnt)::DOUBLE / (sum(cnt)::DOUBLE / count(*)::DOUBLE), 4)
+           |    AS skew_ratio,
+           |  round(quantile_cont(cnt, 0.99), 4) AS p99_rows_per_key,
+           |  (SELECT key FROM pk ORDER BY cnt DESC, key DESC LIMIT 1) AS hot_key
+           |FROM pk""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
-    q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53)
+    q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
+    q61)
 }

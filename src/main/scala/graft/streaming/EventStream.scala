@@ -73,6 +73,27 @@ object EventStream {
                           key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Streaming incremental dedup — the stream twin of
+    * [[graft.dedup.Dedup.incrementalExactDedup]]: each micro-batch
+    * anti-joins the STATIC accumulated content-hash set (stream-static
+    * anti joins are stateless — the static side is re-read per batch, so
+    * a refreshed hash-set snapshot is picked up without restart), then
+    * `dropDuplicates` on the hash suppresses in-stream re-occurrences.
+    * Without a watermark that dedup state is exactly the hash set of
+    * content first seen on the stream — the same store the batch
+    * operator accumulates between ingests (16 B per accepted doc); when
+    * the payload carries event time, bound it with
+    * dropDuplicatesWithinWatermark instead. First-wins is ARRIVAL order
+    * (the batch twin's min-id rule collapses to it when ids are
+    * ingest-ordered). */
+  def incrementalDedupStream(docs: DataFrame, textCol: String,
+                             seenHashes: DataFrame): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .join(seenHashes.select(col("content_md5").as("__h")),
+        Seq("__h"), "left_anti")
+      .dropDuplicates("__h")
+      .drop("__h")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

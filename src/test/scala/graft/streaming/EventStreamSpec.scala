@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.md5
 
 import graft.SparkSuite
 import graft.streaming.EventStream.Event
@@ -173,6 +174,34 @@ class EventStreamSpec extends SparkSuite {
       "streamquality")
     val ids = spark.table("streamquality").select("doc_id").as[Long].collect()
     assert(ids.toSeq == Seq(1L), "digit-soup doc must be filtered out")
+  }
+
+  test("streaming incremental dedup: seen content drops, stream first-wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq(Tuple1("already ingested content")).toDF("text")
+      .select(md5($"text").as("content_md5"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "already ingested content"),   // in seen set -> drop
+      (2L, "fresh stream content"))       // keep
+    in.addData(
+      (3L, "fresh stream content"),       // in-stream dup of 2 -> drop
+      (4L, "another new doc"))            // keep
+    runToMemory(
+      EventStream.incrementalDedupStream(
+        in.toDF().toDF("doc_id", "text"), "text", seen),
+      "incrdedup")
+    val ids = spark.table("incrdedup").select("doc_id").as[Long]
+      .collect().sorted
+    assert(ids.toSeq == Seq(2L, 4L))
+    // batch twin agrees on the same input (min id == arrival order here)
+    val batch = Seq((1L, "already ingested content"),
+      (2L, "fresh stream content"), (3L, "fresh stream content"),
+      (4L, "another new doc")).toDF("doc_id", "text")
+    val b = graft.dedup.Dedup.incrementalExactDedup(batch, "doc_id", "text", seen)
+      .select("doc_id").as[Long].collect().sorted
+    assert(b.toSeq == ids.toSeq)
   }
 
   test("sliding windows overlap: one event lands in two 60/30-min windows") {

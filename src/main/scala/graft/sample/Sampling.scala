@@ -38,9 +38,11 @@ object Sampling {
     * targetRows·w(s) rows in expectation, capped at what s actually has
     * (acceptance rate p_s = min(1, targetRows·w(s)/n_s)). This is the
     * domain-mixing step of a training-data pipeline (rebalance scraped
-    * sources toward a target mixture) as one tiny count aggregate
-    * broadcast back onto a narrow hash filter — the corpus is scanned
-    * once and never shuffled. Strata missing from `weights` get weight 0
+    * sources toward a target mixture) as one cardinality-sized count
+    * aggregate (map-side combined; shuffle ∝ #strata, not rows) broadcast
+    * back onto a narrow hash filter — the corpus ROWS are never shuffled,
+    * though df is read twice (rates + filter) unless the caller caches
+    * it. Strata missing from `weights` get weight 0
     * (dropped). Rates and the accept test are md5-derived, so the sample
     * is reproducible across runs, engines, and partitionings. */
   def mixtureSample(df: DataFrame, strataCol: String, keyCol: String,
@@ -52,7 +54,7 @@ object Sampling {
       .select(col(strataCol),
         least(lit(1.0),
           lit(targetRows.toDouble) *
-            coalesce(element_at(wlit, col(strataCol).cast("string")), lit(0.0)) /
+            coalesce(try_element_at(wlit, col(strataCol).cast("string")), lit(0.0)) /
             col("__n").cast("double")).as("__p"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(hashUnit(keyCol, salt) < col("__p"))

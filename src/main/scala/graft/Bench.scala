@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions.{count, lit}
   * - The headline set keeps the round-1 queries (comparable across
   *   rounds) and adds the heavy new operators: window imputation,
   *   z-score, graph degree, sessionization, n-gram/simhash/minhash
-  *   dedup, exact dedup, quality scoring, and brute-force vs LSH
-  *   similarity search.
+  *   dedup, exact dedup, quality scoring, brute-force vs LSH similarity
+  *   search, the graph kernels (betweenness q52, eigenvector q53),
+  *   nested enrichment (q40), native session windows (q50), and key-skew
+  *   diagnostics (q61) — every operator family has round-over-round perf
+  *   visibility.
   */
 object Bench {
 
@@ -34,10 +37,12 @@ object Bench {
     "q17_sessionize", "q20_exact_dedup", "q22_quality_score",
     "q24_ngram_jaccard", "q25_simhash_banded", "q26_cosine_topk",
     "q27_lsh_buckets", "q28_ann_topk", "q32_embedding_dedup",
-    "q33_minhash_lsh", "q39_sliding_window", "q41_decontaminate",
-    "q42_repetition", "q43_tfidf_topk", "q49_bm25",
-    "q51_ivf_ann", "q57_mixture_sample", "q58_gopher_rules",
-    "q59_token_kl", "q60_incremental_dedup")
+    "q33_minhash_lsh", "q39_sliding_window", "q40_nested_enrich",
+    "q41_decontaminate", "q42_repetition", "q43_tfidf_topk",
+    "q49_bm25", "q50_session_window", "q51_ivf_ann",
+    "q52_betweenness", "q53_eigenvector", "q57_mixture_sample",
+    "q58_gopher_rules", "q59_token_kl", "q60_incremental_dedup",
+    "q61_key_skew")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,8 +61,11 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
-    // Best-of-2 per query: the second run amortizes one-time codegen /
-    // JIT and shields the recorded number from transient host noise.
+    // Best-of-3 per query: later runs amortize one-time codegen / JIT and
+    // shield the recorded number from transient host noise (a contended
+    // recording once masqueraded as a 2x regression).
+    val runsPerQuery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val queries = SparkEntry.queries
     val results: Seq[(String, Either[String, (Double, Long)])] =
       headline.map { name =>
@@ -70,7 +78,7 @@ object Bench {
           case Some(fn) =>
           try {
             var rows = 0L
-            val times = (1 to 2).map { i =>
+            val times = (1 to runsPerQuery).map { i =>
               // operators may persist internal multi-consumer frames; clear
               // between runs so no query is timed against another's cache
               spark.catalog.clearCache()
@@ -98,7 +106,14 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"failed":$fails,"sf":"$sfDir"}""")
+    // Host load (1/5/15-min averages) rides along so a recording taken
+    // under contention is self-identifying instead of reading as a
+    // regression of the binary.
+    val load = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"failed":$fails,"loadavg":$load,"runs":$runsPerQuery,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

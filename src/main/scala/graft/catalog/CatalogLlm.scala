@@ -32,7 +32,11 @@ object CatalogLlm {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Shared dup-seeded corpus (id, text). */
+  /** Shared dup-seeded corpus (id, text). Materialized eagerly
+    * (localCheckpoint): the consumers (q20/q33/q60) each fan the corpus
+    * into multi-consumer plans, so without this the documents parquet is
+    * re-read and the union rebuilt 3-4× per entry. The corpus is
+    * doc-cardinality (small), so the one materialization job is cheap. */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
@@ -42,6 +46,7 @@ object CatalogLlm {
       .union(docs.filter($"doc_id" % 5 === 0)
         .select(($"doc_id" + 2000000).as("id"),
           concat($"text", lit(" extra")).as("text")))
+      .localCheckpoint()
   }
 
   private val corpusSql =
@@ -329,15 +334,13 @@ object CatalogLlm {
   /** Embedding-cosine near-dup dedup: LSH bucket candidates -> cosine
     * >= 0.99 pairs -> connected components -> keep min id. The corpus is
     * dup-seeded with exact vector copies; the oracle replays buckets +
-    * cosine and drops dominated ids.
-    *
-    * ORACLE ASSUMPTION (data-dependent, verified at current fixtures):
-    * the NOT-IN form equals component-min dedup only while every cosine
-    * component is a simple pair. If the embeddings fixture or the
-    * dup-seeding ever creates a chain (a-c and b-c pairs without a-b),
-    * the engine keeps only the component min while NOT-IN keeps every
-    * non-id_b node — replace the oracle with a WITH RECURSIVE transitive
-    * closure if this compare starts failing after a fixture change. */
+    * cosine, then computes the SAME component-min semantics via a
+    * WITH RECURSIVE transitive closure (reachable-minimum per node), so
+    * the compare is assumption-free on component shape: a chain a-b-c
+    * keeps only min(a,b,c) in both engines (previously a NOT-IN pair form
+    * that was only equivalent while every component was a simple pair;
+    * discrimination on chain fixtures is pinned by
+    * tools/oracle_chain_check.py). */
   private val q32 = Q("q32_embedding_dedup",
     (s, dir) => {
       import s.implicits._
@@ -350,7 +353,7 @@ object CatalogLlm {
         .select($"vec_id".as("kept_id"))
         .orderBy($"kept_id")
     },
-    Some("""WITH vecs AS (
+    Some("""WITH RECURSIVE vecs AS (
            |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
            |  UNION ALL SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
            |  WHERE vec_id % 10 = 0),
@@ -370,9 +373,14 @@ object CatalogLlm {
            |                           AND a.vec_id < b.vec_id),
            |pairs AS (SELECT id_a, id_b FROM cand
            |          JOIN vecs va ON va.vec_id = id_a JOIN vecs vb ON vb.vec_id = id_b
-           |          WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.99)
-           |SELECT vec_id AS kept_id FROM vecs
-           |WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+           |          WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.99),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT vec_id AS id, vec_id AS r FROM vecs
+           |          UNION
+           |          SELECT t.id, e.v FROM reach t JOIN edges e ON e.u = t.r)
+           |SELECT id AS kept_id FROM reach
+           |GROUP BY id HAVING id = min(r)
            |ORDER BY kept_id""".stripMargin))
 
   /** MinHash-LSH near-dup pairs, fully oracled: 16 md5-derived hash

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,26 @@ object Dedup {
     r
   }
 
+  /** Log the degenerate-bucket cap warning from an [[Observation]] riding
+    * the candidate join (a CollectMetrics node over the big-bucket side),
+    * instead of a dedicated count() job per dedup call. Read AFTER the
+    * eager materialization action, so the metric is already collected;
+    * the non-blocking future.value keeps this safe if the plan ever
+    * prunes the CollectMetrics node. */
+  private def warnCappedBuckets(obs: Observation, op: String,
+                                maxBucket: Int): Unit = {
+    // AQE may replace the join against an EMPTY big-bucket side with the
+    // streamed side alone, pruning the CollectMetrics node — the future
+    // then completes with a schema-less row, which correctly means 0.
+    val n = obs.future.value.flatMap(_.toOption).flatMap { r =>
+      Option(r.schema).filter(_.fieldNames.contains("n_big"))
+        .map(_ => r.getAs[Long]("n_big"))
+    }.getOrElse(0L)
+    if (n > 0) log.warn(
+      s"$op: dropped $n band buckets larger than $maxBucket docs — " +
+        "near-dup coverage is capped for their members")
+  }
+
   /** Exact dedup: group rows by md5(textCol), keep the row with the
     * minimum idCol per group. Output: (keep_id, n_dups) one row per
     * distinct content. Single shuffle on the 128-bit hash. */
@@ -66,16 +86,21 @@ object Dedup {
     * 128-bit hash — shuffle ∝ batch + hash set, and at 100 TB the hash
     * table is bucketed on content_md5 so the anti join is co-located and
     * shuffle-free) and (b) first within the batch under idCol (the same
-    * min-id rule as [[exactDedup]]). */
+    * min-id rule as [[exactDedup]]).
+    *
+    * Single-pass over the batch: full rows ride through the anti join and
+    * the min-id row per hash survives via one `min_by(struct(*), id)`
+    * aggregate — no second batch scan / semi-join-back, so batch IO is
+    * paid exactly once. */
   def incrementalExactDedup(batch: DataFrame, idCol: String, textCol: String,
                             seenHashes: DataFrame): DataFrame = {
+    val rowCols = batch.columns.map(col)
     val withH = batch.withColumn("__h", md5(col(textCol)))
     val fresh = withH.join(
       seenHashes.select(col("content_md5").as("__h")), Seq("__h"), "left_anti")
-    val keep = fresh.groupBy(col("__h"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    batch.join(keep, Seq(idCol), "left_semi")
+    fresh.groupBy(col("__h"))
+      .agg(min_by(struct(rowCols: _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** Simhash fingerprint + the b band keys used for LSH bucketing.
@@ -125,12 +150,11 @@ object Dedup {
       col("id").as("id_a"), col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col("key"),
       col("id").as("id_b"), col("simhash").as("sig_b"))
+    val obs = Observation()
     val big = banded.groupBy("band", "key").count()
-      .filter(col("count") > maxBucket).select("band", "key")
-    val nBig = big.count()
-    if (nBig > 0) log.warn(
-      s"simhashPairs: dropping $nBig band buckets larger than $maxBucket " +
-        "docs — near-dup coverage is capped for their members")
+      .filter(col("count") > maxBucket)
+      .observe(obs, count(lit(1)).as("n_big"))
+      .select("band", "key")
     val pairs = a.join(big, Seq("band", "key"), "left_anti")
       .join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -138,7 +162,9 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
-    materializeAndRelease(pairs, banded)
+    val out = materializeAndRelease(pairs, banded)
+    warnCappedBuckets(obs, "simhashPairs", maxBucket)
+    out
   }
 
   /** Connected components over an undirected edge list (id_a, id_b),
@@ -392,19 +418,20 @@ object Dedup {
     // degenerate-bucket cap, as in simhashPairs: boilerplate-identical
     // corpora can still make one band key huge; candidates are bounded
     // and the cap is logged when it fires
+    val obs = Observation()
     val big = banded.groupBy("band", "key").count()
-      .filter(col("count") > maxBucket).select("band", "key")
-    val nBig = big.count()
-    if (nBig > 0) log.warn(
-      s"minhashLshPairs: dropping $nBig band buckets larger than " +
-        s"$maxBucket docs — near-dup coverage is capped for their members")
+      .filter(col("count") > maxBucket)
+      .observe(obs, count(lit(1)).as("n_big"))
+      .select("band", "key")
     val capped = banded.join(big, Seq("band", "key"), "left_anti")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    materializeAndRelease(
+    val out = materializeAndRelease(
       verifyFromPostings(posts, cand, minJaccard), sigs, posts)
+    warnCappedBuckets(obs, "minhashLshPairs", maxBucket)
+    out
   }
 
   /** Exact word-n-gram Jaccard near-dup pairs via a PREFIX-FILTERED

@@ -13,7 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // DuckDB-oracle parity: x/0 -> null, junk casts -> null (the library
       // itself is ANSI-safe; this pins query-level division semantics).
-      .config("spark.sql.ansi.enabled", "false")
+      // SPARK_GRAFT_ANSI=true runs the identical catalog under ANSI mode —
+      // the full-catalog ANSI sweep; every query must still pass.
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -94,6 +94,27 @@ object EventStream {
       .dropDuplicates("__h")
       .drop("__h")
 
+  /** Watermark-bounded variant of [[incrementalDedupStream]] for
+    * timestamped doc streams — the bounded-state configuration SCALE.md
+    * recommends for indefinitely-running ingests: in-stream suppression
+    * uses `dropDuplicatesWithinWatermark` on the content hash, so the
+    * dedup state store holds only hashes whose first occurrence is within
+    * the watermark horizon (evicted as the watermark advances) instead of
+    * every hash ever seen. A re-occurrence farther apart than the horizon
+    * is NOT suppressed in-stream by design — it is caught by the
+    * periodically-refreshed static `seenHashes` snapshot on the anti-join
+    * side (re-read every micro-batch), which is the accumulated history
+    * the batch operator maintains anyway. */
+  def incrementalDedupStreamWatermarked(docs: DataFrame, textCol: String,
+                                        tsCol: String, seenHashes: DataFrame,
+                                        watermark: String): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .join(seenHashes.select(col("content_md5").as("__h")),
+        Seq("__h"), "left_anti")
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

@@ -204,6 +204,42 @@ class EventStreamSpec extends SparkSuite {
     assert(b.toSeq == ids.toSeq)
   }
 
+  test("watermarked incremental dedup: in-horizon dups drop, state evicts past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq(Tuple1("already ingested content")).toDF("text")
+      .select(md5($"text").as("content_md5"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = EventStream.incrementalDedupStreamWatermarked(
+      in.toDF().toDF("doc_id", "ts", "text"), "text", "ts", seen,
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck-wmdedup").toString)
+      .start()
+    // Batch 1: static-seen content drops; in-horizon re-occurrence of
+    // "fresh A" (1 min apart, horizon 10 min) drops.
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00"), "already ingested content"),
+      (2L, ts("2024-01-01 10:00:00"), "fresh A"),
+      (3L, ts("2024-01-01 10:01:00"), "fresh A"))
+    q.processAllAvailable()
+    // Batch 2: advance the watermark far past 10:00 + 10 min, evicting
+    // the "fresh A" state (bounded state — the point of the variant).
+    in.addData((99L, ts("2024-01-01 12:00:00"), "watermark flush doc"))
+    q.processAllAvailable()
+    // Batch 3: the SAME content re-occurs beyond the horizon — kept
+    // in-stream (state was evicted); history-level suppression is the
+    // static snapshot's job.
+    in.addData((5L, ts("2024-01-01 12:30:00"), "fresh A"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("wmdedup").select("doc_id").as[Long]
+      .collect().sorted
+    assert(ids.toSeq == Seq(2L, 5L, 99L))
+  }
+
   test("sliding windows overlap: one event lands in two 60/30-min windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,130 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sample.Sampling
+import graft.text.{CorpusStats, TextAnalysis}
+
+/** 10x scaling measurement for the training-pipeline operators added in
+  * round 4 (mixture resampling, Gopher gates, token-KL, incremental
+  * dedup): synthesizes a documents corpus at sf1-equivalent row count
+  * (50k docs; sf0.1 ships 5k) and at 10x that, writes it to parquet so
+  * every timed plan starts from a real columnar scan, and reports wall
+  * seconds per operator per scale plus the scaling factor. A linear
+  * operator should land near 10x (or below, when fixed session/job
+  * overhead dominates the small scale); anything super-linear flags a
+  * shuffle growing faster than the data. Results are recorded in
+  * SCALE.md.
+  *
+  * Deterministic corpus: ~120-token docs drawn from a 1,000-word
+  * hash-derived vocabulary with embedded stopwords (so quality gates and
+  * token stats exercise realistic branches), 7 sources with skewed
+  * frequencies (so mixture rates differ per stratum), and ~7.7% exact
+  * duplicates (doc_id % 13 copies its neighbor's text) so dedup does
+  * real work.
+  */
+object LlmScaleSmoke {
+
+  private def lcg(seed: Long): Long =
+    seed * 6364136223846793005L + 1442695040888963407L
+
+  private val stopwords = Array("the", "a", "is", "and", "of")
+  private val sources = Array("web", "books", "code", "wiki", "news",
+    "social", "academic")
+
+  /** Deterministic synthetic corpus (doc_id, source, text). */
+  private def synth(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    val vocab: Array[String] = (0 until 1000).map { i =>
+      val len = 3 + (math.abs(lcg(i.toLong * 31)) % 8).toInt
+      val sb = new java.lang.StringBuilder(len)
+      var k = 0
+      while (k < len) {
+        sb.append(('a' + (math.abs(lcg(i.toLong * 1009 + k)) % 26).toInt).toChar)
+        k += 1
+      }
+      sb.toString
+    }.toArray
+    spark.range(nDocs).as[Long].map { id =>
+      // % 13 docs duplicate their neighbor's content: real dedup work
+      val seed = if (id % 13 == 0 && id > 0) id - 1 else id
+      val nTok = 80 + (math.abs(lcg(seed * 7919)) % 80).toInt
+      val sb = new java.lang.StringBuilder(nTok * 7)
+      var t = 0
+      while (t < nTok) {
+        val h = math.abs(lcg(seed * 1000003 + t))
+        // every ~6th token is a stopword: Gopher stopword gate does work
+        val w = if (t % 6 == 0) stopwords((h % stopwords.length).toInt)
+                else vocab((h % vocab.length).toInt)
+        if (t > 0) sb.append(' ')
+        sb.append(w)
+        t += 1
+      }
+      // skewed source mix: source k gets ~(k+1)/28 of the corpus
+      val r = math.abs(lcg(id * 104729)) % 28
+      val src = sources(math.min(6, math.sqrt(r.toDouble * 2 + 0.25).toInt))
+      (id, src, sb.toString)
+    }.toDF("doc_id", "source", "text")
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def sink(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.map(_.toLong).getOrElse(50000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val weights = Map("web" -> 0.2, "books" -> 0.3, "code" -> 0.2,
+      "wiki" -> 0.1, "news" -> 0.1, "social" -> 0.05, "academic" -> 0.05)
+
+    val results = Seq(base, base * 10).map { n =>
+      val dir = Files.createTempDirectory(s"graft-llmscale-$n").toString
+      synth(spark, n).write.mode("overwrite").parquet(dir)
+      val docs = spark.read.parquet(dir)
+      // seen set = hashes of the first half: incremental dedup ingests
+      // the second half against real history
+      val half = n / 2
+      val ops: Seq[(String, () => Unit)] = Seq(
+        "gopher_gates" -> (() => sink(
+          TextAnalysis.gopherFilter(docs, "text")
+            .select("doc_id", "gopher_keep"))),
+        "token_kl" -> (() => sink(
+          CorpusStats.tokenDivergence(docs, "source", "text"))),
+        "mixture_sample" -> (() => sink(
+          Sampling.mixtureSample(docs, "source", "doc_id", weights,
+            targetRows = n / 10))),
+        "incremental_dedup" -> (() => sink(
+          Dedup.incrementalExactDedup(
+            docs.filter(col("doc_id") >= half), "doc_id", "text",
+            Dedup.exactGroups(docs.filter(col("doc_id") < half),
+              "doc_id", "text").select("content_md5")))))
+      val timed = ops.map { case (name, run) =>
+        run()                       // warm-up: codegen + parquet footers
+        name -> (1 to 2).map(_ => time(run())).min
+      }
+      n -> timed
+    }
+
+    val Seq((n1, t1), (n2, t2)) = results
+    println(f"""{"llm_scale_smoke": {"base_docs": $n1, "big_docs": $n2, "ops": [""")
+    t1.zip(t2).foreach { case ((name, s1), (_, s2)) =>
+      println(f"""  {"op": "$name", "sec_1x": $s1%.2f, "sec_10x": $s2%.2f, "factor": ${s2 / s1}%.2f},""")
+    }
+    println("]}}")
+    spark.stop()
+  }
+}

@@ -930,7 +930,69 @@ object CatalogLlm {
            |          WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = b.h))
            |SELECT min(id) AS id FROM fresh GROUP BY h ORDER BY id""".stripMargin))
 
+  /** Canonical text normalization (L36): NFC composition (native
+    * expression — the fixture is seeded with a decomposed e + U+0301 so
+    * composition does real work), lowercase, whitespace collapse, trim.
+    * Both engines implement UAX #15 NFC, so the cleaned strings compare
+    * byte-equal. */
+  private val q62 = Q("q62_normalize_text",
+    (s, dir) => {
+      import s.implicits._
+      val seeded = t(s, dir, "documents").select($"doc_id",
+        concat(lit("  THE  Quick "), $"text",
+          lit(" CAFE café  ")).as("text"))
+      TextAnalysis.normalizeText(seeded, "text")
+        .select($"doc_id", $"text_norm")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  trim(regexp_replace(lower(nfc_normalize(
+           |    '  THE  Quick ' || text || ' CAFE cafe' || chr(769) || '  ')),
+           |    '\s+', ' ', 'g')) AS text_norm
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Cross-corpus line dedup (L37, the C4-style cleaning step) over the
+    * dup-seeded corpus re-lined into 10-token lines: duplicate lines keep
+    * only their (min id, min pos) occurrence and docs are reassembled in
+    * order. The oracle replays lines as the same 10-token slices and
+    * ranks occurrences with a window; outputs compare md5 + length of
+    * the rebuilt text. Exact-dup docs lose ALL lines (their originals
+    * own every line); "+ extra"-mutated docs keep only their changed
+    * final line — both shapes are exercised by the seeding. */
+  private val q63 = Q("q63_line_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val lined = corpus(s, dir).select($"id",
+        array_join(
+          transform(
+            sequence(lit(0), floor((size(toks) - 1) / 10).cast("int")),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")),
+          "\n").as("text"))
+      Dedup.lineDedup(lined, "id", "text")
+        .select($"id", md5($"text").as("text_md5"),
+          length($"text").cast("long").as("n_chars"))
+        .orderBy($"id")
+    },
+    Some(s"""WITH $corpusSql,
+           |toks AS (SELECT id, string_split(text, ' ') AS tk FROM corpus),
+           |lines AS (SELECT id, i AS pos,
+           |            array_to_string(tk[i*10+1:i*10+10], ' ') AS line
+           |          FROM (SELECT id, tk,
+           |                  unnest(generate_series(0,
+           |                    CAST(floor((len(tk)-1)/10.0) AS INT))) AS i
+           |                FROM toks)),
+           |ranked AS (SELECT *, row_number()
+           |             OVER (PARTITION BY line ORDER BY id, pos) AS rn
+           |           FROM lines),
+           |rebuilt AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |            FROM ranked WHERE rn = 1 GROUP BY id)
+           |SELECT c.id, md5(coalesce(r.text, '')) AS text_md5,
+           |       length(coalesce(r.text, ''))::BIGINT AS n_chars
+           |FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id
+           |ORDER BY c.id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q51, q54, q55, q56, q57, q58, q59, q60)
+    q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63)
 }

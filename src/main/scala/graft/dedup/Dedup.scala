@@ -103,6 +103,40 @@ object Dedup {
       .select(col("__r.*"))
   }
 
+  /** Cross-corpus line-level dedup (the C4-style cleaning step): every
+    * duplicate LINE across the whole corpus is dropped except its first
+    * occurrence — "first" = lexicographically smallest (id, position) —
+    * and each document is reassembled from its surviving lines in
+    * original order (a doc losing every line survives with empty text).
+    * Returns (idCol, textCol).
+    *
+    * Scale shape: posexplode is narrow; first-occurrence is ONE
+    * min(struct(id, pos)) aggregate keyed by the 128-bit line hash
+    * (map-side partial, uniform key); the keep join lands on the same
+    * hash key, co-partitioned with the aggregate's output; reassembly is
+    * a per-doc collect bounded by document size. No all-pairs stage, no
+    * driver-side state. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "pos", "line")
+      .withColumn("__h", md5(col("line")))
+    val first = lines.groupBy("__h")
+      .agg(min(struct(col("id"), col("pos"))).as("__f"))
+    val kept = lines.join(first, Seq("__h"))
+      .filter(col("id") === col("__f.id") && col("pos") === col("__f.pos"))
+      .select("id", "pos", "line")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as(textCol))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Simhash fingerprint + the b band keys used for LSH bucketing.
     * bandBits * bands must be <= 64. word_shingles(text, 1) is the native
     * tokenizer (codegen'd, same boundaries as TextAnalysis.tokens). */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, MinhashHashes, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.DoubleType
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -38,6 +38,11 @@ object gfunctions {
     * dedup hot path; same token boundaries as TextAnalysis.shingles). */
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Unicode NFC normalization (UAX #15) of a STRING column, native +
+    * codegen'd — canonical forms match DuckDB `nfc_normalize`. */
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 
   /** Repetition counts of a STRING column in one native pass:
     * [total n-grams, distinct n-grams, n_tokens, max token count]. */

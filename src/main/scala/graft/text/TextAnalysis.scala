@@ -181,6 +181,18 @@ object TextAnalysis {
         rWords && rMeanLen && rAlpha && rStop && rRep)
   }
 
+  /** Canonical text cleaning — the opening stage of a training-data
+    * pipeline, so downstream hashes/shingles/dedup see one canonical
+    * form: Unicode NFC composition (native codegen'd expression — Spark
+    * has no built-in), lowercasing, whitespace collapse to single
+    * spaces, and edge trim, as `text_norm`. One narrow projection, no
+    * shuffle; the NFC kernel short-circuits on already-normalized
+    * (ASCII) rows. DuckDB twin:
+    * `trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g'))`. */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("text_norm",
+      trim(regexp_replace(lower(nfc_normalize(col(textCol))), "\\s+", " ")))
+
   /** Content fingerprints: exact (md5 hex of normalized text, oracle-able)
     * and rolling 64-bit (order-sensitive polynomial hash, engine-native). */
   def withFingerprints(df: DataFrame, textCol: String): DataFrame = {

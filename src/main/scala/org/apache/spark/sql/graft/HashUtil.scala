@@ -121,6 +121,18 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Unicode NFC normalization (canonical composition — e + U+0301
+    * combining acute becomes the single codepoint U+00E9). Same canonical
+    * forms as DuckDB's `nfc_normalize` (both implement UAX #15). The
+    * already-normalized fast path (`isNormalized`) avoids allocation on
+    * the overwhelmingly-common ASCII row. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** All quality-metric counts of a text in ONE character pass — no regex,
     * no token-array allocation. Returns
     * [n_tokens, n_non_ws, n_alpha, n_digit, n_marker_tokens].

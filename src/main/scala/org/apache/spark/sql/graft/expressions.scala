@@ -137,6 +137,31 @@ case class Md5Long(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string (UAX #15 canonical composition),
+  * matching DuckDB `nfc_normalize`. Spark has no built-in normalizer; a
+  * native expression keeps the cleaning stage inside whole-stage codegen
+  * (kernel has an isNormalized fast path, so ASCII corpora pay one scan
+  * and zero allocation per row).
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.nfcNormalize(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Word n-gram shingles of a string in a single native pass (tokenize on
   * \s+, join n consecutive tokens with one space). Replaces the
   * interpreted transform/slice/concat_ws chain in the dedup hot path —

@@ -45,6 +45,22 @@ class DedupSpec extends SparkSuite {
     assert(noSeen.toSeq == Seq(7L, 8L, 10L))
   }
 
+  test("lineDedup: cross-doc duplicate lines keep first (id,pos); docs reassemble in order") {
+    val corpus = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma\nshared line"),  // cross-doc dup + in-doc dup
+      (3L, "shared line"),                      // loses its only line
+      (4L, "delta\ndelta\nepsilon"))            // in-doc dup
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(corpus, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "alpha\nshared line\nbeta")
+    assert(got(2L) == "gamma")
+    assert(got(3L) == "")
+    assert(got(4L) == "delta\nepsilon")
+    assert(got.size == 4)   // every input doc survives as a row
+  }
+
   test("simhash identical docs have equal fingerprints; near dups are close") {
     val sigs = Dedup.withSimhash(docs, "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

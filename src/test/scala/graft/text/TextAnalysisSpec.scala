@@ -83,6 +83,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!got(5L)._5 && !got(5L)._6)
   }
 
+  test("normalizeText: NFC composes, lowercases, collapses whitespace, trims") {
+    // "cafe" + U+0301 combining acute (decomposed) must compose to the
+    // single-codepoint é and then equal the composed input's result
+    val df = Seq(
+      (1L, "  CAFE  café "),
+      (2L, "café café"),    // composed vs decomposed in one doc
+      (3L, "ALready\tnormal   text"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeText(df, "text")
+      .select($"doc_id", $"text_norm").as[(Long, String)].collect().toMap
+    assert(got(1L) == "cafe café")
+    assert(got(2L) == "café café")
+    assert(got(3L) == "already normal text")
+    // idempotent: normalizing the normalized column is a no-op
+    val twice = TextAnalysis.normalizeText(
+      TextAnalysis.normalizeText(df, "text")
+        .select($"doc_id", $"text_norm".as("text")), "text")
+      .select($"doc_id", $"text_norm").as[(Long, String)].collect().toMap
+    assert(twice == got)
+  }
+
   test("rolling fingerprint is order-sensitive, md5 fingerprint is not") {
     val df = Seq("a b c", "c b a").toDF("t")
     val fp = TextAnalysis.withFingerprints(df, "t").collect()

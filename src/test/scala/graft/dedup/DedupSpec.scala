@@ -61,6 +61,32 @@ class DedupSpec extends SparkSuite {
     assert(got.size == 4)   // every input doc survives as a row
   }
 
+  test("lineDedup matches brute-force first-wins on random line-colliding corpora") {
+    // small line vocabulary -> heavy cross-doc collisions; LCG-seeded so
+    // the case is reproducible
+    val vocab = Vector("aa bb", "cc dd", "ee ff", "gg hh", "ii jj", "kk ll")
+    var seed = 12345L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (math.abs(seed >>> 11) % bound).toInt
+    }
+    (1 to 3).foreach { _ =>
+      val corpus = (0 until 30).map { id =>
+        val n = 1 + next(4)
+        (id.toLong, (0 until n).map(_ => vocab(next(vocab.size))).mkString("\n"))
+      }
+      // brute force: docs in id order, lines in pos order, first global
+      // occurrence of a line wins
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = corpus.map { case (id, text) =>
+        id -> text.split("\n", -1).filter(seen.add).mkString("\n")
+      }.toMap
+      val got = Dedup.lineDedup(corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(got == expected)
+    }
+  }
+
   test("simhash identical docs have equal fingerprints; near dups are close") {
     val sigs = Dedup.withSimhash(docs, "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

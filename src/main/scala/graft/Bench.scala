@@ -63,7 +63,10 @@ object Bench {
 
     // Best-of-3 per query: later runs amortize one-time codegen / JIT and
     // shield the recorded number from transient host noise (a contended
-    // recording once masqueraded as a 2x regression).
+    // recording once masqueraded as a 2x regression). Protocol note:
+    // rounds 1-5 recorded best-of-2 — the "runs" field in the JSON marks
+    // which protocol a snapshot used, so cross-round deltas near the
+    // noise floor should be read against same-runs recordings.
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val queries = SparkEntry.queries

@@ -46,16 +46,19 @@ object Dedup {
 
   /** Log the degenerate-bucket cap warning from an [[Observation]] riding
     * the candidate join (a CollectMetrics node over the big-bucket side),
-    * instead of a dedicated count() job per dedup call. Read AFTER the
-    * eager materialization action, so the metric is already collected;
-    * the non-blocking future.value keeps this safe if the plan ever
-    * prunes the CollectMetrics node. */
+    * instead of a dedicated count() job per dedup call. Called AFTER the
+    * eager materialization action — but the observation completes on the
+    * ASYNC listener bus (SQLExecutionEnd), typically milliseconds later,
+    * so this waits briefly for it rather than racing a non-blocking read
+    * (which would silently drop the warning nearly every time). */
   private def warnCappedBuckets(obs: Observation, op: String,
                                 maxBucket: Int): Unit = {
+    val row = scala.util.Try(scala.concurrent.Await.result(
+      obs.future, scala.concurrent.duration.Duration(10, "s"))).toOption
     // AQE may replace the join against an EMPTY big-bucket side with the
-    // streamed side alone, pruning the CollectMetrics node — the future
-    // then completes with a schema-less row, which correctly means 0.
-    val n = obs.future.value.flatMap(_.toOption).flatMap { r =>
+    // streamed side alone, pruning the CollectMetrics node — the
+    // observation then completes with a schema-less row, correctly 0.
+    val n = row.flatMap { r =>
       Option(r.schema).filter(_.fieldNames.contains("n_big"))
         .map(_ => r.getAs[Long]("n_big"))
     }.getOrElse(0L)

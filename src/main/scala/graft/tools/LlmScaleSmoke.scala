@@ -91,13 +91,22 @@ object LlmScaleSmoke {
     val weights = Map("web" -> 0.2, "books" -> 0.3, "code" -> 0.2,
       "wiki" -> 0.1, "news" -> 0.1, "social" -> 0.05, "academic" -> 0.05)
 
+    val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     val results = Seq(base, base * 10).map { n =>
-      val dir = Files.createTempDirectory(s"graft-llmscale-$n").toString
-      synth(spark, n).write.mode("overwrite").parquet(dir)
-      val docs = spark.read.parquet(dir)
-      // seen set = hashes of the first half: incremental dedup ingests
-      // the second half against real history
+      val dirPath = Files.createTempDirectory(s"graft-llmscale-$n")
+      tmpDirs += dirPath
+      val dir = dirPath.toString
+      synth(spark, n).write.mode("overwrite").parquet(s"$dir/docs")
+      val docs = spark.read.parquet(s"$dir/docs")
+      // seen set = hashes of the first half, materialized to parquet
+      // OUTSIDE the timed closure — the L32 contract is "anti-join the
+      // ACCUMULATED hash set", so history construction must not pollute
+      // the operator's measurement
       val half = n / 2
+      Dedup.exactGroups(docs.filter(col("doc_id") < half), "doc_id", "text")
+        .select("content_md5")
+        .write.mode("overwrite").parquet(s"$dir/seen")
+      val seen = spark.read.parquet(s"$dir/seen")
       val ops: Seq[(String, () => Unit)] = Seq(
         "gopher_gates" -> (() => sink(
           TextAnalysis.gopherFilter(docs, "text")
@@ -109,9 +118,7 @@ object LlmScaleSmoke {
             targetRows = n / 10))),
         "incremental_dedup" -> (() => sink(
           Dedup.incrementalExactDedup(
-            docs.filter(col("doc_id") >= half), "doc_id", "text",
-            Dedup.exactGroups(docs.filter(col("doc_id") < half),
-              "doc_id", "text").select("content_md5")))))
+            docs.filter(col("doc_id") >= half), "doc_id", "text", seen))))
       val timed = ops.map { case (name, run) =>
         run()                       // warm-up: codegen + parquet footers
         name -> (1 to 2).map(_ => time(run())).min
@@ -120,11 +127,15 @@ object LlmScaleSmoke {
     }
 
     val Seq((n1, t1), (n2, t2)) = results
-    println(f"""{"llm_scale_smoke": {"base_docs": $n1, "big_docs": $n2, "ops": [""")
-    t1.zip(t2).foreach { case ((name, s1), (_, s2)) =>
-      println(f"""  {"op": "$name", "sec_1x": $s1%.2f, "sec_10x": $s2%.2f, "factor": ${s2 / s1}%.2f},""")
-    }
-    println("]}}")
+    val opsJson = t1.zip(t2).map { case ((name, s1), (_, s2)) =>
+      f"""{"op": "$name", "sec_1x": $s1%.2f, "sec_10x": $s2%.2f, "factor": ${s2 / s1}%.2f}"""
+    }.mkString(", ")
+    println(s"""{"llm_scale_smoke": {"base_docs": $n1, "big_docs": $n2, "ops": [$opsJson]}}""")
     spark.stop()
+    tmpDirs.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
   }
 }

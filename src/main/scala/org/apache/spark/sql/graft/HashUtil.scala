@@ -123,10 +123,12 @@ object TextKernels {
 
   /** Unicode NFC normalization (canonical composition — e + U+0301
     * combining acute becomes the single codepoint U+00E9). Same canonical
-    * forms as DuckDB's `nfc_normalize` (both implement UAX #15). The
-    * already-normalized fast path (`isNormalized`) avoids allocation on
-    * the overwhelmingly-common ASCII row. */
+    * forms as DuckDB's `nfc_normalize` (both implement UAX #15). ASCII is
+    * closed under NFC, so the common all-ASCII row returns after one
+    * byte scan with ZERO allocation (no UTF-16 decode); non-ASCII rows
+    * decode once, and only rows that actually change re-encode. */
   def nfcNormalize(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

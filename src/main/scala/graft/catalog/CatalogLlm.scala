@@ -1001,7 +1001,83 @@ object CatalogLlm {
            |FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id
            |ORDER BY c.id""".stripMargin))
 
+  /** Snapshot corpus delta (L38): old = docs with id % 3 != 0, new =
+    * docs with id % 4 != 0 where every id % 5 == 0 doc was re-crawled
+    * with changed content — exercises added (new ids + mutated content),
+    * removed (dropped ids + the mutated docs' old content), and retained
+    * in one diff. Compared at the status-summary level (counts of
+    * distinct contents and doc multiplicities per side). */
+  private val q64 = Q("q64_corpus_delta",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val old = docs.filter($"doc_id" % 3 =!= 0).select($"doc_id", $"text")
+      val neu = docs.filter($"doc_id" % 4 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, concat($"text", lit(" recrawled")))
+            .otherwise($"text").as("text"))
+      Dedup.corpusDelta(old, neu, "text")
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_contents"),
+          sum($"n_old").as("docs_old"), sum($"n_new").as("docs_new"))
+        .orderBy($"status")
+    },
+    Some("""WITH old AS (SELECT md5(text) AS h, count(*) AS n_old
+           |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY md5(text)),
+           |neu AS (SELECT md5(CASE WHEN doc_id % 5 = 0
+           |                        THEN text || ' recrawled' ELSE text END) AS h,
+           |        count(*) AS n_new
+           |  FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1),
+           |delta AS (SELECT coalesce(old.h, neu.h) AS h,
+           |            coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+           |            CASE WHEN old.h IS NULL THEN 'added'
+           |                 WHEN neu.h IS NULL THEN 'removed'
+           |                 ELSE 'retained' END AS status
+           |          FROM old FULL OUTER JOIN neu ON old.h = neu.h)
+           |SELECT status, count(*) AS n_contents,
+           |       sum(n_old)::BIGINT AS docs_old, sum(n_new)::BIGINT AS docs_new
+           |FROM delta GROUP BY status ORDER BY status""".stripMargin))
+
+  /** Quality-gate threshold sweep (L39) over the 4-dp quality scores:
+    * per observed 0.05-wide score bucket, docs in the bucket and docs
+    * surviving a >= threshold gate (suffix sum). */
+  private val q65 = Q("q65_gate_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val scored = TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+      TextAnalysis.gateSweep(scored, "quality_score")
+    },
+    Some("""WITH m AS (SELECT doc_id,
+           |  len(regexp_extract_all(text, '\S+')) AS n_tok,
+           |  length(text) AS n_chars,
+           |  len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+           |  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+           |  len(regexp_extract_all(text, '\S')) AS n_nonws,
+           |  len(list_filter(regexp_extract_all(text, '\S+'),
+           |      t -> t IN ('the','a','is','and','of'))) AS n_stop
+           |  FROM documents),
+           |r AS (SELECT doc_id,
+           |  CASE WHEN n_tok > 0 THEN round(n_nonws / CAST(n_tok AS DOUBLE), 4) ELSE 0.0 END AS mean_token_len,
+           |  CASE WHEN n_chars > 0 THEN round(n_alpha / CAST(n_chars AS DOUBLE), 4) ELSE 0.0 END AS alpha_ratio,
+           |  CASE WHEN n_chars > 0 THEN round(n_digit / CAST(n_chars AS DOUBLE), 4) ELSE 0.0 END AS digit_ratio,
+           |  CASE WHEN n_tok > 0 THEN round(n_stop / CAST(n_tok AS DOUBLE), 4) ELSE 0.0 END AS stopword_ratio
+           |  FROM m),
+           |q AS (SELECT round(0.4 * alpha_ratio
+           |      + 0.3 * (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+           |      + 0.2 * least(stopword_ratio * 5.0, 1.0)
+           |      + 0.1 * (1.0 - least(digit_ratio * 10.0, 1.0)), 4) AS score FROM r),
+           |b AS (SELECT CAST(floor(round(score / 0.05, 6)) AS INT) AS bucket,
+           |             count(*) AS n_bucket
+           |      FROM q GROUP BY 1),
+           |k AS (SELECT bucket, n_bucket,
+           |        sum(n_bucket) OVER (ORDER BY bucket DESC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_keep
+           |      FROM b)
+           |SELECT round(bucket * 0.05::DOUBLE, 2) AS threshold, n_bucket,
+           |       n_keep::BIGINT AS n_keep
+           |FROM k ORDER BY threshold""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63)
+    q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65)
 }

@@ -106,6 +106,29 @@ object Dedup {
       .select(col("__r.*"))
   }
 
+  /** Snapshot-to-snapshot corpus delta — the ingest-drift diagnostic run
+    * between two corpus versions: classifies every distinct CONTENT
+    * (by 128-bit hash) as `added` (only in the new snapshot), `removed`
+    * (only in the old), or `retained`, with its doc multiplicity on each
+    * side. Comparison happens on the hash sets — two map-side-partial
+    * aggregations (16 B per distinct content) and one full-outer join on
+    * the uniform hash key; the document text is scanned once per side
+    * and never shuffled. Output: (content_md5, n_old, n_new, status). */
+  def corpusDelta(oldDf: DataFrame, newDf: DataFrame,
+                  textCol: String): DataFrame = {
+    val oh = oldDf.select(md5(col(textCol)).as("content_md5"))
+      .groupBy("content_md5").agg(count(lit(1)).as("n_old"))
+    val nh = newDf.select(md5(col(textCol)).as("content_md5"))
+      .groupBy("content_md5").agg(count(lit(1)).as("n_new"))
+    oh.join(nh, Seq("content_md5"), "full_outer")
+      .select(col("content_md5"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("n_old").isNull, lit("added"))
+          .when(col("n_new").isNull, lit("removed"))
+          .otherwise(lit("retained")).as("status"))
+  }
+
   /** Cross-corpus line-level dedup (the C4-style cleaning step): every
     * duplicate LINE across the whole corpus is dropped except its first
     * occurrence — "first" = lexicographically smallest (id, position) —

@@ -181,6 +181,31 @@ object TextAnalysis {
         rWords && rMeanLen && rAlpha && rStop && rRep)
   }
 
+  /** Quality-gate threshold sweep — the calibration table used to CHOOSE
+    * a filter cutoff: for every observed score bucket (width `step`),
+    * how many documents survive a `score >= bucket*step` gate. One
+    * narrow scoring pass, a bucket-cardinality aggregate (map-side
+    * partial; ≤ 1/step + 1 buckets regardless of corpus size), and a
+    * suffix-sum window over that tiny table. The epsilon-killing
+    * round(·, 6) before floor keeps bucket boundaries engine-independent
+    * for 4-dp-rounded scores (the q35 lesson). Output:
+    * (threshold, n_bucket, n_keep) ascending. */
+  def gateSweep(df: DataFrame, scoreCol: String,
+                step: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df
+      .select(floor(round(col(scoreCol) / step, 6)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
+    // suffix sum over the bounded bucket table (single-partition window
+    // over <= 1/step + 1 rows — same documented trade as BH's small side)
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("n_keep", sum(col("n_bucket")).over(w))
+      .select(round(col("bucket") * step, 2).as("threshold"),
+        col("n_bucket"), col("n_keep"))
+      .orderBy(col("threshold"))
+  }
+
   /** Canonical text cleaning — the opening stage of a training-data
     * pipeline, so downstream hashes/shingles/dedup see one canonical
     * form: Unicode NFC composition (native codegen'd expression — Spark

@@ -61,6 +61,22 @@ class DedupSpec extends SparkSuite {
     assert(got.size == 4)   // every input doc survives as a row
   }
 
+  test("corpusDelta classifies added/removed/retained content with multiplicities") {
+    val old = Seq((1L, "stable doc"), (2L, "stable doc"), (3L, "dropped doc"),
+      (4L, "mutated doc v1")).toDF("doc_id", "text")
+    val neu = Seq((1L, "stable doc"), (5L, "brand new doc"),
+      (4L, "mutated doc v2")).toDF("doc_id", "text")
+    val got = Dedup.corpusDelta(old, neu, "text")
+      .select($"status", $"n_old", $"n_new")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      ("added", 0L, 1L),      // brand new doc
+      ("added", 0L, 1L),      // mutated v2 content is new
+      ("removed", 1L, 0L),    // dropped doc
+      ("removed", 1L, 0L),    // mutated v1 content vanished
+      ("retained", 2L, 1L)))  // stable content: 2 docs before, 1 after
+  }
+
   test("lineDedup matches brute-force first-wins on random line-colliding corpora") {
     // small line vocabulary -> heavy cross-doc collisions; LCG-seeded so
     // the case is reproducible

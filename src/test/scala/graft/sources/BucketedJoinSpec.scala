@@ -36,4 +36,39 @@ class BucketedJoinSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS b_scores")
     }
   }
+
+  test("incremental dedup's anti join reads a bucketed hash history without exchanging it") {
+    // Pins SCALE.md's L32 claim: with the accumulated content_md5 set
+    // stored bucketed on the hash, the per-ingest anti join never
+    // re-shuffles the history — only the (much smaller) ingest batch
+    // moves. The history side must plan ZERO ShuffleExchange.
+    import org.apache.spark.sql.functions.{col, md5}
+    spark.sql("DROP TABLE IF EXISTS b_seen")
+    (0L until 500L).map(i => s"historic doc $i").toDF("text")
+      .select(md5(col("text")).as("content_md5"))
+      .write.bucketBy(8, "content_md5").sortBy("content_md5")
+      .saveAsTable("b_seen")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = (Seq((1L, "historic doc 7"), (2L, "historic doc 7")) ++
+        Seq((3L, "fresh doc"), (4L, "fresh doc"), (5L, "another fresh")))
+        .toDF("doc_id", "text")
+      val out = graft.dedup.Dedup.incrementalExactDedup(
+        batch, "doc_id", "text", spark.table("b_seen"))
+      // history side arrives pre-placed: every shuffle in the plan must
+      // originate from the batch/aggregate side, never from b_seen's scan
+      val plan = out.queryExecution.executedPlan
+      val shuffledScans = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.toString.contains("b_seen") => e
+      }
+      assert(shuffledScans.isEmpty,
+        s"bucketed history must not re-shuffle: ${shuffledScans.map(_.nodeName)}")
+      val kept = out.select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(3L, 5L))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_seen")
+    }
+  }
 }

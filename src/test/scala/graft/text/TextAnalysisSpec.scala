@@ -83,6 +83,16 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!got(5L)._5 && !got(5L)._6)
   }
 
+  test("gateSweep: suffix-sum survivors per threshold bucket") {
+    val df = Seq(0.12, 0.14, 0.31, 0.47, 0.48, 0.93).toDF("quality_score")
+    val got = TextAnalysis.gateSweep(df, "quality_score", step = 0.1)
+      .as[(Double, Long, Long)].collect().toSeq
+    // buckets: 0.1 -> 2 docs, 0.3 -> 1, 0.4 -> 2, 0.9 -> 1; n_keep is the
+    // count surviving score >= threshold
+    assert(got == Seq((0.1, 2L, 6L), (0.3, 1L, 4L), (0.4, 2L, 3L),
+      (0.9, 1L, 1L)))
+  }
+
   test("normalizeText: NFC composes, lowercases, collapses whitespace, trims") {
     // "cafe" + U+0301 combining acute (decomposed) must compose to the
     // single-codepoint é and then equal the composed input's result

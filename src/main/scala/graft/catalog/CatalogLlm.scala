@@ -1077,7 +1077,82 @@ object CatalogLlm {
            |       n_keep::BIGINT AS n_keep
            |FROM k ORDER BY threshold""".stripMargin))
 
+  /** ExactSubstr-style duplicated-span statistics (L40) over the
+    * dup-seeded corpus, k = 8 token windows: per affected doc, total
+    * windows, removable (non-first duplicated) windows, and the exact
+    * token mass covered by removable spans (interval union). The oracle
+    * replays the same window hashing (md5 of the space-joined 8-gram)
+    * and the same gaps-and-islands merge. */
+  private val q66 = Q("q66_span_stats",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.duplicateSpanStats(corpus(s, dir), "id", "text", k = 8)
+        .filter($"n_removable" > 0)
+        .orderBy($"id")
+    },
+    Some(s"""WITH $corpusSql,
+           |tk AS (SELECT id, regexp_extract_all(text, '\\S+') AS t FROM corpus),
+           |w AS (SELECT id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+           |      FROM (SELECT id, t, unnest(generate_series(1, len(t) - 7)) AS i
+           |            FROM tk)),
+           |d AS (SELECT id, pos,
+           |        row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn,
+           |        count(*) OVER (PARTITION BY h) AS n
+           |      FROM w),
+           |rm AS (SELECT id, pos FROM d WHERE n >= 2 AND rn > 1),
+           |isl AS (SELECT id, pos, CASE WHEN pos > coalesce(max(pos + 7) OVER
+           |          (PARTITION BY id ORDER BY pos
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           |        THEN 1 ELSE 0 END AS f FROM rm),
+           |seg AS (SELECT id, pos, sum(f) OVER (PARTITION BY id ORDER BY pos) AS g
+           |        FROM isl),
+           |cov AS (SELECT id, sum(e - s + 1) AS dup_tokens FROM
+           |          (SELECT id, g, min(pos) AS s, max(pos) + 7 AS e
+           |           FROM seg GROUP BY id, g)
+           |        GROUP BY id),
+           |cnt AS (SELECT id, count(*) AS n_removable FROM rm GROUP BY id),
+           |tot AS (SELECT id, len(t) AS n_tok, greatest(len(t) - 7, 0) AS n_windows
+           |        FROM tk)
+           |SELECT tot.id, n_windows, n_removable, dup_tokens,
+           |       round(dup_tokens / CAST(n_tok AS DOUBLE), 4) AS dup_frac
+           |FROM tot JOIN cnt USING (id) JOIN cov USING (id)
+           |ORDER BY tot.id""".stripMargin))
+
+  /** ExactSubstr-style span REMOVAL (L40's rewrite pass) on the same
+    * corpus: every token covered by a removable window is dropped, docs
+    * reassembled token-order, space-joined (the q63 compare shape). */
+  private val q67 = Q("q67_span_mask",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.maskDuplicateSpans(corpus(s, dir), "id", "text", k = 8)
+        .orderBy($"id")
+    },
+    Some(s"""WITH $corpusSql,
+           |tk AS (SELECT id, regexp_extract_all(text, '\\S+') AS t FROM corpus),
+           |w AS (SELECT id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+           |      FROM (SELECT id, t, unnest(generate_series(1, len(t) - 7)) AS i
+           |            FROM tk)),
+           |d AS (SELECT id, pos,
+           |        row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn,
+           |        count(*) OVER (PARTITION BY h) AS n
+           |      FROM w),
+           |rm AS (SELECT id, pos FROM d WHERE n >= 2 AND rn > 1),
+           |cp AS (SELECT DISTINCT id, p FROM
+           |        (SELECT id, unnest(generate_series(pos, pos + 7)) AS p FROM rm)),
+           |toks AS (SELECT id, i - 1 AS p, t[i] AS tok
+           |         FROM (SELECT id, t, unnest(generate_series(1, len(t))) AS i
+           |               FROM tk)),
+           |kept AS (SELECT toks.id, toks.p, toks.tok FROM toks
+           |         WHERE NOT EXISTS (SELECT 1 FROM cp
+           |                           WHERE cp.id = toks.id AND cp.p = toks.p)),
+           |reb AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS text
+           |        FROM kept GROUP BY id)
+           |SELECT c.id, coalesce(r.text, '') AS text
+           |FROM corpus c LEFT JOIN reb r ON c.id = r.id
+           |ORDER BY c.id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65)
+    q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
+    q66, q67)
 }

@@ -163,6 +163,106 @@ object Dedup {
         coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Duplicated k-token windows across the corpus — the detection core
+    * of ExactSubstr-style span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed at token
+    * granularity): every k-token window whose content occurs more than
+    * once corpus-wide is a duplicated span; the occurrence with the
+    * smallest (id, pos) is canonical, every other is removable.
+    * Output: (id, pos, is_first) — duplicated windows only.
+    *
+    * Scale shape: the window posexplode is narrow and hashes each window
+    * to 128 bits BEFORE the shuffle (the shuffle carries ~40 B per token
+    * position — corpus-proportional, same order as the shingle ops);
+    * first-occurrence is one min(struct(id,pos)) aggregate keyed by the
+    * uniform window hash (map-side partial); the detail join back lands
+    * co-partitioned on that hash and only the n >= 2 groups flow into
+    * it. No all-pairs stage, no suffix array, no driver state. */
+  def duplicateSpanWindows(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val wins = df
+      .select(col(idCol).as("id"), posexplode(word_shingles(col(textCol), k)))
+      .toDF("id", "pos", "win")
+      .select(col("id"), col("pos"), md5(col("win")).as("__h"))
+    val dup = wins.groupBy("__h")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id"), col("pos"))).as("__f"))
+      .filter(col("n") >= 2)
+    wins.join(dup, Seq("__h"))
+      .select(col("id"), col("pos"),
+        (col("id") === col("__f.id") && col("pos") === col("__f.pos"))
+          .as("is_first"))
+  }
+
+  /** Per-document duplicated-span statistics — the measurement pass run
+    * before committing to span removal: window counts plus the exact
+    * token mass covered by REMOVABLE windows (union of their
+    * [pos, pos+k-1] intervals, merged gaps-and-islands style inside the
+    * per-doc window — per-doc bounded, co-partitioned by doc id).
+    * Output per input doc: (id, n_windows, n_removable, dup_tokens,
+    * dup_frac), zeros for clean docs. */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8): DataFrame = {
+    val rm = duplicateSpanWindows(df, idCol, textCol, k)
+      .filter(!col("is_first"))
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = rm
+      .withColumn("newi",
+        when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("isl", sum(col("newi"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cov = islands.groupBy("id", "isl")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+      .groupBy("id")
+      .agg(sum(col("e") - col("s") + 1).as("dup_tokens"))
+    val cnt = rm.groupBy("id").agg(count(lit(1)).as("n_removable"))
+    val tot = df.select(col(idCol).as("id"),
+      size(word_shingles(col(textCol), 1)).as("n_tok"),
+      greatest(size(word_shingles(col(textCol), k)), lit(0)).as("n_windows"))
+    tot.join(cnt, Seq("id"), "left").join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_removable"), lit(0L)).as("n_removable"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tok") > 0,
+          round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tok"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** ExactSubstr-style span REMOVAL: drops every token covered by a
+    * removable duplicated window (first corpus-wide occurrence keeps its
+    * text) and reassembles each document from its surviving tokens in
+    * order, single-space joined — a token-level op, so original inter-token
+    * whitespace is normalized (documented contract, as in lineDedup's
+    * line granularity). Docs losing everything (or token-less to begin
+    * with) survive with empty text. Returns (idCol, textCol).
+    *
+    * Scale: covered positions explode k rows per removable window
+    * (duplicate-mass-proportional, k small); the keep anti-join is keyed
+    * (id, pos); reassembly is the per-doc bounded collect of lineDedup. */
+  def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8): DataFrame = {
+    val covered = duplicateSpanWindows(df, idCol, textCol, k)
+      .filter(!col("is_first"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("id"), posexplode(word_shingles(col(textCol), 1)))
+      .toDF("id", "pos", "tok")
+    val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as(textCol))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Simhash fingerprint + the b band keys used for LSH bucketing.
     * bandBits * bands must be <= 64. word_shingles(text, 1) is the native
     * tokenizer (codegen'd, same boundaries as TextAnalysis.tokens). */

@@ -103,6 +103,84 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("duplicateSpanStats + maskDuplicateSpans on a hand-checked overlap") {
+    // k=3 windows: "a b c" and "b c d" occur in both docs; doc 1 holds
+    // the first occurrences, doc 2's copies at pos 1,2 are removable ->
+    // intervals [1,3] and [2,4] merge to [1,4]: 4 covered tokens of 6.
+    val docs3 = Seq((1L, "a b c d e f"), (2L, "x a b c d y"), (3L, "short"))
+      .toDF("id", "text")
+    val stats = Dedup.duplicateSpanStats(docs3, "id", "text", k = 3)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats(1L) == ((1L, 4, 0L, 0L, 0.0)))
+    assert(stats(2L) == ((2L, 4, 2L, 4L, 0.6667)))
+    assert(stats(3L) == ((3L, 0, 0L, 0L, 0.0)))
+    val masked = Dedup.maskDuplicateSpans(docs3, "id", "text", k = 3)
+      .as[(Long, String)].collect().toMap
+    assert(masked == Map(1L -> "a b c d e f", 2L -> "x y", 3L -> "short"))
+  }
+
+  test("span dedup matches brute force on random window-colliding corpora") {
+    // tiny vocabulary -> heavy cross- and intra-doc window collisions
+    val vocab = Vector("aa", "bb", "cc")
+    val k = 2
+    var seed = 98765L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (math.abs(seed >>> 11) % bound).toInt
+    }
+    (1 to 3).foreach { _ =>
+      val corpus = (0 until 25).map { id =>
+        val n = next(8)  // includes token-less and sub-k docs
+        (id.toLong, (0 until n).map(_ => vocab(next(vocab.size))).mkString(" "))
+      }
+      // brute force: first global occurrence of a window (by id, pos)
+      // wins; other occurrences' [pos, pos+k-1] tokens are removed
+      val occ = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      val winsByDoc = corpus.map { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        id -> t.sliding(k).zipWithIndex.toSeq.collect {
+          case (w, p) if w.length == k => (w.mkString(" "), p)
+        }
+      }.toMap
+      winsByDoc.toSeq.sortBy(_._1).foreach { case (id, ws) =>
+        ws.foreach { case (w, p) =>
+          if (!occ.contains(w)) occ(w) = (id, p)
+        }
+      }
+      val counts = winsByDoc.values.flatten.groupBy(_._1).map {
+        case (w, os) => w -> os.size
+      }
+      val expMask = corpus.map { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        val rm = winsByDoc(id).collect {
+          case (w, p) if counts(w) >= 2 && occ(w) != ((id, p)) => p
+        }
+        val covered = rm.flatMap(p => p until p + k).toSet
+        id -> t.zipWithIndex.collect {
+          case (tok, i) if !covered.contains(i) => tok
+        }.mkString(" ")
+      }.toMap
+      val expStats = corpus.map { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        val rm = winsByDoc(id).collect {
+          case (w, p) if counts(w) >= 2 && occ(w) != ((id, p)) => p
+        }
+        val covered = rm.flatMap(p => p until p + k).toSet.size.toLong
+        id -> ((math.max(t.length - k + 1, 0), rm.size.toLong, covered))
+      }.toMap
+      val df = corpus.toDF("id", "text")
+      val gotMask = Dedup.maskDuplicateSpans(df, "id", "text", k)
+        .as[(Long, String)].collect().toMap
+      assert(gotMask == expMask)
+      val gotStats = Dedup.duplicateSpanStats(df, "id", "text", k)
+        .select($"id", $"n_windows", $"n_removable", $"dup_tokens")
+        .as[(Long, Int, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(gotStats == expStats)
+    }
+  }
+
   test("simhash identical docs have equal fingerprints; near dups are close") {
     val sigs = Dedup.withSimhash(docs, "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

@@ -1151,8 +1151,32 @@ object CatalogLlm {
            |FROM corpus c LEFT JOIN reb r ON c.id = r.id
            |ORDER BY c.id""".stripMargin))
 
+  /** Bloom-guarded incremental dedup (L41): same contract as q60's plain
+    * anti-join — the oracle IS the exact form, proving the bloom routing
+    * changes nothing. Different ingest split (history = id % 3 == 0) so
+    * the two entries exercise different dup mixes; bloom deliberately
+    * undersized (high fpp) to push real traffic down both branches. */
+  private val q68 = Q("q68_bloom_incremental_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val c = corpus(s, dir)
+      val seen = Dedup.exactGroups(c.filter($"id" % 3 === 0), "id", "text")
+        .select($"content_md5")
+      val bloom = Dedup.seenBloom(seen, expectedItems = 500L, fpp = 0.05)
+      Dedup.bloomGuardedIncrementalDedup(
+          c.filter($"id" % 3 =!= 0), "id", "text", seen, bloom)
+        .select($"id")
+        .orderBy($"id")
+    },
+    Some(s"""WITH $corpusSql,
+           |seen AS (SELECT DISTINCT md5(text) AS h FROM corpus WHERE id % 3 = 0),
+           |batch AS (SELECT id, md5(text) AS h FROM corpus WHERE id % 3 <> 0),
+           |fresh AS (SELECT b.id, b.h FROM batch b
+           |          WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = b.h))
+           |SELECT min(id) AS id FROM fresh GROUP BY h ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
-    q66, q67)
+    q66, q67, q68)
 }

@@ -106,6 +106,51 @@ object Dedup {
       .select(col("__r.*"))
   }
 
+  /** Serialize the accumulated content-hash set (a `content_md5` column,
+    * e.g. [[exactGroups]] output) into a Bloom filter. Built with the
+    * public distributed `stat.bloomFilter` aggregation (map-side partial
+    * merge); the result is `~1.2 * expectedItems * ln(1/fpp)` BITS — a
+    * billion-hash history at 1% fpp is ~1.2 GB, broadcastable where the
+    * hash set itself is a multi-TB join side. */
+  def seenBloom(seenHashes: DataFrame, expectedItems: Long,
+                fpp: Double = 0.01): Array[Byte] = {
+    val bf = seenHashes.stat.bloomFilter("content_md5", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Bloom-guarded incremental exact dedup — [[incrementalExactDedup]]
+    * with the history anti-join short-circuited for the typical case:
+    * rows whose content hash is definitively absent from the Bloom filter
+    * (no false negatives) skip the join entirely; only the
+    * might-be-seen sliver (true dups + fpp of the new mass) anti-joins
+    * the real hash set, which stays the exactness backstop. Output is
+    * IDENTICAL to [[incrementalExactDedup]] for any bloom built over
+    * `seenHashes` — the filter only routes rows between branches.
+    *
+    * At 100 TB: the history set is billions of rows; joining every batch
+    * against it (even co-located via bucketing) reads it per ingest. The
+    * bloom is built once per epoch ([[seenBloom]]), shipped as a few-GB
+    * plan constant, and turns the per-batch history cost into
+    * `fpp * |batch|` join rows. The batch is scanned once per branch
+    * (twice total) — batch IO is the small side by construction. */
+  def bloomGuardedIncrementalDedup(batch: DataFrame, idCol: String,
+                                   textCol: String, seenHashes: DataFrame,
+                                   bloomBytes: Array[Byte]): DataFrame = {
+    val rowCols = batch.columns.map(col)
+    val withH = batch.withColumn("__h", md5(col(textCol)))
+    val probe = bloom_might_contain(bloomBytes, col("__h"))
+    val definitelyNew = withH.filter(!probe)
+    val maybeSeen = withH.filter(probe)
+      .join(seenHashes.select(col("content_md5").as("__h")),
+        Seq("__h"), "left_anti")
+    definitelyNew.unionByName(maybeSeen)
+      .groupBy(col("__h"))
+      .agg(min_by(struct(rowCols: _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** Snapshot-to-snapshot corpus delta — the ingest-drift diagnostic run
     * between two corpus versions: classifies every distinct CONTENT
     * (by 128-bit hash) as `added` (only in the new snapshot), `removed`

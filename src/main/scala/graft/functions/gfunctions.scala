@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.DoubleType
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -66,6 +66,14 @@ object gfunctions {
                         dim: Int): Column =
     ColumnBridge.column(LshTableBuckets(
       ColumnBridge.expression(vec), tables, planesPerTable, dim))
+
+  /** Bloom-filter membership probe of a STRING column against a
+    * serialized sketch BloomFilter literal (codegen'd; no false
+    * negatives, build-time fpp on positives). */
+  def bloom_might_contain(bloomBytes: Array[Byte], value: Column): Column =
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(lit(bloomBytes)),
+      ColumnBridge.expression(value)))
 
   /** NaN / +-Inf -> null (F4, `pipeline2.py:617` inf coercion plus graft's
     * NaN-as-null discipline, SURVEY §1.2). */

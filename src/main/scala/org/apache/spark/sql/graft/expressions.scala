@@ -321,3 +321,43 @@ case class RollingHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Bloom-filter membership probe of a STRING column against a serialized
+  * `org.apache.spark.util.sketch.BloomFilter` (as built by the public
+  * `DataFrameStatFunctions.bloomFilter`, which puts the string's UTF-8
+  * bytes). The filter binary must be foldable; it is deserialized once
+  * (lazily, per JVM) and shipped to generated code as a reference object,
+  * so the probe stays inside whole-stage codegen. No false negatives —
+  * a `false` is definitive; `true` carries the build-time fpp.
+  *
+  * Scale role: guards the incremental-dedup history anti-join — the
+  * overwhelmingly-new portion of an ingest batch short-circuits on
+  * `false` and never reaches the join (Dedup.bloomGuardedIncrementalDedup).
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    require(left.foldable, "bloom filter binary must be a constant")
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def nullSafeEval(b: Any, v: Any): Any =
+    filter.mightContainBinary(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("bloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, (_, v) => s"$bf.mightContainBinary($v.getBytes())")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

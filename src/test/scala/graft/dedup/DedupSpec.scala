@@ -103,6 +103,38 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("bloom-guarded incremental dedup equals the plain anti-join under any fpp") {
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, s"doc content ${i % 40}")  // 3 copies of each content
+    }
+    // history covers contents 0..29; batch re-sends those plus the
+    // never-seen contents 30..39 (each three times, min id 30..39 wins)
+    val history = corpus.filter(_._1 < 30).toDF("id", "text")
+    val batch = corpus.filter(_._1 >= 30).toDF("id", "text")
+    val seen = Dedup.exactGroups(history, "id", "text").select($"content_md5")
+    val expected = Dedup.incrementalExactDedup(batch, "id", "text", seen)
+      .select($"id", $"text").as[(Long, String)].collect().sorted.toSeq
+    assert(expected.nonEmpty)
+    // wildly undersized bloom (fp-heavy: routes most rows to the join)
+    // and a comfortable one (most new rows skip it) must both be exact
+    for ((items, fpp) <- Seq((2L, 0.5), (1000L, 0.01))) {
+      val bloom = Dedup.seenBloom(seen, items, fpp)
+      val got = Dedup.bloomGuardedIncrementalDedup(
+          batch, "id", "text", seen, bloom)
+        .select($"id", $"text").as[(Long, String)].collect().sorted.toSeq
+      assert(got == expected, s"items=$items fpp=$fpp")
+    }
+    // no false negatives: every batch content present in history is
+    // dropped even by the tiny bloom (routing it past the join would
+    // wrongly keep it)
+    val tiny = Dedup.seenBloom(seen, 2L, 0.5)
+    val kept = Dedup.bloomGuardedIncrementalDedup(
+        batch, "id", "text", seen, tiny)
+      .select($"text").as[String].collect().toSet
+    val seenTexts = history.select($"text").as[String].collect().toSet
+    assert(kept.intersect(seenTexts).isEmpty)
+  }
+
   test("duplicateSpanStats + maskDuplicateSpans on a hand-checked overlap") {
     // k=3 windows: "a b c" and "b c d" occur in both docs; doc 1 holds
     // the first occurrences, doc 2's copies at pos 1,2 are removable ->

@@ -44,7 +44,7 @@ object Bench {
     "q58_gopher_rules", "q59_token_kl", "q60_incremental_dedup",
     "q61_key_skew", "q62_normalize_text", "q63_line_dedup",
     "q64_corpus_delta", "q65_gate_sweep", "q66_span_stats", "q67_span_mask",
-    "q68_bloom_incremental_dedup")
+    "q68_bloom_incremental_dedup", "q69_content_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1175,8 +1175,39 @@ object CatalogLlm {
            |          WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = b.h))
            |SELECT min(id) AS id FROM fresh GROUP BY h ORDER BY id""".stripMargin))
 
+  /** Leakage-safe content-keyed split (L42): 80/10/10 by content hash
+    * over documents, summarized per (split, source). The oracle replays
+    * the md5-uniform (q44's HUGEINT sign idiom) with the EXACT double
+    * boundaries the Scala side computes (interpolated, so both engines
+    * compare against bit-identical constants). */
+  private val splitUppers = graft.sample.Sampling.cumulativeUppers(
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  private val q69 = Q("q69_content_split",
+    (s, dir) => {
+      import s.implicits._
+      graft.sample.Sampling.contentSplit(t(s, dir, "documents"), "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy($"split", $"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"split", $"source")
+    },
+    Some(s"""WITH h AS (SELECT source, md5_number_lower(':' || text) AS hu
+           |           FROM documents),
+           |sgn AS (SELECT source,
+           |    (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hs
+           |  FROM h),
+           |u AS (SELECT source, hs::DOUBLE / 18446744073709551616 + 0.5 AS u
+           |      FROM sgn),
+           |a AS (SELECT source, CASE WHEN u < ${splitUppers(0)} THEN 'train'
+           |                          WHEN u < ${splitUppers(1)} THEN 'val'
+           |                          ELSE 'test' END AS split FROM u)
+           |SELECT split, source, count(*) AS n_docs FROM a
+           |GROUP BY split, source ORDER BY split, source""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
-    q66, q67, q68)
+    q66, q67, q68, q69)
 }

@@ -1,6 +1,6 @@
 package graft.sample
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,35 @@ object Sampling {
     df.join(broadcast(rates), Seq(strataCol))
       .filter(hashUnit(keyCol, salt) < col("__p"))
       .drop("__p")
+  }
+
+  /** Leakage-safe train/val/test split: the split key is the CONTENT
+    * hash, not the row id, so byte-identical documents always co-assign
+    * — an exact duplicate can never straddle a train/eval boundary (the
+    * split-level complement of benchmark decontamination L17; near-dups
+    * need an L2-L5 pass first). Weights are normalized; assignment is a
+    * cumulative-interval lookup on the md5-derived uniform. One narrow
+    * codegen'd projection, no shuffle, reproducible across runs, engines,
+    * and partitionings. Adds a `split` column. */
+  def contentSplit(df: DataFrame, textCol: String,
+                   splits: Seq[(String, Double)],
+                   salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val uppers = cumulativeUppers(splits)
+    val u = hashUnit(textCol, salt)
+    val assigned = splits.init.zip(uppers.init).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), b)) => when(u < lit(b), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Normalized cumulative upper bounds of the split intervals — public
+    * so oracle SQL can embed the EXACT same double boundaries. */
+  def cumulativeUppers(splits: Seq[(String, Double)]): Seq[Double] = {
+    val total = splits.map(_._2).sum
+    splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
   }
 
   /** Deterministic stratified sample: the n rows per stratum with the

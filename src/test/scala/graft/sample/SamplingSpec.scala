@@ -42,6 +42,34 @@ class SamplingSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("contentSplit: duplicates co-assign, splits partition, ~weights") {
+    // 300 distinct contents, each duplicated 3x under different ids
+    val docs = (0L until 900L).map(i => (i, s"content ${i % 300}"))
+      .toDF("id", "text")
+    val got = Sampling.contentSplit(docs, "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // zero leakage: every content maps to exactly one split
+    val leaky = got.groupBy("text")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("ns"))
+      .filter($"ns" > 1).count()
+    assert(leaky == 0L)
+    // every row assigned; proportions loosely near 80/10/10
+    val counts = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 900L)
+    assert(counts("train") > 600 && counts("train") < 840, counts.toString)
+    assert(counts("val") > 30 && counts("test") > 30, counts.toString)
+    // deterministic and partitioning-independent
+    val a = got.select("id", "split").as[(Long, String)].collect().sorted.toSeq
+    val b = Sampling.contentSplit(docs.repartition(17), "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().sorted.toSeq
+    assert(a == b)
+    // degenerate weights rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.contentSplit(docs, "text", Seq("a" -> 0.0, "b" -> 1.0))
+    }
+  }
+
   test("stratifiedHashSample: exactly n per stratum, deterministic") {
     val got = Sampling.stratifiedHashSample(rows, "g", "k", 10)
       .groupBy("g").count().as[(String, Long)].collect().toMap

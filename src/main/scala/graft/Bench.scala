@@ -44,7 +44,10 @@ object Bench {
     "q58_gopher_rules", "q59_token_kl", "q60_incremental_dedup",
     "q61_key_skew", "q62_normalize_text", "q63_line_dedup",
     "q64_corpus_delta", "q65_gate_sweep", "q66_span_stats", "q67_span_mask",
-    "q68_bloom_incremental_dedup", "q69_content_split")
+    "q68_bloom_incremental_dedup", "q69_content_split",
+    "q70_asof_join", "q71_range_join", "q72_unigram_ppl",
+    "q73_semantic_dedup", "q74_markup_strip", "q75_robust_outliers",
+    "q76_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

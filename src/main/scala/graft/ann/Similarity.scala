@@ -172,6 +172,48 @@ object Similarity {
       .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-quantize the corpus into cells with the
+    * deterministic hash-seeded IVF quantizer, then within each cell drop
+    * every vector that is within `threshold` cosine of an EARLIER
+    * (lower-id) vector of the same cell — the paper's
+    * one-representative-per-epsilon-ball pruning with a deterministic
+    * keep rule instead of a random one. The rule is "drop iff ANY
+    * lower-id same-cell vector is within threshold" — order-free and
+    * exactly replayable in SQL, slightly MORE aggressive than
+    * sequential greedy on chains (a~b~c with cos(a,c) < threshold
+    * drops b and c, where greedy would re-keep c once b died;
+    * embeddingDedup in graft.dedup is the component-closure
+    * alternative that keeps exactly one per chain).
+    *
+    * Scale shape: assignment is one narrow map-side projection against
+    * broadcast centroids (ivfIndexSeeded — corpus scanned once, never
+    * shuffled); the pair search shuffles on the CELL key only and pairs
+    * within cells — O(Σ cell²) like every SemDeDup implementation, with
+    * nLists the knob that bounds expected cell size (≈ n/nLists); the
+    * cosine is a codegen'd native expression. The comparison key is the
+    * 6-dp-rounded cosine so the keep/drop boundary cannot flip on
+    * engine summation order.
+    *
+    * Output: (id, cell, kept) for every corpus row.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nLists: Int, threshold: Double): DataFrame = {
+    val (assigned, _) = ivfIndexSeeded(corpus, idCol, vecCol, nLists)
+    val lo = assigned.select(col("cell"), col("id").as("a_id"),
+      col("arr").as("a_arr"))
+    val hi = assigned.select(col("cell"), col("id").as("b_id"),
+      col("arr").as("b_arr"))
+    val dropped = lo.join(hi, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosine_similarity(col("a_arr"), col("b_arr")), 6)
+        >= threshold)
+      .select(col("b_id").as("id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq("id"), "left_outer")
+      .select(col("id"), col("cell"), col("__dup").isNull.as("kept"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates are corpus rows sharing a
     * (table, bucket) key with the query in any of `tables` hash tables,
     * deduplicated, then exactly re-ranked by cosine. The only shuffle is

@@ -716,7 +716,98 @@ object CatalogDomain {
            |  (SELECT key FROM pk ORDER BY cnt DESC, key DESC LIMIT 1) AS hot_key
            |FROM pk""".stripMargin))
 
+  /** Backward as-of join (AsOfJoin.asOfBackward): every non-purchase
+    * event picks up the same user's most recent purchase at-or-before
+    * its timestamp — the point-in-time feature lookup. The oracle is
+    * DuckDB's NATIVE `ASOF LEFT JOIN`, so the union+window
+    * implementation is checked against an independent first-class
+    * implementation of the operator, not a replay of itself.
+    * (user_id, ts) is unique in the fixture, so no tie-break is needed
+    * for determinism. */
+  private val q70 = Q("q70_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("purchase_id"),
+          $"value".as("purchase_value"))
+      val left = ev.filter($"event_type" =!= "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      graft.join.AsOfJoin.asOfBackward(left, purchases, "user_id", "ts",
+          payload = Seq("purchase_id", "purchase_value"))
+        .select($"event_id", $"purchase_id",
+          round($"purchase_value", 2).as("purchase_value"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT l.event_id, r.event_id AS purchase_id,
+           |  round(r.value, 2) AS purchase_value
+           |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           |  ON l.user_id = r.user_id AND l.ts >= r.ts
+           |ORDER BY l.event_id""".stripMargin))
+
+  /** Banded range join (RangeJoin.bandedIntervalJoin): per purchase, the
+    * count and value of the same user's click/view events in the 2 hours
+    * before it (attribution window). The oracle states the range join
+    * DECLARATIVELY (plain inequality join) — the compare proves the
+    * band-explode + equi-join + exact-filter plan equals the
+    * declarative semantics. Inner semantics: purchases with no prior
+    * click/view emit no row on either side. */
+  private val q71 = Q("q71_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val intervals = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          ($"ts" - expr("INTERVAL 2 HOURS")).as("w_start"),
+          $"ts".as("w_end"))
+      val points = ev.filter($"event_type".isin("click", "view"))
+        .select($"user_id", $"ts", $"value")
+      graft.join.RangeJoin.bandedIntervalJoin(intervals, points,
+          "user_id", "w_start", "w_end", "ts", bandWidthSec = 7200)
+        .groupBy($"purchase_id")
+        .agg(count(lit(1)).as("n_prior"),
+          round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, count(*) AS n_prior,
+           |  round(sum(e.value), 2) AS sum_value
+           |FROM events p JOIN events e ON e.user_id = p.user_id
+           |  AND e.event_type IN ('click', 'view')
+           |  AND e.ts >= p.ts - INTERVAL 2 HOUR AND e.ts < p.ts
+           |WHERE p.event_type = 'purchase'
+           |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin))
+
+  /** Robust per-group outlier screen (Preprocess.robustOutlierStats):
+    * median/MAD modified z over l_extendedprice per brand. Exact grouped
+    * medians on both engines (even-count interpolation agrees); the
+    * outlier boundary compares the 6-dp-rounded |M|. */
+  private val q75 = Q("q75_robust_outliers",
+    (s, dir) => {
+      import s.implicits._
+      val j = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .select($"p_brand", $"l_extendedprice".as("v"))
+      graft.prep.Preprocess.robustOutlierStats(j, Seq("p_brand"), "v")
+        .select($"p_brand", $"n", round($"med", 2).as("med"),
+          round($"mad", 2).as("mad"), $"n_outliers", $"max_abs_m")
+        .orderBy($"p_brand")
+    },
+    Some("""WITH j AS (SELECT p_brand, l_extendedprice AS v
+           |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+           |med AS (SELECT p_brand, median(v) AS med FROM j GROUP BY 1),
+           |mad AS (SELECT j.p_brand, median(abs(v - med)) AS mad
+           |        FROM j JOIN med USING (p_brand) GROUP BY 1),
+           |m AS (SELECT j.p_brand, v, med.med, mad.mad,
+           |        0.6745 * (v - med.med) / nullif(mad.mad, 0) AS mm
+           |      FROM j JOIN med USING (p_brand) JOIN mad USING (p_brand))
+           |SELECT p_brand, count(*) AS n, round(max(med), 2) AS med,
+           |  round(max(mad), 2) AS mad,
+           |  count(CASE WHEN round(abs(mm), 6) > 3.5 THEN 1 END) AS n_outliers,
+           |  round(max(abs(mm)), 4) AS max_abs_m
+           |FROM m GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
-    q61)
+    q61, q70, q71, q75)
 }

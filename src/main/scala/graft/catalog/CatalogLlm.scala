@@ -1206,8 +1206,155 @@ object CatalogLlm {
            |SELECT split, source, count(*) AS n_docs FROM a
            |GROUP BY split, source ORDER BY split, source""".stripMargin))
 
+  /** Unigram-LM log-perplexity scoring (L43, the CCNet-style quality
+    * proxy): corpus-fit add-one-smoothed unigram LM, per-doc mean token
+    * negative log-likelihood. ln() agreement across engines is ~1-ulp;
+    * the 4-dp rounding absorbs it (the q59 precedent). */
+  private val q72 = Q("q72_unigram_ppl",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.unigramLogPerplexity(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+           |             FROM documents),
+           |dt AS (SELECT doc_id, term, count(*) AS c_dt FROM tok GROUP BY 1, 2),
+           |lm AS (SELECT term, sum(c_dt) AS c_t FROM dt GROUP BY term),
+           |sc AS (SELECT sum(c_t) AS n_total, count(*) AS v FROM lm)
+           |SELECT doc_id, sum(c_dt)::BIGINT AS n_tokens,
+           |  round(sum(c_dt * -ln((c_t + 1) / CAST(n_total + v AS DOUBLE)))
+           |        / CAST(sum(c_dt) AS DOUBLE), 4) AS logppl
+           |FROM dt JOIN lm USING (term), sc
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** SemDeDup semantic dedup (L44) over a near-dup-seeded embedding set
+    * (vec_id % 9 == 0 gets a +0.01-per-component copy at vec_id +
+    * 100000 — the shipped vectors have no natural near-dups, max
+    * within-cell cosine 0.51). Threshold 0.9 keeps every natural pair
+    * and drops seeded copies that land in their original's cell —
+    * copies quantized into a DIFFERENT cell survive, which is
+    * SemDeDup's documented recall trade, and the oracle replays the
+    * same cells so the compare pins exactly that semantics. */
+  private val q73 = Q("q73_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      val seeded = base.union(base.filter($"vec_id" % 9 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"),
+          transform($"embedding", x => x + lit(0.01)).as("embedding")))
+      Similarity.semanticDedup(seeded, "vec_id", "embedding",
+          nLists = 16, threshold = 0.9)
+        .select($"id".as("vec_id"), $"cell", $"kept")
+        .orderBy($"vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |           UNION ALL
+           |           SELECT vec_id + 100000,
+           |                  list_transform(embedding::DOUBLE[], x -> x + 0.01)
+           |           FROM embeddings WHERE vec_id % 9 = 0),
+           |h AS (SELECT vec_id,
+           |    md5_number_lower(':' || vec_id::VARCHAR) AS hu FROM v),
+           |sgn AS (SELECT vec_id,
+           |    (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hs
+           |  FROM h),
+           |seeds AS (SELECT vec_id, e, cell FROM (
+           |    SELECT v.vec_id, v.e,
+           |      row_number() OVER (ORDER BY hs, vec_id::VARCHAR) - 1 AS cell
+           |    FROM sgn JOIN v USING (vec_id)) WHERE cell < 16),
+           |asg AS (SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, s.cell, row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY round(list_cosine_similarity(v.e, s.e), 9) DESC, s.cell) AS rn
+           |    FROM v CROSS JOIN seeds s) WHERE rn = 1),
+           |dropped AS (SELECT DISTINCT b.vec_id FROM asg a
+           |            JOIN asg b USING (cell)
+           |            JOIN v va ON va.vec_id = a.vec_id
+           |            JOIN v vb ON vb.vec_id = b.vec_id
+           |            WHERE a.vec_id < b.vec_id
+           |              AND round(list_cosine_similarity(va.e, vb.e), 6) >= 0.9)
+           |SELECT asg.vec_id, asg.cell,
+           |       asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+           |FROM asg ORDER BY vec_id""".stripMargin))
+
+  /** Markup strip (L45): documents wrapped in an HTML shell whose script
+    * block contains a bare '<' (tag-only stripping would corrupt it),
+    * plus comments, entities, and a double-escaped &amp;amp; — the
+    * extract-text ingest step. Both engines run the same RE2-safe
+    * patterns. */
+  private val q74 = Q("q74_markup_strip",
+    (s, dir) => {
+      import s.implicits._
+      val seeded = t(s, dir, "documents").select($"doc_id",
+        concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "</head><body><!-- boilerplate --><p class=\"main\">"),
+          $"text",
+          lit("</p><br/>&amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;" +
+            "&nbsp;end</body></html>")).as("text"))
+      TextAnalysis.stripMarkup(seeded, "text")
+        .select($"doc_id", $"text_plain")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  trim(regexp_replace(
+           |    replace(replace(replace(replace(replace(replace(
+           |      regexp_replace(
+           |        regexp_replace(
+           |          regexp_replace(
+           |            '<html><head><style>p{color:red}</style>' ||
+           |            '<script type="text/javascript">var x = 1 < 2;</script>' ||
+           |            '</head><body><!-- boilerplate --><p class="main">' ||
+           |            text ||
+           |            '</p><br/>&amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;' ||
+           |            '&nbsp;end</body></html>',
+           |            '<!--.*?-->', ' ', 'gs'),
+           |          '<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'gsi'),
+           |        '<[^>]*>', ' ', 'g'),
+           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+           |    '\s+', ' ', 'g')) AS text_plain
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** n-gram contamination fraction (L46): benchmark = the first 40
+    * tokens of every doc_id % 4 == 0 doc, so contaminated documents
+    * show PARTIAL fractions (the shingles inside the truncated prefix)
+    * rather than the trivial 1.0 of whole-doc copies — the compare
+    * exercises the ratio, not just membership. */
+  private val q76 = Q("q76_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter($"doc_id" % 4 === 0)
+        .select(array_join(slice(TextAnalysis.tokens($"text"), 1, 40), " ")
+          .as("text"))
+      graft.dedup.Decontaminate.contaminationFraction(
+          docs.select($"doc_id".as("id"), $"text"), "id", "text",
+          bench, "text", shingleSize = 8)
+        .orderBy($"id")
+    },
+    Some("""WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+           |            FROM documents),
+           |bt AS (SELECT t[1:40] AS t FROM tk WHERE doc_id % 4 = 0),
+           |bsh AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS shingle
+           |        FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+           |              FROM bt)),
+           |tsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+           |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+           |              FROM tk)),
+           |agg AS (SELECT doc_id, count(*) AS n_shingles,
+           |          count(CASE WHEN shingle IN (SELECT shingle FROM bsh)
+           |                THEN 1 END) AS n_contaminated
+           |        FROM tsh GROUP BY doc_id)
+           |SELECT doc_id AS id, n_shingles, n_contaminated,
+           |  round(n_contaminated / CAST(n_shingles AS DOUBLE), 4)
+           |    AS contamination_frac
+           |FROM agg WHERE n_contaminated > 0 ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
-    q66, q67, q68, q69)
+    q66, q67, q68, q69, q72, q73, q74, q76)
 }

@@ -1,6 +1,6 @@
 package graft.prep
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,5 +66,43 @@ object Preprocess {
         when(col("__sd") === 0.0, lit(0.0))
           .otherwise((col("value") - col("__mu")) / col("__sd")))
       .drop("__mu", "__sd")
+  }
+
+  /** Robust per-group outlier statistics via the median/MAD z-score
+    * (Iglewicz–Hoaglin modified z, M = 0.6745·(x − med)/MAD): the
+    * outlier screen that survives the outliers it is screening for —
+    * mean/stddev-based z-scores are dragged by the very rows they should
+    * flag, while the 50% breakdown point of median and MAD is not. The
+    * standard pre-training sanity pass over numeric telemetry/feature
+    * columns.
+    *
+    * Two exact grouped medians (the value's, then the absolute
+    * deviation's — MAD requires the first before the second, so two
+    * aggregate passes are inherent), each a hash aggregate on the group
+    * key; per-group stats join back onto the fact rows co-partitioned on
+    * that same key (group-cardinality side, AQE broadcasts it when
+    * small). The flag boundary compares the 6-dp-rounded |M| so it
+    * cannot flip on engine noise. Zero-MAD groups (> 50% identical
+    * values) yield null M — counted as non-outliers, visible as
+    * mad = 0.0 in the output.
+    *
+    * Output per group: n, med, mad, n_outliers, max_abs_m (4 dp).
+    */
+  def robustOutlierStats(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, cut: Double = 3.5): DataFrame = {
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val med = df.groupBy(g: _*).agg(median(v).as("__med"))
+    val withMed = df.join(med, groupCols)
+    val mad = withMed.groupBy(g: _*)
+      .agg(median(abs(v - col("__med"))).as("__mad"))
+    val m = lit(0.6745) * (v - col("__med")) / nullif(col("__mad"), lit(0.0))
+    withMed.join(mad, groupCols)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("med"),
+        max(col("__mad")).as("mad"),
+        count(when(round(abs(m), 6) > cut, 1)).as("n_outliers"),
+        round(max(abs(m)), 4).as("max_abs_m"))
   }
 }

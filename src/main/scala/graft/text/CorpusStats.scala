@@ -42,4 +42,46 @@ object CorpusStats {
         count(lit(1)).as("n_terms"),
         round(sum(ps * log(ps / p)), 4).as("kl_divergence"))
   }
+
+  /** CCNet-style unigram language-model scoring: fit an add-one-smoothed
+    * unigram LM on the corpus itself, then score every document by its
+    * mean token negative log-likelihood (= log-perplexity). Documents
+    * whose tokens are rare corpus-wide score high — the classic cheap
+    * proxy that ranks boilerplate/gibberish above fluent text for
+    * quality filtering, without shipping an external LM.
+    *
+    * p(t) = (c(t) + 1) / (N + V) with c(t) the corpus term count, N
+    * total tokens, V vocab size; doc score = Σ_t c_d(t)·(−ln p(t)) /
+    * n_d, rounded to 4 dp.
+    *
+    * Scale shape: one explode into a (doc, term) hash aggregate
+    * (map-side combined — shuffle ∝ distinct doc-terms, not the token
+    * stream), the corpus LM as a second partial aggregate over those
+    * counts (vocab-sized, no rescan), joined back on the term key —
+    * co-partitioned with the doc-term counts, so AQE plans it without a
+    * second shuffle of the big side — then one per-doc aggregate. The
+    * two LM scalars (N, V) broadcast. Nothing driver-side, nothing
+    * quadratic; the corpus text is read once.
+    *
+    * Output: (idCol, n_tokens, logppl) — one row per document with at
+    * least one token.
+    */
+  def unigramLogPerplexity(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val dt = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("c_dt"))
+    val lm = dt.groupBy("term").agg(sum(col("c_dt")).as("c_t"))
+    val scalars = lm.agg(sum(col("c_t")).as("n_total"),
+      count(lit(1)).as("v"))
+    val negLogP = -log((col("c_t") + 1).cast("double") /
+      (col("n_total") + col("v")).cast("double"))
+    dt.join(lm, Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .groupBy(col(idCol))
+      .agg(sum(col("c_dt")).as("n_tokens"),
+        round(sum(col("c_dt").cast("double") * negLogP) /
+          sum(col("c_dt")).cast("double"), 4).as("logppl"))
+  }
 }

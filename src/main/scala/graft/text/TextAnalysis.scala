@@ -218,6 +218,30 @@ object TextAnalysis {
     df.withColumn("text_norm",
       trim(regexp_replace(lower(nfc_normalize(col(textCol))), "\\s+", " ")))
 
+  /** Markup strip — the extract-text step of an HTML/web-crawl ingest:
+    * drops comments, script/style blocks (content and all), then every
+    * remaining tag, unescapes the six ubiquitous entities, and collapses
+    * the whitespace the removals leave behind, as `text_plain`. One
+    * narrow codegen'd projection (regexp_replace + chained replace — no
+    * UDF, no shuffle). The patterns avoid lookahead/backreferences so
+    * the SAME regexes run under Java regex (Spark) and RE2 (DuckDB,
+    * `regexp_replace(..., 'gs')`); entity unescape is plain string
+    * replace with `&amp;` LAST so double-escaped text resolves one
+    * level per pass, identically in both engines. A full HTML5 parser
+    * is out of scope by design — this is the C4/CommonCrawl-style
+    * regex extractor, not a DOM. */
+  def stripMarkup(df: DataFrame, textCol: String): DataFrame = {
+    val noComment = regexp_replace(col(textCol), "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?si)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    df.withColumn("text_plain",
+      trim(regexp_replace(unescaped, "\\s+", " ")))
+  }
+
   /** Content fingerprints: exact (md5 hex of normalized text, oracle-able)
     * and rolling 64-bit (order-sensitive polynomial hash, engine-native). */
   def withFingerprints(df: DataFrame, textCol: String): DataFrame = {

@@ -102,6 +102,39 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"seeded ivf recall@5 = $recall")
   }
 
+  test("semanticDedup: near-dups in the same cell drop, earliest id kept") {
+    // two tight pairs + isolated vectors; one cell (nLists = 1) so the
+    // keep rule is exercised without quantizer noise
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.999, 0.01, 0.0)),   // near-dup of 1 -> dropped
+      (3L, Array(0.0, 1.0, 0.0)),
+      (4L, Array(0.01, 0.999, 0.0)),   // near-dup of 3 -> dropped
+      (5L, Array(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nLists = 1, threshold = 0.95)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true))
+  }
+
+  test("semanticDedup: chains drop every later member (documented rule)") {
+    // cos(a,b) and cos(b,c) pass the threshold, cos(a,c) does not. The
+    // any-earlier-neighbor rule drops b (against a) AND c (against b,
+    // even though b itself dropped) — more aggressive than sequential
+    // greedy, pinned here because the DuckDB oracle replays exactly this.
+    val deg = math.Pi / 7
+    def unit(t: Double) = Array(math.cos(t), math.sin(t), 0.0)
+    val vecs = Seq((1L, unit(0)), (2L, unit(deg)), (3L, unit(2 * deg)))
+      .toDF("vec_id", "embedding")
+    val th = math.cos(deg * 1.5)   // pair gap passes, endpoint gap fails
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nLists = 1, threshold = th)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("lshBucket is stable across runs and engines (LCG planes)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.withBucket(emb, "embedding", 8, 64)

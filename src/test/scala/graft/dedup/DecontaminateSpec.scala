@@ -41,4 +41,21 @@ class DecontaminateSpec extends SparkSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept3 == Seq(2L, 3L))
   }
+
+  test("contaminationFraction: graded per-doc n-gram overlap share") {
+    // doc 1 has 3 distinct 8-grams (a..h, b..i, c..j); bench holds a..h
+    // exactly -> 1/3. doc 2 shares b..i and c..j -> 2/3. doc 3 clean.
+    val got = Decontaminate.contaminationFraction(
+        corpus, "id", "text", bench, "text")
+      .select("id", "n_shingles", "n_contaminated", "contamination_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))   // all three of doc 1's 8-grams are in bench
+    assert(got(2L) == ((3L, 2L, 0.6667)))
+    assert(!got.contains(3L))
+    val all = Decontaminate.contaminationFraction(
+        corpus, "id", "text", bench, "text", onlyContaminated = false)
+      .select("id").as[Long].collect()
+    assert(all.sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }

@@ -59,4 +59,33 @@ class PreprocessSpec extends SparkSuite {
       ("q", "s1", None)).toDF("probe_id", "sample_id", "value")
     assert(Preprocess.missingCount(df) == 2)
   }
+
+  test("robustOutlierStats: hand-computed median/MAD flags the spike") {
+    import spark.implicits._
+    // g1: values 1..7 plus a 100.0 spike -> med 4.5, MAD 2.0
+    //     M(100) = 0.6745*(100-4.5)/2 = 32.21 -> 1 outlier
+    // g2: constant -> MAD 0, no outliers, null M throughout
+    val df = ((1 to 7).map(i => ("g1", i.toDouble)) :+ (("g1", 100.0)))
+      .++(Seq(("g2", 5.0), ("g2", 5.0), ("g2", 5.0)))
+      .toDF("g", "v")
+    val got = Preprocess.robustOutlierStats(df, Seq("g"), "v")
+      .select("g", "n", "med", "mad", "n_outliers", "max_abs_m")
+      .as[(String, Long, Double, Double, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, n1, med1, mad1, o1, m1) = got("g1")
+    assert(n1 == 8 && med1 == 4.5 && mad1 == 2.0 && o1 == 1)
+    assert(approx(m1.get, 0.6745 * (100.0 - 4.5) / 2.0, 1e-3))
+    val (_, n2, _, mad2, o2, m2) = got("g2")
+    assert(n2 == 3 && mad2 == 0.0 && o2 == 0 && m2.isEmpty)
+  }
+
+  test("robustOutlierStats survives the outliers a mean z-score would not") {
+    import spark.implicits._
+    // half the group is a wild cluster: mean/std are dragged, median/MAD not
+    val df = ((1 to 10).map(i => ("g", 10.0 + i * 0.01)) ++
+      (1 to 4).map(i => ("g", 1e6 * i))).toDF("g", "v")
+    val got = Preprocess.robustOutlierStats(df, Seq("g"), "v")
+      .select("n_outliers").as[Long].head()
+    assert(got == 4)   // exactly the planted cluster, not half the data
+  }
 }

@@ -32,4 +32,25 @@ class CorpusStatsSpec extends SparkSuite {
     assert(approx(got("s0"), want, 1e-4))
     assert(approx(got("s1"), want, 1e-4))
   }
+
+  test("unigramLogPerplexity: hand-computed smoothed scores") {
+    // corpus: d1 = "a a b", d2 = "c" -> counts a:2 b:1 c:1, N=4, V=3
+    // p(a)=3/7, p(b)=2/7, p(c)=2/7
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = CorpusStats.unigramLogPerplexity(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "logppl")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val d1 = (2 * -math.log(3.0 / 7) + 1 * -math.log(2.0 / 7)) / 3
+    val d2 = -math.log(2.0 / 7)
+    assert(got(1L)._1 == 3L && approx(got(1L)._2, d1, 1e-4))
+    assert(got(2L)._1 == 1L && approx(got(2L)._2, d2, 1e-4))
+  }
+
+  test("unigramLogPerplexity: rare-token docs score higher than common-token docs") {
+    val docs = Seq((1L, "the the the the"), (2L, "zq")).toDF("doc_id", "text")
+    val got = CorpusStats.unigramLogPerplexity(docs, "doc_id", "text")
+      .select("doc_id", "logppl").as[(Long, Double)].collect().toMap
+    assert(got(2L) > got(1L))
+  }
 }

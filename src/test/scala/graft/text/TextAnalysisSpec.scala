@@ -184,6 +184,26 @@ class TextAnalysisSpec extends SparkSuite {
       s"[nTok, nonWs, alpha, digit, stop] = $got")
   }
 
+  test("stripMarkup: tags, script/style bodies, comments, entities") {
+    val docs = Seq(
+      (1L, "<p class=\"x\">Hello <b>world</b></p>"),
+      (2L, "<script>var a = 1 < 2;</script>after"),   // bare '<' inside script
+      (3L, "<style media=\"all\">p{}</style>text"),
+      (4L, "<!-- hidden -->shown"),
+      (5L, "a &lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;&nbsp;b"),
+      (6L, "no markup at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(docs, "text")
+      .select("doc_id", "text_plain").as[(Long, String)].collect().toMap
+    assert(got(1L) == "Hello world")
+    assert(got(2L) == "after")
+    assert(got(3L) == "text")
+    assert(got(4L) == "shown")
+    // one unescape level per pass: &amp;amp; -> &amp;
+    assert(got(5L) == "a <tag> &amp; \"q\" 's' b")
+    assert(got(6L) == "no markup at all")
+  }
+
   test("md5_long matches DuckDB md5_number_lower reference values") {
     // Reference values from `select md5_number_lower(...)` in DuckDB 1.0,
     // reinterpreted as signed 64-bit.

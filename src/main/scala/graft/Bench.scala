@@ -47,7 +47,7 @@ object Bench {
     "q68_bloom_incremental_dedup", "q69_content_split",
     "q70_asof_join", "q71_range_join", "q72_unigram_ppl",
     "q73_semantic_dedup", "q74_markup_strip", "q75_robust_outliers",
-    "q76_contamination")
+    "q76_contamination", "q77_funnel", "q78_winsorize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

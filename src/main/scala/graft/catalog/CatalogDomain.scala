@@ -807,7 +807,67 @@ object CatalogDomain {
            |  round(max(abs(mm)), 4) AS max_abs_m
            |FROM m GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
+  /** Ordered funnel (Funnel.funnelCounts): signup → click → purchase
+    * with the strictly-after constraint — stage counts only when it
+    * happens after the user's previous-stage reach time. The oracle
+    * states the same chained min-reach semantics in CTEs. */
+  private val q77 = Q("q77_funnel",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.Funnel.funnelCounts(t(s, dir, "events"), "user_id",
+          "event_type", "ts", Seq("signup", "click", "purchase"))
+        .orderBy($"stage_idx")
+    },
+    Some("""WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+           |            WHERE event_type = 'signup' GROUP BY user_id),
+           |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+           |       JOIN s0 USING (user_id)
+           |       WHERE e.event_type = 'click' AND e.ts > s0.t0
+           |       GROUP BY e.user_id),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           |       JOIN s1 USING (user_id)
+           |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+           |       GROUP BY e.user_id),
+           |c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+           |             (SELECT count(*) FROM s1) AS c1,
+           |             (SELECT count(*) FROM s2) AS c2)
+           |SELECT * FROM (
+           |  SELECT 1 AS stage_idx, 'signup' AS stage, c0 AS n_entities,
+           |         round(c0 / CAST(c0 AS DOUBLE), 4) AS conversion FROM c
+           |  UNION ALL
+           |  SELECT 2, 'click', c1, round(c1 / CAST(c0 AS DOUBLE), 4) FROM c
+           |  UNION ALL
+           |  SELECT 3, 'purchase', c2, round(c2 / CAST(c0 AS DOUBLE), 4) FROM c)
+           |ORDER BY stage_idx""".stripMargin))
+
+  /** Per-group winsorization report (Preprocess.winsorizedStats): clip
+    * l_extendedprice to each brand's exact [p05, p95] and compare raw vs
+    * clipped means. Spark `percentile` ≡ DuckDB `quantile_cont` (the q46
+    * precedent); clip-count boundaries compare 6-dp-rounded values. */
+  private val q78 = Q("q78_winsorize",
+    (s, dir) => {
+      import s.implicits._
+      val j = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .select($"p_brand", $"l_extendedprice".as("v"))
+      graft.prep.Preprocess.winsorizedStats(j, Seq("p_brand"), "v")
+        .orderBy($"p_brand")
+    },
+    Some("""WITH j AS (SELECT p_brand, l_extendedprice AS v
+           |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+           |b AS (SELECT p_brand, quantile_cont(v, 0.05) AS plo,
+           |             quantile_cont(v, 0.95) AS phi
+           |      FROM j GROUP BY 1)
+           |SELECT j.p_brand, count(*) AS n,
+           |  round(max(plo), 4) AS p_lo, round(max(phi), 4) AS p_hi,
+           |  round(avg(v), 4) AS mean_raw,
+           |  round(avg(least(greatest(v, plo), phi)), 4) AS mean_wins,
+           |  count(CASE WHEN round(v, 6) < round(plo, 6) THEN 1 END) AS n_clip_lo,
+           |  count(CASE WHEN round(v, 6) > round(phi, 6) THEN 1 END) AS n_clip_hi
+           |FROM j JOIN b USING (p_brand)
+           |GROUP BY j.p_brand ORDER BY j.p_brand""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
-    q61, q70, q71, q75)
+    q61, q70, q71, q75, q77, q78)
 }

@@ -105,4 +105,41 @@ object Preprocess {
         count(when(round(abs(m), 6) > cut, 1)).as("n_outliers"),
         round(max(abs(m)), 4).as("max_abs_m"))
   }
+
+  /** Per-group winsorization report: clip values to the group's
+    * [lo, hi] exact quantiles and compare the raw vs clipped mean — the
+    * bounded-influence companion to [[robustOutlierStats]] (that one
+    * FLAGS tail rows; this one shows what neutralizing them does to the
+    * statistic a downstream consumer actually reads). Clip boundaries
+    * compare against the 6-dp-rounded value so the clip count cannot
+    * flip on engine quantile noise.
+    *
+    * One exact-quantile aggregate on the group key + the co-partitioned
+    * join-back + one final aggregate — same two-shuffle shape as the MAD
+    * screen; exact quantiles buffer per group (approx_percentile is the
+    * ultra-high-cardinality fallback, L22's documented trade).
+    *
+    * Output per group: n, p_lo, p_hi, mean_raw, mean_wins (4 dp),
+    * n_clip_lo, n_clip_hi.
+    */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, lo: Double = 0.05,
+                      hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val bounds = df.groupBy(g: _*)
+      .agg(percentile(v, lit(lo)).as("__plo"),
+        percentile(v, lit(hi)).as("__phi"))
+    val clipped = least(greatest(v, col("__plo")), col("__phi"))
+    df.join(bounds, groupCols)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__plo")), 4).as("p_lo"),
+        round(max(col("__phi")), 4).as("p_hi"),
+        round(avg(v), 4).as("mean_raw"),
+        round(avg(clipped), 4).as("mean_wins"),
+        count(when(round(v, 6) < round(col("__plo"), 6), 1)).as("n_clip_lo"),
+        count(when(round(v, 6) > round(col("__phi"), 6), 1)).as("n_clip_hi"))
+  }
 }

@@ -115,6 +115,34 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Stream-stream attribution join — the streaming twin of
+    * [[graft.join.RangeJoin.bandedIntervalJoin]]'s q71 use: every
+    * anchor-stream row (purchase) pairs with the same user's
+    * point-stream rows (click/view) from the preceding `windowSec`
+    * seconds, [anchor − window, anchor). Both sides carry watermarks, so
+    * Structured Streaming can bound the join state: a buffered point is
+    * droppable once the anchor watermark passes point-ts + window, and
+    * an anchor emits once the point watermark passes its own ts — the
+    * time-range predicate plus both watermarks is exactly what Spark's
+    * stream-stream join needs to compute those eviction bounds (without
+    * the range condition the state would grow forever).
+    *
+    * Inputs must already be projected to disjoint column names
+    * (anchor: user_id, a_id, a_ts …; points: user_id, p_id, p_ts …) —
+    * same contract as the batch operator. Inner semantics, append mode.
+    */
+  def attributionJoinStream(anchors: DataFrame, points: DataFrame,
+                            windowSec: Long, anchorWatermark: String,
+                            pointWatermark: String): DataFrame = {
+    val a = anchors.withWatermark("a_ts", anchorWatermark)
+    val p = points.withWatermark("p_ts", pointWatermark)
+    a.join(p,
+      a("user_id") === p("user_id") &&
+        p("p_ts") >= a("a_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        p("p_ts") < a("a_ts"))
+      .drop(p("user_id"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

@@ -79,6 +79,22 @@ class PreprocessSpec extends SparkSuite {
     assert(n2 == 3 && mad2 == 0.0 && o2 == 0 && m2.isEmpty)
   }
 
+  test("winsorizedStats: clip bounds, means, and clip counts on a known group") {
+    import spark.implicits._
+    // 1..20 with lo=0.05, hi=0.95: p05 = 1.95, p95 = 19.05 (interpolated)
+    // -> value 1 clips up to 1.95, value 20 clips down to 19.05
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Preprocess.winsorizedStats(df, Seq("g"), "v")
+      .select("n", "p_lo", "p_hi", "mean_raw", "mean_wins",
+        "n_clip_lo", "n_clip_hi")
+      .as[(Long, Double, Double, Double, Double, Long, Long)].head()
+    assert(r._1 == 20 && r._2 == 1.95 && r._3 == 19.05)
+    assert(r._4 == 10.5)
+    val meanWins = ((2 to 19).map(_.toDouble).sum + 1.95 + 19.05) / 20
+    assert(approx(r._5, meanWins, 1e-9))
+    assert(r._6 == 1 && r._7 == 1)
+  }
+
   test("robustOutlierStats survives the outliers a mean z-score would not") {
     import spark.implicits._
     // half the group is a wild cluster: mean/std are dragged, median/MAD not

@@ -240,6 +240,53 @@ class EventStreamSpec extends SparkSuite {
     assert(ids.toSeq == Seq(2L, 5L, 99L))
   }
 
+  test("stream-stream attribution join matches the batch banded range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val anchors = MemoryStream[(Long, Timestamp, Long)]
+    val points = MemoryStream[(Long, Timestamp, Long)]
+    // user 7: clicks at 9:10 (outside 30-min window), 9:40, 9:59;
+    //         purchase at 10:00 -> pairs with 9:40 + 9:59 only
+    // user 8: click at exactly the purchase ts -> excluded ([start, end))
+    anchors.addData((7L, ts("2024-01-01 10:00:00"), 100L),
+      (8L, ts("2024-01-01 10:00:00"), 101L))
+    points.addData((7L, ts("2024-01-01 09:10:00"), 1L),
+      (7L, ts("2024-01-01 09:40:00"), 2L),
+      (7L, ts("2024-01-01 09:59:00"), 3L),
+      (8L, ts("2024-01-01 10:00:00"), 4L))
+    // watermark-advancing flush rows (far future, join on nothing)
+    anchors.addData((99L, ts("2024-01-02 00:00:00"), 999L))
+    points.addData((98L, ts("2024-01-02 00:00:00"), 998L))
+
+    val aDf = anchors.toDF().toDF("user_id", "a_ts", "a_id")
+    val pDf = points.toDF().toDF("user_id", "p_ts", "p_id")
+    runToMemory(EventStream.attributionJoinStream(aDf, pDf,
+      windowSec = 1800, "10 minutes", "10 minutes"), "attribution")
+    val got = spark.table("attribution")
+      .select("a_id", "p_id").as[(Long, Long)].collect().toSet
+
+    // batch twin over the same rows (plain DataFrames, not the stream)
+    val aBatch = Seq((7L, ts("2024-01-01 10:00:00"), 100L),
+      (8L, ts("2024-01-01 10:00:00"), 101L),
+      (99L, ts("2024-01-02 00:00:00"), 999L))
+      .toDF("user_id", "w_end", "a_id")
+      .withColumn("w_start",
+        $"w_end" - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+    val pBatch = Seq((7L, ts("2024-01-01 09:10:00"), 1L),
+      (7L, ts("2024-01-01 09:40:00"), 2L),
+      (7L, ts("2024-01-01 09:59:00"), 3L),
+      (8L, ts("2024-01-01 10:00:00"), 4L),
+      (98L, ts("2024-01-02 00:00:00"), 998L))
+      .toDF("user_id", "p_ts", "p_id")
+    val batch = graft.join.RangeJoin.bandedIntervalJoin(
+        aBatch, pBatch, "user_id", "w_start", "w_end", "p_ts",
+        bandWidthSec = 1800)
+      .select("a_id", "p_id").as[(Long, Long)].collect().toSet
+
+    assert(got == Set((100L, 2L), (100L, 3L)))
+    assert(got == batch)
+  }
+
   test("sliding windows overlap: one event lands in two 60/30-min windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -867,7 +867,98 @@ object CatalogDomain {
            |FROM j JOIN b USING (p_brand)
            |GROUP BY j.p_brand ORDER BY j.p_brand""".stripMargin))
 
+  /** Forward as-of join (AsOfJoin.asOfForward): every non-purchase event
+    * picks up the same user's NEXT purchase at-or-after its timestamp —
+    * next-event attribution, the mirror of q70. Same independent-oracle
+    * story: DuckDB's native ASOF with the inequality reversed. */
+  private val q79 = Q("q79_asof_forward",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("next_purchase_id"))
+      val left = ev.filter($"event_type" =!= "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      graft.join.AsOfJoin.asOfForward(left, purchases, "user_id", "ts",
+          payload = Seq("next_purchase_id"))
+        .select($"event_id", $"next_purchase_id")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT l.event_id, r.event_id AS next_purchase_id
+           |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           |  ON l.user_id = r.user_id AND l.ts <= r.ts
+           |ORDER BY l.event_id""".stripMargin))
+
+  /** PageRank over the nation graph (Centrality.pageRank): fixed 20
+    * iterations, damping 0.85, dangling mass redistributed — the oracle
+    * replays the identical update in a recursive CTE over the
+    * list-packed score vector (the q53 technique), neighbor sums in the
+    * same sorted-index order. VALUE-level graph-kernel check. */
+  private val q80 = Q("q80_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val (nodes, edges) = nationGraph(s, dir)
+      graft.graph.Centrality.pageRank(s, nodes, edges)
+        .select($"gene", round($"pagerank", 6).as("pagerank"))
+        .orderBy($"gene")
+    },
+    Some(s"""WITH RECURSIVE
+           |$edgesSql,
+           |adjl AS (
+           |  SELECT list(nb ORDER BY i) AS adj FROM (
+           |    SELECT nd.i AS i, coalesce(a.nb, []) AS nb
+           |    FROM nd LEFT JOIN (SELECT ui AS i, list(vi ORDER BY vi) AS nb
+           |                       FROM sym GROUP BY ui) a USING (i))
+           |),
+           |it AS (
+           |  SELECT 0 AS iter,
+           |         list_transform(range(1, nn.n+1), i -> 1.0::DOUBLE/nn.n) AS x
+           |  FROM nn
+           |  UNION ALL
+           |  SELECT iter+1, xn FROM (
+           |    SELECT it.iter, t2.xn
+           |    FROM it, adjl, nn,
+           |    LATERAL (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           |               list_transform(range(1, nn.n+1),
+           |                 i -> CASE WHEN len(adjl.adj[i]) = 0
+           |                      THEN it.x[i] ELSE 0.0::DOUBLE END)),
+           |               (acc,v) -> acc+v) AS dang) t1,
+           |    LATERAL (SELECT list_transform(range(1, nn.n+1), i ->
+           |               (1.0 - 0.85)/nn.n + 0.85 * (list_reduce(list_prepend(0.0::DOUBLE,
+           |                 list_transform(adjl.adj[i], v -> it.x[v] / len(adjl.adj[v]))),
+           |                 (acc,v) -> acc+v) + t1.dang/nn.n)) AS xn) t2
+           |    WHERE it.iter < 20
+           |  ) q
+           |),
+           |fin AS (SELECT x FROM it ORDER BY iter DESC LIMIT 1)
+           |SELECT nd.gene, round(fin.x[nd.i], 6) AS pagerank
+           |FROM nd, fin ORDER BY nd.gene""".stripMargin))
+
+  /** Salted skew join (SkewJoin.saltedJoin): the deterministic-salt
+    * replicated-dimension join must be ROW-IDENTICAL to the plain join —
+    * so the plain join IS the oracle (upgrading L26 from plan-pinned
+    * unit coverage to a value-level check). events.user_id is the
+    * documented skew key (q61); aggregated per user to a stable
+    * compare shape. */
+  private val q81 = Q("q81_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val dim = t(s, dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      graft.join.SkewJoin.saltedJoin(ev, dim, "user_id", salts = 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_events,
+           |  round(sum(value), 2) AS sum_value
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
-    q61, q70, q71, q75, q77, q78)
+    q61, q70, q71, q75, q77, q78, q79, q80, q81)
 }

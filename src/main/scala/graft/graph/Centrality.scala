@@ -270,6 +270,112 @@ object Centrality {
     x.select(col("gene"), col("x").as("eigenvector_centrality"))
   }
 
+  /** PageRank (undirected form: edges symmetrized, contributions split
+    * by degree) with damping d and a FIXED iteration count — fixed, not
+    * convergence-tested, so the result is a deterministic function of
+    * the graph that an independent engine can replay step-for-step
+    * (the q53 oracle lesson: a data-dependent stopping rule makes the
+    * oracle chase the engine's float noise). Dangling (isolated) nodes
+    * redistribute their mass uniformly, the standard correction, so
+    * scores sum to 1 every iteration.
+    *
+    * Driver/distributed dispatch mirrors [[eigenvectorCentrality]]: the
+    * co-expression graphs this library builds are dimension-bounded
+    * (top-N genes), so the driver path is the common case; above the
+    * threshold the same iteration runs as a DataFrame loop
+    * ([[pageRankDistributed]]) that never collects the graph.
+    * Neighbor sums accumulate in sorted-index order on the driver path —
+    * the same order the list-based SQL oracle uses.
+    */
+  def pageRank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+               damping: Double = 0.85, iters: Int = 20,
+               distributedThreshold: Long = 100000L): DataFrame = {
+    if (nodes.count() > distributedThreshold)
+      return pageRankDistributed(spark, nodes, edges, damping, iters)
+    val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
+    val edgeSeq = edges.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val n = nodeSeq.length
+    if (n == 0)
+      return nodes.select(col("gene"), lit(0.0).as("pagerank"))
+    val adj = indexGraph(nodeSeq, edgeSeq)
+
+    var x = Array.fill(n)(1.0 / n)
+    var iter = 0
+    while (iter < iters) {
+      // contribution pull: x'(v) = (1-d)/n + d*(sum_{u in adj(v)} x(u)/deg(u)
+      //                                         + danglingMass/n)
+      var dangling = 0.0
+      var v = 0
+      while (v < n) { if (adj(v).isEmpty) dangling += x(v); v += 1 }
+      val xNew = new Array[Double](n)
+      v = 0
+      while (v < n) {
+        var s = 0.0
+        val nbrs = adj(v); var k = 0
+        while (k < nbrs.length) {
+          val u = nbrs(k); s += x(u) / adj(u).length; k += 1
+        }
+        xNew(v) = (1.0 - damping) / n + damping * (s + dangling / n)
+        v += 1
+      }
+      x = xNew
+      iter += 1
+    }
+    val rows = nodeSeq.zipWithIndex.map { case (g, i) => Row(g, x(i)) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("gene", StringType, nullable = false),
+        StructField("pagerank", DoubleType, nullable = false))))
+  }
+
+  /** PageRank at scale: the same fixed-iteration update as a DataFrame
+    * loop — edges and scores stay partitioned; each round is one
+    * join + aggregate (degree-weighted neighbor sums), a 1-row dangling
+    * aggregate broadcast back, and a localCheckpoint pin (bounded
+    * lineage; iteration count is fixed and small, so per-round RDD
+    * bookkeeping beyond the pin is unnecessary — contrast the
+    * convergence-driven eigenvector loop). */
+  def pageRankDistributed(spark: SparkSession, nodes: DataFrame,
+                          edges: DataFrame, damping: Double = 0.85,
+                          iters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src").as("gene"))
+      .agg(count(lit(1)).as("__deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0) {
+      sym.unpersist(false); deg.unpersist(false)
+      return nodes.select(col("gene"), lit(0.0).as("pagerank"))
+    }
+    var x = nodes.select(col("gene"), lit(1.0 / n).as("x"))
+      .join(deg, Seq("gene"), "left")
+      .select(col("gene"), col("x"), coalesce(col("__deg"), lit(0L)).as("__deg"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iters) {
+      val dangling = x.filter(col("__deg") === 0L)
+        .agg(coalesce(sum(col("x")), lit(0.0)).as("__dang"))
+      val contrib = sym.join(x, sym("src") === x("gene"))
+        .groupBy(sym("dst").as("gene"))
+        .agg(sum(col("x") / col("__deg")).as("__nbr"))
+      x = x.drop("x")
+        .join(contrib, Seq("gene"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("gene"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("__nbr"), lit(0.0)) + col("__dang") / n)).as("x"),
+          col("__deg"))
+        .localCheckpoint()
+      iter += 1
+    }
+    sym.unpersist(false); deg.unpersist(false)
+    x.select(col("gene"), col("x").as("pagerank"))
+  }
+
   /** A14 + A15: min-max normalize the three centralities (sklearn
     * MinMaxScaler: zero range -> 0) and average them into the composite
     * score (`pipeline2.py:758-769`), sorted descending with gene as the

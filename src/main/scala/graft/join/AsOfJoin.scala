@@ -4,11 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, the single right row with the
-  * largest right time <= left time (or < for `strict`) within the same
-  * key — the point-in-time lookup every event/feature pipeline needs
-  * (DuckDB/kdb `ASOF JOIN`, pandas `merge_asof`), which Spark has no
-  * built-in operator for.
+/** As-of joins: for each left row, the single right row nearest in time
+  * within the same key — backward (largest right time <= left time; the
+  * point-in-time lookup of DuckDB/kdb `ASOF JOIN`, pandas `merge_asof`)
+  * and forward (smallest right time >= left time; next-event
+  * attribution). Spark has no built-in operator for either.
   *
   * A naive translation is a non-equi join (`l.key = r.key AND l.ts >=
   * r.ts`) + argmax — Spark plans that as a per-key cartesian explosion
@@ -16,30 +16,57 @@ import org.apache.spark.sql.functions._
   * prunes), quadratic per key and a guaranteed scale-killer on 100 TB of
   * events. This operator instead UNIONS the two tagged inputs and takes
   * one window pass: partition by key, order by (time, side), carry the
-  * last non-null right payload forward. Cost = one shuffle of
-  * (left + right) on the key + a per-key sort — the same price as a
-  * single sort-merge join, linear in input, no row amplification. The
-  * window frame is running (UNBOUNDED PRECEDING .. CURRENT ROW), which
-  * Spark evaluates streamingly within each partition — no frame re-scan.
+  * nearest right payload across (last non-null over a running frame for
+  * backward, first non-null over the mirrored frame for forward). Cost =
+  * one shuffle of (left + right) on the key + a per-key sort — the same
+  * price as a single sort-merge join, linear in input, no row
+  * amplification; Spark evaluates both frame shapes streamingly within
+  * each partition.
   *
   * Ties: a right row at exactly left time is visible when `strict =
-  * false` (sorted before the left row via the side tag), hidden when
-  * `strict = true` (sorted after). Multiple right rows sharing (key,
-  * time) are resolved deterministically by `rightTieBreak` (largest
-  * wins), so results never depend on partitioning.
+  * false` (sorted on the frame side of the left row via the side tag),
+  * hidden when `strict = true`. Multiple right rows sharing (key, time)
+  * resolve deterministically by `rightTieBreak` — backward keeps the
+  * LARGEST tie-break (latest in carry order), forward the SMALLEST — so
+  * results never depend on partitioning.
   *
-  * Output: every left row (left-outer semantics) with the matched right
-  * payload struct's fields appended (null fields when no prior right row
-  * exists).
+  * `toleranceSec` bounds the match staleness (pandas merge_asof
+  * `tolerance`): a matched right row farther than this many seconds from
+  * the left time is nulled out, left-outer semantics preserved.
+  *
+  * Output: every left row (left-outer) with the matched right payload
+  * struct's fields appended (null fields when no qualifying right row).
   */
 object AsOfJoin {
 
+  /** Backward as-of: latest right row at-or-before (or strictly before
+    * when `strict`) each left row's time. */
   def asOfBackward(left: DataFrame, right: DataFrame,
                    key: String, time: String,
                    payload: Seq[String],
                    strict: Boolean = false,
-                   rightTieBreak: Option[String] = None): DataFrame = {
-    val reserved = Seq("__side", "__payload", "__tie")
+                   rightTieBreak: Option[String] = None,
+                   toleranceSec: Option[Long] = None): DataFrame =
+    asOf(left, right, key, time, payload, strict, rightTieBreak,
+      toleranceSec, backward = true)
+
+  /** Forward as-of: earliest right row at-or-after (or strictly after
+    * when `strict`) each left row's time. */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  key: String, time: String,
+                  payload: Seq[String],
+                  strict: Boolean = false,
+                  rightTieBreak: Option[String] = None,
+                  toleranceSec: Option[Long] = None): DataFrame =
+    asOf(left, right, key, time, payload, strict, rightTieBreak,
+      toleranceSec, backward = false)
+
+  private def asOf(left: DataFrame, right: DataFrame,
+                   key: String, time: String, payload: Seq[String],
+                   strict: Boolean, rightTieBreak: Option[String],
+                   toleranceSec: Option[Long],
+                   backward: Boolean): DataFrame = {
+    val reserved = Seq("__side", "__payload", "__tie", "__m")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"inputs must not contain ${reserved.mkString("/")} columns")
     require(payload.nonEmpty, "payload must name at least one right column")
@@ -47,19 +74,26 @@ object AsOfJoin {
       "payload column names must not collide with left columns — rename " +
         "the right side's payload columns before joining")
 
-    // Right rows sort BEFORE left rows at equal time for inclusive (>=)
-    // semantics, AFTER for strict (>): the carried-forward payload at the
-    // left row then includes / excludes the simultaneous right row.
-    val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
+    // The right row at exactly the left row's time must fall INSIDE the
+    // carry frame for inclusive semantics and OUTSIDE for strict. The
+    // frame for backward is (unbounded preceding .. current), so
+    // inclusive puts right rows first at equal times; forward mirrors.
+    val rightFirst = if (backward) !strict else strict
+    val (rightSide, leftSide) = if (rightFirst) (0, 1) else (1, 0)
+
+    // The matched right TIME rides the payload struct for the tolerance
+    // check (aliased to a reserved slot, stripped before output).
+    val payloadStruct = struct(
+      (payload.map(col) :+ col(time).as("__rt")): _*)
 
     val leftCols = left.columns.map(col)
     val lhs = left.select(
       (leftCols :+ lit(leftSide).as("__side")
-        :+ lit(null).cast(structType(right, payload)).as("__payload")
+        :+ lit(null).cast(structType(right, payload, time)).as("__payload")
         :+ lit(null).cast("long").as("__tie")): _*)
     val rhs = right.select(
       col(key), col(time), lit(rightSide).as("__side"),
-      struct(payload.map(col): _*).as("__payload"),
+      payloadStruct.as("__payload"),
       rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tie"))
     // Align columns: left-only columns become null on the right side.
     val rhsAligned = lhs.columns.foldLeft(rhs) {
@@ -68,21 +102,43 @@ object AsOfJoin {
       case (df, _) => df
     }.select(lhs.columns.map(col): _*)
 
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc, col("__tie").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Backward carries the LAST right payload of the preceding frame
+    // (largest tie-break among equal times — __tie ascending puts it
+    // last); forward takes the FIRST of the following frame (smallest).
+    val ord = Seq(col(time).asc, col("__side").asc,
+      col("__tie").asc_nulls_first)
+    val base = Window.partitionBy(col(key)).orderBy(ord: _*)
+    val (w, carry) =
+      if (backward)
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__payload"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__payload"), ignoreNulls = true))
+
     val matched = lhs.unionByName(rhsAligned)
-      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__m", carry.over(w))
       .filter(col("__side") === leftSide)
 
+    val withinTol = toleranceSec match {
+      case None => col("__m")
+      case Some(tol) =>
+        val gap =
+          if (backward) unix_micros(col(time)) - unix_micros(col("__m.__rt"))
+          else unix_micros(col("__m.__rt")) - unix_micros(col(time))
+        when(gap <= tol * 1000000L, col("__m"))
+          .otherwise(lit(null).cast(structType(right, payload, time)))
+    }
+
     val out = left.columns.map(col) ++
-      payload.map(p => col(s"__m.$p").as(p))
+      payload.map(p => withinTol.getField(p).as(p))
     matched.select(out: _*)
   }
 
-  private def structType(df: DataFrame, cols: Seq[String]) =
+  private def structType(df: DataFrame, cols: Seq[String], time: String) =
     org.apache.spark.sql.types.StructType(
-      cols.map(c => df.schema(c)))
+      cols.map(c => df.schema(c)) :+
+        df.schema(time).copy(name = "__rt"))
 
   private def fieldType(df: DataFrame, c: String) = df.schema(c).dataType
 }

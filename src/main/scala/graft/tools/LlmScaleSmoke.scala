@@ -10,8 +10,9 @@ import graft.sample.Sampling
 import graft.text.{CorpusStats, TextAnalysis}
 
 /** 10x scaling measurement for the training-pipeline operators added in
-  * round 4 (mixture resampling, Gopher gates, token-KL, incremental
-  * dedup): synthesizes a documents corpus at sf1-equivalent row count
+  * rounds 4-6 (mixture resampling, Gopher gates, token-KL, incremental
+  * dedup; as-of join, banded range join, funnel, unigram perplexity,
+  * semantic dedup): synthesizes a documents corpus at sf1-equivalent row count
   * (50k docs; sf0.1 ships 5k) and at 10x that, writes it to parquet so
   * every timed plan starts from a real columnar scan, and reports wall
   * seconds per operator per scale plus the scaling factor. A linear
@@ -71,6 +72,36 @@ object LlmScaleSmoke {
     }.toDF("doc_id", "source", "text")
   }
 
+  /** Deterministic synthetic event stream (event_id, ts, user_id,
+    * event_type, value): n/100 users, 30 days, skew-free uniform types. */
+  private def synthEvents(spark: SparkSession, nEvents: Long): DataFrame = {
+    import spark.implicits._
+    val types = Array("view", "click", "signup", "purchase", "error")
+    spark.range(nEvents).as[Long].map { id =>
+      val h = math.abs(lcg(id * 2654435761L))
+      val user = h % math.max(1L, nEvents / 100)
+      val tsMicros = 1704067200000000L + // 2024-01-01 UTC
+        math.abs(lcg(id * 104729 + 7)) % (30L * 86400 * 1000000)
+      val tpe = types((math.abs(lcg(id * 31 + 1)) % types.length).toInt)
+      (id, new java.sql.Timestamp(tsMicros / 1000), user, tpe,
+        (h % 10000) / 100.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  /** Deterministic 64-dim embeddings with planted near-dups (id % 13). */
+  private def synthVecs(spark: SparkSession, nVecs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nVecs).as[Long].map { id =>
+      val seed = if (id % 13 == 0 && id > 0) id - 1 else id
+      val base = Array.tabulate(64) { j =>
+        ((math.abs(lcg(seed * 7919 + j)) % 2000) - 1000) / 1000.0
+      }
+      // near-dup copies get a small deterministic perturbation
+      if (seed != id) base(0) += 0.01
+      (id, base)
+    }.toDF("vec_id", "embedding")
+  }
+
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -107,6 +138,13 @@ object LlmScaleSmoke {
         .select("content_md5")
         .write.mode("overwrite").parquet(s"$dir/seen")
       val seen = spark.read.parquet(s"$dir/seen")
+      synthEvents(spark, n).write.mode("overwrite").parquet(s"$dir/events")
+      val events = spark.read.parquet(s"$dir/events")
+      synthVecs(spark, n / 10).write.mode("overwrite").parquet(s"$dir/vecs")
+      val vecs = spark.read.parquet(s"$dir/vecs")
+      // cells sized to hold expected occupancy CONSTANT across scales —
+      // the documented SemDeDup usage (nLists grows with n, cell ≈ 256)
+      val nLists = math.max(16, (n / 10 / 256).toInt)
       val ops: Seq[(String, () => Unit)] = Seq(
         "gopher_gates" -> (() => sink(
           TextAnalysis.gopherFilter(docs, "text")
@@ -118,7 +156,33 @@ object LlmScaleSmoke {
             targetRows = n / 10))),
         "incremental_dedup" -> (() => sink(
           Dedup.incrementalExactDedup(
-            docs.filter(col("doc_id") >= half), "doc_id", "text", seen))))
+            docs.filter(col("doc_id") >= half), "doc_id", "text", seen))),
+        "asof_join" -> (() => sink(
+          graft.join.AsOfJoin.asOfBackward(
+            events.filter(col("event_type") =!= "purchase")
+              .select("event_id", "user_id", "ts"),
+            events.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"),
+                col("event_id").as("purchase_id")),
+            "user_id", "ts", payload = Seq("purchase_id")))),
+        "range_join" -> (() => sink(
+          graft.join.RangeJoin.bandedIntervalJoin(
+            events.filter(col("event_type") === "purchase")
+              .select(col("event_id").as("purchase_id"), col("user_id"),
+                (col("ts") - expr("INTERVAL 2 HOURS")).as("w_start"),
+                col("ts").as("w_end")),
+            events.filter(col("event_type").isin("click", "view"))
+              .select("user_id", "ts", "value"),
+            "user_id", "w_start", "w_end", "ts", bandWidthSec = 7200)
+            .groupBy("purchase_id").agg(count(lit(1)).as("n_prior")))),
+        "funnel" -> (() => sink(
+          graft.events.Funnel.funnelCounts(events, "user_id", "event_type",
+            "ts", Seq("signup", "click", "purchase")))),
+        "unigram_ppl" -> (() => sink(
+          CorpusStats.unigramLogPerplexity(docs, "doc_id", "text"))),
+        "semantic_dedup" -> (() => sink(
+          graft.ann.Similarity.semanticDedup(vecs, "vec_id", "embedding",
+            nLists = nLists, threshold = 0.9))))
       val timed = ops.map { case (name, run) =>
         run()                       // warm-up: codegen + parquet footers
         name -> (1 to 2).map(_ => time(run())).min

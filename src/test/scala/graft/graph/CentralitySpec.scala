@@ -104,6 +104,50 @@ class CentralitySpec extends SparkSuite {
     }
   }
 
+  test("pageRank: probability distribution, structure-consistent ranks") {
+    // path a-b-c: ends symmetric, middle highest; scores sum to 1
+    val (nodes, edges) = graph(Seq("a", "b", "c"),
+      Seq("a" -> "b", "b" -> "c"))
+    val pr = byGene(Centrality.pageRank(spark, nodes, edges), "pagerank")
+    assert(approx(pr("a"), pr("c"), 1e-12))
+    assert(pr("b") > pr("a"))
+    assert(approx(pr.values.sum, 1.0, 1e-9))
+  }
+
+  test("pageRank: fixpoint parity on the P4 path graph") {
+    // independently computed fixpoint of the alpha=0.85 update on P4
+    // (power iteration to convergence): ends 0.175439, middles 0.324561;
+    // 20 fixed iterations are already inside 1e-6 on this graph
+    val (nodes, edges) = graph(Seq("a", "b", "c", "d"),
+      Seq("a" -> "b", "b" -> "c", "c" -> "d"))
+    val pr = byGene(Centrality.pageRank(spark, nodes, edges), "pagerank")
+    assert(approx(pr("a"), 0.175439, 1e-4) && approx(pr("b"), 0.324561, 1e-4))
+  }
+
+  test("pageRank: dangling (isolated) node mass is redistributed") {
+    val (nodes, edges) = graph(Seq("a", "b", "x"), Seq("a" -> "b"))
+    val pr = byGene(Centrality.pageRank(spark, nodes, edges), "pagerank")
+    assert(approx(pr.values.sum, 1.0, 1e-9))
+    assert(pr("x") > 0.0 && pr("x") < pr("a"))
+  }
+
+  test("distributed pageRank matches the driver loop") {
+    for ((ns, es) <- Seq(
+        (Seq("a", "b", "c", "d"), Seq("a" -> "b", "b" -> "c", "c" -> "d")),
+        ((0 until 5).map("n" + _),
+          (0 until 5).map(i => ("n" + i) -> ("n" + (i + 1) % 5))),
+        (Seq("c", "l1", "l2", "l3", "iso"),
+          Seq("c" -> "l1", "c" -> "l2", "c" -> "l3")))) {
+      val (nodes, edges) = graph(ns, es)
+      val driver = byGene(Centrality.pageRank(spark, nodes, edges), "pagerank")
+      val dist = byGene(
+        Centrality.pageRankDistributed(spark, nodes, edges), "pagerank")
+      ns.foreach { n =>
+        assert(approx(driver(n), dist(n), 1e-9), s"node $n: ${driver(n)} vs ${dist(n)}")
+      }
+    }
+  }
+
   test("compositeScores: min-max + mean, zero-range column -> 0") {
     import spark.implicits._
     val df = Seq(

@@ -83,6 +83,64 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got.toSeq == Seq(12L))   // largest tie-break wins
   }
 
+  test("forward as-of picks the earliest right row at or after") {
+    val got = AsOfJoin.asOfForward(trades, quotes, "k", "t",
+        payload = Seq("q_id", "q_val"))
+      .select("trade_id", "q_id").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(
+      1L -> Some(101L),   // 09:59:59 -> next quote 10:00:00
+      2L -> Some(102L),   // exactly at 10:05 quote (inclusive)
+      3L -> Some(103L), 4L -> None, 5L -> None, 6L -> None))
+  }
+
+  test("forward strict mode skips the simultaneous right row") {
+    val got = AsOfJoin.asOfForward(trades, quotes, "k", "t",
+        payload = Seq("q_id"), strict = true)
+      .select("trade_id", "q_id").as[(Long, Option[Long])].collect().toMap
+    assert(got(2L) == Some(103L))
+  }
+
+  test("forward matches the declarative non-equi join + argmin on random data") {
+    val n = 500
+    val left = spark.range(n).select(
+      (col("id") % 13).as("k"),
+      to_timestamp(lit("2024-01-01 00:00:00")).cast("long")
+        .plus(pmod(col("id") * 7919, lit(100000))).cast("timestamp").as("t"),
+      col("id").as("lid"))
+    val right = spark.range(200).select(
+      (col("id") % 13).as("k"),
+      to_timestamp(lit("2024-01-01 00:00:00")).cast("long")
+        .plus(pmod(col("id") * 104729, lit(100000))).cast("timestamp").as("t"),
+      col("id").as("r_id"))
+    assert(right.groupBy("k", "t").count().filter(col("count") > 1).count() == 0)
+
+    val got = AsOfJoin.asOfForward(left, right, "k", "t", Seq("r_id"))
+      .select("lid", "r_id").as[(Long, Option[Long])].collect().toMap
+    val oracle = left.as("l")
+      .join(right.as("r"),
+        col("l.k") === col("r.k") && col("l.t") <= col("r.t"), "left_outer")
+      .groupBy(col("lid"))
+      .agg(min_by(col("r_id"), struct(col("r.t"), col("r_id"))).as("r_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == oracle)
+  }
+
+  test("tolerance nulls out stale matches, both directions") {
+    // trade 4 at 11:00 is 50 min after quote 103 (10:10): a 10-min
+    // tolerance voids it; trade 3 (2 min after quote 102) survives
+    val back = AsOfJoin.asOfBackward(trades, quotes, "k", "t",
+        payload = Seq("q_id"), toleranceSec = Some(600))
+      .select("trade_id", "q_id").as[(Long, Option[Long])].collect().toMap
+    assert(back(3L) == Some(102L) && back(4L).isEmpty)
+    // forward: trade 1 at 09:59:59 is 1s before quote 101 -> survives a
+    // 10s tolerance; trade 6 has no quotes at all -> still None
+    val fwd = AsOfJoin.asOfForward(trades, quotes, "k", "t",
+        payload = Seq("q_id"), toleranceSec = Some(10))
+      .select("trade_id", "q_id").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(1L) == Some(101L) && fwd(2L) == Some(102L))
+    assert(fwd(3L).isEmpty && fwd(6L).isEmpty)   // 103 is 3 min past trade 3
+  }
+
   test("payload name collisions are rejected") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asOfBackward(trades, quotes.withColumnRenamed("q_id", "trade_id"),

@@ -48,7 +48,8 @@ object Bench {
     "q70_asof_join", "q71_range_join", "q72_unigram_ppl",
     "q73_semantic_dedup", "q74_markup_strip", "q75_robust_outliers",
     "q76_contamination", "q77_funnel", "q78_winsorize",
-    "q79_asof_forward", "q80_pagerank", "q81_salted_join")
+    "q79_asof_forward", "q80_pagerank", "q81_salted_join",
+    "q82_source_dup_matrix", "q83_padding_efficiency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory carrying the configuration this library is designed
+  * against, so "switch to graft" is one call instead of a conf
+  * scavenger hunt:
+  *
+  *  - `graft.GraftExtensions` injected — the custom expressions
+  *    (t-CDF, cosine, simhash/md5/rolling hashes, shingles, LSH
+  *    buckets) are SQL-callable.
+  *  - AQE on with skew-join handling (Spark's defaults, restated
+  *    because several operators — SkewJoin's docs, the dedup candidate
+  *    joins — assume runtime re-planning is available in batch).
+  *  - ANSI OFF: the catalog's documented arithmetic contract
+  *    (x/0 → null with explicit guards everywhere; the full catalog is
+  *    ALSO verified green under ansi=true each round, so flipping it on
+  *    is supported, just not the default).
+  *  - UTC session timezone: every timestamp-bucketing operator
+  *    (sessionize, tumbling windows, banded range join) is
+  *    calendar-dependent; a cluster-local zone would silently change
+  *    results between deployments.
+  *
+  * `shufflePartitions` defaults to 3× the default parallelism — the
+  * local/test heuristic. On a real cluster SET it to cores × a small
+  * factor, or leave AQE coalescing to shrink it downward from a high
+  * initial value.
+  */
+object GraftSession {
+
+  def builder(shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+    shufflePartitions.fold(b)(n => b.config("spark.sql.shuffle.partitions", n))
+  }
+}

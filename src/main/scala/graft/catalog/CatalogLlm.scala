@@ -1353,8 +1353,61 @@ object CatalogLlm {
            |    AS contamination_frac
            |FROM agg WHERE n_contaminated > 0 ORDER BY id""".stripMargin))
 
+  /** Cross-source duplicate matrix (L47): documents + a "mirror" feed
+    * that re-serves every doc_id % 6 == 0 content (plus a web→social
+    * partial copy at % 11) — which source pairs share content, counted
+    * per distinct content. */
+  private val q82 = Q("q82_source_dup_matrix",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"text", $"source")
+      val seeded = docs
+        .union(t(s, dir, "documents").filter($"doc_id" % 6 === 0)
+          .select($"text", lit("mirror").as("source")))
+        .union(t(s, dir, "documents")
+          .filter($"doc_id" % 11 === 0 && $"source" === "web")
+          .select($"text", lit("social").as("source")))
+      Dedup.crossSourceDupMatrix(seeded, "text", "source")
+        .orderBy($"source_a", $"source_b")
+    },
+    Some("""WITH seeded AS (
+           |  SELECT text, source FROM documents
+           |  UNION ALL SELECT text, 'mirror' FROM documents WHERE doc_id % 6 = 0
+           |  UNION ALL SELECT text, 'social' FROM documents
+           |            WHERE doc_id % 11 = 0 AND source = 'web'),
+           |seen AS (SELECT DISTINCT md5(text) AS h, source FROM seeded)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |       count(*) AS n_shared
+           |FROM seen a JOIN seen b ON a.h = b.h AND a.source < b.source
+           |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin))
+
+  /** Padding-efficiency table (L48): what pad-to-256 batching wastes per
+    * power-of-2 doc-length bucket — the measurement that justifies
+    * sequence packing (q55). Bucket key floors the 6-dp-rounded log2. */
+  private val q83 = Q("q83_padding_efficiency",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.Chunking.paddingEfficiency(
+        t(s, dir, "documents"), "text", seqLen = 256)
+    },
+    Some("""WITH m AS (
+           |  SELECT len(regexp_extract_all(text, '\S+'))::BIGINT AS n,
+           |         ceil(len(regexp_extract_all(text, '\S+')) / 256.0)::BIGINT
+           |           * 256 AS p
+           |  FROM documents),
+           |b AS (SELECT floor(round(log2(n), 6))::INT AS len_bucket,
+           |             count(*) AS n_docs,
+           |             sum(n)::BIGINT AS total_tokens,
+           |             sum(p)::BIGINT AS padded_slots,
+           |             round(1.0 - sum(n) / CAST(sum(p) AS DOUBLE), 4)
+           |               AS waste_frac
+           |      FROM m WHERE n > 0 GROUP BY 1)
+           |SELECT len_bucket, (2 ** len_bucket)::BIGINT AS bucket_lo, n_docs,
+           |       total_tokens, padded_slots, waste_frac
+           |FROM b ORDER BY len_bucket""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
-    q66, q67, q68, q69, q72, q73, q74, q76)
+    q66, q67, q68, q69, q72, q73, q74, q76, q82, q83)
 }

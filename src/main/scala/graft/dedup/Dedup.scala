@@ -767,4 +767,31 @@ object Dedup {
                     minJaccard: Double): DataFrame =
     verifyFromPostings(postings(df, idCol, textCol, shingleSize),
       candidates, minJaccard)
+
+  /** Cross-source duplicate matrix — the corpus-governance question
+    * "which crawls/mirrors overlap, and by how much": for every ordered
+    * source pair (a < b), how many distinct contents appear in BOTH.
+    * This is what decides which source to drop wholesale versus dedup
+    * row-by-row when two feeds turn out to mirror each other.
+    *
+    * Scale shape: per-side distinct (content-hash, source) — one hash
+    * agg, 16 B + source per distinct content — then a self-join on the
+    * HASH key (fan-out per content bounded by its source count, ≤
+    * |sources| which is small by definition) and a pair-cardinality
+    * aggregate. The text is scanned once and never shuffled.
+    *
+    * Output: (source_a, source_b, n_shared) for pairs with ≥ 1 shared
+    * content, source_a < source_b.
+    */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+                           srcCol: String): DataFrame = {
+    val seen = df.select(md5(col(textCol)).as("__h"),
+      col(srcCol).cast("string").as("__src")).distinct()
+    val a = seen.select(col("__h"), col("__src").as("source_a"))
+    val b = seen.select(col("__h"), col("__src").as("source_b"))
+    a.join(b, Seq("__h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

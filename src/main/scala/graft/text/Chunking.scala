@@ -66,4 +66,41 @@ object Chunking {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
           / lit(budgetTokens)).cast("long"))
   }
+
+  /** Padding-efficiency report for pad-to-`seqLen` batching (the
+    * sibling of [[packSequences]]'s concat-and-split: when documents are
+    * NOT concatenated, every doc pads its last chunk to the sequence
+    * boundary, and this table says what that costs): per power-of-2
+    * token-length bucket, document count, real tokens, padded slots
+    * (ceil(n/seqLen)·seqLen), and the waste fraction — the table that
+    * justifies switching to packing, or picking a different seqLen.
+    * Empty docs (0 tokens) are excluded (they'd contribute no
+    * sequences). One narrow scoring pass into a bounded aggregate
+    * (≤ 64 buckets regardless of corpus size).
+    *
+    * Output: (len_bucket = floor(log2(n_tokens)), bucket_lo, n_docs,
+    * total_tokens, padded_slots, waste_frac 4 dp), ascending.
+    */
+  def paddingEfficiency(df: DataFrame, textCol: String,
+                        seqLen: Int): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val padded = ceil(n.cast("double") / seqLen).cast("long") * seqLen
+    df.select(n.as("__n"), padded.as("__p"))
+      .filter(col("__n") > 0)
+      // epsilon-killing round before floor: ln(n)/ln(2) for an exact
+      // power of 2 can land a hair under the integer, and the two
+      // engines' libm need not err the same way (the q65 lesson)
+      .groupBy(floor(round(log(2.0, col("__n")), 6)).cast("int")
+        .as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        sum(col("__p")).as("padded_slots"),
+        round(lit(1.0) - sum(col("__n")).cast("double") /
+          sum(col("__p")).cast("double"), 4).as("waste_frac"))
+      .withColumn("bucket_lo", pow(lit(2.0), col("len_bucket")).cast("long"))
+      .select(col("len_bucket"), col("bucket_lo"), col("n_docs"),
+        col("total_tokens"), col("padded_slots"), col("waste_frac"))
+      .orderBy(col("len_bucket"))
+  }
 }

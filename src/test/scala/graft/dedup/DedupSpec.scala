@@ -368,4 +368,21 @@ class DedupSpec extends SparkSuite {
     // doc4: 4 trigrams; doc5: 6 trigrams; common = 4 -> j = 4/6
     assert(got.length == 1 && approx(got(0)._3, 0.6667, 1e-4))
   }
+
+  test("crossSourceDupMatrix: shared distinct contents per source pair") {
+    val rows = Seq(
+      ("web", "shared one"), ("mirror", "shared one"),   // 1 shared
+      ("web", "shared two"), ("mirror", "shared two"),   // 2nd shared
+      ("web", "shared two"),                             // in-source dup: still 1 content
+      ("social", "shared one"),                          // 3-source content
+      ("web", "web only"), ("mirror", "mirror only")
+    ).toDF("source", "text")
+    val got = Dedup.crossSourceDupMatrix(rows, "text", "source")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("mirror", "web") -> 2L,      // both shared contents
+      ("mirror", "social") -> 1L,   // "shared one" only
+      ("social", "web") -> 1L))
+  }
 }

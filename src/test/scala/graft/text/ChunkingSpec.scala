@@ -37,4 +37,24 @@ class ChunkingSpec extends SparkSuite {
     assert(got == Set(("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 1L),
       ("s2", 9L, 0L)))
   }
+
+  test("paddingEfficiency: buckets, padded slots, waste; empty docs excluded") {
+    val docs = Seq(
+      (1L, "a b c"),                            // 3 tok  -> bucket 1, pad 4
+      (2L, "a b c d"),                          // 4 tok  -> bucket 2 (log2 exact), pad 4
+      (3L, Seq.fill(5)("t").mkString(" ")),     // 5 tok  -> bucket 2, pad 8
+      (4L, ""),                                 // empty: excluded
+      (5L, Seq.fill(9)("t").mkString(" "))      // 9 tok  -> bucket 3, pad 12
+    ).toDF("doc_id", "text")
+    val got = Chunking.paddingEfficiency(docs, "text", seqLen = 4)
+      .select("len_bucket", "bucket_lo", "n_docs", "total_tokens",
+        "padded_slots", "waste_frac")
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1, 2, 3))
+    assert(got(1) == ((1, 2L, 1L, 3L, 4L, 0.25)))
+    // bucket 2: docs of 4 and 5 tokens -> 9 tokens in 12 slots
+    assert(got(2) == ((2, 4L, 2L, 9L, 12L, 0.25)))
+    assert(got(3) == ((3, 8L, 1L, 9L, 12L, 0.25)))
+  }
 }

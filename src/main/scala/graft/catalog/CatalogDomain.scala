@@ -958,7 +958,80 @@ object CatalogDomain {
            |FROM events JOIN customer ON user_id = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** ROLLUP hierarchy aggregate (§2.4 extension): per (returnflag,
+    * linestatus) plus per-returnflag subtotals plus the grand total in
+    * one pass — Spark plans rollup as a single Expand + hash aggregate,
+    * not three scans. grouping() flags disambiguate NULL-as-subtotal
+    * from NULL data on both engines. */
+  private val q84 = Q("q84_rollup",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_extendedprice"), 2).as("revenue"),
+          grouping($"l_returnflag").cast("int").as("g_rf"),
+          grouping($"l_linestatus").cast("int").as("g_ls"))
+        .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+           |  round(sum(l_extendedprice), 2) AS revenue,
+           |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin))
+
+  /** Analytic window breadth (§2.5): lag deltas, lead, percent_rank and
+    * cume_dist per user over event time — the per-entity sequence
+    * analytics every event pipeline runs; fine-grained partition key,
+    * no global window. */
+  private val q85 = Q("q85_analytics",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .filter($"user_id" < 10)
+        .select($"user_id", $"event_id",
+          (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+            .as("micros_since_prev"),
+          lead($"event_id", 1).over(w).as("next_event_id"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS micros_since_prev,
+           |  lead(event_id, 1) OVER w AS next_event_id,
+           |  round(percent_rank() OVER w, 6) AS pr,
+           |  round(cume_dist() OVER w, 6) AS cd
+           |FROM events WHERE user_id < 10
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |ORDER BY user_id, event_id""".stripMargin))
+
+  /** Set operations (§2.7): INTERSECT and EXCEPT with their DISTINCT
+    * bag semantics — high-value customers present in/absent from the
+    * events stream, one row per set-op branch. */
+  private val q86 = Q("q86_setops",
+    (s, dir) => {
+      import s.implicits._
+      val active = t(s, dir, "events").select($"user_id".as("k"))
+      val topCust = t(s, dir, "customer").filter($"c_acctbal" > 9000)
+        .select($"c_custkey".as("k"))
+      val both = topCust.intersect(active)
+        .agg(lit("intersect").as("op"), count(lit(1)).as("n"))
+      val only = topCust.except(active)
+        .agg(lit("except").as("op"), count(lit(1)).as("n"))
+      both.unionByName(only).orderBy($"op")
+    },
+    Some("""WITH active AS (SELECT user_id AS k FROM events),
+           |top_cust AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000)
+           |SELECT 'intersect' AS op, count(*) AS n
+           |FROM (SELECT k FROM top_cust INTERSECT SELECT k FROM active)
+           |UNION ALL
+           |SELECT 'except', count(*)
+           |FROM (SELECT k FROM top_cust EXCEPT SELECT k FROM active)
+           |ORDER BY op""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
-    q61, q70, q71, q75, q77, q78, q79, q80, q81)
+    q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86)
 }

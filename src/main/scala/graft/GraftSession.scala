@@ -21,10 +21,11 @@ import org.apache.spark.sql.SparkSession
   *    calendar-dependent; a cluster-local zone would silently change
   *    results between deployments.
   *
-  * `shufflePartitions` defaults to 3× the default parallelism — the
-  * local/test heuristic. On a real cluster SET it to cores × a small
-  * factor, or leave AQE coalescing to shrink it downward from a high
-  * initial value.
+  * `shufflePartitions` left as None sets nothing — Spark's 200-partition
+  * default applies, with AQE coalescing shrinking small shuffles at
+  * runtime. Pass an explicit value on sizing-sensitive deployments
+  * (cores × a small factor locally; on a cluster, high enough that AQE
+  * coalesces DOWN rather than partitions overflowing memory).
   */
 object GraftSession {
 

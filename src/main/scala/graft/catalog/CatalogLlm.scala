@@ -1304,14 +1304,16 @@ object CatalogLlm {
            |      regexp_replace(
            |        regexp_replace(
            |          regexp_replace(
-           |            '<html><head><style>p{color:red}</style>' ||
-           |            '<script type="text/javascript">var x = 1 < 2;</script>' ||
-           |            '</head><body><!-- boilerplate --><p class="main">' ||
-           |            text ||
-           |            '</p><br/>&amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;' ||
-           |            '&nbsp;end</body></html>',
-           |            '<!--.*?-->', ' ', 'gs'),
-           |          '<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'gsi'),
+           |            regexp_replace(
+           |              '<html><head><style>p{color:red}</style>' ||
+           |              '<script type="text/javascript">var x = 1 < 2;</script>' ||
+           |              '</head><body><!-- boilerplate --><p class="main">' ||
+           |              text ||
+           |              '</p><br/>&amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;' ||
+           |              '&nbsp;end</body></html>',
+           |              '<!--.*?-->', ' ', 'gs'),
+           |            '<script\b[^>]*>.*?</script\s*>', ' ', 'gsi'),
+           |          '<style\b[^>]*>.*?</style\s*>', ' ', 'gsi'),
            |        '<[^>]*>', ' ', 'g'),
            |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
            |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),

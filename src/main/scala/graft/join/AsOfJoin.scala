@@ -66,7 +66,7 @@ object AsOfJoin {
                    strict: Boolean, rightTieBreak: Option[String],
                    toleranceSec: Option[Long],
                    backward: Boolean): DataFrame = {
-    val reserved = Seq("__side", "__payload", "__tie", "__m")
+    val reserved = Seq("__side", "__payload", "__tie", "__m", "__rt")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"inputs must not contain ${reserved.mkString("/")} columns")
     require(payload.nonEmpty, "payload must name at least one right column")
@@ -86,15 +86,21 @@ object AsOfJoin {
     val payloadStruct = struct(
       (payload.map(col) :+ col(time).as("__rt")): _*)
 
+    // the tie-break keeps its NATIVE orderable type — casting to long
+    // would null out string ids (silently losing determinism) and
+    // collapse sub-second timestamps to seconds
+    val tieType = rightTieBreak
+      .map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val leftCols = left.columns.map(col)
     val lhs = left.select(
       (leftCols :+ lit(leftSide).as("__side")
         :+ lit(null).cast(structType(right, payload, time)).as("__payload")
-        :+ lit(null).cast("long").as("__tie")): _*)
+        :+ lit(null).cast(tieType).as("__tie")): _*)
     val rhs = right.select(
       col(key), col(time), lit(rightSide).as("__side"),
       payloadStruct.as("__payload"),
-      rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tie"))
+      rightTieBreak.map(col).getOrElse(lit(0L)).as("__tie"))
     // Align columns: left-only columns become null on the right side.
     val rhsAligned = lhs.columns.foldLeft(rhs) {
       case (df, c) if !df.columns.contains(c) =>

@@ -49,8 +49,14 @@ object RangeJoin {
     // end is exclusive: a point at exactly `end` never matches, so the
     // last band only needs to cover end - 1µs; banding end directly is
     // still correct (one extra candidate band at worst, filtered below).
-    val banded = intervals.withColumn("__band",
-      explode(sequence(band(col(startCol)), band(col(endCol)))))
+    // Inverted intervals (end < start) can never match — but sequence()
+    // would happily generate their DESCENDING band list and join every
+    // band of the bogus span before the exact filter drops it all, so
+    // corrupt rows are dropped up front (cheap) instead of amplified.
+    val banded = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__band",
+        explode(sequence(band(col(startCol)), band(col(endCol)))))
     val pts = points.withColumn("__band", band(col(pointTime)))
 
     banded.join(pts, Seq(key, "__band"))

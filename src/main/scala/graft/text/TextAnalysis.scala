@@ -232,9 +232,16 @@ object TextAnalysis {
     * regex extractor, not a DOM. */
   def stripMarkup(df: DataFrame, textCol: String): DataFrame = {
     val noComment = regexp_replace(col(textCol), "(?s)<!--.*?-->", " ")
+    // script and style as SEPARATE patterns: an alternation in both the
+    // open and close tag ('<(script|style)...</(script|style)>') lets a
+    // <script> block be "closed" by a </style> appearing inside a JS
+    // string, leaking the script tail into the extracted text. RE2 has
+    // no backreferences, so two passes is the portable fix.
     val noScript = regexp_replace(noComment,
-      "(?si)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
-    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+      "(?si)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?si)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }

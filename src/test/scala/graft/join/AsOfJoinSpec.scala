@@ -141,6 +141,19 @@ class AsOfJoinSpec extends SparkSuite {
     assert(fwd(3L).isEmpty && fwd(6L).isEmpty)   // 103 is 3 min past trade 3
   }
 
+  test("non-numeric tie-break columns keep their native ordering") {
+    // a string tie-break must not be silently cast-to-null (which would
+    // surrender the documented determinism to partition order)
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), "uuid-a", 11L),
+      (1L, ts("2024-01-01 10:00:00"), "uuid-b", 12L))
+      .toDF("k", "t", "r_uuid", "r_id")
+    val l = Seq((1L, ts("2024-01-01 10:01:00"), 1L)).toDF("k", "t", "lid")
+    val got = AsOfJoin.asOfBackward(l, r, "k", "t", Seq("r_id"),
+        rightTieBreak = Some("r_uuid"))
+      .select("r_id").as[Long].collect()
+    assert(got.toSeq == Seq(12L))   // "uuid-b" > "uuid-a" lexicographically
+  }
+
   test("payload name collisions are rejected") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asOfBackward(trades, quotes.withColumnRenamed("q_id", "trade_id"),

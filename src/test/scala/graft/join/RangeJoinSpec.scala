@@ -65,6 +65,13 @@ class RangeJoinSpec extends SparkSuite {
     assert(oracle.nonEmpty)
   }
 
+  test("inverted intervals (end < start) are dropped, not band-exploded") {
+    val bad = Seq((1L, 5L, ts("2024-01-10 00:00:00"), ts("2024-01-01 00:00:00")))
+      .toDF("iid", "k", "s", "e")
+    val got = RangeJoin.bandedIntervalJoin(bad, points, "k", "s", "e", "pt", 60)
+    assert(got.count() == 0)
+  }
+
   test("colliding point column names are rejected") {
     val e = intercept[IllegalArgumentException] {
       RangeJoin.bandedIntervalJoin(intervals,

@@ -204,6 +204,17 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(6L) == "no markup at all")
   }
 
+  test("stripMarkup: a </style> inside a script string cannot close the script") {
+    val docs = Seq(
+      (1L, "<script>var s = \"</style>\"; track()</script>Hello"),
+      (2L, "<style>s { content: \"</script>\" }</style>World")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(docs, "text")
+      .select("doc_id", "text_plain").as[(Long, String)].collect().toMap
+    assert(got(1L) == "Hello")
+    assert(got(2L) == "World")
+  }
+
   test("md5_long matches DuckDB md5_number_lower reference values") {
     // Reference values from `select md5_number_lower(...)` in DuckDB 1.0,
     // reinterpreted as signed 64-bit.

@@ -158,6 +158,76 @@ object EventStream {
     * the batch twin, so session values compare equal. */
   private def round4(v: Double): Double =
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  final case class FunnelState(reach: Seq[Long])
+  final case class FunnelOut(user_id: Long, stage_idx: Int, stage: String,
+                             reach_ts: Timestamp)
+
+  /** Streaming ordered funnel — the live twin of
+    * [[graft.events.Funnel.stageTimes]]: per user, emit a row the moment
+    * a funnel stage is first reached (an event of stage i's type later
+    * than the recorded stage-(i−1) reach time), with the reach
+    * timestamp. State per user is one fixed-size reach vector
+    * (8 bytes × stages); a user whose funnel is complete drops its
+    * state entirely, and the event-time timeout evicts abandoned
+    * funnels once the watermark passes their last progress + `ttl` —
+    * so state is O(users active in the funnel inside the horizon).
+    *
+    * Within a micro-batch events are processed in event-time order (the
+    * sessionize discipline), so batch-vs-stream parity holds for
+    * arrival patterns whose cross-batch order respects event time. The
+    * one DOCUMENTED divergence (inherent to bounded state, the
+    * session_seq precedent): a late event arriving in a LATER batch
+    * with an EARLIER timestamp than the recorded reach cannot
+    * retroactively lower it — the batch operator's min-reach would.
+    * Emitted reaches are monotone per user either way.
+    */
+  def funnelStream(events: Dataset[Event], stages: Seq[String],
+                   watermark: String = "10 minutes",
+                   ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[FunnelOut] = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .filter(e => stageIdx.contains(e.event_type))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val reach = state.getOption
+              .map(_.reach.toArray)
+              .getOrElse(Array.fill(stages.length)(Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+            rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val i = stageIdx(e.event_type)
+              val us = micros(e.ts)
+              val prevOk = i == 0 || (reach(i - 1) != Long.MinValue &&
+                us > reach(i - 1))
+              if (reach(i) == Long.MinValue && prevOk) {
+                reach(i) = us
+                out += FunnelOut(userId, i + 1, stages(i),
+                  new Timestamp(math.floorDiv(us, 1000L)))
+              }
+            }
+            if (reach.last != Long.MinValue) state.remove()
+            else {
+              state.update(FunnelState(reach.toSeq))
+              val progress = reach.filter(_ != Long.MinValue)
+              val base = if (progress.nonEmpty) progress.max / 1000L
+                         else state.getCurrentWatermarkMs()
+              // timeout must sit beyond the current watermark or Spark
+              // rejects it — clamp for very-late stragglers
+              state.setTimeoutTimestamp(
+                math.max(base + ttl.toMillis, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class SessionState(sessionSeq: Long, lastTs: Long,
                                 nEvents: Long, startTs: Long, totalValue: Double)
   final case class SessionOut(user_id: Long, session_seq: Long,

@@ -287,6 +287,77 @@ class EventStreamSpec extends SparkSuite {
     assert(got == batch)
   }
 
+  test("streaming funnel matches batch stageTimes on in-order data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // u7 full funnel; u8 purchase BEFORE click (stuck at click);
+    // u9 click only (never signed up -> no rows at all)
+    in.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "signup", 0.0),
+      Event(2, ts("2024-01-01 10:05:00"), 7, "click", 0.0),
+      Event(3, ts("2024-01-01 10:10:00"), 7, "purchase", 0.0),
+      Event(4, ts("2024-01-01 10:00:00"), 8, "signup", 0.0),
+      Event(5, ts("2024-01-01 09:00:00"), 8, "purchase", 0.0),
+      Event(6, ts("2024-01-01 10:05:00"), 8, "click", 0.0),
+      Event(7, ts("2024-01-01 10:00:00"), 9, "click", 0.0))
+    in.addData(Event(99, ts("2024-01-02 00:00:00"), 99, "signup", 0.0))
+
+    val stages = Seq("signup", "click", "purchase")
+    runToMemory(
+      EventStream.funnelStream(in.toDS(), stages).toDF(), "funnel_stream")
+    val got = spark.table("funnel_stream")
+      .filter($"user_id" < 90)
+      .select("user_id", "stage_idx", "reach_ts")
+      .as[(Long, Int, Timestamp)].collect().toSet
+
+    val batchEvents = Seq(
+      (7L, ts("2024-01-01 10:00:00"), "signup"),
+      (7L, ts("2024-01-01 10:05:00"), "click"),
+      (7L, ts("2024-01-01 10:10:00"), "purchase"),
+      (8L, ts("2024-01-01 10:00:00"), "signup"),
+      (8L, ts("2024-01-01 09:00:00"), "purchase"),
+      (8L, ts("2024-01-01 10:05:00"), "click"),
+      (9L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val batch = graft.events.Funnel.stageTimes(batchEvents, "user_id",
+        "event_type", "ts", stages)
+      .select($"user_id", $"__t0", $"__t1", $"__t2")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect()
+      .flatMap { case (u, t0, t1, t2) =>
+        Seq(t0.map((u, 1, _)), t1.map((u, 2, _)), t2.map((u, 3, _))).flatten
+      }.toSet
+
+    assert(got == batch)
+    assert(got((7L, 3, ts("2024-01-01 10:10:00"))))   // full funnel emitted
+    assert(!got.exists { case (u, _, _) => u == 9L }) // never signed up
+  }
+
+  test("streaming funnel: completed users drop state; late lower ts is not retroactive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.funnelStream(in.toDS(), Seq("signup", "click")).toDF()
+      .writeStream.format("memory").queryName("funnel_stream2")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck-funnel2").toString)
+      .start()
+    in.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "signup", 0.0))
+    q.processAllAvailable()
+    // later MICRO-BATCH: an earlier signup must not re-emit or lower
+    in.addData(Event(2, ts("2024-01-01 09:00:00"), 7, "signup", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(99, ts("2024-01-02 00:00:00"), 99, "signup", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_stream2")
+      .filter($"user_id" === 7)
+      .select("stage_idx", "reach_ts").as[(Int, Timestamp)].collect()
+    assert(got.toSeq == Seq((1, ts("2024-01-01 10:00:00"))))
+  }
+
   test("sliding windows overlap: one event lands in two 60/30-min windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

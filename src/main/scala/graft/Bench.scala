@@ -50,7 +50,7 @@ object Bench {
     "q76_contamination", "q77_funnel", "q78_winsorize",
     "q79_asof_forward", "q80_pagerank", "q81_salted_join",
     "q82_source_dup_matrix", "q83_padding_efficiency", "q84_rollup",
-    "q85_analytics", "q86_setops")
+    "q85_analytics", "q86_setops", "q87_cube", "q88_vector_ops")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1031,7 +1031,52 @@ object CatalogDomain {
            |FROM (SELECT k FROM top_cust EXCEPT SELECT k FROM active)
            |ORDER BY op""".stripMargin))
 
+  /** CUBE aggregate (§2.4, q84's sibling): all four grouping sets of
+    * (orderpriority, orderstatus) in one Expand + hash aggregate. */
+  private val q87 = Q("q87_cube",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 2).as("total"),
+          grouping($"o_orderpriority").cast("int").as("g_p"),
+          grouping($"o_orderstatus").cast("int").as("g_s"))
+        .orderBy($"g_p", $"g_s", $"o_orderpriority", $"o_orderstatus")
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS total,
+           |  grouping(o_orderpriority) AS g_p, grouping(o_orderstatus) AS g_s
+           |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+           |ORDER BY g_p, g_s, o_orderpriority, o_orderstatus""".stripMargin))
+
+  /** Higher-order array functions (§2.8): per-label embedding centroid
+    * via positional explode + per-position mean, then the centroid's L2
+    * norm folded with aggregate() — the vector-column processing
+    * surface (norms, centroids) exercised without a UDF on either
+    * engine. */
+  private val q88 = Q("q88_vector_ops",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding".cast("array<double>"))
+          .as(Seq("pos", "x")))
+      emb.groupBy($"label", $"pos").agg(avg($"x").as("m"))
+        .groupBy($"label")
+        .agg(round(sqrt(sum($"m" * $"m")), 6).as("centroid_norm"),
+          count(lit(1)).as("dim"))
+        .orderBy($"label")
+    },
+    Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           |x AS (SELECT label, i - 1 AS pos, v[i] AS x
+           |      FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i
+           |            FROM e)),
+           |c AS (SELECT label, pos, avg(x) AS m FROM x GROUP BY label, pos)
+           |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+           |       count(*) AS dim
+           |FROM c GROUP BY label ORDER BY label""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
-    q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86)
+    q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88)
 }

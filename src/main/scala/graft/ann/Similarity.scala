@@ -199,7 +199,11 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nLists: Int, threshold: Double): DataFrame = {
-    val (assigned, _) = ivfIndexSeeded(corpus, idCol, vecCol, nLists)
+    // the assignment (a cosine against every centroid per row) fans out
+    // to three consumers (both pair sides + the verdict join) — pin it
+    // once or the dominant cost runs 3x
+    val (assignedPlan, _) = ivfIndexSeeded(corpus, idCol, vecCol, nLists)
+    val assigned = assignedPlan.localCheckpoint()
     val lo = assigned.select(col("cell"), col("id").as("a_id"),
       col("arr").as("a_arr"))
     val hi = assigned.select(col("cell"), col("id").as("b_id"),

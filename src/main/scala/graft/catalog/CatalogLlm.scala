@@ -1385,7 +1385,7 @@ object CatalogLlm {
 
   /** Padding-efficiency table (L48): what pad-to-256 batching wastes per
     * power-of-2 doc-length bucket — the measurement that justifies
-    * sequence packing (q55). Bucket key floors the 6-dp-rounded log2. */
+    * sequence packing (q55). Bucket key floors the 9-dp-rounded log2. */
   private val q83 = Q("q83_padding_efficiency",
     (s, dir) => {
       import s.implicits._
@@ -1397,7 +1397,7 @@ object CatalogLlm {
            |         ceil(len(regexp_extract_all(text, '\S+')) / 256.0)::BIGINT
            |           * 256 AS p
            |  FROM documents),
-           |b AS (SELECT floor(round(log2(n), 6))::INT AS len_bucket,
+           |b AS (SELECT floor(round(log2(n), 9))::INT AS len_bucket,
            |             count(*) AS n_docs,
            |             sum(n)::BIGINT AS total_tokens,
            |             sum(p)::BIGINT AS padded_slots,

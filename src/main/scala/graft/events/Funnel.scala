@@ -30,6 +30,9 @@ object Funnel {
   def stageTimes(events: DataFrame, entityCol: String, typeCol: String,
                  tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
+    val reserved = stages.indices.map(i => s"__t$i")
+    require(!events.columns.exists(reserved.contains),
+      s"events must not contain ${reserved.mkString("/")} columns")
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(entityCol)).agg(min(col(tsCol)).as("__t0"))
     stages.zipWithIndex.tail.foldLeft(first) { case (reach, (stage, i)) =>

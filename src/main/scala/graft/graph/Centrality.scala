@@ -339,9 +339,17 @@ object Centrality {
                           edges: DataFrame, damping: Double = 0.85,
                           iters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Edges referencing vertices absent from `nodes` are dropped BEFORE
+    // the degree count — the driver path's indexGraph skips them, and
+    // keeping them here would inflate deg(u) and leak u's mass through
+    // contributions to a vertex that never joins back (scores would
+    // stop summing to 1 and diverge from the driver result).
+    val vertexSet = nodes.select(col("gene"))
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+      .join(vertexSet.withColumnRenamed("gene", "src"), Seq("src"), "left_semi")
+      .join(vertexSet.withColumnRenamed("gene", "dst"), Seq("dst"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("src").as("gene"))
       .agg(count(lit(1)).as("__deg"))

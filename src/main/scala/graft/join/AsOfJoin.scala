@@ -97,10 +97,17 @@ object AsOfJoin {
       (leftCols :+ lit(leftSide).as("__side")
         :+ lit(null).cast(structType(right, payload, time)).as("__payload")
         :+ lit(null).cast(tieType).as("__tie")): _*)
-    val rhs = right.select(
-      col(key), col(time), lit(rightSide).as("__side"),
-      payloadStruct.as("__payload"),
-      rightTieBreak.map(col).getOrElse(lit(0L)).as("__tie"))
+    // Join-semantics null handling: a right row with a null key or time
+    // can never satisfy `l.key = r.key AND l.t >= r.t` in the
+    // declarative form (or DuckDB ASOF), but unfiltered it WOULD match
+    // here — null keys group together under partitionBy and a null time
+    // sorts to the partition head where the backward carry picks it up.
+    val rhs = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(
+        col(key), col(time), lit(rightSide).as("__side"),
+        payloadStruct.as("__payload"),
+        rightTieBreak.map(col).getOrElse(lit(0L)).as("__tie"))
     // Align columns: left-only columns become null on the right side.
     val rhsAligned = lhs.columns.foldLeft(rhs) {
       case (df, c) if !df.columns.contains(c) =>
@@ -136,8 +143,15 @@ object AsOfJoin {
           .otherwise(lit(null).cast(structType(right, payload, time)))
     }
 
+    // A left row with a null time matches nothing (l.t >= r.t is never
+    // true on null) — without this guard a null-ts left row in forward
+    // mode would sort to the partition head and see every following
+    // right row in its frame. Null-KEY left rows are already safe once
+    // null-key right rows are filtered (their partition has no right
+    // rows), and left-outer semantics keep all such rows with nulls.
+    val guarded = when(col(time).isNotNull, withinTol)
     val out = left.columns.map(col) ++
-      payload.map(p => withinTol.getField(p).as(p))
+      payload.map(p => guarded.getField(p).as(p))
     matched.select(out: _*)
   }
 

@@ -127,20 +127,25 @@ object EventStream {
     * stream-stream join needs to compute those eviction bounds (without
     * the range condition the state would grow forever).
     *
-    * Inputs must already be projected to disjoint column names
-    * (anchor: user_id, a_id, a_ts …; points: user_id, p_id, p_ts …) —
-    * same contract as the batch operator. Inner semantics, append mode.
+    * Key and time columns are parameterized like the batch operator's;
+    * the remaining columns must be disjoint (same contract as
+    * bandedIntervalJoin). Inner semantics, append mode.
     */
   def attributionJoinStream(anchors: DataFrame, points: DataFrame,
+                            key: String, anchorTime: String, pointTime: String,
                             windowSec: Long, anchorWatermark: String,
                             pointWatermark: String): DataFrame = {
-    val a = anchors.withWatermark("a_ts", anchorWatermark)
-    val p = points.withWatermark("p_ts", pointWatermark)
+    val overlap = anchors.columns.toSet.intersect(points.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"point columns ${overlap.mkString(",")} collide with anchor " +
+        "columns — rename before joining")
+    val a = anchors.withWatermark(anchorTime, anchorWatermark)
+    val p = points.withWatermark(pointTime, pointWatermark)
     a.join(p,
-      a("user_id") === p("user_id") &&
-        p("p_ts") >= a("a_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
-        p("p_ts") < a("a_ts"))
-      .drop(p("user_id"))
+      a(key) === p(key) &&
+        p(pointTime) >= a(anchorTime) - expr(s"INTERVAL $windowSec SECONDS") &&
+        p(pointTime) < a(anchorTime))
+      .drop(p(key))
   }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -167,19 +172,24 @@ object EventStream {
     * a funnel stage is first reached (an event of stage i's type later
     * than the recorded stage-(i−1) reach time), with the reach
     * timestamp. State per user is one fixed-size reach vector
-    * (8 bytes × stages); a user whose funnel is complete drops its
-    * state entirely, and the event-time timeout evicts abandoned
-    * funnels once the watermark passes their last progress + `ttl` —
-    * so state is O(users active in the funnel inside the horizon).
+    * (8 bytes × stages), kept until the event-time timeout evicts it —
+    * `ttl` past the user's last progress — and never created for users
+    * with zero progress (a stage-2 event with no stage-1 reach stores
+    * nothing), so state is O(users with funnel progress inside the TTL
+    * horizon). Completed funnels RETAIN their state until the TTL so a
+    * repeat first-stage event inside the horizon does not re-enter and
+    * double-emit.
     *
     * Within a micro-batch events are processed in event-time order (the
     * sessionize discipline), so batch-vs-stream parity holds for
     * arrival patterns whose cross-batch order respects event time. The
-    * one DOCUMENTED divergence (inherent to bounded state, the
-    * session_seq precedent): a late event arriving in a LATER batch
-    * with an EARLIER timestamp than the recorded reach cannot
-    * retroactively lower it — the batch operator's min-reach would.
-    * Emitted reaches are monotone per user either way.
+    * DOCUMENTED divergences (inherent to bounded state, the session_seq
+    * precedent): a late event arriving in a LATER batch with an EARLIER
+    * timestamp than the recorded reach cannot retroactively lower it
+    * (batch min-reach would), and a user re-entering the funnel more
+    * than `ttl` after their last progress re-emits from stage 1 (batch,
+    * holding all history, would not). Emitted reaches are monotone per
+    * user either way.
     */
   def funnelStream(events: Dataset[Event], stages: Seq[String],
                    watermark: String = "10 minutes",
@@ -208,20 +218,27 @@ object EventStream {
                 us > reach(i - 1))
               if (reach(i) == Long.MinValue && prevOk) {
                 reach(i) = us
-                out += FunnelOut(userId, i + 1, stages(i),
-                  new Timestamp(math.floorDiv(us, 1000L)))
+                // full-precision event time back out of micros (the
+                // micros() round-trip — Timestamp(ms) alone would
+                // truncate sub-ms reaches and break batch parity)
+                val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+                t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+                out += FunnelOut(userId, i + 1, stages(i), t)
               }
             }
-            if (reach.last != Long.MinValue) state.remove()
-            else {
+            val progress = reach.filter(_ != Long.MinValue)
+            if (progress.isEmpty) {
+              // zero progress = semantically no state; storing an empty
+              // reach vector would grow state with every stage-2+-only
+              // user for a full TTL
+              if (state.exists) state.remove()
+            } else {
               state.update(FunnelState(reach.toSeq))
-              val progress = reach.filter(_ != Long.MinValue)
-              val base = if (progress.nonEmpty) progress.max / 1000L
-                         else state.getCurrentWatermarkMs()
               // timeout must sit beyond the current watermark or Spark
               // rejects it — clamp for very-late stragglers
               state.setTimeoutTimestamp(
-                math.max(base + ttl.toMillis, state.getCurrentWatermarkMs() + 1))
+                math.max(progress.max / 1000L + ttl.toMillis,
+                  state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

@@ -90,8 +90,11 @@ object Chunking {
       .filter(col("__n") > 0)
       // epsilon-killing round before floor: ln(n)/ln(2) for an exact
       // power of 2 can land a hair under the integer, and the two
-      // engines' libm need not err the same way (the q65 lesson)
-      .groupBy(floor(round(log(2.0, col("__n")), 6)).cast("int")
+      // engines' libm need not err the same way (the q65 lesson). 9 dp:
+      // wide enough to absorb ~1e-15 libm noise, narrow enough that a
+      // genuine just-below-2^k count (log2 gap ≥ ~3e-7 at k=22) is
+      // never rounded up into the wrong bucket.
+      .groupBy(floor(round(log(2.0, col("__n")), 9)).cast("int")
         .as("len_bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__n")).as("total_tokens"),

@@ -154,6 +154,32 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got.toSeq == Seq(12L))   // "uuid-b" > "uuid-a" lexicographically
   }
 
+  test("null keys and times follow join semantics: never matched") {
+    // right rows with null key/time are invisible; left rows with null
+    // time match nothing (but survive, left-outer); null-key left rows
+    // match nothing
+    val r = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 11L),
+      (Option.empty[Long], Some(ts("2024-01-01 09:00:00")), 12L),
+      (Some(1L), Option.empty[Timestamp], 13L)
+    ).toDF("k", "t", "r_id")
+    val l = Seq(
+      (Some(1L), Some(ts("2024-01-01 11:00:00")), 1L),
+      (Some(1L), Option.empty[Timestamp], 2L),
+      (Option.empty[Long], Some(ts("2024-01-01 11:00:00")), 3L)
+    ).toDF("k", "t", "lid")
+    for (fwd <- Seq(false, true)) {
+      val f = if (fwd)
+        AsOfJoin.asOfForward(l, r, "k", "t", Seq("r_id"))
+      else AsOfJoin.asOfBackward(l, r, "k", "t", Seq("r_id"))
+      val got = f.select("lid", "r_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got.size == 3, s"left-outer keeps all rows (fwd=$fwd)")
+      assert(got(1L) == (if (fwd) None else Some(11L)))
+      assert(got(2L).isEmpty && got(3L).isEmpty, s"fwd=$fwd")
+    }
+  }
+
   test("payload name collisions are rejected") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asOfBackward(trades, quotes.withColumnRenamed("q_id", "trade_id"),

@@ -261,6 +261,7 @@ class EventStreamSpec extends SparkSuite {
     val aDf = anchors.toDF().toDF("user_id", "a_ts", "a_id")
     val pDf = points.toDF().toDF("user_id", "p_ts", "p_id")
     runToMemory(EventStream.attributionJoinStream(aDf, pDf,
+      "user_id", "a_ts", "p_ts",
       windowSec = 1800, "10 minutes", "10 minutes"), "attribution")
     val got = spark.table("attribution")
       .select("a_id", "p_id").as[(Long, Long)].collect().toSet
@@ -356,6 +357,53 @@ class EventStreamSpec extends SparkSuite {
       .filter($"user_id" === 7)
       .select("stage_idx", "reach_ts").as[(Int, Timestamp)].collect()
     assert(got.toSeq == Seq((1, ts("2024-01-01 10:00:00"))))
+  }
+
+  test("streaming funnel: completed funnel does not re-enter within the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.funnelStream(in.toDS(), Seq("signup", "click")).toDF()
+      .writeStream.format("memory").queryName("funnel_stream3")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck-funnel3").toString)
+      .start()
+    in.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "signup", 0.0),
+      Event(2, ts("2024-01-01 10:01:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    // repeat signup after completion, same horizon: must NOT re-emit
+    in.addData(Event(3, ts("2024-01-01 10:30:00"), 7, "signup", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(99, ts("2024-01-02 00:00:00"), 99, "signup", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_stream3").filter($"user_id" === 7)
+      .select("stage_idx").as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 2))
+  }
+
+  test("streaming funnel: zero-progress users store no state, still work later") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.funnelStream(in.toDS(), Seq("signup", "click")).toDF()
+      .writeStream.format("memory").queryName("funnel_stream4")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck-funnel4").toString)
+      .start()
+    // click with no signup: no emission, no state
+    in.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    // later signup + click still progress normally
+    in.addData(Event(2, ts("2024-01-01 10:05:00"), 7, "signup", 0.0),
+      Event(3, ts("2024-01-01 10:06:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_stream4").filter($"user_id" === 7)
+      .select("stage_idx").as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 2))
   }
 
   test("sliding windows overlap: one event lands in two 60/30-min windows") {

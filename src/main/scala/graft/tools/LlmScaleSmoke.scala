@@ -182,7 +182,16 @@ object LlmScaleSmoke {
           CorpusStats.unigramLogPerplexity(docs, "doc_id", "text"))),
         "semantic_dedup" -> (() => sink(
           graft.ann.Similarity.semanticDedup(vecs, "vec_id", "embedding",
-            nLists = nLists, threshold = 0.9))))
+            nLists = nLists, threshold = 0.9))),
+        "markup_strip" -> (() => sink(
+          TextAnalysis.stripMarkup(docs, "text")
+            .select("doc_id", "text_plain"))),
+        "contamination" -> (() => sink(
+          graft.dedup.Decontaminate.contaminationFraction(
+            docs, "doc_id", "text",
+            // benchmark = a fixed 500-doc eval set regardless of scale
+            // (benchmarks don't grow with the corpus)
+            docs.filter(col("doc_id") < 500), "text"))))
       val timed = ops.map { case (name, run) =>
         run()                       // warm-up: codegen + parquet footers
         name -> (1 to 2).map(_ => time(run())).min

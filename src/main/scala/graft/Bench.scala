@@ -19,38 +19,21 @@ import org.apache.spark.sql.functions.{count, lit}
   * - A query that throws is reported in "failed" and EXCLUDED from the
   *   total, rather than its near-zero exception-path elapsed time
   *   deflating the headline number.
-  * - The headline set keeps the round-1 queries (comparable across
-  *   rounds) and adds the heavy new operators: window imputation,
-  *   z-score, graph degree, sessionization, n-gram/simhash/minhash
-  *   dedup, exact dedup, quality scoring, brute-force vs LSH similarity
-  *   search, the graph kernels (betweenness q52, eigenvector q53),
-  *   nested enrichment (q40), native session windows (q50), and key-skew
-  *   diagnostics (q61) — every operator family has round-over-round perf
-  *   visibility.
+  * - The headline set is the ENTIRE catalog, ordered by query number
+  *   (rounds 1-5 curated an explicit subset; deriving it from
+  *   SparkEntry.queries means a new catalog entry can never be silently
+  *   absent from round-over-round perf tracking). Cross-round deltas on
+  *   the shared names remain comparable — per-query times don't care
+  *   how many neighbors run around them (caches are cleared between
+  *   queries).
   */
 object Bench {
 
-  private val headline = Seq(
-    "q1_pricing_agg", "q2_filter_revenue", "q3_broadcast_join",
-    "q13_welch_stats", "q14_welch_pvalue", "q15_bh_fdr",
-    "q4_median_impute", "q5_zscore", "q12_degree_centrality",
-    "q17_sessionize", "q20_exact_dedup", "q22_quality_score",
-    "q24_ngram_jaccard", "q25_simhash_banded", "q26_cosine_topk",
-    "q27_lsh_buckets", "q28_ann_topk", "q32_embedding_dedup",
-    "q33_minhash_lsh", "q39_sliding_window", "q40_nested_enrich",
-    "q41_decontaminate", "q42_repetition", "q43_tfidf_topk",
-    "q49_bm25", "q50_session_window", "q51_ivf_ann",
-    "q52_betweenness", "q53_eigenvector", "q57_mixture_sample",
-    "q58_gopher_rules", "q59_token_kl", "q60_incremental_dedup",
-    "q61_key_skew", "q62_normalize_text", "q63_line_dedup",
-    "q64_corpus_delta", "q65_gate_sweep", "q66_span_stats", "q67_span_mask",
-    "q68_bloom_incremental_dedup", "q69_content_split",
-    "q70_asof_join", "q71_range_join", "q72_unigram_ppl",
-    "q73_semantic_dedup", "q74_markup_strip", "q75_robust_outliers",
-    "q76_contamination", "q77_funnel", "q78_winsorize",
-    "q79_asof_forward", "q80_pagerank", "q81_salted_join",
-    "q82_source_dup_matrix", "q83_padding_efficiency", "q84_rollup",
-    "q85_analytics", "q86_setops", "q87_cube", "q88_vector_ops")
+  private def queryNumber(name: String): Int =
+    name.stripPrefix("q").takeWhile(_.isDigit).toInt
+
+  private val headline =
+    SparkEntry.queries.keys.toSeq.sortBy(n => (queryNumber(n), n))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1076,7 +1076,37 @@ object CatalogDomain {
            |       count(*) AS dim
            |FROM c GROUP BY label ORDER BY label""".stripMargin))
 
+  /** k-anonymity suppression report (Privacy.suppressionReport) over
+    * customer quasi-identifiers (mktsegment, nationkey, acctbal
+    * rounded to hundreds — granular enough that some combinations are
+    * rare): combinations/rows surviving k ∈ {2, 5, 10} and the
+    * suppressed fraction. */
+  private val q89 = Q("q89_k_anonymity",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+        .select($"c_mktsegment", $"c_nationkey",
+          (floor($"c_acctbal" / 100) * 100).cast("long").as("bal_bucket"))
+      graft.privacy.Privacy.suppressionReport(c,
+        Seq("c_mktsegment", "c_nationkey", "bal_bucket"), Seq(2L, 5L, 10L))
+    },
+    Some("""WITH q AS (SELECT c_mktsegment, c_nationkey,
+           |            (floor(c_acctbal / 100) * 100)::BIGINT AS bal_bucket
+           |          FROM customer),
+           |sizes AS (SELECT c_mktsegment, c_nationkey, bal_bucket,
+           |            count(*) AS gn
+           |          FROM q GROUP BY 1, 2, 3),
+           |tot AS (SELECT sum(gn) AS rows_total FROM sizes),
+           |ks AS (SELECT unnest([2, 5, 10]::BIGINT[]) AS k)
+           |SELECT k, count(gn) AS n_groups_kept,
+           |  coalesce(sum(gn), 0)::BIGINT AS n_rows_kept,
+           |  round(1.0 - coalesce(sum(gn), 0) / CAST(rows_total AS DOUBLE), 4)
+           |    AS suppressed_frac
+           |FROM ks LEFT JOIN sizes ON gn >= k, tot
+           |GROUP BY k, rows_total ORDER BY k""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
-    q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88)
+    q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
+    q89)
 }

@@ -1,0 +1,69 @@
+package graft.privacy
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy thresholding for data release — the structural companion to
+  * content-level PII scrubbing (q48's regex pass): scrubbing cleans
+  * WHAT a row says, suppression controls WHETHER a row is releasable at
+  * all. k-anonymity's suppression step (Sweeney 2002): a row is safe
+  * only if at least k rows share its full quasi-identifier combination
+  * (the columns an adversary could link on — zip, segment, nation…);
+  * rarer combinations are dropped.
+  *
+  * Scale shape: one hash aggregate on the quasi-identifier key for the
+  * group sizes, joined back co-partitioned on that same key (the
+  * group-size side is combination-cardinality; AQE broadcasts it when
+  * small). No window, no global sort; the fact rows are scanned once.
+  */
+object Privacy {
+
+  /** Rows whose quasi-identifier combination has >= k members; all
+    * other rows suppressed. Null counts as a value (an all-null
+    * combination shared by k rows survives — nulls are linkable too). */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    require(!df.columns.contains("__gn"),
+      "input must not contain a __gn column")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__gn"))
+    // NULL-SAFE equality on the join back: groupBy puts null values in a
+    // group, but a plain equi-join would then drop exactly those rows
+    // (null != null) — silently releasing nothing for them instead of
+    // protecting k co-null rows that shield each other.
+    val l = df.alias("__l")
+    val s = sizes.alias("__s")
+    val cond = quasiCols.map(c => col(s"__l.$c") <=> col(s"__s.$c"))
+      .reduce(_ && _)
+    l.join(s, cond)
+      .filter(col("__s.__gn") >= k)
+      .select(df.columns.map(c => col(s"__l.$c")): _*)
+  }
+
+  /** The release report a privacy review actually reads: per k in
+    * `ks`, how many quasi-identifier combinations and rows survive a
+    * >= k gate, and the suppressed-row fraction. One group-size
+    * aggregate feeds every k (the sizes table is re-aggregated, not the
+    * fact), so the sweep costs one extra combination-cardinality pass
+    * per k. */
+  def suppressionReport(df: DataFrame, quasiCols: Seq[String],
+                        ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__gn"))
+    val total = sizes.agg(sum(col("__gn")).as("__rows"),
+      count(lit(1)).as("__groups"))
+    val perK = ks.map { k =>
+      sizes.filter(col("__gn") >= k)
+        .agg(lit(k).as("k"),
+          count(lit(1)).as("n_groups_kept"),
+          coalesce(sum(col("__gn")), lit(0L)).as("n_rows_kept"))
+    }.reduce(_ unionByName _)
+    perK.crossJoin(broadcast(total))
+      .select(col("k"), col("n_groups_kept"), col("n_rows_kept"),
+        round(lit(1.0) - col("n_rows_kept").cast("double") /
+          col("__rows").cast("double"), 4).as("suppressed_frac"))
+      .orderBy(col("k"))
+  }
+}

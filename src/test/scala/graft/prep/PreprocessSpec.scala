@@ -95,6 +95,64 @@ class PreprocessSpec extends SparkSuite {
     assert(r._6 == 1 && r._7 == 1)
   }
 
+  test("robustOutlierStats and winsorizedStats match brute force on random groups") {
+    import spark.implicits._
+    // deterministic LCG data: 7 groups, 30-150 rows each, heavy tail
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    val rows = (0 until 7).flatMap { g =>
+      val n = 30 + (math.abs(lcg(g * 31L)) % 121).toInt
+      (0 until n).map { i =>
+        val h = lcg(g * 1009L + i)
+        val base = (math.abs(h) % 100000) / 100.0
+        val v = if (i % 17 == 0) base * 50 else base   // planted tail
+        (s"g$g", v)
+      }
+    }
+    val df = rows.toDF("g", "v")
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    def quantile(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = pos.toInt
+      if (lo + 1 >= s.length) s.last
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+
+    val mad = Preprocess.robustOutlierStats(df, Seq("g"), "v")
+      .select("g", "n", "med", "mad", "n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val win = Preprocess.winsorizedStats(df, Seq("g"), "v")
+      .select("g", "p_lo", "p_hi", "n_clip_lo", "n_clip_hi")
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vs = grp.map(_._2)
+      val med0 = median(vs)
+      val mad0 = median(vs.map(v => math.abs(v - med0)))
+      val expOut = vs.count(v =>
+        mad0 != 0.0 && math.abs(0.6745 * (v - med0) / mad0) > 3.5)
+      val (_, n1, med1, mad1, out1) = mad(g)
+      assert(n1 == vs.length && approx(med1, med0) && approx(mad1, mad0),
+        s"$g med/mad")
+      assert(out1 == expOut, s"$g outliers: got $out1 want $expOut")
+
+      val (plo0, phi0) = (quantile(vs, 0.05), quantile(vs, 0.95))
+      val (_, plo1, phi1, clo1, chi1) = win(g)
+      // the operator reports 4-dp-rounded bounds: compare within 5e-5 abs
+      assert(math.abs(plo1 - plo0) <= 5.1e-5 && math.abs(phi1 - phi0) <= 5.1e-5,
+        s"$g bounds: $plo1/$phi1 vs $plo0/$phi0")
+      assert(clo1 == vs.count(_ < plo0) && chi1 == vs.count(_ > phi0),
+        s"$g clip counts")
+    }
+  }
+
   test("robustOutlierStats survives the outliers a mean z-score would not") {
     import spark.implicits._
     // half the group is a wild cluster: mean/std are dragged, median/MAD not

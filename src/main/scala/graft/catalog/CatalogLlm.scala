@@ -1408,8 +1408,46 @@ object CatalogLlm {
            |       total_tokens, padded_slots, waste_frac
            |FROM b ORDER BY len_bucket""".stripMargin))
 
+  /** Temperature (α = 0.5) mixture sampling (L49, the mT5/XLM-R
+    * rebalancing rule) over a deliberately skewed stratum (first digit
+    * of the source number — 'src1' merges with 'src10'..'src19' into an
+    * 11× stratum): small strata get up-sampled acceptance rates, the
+    * big one down-sampled. The oracle recomputes n^α weights and the
+    * q57 rate/md5 machinery; the tiny cross-engine pow/sum-order ulp on
+    * the rate boundary has ~1e-16-per-doc flip probability (the q59 ln
+    * precedent). */
+  private val q90 = Q("q90_temperature_sample",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("stratum", substring($"source", 4, 1))
+      graft.sample.Sampling.temperatureSample(docs, "stratum", "doc_id",
+          alpha = 0.5, targetRows = 150)
+        .select($"stratum", $"doc_id")
+        .orderBy($"stratum", $"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, substr(source, 4, 1) AS stratum
+           |           FROM documents),
+           |cnt AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),
+           |tw AS (SELECT stratum, n, pow(CAST(n AS DOUBLE), 0.5) AS raw
+           |       FROM cnt),
+           |tot AS (SELECT sum(raw) AS t FROM tw),
+           |rates AS (SELECT stratum,
+           |    least(1.0::DOUBLE, 150.0::DOUBLE * (raw / t)
+           |      / CAST(n AS DOUBLE)) AS p
+           |  FROM tw, tot),
+           |h AS (SELECT stratum, doc_id,
+           |    md5_number_lower(':' || doc_id::VARCHAR) AS hu FROM d),
+           |u AS (SELECT stratum, doc_id,
+           |    (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hs
+           |  FROM h)
+           |SELECT u.stratum, u.doc_id FROM u JOIN rates r ON u.stratum = r.stratum
+           |WHERE hs / 18446744073709551616.0 + 0.5 < r.p
+           |ORDER BY u.stratum, u.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
-    q66, q67, q68, q69, q72, q73, q74, q76, q82, q83)
+    q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90)
 }

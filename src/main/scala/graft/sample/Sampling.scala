@@ -61,6 +61,33 @@ object Sampling {
       .drop("__p")
   }
 
+  /** Temperature (α) sampling weights — the multilingual/multi-domain
+    * rebalancing rule (mT5/XLM-R style): stratum s gets weight
+    * w(s) ∝ n_s^α, α ∈ [0, 1]. α = 1 reproduces the natural
+    * distribution, α = 0 is uniform across strata, and the usual
+    * α ≈ 0.3–0.7 up-samples small strata without letting them dominate.
+    * Counts are a stratum-cardinality aggregate collected to the driver
+    * (the stratum list is bounded by definition — the q57 contract). */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+                         alpha: Double): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.groupBy(col(strataCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val total = raw.values.sum
+    raw.map { case (s, w) => s -> w / total }
+  }
+
+  /** [[mixtureSample]] with temperature-derived weights: one extra
+    * stratum-count aggregate, then the same broadcast-rates + narrow
+    * md5 filter — the corpus rows are never shuffled. */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+                        alpha: Double, targetRows: Long,
+                        salt: String = ""): DataFrame =
+    mixtureSample(df, strataCol, keyCol,
+      temperatureWeights(df, strataCol, alpha), targetRows, salt)
+
   /** Leakage-safe train/val/test split: the split key is the CONTENT
     * hash, not the row id, so byte-identical documents always co-assign
     * — an exact duplicate can never straddle a train/eval boundary (the

@@ -70,6 +70,40 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("temperatureWeights: alpha endpoints and up-sampling direction") {
+    // skewed strata: s0 has 700 rows, s1/s2/s3 have 100 each
+    val skew = ((0L until 700L).map(i => (i, "s0")) ++
+      (0L until 300L).map(i => (700 + i, s"s${1 + i % 3}"))).toDF("k", "g")
+    val natural = Sampling.temperatureWeights(skew, "g", alpha = 1.0)
+    assert(approx(natural("s0"), 0.7, 1e-9) && approx(natural("s1"), 0.1, 1e-9))
+    val uniform = Sampling.temperatureWeights(skew, "g", alpha = 0.0)
+    assert(uniform.values.forall(w => approx(w, 0.25, 1e-9)))
+    val mid = Sampling.temperatureWeights(skew, "g", alpha = 0.5)
+    // between natural and uniform: big stratum shrinks, small ones grow
+    assert(mid("s0") < natural("s0") && mid("s0") > uniform("s0"))
+    assert(mid("s1") > natural("s1") && mid("s1") < uniform("s1"))
+    assert(approx(mid.values.sum, 1.0, 1e-9))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(skew, "g", alpha = 1.5)
+    }
+  }
+
+  test("temperatureSample: up-samples small strata vs natural rate") {
+    val skew = ((0L until 700L).map(i => (i, "s0")) ++
+      (0L until 300L).map(i => (700 + i, s"s${1 + i % 3}"))).toDF("k", "g")
+    val got = Sampling.temperatureSample(skew, "g", "k",
+        alpha = 0.5, targetRows = 200)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    // expected rates: w ∝ sqrt(n): s0 sqrt(700)=26.46, others 10 each
+    // -> w0=0.469, wi=0.177; rate0 = 200*0.469/700 = 0.134,
+    //    ratei = 200*0.177/100 = 0.354 — small strata ~2.6x the rate
+    val r0 = got.getOrElse("s0", 0L).toDouble / 700
+    val r1 = got.getOrElse("s1", 0L).toDouble / 100
+    assert(r1 > r0 * 1.5, s"small-stratum rate $r1 vs big $r0")
+    assert(got.values.sum > 120 && got.values.sum < 280,
+      s"total ${got.values.sum} of ~200")
+  }
+
   test("stratifiedHashSample: exactly n per stratum, deterministic") {
     val got = Sampling.stratifiedHashSample(rows, "g", "k", 10)
       .groupBy("g").count().as[(String, Long)].collect().toMap

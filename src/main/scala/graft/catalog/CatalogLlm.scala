@@ -1446,8 +1446,35 @@ object CatalogLlm {
            |WHERE hs / 18446744073709551616.0 + 0.5 < r.p
            |ORDER BY u.stratum, u.doc_id""".stripMargin))
 
+  /** Weighted sample without replacement (L50, Efraimidis–Spirakis
+    * A-ES): 30 docs per language, inclusion ∝ n_chars — longer docs
+    * favored but not guaranteed. The oracle replays the md5 uniform and
+    * the 9-dp-rounded ln(u)/w rank key. */
+  private val q91 = Q("q91_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      graft.sample.Sampling.weightedSample(t(s, dir, "documents"),
+          "lang", "doc_id", "n_chars", n = 30)
+        .select($"lang", $"doc_id", $"n_chars")
+        .orderBy($"lang", $"doc_id")
+    },
+    Some("""WITH h AS (SELECT lang, doc_id, n_chars,
+           |    md5_number_lower(':' || doc_id::VARCHAR) AS hu FROM documents),
+           |u AS (SELECT lang, doc_id, n_chars,
+           |    (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT
+           |      / 18446744073709551616.0 + 0.5 AS u
+           |  FROM h),
+           |r AS (SELECT lang, doc_id, n_chars,
+           |        row_number() OVER (PARTITION BY lang
+           |          ORDER BY round(ln(u) / CAST(n_chars AS DOUBLE), 9) DESC,
+           |                   doc_id) AS rn
+           |      FROM u WHERE n_chars > 0)
+           |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 30
+           |ORDER BY lang, doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
-    q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90)
+    q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90, q91)
 }

@@ -117,6 +117,34 @@ object Sampling {
     splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
   }
 
+  /** Deterministic WEIGHTED sample without replacement, n per stratum
+    * (Efraimidis–Spirakis 2006 A-ES): rank rows by u^(1/w) descending —
+    * u the md5-derived uniform, w the row's weight — and keep the top
+    * n; inclusion probability is proportional to weight, without
+    * replacement, in one pass. Instead of u^(1/w) itself the rank key
+    * is the monotone-equivalent ln(u)/w: u^(1/w) for large weights
+    * crushes against 1.0 where double spacing is coarsest (engine ulp
+    * noise could flip ranks), while ln(u)/w spreads the same ordering
+    * across (−∞, 0). The key is 9-dp-rounded with the row key as
+    * tiebreak, so the selection boundary is engine-independent (the q35
+    * lesson). Same WindowGroupLimit shape as stratifiedHashSample — no
+    * global sort, per-partition top-n pushed ahead of the shuffle.
+    *
+    * Rows with null or non-positive weight are excluded (zero-weight
+    * rows can never be drawn; A-ES is undefined for them). */
+  def weightedSample(df: DataFrame, strataCol: String, keyCol: String,
+                     weightCol: String, n: Int,
+                     salt: String = ""): DataFrame = {
+    val u = hashUnit(keyCol, salt)
+    val r = round(log(u) / col(weightCol).cast("double"), 9)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(r.desc, col(keyCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Deterministic stratified sample: the n rows per stratum with the
     * smallest hash values (hash order = uniform order, ties broken by
     * key). Window partitioned by stratum — fine-grained key, no global

@@ -104,6 +104,31 @@ class SamplingSpec extends SparkSuite {
       s"total ${got.values.sum} of ~200")
   }
 
+  test("weightedSample: n per stratum, weight-proportional, deterministic") {
+    // two strata; within each, ids 0-49 get weight 1, ids 50-99 weight 20
+    val weighted = (0L until 200L)
+      .map(i => (i, s"s${i / 100}", if (i % 100 < 50) 1.0 else 20.0))
+      .toDF("k", "g", "w")
+    val got = Sampling.weightedSample(weighted, "g", "k", "w", 20)
+    val counts = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("s0" -> 20L, "s1" -> 20L))
+    // heavy rows dominate the sample but light rows are not impossible
+    val heavy = got.filter($"w" === 20.0).count()
+    assert(heavy > 30, s"heavy rows in sample: $heavy of 40")
+    // partitioning-independent
+    val a = got.select("k").as[Long].collect().sorted
+    val b = Sampling.weightedSample(weighted.repartition(7), "g", "k", "w", 20)
+      .select("k").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq)
+    // null / non-positive weights excluded, schema unchanged
+    val withBad = weighted.union(
+      Seq((900L, "s0", 0.0), (901L, "s0", -1.0)).toDF("k", "g", "w"))
+    val ids = Sampling.weightedSample(withBad, "g", "k", "w", 200)
+      .select("k").as[Long].collect().toSet
+    assert(!ids.contains(900L) && !ids.contains(901L))
+    assert(got.columns.toSeq == weighted.columns.toSeq)
+  }
+
   test("stratifiedHashSample: exactly n per stratum, deterministic") {
     val got = Sampling.stratifiedHashSample(rows, "g", "k", 10)
       .groupBy("g").count().as[(String, Long)].collect().toMap

@@ -21,7 +21,10 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q2_filter_revenue", "q3_broadcast_join", "q12_degree_centrality",
-      "q24_ngram_jaccard", "q25_simhash_banded", "q28_ann_topk")
+      "q24_ngram_jaccard", "q25_simhash_banded", "q28_ann_topk",
+      // round-6 operator families: joins Spark lacks, heavy prep, dedup
+      "q70_asof_join", "q71_range_join", "q73_semantic_dedup",
+      "q75_robust_outliers", "q77_funnel", "q80_pagerank")
     val qs = Catalog.queries
     names.foreach { n =>
       println(s"\n================ $n ================")

@@ -63,13 +63,8 @@ object Bench {
     val queries = SparkEntry.queries
     val results: Seq[(String, Either[String, (Double, Long)])] =
       headline.map { name =>
-        queries.get(name) match {
-          // a renamed/missing headline query must surface in "failed",
-          // not silently shrink the total into a fake speedup
-          case None =>
-            System.err.println(s"[bench] $name missing from the catalog")
-            name -> Left("missing")
-          case Some(fn) =>
+        // headline is derived from the same map, so lookup cannot miss
+        val fn = queries(name)
           try {
             var rows = 0L
             val times = (1 to runsPerQuery).map { i =>
@@ -90,7 +85,6 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               name -> Left(e.getClass.getSimpleName)
           }
-        }
       }
     val ok = results.collect { case (n, Right(v)) => n -> v }
     val failed = results.collect { case (n, Left(_)) => n }

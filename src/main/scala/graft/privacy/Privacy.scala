@@ -52,8 +52,7 @@ object Privacy {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
     val sizes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__gn"))
-    val total = sizes.agg(sum(col("__gn")).as("__rows"),
-      count(lit(1)).as("__groups"))
+    val total = sizes.agg(sum(col("__gn")).as("__rows"))
     val perK = ks.map { k =>
       sizes.filter(col("__gn") >= k)
         .agg(lit(k).as("k"),

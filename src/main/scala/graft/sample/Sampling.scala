@@ -71,7 +71,12 @@ object Sampling {
   def temperatureWeights(df: DataFrame, strataCol: String,
                          alpha: Double): Map[String, Double] = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
-    val counts = df.groupBy(col(strataCol).cast("string").as("s"))
+    // null strata are excluded from the weight mass, not just from the
+    // output: mixtureSample can never select them (null lookups get
+    // rate 0), so counting them would silently scale every real
+    // stratum's rate down by the null share and under-deliver the target
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("s"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val raw = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
@@ -135,6 +140,8 @@ object Sampling {
   def weightedSample(df: DataFrame, strataCol: String, keyCol: String,
                      weightCol: String, n: Int,
                      salt: String = ""): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input must not contain a __rn column")
     val u = hashUnit(keyCol, salt)
     val r = round(log(u) / col(weightCol).cast("double"), 9)
     val w = Window.partitionBy(col(strataCol))
@@ -152,6 +159,8 @@ object Sampling {
     * top-n ahead of the shuffle. */
   def stratifiedHashSample(df: DataFrame, strataCol: String, keyCol: String,
                            n: Int, salt: String = ""): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input must not contain a __rn column")
     val w = Window.partitionBy(col(strataCol))
       .orderBy(md5_long(concat_ws(":", lit(salt), col(keyCol).cast("string"))).asc,
         col(keyCol).asc)

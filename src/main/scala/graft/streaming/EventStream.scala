@@ -197,9 +197,14 @@ object EventStream {
       : Dataset[FunnelOut] = {
     require(stages.nonEmpty, "stages must be non-empty")
     import events.sparkSession.implicits._
-    val stageIdx = stages.zipWithIndex.toMap
+    // a type may appear at SEVERAL funnel positions (view → click →
+    // view): each event is offered to every position of its type in
+    // ascending order — a single Map[type -> last index] would make the
+    // earlier position unreachable and the stream silently emit nothing
+    val stageIdxs: Map[String, Seq[Int]] =
+      stages.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
     events
-      .filter(e => stageIdx.contains(e.event_type))
+      .filter(e => stageIdxs.contains(e.event_type))
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
@@ -212,18 +217,19 @@ object EventStream {
               .getOrElse(Array.fill(stages.length)(Long.MinValue))
             val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
             rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-              val i = stageIdx(e.event_type)
               val us = micros(e.ts)
-              val prevOk = i == 0 || (reach(i - 1) != Long.MinValue &&
-                us > reach(i - 1))
-              if (reach(i) == Long.MinValue && prevOk) {
-                reach(i) = us
-                // full-precision event time back out of micros (the
-                // micros() round-trip — Timestamp(ms) alone would
-                // truncate sub-ms reaches and break batch parity)
-                val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
-                t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
-                out += FunnelOut(userId, i + 1, stages(i), t)
+              stageIdxs(e.event_type).foreach { i =>
+                val prevOk = i == 0 || (reach(i - 1) != Long.MinValue &&
+                  us > reach(i - 1))
+                if (reach(i) == Long.MinValue && prevOk) {
+                  reach(i) = us
+                  // full-precision event time back out of micros (the
+                  // micros() round-trip — Timestamp(ms) alone would
+                  // truncate sub-ms reaches and break batch parity)
+                  val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+                  t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+                  out += FunnelOut(userId, i + 1, stages(i), t)
+                }
               }
             }
             val progress = reach.filter(_ != Long.MinValue)

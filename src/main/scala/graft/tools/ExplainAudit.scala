@@ -19,12 +19,15 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // NOTE: only LAZY catalog entries belong here — queries whose
+    // operators materialize eagerly during construction (q73's pinned
+    // assignment, q80's driver-path iteration) would run real jobs and
+    // explain only a post-hoc RDD scan, not the plan of interest.
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q2_filter_revenue", "q3_broadcast_join", "q12_degree_centrality",
       "q24_ngram_jaccard", "q25_simhash_banded", "q28_ann_topk",
-      // round-6 operator families: joins Spark lacks, heavy prep, dedup
-      "q70_asof_join", "q71_range_join", "q73_semantic_dedup",
-      "q75_robust_outliers", "q77_funnel", "q80_pagerank")
+      "q70_asof_join", "q71_range_join", "q75_robust_outliers",
+      "q77_funnel", "q78_winsorize")
     val qs = Catalog.queries
     names.foreach { n =>
       println(s"\n================ $n ================")

@@ -86,6 +86,15 @@ class SamplingSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Sampling.temperatureWeights(skew, "g", alpha = 1.5)
     }
+    // null strata are excluded from the weight MASS, not just the output
+    // (counting them would scale every real stratum's rate down)
+    val withNulls = skew.union(
+      (0L until 1000L).map(i => (5000 + i, Option.empty[String]))
+        .toDF("k", "g"))
+    val wn = Sampling.temperatureWeights(withNulls, "g", alpha = 1.0)
+    assert(wn.keySet == natural.keySet)
+    assert(approx(wn.values.sum, 1.0, 1e-9))
+    assert(approx(wn("s0"), natural("s0"), 1e-9))
   }
 
   test("temperatureSample: up-samples small strata vs natural rate") {

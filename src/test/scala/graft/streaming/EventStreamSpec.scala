@@ -383,6 +383,26 @@ class EventStreamSpec extends SparkSuite {
     assert(got.toSeq == Seq(1, 2))
   }
 
+  test("streaming funnel: a repeated stage type fills every position in order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "view", 0.0),
+      Event(2, ts("2024-01-01 10:01:00"), 7, "click", 0.0),
+      Event(3, ts("2024-01-01 10:02:00"), 7, "view", 0.0))
+    in.addData(Event(99, ts("2024-01-02 00:00:00"), 99, "view", 0.0))
+    runToMemory(
+      EventStream.funnelStream(in.toDS(), Seq("view", "click", "view")).toDF(),
+      "funnel_repeat")
+    val got = spark.table("funnel_repeat").filter($"user_id" === 7)
+      .select("stage_idx", "reach_ts").as[(Int, Timestamp)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, ts("2024-01-01 10:00:00")),
+      (2, ts("2024-01-01 10:01:00")),
+      (3, ts("2024-01-01 10:02:00"))))
+  }
+
   test("streaming funnel: zero-progress users store no state, still work later") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1449,7 +1449,7 @@ object CatalogLlm {
   /** Weighted sample without replacement (L50, Efraimidis–Spirakis
     * A-ES): 30 docs per language, inclusion ∝ n_chars — longer docs
     * favored but not guaranteed. The oracle replays the md5 uniform and
-    * the 9-dp-rounded ln(u)/w rank key. */
+    * the 9-dp-rounded, mean-normalized ln(u)·w̄/w rank key. */
   private val q91 = Q("q91_weighted_sample",
     (s, dir) => {
       import s.implicits._
@@ -1465,11 +1465,13 @@ object CatalogLlm {
            |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT
            |      / 18446744073709551616.0 + 0.5 AS u
            |  FROM h),
+           |wb AS (SELECT avg(CAST(n_chars AS DOUBLE)) AS wbar
+           |       FROM documents WHERE n_chars > 0),
            |r AS (SELECT lang, doc_id, n_chars,
            |        row_number() OVER (PARTITION BY lang
-           |          ORDER BY round(ln(u) / CAST(n_chars AS DOUBLE), 9) DESC,
+           |          ORDER BY round(ln(u) * wbar / CAST(n_chars AS DOUBLE), 9) DESC,
            |                   doc_id) AS rn
-           |      FROM u WHERE n_chars > 0)
+           |      FROM u, wb WHERE n_chars > 0)
            |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 30
            |ORDER BY lang, doc_id""".stripMargin))
 

@@ -154,8 +154,12 @@ object Centrality {
   def eigenvectorCentrality(spark: SparkSession, nodes: DataFrame,
                             edges: DataFrame, maxIter: Int = 1000,
                             tol: Double = 1e-6,
-                            distributedThreshold: Long = 100000L): DataFrame = {
-    if (nodes.count() > distributedThreshold)
+                            distributedThreshold: Long = 100000L,
+                            edgeThreshold: Long = 2000000L): DataFrame = {
+    // dense sub-threshold-node graphs must also go distributed — the
+    // driver path collects the edge list (see pageRank's dispatch note)
+    if (nodes.count() > distributedThreshold ||
+        edges.count() > edgeThreshold)
       return eigenvectorCentralityDistributed(spark, nodes, edges, maxIter, tol)
     val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
     val edgeSeq = edges.select("src", "dst").collect()
@@ -289,9 +293,16 @@ object Centrality {
     */
   def pageRank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                damping: Double = 0.85, iters: Int = 20,
-               distributedThreshold: Long = 100000L): DataFrame = {
-    if (nodes.count() > distributedThreshold)
-      return pageRankDistributed(spark, nodes, edges, damping, iters)
+               distributedThreshold: Long = 100000L,
+               edgeThreshold: Long = 2000000L): DataFrame = {
+    // dispatch on BOTH dimensions: a sub-threshold node count says
+    // nothing about density, and the driver path collects the full edge
+    // list — a 50k-node graph with 500M edges must take the distributed
+    // branch (the union-find ≤2M-edge precedent)
+    val nNodes = nodes.count()
+    if (nNodes > distributedThreshold || edges.count() > edgeThreshold)
+      return pageRankDistributedImpl(spark, nodes, edges, damping, iters,
+        nNodes)
     val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
     val edgeSeq = edges.select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -337,7 +348,13 @@ object Centrality {
     * convergence-driven eigenvector loop). */
   def pageRankDistributed(spark: SparkSession, nodes: DataFrame,
                           edges: DataFrame, damping: Double = 0.85,
-                          iters: Int = 20): DataFrame = {
+                          iters: Int = 20): DataFrame =
+    pageRankDistributedImpl(spark, nodes, edges, damping, iters,
+      nodes.count())
+
+  private def pageRankDistributedImpl(spark: SparkSession, nodes: DataFrame,
+                                      edges: DataFrame, damping: Double,
+                                      iters: Int, n: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Edges referencing vertices absent from `nodes` are dropped BEFORE
     // the degree count — the driver path's indexGraph skips them, and
@@ -354,7 +371,6 @@ object Centrality {
     val deg = sym.groupBy(col("src").as("gene"))
       .agg(count(lit(1)).as("__deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
     if (n == 0) {
       sym.unpersist(false); deg.unpersist(false)
       return nodes.select(col("gene"), lit(0.0).as("pagerank"))

@@ -88,16 +88,32 @@ object Preprocess {
     *
     * Output per group: n, med, mad, n_outliers, max_abs_m (4 dp).
     */
+  /** Null-safe equi-join of `df` against a per-group stats frame on
+    * `groupCols`: a plain join would silently drop every row of a
+    * null-valued group (null != null) even though groupBy emitted stats
+    * for it — the kAnonymize lesson applied to the numeric screens. */
+  private def joinGroups(df: DataFrame, stats: DataFrame,
+                         groupCols: Seq[String]): DataFrame = {
+    val l = df.alias("__l")
+    val s = stats.alias("__s")
+    val cond = groupCols.map(c => col(s"__l.$c") <=> col(s"__s.$c"))
+      .reduce(_ && _)
+    val statCols = stats.columns.filterNot(groupCols.contains)
+    l.join(s, cond).select(
+      df.columns.map(c => col(s"__l.$c")) ++
+        statCols.map(c => col(s"__s.$c")): _*)
+  }
+
   def robustOutlierStats(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, cut: Double = 3.5): DataFrame = {
     val g = groupCols.map(col)
     val v = col(valueCol)
     val med = df.groupBy(g: _*).agg(median(v).as("__med"))
-    val withMed = df.join(med, groupCols)
+    val withMed = joinGroups(df, med, groupCols)
     val mad = withMed.groupBy(g: _*)
       .agg(median(abs(v - col("__med"))).as("__mad"))
     val m = lit(0.6745) * (v - col("__med")) / nullif(col("__mad"), lit(0.0))
-    withMed.join(mad, groupCols)
+    joinGroups(withMed, mad, groupCols)
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n"),
         max(col("__med")).as("med"),
@@ -132,7 +148,7 @@ object Preprocess {
       .agg(percentile(v, lit(lo)).as("__plo"),
         percentile(v, lit(hi)).as("__phi"))
     val clipped = least(greatest(v, col("__plo")), col("__phi"))
-    df.join(bounds, groupCols)
+    joinGroups(df, bounds, groupCols)
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n"),
         round(max(col("__plo")), 4).as("p_lo"),

@@ -84,14 +84,32 @@ object Sampling {
     raw.map { case (s, w) => s -> w / total }
   }
 
-  /** [[mixtureSample]] with temperature-derived weights: one extra
-    * stratum-count aggregate, then the same broadcast-rates + narrow
-    * md5 filter — the corpus rows are never shuffled. */
+  /** Temperature-weighted mixture sample: the per-stratum counts are
+    * aggregated ONCE and both the n^α weights and the acceptance rates
+    * min(1, target·w/n) derive from that single collected map —
+    * delegating to mixtureSample(temperatureWeights(df)) would scan and
+    * aggregate the corpus a second time for counts already in hand. The
+    * sample itself stays the L29 shape: broadcast rates onto a narrow
+    * md5 filter, corpus rows never shuffled (two scans total: counts +
+    * filter). Rate arithmetic runs at the driver in the same IEEE op
+    * order the Spark-side form used, so samples are unchanged. */
   def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
                         alpha: Double, targetRows: Long,
-                        salt: String = ""): DataFrame =
-    mixtureSample(df, strataCol, keyCol,
-      temperatureWeights(df, strataCol, alpha), targetRows, salt)
+                        salt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val total = raw.values.sum
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, targetRows.toDouble * (raw(s) / total) / n.toDouble)
+    }
+    val rlit = typedLit(rates)
+    df.filter(hashUnit(keyCol, salt) <
+      coalesce(try_element_at(rlit, col(strataCol).cast("string")), lit(0.0)))
+  }
 
   /** Leakage-safe train/val/test split: the split key is the CONTENT
     * hash, not the row id, so byte-identical documents always co-assign
@@ -127,29 +145,36 @@ object Sampling {
     * u the md5-derived uniform, w the row's weight — and keep the top
     * n; inclusion probability is proportional to weight, without
     * replacement, in one pass. Instead of u^(1/w) itself the rank key
-    * is the monotone-equivalent ln(u)/w: u^(1/w) for large weights
+    * is the monotone-equivalent ln(u)/w': u^(1/w) for large weights
     * crushes against 1.0 where double spacing is coarsest (engine ulp
-    * noise could flip ranks), while ln(u)/w spreads the same ordering
-    * across (−∞, 0). The key is 9-dp-rounded with the row key as
-    * tiebreak, so the selection boundary is engine-independent (the q35
-    * lesson). Same WindowGroupLimit shape as stratifiedHashSample — no
-    * global sort, per-partition top-n pushed ahead of the shuffle.
+    * noise could flip ranks), while the log form spreads the same
+    * ordering across (−∞, 0). w' is the weight NORMALIZED by the global
+    * mean weight (a 1-row broadcast aggregate): A-ES ordering is
+    * weight-scale-invariant, and without the normalization byte-sized
+    * weights (~1e9) would compress every |ln(u)/w| below the rounding
+    * grain and silently degrade selection to the tiebreak. The key is
+    * 9-dp-rounded with the row key as tiebreak, so the selection
+    * boundary is engine-independent (the q35 lesson). Same
+    * WindowGroupLimit shape as stratifiedHashSample — no global sort,
+    * per-partition top-n pushed ahead of the shuffle.
     *
     * Rows with null or non-positive weight are excluded (zero-weight
     * rows can never be drawn; A-ES is undefined for them). */
   def weightedSample(df: DataFrame, strataCol: String, keyCol: String,
                      weightCol: String, n: Int,
                      salt: String = ""): DataFrame = {
-    require(!df.columns.contains("__rn"),
-      "input must not contain a __rn column")
+    require(!df.columns.contains("__rn") && !df.columns.contains("__wbar"),
+      "input must not contain __rn/__wbar columns")
+    val pos = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    val wbar = pos.agg(avg(col(weightCol).cast("double")).as("__wbar"))
     val u = hashUnit(keyCol, salt)
-    val r = round(log(u) / col(weightCol).cast("double"), 9)
+    val r = round(log(u) * col("__wbar") / col(weightCol).cast("double"), 9)
     val w = Window.partitionBy(col(strataCol))
       .orderBy(r.desc, col(keyCol).asc)
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    pos.crossJoin(broadcast(wbar))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
-      .drop("__rn")
+      .drop("__rn", "__wbar")
   }
 
   /** Deterministic stratified sample: the n rows per stratum with the

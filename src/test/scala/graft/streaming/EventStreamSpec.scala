@@ -335,7 +335,7 @@ class EventStreamSpec extends SparkSuite {
     assert(!got.exists { case (u, _, _) => u == 9L }) // never signed up
   }
 
-  test("streaming funnel: completed users drop state; late lower ts is not retroactive") {
+  test("streaming funnel: a late lower timestamp is not retroactive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -1105,8 +1105,42 @@ object CatalogDomain {
            |FROM ks LEFT JOIN sizes ON gn >= k, tot
            |GROUP BY k, rows_total ORDER BY k""".stripMargin))
 
+  /** Funnel conversion latency (Funnel.conversionLatency): per
+    * transition, exact median/mean/max seconds among converting users —
+    * q77's companion. The oracle replays the chained min-reach CTEs and
+    * aggregates epoch-microsecond diffs. */
+  private val q92 = Q("q92_funnel_latency",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.Funnel.conversionLatency(t(s, dir, "events"), "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase"))
+    },
+    Some("""WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+           |            WHERE event_type = 'signup' GROUP BY user_id),
+           |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+           |       JOIN s0 USING (user_id)
+           |       WHERE e.event_type = 'click' AND e.ts > s0.t0
+           |       GROUP BY e.user_id),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           |       JOIN s1 USING (user_id)
+           |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+           |       GROUP BY e.user_id),
+           |r AS (SELECT s0.user_id, t0, t1, t2 FROM s0
+           |      LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)),
+           |d1 AS (SELECT (epoch_us(t1) - epoch_us(t0)) / 1e6 AS dt FROM r
+           |       WHERE t1 IS NOT NULL),
+           |d2 AS (SELECT (epoch_us(t2) - epoch_us(t1)) / 1e6 AS dt FROM r
+           |       WHERE t2 IS NOT NULL)
+           |SELECT 2 AS stage_idx, 'click' AS stage, count(*) AS n_converted,
+           |  round(median(dt), 4) AS median_sec, round(avg(dt), 4) AS avg_sec,
+           |  round(max(dt), 4) AS max_sec FROM d1
+           |UNION ALL
+           |SELECT 3, 'purchase', count(*), round(median(dt), 4),
+           |  round(avg(dt), 4), round(max(dt), 4) FROM d2
+           |ORDER BY stage_idx""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
-    q89)
+    q89, q92)
 }

@@ -44,6 +44,34 @@ object Funnel {
     }
   }
 
+  /** Per-transition conversion latency: for each consecutive stage pair
+    * (i−1 → i), how long converting entities took — count, median, mean,
+    * and max seconds (exact median; the same L22 trade as every exact
+    * quantile here). The product question after funnelCounts says WHERE
+    * users drop: "how long do the ones who convert take" decides
+    * attribution windows and nudge timing. One aggregate over the
+    * entity-cardinality reach table — the events are not rescanned.
+    * Output: (stage_idx of the DESTINATION stage, stage, n_converted,
+    * median_sec, avg_sec, max_sec — 4 dp), stages with no conversions
+    * emit n_converted = 0 with null latencies. */
+  def conversionLatency(events: DataFrame, entityCol: String,
+                        typeCol: String, tsCol: String,
+                        stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "need at least two stages for latencies")
+    val reach = stageTimes(events, entityCol, typeCol, tsCol, stages)
+    val perStage = stages.indices.tail.map { i =>
+      val dt = (unix_micros(col(s"__t$i")) -
+        unix_micros(col(s"__t${i - 1}"))).cast("double") / 1e6
+      reach.agg(
+        lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"),
+        count(col(s"__t$i")).as("n_converted"),
+        round(median(dt), 4).as("median_sec"),
+        round(avg(dt), 4).as("avg_sec"),
+        round(max(dt), 4).as("max_sec"))
+    }
+    perStage.reduce(_ unionByName _).orderBy(col("stage_idx"))
+  }
+
   /** Funnel conversion table: (stage_idx 1-based, stage, n_entities
     * reaching it, conversion_from_first rounded to 4 dp). One
     * entity-keyed aggregate chain + one single-row count aggregate. */

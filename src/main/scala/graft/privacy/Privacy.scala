@@ -22,12 +22,31 @@ object Privacy {
     * other rows suppressed. Null counts as a value (an all-null
     * combination shared by k rows survives — nulls are linkable too). */
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
-    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
-    require(k >= 1, "k must be >= 1")
     require(!df.columns.contains("__gn"),
       "input must not contain a __gn column")
-    val sizes = df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("__gn"))
+    kAnonymizeAgainst(df,
+      df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__gn")),
+      quasiCols, k)
+  }
+
+  /** Group sizes for [[kAnonymizeAgainst]] — exposed so a caller can
+    * persist the snapshot (the accumulated release population) and
+    * filter later/streaming data against it. */
+  def groupSizes(df: DataFrame, quasiCols: Seq[String]): DataFrame =
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__gn"))
+
+  /** The suppression filter against a PRECOMPUTED sizes table
+    * ((quasiCols…, __gn) — [[groupSizes]]' shape). This is also the
+    * STREAMING form: with a streaming `df` and a batch-maintained sizes
+    * snapshot, the stream-static join is stateless per micro-batch and
+    * the static side is re-read each batch, so a refreshed snapshot is
+    * picked up without restart (the incrementalDedupStream pattern) —
+    * rows whose combination hasn't reached k in the released population
+    * are held back. */
+  def kAnonymizeAgainst(df: DataFrame, sizes: DataFrame,
+                        quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1, "k must be >= 1")
     // NULL-SAFE equality on the join back: groupBy puts null values in a
     // group, but a plain equi-join would then drop exactly those rows
     // (null != null) — silently releasing nothing for them instead of

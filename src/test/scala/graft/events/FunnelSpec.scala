@@ -48,6 +48,26 @@ class FunnelSpec extends SparkSuite {
     assert(!got.contains(4L))
   }
 
+  test("conversionLatency: per-transition stats over converting users only") {
+    val got = Funnel.conversionLatency(events, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .select("stage_idx", "stage", "n_converted", "median_sec", "avg_sec",
+        "max_sec")
+      .as[(Int, String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // u1 and u2 convert to click in 300s each; only u1 purchases (+300s)
+    assert(got(2) == ((2, "click", 2L, Some(300.0), Some(300.0), Some(300.0))))
+    assert(got(3) == ((3, "purchase", 1L, Some(300.0), Some(300.0), Some(300.0))))
+    // a funnel where nobody converts the last hop: null latencies, 0 count
+    val noBuy = events.filter($"event_type" =!= "purchase")
+    val empty = Funnel.conversionLatency(noBuy, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .filter($"stage_idx" === 3)
+      .select("n_converted", "median_sec")
+      .as[(Long, Option[Double])].head()
+    assert(empty == ((0L, None)))
+  }
+
   test("equal timestamps do not count as progression (strictly after)") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "signup"),

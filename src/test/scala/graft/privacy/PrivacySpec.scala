@@ -32,6 +32,29 @@ class PrivacySpec extends SparkSuite {
     assert(kept.toSeq == Seq(1L, 2L))   // the two null-seg rows protect each other
   }
 
+  test("kAnonymizeAgainst on a stream: snapshot gates rows per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // released population: AB seen 3x, EF once
+    val sizes = Privacy.groupSizes(
+      Seq((1L, "AB"), (2L, "AB"), (3L, "AB"), (6L, "EF")).toDF("id", "seg"),
+      Seq("seg"))
+    in.addData((10L, "AB"), (11L, "EF"), (12L, "ZZ"))
+    val q = Privacy.kAnonymizeAgainst(in.toDF().toDF("id", "seg"),
+        sizes, Seq("seg"), k = 2)
+      .writeStream.format("memory").queryName("kanon_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck-kanon").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kanon_stream").select("id")
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(10L))   // EF (n=1) and ZZ (unseen) held back
+  }
+
   test("suppressionReport: per-k groups, rows, suppressed fraction") {
     val got = Privacy.suppressionReport(rows, Seq("seg", "nation"),
         Seq(1L, 2L, 3L, 10L))

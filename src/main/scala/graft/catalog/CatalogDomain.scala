@@ -797,10 +797,13 @@ object CatalogDomain {
            |           FROM lineitem JOIN part ON l_partkey = p_partkey),
            |med AS (SELECT p_brand, median(v) AS med FROM j GROUP BY 1),
            |mad AS (SELECT j.p_brand, median(abs(v - med)) AS mad
-           |        FROM j JOIN med USING (p_brand) GROUP BY 1),
+           |        FROM j JOIN med
+           |          ON j.p_brand IS NOT DISTINCT FROM med.p_brand
+           |        GROUP BY 1),
            |m AS (SELECT j.p_brand, v, med.med, mad.mad,
            |        0.6745 * (v - med.med) / nullif(mad.mad, 0) AS mm
-           |      FROM j JOIN med USING (p_brand) JOIN mad USING (p_brand))
+           |      FROM j JOIN med ON j.p_brand IS NOT DISTINCT FROM med.p_brand
+           |           JOIN mad ON j.p_brand IS NOT DISTINCT FROM mad.p_brand)
            |SELECT p_brand, count(*) AS n, round(max(med), 2) AS med,
            |  round(max(mad), 2) AS mad,
            |  count(CASE WHEN round(abs(mm), 6) > 3.5 THEN 1 END) AS n_outliers,
@@ -864,7 +867,7 @@ object CatalogDomain {
            |  round(avg(least(greatest(v, plo), phi)), 4) AS mean_wins,
            |  count(CASE WHEN round(v, 6) < round(plo, 6) THEN 1 END) AS n_clip_lo,
            |  count(CASE WHEN round(v, 6) > round(phi, 6) THEN 1 END) AS n_clip_hi
-           |FROM j JOIN b USING (p_brand)
+           |FROM j JOIN b ON j.p_brand IS NOT DISTINCT FROM b.p_brand
            |GROUP BY j.p_brand ORDER BY j.p_brand""".stripMargin))
 
   /** Forward as-of join (AsOfJoin.asOfForward): every non-purchase event

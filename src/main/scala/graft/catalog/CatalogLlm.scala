@@ -1449,7 +1449,9 @@ object CatalogLlm {
   /** Weighted sample without replacement (L50, Efraimidis–Spirakis
     * A-ES): 30 docs per language, inclusion ∝ n_chars — longer docs
     * favored but not guaranteed. The oracle replays the md5 uniform and
-    * the 9-dp-rounded, mean-normalized ln(u)·w̄/w rank key. */
+    * the 9-dp-rounded, max-normalized ln(u)·w_max/w rank key (max, not
+    * mean: independent of partial-agg merge order, so the boundary
+    * can't drift with partitioning). */
   private val q91 = Q("q91_weighted_sample",
     (s, dir) => {
       import s.implicits._
@@ -1465,7 +1467,7 @@ object CatalogLlm {
            |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT
            |      / 18446744073709551616.0 + 0.5 AS u
            |  FROM h),
-           |wb AS (SELECT avg(CAST(n_chars AS DOUBLE)) AS wbar
+           |wb AS (SELECT max(CAST(n_chars AS DOUBLE)) AS wbar
            |       FROM documents WHERE n_chars > 0),
            |r AS (SELECT lang, doc_id, n_chars,
            |        row_number() OVER (PARTITION BY lang

@@ -59,17 +59,27 @@ object Funnel {
                         stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, "need at least two stages for latencies")
     val reach = stageTimes(events, entityCol, typeCol, tsCol, stages)
-    val perStage = stages.indices.tail.map { i =>
-      val dt = (unix_micros(col(s"__t$i")) -
-        unix_micros(col(s"__t${i - 1}"))).cast("double") / 1e6
-      reach.agg(
-        lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"),
-        count(col(s"__t$i")).as("n_converted"),
-        round(median(dt), 4).as("median_sec"),
-        round(avg(dt), 4).as("avg_sec"),
-        round(max(dt), 4).as("max_sec"))
+    // ALL transitions aggregate in ONE pass over the reach table (a
+    // union of per-transition reach.agg branches would embed the whole
+    // chained stageTimes plan once per transition and re-execute it),
+    // then the single row explodes into per-transition rows — the
+    // funnelCounts pattern.
+    def dt(i: Int) = (unix_micros(col(s"__t$i")) -
+      unix_micros(col(s"__t${i - 1}"))).cast("double") / 1e6
+    val aggs = stages.indices.tail.flatMap { i =>
+      Seq(count(col(s"__t$i")).as(s"__c$i"),
+        round(median(dt(i)), 4).as(s"__med$i"),
+        round(avg(dt(i)), 4).as(s"__avg$i"),
+        round(max(dt(i)), 4).as(s"__max$i"))
     }
-    perStage.reduce(_ unionByName _).orderBy(col("stage_idx"))
+    val one = reach.agg(aggs.head, aggs.tail: _*)
+    val rows = stages.indices.tail.map { i =>
+      struct(lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"),
+        col(s"__c$i").as("n_converted"), col(s"__med$i").as("median_sec"),
+        col(s"__avg$i").as("avg_sec"), col(s"__max$i").as("max_sec"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy(col("stage_idx"))
   }
 
   /** Funnel conversion table: (stage_idx 1-based, stage, n_entities

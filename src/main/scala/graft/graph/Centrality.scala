@@ -158,9 +158,10 @@ object Centrality {
                             edgeThreshold: Long = 2000000L): DataFrame = {
     // dense sub-threshold-node graphs must also go distributed — the
     // driver path collects the edge list (see pageRank's dispatch note)
-    if (nodes.count() > distributedThreshold ||
-        edges.count() > edgeThreshold)
-      return eigenvectorCentralityDistributed(spark, nodes, edges, maxIter, tol)
+    val nNodes = nodes.count()
+    if (nNodes > distributedThreshold || edges.count() > edgeThreshold)
+      return eigenvectorDistributedImpl(spark, nodes, edges, maxIter, tol,
+        nNodes)
     val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
     val edgeSeq = edges.select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -211,13 +212,19 @@ object Centrality {
     */
   def eigenvectorCentralityDistributed(spark: SparkSession, nodes: DataFrame,
                                        edges: DataFrame, maxIter: Int = 1000,
-                                       tol: Double = 1e-6): DataFrame = {
+                                       tol: Double = 1e-6): DataFrame =
+    eigenvectorDistributedImpl(spark, nodes, edges, maxIter, tol,
+      nodes.count())
+
+  private def eigenvectorDistributedImpl(spark: SparkSession,
+                                         nodes: DataFrame, edges: DataFrame,
+                                         maxIter: Int, tol: Double,
+                                         n: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
     if (n == 0) {
       sym.unpersist(false)
       return nodes.select(col("gene"),

@@ -88,21 +88,11 @@ object Preprocess {
     *
     * Output per group: n, med, mad, n_outliers, max_abs_m (4 dp).
     */
-  /** Null-safe equi-join of `df` against a per-group stats frame on
-    * `groupCols`: a plain join would silently drop every row of a
-    * null-valued group (null != null) even though groupBy emitted stats
-    * for it — the kAnonymize lesson applied to the numeric screens. */
+  // null-safe stats join-back (a plain join drops null-valued groups) —
+  // shared with the k-anonymity filter, see graft.util.Joins
   private def joinGroups(df: DataFrame, stats: DataFrame,
-                         groupCols: Seq[String]): DataFrame = {
-    val l = df.alias("__l")
-    val s = stats.alias("__s")
-    val cond = groupCols.map(c => col(s"__l.$c") <=> col(s"__s.$c"))
-      .reduce(_ && _)
-    val statCols = stats.columns.filterNot(groupCols.contains)
-    l.join(s, cond).select(
-      df.columns.map(c => col(s"__l.$c")) ++
-        statCols.map(c => col(s"__s.$c")): _*)
-  }
+                         groupCols: Seq[String]): DataFrame =
+    graft.util.Joins.nullSafeStatsJoin(df, stats, groupCols)
 
   def robustOutlierStats(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, cut: Double = 3.5): DataFrame = {

@@ -24,9 +24,7 @@ object Privacy {
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(!df.columns.contains("__gn"),
       "input must not contain a __gn column")
-    kAnonymizeAgainst(df,
-      df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__gn")),
-      quasiCols, k)
+    kAnonymizeAgainst(df, groupSizes(df, quasiCols), quasiCols, k)
   }
 
   /** Group sizes for [[kAnonymizeAgainst]] — exposed so a caller can
@@ -47,17 +45,12 @@ object Privacy {
                         quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
     require(k >= 1, "k must be >= 1")
-    // NULL-SAFE equality on the join back: groupBy puts null values in a
-    // group, but a plain equi-join would then drop exactly those rows
-    // (null != null) — silently releasing nothing for them instead of
-    // protecting k co-null rows that shield each other.
-    val l = df.alias("__l")
-    val s = sizes.alias("__s")
-    val cond = quasiCols.map(c => col(s"__l.$c") <=> col(s"__s.$c"))
-      .reduce(_ && _)
-    l.join(s, cond)
-      .filter(col("__s.__gn") >= k)
-      .select(df.columns.map(c => col(s"__l.$c")): _*)
+    require(!df.columns.contains("__gn"),
+      "input must not contain a __gn column")
+    // null-safe join: co-null rows shield each other (see Joins scaladoc)
+    graft.util.Joins.nullSafeStatsJoin(df, sizes, quasiCols)
+      .filter(col("__gn") >= k)
+      .drop("__gn")
   }
 
   /** The release report a privacy review actually reads: per k in
@@ -69,8 +62,7 @@ object Privacy {
   def suppressionReport(df: DataFrame, quasiCols: Seq[String],
                         ks: Seq[Long]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
-    val sizes = df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("__gn"))
+    val sizes = groupSizes(df, quasiCols)
     val total = sizes.agg(sum(col("__gn")).as("__rows"))
     val perK = ks.map { k =>
       sizes.filter(col("__gn") >= k)

@@ -68,17 +68,23 @@ object Sampling {
     * α ≈ 0.3–0.7 up-samples small strata without letting them dominate.
     * Counts are a stratum-cardinality aggregate collected to the driver
     * (the stratum list is bounded by definition — the q57 contract). */
-  def temperatureWeights(df: DataFrame, strataCol: String,
-                         alpha: Double): Map[String, Double] = {
-    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
-    // null strata are excluded from the weight mass, not just from the
-    // output: mixtureSample can never select them (null lookups get
-    // rate 0), so counting them would silently scale every real
-    // stratum's rate down by the null share and under-deliver the target
-    val counts = df.filter(col(strataCol).isNotNull)
+  /** Collected per-stratum row counts. Null strata are excluded from
+    * the mass, not just the output: mixtureSample can never select them
+    * (null lookups get rate 0), so counting them would silently scale
+    * every real stratum's rate down by the null share and
+    * under-deliver the target. Single source of truth for both the
+    * weight and the rate derivations. */
+  private def strataCounts(df: DataFrame,
+                           strataCol: String): Map[String, Long] =
+    df.filter(col(strataCol).isNotNull)
       .groupBy(col(strataCol).cast("string").as("s"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  def temperatureWeights(df: DataFrame, strataCol: String,
+                         alpha: Double): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = strataCounts(df, strataCol)
     val raw = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
     val total = raw.values.sum
     raw.map { case (s, w) => s -> w / total }
@@ -97,10 +103,7 @@ object Sampling {
                         alpha: Double, targetRows: Long,
                         salt: String = ""): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
-    val counts = df.filter(col(strataCol).isNotNull)
-      .groupBy(col(strataCol).cast("string").as("s"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = strataCounts(df, strataCol)
     val raw = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
     val total = raw.values.sum
     val rates = counts.map { case (s, n) =>
@@ -149,10 +152,14 @@ object Sampling {
     * crushes against 1.0 where double spacing is coarsest (engine ulp
     * noise could flip ranks), while the log form spreads the same
     * ordering across (−∞, 0). w' is the weight NORMALIZED by the global
-    * mean weight (a 1-row broadcast aggregate): A-ES ordering is
+    * MAX weight (a 1-row broadcast aggregate): A-ES ordering is
     * weight-scale-invariant, and without the normalization byte-sized
     * weights (~1e9) would compress every |ln(u)/w| below the rounding
-    * grain and silently degrade selection to the tiebreak. The key is
+    * grain and silently degrade selection to the tiebreak. max — not
+    * mean — because max of doubles is independent of partial-aggregation
+    * merge order, while a mean's last-ulp varies with partitioning and
+    * would make the rounded selection boundary run-dependent, exactly
+    * what this module bans. The key is
     * 9-dp-rounded with the row key as tiebreak, so the selection
     * boundary is engine-independent (the q35 lesson). Same
     * WindowGroupLimit shape as stratifiedHashSample — no global sort,
@@ -166,7 +173,7 @@ object Sampling {
     require(!df.columns.contains("__rn") && !df.columns.contains("__wbar"),
       "input must not contain __rn/__wbar columns")
     val pos = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-    val wbar = pos.agg(avg(col(weightCol).cast("double")).as("__wbar"))
+    val wbar = pos.agg(max(col(weightCol).cast("double")).as("__wbar"))
     val u = hashUnit(keyCol, salt)
     val r = round(log(u) * col("__wbar") / col(weightCol).cast("double"), 9)
     val w = Window.partitionBy(col(strataCol))

@@ -153,6 +153,21 @@ class PreprocessSpec extends SparkSuite {
     }
   }
 
+  test("null-valued groups are screened like any other (not silently dropped)") {
+    import spark.implicits._
+    val df = Seq((Some("g1"), 1.0), (Some("g1"), 2.0), (Some("g1"), 3.0),
+      (Option.empty[String], 10.0), (None, 20.0), (None, 30.0))
+      .toDF("g", "v")
+    val mad = Preprocess.robustOutlierStats(df, Seq("g"), "v")
+      .select("g", "n", "med").as[(Option[String], Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mad(Some("g1")) == ((3L, 2.0)))
+    assert(mad(None) == ((3L, 20.0)), "null group must appear in the screen")
+    val win = Preprocess.winsorizedStats(df, Seq("g"), "v")
+      .select("g", "n").as[(Option[String], Long)].collect().toMap
+    assert(win(None) == 3L)
+  }
+
   test("robustOutlierStats survives the outliers a mean z-score would not") {
     import spark.implicits._
     // half the group is a wild cluster: mean/std are dragged, median/MAD not

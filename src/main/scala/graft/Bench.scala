@@ -65,26 +65,26 @@ object Bench {
       headline.map { name =>
         // headline is derived from the same map, so lookup cannot miss
         val fn = queries(name)
-          try {
-            var rows = 0L
-            val times = (1 to runsPerQuery).map { i =>
-              // operators may persist internal multi-consumer frames; clear
-              // between runs so no query is timed against another's cache
-              spark.catalog.clearCache()
-              val obs = Observation(s"$name-$i")
-              val t0 = System.nanoTime()
-              fn(spark, sfDir).observe(obs, count(lit(1)).as("rows"))
-                .write.format("noop").mode("overwrite").save()
-              val dt = (System.nanoTime() - t0) / 1e9
-              rows = obs.get("rows").asInstanceOf[Long]
-              dt
-            }
-            name -> Right((times.min, rows))
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              name -> Left(e.getClass.getSimpleName)
+        try {
+          var rows = 0L
+          val times = (1 to runsPerQuery).map { i =>
+            // operators may persist internal multi-consumer frames; clear
+            // between runs so no query is timed against another's cache
+            spark.catalog.clearCache()
+            val obs = Observation(s"$name-$i")
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).observe(obs, count(lit(1)).as("rows"))
+              .write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            rows = obs.get("rows").asInstanceOf[Long]
+            dt
           }
+          name -> Right((times.min, rows))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            name -> Left(e.getClass.getSimpleName)
+        }
       }
     val ok = results.collect { case (n, Right(v)) => n -> v }
     val failed = results.collect { case (n, Left(_)) => n }
@@ -101,7 +101,20 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString("[", ",", "]")
     } catch { case _: Throwable => "[]" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"failed":$fails,"loadavg":$load,"runs":$runsPerQuery,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"failed":$fails,"loadavg":$load,"runs":$runsPerQuery,"sf":"$sfDir"}"""
+    // Round 6's per-query timings were lost when the driver's tail capture
+    // truncated the (very long) single line. Defense in depth: (1) the
+    // timings dict goes out on its own, shorter line FIRST, (2) the full
+    // record is also written to bench_full.json in the working directory,
+    // (3) the canonical one-line JSON still closes stdout for the driver.
+    println(s"""{"queries":$qs,"value":$total}""")
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p,
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(full)
     spark.stop()
   }
 }

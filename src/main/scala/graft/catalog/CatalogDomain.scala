@@ -252,7 +252,7 @@ object CatalogDomain {
         .partitionBy()                      // 25 rows: single partition is fine
       deg
         .withColumn("cnt", count(lit(1)).over(wAll))
-        .select($"x".as("nationkey"), $"degree",
+        .select($"x".cast("long").as("nationkey"), $"degree",
           round($"degree" / ($"cnt" - lit(1.0)), 4).as("centrality"))
         .orderBy($"nationkey")
     },
@@ -387,12 +387,13 @@ object CatalogDomain {
                  by: org.apache.spark.sql.Column*): DataFrame = {
         val rows = df.orderBy(by: _*).limit(100).collect()
         val ranked = rows.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq((i + 1) +: r.toSeq)
+          org.apache.spark.sql.Row.fromSeq((i + 1).toLong +: r.toSeq)
         }
+        // LongType to match the oracle's row_number() (BIGINT in DuckDB)
         s.createDataFrame(s.sparkContext.parallelize(ranked.toSeq, 1),
           org.apache.spark.sql.types.StructType(
             org.apache.spark.sql.types.StructField("pos",
-              org.apache.spark.sql.types.IntegerType, nullable = false) +:
+              org.apache.spark.sql.types.LongType, nullable = false) +:
               df.schema.fields))
       }
       val c = top100(t(s, dir, "customer").select($"c_custkey", $"c_acctbal"),
@@ -973,8 +974,8 @@ object CatalogDomain {
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
           round(sum($"l_extendedprice"), 2).as("revenue"),
-          grouping($"l_returnflag").cast("int").as("g_rf"),
-          grouping($"l_linestatus").cast("int").as("g_ls"))
+          grouping($"l_returnflag").cast("long").as("g_rf"),
+          grouping($"l_linestatus").cast("long").as("g_ls"))
         .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -1043,8 +1044,8 @@ object CatalogDomain {
         .cube($"o_orderpriority", $"o_orderstatus")
         .agg(count(lit(1)).as("n"),
           round(sum($"o_totalprice"), 2).as("total"),
-          grouping($"o_orderpriority").cast("int").as("g_p"),
-          grouping($"o_orderstatus").cast("int").as("g_s"))
+          grouping($"o_orderpriority").cast("long").as("g_p"),
+          grouping($"o_orderstatus").cast("long").as("g_s"))
         .orderBy($"g_p", $"g_s", $"o_orderpriority", $"o_orderstatus")
     },
     Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,

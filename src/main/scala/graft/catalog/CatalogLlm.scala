@@ -197,6 +197,7 @@ object CatalogLlm {
       import s.implicits._
       Dedup.simhashPairs(corpus(s, dir), "id", "text",
           bands = 4, maxDist = 3)
+        .withColumn("hamming", $"hamming".cast("long"))
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""WITH $corpusSql,
@@ -210,7 +211,7 @@ object CatalogLlm {
             |sig AS (SELECT id, (su::HUGEINT - CASE WHEN su >= 9223372036854775808::HUGEINT
             |          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS s
             |        FROM sigu)
-            |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.s, b.s)) AS hamming
+            |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.s, b.s))::BIGINT AS hamming
             |FROM sig a JOIN sig b ON a.id < b.id
             |WHERE bit_count(xor(a.s, b.s)) <= 3
             |ORDER BY id_a, id_b""".stripMargin))
@@ -222,7 +223,8 @@ object CatalogLlm {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10),
           "vec_id", "embedding", 3)
-        .select($"query_id", $"neighbor_id", $"rank", $"cos_sim")
+        .select($"query_id", $"neighbor_id",
+          $"rank".cast("long").as("rank"), $"cos_sim")
         .orderBy($"query_id", $"rank")
     },
     Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -266,7 +268,8 @@ object CatalogLlm {
       val emb = t(s, dir, "embeddings")
       Similarity.annTopK(emb, emb.filter($"vec_id" < 10), "vec_id",
           "embedding", 5, dim = 64, tables = 4, planesPerTable = 4)
-        .select($"query_id", $"neighbor_id", $"rank", $"cos_sim")
+        .select($"query_id", $"neighbor_id",
+          $"rank".cast("long").as("rank"), $"cos_sim")
         .orderBy($"query_id", $"rank")
     },
     Some("""WITH planes AS (
@@ -302,7 +305,8 @@ object CatalogLlm {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"),
         "doc_id", "text", "text/plain")
       Multimodal.frameValues(media, 64)
-        .select($"media_id", $"frame_idx", $"frame_off", $"frame_val")
+        .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+          $"frame_off".cast("long").as("frame_off"), $"frame_val")
         .orderBy($"media_id", $"frame_idx")
     },
     Some("""WITH f AS (SELECT doc_id, text,
@@ -523,6 +527,7 @@ object CatalogLlm {
       val docs = t(s, dir, "documents").select($"doc_id".as("id"), $"text")
       graft.text.Relevance.tfidfTopTerms(docs, "id", "text", k = 3)
         .filter($"id" < 20)
+        .withColumn("rank", $"rank".cast("long"))
         .orderBy($"id", $"rank")
     },
     Some("""WITH toks AS (SELECT doc_id AS id, unnest(regexp_extract_all(text, '\S+')) AS term
@@ -633,8 +638,9 @@ object CatalogLlm {
       t(s, dir, "documents")
         .select($"doc_id", text2.as("t2"))
         .select($"doc_id",
-          regexp_count($"t2", lit(pat)).as("n_emails"),
-          length(regexp_replace($"t2", pat, "<EMAIL>")).as("scrubbed_chars"))
+          regexp_count($"t2", lit(pat)).cast("long").as("n_emails"),
+          length(regexp_replace($"t2", pat, "<EMAIL>")).cast("long")
+            .as("scrubbed_chars"))
         .filter($"n_emails" > 0)
         .orderBy($"doc_id")
     },
@@ -695,7 +701,8 @@ object CatalogLlm {
         Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nLists = 16)
       Similarity.ivfTopK(assigned, centers, emb.filter($"vec_id" < 10),
           "vec_id", "embedding", k = 5, nProbe = 4)
-        .select($"query_id", $"neighbor_id", $"rank", $"cos_sim")
+        .select($"query_id", $"neighbor_id",
+          $"rank".cast("long").as("rank"), $"cos_sim")
         .orderBy($"query_id", $"rank")
     },
     Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1106,7 +1113,7 @@ object CatalogLlm {
            |        THEN 1 ELSE 0 END AS f FROM rm),
            |seg AS (SELECT id, pos, sum(f) OVER (PARTITION BY id ORDER BY pos) AS g
            |        FROM isl),
-           |cov AS (SELECT id, sum(e - s + 1) AS dup_tokens FROM
+           |cov AS (SELECT id, sum(e - s + 1)::BIGINT AS dup_tokens FROM
            |          (SELECT id, g, min(pos) AS s, max(pos) + 7 AS e
            |           FROM seg GROUP BY id, g)
            |        GROUP BY id),
@@ -1246,7 +1253,7 @@ object CatalogLlm {
           transform($"embedding", x => x + lit(0.01)).as("embedding")))
       Similarity.semanticDedup(seeded, "vec_id", "embedding",
           nLists = 16, threshold = 0.9)
-        .select($"id".as("vec_id"), $"cell", $"kept")
+        .select($"id".as("vec_id"), $"cell".cast("long").as("cell"), $"kept")
         .orderBy($"vec_id")
     },
     Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

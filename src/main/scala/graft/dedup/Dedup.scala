@@ -266,7 +266,8 @@ object Dedup {
     val cnt = rm.groupBy("id").agg(count(lit(1)).as("n_removable"))
     val tot = df.select(col(idCol).as("id"),
       size(word_shingles(col(textCol), 1)).as("n_tok"),
-      greatest(size(word_shingles(col(textCol), k)), lit(0)).as("n_windows"))
+      greatest(size(word_shingles(col(textCol), k)), lit(0)).cast("long")
+        .as("n_windows"))
     tot.join(cnt, Seq("id"), "left").join(cov, Seq("id"), "left")
       .select(col("id"), col("n_windows"),
         coalesce(col("n_removable"), lit(0L)).as("n_removable"),

@@ -73,6 +73,19 @@ object AsOfJoin {
     require(payload.forall(p => !left.columns.contains(p)),
       "payload column names must not collide with left columns — rename " +
         "the right side's payload columns before joining")
+    // The plain join orders on ANY orderable time type, but the tolerance
+    // gap is computed in microseconds via unix_micros, which requires
+    // TIMESTAMP — fail upfront instead of only when tolerance is set on
+    // an epoch-long column (an asymmetric, hard-to-debug contract).
+    toleranceSec.foreach { _ =>
+      Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+        require(df.schema(time).dataType ==
+          org.apache.spark.sql.types.TimestampType,
+          s"toleranceSec requires a TIMESTAMP `$time` column; the $side " +
+            s"side has ${df.schema(time).dataType.simpleString} — cast " +
+            "it to timestamp or drop the tolerance")
+      }
+    }
 
     // The right row at exactly the left row's time must fall INSIDE the
     // carry frame for inclusive semantics and OUTSIDE for strict. The

@@ -166,14 +166,16 @@ final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
       case (Some((_, edges)), Some(ts)) =>
         // plan construction sits inside a stage too: an AnalysisException
         // from schema drift must degrade this stage, not abort the run
+        // one construction serves both sinks; the lazy holder keeps plan
+        // construction inside the first stage that forces it, so an
+        // AnalysisException still degrades a stage rather than the run
+        lazy val vizData = Sinks.networkVizData(ts, edges)
         stage("figure_viz_nodes") {
-          val (vizNodes, _) = Sinks.networkVizData(ts, edges)
-          Sinks.writeCsv(vizNodes.orderBy(col("node_size").desc, col("gene")),
+          Sinks.writeCsv(vizData._1.orderBy(col("node_size").desc, col("gene")),
             s"$out/data/network_viz_nodes")
         }
         stage("figure_viz_edges") {
-          val (_, vizEdges) = Sinks.networkVizData(ts, edges)
-          Sinks.writeCsv(vizEdges.orderBy("src", "dst"),
+          Sinks.writeCsv(vizData._2.orderBy("src", "dst"),
             s"$out/data/network_viz_edges")
         }
         stage("figure_barplot") {

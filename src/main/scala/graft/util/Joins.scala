@@ -22,11 +22,13 @@ object Joins {
     require(keys.nonEmpty, "keys must be non-empty")
     val l = df.alias("__l")
     val s = stats.alias("__s")
-    val cond = keys.map(c => col(s"__l.$c") <=> col(s"__s.$c"))
+    // backtick-quote so a column name containing a dot stays one
+    // identifier instead of parsing as a nested-field path
+    val cond = keys.map(c => col(s"__l.`$c`") <=> col(s"__s.`$c`"))
       .reduce(_ && _)
     val statCols = stats.columns.filterNot(keys.contains)
     l.join(s, cond).select(
-      df.columns.map(c => col(s"__l.$c")) ++
-        statCols.map(c => col(s"__s.$c")): _*)
+      df.columns.map(c => col(s"__l.`$c`")) ++
+        statCols.map(c => col(s"__s.`$c`")): _*)
   }
 }

@@ -142,7 +142,7 @@ class DedupSpec extends SparkSuite {
     val docs3 = Seq((1L, "a b c d e f"), (2L, "x a b c d y"), (3L, "short"))
       .toDF("id", "text")
     val stats = Dedup.duplicateSpanStats(docs3, "id", "text", k = 3)
-      .as[(Long, Int, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
     assert(stats(1L) == ((1L, 4, 0L, 0L, 0.0)))
     assert(stats(2L) == ((2L, 4, 2L, 4L, 0.6667)))
@@ -207,7 +207,7 @@ class DedupSpec extends SparkSuite {
       assert(gotMask == expMask)
       val gotStats = Dedup.duplicateSpanStats(df, "id", "text", k)
         .select($"id", $"n_windows", $"n_removable", $"dup_tokens")
-        .as[(Long, Int, Long, Long)].collect()
+        .as[(Long, Long, Long, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       assert(gotStats == expStats)
     }

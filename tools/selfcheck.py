@@ -28,10 +28,16 @@ def norm(v):
         return str(v).lower()
     return str(v)
 
-def table(rows, cols):
+def table(rows, cols, types):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in idx) for r in rows]
-    return sorted(out), [cols[i] for i in idx]
+    return sorted(out), [cols[i] for i in idx], [types[i] for i in idx]
+
+# Both sides are read through DuckDB, so dtype names are comparable directly;
+# the driver's hash compare is type-sensitive, so any mismatch here (notably
+# INT32 vs BIGINT) is a real failure even when stringified values agree.
+# NB: DBAPI cursor description[1] collapses every numeric to 'NUMBER', so we
+# go through con.sql(...) relations, whose .types carry the logical type.
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -41,24 +47,32 @@ def main(sf_dir, out_dir):
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.execute(
+            got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_rows, got_cols_raw = got_rel.fetchall(), [d[0] for d in got_rel.description]
+            got_cols_raw = list(got_rel.columns)
+            got_types_raw = [str(t) for t in got_rel.types]
+            got_rows = got_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             failures += 1
             continue
         try:
-            exp_rel = con.execute(sql)
-            exp_rows, exp_cols_raw = exp_rel.fetchall(), [d[0] for d in exp_rel.description]
+            exp_rel = con.sql(sql)
+            exp_cols_raw = list(exp_rel.columns)
+            exp_types_raw = [str(t) for t in exp_rel.types]
+            exp_rows = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue
-        got, gc = table(got_rows, got_cols_raw)
-        exp, ec = table(exp_rows, exp_cols_raw)
+        got, gc, gt = table(got_rows, got_cols_raw, got_types_raw)
+        exp, ec, et = table(exp_rows, exp_cols_raw, exp_types_raw)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
+            failures += 1
+        elif gt != et:
+            diffs = [(c, g, e) for c, g, e in zip(gc, gt, et) if g != e]
+            print(f"FAIL {name}: column types differ: {diffs}")
             failures += 1
         elif len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")

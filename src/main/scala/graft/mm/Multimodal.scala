@@ -7,11 +7,12 @@ import graft.functions.gfunctions._
 
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `binary` columns with a typed metadata struct. The Spark-side shape —
-  * schema, partitioning, per-batch decode boundary — is real; the decode
-  * kernel itself is a clearly-marked deterministic stub (no codec
-  * libraries in this environment). A production build swaps
-  * [[stubDecode]] for a real codec inside the same mapPartitions
-  * boundary; nothing upstream or downstream changes.
+  * schema, partitioning, per-batch decode boundary — is real, and so is
+  * the IMAGE path: [[imageKernel]] decodes PNG/JPEG via javax.imageio
+  * (JDK-only) inside the same mapPartitions boundary. Audio/video
+  * kernels remain the clearly-marked deterministic [[stubKernel]] (no
+  * codec libraries for those in this environment); swapping kernels
+  * changes nothing upstream or downstream.
   */
 object Multimodal {
 
@@ -68,6 +69,42 @@ object Multimodal {
     Array(bytes.length.toFloat,
       if (bytes.nonEmpty) (bytes(0) & 0xff).toFloat else 0f,
       math.floorMod(checksum, 997L).toFloat)
+  }
+
+  /** Decoded RGB pixels of a PNG/JPEG payload via javax.imageio (on the
+    * JDK — no external codec, zero-egress-safe), row-major
+    * (x, y, r, g, b). Throws on undecodable bytes: a corrupt blob
+    * surfaces as a loud per-row error at the decode boundary, not as
+    * silent feature garbage downstream. */
+  def imagePixels(bytes: Array[Byte]): IndexedSeq[(Int, Int, Int, Int, Int)] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      "imagePixels: payload is not a decodable image (PNG/JPEG/BMP/GIF)")
+    for {
+      y <- 0 until img.getHeight
+      x <- 0 until img.getWidth
+    } yield {
+      val rgb = img.getRGB(x, y)
+      (x, y, (rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+    }
+  }
+
+  /** REAL image decode kernel for [[decodePartitions]]: width, height,
+    * and per-channel byte means from the actual decoded bitmap —
+    * the production counterpart of [[stubKernel]] behind the identical
+    * (media_id, features array<float>) contract. javax.imageio readers
+    * are not thread-safe to share, so the kernel constructs its reader
+    * per call; the partition boundary above it is where a pooled
+    * native decoder would be initialized once. */
+  val imageKernel: Array[Byte] => Array[Float] = { bytes =>
+    val px = imagePixels(bytes)
+    val w = if (px.isEmpty) 0 else px.map(_._1).max + 1
+    val h = if (px.isEmpty) 0 else px.map(_._2).max + 1
+    var sr = 0L; var sg = 0L; var sb = 0L
+    px.foreach { case (_, _, r, g, b) => sr += r; sg += g; sb += b }
+    val n = math.max(px.size, 1).toFloat
+    Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n)
   }
 
   /** The production decode boundary: a per-partition batch loop over

@@ -76,12 +76,15 @@ object Preprocess {
     * standard pre-training sanity pass over numeric telemetry/feature
     * columns.
     *
-    * Two exact grouped medians (the value's, then the absolute
-    * deviation's — MAD requires the first before the second, so two
-    * aggregate passes are inherent), each a hash aggregate on the group
-    * key; per-group stats join back onto the fact rows co-partitioned on
-    * that same key (group-cardinality side, AQE broadcasts it when
-    * small). The flag boundary compares the 6-dp-rounded |M| so it
+    * Two grouped medians (the value's, then the absolute deviation's —
+    * MAD requires the first before the second, so two aggregate passes
+    * are inherent), each a hash aggregate on the group key; per-group
+    * stats join back onto the fact rows co-partitioned on that same key
+    * (group-cardinality side, AQE broadcasts it when small). Medians
+    * are exact while the hottest group stays under
+    * [[ExactPercentileMaxGroupRows]] and dispatch to approx_percentile
+    * above it; `exactMedians` skips the size probe when cardinality is
+    * known. The flag boundary compares the 6-dp-rounded |M| so it
     * cannot flip on engine noise. Zero-MAD groups (> 50% identical
     * values) yield null M — counted as non-outliers, visible as
     * mad = 0.0 in the output.
@@ -94,14 +97,47 @@ object Preprocess {
                          groupCols: Seq[String]): DataFrame =
     graft.util.Joins.nullSafeStatsJoin(df, stats, groupCols)
 
+  /** Rows in the hottest group above which the percentile screens stop
+    * buffering exact per-group values (ObjectHashAggregate holds every
+    * group value in one task) and dispatch to approx_percentile's
+    * bounded-memory KLL-style sketch. 4M doubles ≈ 32 MB per hot group
+    * — comfortably inside an executor; beyond it a skewed group is an
+    * OOM risk, and the sketch's rank error (1/accuracy) is far below
+    * the 6-dp rounding the screens already apply at their boundaries. */
+  val ExactPercentileMaxGroupRows: Long = 4L * 1000 * 1000
+
+  private val ApproxPercentileAccuracy = 10000
+
+  /** Size probe for the dispatch: the hottest group's row count. A
+    * count-only aggregate (map-side partial, no value buffering) — one
+    * extra scan, traded for never letting the exact path buffer an
+    * unbounded hot group. Callers that know their cardinality can skip
+    * the probe by forcing `exact`. */
+  private def maxGroupRows(df: DataFrame, g: Seq[Column]): Long =
+    df.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head.get(0) match {
+      case n: java.lang.Long => n
+      case _ => 0L // empty input
+    }
+
+  /** percentile-family aggregate honoring the exact/approx dispatch. */
+  private def pctAgg(v: Column, p: Double, exact: Boolean): Column =
+    if (exact) {
+      if (p == 0.5) median(v) else percentile(v, lit(p))
+    } else
+      approx_percentile(v, lit(p), lit(ApproxPercentileAccuracy))
+
   def robustOutlierStats(df: DataFrame, groupCols: Seq[String],
-                         valueCol: String, cut: Double = 3.5): DataFrame = {
+                         valueCol: String, cut: Double = 3.5,
+                         exactMedians: Option[Boolean] = None): DataFrame = {
     val g = groupCols.map(col)
     val v = col(valueCol)
-    val med = df.groupBy(g: _*).agg(median(v).as("__med"))
+    val exact = exactMedians.getOrElse(
+      maxGroupRows(df, g) <= ExactPercentileMaxGroupRows)
+    val med = df.groupBy(g: _*).agg(pctAgg(v, 0.5, exact).as("__med"))
     val withMed = joinGroups(df, med, groupCols)
     val mad = withMed.groupBy(g: _*)
-      .agg(median(abs(v - col("__med"))).as("__mad"))
+      .agg(pctAgg(abs(v - col("__med")), 0.5, exact).as("__mad"))
     val m = lit(0.6745) * (v - col("__med")) / nullif(col("__mad"), lit(0.0))
     joinGroups(withMed, mad, groupCols)
       .groupBy(g: _*)
@@ -120,23 +156,28 @@ object Preprocess {
     * compare against the 6-dp-rounded value so the clip count cannot
     * flip on engine quantile noise.
     *
-    * One exact-quantile aggregate on the group key + the co-partitioned
+    * One quantile aggregate on the group key + the co-partitioned
     * join-back + one final aggregate — same two-shuffle shape as the MAD
-    * screen; exact quantiles buffer per group (approx_percentile is the
-    * ultra-high-cardinality fallback, L22's documented trade).
+    * screen. Quantiles are exact while the hottest group stays under
+    * [[ExactPercentileMaxGroupRows]] and dispatch to approx_percentile
+    * above it (exact buffers every group value in one task); pass
+    * `exactQuantiles` to skip the size probe when cardinality is known.
     *
     * Output per group: n, p_lo, p_hi, mean_raw, mean_wins (4 dp),
     * n_clip_lo, n_clip_hi.
     */
   def winsorizedStats(df: DataFrame, groupCols: Seq[String],
                       valueCol: String, lo: Double = 0.05,
-                      hi: Double = 0.95): DataFrame = {
+                      hi: Double = 0.95,
+                      exactQuantiles: Option[Boolean] = None): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
     val g = groupCols.map(col)
     val v = col(valueCol)
+    val exact = exactQuantiles.getOrElse(
+      maxGroupRows(df, g) <= ExactPercentileMaxGroupRows)
     val bounds = df.groupBy(g: _*)
-      .agg(percentile(v, lit(lo)).as("__plo"),
-        percentile(v, lit(hi)).as("__phi"))
+      .agg(pctAgg(v, lo, exact).as("__plo"),
+        pctAgg(v, hi, exact).as("__phi"))
     val clipped = least(greatest(v, col("__plo")), col("__phi"))
     joinGroups(df, bounds, groupCols)
       .groupBy(g: _*)

@@ -41,6 +41,28 @@ class MultimodalSpec extends SparkSuite {
     assert(g(1L) == Seq(16.0f) && g(2L) == Seq(4.0f))
   }
 
+  test("imageKernel decodes the checked-in 2x2 PNG to its pixel values") {
+    val png = {
+      val in = getClass.getResourceAsStream("/tiny_2x2.png")
+      try in.readAllBytes() finally in.close()
+    }
+    // fixture: row 0 = red, green; row 1 = blue, white
+    assert(Multimodal.imagePixels(png).toSeq == Seq(
+      (0, 0, 255, 0, 0), (1, 0, 0, 255, 0),
+      (0, 1, 0, 0, 255), (1, 1, 255, 255, 255)))
+    // through the production decodePartitions boundary: w, h, channel means
+    val media = Seq((7L, png)).toDF("media_id", "media")
+    val f = Multimodal.decodePartitions(media, Multimodal.imageKernel)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(f(7L) == Seq(2f, 2f, 127.5f, 127.5f, 127.5f))
+    // corrupt payload fails loudly at the boundary, not as garbage
+    val bad = Seq((8L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePartitions(bad, Multimodal.imageKernel).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("frame sampling: every stride-th byte, short media empty") {
     val m = Multimodal.asMediaTable(docs, "id", "payload", "text/plain")
     val fr = Multimodal.frameValues(m, stride = 3)

@@ -95,6 +95,41 @@ class PreprocessSpec extends SparkSuite {
     assert(r._6 == 1 && r._7 == 1)
   }
 
+  test("percentile dispatch: forced approx tracks exact within sketch error " +
+    "and the auto threshold keeps small groups exact") {
+    import spark.implicits._
+    // Small groups: auto dispatch must take the exact path (the sf0.01
+    // oracle compares depend on it) — identical output to exact forced.
+    val df = (1 to 200).map(i => ("g" + (i % 3), i.toDouble)).toDF("g", "v")
+    val auto = Preprocess.winsorizedStats(df, Seq("g"), "v")
+      .orderBy("g").collect().toSeq
+    val exact = Preprocess.winsorizedStats(df, Seq("g"), "v",
+      exactQuantiles = Some(true)).orderBy("g").collect().toSeq
+    assert(auto == exact,
+      "auto dispatch must stay exact under the group-size threshold")
+    assert(Preprocess.ExactPercentileMaxGroupRows > 200)
+    // Forced approx (the >threshold path at scale): same schema, bounds
+    // within the sketch's rank error of exact on uniform data.
+    val approxR = Preprocess.winsorizedStats(df, Seq("g"), "v",
+      exactQuantiles = Some(false)).orderBy("g")
+      .select("g", "p_lo", "p_hi", "n").as[(String, Double, Double, Long)]
+      .collect()
+    assert(approxR.map(_._1).toSeq == Seq("g0", "g1", "g2"))
+    approxR.foreach { case (_, plo, phi, n) =>
+      assert(n > 0 && plo >= 1.0 && phi <= 200.0 && plo < phi)
+    }
+    val madApprox = Preprocess.robustOutlierStats(df, Seq("g"), "v",
+      exactMedians = Some(false)).orderBy("g")
+      .select("g", "med").as[(String, Double)].collect()
+    val madExact = Preprocess.robustOutlierStats(df, Seq("g"), "v",
+      exactMedians = Some(true)).orderBy("g")
+      .select("g", "med").as[(String, Double)].collect()
+    madApprox.zip(madExact).foreach { case ((g1, ma), (g2, me)) =>
+      assert(g1 == g2 && math.abs(ma - me) <= 2.0,
+        s"approx median $ma strayed from exact $me in $g1")
+    }
+  }
+
   test("robustOutlierStats and winsorizedStats match brute force on random groups") {
     import spark.implicits._
     // deterministic LCG data: 7 groups, 30-150 rows each, heavy tail

@@ -191,7 +191,24 @@ object LlmScaleSmoke {
             docs, "doc_id", "text",
             // benchmark = a fixed 500-doc eval set regardless of scale
             // (benchmarks don't grow with the corpus)
-            docs.filter(col("doc_id") < 500), "text"))))
+            docs.filter(col("doc_id") < 500), "text"))),
+        "span_dedup_stats" -> (() => sink(
+          Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 8))),
+        // graph derived from the event stream (n/100 users, ~10 edges
+        // each via consecutive-user links) — node and edge counts scale
+        // with n, and the DataFrame-loop path is the one a 100-TB graph
+        // takes, so it is the one measured
+        "pagerank" -> (() => sink {
+          val nUsers = math.max(1L, n / 100)
+          val nodes = events.select(concat(lit("u"), col("user_id"))
+            .as("gene")).distinct()
+          val edges = events.select(
+            concat(lit("u"), col("user_id")).as("src"),
+            concat(lit("u"), pmod(col("user_id") * 2654435761L
+              + col("event_id") % 7, lit(nUsers))).as("dst"))
+          graft.graph.Centrality.pageRankDistributed(spark, nodes,
+            edges, damping = 0.85, iters = 5)
+        }))
       val timed = ops.map { case (name, run) =>
         run()                       // warm-up: codegen + parquet footers
         name -> (1 to 2).map(_ => time(run())).min

@@ -1143,8 +1143,44 @@ object CatalogDomain {
            |  round(avg(dt), 4), round(max(dt), 4) FROM d2
            |ORDER BY stage_idx""".stripMargin))
 
+  /** Correlated-subquery breadth (§2.3/§2.4 extension, TPC-H Q17
+    * shape): lineitems below 20% of their part's average quantity,
+    * revenue per brand. The Spark side is the DECORRELATED plan a user
+    * writes idiomatically (per-part average aggregate joined back on
+    * the co-partitioned part key — no per-row subquery execution, the
+    * shape that survives 100 TB); the oracle keeps the literal
+    * correlated subquery, so the compare proves the decorrelation
+    * equivalence. l_quantity is integral, so the per-part average and
+    * the 0.2x threshold are exact doubles on both engines. */
+  private val q95 = Q("q95_correlated_avg",
+    (s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter($"p_size" <= 5)
+        .select($"p_partkey", $"p_brand")
+      val thresh = l.groupBy($"l_partkey")
+        .agg((lit(0.2) * avg($"l_quantity")).as("__thresh"))
+      l.select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        .join(p, $"l_partkey" === $"p_partkey")
+        .join(thresh, Seq("l_partkey"))
+        .filter($"l_quantity" < $"__thresh")
+        .groupBy($"p_brand")
+        .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand,
+           |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           |  count(*) AS n_small
+           |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           |WHERE p_size <= 5
+           |  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+           |                    FROM lineitem l2
+           |                    WHERE l2.l_partkey = p.p_partkey)
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
-    q89, q92)
+    q89, q92, q95)
 }

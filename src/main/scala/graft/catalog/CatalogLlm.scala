@@ -1484,8 +1484,153 @@ object CatalogLlm {
            |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 30
            |ORDER BY lang, doc_id""".stripMargin))
 
+  /** Full dedup CLUSTERING (L51, round 7): MinHash-LSH verified pairs
+    * -> connected components -> per-doc cluster label, size, min-id
+    * representative — the end-to-end keep-list a dedup pass ships. The
+    * oracle replays q33's banded pair pipeline, closes it with a
+    * recursive CTE, and derives the same min-id labels, so the compare
+    * pins banding + verification + component labeling together. */
+  private val q93 = Q("q93_minhash_clusters",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.minhashClusters(corpus(s, dir), "id", "text")
+        .orderBy($"id")
+    },
+    Some(s"""WITH RECURSIVE $corpusSql,
+            |toks AS (SELECT id, regexp_extract_all(text, '\\S+') AS tk FROM corpus),
+            |sh AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+            |       FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+            |idx AS (SELECT unnest(generate_series(0, 15)) AS i),
+            |th0 AS (SELECT id, i, md5_number_lower(CAST(i AS VARCHAR) || ':' || shingle) AS hu
+            |        FROM sh, idx),
+            |th AS (SELECT id, i, (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+            |         THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS h FROM th0),
+            |sigs AS (SELECT id, i, min(h) AS sig FROM th GROUP BY id, i),
+            |bk AS (SELECT id, i // 4 AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS key
+            |       FROM sigs GROUP BY id, i // 4),
+            |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+            |         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+            |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            |common AS (SELECT id_a, id_b, count(*) AS n_common
+            |           FROM cand JOIN sh a ON a.id = id_a
+            |                     JOIN sh b ON b.id = id_b AND b.shingle = a.shingle
+            |           GROUP BY id_a, id_b),
+            |pr AS (SELECT id_a, id_b
+            |       FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+            |       WHERE round(n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 4) >= 0.5),
+            |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+            |          UNION ALL SELECT id_b, id_a FROM pr),
+            |reach AS (SELECT id, id AS r FROM corpus
+            |          UNION
+            |          SELECT t.id, e.v FROM reach t JOIN edges e ON e.u = t.r),
+            |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+            |sz AS (SELECT cluster, count(*)::BIGINT AS cluster_size
+            |       FROM lab GROUP BY cluster)
+            |SELECT lab.id, lab.cluster, sz.cluster_size,
+            |       (lab.id = lab.cluster) AS is_representative
+            |FROM lab JOIN sz USING (cluster)
+            |ORDER BY lab.id""".stripMargin))
+
+  /** CCNet-style perplexity bucketing (L52, round 7): q72's unigram LM
+    * scores cut at the global 1/3 / 2/3 quantiles into head/middle/tail,
+    * reported per source — the standard three-way fluency split for
+    * weighting training data. Both engines bucket the 4-dp-rounded
+    * scores against linear-interpolated quantiles of those same rounded
+    * values, so boundary labels cannot flip on float noise. */
+  private val q94 = Q("q94_ppl_buckets",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.text.CorpusStats.perplexityBuckets(docs, "doc_id", "text")
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+        .groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          // snap the sum to the 4-dp grid BEFORE dividing: an avg of
+          // 4-dp scores lands on exact rounding midpoints (counts like
+          // 8 divide the grid), where summation-order noise flips the
+          // last digit; the snapped sum is the same double on both
+          // engines, so the division and final round are deterministic
+          round(round(sum($"logppl"), 4) / count(lit(1)), 4)
+            .as("avg_logppl"))
+        .orderBy($"source", $"bucket")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+           |             FROM documents),
+           |dt AS (SELECT doc_id, term, count(*) AS c_dt FROM tok GROUP BY 1, 2),
+           |lm AS (SELECT term, sum(c_dt) AS c_t FROM dt GROUP BY term),
+           |sc AS (SELECT sum(c_t) AS n_total, count(*) AS v FROM lm),
+           |ppl AS (SELECT doc_id,
+           |    round(sum(c_dt * -ln((c_t + 1) / CAST(n_total + v AS DOUBLE)))
+           |          / CAST(sum(c_dt) AS DOUBLE), 4) AS logppl
+           |  FROM dt JOIN lm USING (term), sc GROUP BY doc_id),
+           |cuts AS (SELECT quantile_cont(logppl, CAST(1 AS DOUBLE) / 3) AS clo,
+           |                quantile_cont(logppl, CAST(2 AS DOUBLE) / 3) AS chi
+           |         FROM ppl),
+           |lab AS (SELECT doc_id, logppl,
+           |    CASE WHEN logppl <= clo THEN 'head'
+           |         WHEN logppl <= chi THEN 'middle'
+           |         ELSE 'tail' END AS bucket
+           |  FROM ppl, cuts)
+           |SELECT source, bucket, count(*) AS n_docs,
+           |       round(round(sum(logppl), 4) / count(*), 4) AS avg_logppl
+           |FROM lab JOIN documents USING (doc_id)
+           |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin))
+
+  /** Top-PMI within-document co-occurrence pairs (L53, round 7): which
+    * terms share documents far more than chance — presence counts, a
+    * doc-frequency band bounding the pair join, 4-dp-rounded PMI with a
+    * lexicographic tie-break so the top-k cut is engine-independent. */
+  private val q96 = Q("q96_pmi_pairs",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.pmiPairs(t(s, dir, "documents"),
+        "doc_id", "text", minTermDocs = 10, maxTermDocs = 400,
+        minPairDocs = 5, k = 50)
+    },
+    Some("""WITH dt AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+           |            FROM documents),
+           |tc AS (SELECT term, count(*) AS c FROM dt GROUP BY term
+           |       HAVING count(*) >= 10 AND count(*) <= 400),
+           |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+           |kept AS (SELECT doc_id, dt.term, c FROM dt JOIN tc USING (term)),
+           |pr AS (SELECT a.term AS term_a, b.term AS term_b,
+           |         count(*) AS n, max(a.c) AS ca, max(b.c) AS cb
+           |       FROM kept a JOIN kept b
+           |         ON a.doc_id = b.doc_id AND a.term < b.term
+           |       GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT term_a, term_b, n::BIGINT AS n_pair_docs,
+           |  round(ln(CAST(n AS DOUBLE) * nd.n_docs / CAST(ca * cb AS DOUBLE)), 4) AS pmi
+           |FROM pr, nd
+           |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin))
+
+  /** Deterministic shard assignment report (L54, round 7): md5-mod-8
+    * sharding of the documents table with per-shard doc/char totals —
+    * the write-side routing every training pipeline runs, oracled
+    * through the same md5 recurrence as the sampling family. */
+  private val q97 = Q("q97_shard_stats",
+    (s, dir) => {
+      import s.implicits._
+      graft.sample.Sampling.hashShard(t(s, dir, "documents"), "doc_id", 8)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"shard")
+    },
+    Some("""WITH h AS (SELECT doc_id, n_chars,
+           |    md5_number_lower(':' || doc_id::VARCHAR) AS hu FROM documents),
+           |sgn AS (SELECT doc_id, n_chars,
+           |    (hu::HUGEINT - CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hs
+           |  FROM h)
+           |SELECT ((hs % 8) + 8) % 8 AS shard, count(*) AS n_docs,
+           |  sum(n_chars)::BIGINT AS total_chars,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM sgn GROUP BY 1 ORDER BY shard""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
-    q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90, q91)
+    q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90, q91,
+    q93, q94, q96, q97)
 }

@@ -640,6 +640,42 @@ object Dedup {
     out
   }
 
+  /** Full near-dup CLUSTERING — the end-to-end shape a dedup pass
+    * actually ships: MinHash-LSH candidate pairs
+    * ([[minhashLshPairs]], Jaccard-verified) -> connected components
+    * over the pair graph ([[connectedComponents]], size-dispatched) ->
+    * one row per INPUT doc with its cluster label (the component's
+    * minimum id; singletons label themselves), the cluster size, and
+    * whether this doc is the cluster's kept representative (the
+    * min-id rule every dedup pipeline uses so the keep choice is
+    * deterministic and engine-independent).
+    *
+    * Scale shape: pairs are candidate-proportional (banded, capped),
+    * CC contracts them in O(log n) rounds or one driver union-find,
+    * and the label/size join-backs are keyed on id/cluster — the
+    * corpus rows are never self-joined. Filter `is_representative`
+    * for the keep-list; keep all rows for dedup forensics.
+    *
+    * Output: (id, cluster, cluster_size, is_representative). */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleSize,
+      numHashes, bands, minJaccard)
+    val comp = connectedComponents(pairs.select("id_a", "id_b"))
+    val labeled = df.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster"))
+    val sizes = labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    // co-partitioned on cluster (sizes is cluster-cardinality; AQE
+    // broadcasts it when the corpus is mostly unique)
+    labeled.join(sizes, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("cluster_size"),
+        (col("id") === col("cluster")).as("is_representative"))
+  }
+
   /** Exact word-n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
     * inverted shingle index (the classic set-similarity-join scheme):
     * shingles are globally ordered by document frequency (rarest first)

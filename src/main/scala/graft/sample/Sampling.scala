@@ -200,4 +200,21 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Deterministic training-shard assignment: shard = md5(salt:key) mod
+    * nShards, appended as a `shard` column. The write-side partner of
+    * [[hashSample]]: every engine, run, and partitioning routes a row to
+    * the same shard, so shard files are stable across rebuilds and
+    * samples stay joinable with their shards. A pure narrow projection —
+    * the shard column exists to feed `.repartition(col("shard"))` /
+    * partitionBy("shard") on write, which is where the one unavoidable
+    * shuffle belongs. md5's uniformity bounds shard-size imbalance at
+    * O(sqrt(n/nShards)) — no planning pass needed. */
+  def hashShard(df: DataFrame, keyCol: String, nShards: Int,
+                salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("shard",
+      pmod(md5_long(concat_ws(":", lit(salt), col(keyCol).cast("string"))),
+        lit(nShards.toLong)))
+  }
 }

@@ -84,4 +84,83 @@ object CorpusStats {
         round(sum(col("c_dt").cast("double") * negLogP) /
           sum(col("c_dt")).cast("double"), 4).as("logppl"))
   }
+
+  /** CCNet-style perplexity bucketing: score every document with
+    * [[unigramLogPerplexity]], cut the corpus at the `lo`/`hi` score
+    * quantiles, and label head (most fluent, lowest log-ppl) / middle /
+    * tail — the standard three-way quality split used to weight (or
+    * drop) training data by LM fluency.
+    *
+    * The cut is two scalar quantiles broadcast onto a narrow label
+    * projection — no global sort/window over the corpus. Quantiles are
+    * exact below [[graft.prep.Preprocess.ExactPercentileMaxGroupRows]]
+    * docs and approx_percentile above (same dispatch and rationale as
+    * the numeric screens); comparisons happen on the 4-dp-rounded
+    * scores, so boundary labels cannot flip on engine float noise. The
+    * scored frame is localCheckpoint-ed: it feeds both the quantile
+    * aggregate and the labeling, and the LM scoring should run once.
+    *
+    * Output: (idCol, n_tokens, logppl, bucket). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        lo: Double = 1.0 / 3, hi: Double = 2.0 / 3,
+                        exactCuts: Option[Boolean] = None): DataFrame = {
+    require(lo > 0 && hi < 1 && lo < hi, "need 0 < lo < hi < 1")
+    val ppl = unigramLogPerplexity(docs, idCol, textCol).localCheckpoint()
+    val exact = exactCuts.getOrElse(
+      ppl.count() <= graft.prep.Preprocess.ExactPercentileMaxGroupRows)
+    def q(p: Double) =
+      if (exact) percentile(col("logppl"), lit(p))
+      else approx_percentile(col("logppl"), lit(p), lit(10000))
+    val cuts = ppl.agg(q(lo).as("__clo"), q(hi).as("__chi"))
+    ppl.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_tokens"), col("logppl"),
+        when(col("logppl") <= col("__clo"), "head")
+          .when(col("logppl") <= col("__chi"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Top-PMI within-document co-occurrence pairs — the phrase/topic
+    * association miner (which terms appear in the same documents far
+    * more than chance): PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over
+    * PRESENCE counts (a term counts once per doc), N = docs with at
+    * least one token.
+    *
+    * The naive all-pairs-per-doc explode is quadratic in doc vocabulary
+    * and unbounded corpus-wide; this bounds it the standard way:
+    * only terms with document frequency in [minTermDocs, maxTermDocs]
+    * enter the pair join (rare terms can't reach minPairDocs; stopword-
+    * frequency terms pair with everything and carry no signal — the
+    * df-band is the same idea as the Jaccard prefix filter), then the
+    * per-doc self-join runs on the SURVIVING presence rows keyed by
+    * doc. Pair counts aggregate map-side; the top-k orders by the
+    * 4-dp-rounded PMI with a (term_a, term_b) tie-break so the cut is
+    * engine-independent.
+    *
+    * Output: top-k (term_a, term_b, n_pair_docs, pmi), pmi 4 dp. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               minTermDocs: Long = 10, maxTermDocs: Long = 1000000L,
+               minPairDocs: Long = 5, k: Int = 50): DataFrame = {
+    val dt = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+        .as("term"))
+    val tc = dt.groupBy("term").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minTermDocs && col("c") <= maxTermDocs)
+    val nDocs = dt.agg(countDistinct(col("id")).as("n_docs"))
+    val kept = dt.join(tc, Seq("term"))
+    val pairs = kept.select(col("id"), col("term"), col("c"))
+      .as("a")
+      .join(kept.select(col("id"), col("term"), col("c")).as("b"),
+        col("a.id") === col("b.id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_pair_docs"),
+        max(col("a.c")).as("c_a"), max(col("b.c")).as("c_b"))
+      .filter(col("n_pair_docs") >= minPairDocs)
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_pair_docs"),
+        round(log(col("n_pair_docs").cast("double") *
+            col("n_docs").cast("double") /
+            (col("c_a") * col("c_b")).cast("double")), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
 }

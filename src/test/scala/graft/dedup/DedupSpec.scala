@@ -231,6 +231,28 @@ class DedupSpec extends SparkSuite {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("minhashClusters: labels, sizes, min-id representatives; " +
+    "singletons cluster alone") {
+    // three exact copies (cluster of 3), a transitive near-dup pair via
+    // shared text, and two unrelated docs (singletons)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (10L, "one two three four five six seven"),
+      (20L, "completely different words entirely here now present")
+    ).toDF("id", "text")
+    val got = Dedup.minhashClusters(docs, "id", "text")
+      .select("id", "cluster", "cluster_size", "is_representative")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 20L))
+    assert(got(1L) == ((1L, 3L, true)))
+    assert(got(2L) == ((1L, 3L, false)))
+    assert(got(3L) == ((1L, 3L, false)))
+    assert(got(10L) == ((10L, 1L, true)))
+    assert(got(20L) == ((20L, 1L, true)))
+  }
+
   test("connectedComponents groups transitive chains to min label") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(edges)

@@ -148,4 +148,22 @@ class SamplingSpec extends SparkSuite {
       .select("k").as[Long].collect().sorted
     assert(again.toSeq == first.toSeq)
   }
+
+  test("hashShard: full range, deterministic, partitioning-independent, " +
+    "roughly balanced") {
+    val sharded = Sampling.hashShard(rows, "k", 8)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    assert(sharded.values.forall(s => s >= 0 && s < 8))
+    // every shard populated and no shard hogs the table (md5 uniformity;
+    // `rows` has a few hundred keys)
+    val counts = sharded.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.size == 8 && counts.values.max <= sharded.size / 2)
+    val again = Sampling.hashShard(rows.repartition(7), "k", 8)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    assert(again == sharded)
+    // salt decorrelates assignments
+    val salted = Sampling.hashShard(rows, "k", 8, salt = "v2")
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    assert(salted != sharded)
+  }
 }

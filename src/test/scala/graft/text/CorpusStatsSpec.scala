@@ -53,4 +53,45 @@ class CorpusStatsSpec extends SparkSuite {
       .select("doc_id", "logppl").as[(Long, Double)].collect().toMap
     assert(got(2L) > got(1L))
   }
+
+  test("perplexityBuckets: thirds by fluency, head = lowest logppl, " +
+    "auto dispatch equals forced exact on small input") {
+    // 30 docs: 10 of a very common token, 10 mixed, 10 of rare tokens —
+    // scores separate into three clear tiers
+    val docs = ((1 to 10).map(i => (i.toLong, "aa aa aa aa")) ++
+      (11 to 20).map(i => (i.toLong, "aa bb cc")) ++
+      (21 to 30).map(i => (i.toLong, s"zz$i yy$i"))).toDF("doc_id", "text")
+    val b = CorpusStats.perplexityBuckets(docs, "doc_id", "text")
+      .select("doc_id", "logppl", "bucket")
+      .as[(Long, Double, String)].collect()
+    val byBucket = b.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    assert(b.count(_._3 == "head") == 10)
+    val exact = CorpusStats.perplexityBuckets(docs, "doc_id", "text",
+      exactCuts = Some(true)).select("doc_id", "bucket")
+      .as[(Long, String)].collect().sorted.toSeq
+    val auto = b.map(r => (r._1, r._3)).sorted.toSeq
+    assert(auto == exact)
+  }
+
+  test("pmiPairs: hand-computed association, df band excludes stopwords") {
+    // 10 docs: "x y" always co-occur in 4 docs; "s" in every doc
+    // (stopword, df 10 > maxTermDocs 9); "q" only once (df < min 2)
+    val docs = ((1 to 4).map(i => (i.toLong, "x y s")) ++
+      (5 to 9).map(i => (i.toLong, "z s")) :+ ((10L, "q s")))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.pmiPairs(docs, "doc_id", "text",
+      minTermDocs = 2, maxTermDocs = 9, minPairDocs = 2, k = 10)
+      .select("term_a", "term_b", "n_pair_docs", "pmi")
+      .as[(String, String, Long, Double)].collect()
+    // only x-y survives: s df-banded out, q below min df, z pairs with
+    // nothing surviving
+    assert(got.length == 1)
+    val (a, bTerm, n, pmi) = got.head
+    assert(a == "x" && bTerm == "y" && n == 4L)
+    // PMI = ln(4 * 10 / (4 * 4))
+    assert(approx(pmi, math.log(40.0 / 16.0), 1e-4))
+  }
 }

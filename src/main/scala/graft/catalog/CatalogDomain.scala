@@ -1179,8 +1179,117 @@ object CatalogDomain {
            |                    WHERE l2.l_partkey = p.p_partkey)
            |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
+  /** Weekly retention cohorts (X11, round 7): users bucketed by
+    * first-seen ISO week, per-(cohort, week-offset) active counts and
+    * rates — the product-health matrix. Offsets are exact (both ends
+    * week-truncated), so no float boundary exists anywhere. */
+  private val q98 = Q("q98_retention_cohorts",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.Cohorts.weeklyRetention(t(s, dir, "events"),
+          "user_id", "ts")
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""WITH fs AS (SELECT user_id,
+           |              date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+           |            FROM events GROUP BY user_id),
+           |act AS (SELECT DISTINCT user_id,
+           |          date_trunc('week', ts)::TIMESTAMP AS w FROM events),
+           |sz AS (SELECT cohort_week, count(*) AS n_cohort FROM fs GROUP BY cohort_week),
+           |r AS (SELECT cohort_week,
+           |        CAST(date_diff('day', cohort_week, w) / 7 AS BIGINT) AS week_offset,
+           |        count(*) AS n_active
+           |      FROM act JOIN fs USING (user_id) GROUP BY 1, 2)
+           |SELECT r.cohort_week, week_offset, n_cohort, n_active,
+           |  round(n_active / CAST(n_cohort AS DOUBLE), 4) AS retention
+           |FROM r JOIN sz USING (cohort_week)
+           |ORDER BY cohort_week, week_offset""".stripMargin))
+
+  /** Trailing-baseline rate anomalies (X12, round 7): hourly volumes
+    * per event type z-scored against the previous 24 observed buckets.
+    * The window runs over the bucket AGGREGATE (map-side combined),
+    * never event grain; flag boundary compares 4-dp-rounded stats. */
+  private val q99 = Q("q99_rate_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.Anomaly.hourlyRateAnomalies(t(s, dir, "events"),
+          "event_type", "ts")
+        .orderBy($"event_type", $"bucket_ts")
+    },
+    Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           |    count(*) AS n FROM events GROUP BY 1, 2),
+           |w AS (SELECT event_type, bucket_ts, n,
+           |        round(avg(n) OVER win, 4) AS base_mean,
+           |        round(stddev_samp(n) OVER win, 4) AS base_sd
+           |      FROM hourly
+           |      WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+           |        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+           |z AS (SELECT *, CASE WHEN base_sd IS NOT NULL AND base_sd > 0
+           |        THEN round((n - base_mean) / base_sd, 4) END AS z
+           |      FROM w)
+           |SELECT event_type, bucket_ts, n, base_mean, base_sd, z,
+           |  coalesce(abs(z) > 3.0, false) AS is_anomaly
+           |FROM z ORDER BY event_type, bucket_ts""".stripMargin))
+
+  /** Column profiling report (X13, round 7): per-column null counts,
+    * EXACT distinct cardinalities, and typed ranges over orders — one
+    * Expand-based aggregate pass, assembled driver-side bounded by the
+    * column count. The oracle computes each column's row independently. */
+  private val q100 = Q("q100_profile",
+    (s, dir) => {
+      import s.implicits._
+      graft.util.Profile.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+        .orderBy($"column")
+    },
+    Some("""SELECT * FROM (
+           |SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           |  count(DISTINCT o_orderkey) AS n_distinct,
+           |  round(min(o_orderkey)::DOUBLE, 4) AS min_num,
+           |  round(max(o_orderkey)::DOUBLE, 4) AS max_num,
+           |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM orders
+           |UNION ALL
+           |SELECT 'o_custkey', count(*),
+           |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           |  count(DISTINCT o_custkey),
+           |  round(min(o_custkey)::DOUBLE, 4), round(max(o_custkey)::DOUBLE, 4),
+           |  NULL, NULL FROM orders
+           |UNION ALL
+           |SELECT 'o_totalprice', count(*),
+           |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           |  count(DISTINCT o_totalprice),
+           |  round(min(o_totalprice), 4), round(max(o_totalprice), 4),
+           |  NULL, NULL FROM orders
+           |UNION ALL
+           |SELECT 'o_orderstatus', count(*),
+           |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           |  count(DISTINCT o_orderstatus), NULL, NULL,
+           |  min(o_orderstatus), max(o_orderstatus) FROM orders
+           |) ORDER BY "column"""".stripMargin))
+
+  /** Latest-version-per-key CDC compaction (X14, round 7): newest event
+    * per (user, type) with a unique tie-break — WindowGroupLimit pushes
+    * the top-1 ahead of the shuffle. */
+  private val q101 = Q("q101_latest_by_key",
+    (s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.latestByKey(
+          t(s, dir, "events")
+            .select($"user_id", $"event_type", $"ts", $"event_id"),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select($"user_id", $"event_type", $"event_id", $"ts")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""WITH r AS (SELECT user_id, event_type, event_id, ts,
+           |    row_number() OVER (PARTITION BY user_id, event_type
+           |      ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events)
+           |SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1
+           |ORDER BY user_id, event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
-    q89, q92, q95)
+    q89, q92, q95, q98, q99, q100, q101)
 }

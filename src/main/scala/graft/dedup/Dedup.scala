@@ -640,6 +640,31 @@ object Dedup {
     out
   }
 
+  /** Latest-version-per-key dedup — the CDC/upsert compaction every
+    * ingestion pipeline runs (multiple snapshots/changelog rows per
+    * business key -> keep the newest): row_number over the key ordered
+    * by the version columns DESCENDING, keep rank 1. `orderCols` should
+    * end in a unique tie-break (an id) or concurrent versions resolve
+    * arbitrarily — pass one and the result is deterministic under any
+    * partitioning.
+    *
+    * Scale shape: one shuffle on the key; Spark's WindowGroupLimit
+    * pushes the top-1 ahead of the exchange, so each map task forwards
+    * one row per local key — the shuffle carries ~key-cardinality rows,
+    * not the changelog. */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "need at least one key column and one order column")
+    require(!df.columns.contains("__rn"),
+      "input must not contain a __rn column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Full near-dup CLUSTERING — the end-to-end shape a dedup pass
     * actually ships: MinHash-LSH candidate pairs
     * ([[minhashLshPairs]], Jaccard-verified) -> connected components

@@ -1,0 +1,50 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rate-anomaly detection over an event stream: flag time buckets whose
+  * event volume departs from the recent trailing baseline — the ops
+  * alert every telemetry pipeline runs ("errors spiked at 14:00").
+  */
+object Anomaly {
+
+  /** Per-(type, hour) volume z-scored against the trailing `trailing`
+    * OBSERVED hourly buckets of the same type (empty hours emit no
+    * bucket and therefore don't enter the baseline — the documented
+    * semantics; densify upstream if silence should count as zero).
+    *
+    * Scale shape: the event stream collapses to an (type, hour) count
+    * aggregate FIRST (map-side combined; the window never sees event
+    * grain), then one window pass partitioned by the type key over
+    * bucket-cardinality rows — ~years of hours per type, thousands of
+    * rows, never a scale concern. The z statistic is computed from the
+    * 4-dp-rounded trailing mean/stddev so the flag boundary is
+    * engine-independent; buckets with fewer than 2 trailing
+    * observations have no defined baseline and flag false with null z.
+    *
+    * Output: (typeCol, bucket_ts, n, base_mean, base_sd, z, is_anomaly)
+    * ordered by nothing — callers sort.
+    */
+  def hourlyRateAnomalies(events: DataFrame, typeCol: String,
+                          tsCol: String, trailing: Int = 24,
+                          cut: Double = 3.0): DataFrame = {
+    require(trailing >= 2, "need at least 2 trailing buckets for a stddev")
+    val hourly = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(-trailing, -1)
+    val mu = round(avg(col("n")).over(w), 4)
+    val sd = round(stddev_samp(col("n")).over(w), 4)
+    val z = round((col("n") - col("base_mean")) / col("base_sd"), 4)
+    hourly
+      .withColumn("base_mean", mu)
+      .withColumn("base_sd", sd)
+      .withColumn("z",
+        when(col("base_sd").isNotNull && col("base_sd") > 0, z))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > cut, lit(false)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort/retention analytics over an event stream — the standard
+  * "of the users who first appeared in week W, how many were still
+  * active k weeks later" product-health matrix.
+  */
+object Cohorts {
+
+  /** Weekly retention matrix: each user is assigned to the cohort of
+    * their first-seen ISO week (date_trunc week = Monday start on both
+    * Spark and DuckDB); one output row per (cohort_week, week_offset)
+    * that had at least one active cohort member.
+    *
+    * Scale shape: one per-user min aggregate (map-side combined, shuffle
+    * ∝ users), one distinct (user, week) projection (shuffle ∝ active
+    * user-weeks, not events), a user-keyed join between the two — both
+    * sides already hash-partitioned on user — and a final
+    * cohort-cardinality aggregate. The event stream itself is scanned
+    * twice but never shuffled at event grain. Week offsets are exact
+    * (both timestamps week-truncated, so the day difference is a
+    * multiple of 7).
+    *
+    * Output: (cohort_week timestamp, week_offset long, n_cohort,
+    * n_active, retention 4 dp); week_offset 0 rows carry the cohort
+    * size with retention 1.0 by construction.
+    */
+  def weeklyRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol).as("__u"))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = events.select(col(userCol).as("__u"),
+      date_trunc("week", col(tsCol)).as("__w")).distinct()
+    val sizes = firstSeen.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(firstSeen, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("__w"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_cohort"),
+        col("n_active"),
+        round(col("n_active") / col("n_cohort").cast("double"), 4)
+          .as("retention"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Schema/data profiling: the per-column quality report (null fraction,
+  * exact distinct cardinality, ranges) a pipeline runs before trusting a
+  * new drop of data — Deequ/Great-Expectations territory, expressed as
+  * one declarative aggregate.
+  */
+object Profile {
+
+  /** One row per profiled column: row count, null count, exact distinct
+    * count, and min/max — numeric ranges in `min_num`/`max_num`
+    * (4-dp-rounded doubles), string ranges in `min_str`/`max_str`, the
+    * other pair null. Unsupported types (structs, arrays, binary)
+    * profile counts only.
+    *
+    * Scale shape: a SINGLE aggregate pass — Spark plans the n exact
+    * `count(DISTINCT col)`s as one Expand (n-way row replication) into
+    * one hash aggregate, so the table is scanned once; the expansion
+    * factor equals the profiled column count, which is the price of
+    * EXACT cardinalities in one job (trim `cols`, or swap in
+    * approx_count_distinct upstream, when n x rows is too hot). The
+    * per-column output assembles driver-side from that one aggregate
+    * row — bounded by column count, never data.
+    *
+    * Output: (column, n_rows, n_null, n_distinct, min_num, max_num,
+    * min_str, max_str) in `cols` order.
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Seq.empty): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val types = names.map(c => c -> df.schema(c).dataType).toMap
+    val aggs = names.flatMap { c =>
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"))
+      types(c) match {
+        case _: NumericType => base ++ Seq(
+          round(min(col(c)).cast("double"), 4).as(s"__min_$c"),
+          round(max(col(c)).cast("double"), 4).as(s"__max_$c"))
+        case StringType => base ++ Seq(
+          min(col(c)).as(s"__smin_$c"), max(col(c)).as(s"__smax_$c"))
+        case _ => base
+      }
+    } :+ count(lit(1)).as("__rows")
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def opt[T](name: String): Option[T] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    names.map { c =>
+      val (minN, maxN) = types(c) match {
+        case _: NumericType =>
+          (opt[Double](s"__min_$c"), opt[Double](s"__max_$c"))
+        case _ => (None, None)
+      }
+      val (minS, maxS) = types(c) match {
+        case StringType =>
+          (opt[String](s"__smin_$c"), opt[String](s"__smax_$c"))
+        case _ => (None, None)
+      }
+      (c, r.getAs[Long]("__rows"), r.getAs[Long](s"__null_$c"),
+        r.getAs[Long](s"__dist_$c"), minN, maxN, minS, maxS)
+    }.toDF("column", "n_rows", "n_null", "n_distinct",
+      "min_num", "max_num", "min_str", "max_str")
+  }
+}

@@ -231,6 +231,22 @@ class DedupSpec extends SparkSuite {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("latestByKey: newest version per key, deterministic tie-break, " +
+    "partitioning-independent") {
+    val log = Seq(
+      ("k1", 1L, 10L, "v1"), ("k1", 3L, 11L, "v3"), ("k1", 2L, 12L, "v2"),
+      ("k2", 5L, 20L, "a"), ("k2", 5L, 21L, "b"), // version tie -> max id
+      ("k3", 7L, 30L, "solo")
+    ).toDF("key", "version", "row_id", "payload")
+    val got = Dedup.latestByKey(log, Seq("key"), Seq("version", "row_id"))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "v3", "k2" -> "b", "k3" -> "solo"))
+    val reparted = Dedup.latestByKey(log.repartition(7), Seq("key"),
+      Seq("version", "row_id"))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(reparted == got)
+  }
+
   test("minhashClusters: labels, sizes, min-id representatives; " +
     "singletons cluster alone") {
     // three exact copies (cluster of 3), a transitive near-dup pair via

@@ -140,9 +140,14 @@ object CorpusStats {
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
                minTermDocs: Long = 10, maxTermDocs: Long = 1000000L,
                minPairDocs: Long = 5, k: Int = 50): DataFrame = {
+    // the presence rows feed the term counts, the doc count, and BOTH
+    // sides of the pair self-join — without a persist the corpus is
+    // re-scanned and re-tokenized once per consumer (self-joined
+    // DataFrames don't share subplans)
     val dt = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol))))
         .as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tc = dt.groupBy("term").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minTermDocs && col("c") <= maxTermDocs)
     val nDocs = dt.agg(countDistinct(col("id")).as("n_docs"))
@@ -155,12 +160,18 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_pair_docs"),
         max(col("a.c")).as("c_a"), max(col("b.c")).as("c_b"))
       .filter(col("n_pair_docs") >= minPairDocs)
-    pairs.crossJoin(broadcast(nDocs))
+    val out = pairs.crossJoin(broadcast(nDocs))
       .select(col("term_a"), col("term_b"), col("n_pair_docs"),
         round(log(col("n_pair_docs").cast("double") *
             col("n_docs").cast("double") /
             (col("c_a") * col("c_b")).cast("double")), 4).as("pmi"))
       .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
       .limit(k)
+    // k-row output: eager materialization is cheap and releases the
+    // cached presence rows instead of leaving them pinned in a
+    // long-lived session (the Dedup materialize-and-release pattern)
+    val r = out.localCheckpoint()
+    dt.unpersist(false)
+    r
   }
 }

@@ -789,7 +789,9 @@ object CatalogDomain {
       val j = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
         .select($"p_brand", $"l_extendedprice".as("v"))
-      graft.prep.Preprocess.robustOutlierStats(j, Seq("p_brand"), "v")
+      graft.prep.Preprocess.robustOutlierStats(j, Seq("p_brand"), "v",
+          // brand cardinality is known-small: skip the size-probe scan
+          exactMedians = Some(true))
         .select($"p_brand", $"n", round($"med", 2).as("med"),
           round($"mad", 2).as("mad"), $"n_outliers", $"max_abs_m")
         .orderBy($"p_brand")
@@ -854,7 +856,8 @@ object CatalogDomain {
       val j = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
         .select($"p_brand", $"l_extendedprice".as("v"))
-      graft.prep.Preprocess.winsorizedStats(j, Seq("p_brand"), "v")
+      graft.prep.Preprocess.winsorizedStats(j, Seq("p_brand"), "v",
+          exactQuantiles = Some(true))
         .orderBy($"p_brand")
     },
     Some("""WITH j AS (SELECT p_brand, l_extendedprice AS v
@@ -1288,8 +1291,57 @@ object CatalogDomain {
            |SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1
            |ORDER BY user_id, event_type""".stripMargin))
 
+  /** PIVOT (§2.4 extension): revenue and counts per returnflag spread
+    * across explicit linestatus columns — Spark plans a pivot with a
+    * PINNED value list as one two-phase hash aggregate (no second pass
+    * to discover values, which at scale would be an extra full scan;
+    * always pass the list). The oracle is the engine-independent
+    * CASE-sum formulation. */
+  private val q102 = Q("q102_pivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum($"l_extendedprice"), 2).as("rev"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag",
+          coalesce($"F_rev", lit(0.0)).as("rev_f"),
+          coalesce($"F_n", lit(0L)).as("n_f"),
+          coalesce($"O_rev", lit(0.0)).as("rev_o"),
+          coalesce($"O_n", lit(0L)).as("n_o"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2), 0.0) AS rev_f,
+           |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+           |  coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2), 0.0) AS rev_o,
+           |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
+  /** GROUPING SETS beyond rollup/cube (explicit non-hierarchical sets),
+    * expressed through the spark.sql entry point — the catalog's one
+    * deliberate SQL-interface query, proving the library surface works
+    * for SQL-first users too (same session, same tables, one Expand +
+    * hash aggregate plan). */
+  private val q103 = Q("q103_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
-    q89, q92, q95, q98, q99, q100, q101)
+    q89, q92, q95, q98, q99, q100, q101, q102, q103)
 }

@@ -1340,8 +1340,203 @@ object CatalogDomain {
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
 
+  /** Triangle counting (graph extension, [[graft.graph.Triangles]]):
+    * degree-ordered orientation so the wedge intermediate is O(m^{3/2})
+    * regardless of hub skew. The oracle is the NAIVE ordered triple
+    * join (x<y<z closed three ways) — an algorithm-independent ground
+    * truth, so the compare proves the oriented scheme counts every
+    * triangle exactly once. Edge set: a deterministic 211-vertex
+    * projection of lineitem's part–supplier incidence. */
+  private val q104 = Q("q104_triangles",
+    (s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .select(($"l_partkey" % 211).as("src"), ($"l_suppkey" % 211).as("dst"))
+      graft.graph.Triangles.countTriangles(edges)
+    },
+    Some("""WITH e AS (
+           |  SELECT DISTINCT least(l_partkey % 211, l_suppkey % 211) AS a,
+           |                  greatest(l_partkey % 211, l_suppkey % 211) AS b
+           |  FROM lineitem WHERE l_partkey % 211 != l_suppkey % 211)
+           |SELECT count(*) AS n_triangles
+           |FROM e e1
+           |JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin))
+
+  /** Gaps-and-islands interval merge ([[graft.events.Intervals]]): each
+    * event opens a 20-minute activity interval; overlapping intervals
+    * merge per user (running-max-end break detection — correct under
+    * containment, unlike lag(end)); output is per-user coverage stats.
+    * Epoch-ms axis on both sides pins the arithmetic engine-free. */
+  private val q105 = Q("q105_interval_merge",
+    (s, dir) => {
+      import s.implicits._
+      val iv = t(s, dir, "events")
+        .select($"user_id", unix_millis($"ts").as("s"))
+        .withColumn("e", $"s" + lit(1200000L))
+      graft.events.Intervals.coverageStats(iv, "user_id", "s", "e")
+        .orderBy($"user_id")
+    },
+    Some("""WITH iv AS (
+           |  SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 1200000 AS e
+           |  FROM events),
+           |f AS (SELECT user_id, s, e,
+           |  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -4611686018427387904)
+           |    THEN 1 ELSE 0 END AS brk FROM iv),
+           |g AS (SELECT user_id, s, e,
+           |  sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+           |m AS (SELECT user_id, island, min(s) AS ms, max(e) AS me
+           |      FROM g GROUP BY 1, 2)
+           |SELECT user_id, count(*) AS n_islands,
+           |  sum(me - ms)::BIGINT AS covered, max(me - ms) AS longest
+           |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** SCD type-2 build ([[graft.events.Scd]]): collapse each user's
+    * event-type change log into validity intervals (valid_from /
+    * valid_to / version / is_current), the warehouse dimension-history
+    * staple. One sorted window pass + hash aggregate per key. */
+  private val q106 = Q("q106_scd2",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").filter($"user_id" % 20 === 0)
+        .select($"user_id", $"event_id", unix_millis($"ts").as("tsm"),
+          $"event_type")
+      graft.events.Scd.scd2(ev, "user_id", "tsm", "event_type",
+          tieBreak = Seq("event_id"))
+        .orderBy($"user_id", $"version")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_id, epoch_ms(ts) AS tsm, event_type
+           |  FROM events WHERE user_id % 20 = 0),
+           |f AS (SELECT *, CASE WHEN row_number() OVER w > 1
+           |    AND lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+           |    THEN 0 ELSE 1 END AS brk
+           |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+           |v AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS version FROM f),
+           |r AS (SELECT user_id, version, event_type, min(tsm) AS valid_from
+           |      FROM v GROUP BY 1, 2, 3)
+           |SELECT user_id, event_type, version, valid_from,
+           |  lead(valid_from) OVER w2 AS valid_to,
+           |  lead(valid_from) OVER w2 IS NULL AS is_current
+           |FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+           |ORDER BY user_id, version""".stripMargin))
+
+  /** Blocked fuzzy (levenshtein) self-join ([[graft.join.FuzzyJoin]]):
+    * supplier names within 1 edit, candidates blocked on a 10-char
+    * prefix + length band before the quadratic verify. The oracle
+    * restates the same blocked contract (blocking is the operator's
+    * declared recall trade, not an approximation to hide). */
+  private val q107 = Q("q107_fuzzy_join",
+    (s, dir) => {
+      import s.implicits._
+      graft.join.FuzzyJoin.selfBlockedLevenshtein(
+          t(s, dir, "supplier").select($"s_suppkey", $"s_name"),
+          "s_suppkey", "s_name", maxDist = 1, prefixLen = 10)
+        .select($"id_a", $"id_b", $"dist".cast("long").as("dist"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH s AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier)
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |  levenshtein(a.nm, b.nm)::BIGINT AS dist
+           |FROM s a JOIN s b
+           |  ON substring(a.nm, 1, 10) = substring(b.nm, 1, 10)
+           |  AND a.id < b.id AND abs(length(a.nm) - length(b.nm)) <= 1
+           |WHERE levenshtein(a.nm, b.nm) <= 1
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Trailing time-RANGE rolling aggregates ([[graft.events.Rolling]]):
+    * per-priority daily revenue with a 7-DAY trailing window — RANGE on
+    * the day axis, so calendar gaps shrink the frame instead of a ROWS
+    * frame silently stretching over them. Pre-aggregation to daily rows
+    * keeps the window input |keys|×|days|, not raw orders. */
+  private val q109 = Q("q109_rolling_avg",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "orders")
+        .groupBy($"o_orderpriority".as("prio"),
+          datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(round(sum($"o_totalprice"), 2).as("rev"))
+      graft.events.Rolling.trailing(daily, "prio", "day", "rev", 7)
+        .select($"prio", $"day", $"rev",
+          round($"roll_avg", 4).as("avg7"),
+          round($"roll_sum", 2).as("sum7"),
+          $"roll_n".as("n7"))
+        .orderBy($"prio", $"day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_orderpriority AS prio,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+           |    round(sum(o_totalprice), 2) AS rev
+           |  FROM orders GROUP BY 1, 2)
+           |SELECT prio, day, rev,
+           |  round(avg(rev) OVER w, 4) AS avg7,
+           |  round(sum(rev) OVER w, 2) AS sum7,
+           |  count(rev) OVER w AS n7
+           |FROM daily
+           |WINDOW w AS (PARTITION BY prio ORDER BY day
+           |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY prio, day""".stripMargin))
+
+  /** Top event-sequence paths ([[Sessionize.topPaths]]): each user's
+    * first 5 event types in time order joined into a path string,
+    * counted across users, top 25. The row_number prune runs BEFORE the
+    * collect, bounding per-user state at 5 structs. */
+  private val q110 = Q("q110_paths",
+    (s, dir) =>
+      Sessionize.topPaths(t(s, dir, "events"), "user_id", "ts",
+        "event_type", k = 5, topN = 25, tieBreak = Seq("event_id")),
+    Some("""WITH r AS (
+           |  SELECT user_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events),
+           |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+           |      FROM r WHERE rn <= 5 GROUP BY user_id)
+           |SELECT path, count(*) AS n_keys FROM p GROUP BY path
+           |ORDER BY n_keys DESC, path LIMIT 25""".stripMargin))
+
+  /** Z-order layout keys ([[graft.util.ZOrder]]): Morton-interleave two
+    * 6-bit dimensions of part, then show per-z-cell locality (each
+    * 64-key cell bounds BOTH dims — the min/max stats a lakehouse
+    * writer would put in file footers for two-dimensional skipping).
+    * The oracle replicates the shift-and-mask ladder in ANSI SQL. */
+  private val q111 = Q("q111_zorder",
+    (s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part")
+        .select(($"p_size" % 64).as("x"), ($"p_partkey" % 64).as("y"))
+      p.withColumn("zkey", graft.util.ZOrder.morton2($"x", $"y"))
+        .groupBy(shiftright($"zkey", 6).cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").as("min_y"), max($"y").as("max_y"))
+        .orderBy($"zbucket")
+    },
+    Some("""WITH p AS (SELECT p_size % 64 AS x, p_partkey % 64 AS y FROM part),
+           |s1 AS (SELECT x, y,
+           |  ((x | (x << 8)) & 16711935) AS x1,
+           |  ((y | (y << 8)) & 16711935) AS y1 FROM p),
+           |s2 AS (SELECT x, y,
+           |  ((x1 | (x1 << 4)) & 252645135) AS x2,
+           |  ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+           |s3 AS (SELECT x, y,
+           |  ((x2 | (x2 << 2)) & 858993459) AS x3,
+           |  ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+           |s4 AS (SELECT x, y,
+           |  ((x3 | (x3 << 1)) & 1431655765) AS x4,
+           |  ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+           |z AS (SELECT x, y, (x4 | (y4 << 1)) AS zkey FROM s4)
+           |SELECT (zkey >> 6)::BIGINT AS zbucket, count(*) AS n,
+           |  min(x) AS min_x, max(x) AS max_x,
+           |  min(y) AS min_y, max(y) AS max_y
+           |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
-    q89, q92, q95, q98, q99, q100, q101, q102, q103)
+    q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
+    q107, q109, q110, q111)
 }

@@ -1628,9 +1628,39 @@ object CatalogLlm {
            |  min(doc_id) AS min_id, max(doc_id) AS max_id
            |FROM sgn GROUP BY 1 ORDER BY shard""".stripMargin))
 
+  /** Sorted-neighborhood near-dup pairs
+    * ([[Dedup.sortedNeighborhoodPairs]]): the classic SNM blocking
+    * alternative to LSH — sort by normalized text inside 2-char prefix
+    * blocks, compare each row to its next 3 neighbors only (lead()
+    * windows, no self-join), verify with exact unigram Jaccard. The
+    * oracle restates the same windowed contract via a rank-band join:
+    * blocking recall is the operator's declared trade, and the compare
+    * proves the lead() pairing visits exactly the declared pairs. */
+  private val q108 = Q("q108_sorted_neighborhood",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.sortedNeighborhoodPairs(corpus(s, dir), "id", "text",
+          windowSize = 3, minJaccard = 0.4, blockLen = 2)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH $corpusSql,
+            |b AS (SELECT id, list_distinct(regexp_extract_all(text, '\\S+')) AS toks,
+            |        lower(trim(text)) AS key,
+            |        substring(lower(trim(text)), 1, 2) AS blk FROM corpus),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key, id) AS rn FROM b),
+            |p AS (SELECT x.id AS xa, y.id AS xb, x.toks AS ta, y.toks AS tb
+            |      FROM r x JOIN r y ON x.blk = y.blk AND y.rn - x.rn BETWEEN 1 AND 3),
+            |j AS (SELECT least(xa, xb) AS id_a, greatest(xa, xb) AS id_b,
+            |        round(len(list_intersect(ta, tb)) /
+            |          CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS DOUBLE), 4) AS jaccard
+            |      FROM p
+            |      WHERE len(ta) + len(tb) - len(list_intersect(ta, tb)) > 0)
+            |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+            |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
     q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90, q91,
-    q93, q94, q96, q97)
+    q93, q94, q96, q97, q108)
 }

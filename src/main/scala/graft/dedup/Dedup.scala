@@ -782,6 +782,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Sorted-neighborhood near-dup pairs (the classic SNM blocking
+    * alternative to LSH): rows sort by a normalized key inside
+    * `blockLen`-char prefix blocks, and each row is compared ONLY to its
+    * next `windowSize` neighbors in that order; survivors are verified
+    * with exact unigram Jaccard. The pairing is built with `lead()`
+    * windows — no self-join, no rank-band join: each row carries its
+    * next-w neighbors' (id, token set) forward, so candidate generation
+    * is a single per-block sort + explode, work O(n·w).
+    *
+    * Like all SNM, recall is bounded by the sort key: near-dups whose
+    * keys land > w apart (or in different blocks) are missed; production
+    * use unions passes over multiple keys. The block prefix is what
+    * keeps the sort distributed — without it the window needs a global
+    * order (one task); with it, parallelism = block count, and
+    * boundary-adjacent pairs across blocks are the (documented) price.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+                              windowSize: Int = 3, minJaccard: Double = 0.5,
+                              blockLen: Int = 2): DataFrame = {
+    val key = lower(trim(col(textCol)))
+    val base = df.select(col(idCol).as("id"),
+      array_distinct(word_shingles(col(textCol), 1)).as("toks"),
+      key.as("__key"), substring(key, 1, blockLen).as("__blk"))
+    val w = Window.partitionBy("__blk").orderBy(col("__key"), col("id"))
+    // lead(struct) per offset: the struct rides the SAME window sort, so
+    // Spark plans all windowSize leads in one Window operator / one sort.
+    val withNext = (1 to windowSize).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"__n$i", lead(struct(col("id"), col("toks")), i).over(w))
+    }
+    val pairs = withNext.select(col("id"), col("toks"),
+        explode(array((1 to windowSize).map(i => col(s"__n$i")): _*))
+          .as("nb"))
+      .filter(col("nb").isNotNull)
+    val inter = size(array_intersect(col("toks"), col("nb.toks")))
+    val denom = size(col("toks")) + size(col("nb.toks")) - inter
+    // ANSI-safe: two empty token sets would divide 0/0; their Jaccard is
+    // undefined and the pair is dropped.
+    pairs.select(
+        least(col("id"), col("nb.id")).as("id_a"),
+        greatest(col("id"), col("nb.id")).as("id_b"),
+        round(when(denom > 0, inter / denom), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Embedding-cosine near-dup pairs: multi-table hyperplane-LSH bucket
     * candidates -> exact cosine verification >= minCos. The corpus is
     * never self-joined all-pairs: the only quadratic work happens inside

@@ -1,0 +1,60 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gaps-and-islands: merge overlapping (or near-adjacent) per-key
+  * intervals into maximal covered spans (events-family extension; same
+  * event-log data model as [[Sessionize]]).
+  *
+  * A new island starts where an interval's start exceeds the running
+  * maximum end of all earlier intervals (plus `slack`); the island id is
+  * the running sum of those break flags. Two window passes over one
+  * partition-by-key sort plus one hash aggregate — a single shuffle on
+  * the key, no self-join, no explode of the covered range. The
+  * running-max formulation (rather than lag(end)) is what makes the
+  * merge correct when an early interval fully contains later ones.
+  *
+  * Scale: everything is per-key windowed — parallelism is the number of
+  * distinct keys, and a key's rows sort within one task. That holds at
+  * 100 TB when keys are plentiful (users, documents); a single global
+  * interval set would serialize and should be bucketed by coarse time
+  * range first.
+  */
+object Intervals {
+
+  /** Merged islands per key: (key, island BIGINT, start, end) — `start`/
+    * `end` keep the input column names. Interval columns are numeric
+    * (epoch ms/sec); `slack` in the same unit joins intervals separated
+    * by a gap of at most `slack` (0 = merge only true overlap/adjacency,
+    * half-open [start, end) semantics). */
+  def mergeIntervals(df: DataFrame, key: String, start: String,
+                     end: String, slack: Long = 0L): DataFrame = {
+    val byStart = Window.partitionBy(key)
+      .orderBy(col(start), col(end))
+    // Running max end over STRICTLY earlier rows; null for the first row
+    // of a key → break flag true.
+    val prevMaxEnd = max(col(end)).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df.withColumn("__brk",
+      when(prevMaxEnd.isNull || col(start) > prevMaxEnd + lit(slack), 1L)
+        .otherwise(0L))
+    val island = sum(col("__brk")).over(
+      byStart.rowsBetween(Window.unboundedPreceding, 0))
+    flagged.withColumn("island", island)
+      .groupBy(col(key), col("island"))
+      .agg(min(col(start)).as(start), max(col(end)).as(end))
+  }
+
+  /** Per-key coverage stats over the merged islands: n_islands,
+    * covered (sum of merged lengths), longest (max merged length) —
+    * all in the interval columns' numeric unit. */
+  def coverageStats(df: DataFrame, key: String, start: String,
+                    end: String, slack: Long = 0L): DataFrame =
+    mergeIntervals(df, key, start, end, slack)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col(end) - col(start)).as("covered"),
+        max(col(end) - col(start)).as("longest"))
+}

@@ -69,4 +69,27 @@ object Sessionize {
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Top event-sequence paths: each key's first `k` event types in time
+    * order, joined with `sep`, counted across keys — the navigation-path
+    * mining staple. The row_number prune runs BEFORE collect_list, so
+    * per-key buffered state is at most k structs even for a key with
+    * millions of events; array_sort on (rn, type) makes the sequence
+    * deterministic (collect_list order is not), and ties at the top-N
+    * boundary break on the path string. */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, k: Int, topN: Int, sep: String = ">",
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol).asc +: tieBreak.map(col(_).asc))
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(keyCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__rn"),
+          col(typeCol).as("t")))), x => x("t")), sep).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path"))
+      .limit(topN)
+  }
 }

@@ -1,0 +1,85 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected edge list (graph-analytics
+  * extension beyond the reference's G1–G7 family; same edge-list data
+  * model as [[Centrality]]).
+  *
+  * Algorithm: degree-ordered orientation ("compact-forward"). Each
+  * undirected edge is oriented from its lower-(degree, id) endpoint to the
+  * higher one, so every triangle is counted exactly once as a directed
+  * wedge u→v, v→w closed by u→w. The orientation bounds the wedge
+  * intermediate at O(m^{3/2}) regardless of degree skew — a hub of degree
+  * d contributes wedges only through its (few) higher-degree neighbors,
+  * instead of the d² wedges a naive neighbor self-join would build. This
+  * is the difference between "works at 100 TB" and "one hot node OOMs the
+  * shuffle": with a power-law graph the naive wedge count is dominated by
+  * the top hub, while the oriented count is near-linear in m.
+  *
+  * Plan shape: one shuffle to canonicalize + dedup edges, one broadcast
+  * join for degrees (|V| rows), one shuffle each for the wedge join (on
+  * v) and the closing-edge join (on (u, w)). All joins are equi-joins on
+  * hashable keys; no cartesian stage anywhere.
+  */
+object Triangles {
+
+  /** Canonical simple undirected edges: self-loops dropped, duplicates and
+    * reversed duplicates collapsed. Columns (src, dst) with src < dst. */
+  def canonicalize(edges: DataFrame, src: String = "src",
+                   dst: String = "dst"): DataFrame =
+    edges.filter(col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).as("src"),
+        greatest(col(src), col(dst)).as("dst"))
+      .distinct()
+
+  /** Global triangle count (one row: n_triangles BIGINT). */
+  def countTriangles(edges: DataFrame, src: String = "src",
+                     dst: String = "dst"): DataFrame = {
+    val oriented = orient(canonicalize(edges, src, dst))
+    // Wedge u→v→w joined on the shared middle vertex, closed by u→w.
+    // The closing join's probe side is the wedge set (bounded by the
+    // orientation); the build side is the oriented edge list itself.
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+    wedges.join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-vertex triangle participation (vertex, n_triangles BIGINT);
+    * vertices in no triangle are absent (left-join against the vertex set
+    * and zero-fill at the call site if a dense result is needed). */
+  def perVertex(edges: DataFrame, src: String = "src",
+                dst: String = "dst"): DataFrame = {
+    val oriented = orient(canonicalize(edges, src, dst))
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+    val tris = wedges
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
+    tris.select(col("u").as("vertex"))
+      .unionAll(tris.select(col("v").as("vertex")))
+      .unionAll(tris.select(col("w").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Orient canonical edges low→high by (degree, id): output (u, v) with
+    * (deg(u), u) < (deg(v), v). Degrees are |V| rows — broadcast. */
+  private def orient(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("src").as("node"))
+      .unionAll(canon.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val e = canon
+      .join(broadcast(deg.withColumnRenamed("node", "src")
+        .withColumnRenamed("deg", "deg_s")), Seq("src"))
+      .join(broadcast(deg.withColumnRenamed("node", "dst")
+        .withColumnRenamed("deg", "deg_d")), Seq("dst"))
+    e.select(
+      when(col("deg_s") < col("deg_d") ||
+           (col("deg_s") === col("deg_d") && col("src") < col("dst")),
+        col("src")).otherwise(col("dst")).as("u"),
+      when(col("deg_s") < col("deg_d") ||
+           (col("deg_s") === col("deg_d") && col("src") < col("dst")),
+        col("dst")).otherwise(col("src")).as("v"))
+  }
+}

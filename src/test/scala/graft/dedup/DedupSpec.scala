@@ -423,4 +423,43 @@ class DedupSpec extends SparkSuite {
       ("mirror", "social") -> 1L,   // "shared one" only
       ("social", "web") -> 1L))
   }
+
+  test("sortedNeighborhoodPairs: window-adjacent near-dups found, far miss") {
+    // Block "th": four docs sorting adjacently; 1-2 near-dups (adjacent),
+    // 5 is > windowSize rows away from 1 in sort order so (1,5) is
+    // missed even though identical — the declared SNM recall trade.
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "the aaaa bbbb cccc dddd"),   // sorts between: "the a..." first
+      (4L, "the eeee ffff gggg hhhh"),
+      (5L, "the quick brown fox"),       // identical to 1
+      (9L, "zebra unrelated text")       // different block
+    ).toDF("id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "id", "text",
+        windowSize = 2, minJaccard = 0.5, blockLen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Sort order within block "th": "the aaaa...", "the eeee...",
+    // "the quick brown fox"(1), "the quick brown fox"(5), "the quick
+    // brown fox jumps"(2). Window 2: (1,5), (1,2), (5,2) all pair;
+    // (3,4) jaccard 1/7 < 0.5 drops.
+    assert(got == Set((1L, 5L), (1L, 2L), (2L, 5L)))
+  }
+
+  test("sortedNeighborhoodPairs: jaccard values are exact") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b x y")
+    ).toDF("id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "id", "text",
+        windowSize = 2, minJaccard = 0.3, blockLen = 1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) == approxJ(2, 6))   // {a,b} over {a,b,c,d,x,y}
+    assert(got((2L, 3L)) == approxJ(2, 6))
+  }
+
+  private def approxJ(inter: Int, union: Int): Double =
+    BigDecimal(inter.toDouble / union)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -1,0 +1,44 @@
+package graft.events
+
+import graft.SparkSuite
+
+class IntervalsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mergeIntervals: containment that lag(end) would get wrong") {
+    // Key a: [0,100) contains [10,20) and [30,40); [90,150) overlaps the
+    // running max (100) even though the PREVIOUS row's end is 40 — a
+    // lag-based break flag would wrongly split here. [200,210) is a new
+    // island. Key b: [10,20) and [20,30) touch (start == running max end),
+    // which merges under half-open semantics; [40,50) stays separate.
+    val iv = Seq(
+      ("a", 0L, 100L), ("a", 10L, 20L), ("a", 30L, 40L),
+      ("a", 90L, 150L), ("a", 200L, 210L),
+      ("b", 10L, 20L), ("b", 20L, 30L), ("b", 40L, 50L)
+    ).toDF("k", "s", "e")
+    val got = Intervals.mergeIntervals(iv, "k", "s", "e")
+      .select("k", "s", "e").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 0L, 150L), ("a", 200L, 210L),
+      ("b", 10L, 30L), ("b", 40L, 50L)))
+  }
+
+  test("mergeIntervals: slack joins near-adjacent islands") {
+    val iv = Seq(("k", 0L, 10L), ("k", 15L, 20L), ("k", 40L, 50L))
+      .toDF("k", "s", "e")
+    val got = Intervals.mergeIntervals(iv, "k", "s", "e", slack = 5L)
+      .select("s", "e").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 20L), (40L, 50L)))
+  }
+
+  test("coverageStats: per-key island stats") {
+    val iv = Seq(
+      ("a", 0L, 100L), ("a", 90L, 150L), ("a", 200L, 210L),
+      ("b", 5L, 6L)
+    ).toDF("k", "s", "e")
+    val got = Intervals.coverageStats(iv, "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((2L, 160L, 150L)))
+    assert(got("b") == ((1L, 1L, 1L)))
+  }
+}

@@ -51,4 +51,29 @@ class SessionizeSpec extends SparkSuite {
       .select("event_id").as[Long].collect().sorted
     assert(d.toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("topPaths: ordered k-prefix paths counted across keys") {
+    // user 7: click>view>click; user 8: click>click; user 9 mirrors
+    // user 8's prefix exactly -> that path counts 2.
+    val more = events.unionByName(Seq(
+      (6L, ts("2024-01-01 09:00:00"), 9L, "click", 0.0),
+      (7L, ts("2024-01-01 09:01:00"), 9L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val got = Sessionize.topPaths(more, "user_id", "ts", "event_type",
+        k = 3, topN = 10, tieBreak = Seq("event_id"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("click>click", 2L), ("click>view>click", 1L)))
+  }
+
+  test("topPaths: k truncates, tie-break pins equal timestamps") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "b", 0.0),  // same ts: id order
+      (3L, ts("2024-01-01 10:01:00"), 1L, "c", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.topPaths(e, "user_id", "ts", "event_type",
+        k = 2, topN = 5, tieBreak = Seq("event_id"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b", 1L)))
+  }
 }

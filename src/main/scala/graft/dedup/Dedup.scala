@@ -806,11 +806,12 @@ object Dedup {
       array_distinct(word_shingles(col(textCol), 1)).as("toks"),
       key.as("__key"), substring(key, 1, blockLen).as("__blk"))
     val w = Window.partitionBy("__blk").orderBy(col("__key"), col("id"))
-    // lead(struct) per offset: the struct rides the SAME window sort, so
-    // Spark plans all windowSize leads in one Window operator / one sort.
-    val withNext = (1 to windowSize).foldLeft(base) { (acc, i) =>
-      acc.withColumn(s"__n$i", lead(struct(col("id"), col("toks")), i).over(w))
-    }
+    // All windowSize leads in ONE projection: same window spec in one
+    // select collapses to a single Window operator (chained withColumn
+    // planned three stacked Windows over the shared sort).
+    val withNext = base.select(
+      col("id") +: col("toks") +: (1 to windowSize).map(i =>
+        lead(struct(col("id"), col("toks")), i).over(w).as(s"__n$i")): _*)
     val pairs = withNext.select(col("id"), col("toks"),
         explode(array((1 to windowSize).map(i => col(s"__n$i")): _*))
           .as("nb"))

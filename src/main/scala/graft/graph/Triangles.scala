@@ -36,31 +36,48 @@ object Triangles {
 
   /** Global triangle count (one row: n_triangles BIGINT). */
   def countTriangles(edges: DataFrame, src: String = "src",
-                     dst: String = "dst"): DataFrame = {
-    val oriented = orient(canonicalize(edges, src, dst))
-    // Wedge u→v→w joined on the shared middle vertex, closed by u→w.
-    // The closing join's probe side is the wedge set (bounded by the
-    // orientation); the build side is the oriented edge list itself.
-    val wedges = oriented.select(col("u"), col("v"))
-      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
-    wedges.join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
-      .agg(count(lit(1)).as("n_triangles"))
-  }
+                     dst: String = "dst"): DataFrame =
+    withOriented(edges, src, dst) { oriented =>
+      // Wedge u→v→w joined on the shared middle vertex, closed by u→w.
+      // The closing join's probe side is the wedge set (bounded by the
+      // orientation); the build side is the oriented edge list itself.
+      val wedges = oriented.select(col("u"), col("v"))
+        .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+      wedges.join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
 
   /** Per-vertex triangle participation (vertex, n_triangles BIGINT);
     * vertices in no triangle are absent (left-join against the vertex set
     * and zero-fill at the call site if a dense result is needed). */
   def perVertex(edges: DataFrame, src: String = "src",
-                dst: String = "dst"): DataFrame = {
-    val oriented = orient(canonicalize(edges, src, dst))
-    val wedges = oriented.select(col("u"), col("v"))
-      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
-    val tris = wedges
-      .join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
-    tris.select(col("u").as("vertex"))
-      .unionAll(tris.select(col("v").as("vertex")))
-      .unionAll(tris.select(col("w").as("vertex")))
-      .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+                dst: String = "dst"): DataFrame =
+    withOriented(edges, src, dst) { oriented =>
+      val wedges = oriented.select(col("u"), col("v"))
+        .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+      val tris = wedges
+        .join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
+      tris.select(col("u").as("vertex"))
+        .unionAll(tris.select(col("v").as("vertex")))
+        .unionAll(tris.select(col("w").as("vertex")))
+        .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+    }
+
+  /** The canonical and oriented edge frames each feed 3 plan consumers
+    * (degree union ×2 + orientation join; both wedge sides + closing
+    * join) — unpersisted, the source would be re-scanned and
+    * re-deduplicated ~9× (observed: 30 parquet scans in q104's plan).
+    * Persist both, materialize the bounded result, release. */
+  private def withOriented(edges: DataFrame, src: String, dst: String)
+                          (body: DataFrame => DataFrame): DataFrame = {
+    val canon = canonicalize(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oriented = orient(canon)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = body(oriented).localCheckpoint()
+    oriented.unpersist(false)
+    canon.unpersist(false)
+    r
   }
 
   /** Orient canonical edges low→high by (degree, id): output (u, v) with

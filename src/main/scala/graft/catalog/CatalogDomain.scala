@@ -1534,9 +1534,198 @@ object CatalogDomain {
            |  min(y) AS min_y, max(y) AS max_y
            |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin))
 
+  /** First-order Markov transitions ([[Sessionize.transitionMatrix]]):
+    * consecutive event-type bigrams per user with P(next|current); the
+    * per-state normalizer windows over the |states|² bigram table, not
+    * the stream. */
+  private val q112 = Q("q112_transitions",
+    (s, dir) => {
+      import s.implicits._
+      Sessionize.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
+          "event_type", tieBreak = Seq("event_id"))
+        .orderBy($"cur", $"nxt")
+    },
+    Some("""WITH r AS (
+           |  SELECT event_type AS cur,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |c AS (SELECT cur, nxt, count(*) AS n FROM r
+           |      WHERE nxt IS NOT NULL GROUP BY 1, 2)
+           |SELECT cur, nxt, n,
+           |  round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 4) AS p
+           |FROM c ORDER BY cur, nxt""".stripMargin))
+
+  /** Data-quality expectations ([[graft.report.Expectations]]): four
+    * row-level rules in ONE scan/aggregate (each rule a conditional sum
+    * riding the same pass) plus the non-row-local uniqueness check.
+    * Null predicates count as violations on both sides. */
+  private val q113 = Q("q113_expectations",
+    (s, dir) => {
+      import s.implicits._
+      import graft.report.Expectations._
+      val o = t(s, dir, "orders")
+      evaluate(o, Seq(
+          Rule("date_range", $"o_orderdate" >= "1992-01-01" &&
+            $"o_orderdate" < "1999-01-01"),
+          Rule("priority_format", $"o_orderpriority".rlike("^[1-5]-")),
+          Rule("status_domain", $"o_orderstatus".isin("O", "F", "P")),
+          Rule("totalprice_nonneg", $"o_totalprice" >= 0)))
+        .unionByName(uniqueness(o, Seq("o_orderkey"), "orderkey_unique"))
+        .orderBy($"expectation")
+    },
+    Some("""WITH t AS (SELECT
+           |    count(*) AS n_rows,
+           |    sum(CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1992-01-01'
+           |      AND o_orderdate < TIMESTAMP '1999-01-01', false) THEN 1 ELSE 0 END)::BIGINT AS f_date,
+           |    sum(CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false) THEN 1 ELSE 0 END)::BIGINT AS f_prio,
+           |    sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false) THEN 1 ELSE 0 END)::BIGINT AS f_status,
+           |    sum(CASE WHEN NOT coalesce(o_totalprice >= 0, false) THEN 1 ELSE 0 END)::BIGINT AS f_price
+           |  FROM orders),
+           |u AS (SELECT sum(c)::BIGINT AS n_rows, sum(c - 1)::BIGINT AS n_failed
+           |      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+           |rows_out AS (
+           |  SELECT 'date_range' AS expectation, n_rows, f_date AS n_failed FROM t
+           |  UNION ALL SELECT 'priority_format', n_rows, f_prio FROM t
+           |  UNION ALL SELECT 'status_domain', n_rows, f_status FROM t
+           |  UNION ALL SELECT 'totalprice_nonneg', n_rows, f_price FROM t
+           |  UNION ALL SELECT 'orderkey_unique', n_rows, n_failed FROM u)
+           |SELECT expectation, n_rows, n_failed,
+           |  round(CASE WHEN n_rows > 0 THEN n_failed / CAST(n_rows AS DOUBLE) ELSE 0.0 END, 4) AS fail_rate,
+           |  n_failed = 0 AS passed
+           |FROM rows_out ORDER BY expectation""".stripMargin))
+
+  /** Quantile normalization ([[graft.prep.Preprocess.quantileNormalize]])
+    * — the cross-sample distribution equalizer from the reference's
+    * microarray domain, generalized to long format with deterministic
+    * trim-to-common-length. Samples = event types. */
+  private val q114 = Q("q114_quantile_norm",
+    (s, dir) => {
+      import s.implicits._
+      graft.prep.Preprocess.quantileNormalize(
+          t(s, dir, "events").select($"event_type", $"event_id", $"value"),
+          "event_type", "value", tieBreak = Seq("event_id"))
+        .select($"event_type", $"event_id", $"qn_value")
+        .orderBy($"event_type", $"event_id")
+    },
+    Some("""WITH r AS (
+           |  SELECT event_type, event_id, value,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+           |  FROM events),
+           |m AS (SELECT min(cnt) AS mn FROM
+           |        (SELECT count(*) AS cnt FROM r GROUP BY event_type)),
+           |tr AS (SELECT r.* FROM r, m WHERE rn <= mn),
+           |q AS (SELECT rn, round(avg(value), 4) AS qn_value FROM tr GROUP BY rn)
+           |SELECT tr.event_type, tr.event_id, q.qn_value
+           |FROM tr JOIN q USING (rn)
+           |ORDER BY event_type, event_id""".stripMargin))
+
+  /** Chi-square independence ([[graft.de.RankStats.chiSquare]]):
+    * order status vs priority; margins window over the contingency
+    * CELLS (|A|×|B| rows), never the fact table. */
+  private val q115 = Q("q115_chi2",
+    (s, dir) =>
+      graft.de.RankStats.chiSquare(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority"),
+    Some("""WITH c AS (
+           |  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+           |  FROM orders GROUP BY 1, 2),
+           |e AS (SELECT o,
+           |  sum(o) OVER (PARTITION BY a) * sum(o) OVER (PARTITION BY b)
+           |    / CAST(sum(o) OVER () AS DOUBLE) AS ex FROM c)
+           |SELECT round(sum((o - ex) * (o - ex) / ex), 4) AS chi2,
+           |  (SELECT (count(DISTINCT o_orderstatus) - 1) *
+           |          (count(DISTINCT o_orderpriority) - 1) FROM orders) AS dof,
+           |  (SELECT count(*) FROM orders) AS n
+           |FROM e""".stripMargin))
+
+  /** ROC AUC ([[graft.de.RankStats.rocAuc]]): price as a score for the
+    * return flag, Mann–Whitney tie handling. Facts collapse to one row
+    * per distinct score before the single bounded running-sum window;
+    * half-integer contributions make the double sum exact. */
+  private val q116 = Q("q116_auc",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.RankStats.rocAuc(
+        t(s, dir, "lineitem").select(
+          when($"l_returnflag" === "R", 1).otherwise(0).as("y"),
+          $"l_extendedprice".as("score")),
+        "y", "score")
+    },
+    Some("""WITH s AS (
+           |  SELECT l_extendedprice AS score,
+           |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |g AS (SELECT score, CAST(sum(y) AS DOUBLE) AS np,
+           |        CAST(count(*) - sum(y) AS DOUBLE) AS nn
+           |      FROM s GROUP BY score),
+           |o AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY score
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           |      FROM g)
+           |SELECT round(sum(np * (below + 0.5 * nn)) /
+           |    (sum(np) * sum(nn)), 4) AS auc,
+           |  CAST(sum(np) AS BIGINT) AS n_pos,
+           |  CAST(sum(nn) AS BIGINT) AS n_neg
+           |FROM o""".stripMargin))
+
+  /** Grouped simple OLS ([[graft.de.RankStats.groupedOls]]): per-priority
+    * regression of order value on order day via the codegen'd regr_*
+    * aggregates — one hash aggregate, map-side partial. */
+  private val q117 = Q("q117_regression",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select($"o_orderpriority".as("prio"),
+        $"o_totalprice",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("double").as("day"))
+      graft.de.RankStats.groupedOls(o, Seq("prio"), "o_totalprice", "day")
+        .orderBy($"prio")
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  round(regr_slope(o_totalprice,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 4) AS slope,
+           |  round(regr_intercept(o_totalprice,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 4) AS intercept,
+           |  round(regr_r2(o_totalprice,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 4) AS r2,
+           |  regr_count(o_totalprice,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))::BIGINT AS n
+           |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin))
+
+  /** Time-series gap fill ([[graft.events.Resample.regularize]]): daily
+    * per-type series projected onto the dense day grid, counts
+    * zero-filled, the carried average forward-filled. Grid rows come
+    * from a per-key (min, max) aggregate, independent of fact volume. */
+  private val q118 = Q("q118_interpolate",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("v"))
+      graft.events.Resample.regularize(daily, "event_type", "day",
+          "n", Seq("v"))
+        .orderBy($"event_type", $"day")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type,
+           |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+           |    count(*) AS n, round(avg(value), 4) AS v
+           |  FROM events GROUP BY 1, 2),
+           |span AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+           |         FROM d GROUP BY 1),
+           |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day
+           |         FROM span),
+           |j AS (SELECT g.event_type, g.day, d.n, d.v
+           |      FROM grid g LEFT JOIN d USING (event_type, day))
+           |SELECT event_type, day, coalesce(n, 0) AS n,
+           |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+           |FROM j ORDER BY event_type, day""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q109, q110, q111)
+    q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
 }

@@ -1,0 +1,74 @@
+package graft.de
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank- and contingency-based statistics beyond the Welch/BH family in
+  * [[Stats]]: chi-square independence, ROC AUC (Mann–Whitney), and
+  * grouped simple OLS. All are aggregation-first: the fact table
+  * collapses to a bounded statistic table (contingency cells, distinct
+  * scores, per-group sums) BEFORE any window or driver-visible step, so
+  * the shapes survive 100 TB inputs.
+  */
+object RankStats {
+
+  /** Chi-square test of independence between two categorical columns:
+    * one row (chi2 4-dp, dof BIGINT, n BIGINT). The contingency table is
+    * one hash aggregate (cells = |A|×|B|, bounded by the domains);
+    * margins are window sums OVER THE CELL TABLE, never the facts. */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = sum(col("o")).over(Window.partitionBy("__a"))
+    val colTot = sum(col("o")).over(Window.partitionBy("__b"))
+    val allTot = sum(col("o")).over(Window.partitionBy())
+    val e = cells
+      .withColumn("__rt", rowTot).withColumn("__ct", colTot)
+      .withColumn("__n", allTot)
+      .withColumn("__e",
+        col("__rt").cast("double") * col("__ct") / col("__n"))
+    e.agg(
+      round(sum(pow(col("o") - col("__e"), 2) / col("__e")), 4).as("chi2"),
+      ((countDistinct(col("__a")) - 1) *
+        (countDistinct(col("__b")) - 1)).as("dof"),
+      first(col("__n")).as("n"))
+  }
+
+  /** ROC AUC of `score` against binary `label` (1 = positive), with
+    * exact tie handling (ties contribute 1/2 — the Mann–Whitney
+    * convention). Facts collapse to one row PER DISTINCT SCORE first;
+    * the single global running-sum window runs over that bounded table
+    * (the gate-sweep/BH small-branch trade). Contributions are halves
+    * of integers, so the double sum is exact — no accumulation-order
+    * noise. Returns (auc 4-dp, n_pos, n_neg). */
+  def rocAuc(df: DataFrame, label: String, score: String): DataFrame = {
+    val g = df.groupBy(col(score).as("__s"))
+      .agg(sum(col(label)).cast("double").as("np"),
+        (count(lit(1)) - sum(col(label))).cast("double").as("nn"))
+    val below = coalesce(
+      sum(col("nn")).over(Window.orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
+    // ANSI-safe: a single-class input has no ranking to score — null auc
+    // (not a divide-by-zero) so callers can coalesce or filter.
+    val denom = sum(col("np")) * sum(col("nn"))
+    g.withColumn("__below", below)
+      .agg(
+        round(when(denom > 0,
+          sum(col("np") * (col("__below") + lit(0.5) * col("nn"))) / denom),
+          4).as("auc"),
+        sum(col("np")).cast("long").as("n_pos"),
+        sum(col("nn")).cast("long").as("n_neg"))
+  }
+
+  /** Per-group simple OLS of y on x via the codegen'd built-in
+    * regression aggregates (one hash aggregate, map-side partial):
+    * slope / intercept / r2 (4-dp) and n per group. */
+  def groupedOls(df: DataFrame, keys: Seq[String], y: String,
+                 x: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(round(regr_slope(col(y), col(x)), 4).as("slope"),
+        round(regr_intercept(col(y), col(x)), 4).as("intercept"),
+        round(regr_r2(col(y), col(x)), 4).as("r2"),
+        regr_count(col(y), col(x)).as("n"))
+}

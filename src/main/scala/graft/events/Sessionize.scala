@@ -92,4 +92,24 @@ object Sessionize {
       .orderBy(col("n_keys").desc, col("path"))
       .limit(topN)
   }
+
+  /** First-order Markov transition estimates: consecutive event-type
+    * bigrams per key with P(next | current). One per-key window (lead)
+    * + one (cur, next) hash aggregate; the per-state normalizer is a
+    * window over the AGGREGATED bigram table (|states|² rows), never
+    * the event stream. Returns (cur, nxt, n, p 4-dp). */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String,
+                       tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol).asc +: tieBreak.map(col(_).asc))
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    val bigrams = events
+      .select(col(typeCol).as("cur"),
+        lead(col(typeCol), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    bigrams.withColumn("p",
+      round(col("n") /
+        sum(col("n")).over(Window.partitionBy("cur")).cast("double"), 4))
+  }
 }

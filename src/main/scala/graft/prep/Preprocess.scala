@@ -189,4 +189,37 @@ object Preprocess {
         count(when(round(v, 6) < round(col("__plo"), 6), 1)).as("n_clip_lo"),
         count(when(round(v, 6) > round(col("__phi"), 6), 1)).as("n_clip_hi"))
   }
+
+  /** Quantile normalization (the microarray cross-sample equalizer the
+    * reference's domain popularized): every sample's value distribution
+    * is replaced by the rank-wise mean across samples, so all samples
+    * share one distribution afterwards. Classic QN is defined on
+    * equal-length columns; this long-format variant TRIMS each sample
+    * to the common minimum length (deterministically, by rank under
+    * (value, tieBreak) order) rather than interpolating — callers with
+    * aligned samples lose nothing, ragged callers get the documented
+    * truncation.
+    *
+    * Shape: one per-sample rank window + a min-count aggregate
+    * (broadcast, 1 row) + a rank-keyed mean aggregate joined back
+    * CO-PARTITIONED on the rank key — no global sort; parallelism is
+    * rank cardinality for the mean and sample cardinality for the rank.
+    * Output: input columns + qn_value (4 dp). */
+  def quantileNormalize(df: DataFrame, sampleCol: String,
+                        valueCol: String,
+                        tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(valueCol).asc +: tieBreak.map(col(_).asc))
+    val ranked = df.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(sampleCol).orderBy(order: _*)))
+    val minLen = ranked.groupBy(col(sampleCol))
+      .agg(count(lit(1)).as("__len"))
+      .agg(min(col("__len")).as("__m"))
+    val trimmed = ranked.crossJoin(broadcast(minLen))
+      .filter(col("__rn") <= col("__m"))
+    val rankMeans = trimmed.groupBy("__rn")
+      .agg(round(avg(col(valueCol)), 4).as("qn_value"))
+    trimmed.join(rankMeans, Seq("__rn"))
+      .drop("__rn", "__m")
+  }
 }

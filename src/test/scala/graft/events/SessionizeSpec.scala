@@ -65,6 +65,26 @@ class SessionizeSpec extends SparkSuite {
     assert(got == Seq(("click>click", 2L), ("click>view>click", 1L)))
   }
 
+  test("transitionMatrix: bigram counts and row-normalized probabilities") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b", 0.0),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "a", 0.0),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "c", 0.0),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "a", 0.0),
+      (6L, ts("2024-01-01 09:05:00"), 2L, "b", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.transitionMatrix(e, "user_id", "ts", "event_type",
+        tieBreak = Seq("event_id"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // From a: a->b twice, a->c once. From b: b->a once. No cross-user
+    // bigram (user 2's trail ends at b).
+    assert(got == Map(
+      ("a", "b") -> ((2L, 0.6667)), ("a", "c") -> ((1L, 0.3333)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("topPaths: k truncates, tie-break pins equal timestamps") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),

@@ -212,4 +212,34 @@ class PreprocessSpec extends SparkSuite {
       .select("n_outliers").as[Long].head()
     assert(got == 4)   // exactly the planted cluster, not half the data
   }
+
+  test("quantileNormalize: samples share one distribution afterwards") {
+    import spark.implicits._
+    // Two aligned samples with different scales: rank means are the
+    // midpoints; both samples map onto the identical distribution.
+    val df = Seq(
+      ("s1", 1L, 10.0), ("s1", 2L, 20.0), ("s1", 3L, 30.0),
+      ("s2", 4L, 100.0), ("s2", 5L, 200.0), ("s2", 6L, 300.0)
+    ).toDF("sample", "id", "v")
+    val got = Preprocess.quantileNormalize(df, "sample", "v",
+        tieBreak = Seq("id"))
+      .select("sample", "id", "qn_value")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got == Map(1L -> 55.0, 2L -> 110.0, 3L -> 165.0,
+      4L -> 55.0, 5L -> 110.0, 6L -> 165.0))
+  }
+
+  test("quantileNormalize: ragged samples trim to the common length") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 1L, 1.0), ("s1", 2L, 2.0), ("s1", 3L, 99.0),
+      ("s2", 4L, 3.0), ("s2", 5L, 4.0)
+    ).toDF("sample", "id", "v")
+    val got = Preprocess.quantileNormalize(df, "sample", "v",
+        tieBreak = Seq("id"))
+      .select("id", "qn_value").as[(Long, Double)].collect().toMap
+    // s1's third-ranked 99.0 is trimmed; rank means over (1,3), (2,4).
+    assert(got == Map(1L -> 2.0, 2L -> 3.0, 4L -> 2.0, 5L -> 3.0))
+  }
 }

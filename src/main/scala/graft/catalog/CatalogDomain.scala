@@ -1723,9 +1723,71 @@ object CatalogDomain {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
            |FROM j ORDER BY event_type, day""".stripMargin))
 
+  /** Interval–interval overlap join
+    * ([[graft.join.RangeJoin.bandedOverlapJoin]]): purchase windows vs
+    * click windows per user; banding on BOTH sides turns the overlap
+    * predicate into an equi-join, and keeping a pair only in its
+    * overlap-start band replaces the post-join distinct. The oracle is
+    * the declarative inequality join — algorithm-independent. */
+  private val q119 = Q("q119_overlap_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val a = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("a_start"),
+          ($"ts" + expr("INTERVAL 30 MINUTES")).as("a_end"))
+      val b = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("b_start"),
+          ($"ts" + expr("INTERVAL 10 MINUTES")).as("b_end"))
+      graft.join.RangeJoin.bandedOverlapJoin(a, b, "user_id",
+          "a_start", "a_end", "b_start", "b_end", bandWidthSec = 1800)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH a AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+           |          FROM events WHERE event_type = 'purchase'),
+           |b AS (SELECT user_id, ts AS s2, ts + INTERVAL 10 MINUTE AS e2
+           |      FROM events WHERE event_type = 'click')
+           |SELECT a.user_id, count(*) AS n_overlaps
+           |FROM a JOIN b ON a.user_id = b.user_id
+           |  AND a.s < b.e2 AND b.s2 < a.e
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Pareto contribution ([[graft.report.Contribution.pareto]]):
+    * per-brand revenue share with cumulative share and the 80%-mass
+    * flag. The running sum cumulates integer cents — cross-engine
+    * determinism in the ranking-critical column by construction. */
+  private val q120 = Q("q120_pareto",
+    (s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(round(sum($"l_extendedprice"), 2).as("rev"))
+      graft.report.Contribution.pareto(agg, Seq("p_brand"), "rev")
+        .orderBy($"cum_share", $"p_brand")
+    },
+    Some("""WITH a AS (
+           |  SELECT p_brand, round(sum(l_extendedprice), 2) AS rev
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           |u AS (SELECT p_brand, rev,
+           |        CAST(round(rev * 100) AS BIGINT) AS un FROM a),
+           |c AS (SELECT *,
+           |  sum(un) OVER (ORDER BY un DESC, p_brand
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |  sum(un) OVER () AS tot FROM u)
+           |SELECT p_brand, rev,
+           |  round(un / CAST(tot AS DOUBLE), 4) AS share,
+           |  round(cum / CAST(tot AS DOUBLE), 4) AS cum_share,
+           |  CAST(cum - un AS DOUBLE) < 0.8 * tot AS in_top
+           |FROM c ORDER BY cum_share, p_brand""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
+    q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
+    q119, q120)
 }

@@ -1658,9 +1658,53 @@ object CatalogLlm {
             |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Pairwise source-vocabulary cosine
+    * ([[graft.text.CorpusStats.strataSimilarityMatrix]]): term counts
+    * are integers, so dot products and norms are exact in double —
+    * the 4-dp cosine is engine-noise-free by construction. */
+  private val q121 = Q("q121_source_similarity",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.strataSimilarityMatrix(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy($"s_a", $"s_b")
+    },
+    Some("""WITH tok AS (SELECT source AS stratum,
+           |    unnest(regexp_extract_all(text, '\S+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT stratum, term, CAST(count(*) AS DOUBLE) AS n
+           |       FROM tok GROUP BY 1, 2),
+           |nm AS (SELECT stratum, sqrt(sum(n * n)) AS norm FROM tf GROUP BY 1),
+           |d AS (SELECT x.stratum AS s_a, y.stratum AS s_b, sum(x.n * y.n) AS dot
+           |      FROM tf x JOIN tf y ON x.term = y.term AND x.stratum < y.stratum
+           |      GROUP BY 1, 2)
+           |SELECT s_a, s_b, round(dot / (na.norm * nb.norm), 4) AS cosine
+           |FROM d JOIN nm na ON na.stratum = s_a
+           |       JOIN nm nb ON nb.stratum = s_b
+           |ORDER BY s_a, s_b""".stripMargin))
+
+  /** Per-source token Shannon entropy
+    * ([[graft.text.CorpusStats.tokenEntropy]]): H = ln N − Σ n·ln n / N
+    * over the (stratum, term) counts — no per-term probability join. */
+  private val q122 = Q("q122_entropy",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.tokenEntropy(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy($"stratum")
+    },
+    Some("""WITH tok AS (SELECT source AS stratum,
+           |    unnest(regexp_extract_all(text, '\S+')) AS term
+           |  FROM documents),
+           |c AS (SELECT stratum, term, count(*) AS n FROM tok GROUP BY 1, 2)
+           |SELECT stratum, count(*) AS n_types, sum(n)::BIGINT AS n_tokens,
+           |  round(ln(CAST(sum(n) AS DOUBLE)) -
+           |    sum(n * ln(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE), 4) AS entropy
+           |FROM c GROUP BY stratum ORDER BY stratum""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
     q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90, q91,
-    q93, q94, q96, q97, q108)
+    q93, q94, q96, q97, q108, q121, q122)
 }

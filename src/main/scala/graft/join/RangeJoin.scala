@@ -63,4 +63,42 @@ object RangeJoin {
       .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .drop("__band")
   }
+
+  /** Interval–interval overlap join (the genomic/temporal "which spans
+    * intersect" primitive): pair rows of the same key whose HALF-OPEN
+    * intervals overlap (sL < eR AND sR < eL). Same banding idea as
+    * [[bandedIntervalJoin]], applied to BOTH sides — each interval
+    * explodes to its covered bands and the join is a plain equi-join on
+    * (key, band) plus the exact predicate. A pair overlapping several
+    * shared bands would duplicate, so candidates are kept only in the
+    * band containing the OVERLAP START (greatest of the two starts):
+    * exactly one band per true pair, no post-join `distinct` pass.
+    * Timestamp columns; `bandWidthSec` near the typical span. */
+  def bandedOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+                        startL: String, endL: String,
+                        startR: String, endR: String,
+                        bandWidthSec: Long): DataFrame = {
+    require(bandWidthSec > 0, "bandWidthSec must be positive")
+    require(!(left.columns ++ right.columns).contains("__band"),
+      "inputs must not contain a __band column")
+    val overlapCols = left.columns.toSet
+      .intersect(right.columns.toSet) - key
+    require(overlapCols.isEmpty,
+      s"right columns ${overlapCols.mkString(",")} collide with left " +
+        "columns — rename before joining")
+
+    def band(c: Column): Column =
+      floor(unix_timestamp(c) / bandWidthSec).cast("long")
+
+    val l = left.filter(col(endL) >= col(startL))
+      .withColumn("__band",
+        explode(sequence(band(col(startL)), band(col(endL)))))
+    val r = right.filter(col(endR) >= col(startR))
+      .withColumn("__band",
+        explode(sequence(band(col(startR)), band(col(endR)))))
+    l.join(r, Seq(key, "__band"))
+      .filter(col(startL) < col(endR) && col(startR) < col(endL) &&
+        col("__band") === band(greatest(col(startL), col(startR))))
+      .drop("__band")
+  }
 }

@@ -174,4 +174,56 @@ object CorpusStats {
     dt.unpersist(false)
     r
   }
+
+  /** Pairwise cosine similarity between per-stratum unigram frequency
+    * distributions — "how alike are my sources' vocabularies", the
+    * corpus-mixture diagnostic. Facts collapse to the (stratum, term)
+    * count table (map-side combine, shuffle ∝ strata×vocab); norms are
+    * a stratum-cardinality aggregate broadcast back; the pair dot
+    * product joins the count table WITH ITSELF ON TERM (vocab-keyed —
+    * never strata × strata × vocab materialized). Output: one row per
+    * unordered stratum pair, cosine 4-dp. */
+  def strataSimilarityMatrix(docs: DataFrame, strataCol: String,
+                             textCol: String): DataFrame = {
+    val tf = docs.select(col(strataCol).as("stratum"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("stratum", "term").agg(count(lit(1)).cast("double").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = tf.groupBy("stratum")
+      .agg(sqrt(sum(col("n") * col("n"))).as("norm"))
+    val dots = tf.select(col("stratum").as("s_a"), col("term"),
+        col("n").as("n_a"))
+      .join(tf.select(col("stratum").as("s_b"), col("term"),
+        col("n").as("n_b")), Seq("term"))
+      .filter(col("s_a") < col("s_b"))
+      .groupBy("s_a", "s_b").agg(sum(col("n_a") * col("n_b")).as("dot"))
+    val out = dots
+      .join(broadcast(norms.withColumnRenamed("stratum", "s_a")
+        .withColumnRenamed("norm", "norm_a")), Seq("s_a"))
+      .join(broadcast(norms.withColumnRenamed("stratum", "s_b")
+        .withColumnRenamed("norm", "norm_b")), Seq("s_b"))
+      .select(col("s_a"), col("s_b"),
+        round(col("dot") / (col("norm_a") * col("norm_b")), 4)
+          .as("cosine"))
+    val r = out.localCheckpoint()
+    tf.unpersist(false)
+    r
+  }
+
+  /** Per-stratum Shannon entropy of the unigram distribution (nats,
+    * 4-dp) with type/token counts — vocabulary-concentration diagnostic.
+    * One (stratum, term) aggregate + one stratum roll-up; entropy is
+    * computed from the counts identity H = ln N − Σ n ln n / N, so no
+    * per-term probability join is needed. */
+  def tokenEntropy(docs: DataFrame, strataCol: String,
+                   textCol: String): DataFrame =
+    docs.select(col(strataCol).as("stratum"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("stratum", "term").agg(count(lit(1)).as("n"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_tokens"),
+        round(log(sum(col("n")).cast("double")) -
+          sum(col("n").cast("double") * log(col("n").cast("double"))) /
+            sum(col("n")).cast("double"), 4).as("entropy"))
 }

@@ -79,4 +79,51 @@ class RangeJoinSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("bandedOverlapJoin: half-open semantics, no duplicate pairs") {
+    val left = Seq(
+      (1L, 9L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, 9L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00"))
+    ).toDF("lid", "k", "ls", "le")
+    val right = Seq(
+      // overlaps lid 1 across SEVERAL shared bands at width 60 — must
+      // still emit exactly one pair
+      (10L, 9L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:59:00")),
+      // touches lid 1's end exactly: half-open -> no overlap
+      (11L, 9L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00")),
+      // overlaps lid 2's start boundary region
+      (12L, 9L, ts("2024-01-01 11:59:00"), ts("2024-01-01 12:01:00"))
+    ).toDF("rid", "k", "rs", "re")
+    for (w <- Seq(60L, 600L, 3600L)) {
+      val got = RangeJoin.bandedOverlapJoin(left, right, "k",
+          "ls", "le", "rs", "re", w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"dup pairs at width $w")
+      assert(got.toSet == Set((1L, 10L), (2L, 12L)), s"width $w")
+    }
+  }
+
+  test("bandedOverlapJoin matches the declarative overlap join") {
+    val l = spark.range(60).select(col("id").as("lid"),
+      (col("id") % 5).as("k"),
+      to_timestamp(lit("2024-01-01 00:00:00")).cast("long")
+        .plus(pmod(col("id") * 7919, lit(40000))).cast("timestamp").as("ls"))
+      .withColumn("le", col("ls").cast("long")
+        .plus(pmod(col("lid") * 31, lit(6000)) + 1).cast("timestamp"))
+    val r = spark.range(80).select(col("id").as("rid"),
+      (col("id") % 5).as("k"),
+      to_timestamp(lit("2024-01-01 00:00:00")).cast("long")
+        .plus(pmod(col("id") * 104729, lit(40000))).cast("timestamp").as("rs"))
+      .withColumn("re", col("rs").cast("long")
+        .plus(pmod(col("rid") * 17, lit(3000)) + 1).cast("timestamp"))
+    val got = RangeJoin.bandedOverlapJoin(l, r, "k",
+        "ls", "le", "rs", "re", 600)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val oracle = l.join(r, l("k") === r("k") &&
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.length == oracle.size)   // no duplicates slipped through
+    assert(got.toSet == oracle)
+    assert(oracle.nonEmpty)
+  }
 }

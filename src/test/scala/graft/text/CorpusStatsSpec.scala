@@ -94,4 +94,43 @@ class CorpusStatsSpec extends SparkSuite {
     // PMI = ln(4 * 10 / (4 * 4))
     assert(approx(pmi, math.log(40.0 / 16.0), 1e-4))
   }
+
+  test("strataSimilarityMatrix: identical strata cosine 1, disjoint 0") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c"), ("s2", "a b c"),      // identical distributions
+      ("s3", "x y z")                        // disjoint vocabulary
+    ).toDF("src", "text")
+    val got = CorpusStats.strataSimilarityMatrix(docs, "src", "text")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s1", "s2")) == 1.0)
+    // disjoint pairs produce no shared-term rows at all
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
+  }
+
+  test("strataSimilarityMatrix: hand-computed partial overlap") {
+    import spark.implicits._
+    // s1: a(2), b(1); s2: a(1), c(1). dot = 2, norms sqrt5, sqrt2.
+    val docs = Seq(("s1", "a a b"), ("s2", "a c")).toDF("src", "text")
+    val got = CorpusStats.strataSimilarityMatrix(docs, "src", "text")
+      .as[(String, String, Double)].head()
+    assert(got._3 == BigDecimal(2.0 / math.sqrt(10.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("tokenEntropy: uniform maximal, degenerate zero") {
+    import spark.implicits._
+    val docs = Seq(
+      ("u", "a b c d"),      // uniform over 4 types: H = ln 4
+      ("z", "a a a a")       // single type: H = 0
+    ).toDF("src", "text")
+    val got = CorpusStats.tokenEntropy(docs, "src", "text")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(("u")) == ((4L, 4L,
+      BigDecimal(math.log(4.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(("z")) == ((1L, 4L, 0.0)))
+  }
 }

@@ -23,6 +23,11 @@ object Resample {
     * integral (epoch days/hours). */
   def denseGrid(df: DataFrame, key: String, bucket: String,
                 step: Long = 1L): DataFrame = {
+    // NB: the input feeds two consumers (span aggregate + join), and
+    // column pruning makes the subtrees differ, so ReuseExchange does
+    // NOT dedupe them — an unpersisted input is computed twice. Callers
+    // whose input is itself expensive should persist it around this
+    // call; [[regularize]] does exactly that.
     val span = df.groupBy(col(key))
       .agg(min(col(bucket)).as("__lo"), max(col(bucket)).as("__hi"))
     val grid = span.select(col(key),
@@ -36,15 +41,23 @@ object Resample {
   def regularize(df: DataFrame, key: String, bucket: String,
                  countCol: String, ffillCols: Seq[String],
                  step: Long = 1L): DataFrame = {
-    val dense = denseGrid(df, key, bucket, step)
+    // The input is typically an aggregate of the fact table and feeds
+    // denseGrid's two consumers — persist it so the upstream aggregation
+    // runs once; the output is grid-bounded (keys × span/step), so the
+    // materialize-and-release pattern applies.
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dense = denseGrid(in, key, bucket, step)
       .withColumn(countCol, coalesce(col(countCol), lit(0L)))
     val w = Window.partitionBy(key).orderBy(col(bucket))
       .rowsBetween(Window.unboundedPreceding, 0)
     // all fills in one projection -> one Window operator over one sort
-    dense.select(dense.columns.map { c =>
+    val out = dense.select(dense.columns.map { c =>
       if (ffillCols.contains(c))
         last(col(c), ignoreNulls = true).over(w).as(c)
       else col(c)
     }: _*)
+    val r = out.localCheckpoint()
+    in.unpersist(false)
+    r
   }
 }

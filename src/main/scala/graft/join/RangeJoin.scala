@@ -90,10 +90,15 @@ object RangeJoin {
     def band(c: Column): Column =
       floor(unix_timestamp(c) / bandWidthSec).cast("long")
 
-    val l = left.filter(col(endL) >= col(startL))
+    // STRICT inequality: an empty interval [s, s) can never overlap
+    // anything, but the two-clause predicate below (exact only for
+    // non-empty inputs) would wrongly admit it — so empties are dropped
+    // here, which also keeps the overlap-start-band dedup condition
+    // consistent with the predicate.
+    val l = left.filter(col(endL) > col(startL))
       .withColumn("__band",
         explode(sequence(band(col(startL)), band(col(endL)))))
-    val r = right.filter(col(endR) >= col(startR))
+    val r = right.filter(col(endR) > col(startR))
       .withColumn("__band",
         explode(sequence(band(col(startR)), band(col(endR)))))
     l.join(r, Seq(key, "__band"))

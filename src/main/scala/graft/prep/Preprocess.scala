@@ -204,7 +204,12 @@ object Preprocess {
     * (broadcast, 1 row) + a rank-keyed mean aggregate joined back
     * CO-PARTITIONED on the rank key — no global sort; parallelism is
     * rank cardinality for the mean and sample cardinality for the rank.
-    * Output: input columns + qn_value (4 dp). */
+    * The ranked frame feeds two consumers (rank means + the join-back),
+    * so the rank window evaluates twice; the output is fact-sized, so
+    * the bounded-output materialize-and-release pattern does not apply —
+    * persist the INPUT around this call when its upstream scan dominates
+    * (the X3/robust-outliers trade). Output: input columns + qn_value
+    * (4 dp). */
   def quantileNormalize(df: DataFrame, sampleCol: String,
                         valueCol: String,
                         tieBreak: Seq[String] = Nil): DataFrame = {
@@ -212,7 +217,9 @@ object Preprocess {
     val ranked = df.withColumn("__rn",
       row_number().over(
         Window.partitionBy(sampleCol).orderBy(order: _*)))
-    val minLen = ranked.groupBy(col(sampleCol))
+    // min length from the UNranked input: the count branch must not pay
+    // (or re-plan) the rank window — counting needs no order
+    val minLen = df.groupBy(col(sampleCol))
       .agg(count(lit(1)).as("__len"))
       .agg(min(col("__len")).as("__m"))
     val trimmed = ranked.crossJoin(broadcast(minLen))

@@ -194,6 +194,31 @@ object LlmScaleSmoke {
             docs.filter(col("doc_id") < 500), "text"))),
         "span_dedup_stats" -> (() => sink(
           Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 8))),
+        // round-7 additions: the four new operator families whose scaling
+        // behavior is least obvious from the plan alone
+        "triangles" -> (() => sink(
+          graft.graph.Triangles.countTriangles(
+            events.select((col("user_id") % 997).as("src"),
+              (pmod(col("event_id") * 2654435761L, lit(997L))).as("dst"))))),
+        "interval_merge" -> (() => sink(
+          graft.events.Intervals.coverageStats(
+            events.select(col("user_id"),
+              unix_millis(col("ts")).as("s"))
+              .withColumn("e", col("s") + lit(1200000L)),
+            "user_id", "s", "e"))),
+        "sorted_neighborhood" -> (() => sink(
+          Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+            windowSize = 3, minJaccard = 0.5, blockLen = 2))),
+        "overlap_join" -> (() => sink(
+          graft.join.RangeJoin.bandedOverlapJoin(
+            events.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts").as("a_s"),
+                (col("ts") + expr("INTERVAL 30 MINUTES")).as("a_e")),
+            events.filter(col("event_type") === "click")
+              .select(col("user_id"), col("ts").as("b_s"),
+                (col("ts") + expr("INTERVAL 10 MINUTES")).as("b_e")),
+            "user_id", "a_s", "a_e", "b_s", "b_e", bandWidthSec = 1800)
+            .groupBy("user_id").agg(count(lit(1)).as("n_overlaps")))),
         // graph derived from the event stream (n/100 users, ~10 edges
         // each via consecutive-user links) — node and edge counts scale
         // with n, and the DataFrame-loop path is the one a 100-TB graph

@@ -1784,10 +1784,54 @@ object CatalogDomain {
            |  CAST(cum - un AS DOUBLE) < 0.8 * tot AS in_top
            |FROM c ORDER BY cum_share, p_brand""".stripMargin))
 
+  /** Temporal dimension lookup — OPERATOR COMPOSITION: the SCD2 build
+    * (q106, [[graft.events.Scd]]) feeds the as-of join (q70,
+    * [[graft.join.AsOfJoin]]) to answer "what was this user's state AT
+    * the moment of each event" — the point-in-time-correct feature
+    * lookup every training pipeline needs (no leakage from future
+    * states). The oracle states it as the declarative validity-interval
+    * join (valid_from <= ts < valid_to), proving the as-of composition
+    * equals interval semantics. */
+  private val q123 = Q("q123_scd2_lookup",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").filter($"user_id" % 20 === 0)
+        .select($"user_id", $"event_id", unix_millis($"ts").as("tsm"),
+          $"event_type")
+      val dim = graft.events.Scd.scd2(ev, "user_id", "tsm", "event_type",
+          tieBreak = Seq("event_id"))
+        .select($"user_id", $"valid_from".as("tsm"),
+          $"event_type".as("state"), $"version")
+      graft.join.AsOfJoin.asOfBackward(
+          ev.select($"user_id", $"event_id", $"tsm"), dim,
+          "user_id", "tsm", payload = Seq("state", "version"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_id, epoch_ms(ts) AS tsm, event_type
+           |  FROM events WHERE user_id % 20 = 0),
+           |f AS (SELECT *, CASE WHEN row_number() OVER w > 1
+           |    AND lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+           |    THEN 0 ELSE 1 END AS brk
+           |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+           |v AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS version FROM f),
+           |r AS (SELECT user_id, version, event_type, min(tsm) AS valid_from
+           |      FROM v GROUP BY 1, 2, 3),
+           |runs AS (SELECT user_id, event_type, version, valid_from,
+           |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+           |  FROM r)
+           |SELECT e.user_id, e.event_id, e.tsm,
+           |  r.event_type AS state, r.version
+           |FROM ev e JOIN runs r ON r.user_id = e.user_id
+           |  AND r.valid_from <= e.tsm
+           |  AND (r.valid_to IS NULL OR e.tsm < r.valid_to)
+           |ORDER BY e.user_id, e.event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120)
+    q119, q120, q123)
 }

@@ -315,4 +315,29 @@ object EventStream {
           }
       }
   }
+
+  final case class Upsert(key: Long, version: Long, payload: String)
+
+  /** Streaming CDC compaction — the live twin of
+    * [[graft.dedup.Dedup.latestByKey]] (X14): per business key, keep
+    * the highest-(version, payload) row seen so far and RE-EMIT the
+    * winner whenever the key receives data, so an update-mode sink
+    * (e.g. a key-value store) always holds the latest version. State
+    * per key is ONE row; no timeout — a CDC dimension's keys are the
+    * entity universe and must survive arbitrarily long quiet periods
+    * (evicting would resurrect stale versions on the next update).
+    * Out-of-order and duplicate deliveries fold into the same max, so
+    * the result is delivery-order-independent — the property the batch
+    * twin gets from sorting, pinned in the parity spec. */
+  def latestByKeyStream(updates: Dataset[Upsert]): Dataset[Upsert] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.key)
+      .mapGroupsWithState[Upsert, Upsert](GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Upsert]) =>
+          val best = (rows ++ state.getOption.iterator)
+            .maxBy(u => (u.version, u.payload))
+          state.update(best)
+          best
+      }
+  }
 }

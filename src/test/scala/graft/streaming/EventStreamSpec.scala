@@ -441,4 +441,43 @@ class EventStreamSpec extends SparkSuite {
       .select("window_start").as[Timestamp].collect().toSet
     assert(got == Set(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
   }
+
+  test("latestByKeyStream: out-of-order upserts converge to batch latestByKey") {
+    import spark.implicits._
+    import graft.streaming.EventStream.Upsert
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Upsert]
+    val q = EventStream.latestByKeyStream(in.toDS())
+      .writeStream.format("memory").queryName("cdc_latest")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck-cdc").toString)
+      .start()
+    // batch 1: k1 v2 arrives BEFORE v1 (out of order); k2 v1
+    in.addData(Upsert(1L, 2L, "b"), Upsert(1L, 1L, "a"), Upsert(2L, 1L, "x"))
+    q.processAllAvailable()
+    // batch 2: stale duplicate of k1 v2 and an older v0 — winner must
+    // survive re-delivery; k2 advances
+    in.addData(Upsert(1L, 2L, "b"), Upsert(1L, 0L, "z"), Upsert(2L, 3L, "y"))
+    q.processAllAvailable()
+    q.stop()
+    // Emissions (order-free): batch 1 emits k1→(2,b) despite v2
+    // arriving before v1, and k2→(1,x); batch 2 re-emits k1's winner
+    // (stale re-delivery folds into the same max) and advances k2.
+    val rows = spark.table("cdc_latest").as[Upsert].collect().toSeq
+    assert(rows.groupBy(identity).view.mapValues(_.size).toMap == Map(
+      Upsert(1L, 2L, "b") -> 2, Upsert(2L, 1L, "x") -> 1,
+      Upsert(2L, 3L, "y") -> 1))
+    // per-key max emission == the batch twin's winner on the same rows
+    val streamed = rows.groupBy(_.key)
+      .map { case (k, rs) => k -> rs.maxBy(u => (u.version, u.payload)) }
+    val batch = graft.dedup.Dedup.latestByKey(
+        Seq((1L, 2L, "b"), (1L, 1L, "a"), (1L, 0L, "z"),
+          (2L, 1L, "x"), (2L, 3L, "y"))
+          .toDF("key", "version", "payload"),
+        Seq("key"), Seq("version", "payload"))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> Upsert(r._1, r._2, r._3)).toMap
+    assert(streamed == batch)
+  }
 }

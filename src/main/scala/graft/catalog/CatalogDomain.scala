@@ -1828,10 +1828,96 @@ object CatalogDomain {
            |  AND (r.valid_to IS NULL OR e.tsm < r.valid_to)
            |ORDER BY e.user_id, e.event_id""".stripMargin))
 
+  /** Market-basket lift (X15, [[graft.reco.MarketBasket]]): support-
+    * pruned co-purchase pairs over order baskets with confidence and
+    * lift. The oracle is the declarative basket self-join with the
+    * frequency table joined back — algorithm-independent of the
+    * operator's broadcast-pruned, support-riding-the-groupBy plan. */
+  private val q124 = Q("q124_basket_lift",
+    (s, dir) => {
+      import s.implicits._
+      graft.reco.MarketBasket.liftPairs(
+          t(s, dir, "lineitem"), basket = "l_orderkey", item = "l_partkey",
+          minSupport = 25L, minPairCount = 3L)
+        .orderBy($"item_a", $"item_b")
+    },
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+           |           FROM lineitem),
+           |n AS (SELECT count(DISTINCT bk) AS nb FROM b),
+           |f AS (SELECT it, count(*) AS sup FROM b
+           |      GROUP BY 1 HAVING count(*) >= 25),
+           |p AS (SELECT a.it AS item_a, c.it AS item_b,
+           |        count(*)::BIGINT AS pair_count
+           |      FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+           |      JOIN f fa ON fa.it = a.it JOIN f fb ON fb.it = c.it
+           |      GROUP BY 1, 2 HAVING count(*) >= 3)
+           |SELECT p.item_a, p.item_b, p.pair_count,
+           |  round(p.pair_count * 1.0 / fa.sup, 4) AS confidence,
+           |  round(p.pair_count * 1.0 * n.nb / (fa.sup * fb.sup), 4) AS lift
+           |FROM p JOIN f fa ON fa.it = p.item_a
+           |JOIN f fb ON fb.it = p.item_b, n
+           |ORDER BY item_a, item_b""".stripMargin))
+
+  /** Last-touch attribution (X16, [[graft.events.Attribution]]):
+    * conversions credited to the latest qualifying touch within a
+    * 3-day lookback via the tolerance-bounded backward as-of join —
+    * the first oracle-checked exercise of the as-of tolerance path.
+    * The oracle restates it as the declarative top-1-per-conversion
+    * join (row_number over touch recency), in microseconds to match
+    * the tolerance arithmetic exactly. */
+  private val q125 = Q("q125_attribution",
+    (s, dir) => {
+      graft.events.Attribution.lastTouch(
+        t(s, dir, "events"), user = "user_id", ts = "ts",
+        eventType = "event_type", id = "event_id",
+        conversionType = "purchase",
+        touchTypes = Seq("click", "signup", "view"),
+        lookbackSec = 259200L)
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+           |           FROM events WHERE event_type = 'purchase'),
+           |t AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+           |        event_type
+           |      FROM events WHERE event_type IN ('click','signup','view')),
+           |j AS (SELECT p.event_id, t.event_type AS touch,
+           |        row_number() OVER (PARTITION BY p.event_id
+           |          ORDER BY t.tsu DESC, t.event_id DESC) AS rn
+           |      FROM p LEFT JOIN t ON t.user_id = p.user_id
+           |        AND t.tsu <= p.tsu AND t.tsu >= p.tsu - 259200000000)
+           |SELECT coalesce(touch, 'unattributed') AS touch,
+           |  count(*)::BIGINT AS conversions
+           |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Trapezoidal time-weighted average (X17,
+    * [[graft.events.TimeWeighted]]): per-user mean of the piecewise-
+    * linear interpolant of `value` over event time — the burst-robust
+    * summary an arithmetic mean gets wrong on irregular samples.
+    * Epoch-ms axis on both sides pins the arithmetic engine-free. */
+  private val q126 = Q("q126_time_weighted_avg",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.TimeWeighted.trapezoidalMean(
+        t(s, dir, "events")
+          .select($"user_id", unix_millis($"ts").as("tsm"), $"value",
+            $"event_id"),
+        key = "user_id", ts = "tsm", value = "value",
+        tieBreak = "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm, value,
+           |    lead(epoch_ms(ts)) OVER w AS nt, lead(value) OVER w AS nv
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+           |SELECT user_id,
+           |  round(sum((value + nv) * 0.5 * (nt - tsm))
+           |    / (max(tsm) - min(tsm)), 4) AS twa,
+           |  count(*)::BIGINT AS n_samples
+           |FROM e GROUP BY user_id
+           |HAVING max(tsm) > min(tsm) ORDER BY user_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q123)
+    q119, q120, q123, q124, q125, q126)
 }

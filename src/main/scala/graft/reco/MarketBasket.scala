@@ -1,0 +1,72 @@
+package graft.reco
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Market-basket co-occurrence (bipartite projection) with confidence
+  * and lift — the association-rule primitive behind co-purchase
+  * recommendations and "items bought together" analytics.
+  *
+  * The naive projection (self-join baskets on the basket key) is
+  * quadratic in basket size and explodes on popular items, so the
+  * operator prunes BEFORE pairing, in support order:
+  *
+  *  1. distinct (basket, item) — repeat purchases within one basket
+  *     collapse, so a basket contributes each pair at most once;
+  *  2. item-support filter (count of distinct baskets ≥ `minSupport`)
+  *     applied via a broadcast semi-side — the frequent-item dimension
+  *     is bounded above by |facts| / minSupport rows, which is what
+  *     makes the broadcast safe at any corpus size;
+  *  3. the per-basket self-join then pairs only frequent items, and the
+  *     pair aggregate drops pairs under `minPairCount`.
+  *
+  * Per-basket pairing cost is quadratic in the basket's FREQUENT-item
+  * count only; a hot basket (one order with thousands of distinct
+  * frequent items) is the residual skew risk and should be length-capped
+  * upstream, exactly like a hot document in shingle dedup.
+  *
+  * Plan: one shuffle to distinct the incidence, one broadcast join, one
+  * shuffle on the basket key for the pairing, one pair aggregate with
+  * map-side partials. The support counts ride the pair groupBy as
+  * grouping keys (they are functionally dependent on the item), so no
+  * re-join with the frequency table is needed.
+  *
+  * lift = P(a,b) / (P(a)·P(b)) computed in DOUBLE from the start — at
+  * 100 TB, pair_count × n_baskets overflows BIGINT.
+  */
+object MarketBasket {
+
+  /** Frequent co-occurring item pairs with support, confidence and
+    * lift. Output: (item_a, item_b, pair_count BIGINT,
+    * confidence = P(b|a) rounded 4dp, lift rounded 4dp), item_a < item_b.
+    */
+  def liftPairs(df: DataFrame, basket: String, item: String,
+                minSupport: Long, minPairCount: Long): DataFrame = {
+    // incidence feeds three consumers (basket count, item support, the
+    // two self-join sides) — persist so the distinct shuffle runs once.
+    val b = df.select(col(basket).as("__bk"), col(item).as("__it"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = b.agg(countDistinct(col("__bk")).as("__nb"))
+    val freq = b.groupBy(col("__it")).agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= minSupport)
+    val pruned = b.join(broadcast(freq), Seq("__it"))
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
+      .groupBy(col("a.__it").as("item_a"), col("b.__it").as("item_b"),
+        col("a.__sup").as("__sup_a"), col("b.__sup").as("__sup_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minPairCount)
+    val out = pairs.crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("pair_count"),
+        round(col("pair_count").cast("double") / col("__sup_a"), 4)
+          .as("confidence"),
+        round(col("pair_count").cast("double") * col("__nb") /
+          (col("__sup_a").cast("double") * col("__sup_b")), 4).as("lift"))
+    val r = out.localCheckpoint()
+    b.unpersist(false)
+    r
+  }
+}

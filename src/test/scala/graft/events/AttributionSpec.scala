@@ -1,0 +1,47 @@
+package graft.events
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+class AttributionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("lastTouch credits the latest in-horizon touch, else unattributed") {
+    val ev = Seq(
+      // user 1: click then view then purchase → view (latest) wins
+      (1L, 1L, ts("2024-01-05 10:00:00"), "click"),
+      (2L, 1L, ts("2024-01-05 11:00:00"), "view"),
+      (3L, 1L, ts("2024-01-05 12:00:00"), "purchase"),
+      // user 2: only touch is OUTSIDE the 1-day lookback → unattributed
+      (4L, 2L, ts("2024-01-01 09:00:00"), "click"),
+      (5L, 2L, ts("2024-01-05 09:00:00"), "purchase"),
+      // user 3: no touches at all → unattributed
+      (6L, 3L, ts("2024-01-05 08:00:00"), "purchase"),
+      // user 4: touch at EXACTLY the lookback bound (inclusive) counts
+      (7L, 4L, ts("2024-01-04 07:00:00"), "click"),
+      (8L, 4L, ts("2024-01-05 07:00:00"), "purchase"),
+      // non-touch, non-conversion types are ignored
+      (9L, 1L, ts("2024-01-05 11:30:00"), "error"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Attribution.lastTouch(ev, "user_id", "ts", "event_type",
+        "event_id", "purchase", Seq("click", "view"),
+        lookbackSec = 86400L)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("click", 1L), ("unattributed", 2L), ("view", 1L)))
+  }
+
+  test("simultaneous touches resolve by the id tie-break") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-05 10:00:00"), "click"),
+      (2L, 1L, ts("2024-01-05 10:00:00"), "view"), // same instant, higher id
+      (3L, 1L, ts("2024-01-05 12:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Attribution.lastTouch(ev, "user_id", "ts", "event_type",
+        "event_id", "purchase", Seq("click", "view"), 86400L)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view", 1L)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.reco
+
+import graft.SparkSuite
+
+class MarketBasketSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("liftPairs matches brute force on a small basket set") {
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,b} 4:{b,c} 5:{a} 6:{a,a,b} (dup row)
+    val rows = Seq(
+      (1, "a"), (1, "b"), (1, "c"),
+      (2, "a"), (2, "b"),
+      (3, "a"), (3, "b"),
+      (4, "b"), (4, "c"),
+      (5, "a"),
+      (6, "a"), (6, "a"), (6, "b"))
+    val df = rows.toDF("bk", "it")
+    val got = MarketBasket.liftPairs(df, "bk", "it",
+        minSupport = 2L, minPairCount = 2L)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // supports: a=5, b=5, c=2; nBaskets=6
+    // pairs: (a,b)=4, (a,c)=1 (dropped by minPairCount), (b,c)=2
+    // confidence(a→b) = 4/5 = 0.8, lift = 4·6/(5·5) = 0.96
+    // confidence(b→c) = 2/5 = 0.4, lift = 2·6/(5·2) = 1.2
+    val expected = Seq(
+      ("a", "b", 4L, 0.8, 0.96),
+      ("b", "c", 2L, 0.4, 1.2))
+    assert(got == expected)
+  }
+
+  test("minSupport prunes items before pairing") {
+    // c appears in only 1 basket; with minSupport=2 no c-pair survives
+    // even though (a,c) co-occurs once
+    val df = Seq((1, "a"), (1, "c"), (2, "a"), (2, "b"), (3, "a"), (3, "b"))
+      .toDF("bk", "it")
+    val got = MarketBasket.liftPairs(df, "bk", "it",
+        minSupport = 2L, minPairCount = 1L)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 2L, 0.6667, 1.0)))
+  }
+}

@@ -1914,10 +1914,45 @@ object CatalogDomain {
            |FROM e GROUP BY user_id
            |HAVING max(tsm) > min(tsm) ORDER BY user_id""".stripMargin))
 
+  /** Local clustering coefficient (X18,
+    * [[graft.graph.Triangles.clusteringCoefficient]]) on the q104
+    * part–supplier projection — promotes the per-vertex triangle path
+    * to oracle coverage. The oracle counts each vertex's triangles by
+    * unpivoting the NAIVE ordered-triple join (algorithm-independent
+    * of the degree-ordered orientation) and derives degrees from the
+    * canonical edge set. */
+  private val q127 = Q("q127_clustering_coeff",
+    (s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .select(($"l_partkey" % 211).as("src"), ($"l_suppkey" % 211).as("dst"))
+      graft.graph.Triangles.clusteringCoefficient(edges)
+        .orderBy($"node")
+    },
+    Some("""WITH e AS (
+           |  SELECT DISTINCT least(l_partkey % 211, l_suppkey % 211) AS a,
+           |                  greatest(l_partkey % 211, l_suppkey % 211) AS b
+           |  FROM lineitem WHERE l_partkey % 211 != l_suppkey % 211),
+           |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |       FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           |       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |pern AS (SELECT node, count(*)::BIGINT AS tri FROM (
+           |    SELECT x AS node FROM tr UNION ALL SELECT y FROM tr
+           |    UNION ALL SELECT z FROM tr) GROUP BY 1),
+           |deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+           |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+           |  GROUP BY 1)
+           |SELECT d.node, d.degree,
+           |  coalesce(p.tri, 0)::BIGINT AS triangles,
+           |  round(coalesce(p.tri, 0) * 2.0 / (d.degree * (d.degree - 1)), 4)
+           |    AS clustering
+           |FROM deg d LEFT JOIN pern p ON p.node = d.node
+           |WHERE d.degree >= 2 ORDER BY d.node""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q123, q124, q125, q126)
+    q119, q120, q123, q124, q125, q126, q127)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Similarity
 import graft.catalog.Catalog.Q
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, Survivorship}
 import graft.events.Sessionize
 import graft.functions.gfunctions.word_shingles
 import graft.mm.Multimodal
@@ -1658,6 +1658,66 @@ object CatalogLlm {
             |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Exact phrase search (L51, [[graft.text.PhraseSearch]]): positional
+    * postings intersection, rarity-ordered. The oracle is the substring
+    * scan (`LIKE` with space padding) — a formulation that shares NO
+    * machinery with the postings join, so the compare proves the index
+    * semantics, not the implementation. */
+  private val q128 = Q("q128_phrase_search",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.PhraseSearch.containing(
+          t(s, dir, "documents"), "doc_id", "text",
+          phrase = Seq("table", "hash"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id FROM documents
+           |WHERE ' ' || text || ' ' LIKE '% table hash %'
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Golden-record survivorship (L52, [[graft.dedup.Survivorship]]):
+    * the full entity-resolution composition — sorted-neighborhood
+    * blocking → connected components → (len DESC, id ASC) election —
+    * over the dup-seeded corpus. The oracle replays the blocking
+    * declaratively (q108's form), closes clusters with a recursive
+    * reachability CTE (the q32 pattern), and elects with a window —
+    * three independent formulations of the three stages. */
+  private val q129 = Q("q129_golden_records",
+    (s, dir) => {
+      import s.implicits._
+      Survivorship.goldenRecords(corpus(s, dir), "id", "text",
+          windowSize = 3, minJaccard = 0.4, blockLen = 2)
+        .orderBy($"cluster")
+    },
+    Some(s"""WITH RECURSIVE $corpusSql,
+            |b AS (SELECT id, text,
+            |        list_distinct(regexp_extract_all(text, '\\S+')) AS toks,
+            |        lower(trim(text)) AS key,
+            |        substring(lower(trim(text)), 1, 2) AS blk FROM corpus),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key, id) AS rn FROM b),
+            |p AS (SELECT x.id AS xa, y.id AS xb, x.toks AS ta, y.toks AS tb
+            |      FROM r x JOIN r y ON x.blk = y.blk AND y.rn - x.rn BETWEEN 1 AND 3),
+            |j AS (SELECT least(xa, xb) AS id_a, greatest(xa, xb) AS id_b
+            |      FROM p
+            |      WHERE len(ta) + len(tb) - len(list_intersect(ta, tb)) > 0
+            |        AND round(len(list_intersect(ta, tb)) /
+            |          CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS DOUBLE), 4) >= 0.4),
+            |edges AS (SELECT id_a AS u, id_b AS v FROM j
+            |          UNION ALL SELECT id_b, id_a FROM j),
+            |reach AS (SELECT id, id AS rt FROM corpus
+            |          UNION
+            |          SELECT t.id, e.v FROM reach t JOIN edges e ON e.u = t.rt),
+            |comp AS (SELECT id, min(rt) AS cluster FROM reach GROUP BY id),
+            |lab AS (SELECT c.cluster, b2.id, length(b2.text) AS len
+            |        FROM comp c JOIN corpus b2 ON b2.id = c.id),
+            |rk AS (SELECT cluster, id,
+            |         row_number() OVER (PARTITION BY cluster
+            |           ORDER BY len DESC, id ASC) AS rn,
+            |         count(*) OVER (PARTITION BY cluster) AS nm
+            |       FROM lab)
+            |SELECT cluster, id AS golden_id, nm::BIGINT AS n_members
+            |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin))
+
   /** Pairwise source-vocabulary cosine
     * ([[graft.text.CorpusStats.strataSimilarityMatrix]]): term counts
     * are integers, so dot products and norms are exact in double —
@@ -1706,5 +1766,5 @@ object CatalogLlm {
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
     q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90, q91,
-    q93, q94, q96, q97, q108, q121, q122)
+    q93, q94, q96, q97, q108, q121, q122, q128, q129)
 }

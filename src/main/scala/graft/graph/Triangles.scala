@@ -63,6 +63,43 @@ object Triangles {
         .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
     }
 
+  /** Local clustering coefficient: per vertex, the fraction of its
+    * neighbor pairs that are themselves connected —
+    * 2·triangles(v) / (deg(v)·(deg(v)−1)), rounded 4dp. Vertices of
+    * degree < 2 have no defined coefficient and are dropped. Shares the
+    * oriented wedge-join core with [[perVertex]] (same O(m^{3/2})
+    * bound); degrees come from the canonical frame already persisted
+    * for orientation, so the graph is materialized exactly once.
+    * Output: (node, degree BIGINT, triangles BIGINT, clustering). */
+  def clusteringCoefficient(edges: DataFrame, src: String = "src",
+                            dst: String = "dst"): DataFrame = {
+    val canon = canonicalize(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oriented = orient(canon)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+    val tris = wedges
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
+    val per = tris.select(col("u").as("node"))
+      .unionAll(tris.select(col("v").as("node")))
+      .unionAll(tris.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val deg = canon.select(col("src").as("node"))
+      .unionAll(canon.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val out = deg.filter(col("degree") >= 2)
+      .join(per, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(coalesce(col("triangles"), lit(0L)).cast("double") * 2.0 /
+          (col("degree") * (col("degree") - lit(1L))), 4).as("clustering"))
+    val r = out.localCheckpoint()
+    oriented.unpersist(false)
+    canon.unpersist(false)
+    r
+  }
+
   /** The canonical and oriented edge frames each feed 3 plan consumers
     * (degree union ×2 + orientation join; both wedge sides + closing
     * join) — unpersisted, the source would be re-scanned and

@@ -1949,10 +1949,32 @@ object CatalogDomain {
            |FROM deg d LEFT JOIN pern p ON p.node = d.node
            |WHERE d.degree >= 2 ORDER BY d.node""".stripMargin))
 
+  /** Integer-exact equi-width histogram (X19,
+    * [[graft.util.Profile.equiWidthHistogram]]) of lineitem price in
+    * CENTS: the round-then-cast makes the axis integral, so the bin
+    * formula is bit-identical across engines — no float-boundary bin
+    * flapping, the failure mode of naive double histograms. */
+  private val q131 = Q("q131_histogram",
+    (s, dir) => {
+      import s.implicits._
+      graft.util.Profile.equiWidthHistogram(
+        t(s, dir, "lineitem")
+          .select(round($"l_extendedprice" * 100, 0).cast("long")
+            .as("cents")),
+        "cents", bins = 20)
+    },
+    Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           |             AS c FROM lineitem),
+           |s AS (SELECT min(c) AS lo, max(c) AS hi FROM v)
+           |SELECT CAST(floor((v.c - s.lo) * 20.0 / (s.hi - s.lo + 1))
+           |         AS BIGINT) AS bin,
+           |  count(*)::BIGINT AS n, min(v.c) AS lo, max(v.c) AS hi
+           |FROM v, s GROUP BY 1 ORDER BY bin""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q123, q124, q125, q126, q127)
+    q119, q120, q123, q124, q125, q126, q127, q131)
 }

@@ -1718,6 +1718,48 @@ object CatalogLlm {
             |SELECT cluster, id AS golden_id, nm::BIGINT AS n_members
             |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin))
 
+  /** Multinomial Naive Bayes (L53, [[graft.ml.NaiveBayes]]): fit on
+    * even doc_ids, score odd — Laplace-smoothed token likelihoods +
+    * class priors, argmax with lexicographic tie-break. Min top-2
+    * margin on this data is 4e-3, three orders above cross-engine ln
+    * noise, so the argmax is engine-stable. */
+  private val q130 = Q("q130_naive_bayes",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.ml.NaiveBayes.trainScore(
+          docs.filter($"doc_id" % 2 === 0),
+          docs.filter($"doc_id" % 2 === 1),
+          "doc_id", "text", "lang")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 0),
+           |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+           |cls AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1),
+           |prior AS (SELECT lang,
+           |    ln(nd * 1.0 / (SELECT sum(nd) FROM cls)) AS lp FROM cls),
+           |ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+           |         FROM tr),
+           |tc AS (SELECT lang, term, count(*) AS n FROM ttok GROUP BY 1, 2),
+           |tot AS (SELECT lang, sum(n) AS nt FROM tc GROUP BY 1),
+           |v AS (SELECT count(DISTINCT term) AS vs FROM ttok),
+           |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |         FROM te),
+           |sc AS (SELECT s.doc_id, c.lang,
+           |         sum(ln((coalesce(tc.n, 0) + 1.0) / (tot.nt + v.vs)))
+           |           + any_value(p.lp) AS score
+           |       FROM stok s CROSS JOIN cls c
+           |       LEFT JOIN tc ON tc.lang = c.lang AND tc.term = s.term
+           |       JOIN tot ON tot.lang = c.lang, v
+           |       JOIN prior p ON p.lang = c.lang
+           |       GROUP BY 1, 2),
+           |rk AS (SELECT doc_id, lang, score,
+           |         row_number() OVER (PARTITION BY doc_id
+           |           ORDER BY score DESC, lang) AS rn
+           |       FROM sc)
+           |SELECT doc_id, lang AS pred, round(score, 4) AS score
+           |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
   /** Pairwise source-vocabulary cosine
     * ([[graft.text.CorpusStats.strataSimilarityMatrix]]): term counts
     * are integers, so dot products and norms are exact in double —
@@ -1766,5 +1808,5 @@ object CatalogLlm {
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
     q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90, q91,
-    q93, q94, q96, q97, q108, q121, q122, q128, q129)
+    q93, q94, q96, q97, q108, q121, q122, q128, q129, q130)
 }

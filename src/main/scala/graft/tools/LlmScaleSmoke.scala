@@ -37,19 +37,23 @@ object LlmScaleSmoke {
   private val sources = Array("web", "books", "code", "wiki", "news",
     "social", "academic")
 
+  /** Shared with the phrase-search smoke so the probe phrase is made of
+    * REAL corpus tokens (a stopword anchor + a vocab word — linear-in-n
+    * postings with a nonzero hit rate). */
+  private lazy val vocab: Array[String] = (0 until 1000).map { i =>
+    val len = 3 + (math.abs(lcg(i.toLong * 31)) % 8).toInt
+    val sb = new java.lang.StringBuilder(len)
+    var k = 0
+    while (k < len) {
+      sb.append(('a' + (math.abs(lcg(i.toLong * 1009 + k)) % 26).toInt).toChar)
+      k += 1
+    }
+    sb.toString
+  }.toArray
+
   /** Deterministic synthetic corpus (doc_id, source, text). */
   private def synth(spark: SparkSession, nDocs: Long): DataFrame = {
     import spark.implicits._
-    val vocab: Array[String] = (0 until 1000).map { i =>
-      val len = 3 + (math.abs(lcg(i.toLong * 31)) % 8).toInt
-      val sb = new java.lang.StringBuilder(len)
-      var k = 0
-      while (k < len) {
-        sb.append(('a' + (math.abs(lcg(i.toLong * 1009 + k)) % 26).toInt).toChar)
-        k += 1
-      }
-      sb.toString
-    }.toArray
     spark.range(nDocs).as[Long].map { id =>
       // % 13 docs duplicate their neighbor's content: real dedup work
       val seed = if (id % 13 == 0 && id > 0) id - 1 else id
@@ -233,7 +237,36 @@ object LlmScaleSmoke {
               + col("event_id") % 7, lit(nUsers))).as("dst"))
           graft.graph.Centrality.pageRankDistributed(spark, nodes,
             edges, damping = 0.85, iters = 5)
-        }))
+        }),
+        // round-7 batch-C additions
+        // baskets of ~5 events each over an item universe growing with n,
+        // so per-item support stays ~constant across scales — the pair
+        // aggregate is then pair-mass-proportional (≈ linear)
+        "basket_lift" -> (() => sink(
+          graft.reco.MarketBasket.liftPairs(
+            events.select((col("event_id") % lit(math.max(1L, n / 5)))
+              .as("basket"),
+              pmod(col("event_id") * 2654435761L, lit(math.max(2L, n / 500)))
+                .as("item")),
+            "basket", "item", minSupport = 50L, minPairCount = 2L))),
+        // stopword anchor + vocab word: both postings lists are
+        // corpus-proportional, hits ~ n·20/1000 — the linear-scan-free
+        // claim is only honest if measured on linear postings
+        "phrase_search" -> (() => sink(
+          graft.text.PhraseSearch.containing(docs, "doc_id", "text",
+            Seq(stopwords(0), vocab(0))))),
+        "golden_records" -> (() => sink(
+          graft.dedup.Survivorship.goldenRecords(docs, "doc_id", "text",
+            windowSize = 3, minJaccard = 0.5, blockLen = 2))),
+        "clustering_coeff" -> (() => sink(
+          graft.graph.Triangles.clusteringCoefficient(
+            events.select((col("user_id") % 997).as("src"),
+              (pmod(col("event_id") * 2654435761L, lit(997L))).as("dst"))))),
+        "time_weighted" -> (() => sink(
+          graft.events.TimeWeighted.trapezoidalMean(
+            events.select(col("user_id"), unix_millis(col("ts")).as("tsm"),
+              col("value"), col("event_id")),
+            "user_id", "tsm", "value", "event_id"))))
       val timed = ops.map { case (name, run) =>
         run()                       // warm-up: codegen + parquet footers
         name -> (1 to 2).map(_ => time(run())).min

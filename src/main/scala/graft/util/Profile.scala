@@ -68,4 +68,33 @@ object Profile {
     }.toDF("column", "n_rows", "n_null", "n_distinct",
       "min_num", "max_num", "min_str", "max_str")
   }
+
+  /** Equi-width histogram of an INTEGRAL column, exact across engines:
+    * bin = floor((v − min)·bins / (max − min + 1)), all terms integral
+    * so the double quotient is exact for |(v − min)·bins| < 2^53 (any
+    * money-in-cents or epoch-axis column fits) — no float-boundary bin
+    * flapping. The +1 on the span puts max in the last bin without a
+    * branch. Empty bins are absent (count them dense by left-joining a
+    * range if needed).
+    *
+    * Plan: one min/max aggregate broadcast back as a 1-row crossJoin
+    * (the A14 pattern — no single-partition window), then one grouped
+    * count; two scans of the value column, both pruned to it.
+    * Output: (bin BIGINT, n BIGINT, lo, hi = observed bin bounds),
+    * ordered by bin. */
+  def equiWidthHistogram(df: DataFrame, value: String,
+                         bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val v = df.select(col(value).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val stats = v.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    v.crossJoin(broadcast(stats))
+      .select(floor((col("__v") - col("__lo")) * lit(bins.toLong) /
+        (col("__hi") - col("__lo") + lit(1L))).cast("long").as("bin"),
+        col("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+      .orderBy(col("bin"))
+  }
 }

@@ -33,4 +33,21 @@ class ProfileSpec extends SparkSuite {
     assert(r._1 == "arr" && r._2 == 2L && r._3 == 0L && r._4 == 2L)
     assert(r._5.isEmpty && r._7.isEmpty)
   }
+
+  test("equiWidthHistogram: exact integral bins, max lands in last bin") {
+    // values 0..9 in 5 bins over span 10: bin = v·5/10 → pairs
+    val df = (0L to 9L).toDF("v")
+    val got = Profile.equiWidthHistogram(df, "v", 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 0L, 1L), (1L, 2L, 2L, 3L),
+      (2L, 2L, 4L, 5L), (3L, 2L, 6L, 7L), (4L, 2L, 8L, 9L)))
+  }
+
+  test("equiWidthHistogram: skewed values leave empty bins absent") {
+    val df = Seq(0L, 1L, 100L).toDF("v")
+    val got = Profile.equiWidthHistogram(df, "v", 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // span 101, width 10.1: 0,1 → bin 0; 100 → floor(1000/101)=9
+    assert(got == Seq((0L, 2L, 0L, 1L), (9L, 1L, 100L, 100L)))
+  }
 }

@@ -1971,10 +1971,94 @@ object CatalogDomain {
            |  count(*)::BIGINT AS n, min(v.c) AS lo, max(v.c) AS hi
            |FROM v, s GROUP BY 1 ORDER BY bin""".stripMargin))
 
+  /** HITS hubs/authorities (X20, [[graft.graph.Centrality.hits]]) on
+    * the DIRECTED buyer-nation → seller-nation flow graph (threshold
+    * keeps ~276 of 600 possible arcs at sf0.01). The oracle replays the
+    * identical 10 fixed iterations over adjacency lists in a recursive
+    * CTE — the q53 pattern, but with separate in/out lists driving the
+    * mutual a ← Aᵀh / h ← A·a recursion. 6-dp rounding absorbs
+    * summation-order noise between the grouped sums and the list folds. */
+  private val q132 = Q("q132_hits",
+    (s, dir) => {
+      import s.implicits._
+      val flows = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .filter($"c_nationkey" =!= $"s_nationkey")
+        .groupBy($"c_nationkey", $"s_nationkey")
+        .agg(sum($"l_extendedprice").as("rev"))
+        .filter($"rev" > 5000000)
+        .select($"c_nationkey".cast("string").as("src"),
+          $"s_nationkey".cast("string").as("dst"))
+      val nodes = flows.select(explode(array($"src", $"dst")).as("gene"))
+        .distinct()
+      graft.graph.Centrality.hits(s, nodes, flows, iters = 10)
+        .select($"gene".cast("long").as("nationkey"),
+          round($"hub", 6).as("hub"),
+          round($"authority", 6).as("authority"))
+        .orderBy($"nationkey")
+    },
+    Some("""WITH RECURSIVE
+           |f0 AS (
+           |  SELECT c.c_nationkey AS sa, s.s_nationkey AS sb
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  WHERE c.c_nationkey <> s.s_nationkey
+           |  GROUP BY 1,2 HAVING sum(l.l_extendedprice) > 5000000),
+           |nd AS (SELECT gene, row_number() OVER (ORDER BY gene) AS i
+           |       FROM (SELECT DISTINCT unnest([sa::VARCHAR, sb::VARCHAR])
+           |             AS gene FROM f0)),
+           |nn AS (SELECT count(*)::INT AS n FROM nd),
+           |de AS (SELECT x.i AS ui, y.i AS vi
+           |       FROM f0 JOIN nd x ON f0.sa::VARCHAR = x.gene
+           |               JOIN nd y ON f0.sb::VARCHAR = y.gene),
+           |outl AS (SELECT list(nb ORDER BY i) AS adj FROM (
+           |    SELECT nd.i AS i, coalesce(o.nb, []) AS nb FROM nd LEFT JOIN
+           |      (SELECT ui AS i, list(vi ORDER BY vi) AS nb FROM de
+           |       GROUP BY ui) o USING (i))),
+           |inl AS (SELECT list(nb ORDER BY i) AS adj FROM (
+           |    SELECT nd.i AS i, coalesce(o.nb, []) AS nb FROM nd LEFT JOIN
+           |      (SELECT vi AS i, list(ui ORDER BY ui) AS nb FROM de
+           |       GROUP BY vi) o USING (i))),
+           |it AS (
+           |  SELECT 0 AS iter,
+           |         list_transform(range(1, nn.n+1), i -> 1.0::DOUBLE/nn.n) AS h,
+           |         list_transform(range(1, nn.n+1), i -> 0.0::DOUBLE) AS a
+           |  FROM nn
+           |  UNION ALL
+           |  SELECT iter+1, hn, an FROM (
+           |    SELECT it.iter, t4.an, t8.hn FROM it, outl, inl, nn,
+           |    LATERAL (SELECT list_transform(range(1, nn.n+1), i ->
+           |        list_reduce(list_prepend(0.0::DOUBLE,
+           |          list_transform(inl.adj[i], u -> it.h[u])),
+           |          (acc,v) -> acc+v)) AS araw) t1,
+           |    LATERAL (SELECT sqrt(list_reduce(list_transform(t1.araw,
+           |        v -> v*v), (acc,v) -> acc+v)) AS nrm0) t2,
+           |    LATERAL (SELECT CASE WHEN t2.nrm0 = 0.0 THEN 1.0::DOUBLE
+           |        ELSE t2.nrm0 END AS nrm) t3,
+           |    LATERAL (SELECT list_transform(t1.araw, v -> v / t3.nrm) AS an) t4,
+           |    LATERAL (SELECT list_transform(range(1, nn.n+1), i ->
+           |        list_reduce(list_prepend(0.0::DOUBLE,
+           |          list_transform(outl.adj[i], v2 -> t4.an[v2])),
+           |          (acc,v) -> acc+v)) AS hraw) t5,
+           |    LATERAL (SELECT sqrt(list_reduce(list_transform(t5.hraw,
+           |        v -> v*v), (acc,v) -> acc+v)) AS nrm20) t6,
+           |    LATERAL (SELECT CASE WHEN t6.nrm20 = 0.0 THEN 1.0::DOUBLE
+           |        ELSE t6.nrm20 END AS nrm2) t7,
+           |    LATERAL (SELECT list_transform(t5.hraw, v -> v / t7.nrm2) AS hn) t8
+           |    WHERE it.iter < 10) q),
+           |fin AS (SELECT h, a FROM it ORDER BY iter DESC LIMIT 1)
+           |SELECT CAST(nd.gene AS BIGINT) AS nationkey,
+           |  round(fin.h[nd.i], 6) AS hub,
+           |  round(fin.a[nd.i], 6) AS authority
+           |FROM nd, fin ORDER BY nationkey""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q123, q124, q125, q126, q127, q131)
+    q119, q120, q123, q124, q125, q126, q127, q131, q132)
 }

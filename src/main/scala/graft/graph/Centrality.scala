@@ -407,6 +407,65 @@ object Centrality {
     x.select(col("gene"), col("x").as("pagerank"))
   }
 
+  /** HITS hubs & authorities on a DIRECTED graph — fixed-iteration
+    * mutual recursion: a ← normalize(Aᵀh), h ← normalize(A·a), L2 per
+    * half-step. Where PageRank ranks by received mass, HITS separates
+    * "points at good pages" (hub) from "is pointed at by good hubs"
+    * (authority) — the natural decomposition for buyer→seller or
+    * citing→cited flows.
+    *
+    * Scale shape mirrors [[pageRankDistributed]]: each half-step is one
+    * edge⋈score join + one grouped sum (shuffles bounded by edges), the
+    * L2 norm is a 1-row aggregate broadcast back via crossJoin, and a
+    * localCheckpoint pins each round's bounded lineage. Vertices with
+    * no in-edges (resp. out-edges) zero-fill through the left join —
+    * dropped rows would silently renormalize over a shrinking support.
+    * Output: (gene, hub, authority), all nodes present. */
+  def hits(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+           iters: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val vertexSet = nodes.select(col("gene"))
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .join(vertexSet.withColumnRenamed("gene", "src"), Seq("src"), "left_semi")
+      .join(vertexSet.withColumnRenamed("gene", "dst"), Seq("dst"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist(false)
+      return nodes.select(col("gene"), lit(0.0).as("hub"),
+        lit(0.0).as("authority"))
+    }
+    def normalized(raw: DataFrame, value: String): DataFrame = {
+      val nrm = raw.agg(sqrt(sum(col(value) * col(value))).as("__nrm"))
+      raw.crossJoin(broadcast(nrm))
+        .select(col("gene"), (col(value) /
+          when(col("__nrm") === 0.0, lit(1.0)).otherwise(col("__nrm")))
+          .as(value))
+        .localCheckpoint()
+    }
+    var h = nodes.select(col("gene"), lit(1.0 / n).as("h")).localCheckpoint()
+    var a = nodes.select(col("gene"), lit(0.0).as("a")).localCheckpoint()
+    var iter = 0
+    while (iter < iters) {
+      a = normalized(vertexSet
+        .join(e.join(h, e("src") === h("gene"))
+          .groupBy(e("dst").as("gene")).agg(sum(col("h")).as("__s")),
+          Seq("gene"), "left")
+        .select(col("gene"), coalesce(col("__s"), lit(0.0)).as("a")), "a")
+      h = normalized(vertexSet
+        .join(e.join(a, e("dst") === a("gene"))
+          .groupBy(e("src").as("gene")).agg(sum(col("a")).as("__s")),
+          Seq("gene"), "left")
+        .select(col("gene"), coalesce(col("__s"), lit(0.0)).as("h")), "h")
+      iter += 1
+    }
+    val out = h.join(a, Seq("gene"))
+      .select(col("gene"), col("h").as("hub"), col("a").as("authority"))
+    e.unpersist(false)
+    out
+  }
+
   /** A14 + A15: min-max normalize the three centralities (sklearn
     * MinMaxScaler: zero range -> 0) and average them into the composite
     * score (`pipeline2.py:758-769`), sorted descending with gene as the

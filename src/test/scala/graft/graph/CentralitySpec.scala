@@ -161,4 +161,39 @@ class CentralitySpec extends SparkSuite {
     assert(approx(out("g2"), (0.5 + 0.0 + 1.0) / 3))
     assert(approx(out("g3"), (1.0 + 0.0 + 0.5) / 3))
   }
+
+  test("hits matches a driver-side reference on a directed graph") {
+    import spark.implicits._
+    // a,b both point at c; c points at d; e isolated
+    val edgeSeq = Seq(("a", "c"), ("b", "c"), ("c", "d"))
+    val nodeSeq = Seq("a", "b", "c", "d", "e")
+    val edges = edgeSeq.toDF("src", "dst")
+    val nodes = nodeSeq.toDF("gene")
+    val iters = 10
+    // reference: same fixed iteration, dense arrays
+    val idx = nodeSeq.zipWithIndex.toMap
+    var h = Array.fill(nodeSeq.size)(1.0 / nodeSeq.size)
+    var a = Array.fill(nodeSeq.size)(0.0)
+    def norm(x: Array[Double]): Array[Double] = {
+      val n = math.sqrt(x.map(v => v * v).sum)
+      if (n == 0.0) x else x.map(_ / n)
+    }
+    (1 to iters).foreach { _ =>
+      val ar = Array.fill(nodeSeq.size)(0.0)
+      edgeSeq.foreach { case (u, v) => ar(idx(v)) += h(idx(u)) }
+      a = norm(ar)
+      val hr = Array.fill(nodeSeq.size)(0.0)
+      edgeSeq.foreach { case (u, v) => hr(idx(u)) += a(idx(v)) }
+      h = norm(hr)
+    }
+    val got = Centrality.hits(spark, nodes, edges, iters)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    nodeSeq.foreach { g =>
+      assert(approx(got(g)._1, h(idx(g))), s"hub $g")
+      assert(approx(got(g)._2, a(idx(g))), s"authority $g")
+    }
+    // structure: c is the sole authority sink of two hubs; e is nothing
+    assert(got("c")._2 > got("d")._2 && got("e") == (0.0, 0.0))
+  }
 }

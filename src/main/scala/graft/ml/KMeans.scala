@@ -1,0 +1,79 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Lloyd's k-means over an embedding column — the clustering step under
+  * corpus curation (topic balancing, SemDeDup cell structure, IVF list
+  * training). Deterministic by construction so two engines (or two
+  * runs) agree bit-for-bit:
+  *
+  *  - init: the k lowest-id vectors, cell = id rank (no RNG);
+  *  - assignment: argmin of the 9-dp-ROUNDED L2 distance, ties to the
+  *    lowest cell — the rounding absorbs cross-engine fused-multiply
+  *    noise so a boundary vector cannot flip cells;
+  *  - update: per-dimension mean ROUNDED to 6 dp — the means are where
+  *    summation order leaks between engines, and re-rounding each round
+  *    stops drift from compounding across iterations;
+  *  - empty clusters keep their previous centroid.
+  *
+  * Scale shape: each iteration is one broadcast crossJoin of the k×dim
+  * centroid table against the vectors (map-side argmin, no shuffle) +
+  * one dim-column aggregate (map-side partials) — the classic
+  * mini-batch-free distributed Lloyd's. The distance fold runs inside
+  * codegen'd array intrinsics (zip_with/aggregate), not a UDF.
+  */
+object KMeans {
+
+  /** Run `iters` (assign, update) rounds from the deterministic seed,
+    * then report the final assignment: (cell BIGINT, n_members BIGINT,
+    * inertia = Σd² rounded 2dp), ordered by cell. */
+  def lloydStats(vecs: DataFrame, id: String, vec: String,
+                 k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val v = vecs.select(col(id).as("__vid"),
+        col(vec).cast("array<double>").as("__e"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = v.select(size(col("__e")).as("d")).head().getInt(0)
+
+    def dist(e: Column, ce: Column): Column =
+      round(sqrt(aggregate(
+        zip_with(e, ce, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)), 9)
+
+    def assign(cent: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cent))
+        .withColumn("__d", dist(col("__e"), col("__ce")))
+        .groupBy(col("__vid"))
+        .agg(min(struct(col("__d"), col("__cell"), col("__e"))).as("__m"))
+        .select(col("__vid"), col("__m.__d").as("__d"),
+          col("__m.__cell").as("__cell"), col("__m.__e").as("__e"))
+
+    var cent = v.orderBy(col("__vid")).limit(k)
+      .withColumn("__cell",
+        (row_number().over(Window.orderBy(col("__vid"))) - 1).cast("long"))
+      .select(col("__cell"), col("__e").as("__ce"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iters) {
+      val means = assign(cent).groupBy(col("__cell"))
+        .agg((0 until dim).map(j =>
+          round(avg(element_at(col("__e"), j + 1)), 6).as(s"__c$j")): _*)
+        .select(col("__cell"),
+          array((0 until dim).map(j => col(s"__c$j")): _*).as("__new"))
+      cent = cent.join(means, Seq("__cell"), "left")
+        .select(col("__cell"), coalesce(col("__new"), col("__ce")).as("__ce"))
+        .localCheckpoint()
+      iter += 1
+    }
+    val out = assign(cent).groupBy(col("__cell").as("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("__d") * col("__d")), 2).as("inertia"))
+      .orderBy(col("cell"))
+    val r = out.localCheckpoint()
+    v.unpersist(false)
+    r
+  }
+}

@@ -1760,6 +1760,51 @@ object CatalogLlm {
            |SELECT doc_id, lang AS pred, round(score, 4) AS score
            |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic Lloyd's k-means (L54, [[graft.ml.KMeans]]) on the
+    * embeddings table: k=8, 3 (assign, update) rounds from the
+    * lowest-id seed, then final-assignment stats. The oracle UNROLLS
+    * the three iterations as chained CTEs (assign via windowed argmin
+    * over `list_distance`, update via subscript-unnested per-dimension
+    * means) — aggregation is illegal inside a recursive CTE, so the
+    * unroll is also the only honest SQL statement of the algorithm.
+    * Cross-engine determinism comes from the module's 9-dp distance /
+    * 6-dp centroid rounding contract. */
+  private val q133 = Q("q133_kmeans",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.KMeans.lloydStats(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3)
+    },
+    Some {
+      def assign(cin: String, aout: String) =
+        s"""$aout AS (SELECT vec_id, cell, d FROM (
+           |    SELECT v.vec_id, c.cell, round(list_distance(v.e, c.e), 9) AS d,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY round(list_distance(v.e, c.e), 9), c.cell) AS rn
+           |    FROM v CROSS JOIN $cin c) WHERE rn = 1)""".stripMargin
+      def update(ain: String, cprev: String, cout: String) =
+        s"""m_$cout AS (SELECT cell, j, round(avg(x), 6) AS x FROM (
+           |    SELECT a.cell, generate_subscripts(v.e, 1) AS j, unnest(v.e) AS x
+           |    FROM $ain a JOIN v USING (vec_id)) GROUP BY 1, 2),
+           |n_$cout AS (SELECT cell, list(x ORDER BY j) AS e FROM m_$cout
+           |            GROUP BY cell),
+           |$cout AS (SELECT p.cell, coalesce(n.e, p.e) AS e
+           |          FROM $cprev p LEFT JOIN n_$cout n USING (cell))""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+         |       FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+         |${assign("c0", "a1")},
+         |${update("a1", "c0", "c1")},
+         |${assign("c1", "a2")},
+         |${update("a2", "c1", "c2")},
+         |${assign("c2", "a3")},
+         |${update("a3", "c2", "c3")},
+         |${assign("c3", "af")}
+         |SELECT cell, count(*)::BIGINT AS n_members,
+         |  round(sum(d * d), 2) AS inertia
+         |FROM af GROUP BY cell ORDER BY cell""".stripMargin
+    })
+
   /** Pairwise source-vocabulary cosine
     * ([[graft.text.CorpusStats.strataSimilarityMatrix]]): term counts
     * are integers, so dot products and norms are exact in double —
@@ -1808,5 +1853,5 @@ object CatalogLlm {
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
     q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90, q91,
-    q93, q94, q96, q97, q108, q121, q122, q128, q129, q130)
+    q93, q94, q96, q97, q108, q121, q122, q128, q129, q130, q133)
 }

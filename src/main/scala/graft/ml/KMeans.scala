@@ -58,9 +58,10 @@ object KMeans {
       .localCheckpoint()
     var iter = 0
     while (iter < iters) {
+      val meanCols = (0 until dim).map(j =>
+        round(avg(element_at(col("__e"), j + 1)), 6).as(s"__c$j"))
       val means = assign(cent).groupBy(col("__cell"))
-        .agg((0 until dim).map(j =>
-          round(avg(element_at(col("__e"), j + 1)), 6).as(s"__c$j")): _*)
+        .agg(meanCols.head, meanCols.tail: _*)
         .select(col("__cell"),
           array((0 until dim).map(j => col(s"__c$j")): _*).as("__new"))
       cent = cent.join(means, Seq("__cell"), "left")

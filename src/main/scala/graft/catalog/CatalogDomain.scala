@@ -1828,7 +1828,7 @@ object CatalogDomain {
            |  AND (r.valid_to IS NULL OR e.tsm < r.valid_to)
            |ORDER BY e.user_id, e.event_id""".stripMargin))
 
-  /** Market-basket lift (X15, [[graft.reco.MarketBasket]]): support-
+  /** Market-basket lift (X34, [[graft.reco.MarketBasket]]): support-
     * pruned co-purchase pairs over order baskets with confidence and
     * lift. The oracle is the declarative basket self-join with the
     * frequency table joined back — algorithm-independent of the
@@ -1858,7 +1858,7 @@ object CatalogDomain {
            |JOIN f fb ON fb.it = p.item_b, n
            |ORDER BY item_a, item_b""".stripMargin))
 
-  /** Last-touch attribution (X16, [[graft.events.Attribution]]):
+  /** Last-touch attribution (X35, [[graft.events.Attribution]]):
     * conversions credited to the latest qualifying touch within a
     * 3-day lookback via the tolerance-bounded backward as-of join —
     * the first oracle-checked exercise of the as-of tolerance path.
@@ -1888,7 +1888,7 @@ object CatalogDomain {
            |  count(*)::BIGINT AS conversions
            |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Trapezoidal time-weighted average (X17,
+  /** Trapezoidal time-weighted average (X36,
     * [[graft.events.TimeWeighted]]): per-user mean of the piecewise-
     * linear interpolant of `value` over event time — the burst-robust
     * summary an arithmetic mean gets wrong on irregular samples.
@@ -1914,7 +1914,7 @@ object CatalogDomain {
            |FROM e GROUP BY user_id
            |HAVING max(tsm) > min(tsm) ORDER BY user_id""".stripMargin))
 
-  /** Local clustering coefficient (X18,
+  /** Local clustering coefficient (X37,
     * [[graft.graph.Triangles.clusteringCoefficient]]) on the q104
     * part–supplier projection — promotes the per-vertex triangle path
     * to oracle coverage. The oracle counts each vertex's triangles by
@@ -1949,7 +1949,7 @@ object CatalogDomain {
            |FROM deg d LEFT JOIN pern p ON p.node = d.node
            |WHERE d.degree >= 2 ORDER BY d.node""".stripMargin))
 
-  /** Integer-exact equi-width histogram (X19,
+  /** Integer-exact equi-width histogram (X38,
     * [[graft.util.Profile.equiWidthHistogram]]) of lineitem price in
     * CENTS: the round-then-cast makes the axis integral, so the bin
     * formula is bit-identical across engines — no float-boundary bin
@@ -1971,7 +1971,7 @@ object CatalogDomain {
            |  count(*)::BIGINT AS n, min(v.c) AS lo, max(v.c) AS hi
            |FROM v, s GROUP BY 1 ORDER BY bin""".stripMargin))
 
-  /** HITS hubs/authorities (X20, [[graft.graph.Centrality.hits]]) on
+  /** HITS hubs/authorities (X39, [[graft.graph.Centrality.hits]]) on
     * the DIRECTED buyer-nation → seller-nation flow graph (threshold
     * keeps ~276 of 600 possible arcs at sf0.01). The oracle replays the
     * identical 10 fixed iterations over adjacency lists in a recursive

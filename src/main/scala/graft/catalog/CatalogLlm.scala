@@ -1658,7 +1658,7 @@ object CatalogLlm {
             |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
-  /** Exact phrase search (L51, [[graft.text.PhraseSearch]]): positional
+  /** Exact phrase search (L56, [[graft.text.PhraseSearch]]): positional
     * postings intersection, rarity-ordered. The oracle is the substring
     * scan (`LIKE` with space padding) — a formulation that shares NO
     * machinery with the postings join, so the compare proves the index
@@ -1675,7 +1675,7 @@ object CatalogLlm {
            |WHERE ' ' || text || ' ' LIKE '% table hash %'
            |ORDER BY doc_id""".stripMargin))
 
-  /** Golden-record survivorship (L52, [[graft.dedup.Survivorship]]):
+  /** Golden-record survivorship (L57, [[graft.dedup.Survivorship]]):
     * the full entity-resolution composition — sorted-neighborhood
     * blocking → connected components → (len DESC, id ASC) election —
     * over the dup-seeded corpus. The oracle replays the blocking
@@ -1718,7 +1718,7 @@ object CatalogLlm {
             |SELECT cluster, id AS golden_id, nm::BIGINT AS n_members
             |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin))
 
-  /** Multinomial Naive Bayes (L53, [[graft.ml.NaiveBayes]]): fit on
+  /** Multinomial Naive Bayes (L58, [[graft.ml.NaiveBayes]]): fit on
     * even doc_ids, score odd — Laplace-smoothed token likelihoods +
     * class priors, argmax with lexicographic tie-break. Min top-2
     * margin on this data is 4e-3, three orders above cross-engine ln
@@ -1760,7 +1760,7 @@ object CatalogLlm {
            |SELECT doc_id, lang AS pred, round(score, 4) AS score
            |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
-  /** Deterministic Lloyd's k-means (L54, [[graft.ml.KMeans]]) on the
+  /** Deterministic Lloyd's k-means (L59, [[graft.ml.KMeans]]) on the
     * embeddings table: k=8, 3 (assign, update) rounds from the
     * lowest-id seed, then final-assignment stats. The oracle UNROLLS
     * the three iterations as chained CTEs (assign via windowed argmin

@@ -186,14 +186,20 @@ class CentralitySpec extends SparkSuite {
       edgeSeq.foreach { case (u, v) => hr(idx(u)) += a(idx(v)) }
       h = norm(hr)
     }
-    val got = Centrality.hits(spark, nodes, edges, iters)
-      .as[(String, Double, Double)].collect()
-      .map(r => r._1 -> (r._2, r._3)).toMap
-    nodeSeq.foreach { g =>
-      assert(approx(got(g)._1, h(idx(g))), s"hub $g")
-      assert(approx(got(g)._2, a(idx(g))), s"authority $g")
+    // both dispatch paths must agree with the reference (and so with
+    // each other, within summation-order noise)
+    Seq(
+      Centrality.hits(spark, nodes, edges, iters),
+      Centrality.hitsDistributed(spark, nodes, edges, iters)
+    ).foreach { df =>
+      val got = df.as[(String, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      nodeSeq.foreach { g =>
+        assert(approx(got(g)._1, h(idx(g))), s"hub $g")
+        assert(approx(got(g)._2, a(idx(g))), s"authority $g")
+      }
+      // structure: c is the sole authority sink of two hubs; e is nothing
+      assert(got("c")._2 > got("d")._2 && got("e") == (0.0, 0.0))
     }
-    // structure: c is the sole authority sink of two hubs; e is nothing
-    assert(got("c")._2 > got("d")._2 && got("e") == (0.0, 0.0))
   }
 }

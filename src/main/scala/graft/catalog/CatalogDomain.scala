@@ -2055,10 +2055,67 @@ object CatalogDomain {
            |  round(fin.a[nd.i], 6) AS authority
            |FROM nd, fin ORDER BY nationkey""".stripMargin))
 
+  /** Seasonal hour-of-day anomalies (X41,
+    * [[graft.events.Anomaly.seasonalRateAnomalies]]): each bucket
+    * z-scored against its hour-of-day profile across days — the
+    * diurnal-aware companion to q99's trailing baseline. */
+  private val q134 = Q("q134_seasonal_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.Anomaly.seasonalRateAnomalies(t(s, dir, "events"),
+          "event_type", "ts")
+        .orderBy($"event_type", $"bucket_ts")
+    },
+    Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           |    count(*) AS n FROM events GROUP BY 1, 2),
+           |h2 AS (SELECT *, CAST(extract(hour FROM bucket_ts) AS BIGINT) AS hod
+           |       FROM hourly),
+           |w AS (SELECT event_type, bucket_ts, n, hod,
+           |        round(avg(n) OVER win, 4) AS base_mean,
+           |        round(stddev_samp(n) OVER win, 4) AS base_sd
+           |      FROM h2
+           |      WINDOW win AS (PARTITION BY event_type, hod)),
+           |z AS (SELECT *, CASE WHEN base_sd IS NOT NULL AND base_sd > 0
+           |        THEN round((n - base_mean) / base_sd, 4) END AS z
+           |      FROM w)
+           |SELECT event_type, bucket_ts, n, hod, base_mean, base_sd, z,
+           |  coalesce(abs(z) > 3.0, false) AS is_anomaly
+           |FROM z ORDER BY event_type, bucket_ts""".stripMargin))
+
+  /** Date/time scalar battery (§2.8 widening): per-day event rollup
+    * carrying weekday, month boundary, week truncation, offsets and an
+    * epoch-day index — every scalar cast BIGINT/DATE so the
+    * type-strict compare pins width as well as value. Weekday is
+    * stated Monday=0 on both sides (Spark `weekday`; DuckDB isodow−1 —
+    * the two engines' default numberings disagree, the alignment IS
+    * the point of the entry). */
+  private val q135 = Q("q135_datetime_scalars",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select($"day", $"n",
+          weekday($"day").cast("long").as("dow_monday0"),
+          last_day($"day").as("month_end"),
+          date_trunc("week", $"day").cast("date").as("week_start"),
+          date_add($"day", 7).as("next_week"),
+          datediff($"day", to_date(lit("2024-01-01"))).cast("long")
+            .as("day_index"))
+        .orderBy($"day")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n,
+           |  CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow_monday0,
+           |  last_day(CAST(ts AS DATE)) AS month_end,
+           |  CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+           |  CAST(ts AS DATE) + 7 AS next_week,
+           |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_index
+           |FROM events GROUP BY 1, 3, 4, 5, 6, 7 ORDER BY day""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q123, q124, q125, q126, q127, q131, q132)
+    q119, q120, q123, q124, q125, q126, q127, q131, q132, q134, q135)
 }

@@ -47,4 +47,34 @@ object Anomaly {
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > cut, lit(false)))
   }
+
+  /** SEASONAL twin of [[hourlyRateAnomalies]]: each (type, hour) bucket
+    * is z-scored against the profile of the SAME HOUR-OF-DAY across all
+    * days — "is 3 AM today weird for 3 AM", where the trailing variant
+    * asks "is this hour weird vs the last day". Diurnal load patterns
+    * make the trailing baseline flag every morning ramp; the seasonal
+    * profile is the fix every on-call alert grows eventually.
+    *
+    * Same scale shape: one (type, hour) count aggregate, then one
+    * window over bucket-cardinality rows partitioned by (type,
+    * hour-of-day). The profile is self-inclusive (the bucket
+    * participates in its own baseline — with d days of history the
+    * self-term biases z by ~1/d; exclude-self needs d ≥ 2 anyway).
+    * Baselines with <2 observations or zero spread flag false, null z. */
+  def seasonalRateAnomalies(events: DataFrame, typeCol: String,
+                            tsCol: String, cut: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", hour(col("bucket_ts")).cast("long"))
+    val w = Window.partitionBy(col(typeCol), col("hod"))
+    val z = round((col("n") - col("base_mean")) / col("base_sd"), 4)
+    hourly
+      .withColumn("base_mean", round(avg(col("n")).over(w), 4))
+      .withColumn("base_sd", round(stddev_samp(col("n")).over(w), 4))
+      .withColumn("z",
+        when(col("base_sd").isNotNull && col("base_sd") > 0, z))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > cut, lit(false)))
+  }
 }

@@ -266,7 +266,33 @@ object LlmScaleSmoke {
           graft.events.TimeWeighted.trapezoidalMean(
             events.select(col("user_id"), unix_millis(col("ts")).as("tsm"),
               col("value"), col("event_id")),
-            "user_id", "tsm", "value", "event_id"))))
+            "user_id", "tsm", "value", "event_id"))),
+        // train/score split by parity: both halves scale with n, so the
+        // model aggregates AND the broadcast-replicated scoring pass are
+        // token-stream-proportional
+        "naive_bayes" -> (() => sink(
+          graft.ml.NaiveBayes.trainScore(
+            docs.filter(col("doc_id") % 2 === 0)
+              .withColumn("label", col("source")),
+            docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", "label"))),
+        // vector count scales with n at constant k·dim, so each round's
+        // broadcast-argmin crossJoin and mean aggregate are linear
+        "kmeans" -> (() => sink(
+          graft.ml.KMeans.lloydStats(vecs, "vec_id", "embedding",
+            k = 16, iters = 2))),
+        // fixed 997 vertices, edge count scaling with n: measures the
+        // DataFrame-loop path whose per-iteration shuffles are
+        // edge-proportional (the shape a 100-TB graph takes)
+        "hits_distributed" -> (() => sink(
+          graft.graph.Centrality.hitsDistributed(spark,
+            events.select(concat(lit("u"), col("user_id") % 997)
+              .as("gene")).distinct(),
+            events.select(
+              concat(lit("u"), col("user_id") % 997).as("src"),
+              concat(lit("u"), pmod(col("event_id") * 2654435761L, lit(997L)))
+                .as("dst")),
+            iters = 5))))
       val timed = ops.map { case (name, run) =>
         run()                       // warm-up: codegen + parquet footers
         name -> (1 to 2).map(_ => time(run())).min

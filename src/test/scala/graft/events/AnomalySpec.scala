@@ -33,4 +33,45 @@ class AnomalySpec extends SparkSuite {
     // the spike - still not anomalous (documented trailing semantics)
     assert(!got(28)._3)
   }
+
+  test("seasonalRateAnomalies: same-hour profile flags the off-profile day") {
+    import java.sql.Timestamp
+    // hour 03:00 across 15 days: 10 events each; day 16 carries 100.
+    // Self-inclusive z is bounded by ~sqrt(buckets), so 16 days are
+    // needed before a single spike can clear the 3.0 cut (z = 3.75
+    // here) — the bound itself is the documented self-inclusion trade.
+    // A different hour (12:00) is steady and never flags.
+    val rows = (1 to 16).flatMap { d =>
+      val n3 = if (d == 16) 100 else 10
+      (0 until n3).map(i =>
+        ("e", Timestamp.valueOf(f"2024-01-$d%02d 03:${i % 60}%02d:00"))) ++
+        (0 until 10).map(i =>
+          ("e", Timestamp.valueOf(f"2024-01-$d%02d 12:${i % 60}%02d:00")))
+    }
+    val got = Anomaly.seasonalRateAnomalies(rows.toDF("event_type", "ts"),
+        "event_type", "ts")
+      .select("bucket_ts", "hod", "n", "is_anomaly")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val flagged = got.filter(_._4)
+    assert(flagged.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq(("2024-01-16 03:00:00.0", 3L, 100L)))
+    assert(got.count(_._2 == 12L) == 16 && got.filter(_._2 == 12L).forall(!_._4))
+  }
+
+  test("seasonalRateAnomalies: zero-spread and single-bucket hours flag false") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      // hod 5 appears on one day only -> stddev null -> false, null z
+      ("e", Timestamp.valueOf("2024-01-01 05:00:00")),
+      // hod 6 twice with identical counts -> sd = 0 -> false
+      ("e", Timestamp.valueOf("2024-01-01 06:00:00")),
+      ("e", Timestamp.valueOf("2024-01-02 06:00:00")))
+    val got = Anomaly.seasonalRateAnomalies(rows.toDF("event_type", "ts"),
+        "event_type", "ts")
+      .select("hod", "z", "is_anomaly").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+    assert(got.forall { case (_, z, fl) => z.isEmpty && !fl })
+  }
 }

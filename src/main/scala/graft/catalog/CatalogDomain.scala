@@ -2112,10 +2112,46 @@ object CatalogDomain {
            |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_index
            |FROM events GROUP BY 1, 3, 4, 5, 6, 7 ORDER BY day""".stripMargin))
 
+  /** Grid-blocked spatial nearest-neighbor join (X42,
+    * [[graft.join.SpatialJoin]]): customers to their closest supplier
+    * within radius 8 on a synthetic 100×100 plane (modular-arithmetic
+    * coordinates — exact on both engines). The oracle is the naive
+    * all-pairs argmin, proving the 3×3 cell neighborhood loses no
+    * in-radius pair. */
+  private val q136 = Q("q136_spatial_nn",
+    (s, dir) => {
+      import s.implicits._
+      val su = t(s, dir, "supplier").select($"s_suppkey",
+        (($"s_suppkey" * 37 % 1000) / 10.0).as("sx"),
+        (($"s_suppkey" * 73 % 1000) / 10.0).as("sy"))
+      val cu = t(s, dir, "customer").select($"c_custkey",
+        (($"c_custkey" * 41 % 1000) / 10.0).as("cx"),
+        (($"c_custkey" * 97 % 1000) / 10.0).as("cy"))
+      graft.join.SpatialJoin.nearestWithinRadius(cu, su,
+          "c_custkey", "s_suppkey", "cx", "cy", "sx", "sy", radius = 8.0)
+        .orderBy($"left_id")
+    },
+    Some("""WITH sp AS (SELECT s_suppkey AS sid,
+           |    (s_suppkey * 37 % 1000) / 10.0 AS sx,
+           |    (s_suppkey * 73 % 1000) / 10.0 AS sy FROM supplier),
+           |cu AS (SELECT c_custkey AS cid,
+           |    (c_custkey * 41 % 1000) / 10.0 AS cx,
+           |    (c_custkey * 97 % 1000) / 10.0 AS cy FROM customer),
+           |d AS (SELECT cid, sid,
+           |    round(sqrt((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)), 6)
+           |      AS dist
+           |  FROM cu CROSS JOIN sp),
+           |f AS (SELECT *, row_number() OVER (PARTITION BY cid
+           |        ORDER BY dist, sid) AS rn
+           |      FROM d WHERE dist <= 8.0)
+           |SELECT cid AS left_id, sid AS nearest_id, dist
+           |FROM f WHERE rn = 1 ORDER BY left_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q123, q124, q125, q126, q127, q131, q132, q134, q135)
+    q119, q120, q123, q124, q125, q126, q127, q131, q132, q134, q135,
+    q136)
 }

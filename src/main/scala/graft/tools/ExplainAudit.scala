@@ -27,7 +27,12 @@ object ExplainAudit {
       "q2_filter_revenue", "q3_broadcast_join", "q12_degree_centrality",
       "q24_ngram_jaccard", "q25_simhash_banded", "q28_ann_topk",
       "q70_asof_join", "q71_range_join", "q75_robust_outliers",
-      "q77_funnel", "q78_winsorize")
+      "q77_funnel", "q78_winsorize",
+      // round-7 lazy entries (the checkpointing operators — q124, q127-
+      // q130, q133 — materialize during construction and can't be
+      // audited here)
+      "q125_attribution", "q126_time_weighted_avg",
+      "q134_seasonal_anomaly", "q135_datetime_scalars", "q136_spatial_nn")
     val qs = Catalog.queries
     names.foreach { n =>
       println(s"\n================ $n ================")

@@ -1805,6 +1805,73 @@ object CatalogLlm {
          |FROM af GROUP BY cell ORDER BY cell""".stripMargin
     })
 
+  /** First principal component (L60, [[graft.ml.Pca]]): covariance as
+    * a distributed pair-exploded aggregate (6-dp-rounded cells so both
+    * engines eigensolve the IDENTICAL matrix), then a driver power
+    * iteration — dim²-bounded at any corpus size, so no dispatch
+    * threshold exists to tune. Sign fixed by the largest-|loading|
+    * dimension; the oracle replays the same relational covariance and
+    * a recursive-CTE power iteration in the same index order. */
+  private val q137 = Q("q137_pca",
+    (s, dir) =>
+      graft.ml.Pca.topComponent(t(s, dir, "embeddings"),
+        "vec_id", "embedding", iters = 30)
+        .orderBy(col("j")),
+    Some("""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+           |                     FROM embeddings),
+           |nn AS (SELECT count(*)::BIGINT AS n FROM v),
+           |tok AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS j,
+           |          unnest(e) AS x FROM v),
+           |mu AS (SELECT j, sum(x) AS s FROM tok GROUP BY j),
+           |dimc AS (SELECT count(*)::INT AS d FROM mu),
+           |pr AS (SELECT a.j AS j, b.j AS k, sum(a.x * b.x) AS sxx
+           |       FROM tok a JOIN tok b ON a.vec_id = b.vec_id AND a.j <= b.j
+           |       GROUP BY 1, 2),
+           |cells AS (SELECT pr.j, pr.k,
+           |    round((pr.sxx - nn.n * (ma.s / nn.n) * (mb.s / nn.n))
+           |      / (nn.n - 1), 6) AS c
+           |  FROM pr JOIN mu ma ON ma.j = pr.j JOIN mu mb ON mb.j = pr.k, nn),
+           |sym AS (SELECT j, k, c FROM cells UNION ALL
+           |        SELECT k, j, c FROM cells WHERE j <> k),
+           |cm AS (SELECT list(rw ORDER BY j) AS m FROM (
+           |    SELECT j, list(c ORDER BY k) AS rw FROM sym GROUP BY j)),
+           |it AS (
+           |  SELECT 0 AS iter,
+           |         list_transform(range(1, d + 1),
+           |           i -> 1.0 / sqrt(d::DOUBLE)) AS x
+           |  FROM dimc
+           |  UNION ALL
+           |  SELECT iter + 1, xn FROM (
+           |    SELECT it.iter, t3.xn FROM it, cm, dimc,
+           |    LATERAL (SELECT list_transform(range(1, dimc.d + 1), i ->
+           |        list_reduce(list_transform(range(1, dimc.d + 1),
+           |          k -> cm.m[i][k] * it.x[k]), (acc, z) -> acc + z)) AS y) t1,
+           |    LATERAL (SELECT sqrt(list_reduce(list_transform(t1.y,
+           |        z -> z * z), (acc, z) -> acc + z)) AS nrm0) t15,
+           |    LATERAL (SELECT CASE WHEN t15.nrm0 = 0.0 THEN 1.0
+           |        ELSE t15.nrm0 END AS nrm) t2,
+           |    LATERAL (SELECT list_transform(t1.y, z -> z / t2.nrm) AS xn) t3
+           |    WHERE it.iter < 30) q),
+           |fin AS (SELECT x FROM it ORDER BY iter DESC LIMIT 1),
+           |anch AS (SELECT min((-abs(x[i]), i)) AS a FROM fin,
+           |         LATERAL (SELECT unnest(range(1, len(x) + 1)) AS i) g),
+           |sgn AS (SELECT CASE WHEN fin.x[anch.a[2]] < 0 THEN -1.0
+           |          ELSE 1.0 END AS s FROM fin, anch),
+           |mv AS (SELECT list_transform(range(1, d + 1), i ->
+           |         list_reduce(list_transform(range(1, d + 1),
+           |           k -> cm.m[i][k] * fin.x[k]), (acc, z) -> acc + z)) AS y
+           |       FROM fin, cm, dimc),
+           |eig AS (SELECT round(list_reduce(
+           |          list_transform(range(1, len(fin.x) + 1),
+           |            i -> fin.x[i] * mv.y[i]), (acc, z) -> acc + z), 4) AS ev
+           |        FROM fin, mv)
+           |SELECT CAST(g.i - 1 AS BIGINT) AS j,
+           |  round(sgn.s * fin.x[g.i], 6) + 0.0 AS loading,
+           |  eig.ev AS eigenvalue
+           |FROM fin, sgn, eig,
+           |  LATERAL (SELECT unnest(range(1, len(fin.x) + 1)) AS i) g
+           |ORDER BY j""".stripMargin))
+
   /** Pairwise source-vocabulary cosine
     * ([[graft.text.CorpusStats.strataSimilarityMatrix]]): term counts
     * are integers, so dot products and norms are exact in double —
@@ -1853,5 +1920,5 @@ object CatalogLlm {
     q29, q30, q31, q32, q33, q37, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q51, q54, q55, q56, q57, q58, q59, q60, q62, q63, q64, q65,
     q66, q67, q68, q69, q72, q73, q74, q76, q82, q83, q90, q91,
-    q93, q94, q96, q97, q108, q121, q122, q128, q129, q130, q133)
+    q93, q94, q96, q97, q108, q121, q122, q128, q129, q130, q133, q137)
 }

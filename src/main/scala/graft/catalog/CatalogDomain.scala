@@ -2147,11 +2147,91 @@ object CatalogDomain {
            |SELECT cid AS left_id, sid AS nearest_id, dist
            |FROM f WHERE rn = 1 ORDER BY left_id""".stripMargin))
 
+  /** Weighted directed PageRank (X43,
+    * [[graft.graph.Centrality.pageRankWeighted]]) on the q132 flow
+    * graph with revenue weights: mass follows money, not arc counts —
+    * x(u)·w/W(u) contributions, 2-dp-rounded weights so both engines
+    * iterate the identical arc values. The oracle extends q80's
+    * recursive replay with parallel in-neighbor/weight lists. */
+  private val q138 = Q("q138_pagerank_weighted",
+    (s, dir) => {
+      import s.implicits._
+      val flows = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .filter($"c_nationkey" =!= $"s_nationkey")
+        .groupBy($"c_nationkey", $"s_nationkey")
+        .agg(sum($"l_extendedprice").as("rev"))
+        .filter($"rev" > 5000000)
+        .select($"c_nationkey".cast("string").as("src"),
+          $"s_nationkey".cast("string").as("dst"),
+          round($"rev", 2).as("w"))
+      val nodes = flows.select(explode(array($"src", $"dst")).as("gene"))
+        .distinct()
+      graft.graph.Centrality.pageRankWeighted(s, nodes, flows)
+        .select($"gene".cast("long").as("nationkey"),
+          round($"pagerank", 6).as("pagerank"))
+        .orderBy($"nationkey")
+    },
+    Some("""WITH RECURSIVE
+           |f0 AS (
+           |  SELECT c.c_nationkey AS sa, s.s_nationkey AS sb,
+           |         round(sum(l.l_extendedprice), 2) AS w
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  WHERE c.c_nationkey <> s.s_nationkey
+           |  GROUP BY 1,2 HAVING sum(l.l_extendedprice) > 5000000),
+           |nd AS (SELECT gene, row_number() OVER (ORDER BY gene) AS i
+           |       FROM (SELECT DISTINCT unnest([sa::VARCHAR, sb::VARCHAR])
+           |             AS gene FROM f0)),
+           |nn AS (SELECT count(*)::INT AS n FROM nd),
+           |de AS (SELECT x.i AS ui, y.i AS vi, f0.w
+           |       FROM f0 JOIN nd x ON f0.sa::VARCHAR = x.gene
+           |               JOIN nd y ON f0.sb::VARCHAR = y.gene),
+           |owl AS (SELECT list(o ORDER BY i) AS ow FROM (
+           |    SELECT nd.i AS i, coalesce(s.o, 0.0) AS o FROM nd LEFT JOIN
+           |      (SELECT ui AS i, sum(w) AS o FROM de GROUP BY ui) s
+           |      USING (i))),
+           |inl AS (SELECT list(us ORDER BY i) AS us,
+           |               list(ws ORDER BY i) AS ws FROM (
+           |    SELECT nd.i AS i, coalesce(a.us, []) AS us,
+           |           coalesce(a.ws, []) AS ws
+           |    FROM nd LEFT JOIN (SELECT vi AS i,
+           |        list(ui ORDER BY ui) AS us,
+           |        list(w ORDER BY ui) AS ws FROM de GROUP BY vi) a
+           |      USING (i))),
+           |it AS (
+           |  SELECT 0 AS iter,
+           |         list_transform(range(1, nn.n+1), i -> 1.0::DOUBLE/nn.n) AS x
+           |  FROM nn
+           |  UNION ALL
+           |  SELECT iter+1, xn FROM (
+           |    SELECT it.iter, t2.xn FROM it, owl, inl, nn,
+           |    LATERAL (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           |        list_transform(range(1, nn.n+1),
+           |          i -> CASE WHEN owl.ow[i] = 0.0 THEN it.x[i]
+           |               ELSE 0.0::DOUBLE END)),
+           |        (acc,v) -> acc+v) AS dang) t1,
+           |    LATERAL (SELECT list_transform(range(1, nn.n+1), i ->
+           |        (1.0 - 0.85)/nn.n + 0.85 *
+           |          (list_reduce(list_prepend(0.0::DOUBLE,
+           |            list_transform(range(1, len(inl.us[i]) + 1),
+           |              t -> it.x[inl.us[i][t]] * inl.ws[i][t]
+           |                   / owl.ow[inl.us[i][t]])),
+           |            (acc,v) -> acc+v) + t1.dang/nn.n)) AS xn) t2
+           |    WHERE it.iter < 20) q),
+           |fin AS (SELECT x FROM it ORDER BY iter DESC LIMIT 1)
+           |SELECT CAST(nd.gene AS BIGINT) AS nationkey,
+           |  round(fin.x[nd.i], 6) AS pagerank
+           |FROM nd, fin ORDER BY nationkey""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q123, q124, q125, q126, q127, q131, q132, q134, q135,
-    q136)
+    q136, q138)
 }

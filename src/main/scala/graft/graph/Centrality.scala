@@ -407,6 +407,101 @@ object Centrality {
     x.select(col("gene"), col("x").as("pagerank"))
   }
 
+  /** Weighted directed PageRank: mass flows along arcs in proportion to
+    * edge weight — x'(v) = (1−d)/n + d·(Σ_{u→v} x(u)·w(u,v)/W(u) +
+    * dangling/n), W(u) the out-weight sum. The unweighted kernel treats
+    * a $1 and a $1M trade link identically; weighted is what ranking a
+    * flow graph actually means. Multi-arcs collapse by weight sum;
+    * non-positive weights are rejected (they break the random-walk
+    * semantics). Same dual dispatch and loop shape as [[pageRank]]. */
+  def pageRankWeighted(spark: SparkSession, nodes: DataFrame,
+                       edges: DataFrame, damping: Double = 0.85,
+                       iters: Int = 20,
+                       distributedThreshold: Long = 100000L,
+                       edgeThreshold: Long = 2000000L): DataFrame = {
+    if (nodes.count() <= distributedThreshold &&
+        edges.count() <= edgeThreshold) {
+      val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
+      val idx = nodeSeq.zipWithIndex.toMap
+      val arcs = edges.select(col("src"), col("dst"), col("w")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .filter { case (u, v, _) => u != v && idx.contains(u) && idx.contains(v) }
+        .groupBy(a => (a._1, a._2))
+        .map { case ((u, v), as) => (idx(u), idx(v), as.map(_._3).sum) }
+        .toSeq.sortBy(a => (a._1, a._2))
+      require(arcs.forall(_._3 > 0), "edge weights must be positive")
+      val nn = nodeSeq.length
+      if (nn == 0)
+        return nodes.select(col("gene"), lit(0.0).as("pagerank"))
+      val outW = new Array[Double](nn)
+      arcs.foreach { case (u, _, w) => outW(u) += w }
+      var x = Array.fill(nn)(1.0 / nn)
+      var it = 0
+      while (it < iters) {
+        var dang = 0.0
+        var i = 0
+        while (i < nn) { if (outW(i) == 0.0) dang += x(i); i += 1 }
+        val xn = Array.fill(nn)((1.0 - damping) / nn + damping * dang / nn)
+        arcs.foreach { case (u, v, w) =>
+          xn(v) += damping * x(u) * w / outW(u)
+        }
+        x = xn; it += 1
+      }
+      val rows = nodeSeq.zipWithIndex.map { case (g, i) => Row(g, x(i)) }
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("gene", StringType, nullable = false),
+          StructField("pagerank", DoubleType, nullable = false))))
+    }
+    pageRankWeightedDistributed(spark, nodes, edges, damping, iters)
+  }
+
+  /** The unbounded-scale weighted PageRank path — see
+    * [[pageRankWeighted]] for semantics. */
+  def pageRankWeightedDistributed(spark: SparkSession, nodes: DataFrame,
+                                  edges: DataFrame, damping: Double = 0.85,
+                                  iters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val vertexSet = nodes.select(col("gene"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src") =!= col("dst") && col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .join(vertexSet.withColumnRenamed("gene", "src"), Seq("src"), "left_semi")
+      .join(vertexSet.withColumnRenamed("gene", "dst"), Seq("dst"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vertexSet.count()
+    if (n == 0) {
+      e.unpersist(false); vertexSet.unpersist(false)
+      return nodes.select(col("gene"), lit(0.0).as("pagerank"))
+    }
+    val outW = e.groupBy(col("src").as("gene"))
+      .agg(sum(col("w")).as("__ow"))
+    var x = vertexSet.join(outW, Seq("gene"), "left")
+      .select(col("gene"), lit(1.0 / n).as("x"),
+        coalesce(col("__ow"), lit(0.0)).as("__ow"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iters) {
+      val dangling = x.filter(col("__ow") === 0.0)
+        .agg(coalesce(sum(col("x")), lit(0.0)).as("__dang"))
+      val contrib = e.join(x, e("src") === x("gene"))
+        .groupBy(e("dst").as("gene"))
+        .agg(sum(col("x") * col("w") / col("__ow")).as("__nbr"))
+      x = x.drop("x")
+        .join(contrib, Seq("gene"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("gene"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("__nbr"), lit(0.0)) + col("__dang") / n)).as("x"),
+          col("__ow"))
+        .localCheckpoint()
+      iter += 1
+    }
+    e.unpersist(false); vertexSet.unpersist(false)
+    x.select(col("gene"), col("x").as("pagerank"))
+  }
+
   /** HITS hubs & authorities on a DIRECTED graph — fixed-iteration
     * mutual recursion: a ← normalize(Aᵀh), h ← normalize(A·a), L2 per
     * half-step. Where PageRank ranks by received mass, HITS separates

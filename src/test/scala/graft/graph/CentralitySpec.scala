@@ -162,6 +162,32 @@ class CentralitySpec extends SparkSuite {
     assert(approx(out("g3"), (1.0 + 0.0 + 0.5) / 3))
   }
 
+  test("pageRankWeighted: weight-proportional mass, both paths agree") {
+    import spark.implicits._
+    // a sends 9/10 of its mass to b, 1/10 to c; d dangles
+    val edges = Seq(("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0),
+      ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c", "d").toDF("gene")
+    val paths = Seq(
+      Centrality.pageRankWeighted(spark, nodes, edges),
+      Centrality.pageRankWeightedDistributed(spark, nodes, edges))
+      .map(_.as[(String, Double)].collect().toMap)
+    paths.foreach { pr =>
+      // probability distribution; b far above c (9× the inbound share)
+      assert(approx(pr.values.sum, 1.0, 1e-9))
+      assert(pr("b") > pr("c") * 3 && pr("a") > pr("b"))
+    }
+    // driver and distributed paths agree to summation noise
+    paths(0).keys.foreach(k => assert(approx(paths(0)(k), paths(1)(k), 1e-9)))
+    // uniform weights must reduce to the directed unweighted update:
+    // hand-check a 2-cycle — symmetric, so both nodes get 1/2
+    val cyc = Seq(("x", "y", 5.0), ("y", "x", 5.0)).toDF("src", "dst", "w")
+    val got = Centrality.pageRankWeighted(spark,
+        Seq("x", "y").toDF("gene"), cyc)
+      .as[(String, Double)].collect().toMap
+    assert(approx(got("x"), 0.5, 1e-12) && approx(got("y"), 0.5, 1e-12))
+  }
+
   test("hits matches a driver-side reference on a directed graph") {
     import spark.implicits._
     // a,b both point at c; c points at d; e isolated

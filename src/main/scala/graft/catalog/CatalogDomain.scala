@@ -2227,11 +2227,86 @@ object CatalogDomain {
            |  round(fin.x[nd.i], 6) AS pagerank
            |FROM nd, fin ORDER BY nationkey""".stripMargin))
 
+  /** Single-source shortest paths (X44, [[graft.graph.ShortestPaths]]):
+    * Bellman–Ford relaxation from nation 0 over the directed flow graph
+    * with deterministic INTEGER arc lengths — no floating point
+    * anywhere, so the oracle (a recursive-CTE relaxation over
+    * in-adjacency lists, run the full |V|−1 rounds where the operator
+    * early-stops) is a plain value compare. */
+  private val q139 = Q("q139_shortest_paths",
+    (s, dir) => {
+      import s.implicits._
+      val flows = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .filter($"c_nationkey" =!= $"s_nationkey")
+        .groupBy($"c_nationkey", $"s_nationkey")
+        .agg(sum($"l_extendedprice").as("rev"))
+        .filter($"rev" > 5000000)
+        .select($"c_nationkey".cast("string").as("src"),
+          $"s_nationkey".cast("string").as("dst"),
+          (($"c_nationkey" * 7 + $"s_nationkey" * 11) % 20 + 1)
+            .cast("long").as("w"))
+      val nodes = flows.select(explode(array($"src", $"dst")).as("gene"))
+        .distinct()
+      graft.graph.ShortestPaths.fromSource(s, nodes, flows, source = "0")
+        .select($"gene".cast("long").as("nationkey"), $"dist")
+        .orderBy($"nationkey")
+    },
+    Some("""WITH RECURSIVE
+           |f0 AS (
+           |  SELECT c.c_nationkey AS sa, s.s_nationkey AS sb,
+           |         CAST((c.c_nationkey * 7 + s.s_nationkey * 11) % 20 + 1
+           |           AS BIGINT) AS w
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  WHERE c.c_nationkey <> s.s_nationkey
+           |  GROUP BY 1,2,3 HAVING sum(l.l_extendedprice) > 5000000),
+           |nd AS (SELECT gene, row_number() OVER (ORDER BY gene) AS i
+           |       FROM (SELECT DISTINCT unnest([sa::VARCHAR, sb::VARCHAR])
+           |             AS gene FROM f0)),
+           |nn AS (SELECT count(*)::INT AS n FROM nd),
+           |de AS (SELECT x.i AS ui, y.i AS vi, f0.w
+           |       FROM f0 JOIN nd x ON f0.sa::VARCHAR = x.gene
+           |               JOIN nd y ON f0.sb::VARCHAR = y.gene),
+           |inl AS (SELECT list(us ORDER BY i) AS us,
+           |               list(ws ORDER BY i) AS ws FROM (
+           |    SELECT nd.i AS i, coalesce(a.us, []) AS us,
+           |           coalesce(a.ws, []) AS ws
+           |    FROM nd LEFT JOIN (SELECT vi AS i,
+           |        list(ui ORDER BY ui) AS us,
+           |        list(w ORDER BY ui) AS ws FROM de GROUP BY vi) a
+           |      USING (i))),
+           |src AS (SELECT i AS si FROM nd WHERE gene = '0'),
+           |it AS (
+           |  SELECT 0 AS iter,
+           |         list_transform(range(1, nn.n+1),
+           |           i -> CASE WHEN i = src.si THEN 0::BIGINT
+           |                ELSE 1152921504606846976::BIGINT END) AS dl
+           |  FROM nn, src
+           |  UNION ALL
+           |  SELECT iter+1, dn FROM (
+           |    SELECT it.iter, t1.dn FROM it, inl, nn,
+           |    LATERAL (SELECT list_transform(range(1, nn.n+1), i ->
+           |        least(it.dl[i], list_reduce(
+           |          list_prepend(1152921504606846976::BIGINT,
+           |            list_transform(range(1, len(inl.us[i]) + 1),
+           |              t -> it.dl[inl.us[i][t]] + inl.ws[i][t])),
+           |          (a, v) -> least(a, v)))) AS dn) t1
+           |    WHERE it.iter < nn.n) q),
+           |fin AS (SELECT dl FROM it ORDER BY iter DESC LIMIT 1)
+           |SELECT CAST(nd.gene AS BIGINT) AS nationkey,
+           |  CASE WHEN fin.dl[nd.i] >= 1152921504606846976 THEN NULL
+           |       ELSE fin.dl[nd.i] END AS dist
+           |FROM nd, fin ORDER BY nationkey""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q123, q124, q125, q126, q127, q131, q132, q134, q135,
-    q136, q138)
+    q136, q138, q139)
 }

@@ -2302,11 +2302,44 @@ object CatalogDomain {
            |       ELSE fin.dl[nd.i] END AS dist
            |FROM nd, fin ORDER BY nationkey""".stripMargin))
 
+  /** Linear multi-touch attribution (X45,
+    * [[graft.events.Attribution.linear]]): each conversion's credit
+    * split equally over its in-lookback touches via the banded range
+    * join — completing the attribution family (q125 last-touch = X1
+    * as-of; linear = X2 range join + one weight window). */
+  private val q140 = Q("q140_linear_attribution",
+    (s, dir) => {
+      graft.events.Attribution.linear(
+        t(s, dir, "events"), user = "user_id", ts = "ts",
+        eventType = "event_type", id = "event_id",
+        conversionType = "purchase",
+        touchTypes = Seq("click", "signup", "view"),
+        lookbackSec = 86400L)
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+           |           FROM events WHERE event_type = 'purchase'),
+           |t AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+           |      FROM events WHERE event_type IN ('click','signup','view')),
+           |j AS (SELECT p.event_id AS cid, t.event_type AS touch
+           |      FROM p JOIN t ON t.user_id = p.user_id
+           |        AND t.tsu <= p.tsu AND t.tsu >= p.tsu - 86400000000),
+           |wts AS (SELECT cid, touch,
+           |          1.0 / count(*) OVER (PARTITION BY cid) AS wt FROM j),
+           |att AS (SELECT touch, round(sum(wt), 4) AS credit,
+           |          count(*)::BIGINT AS n_touches FROM wts GROUP BY 1),
+           |una AS (SELECT 'unattributed' AS touch,
+           |          round(count(*) * 1.0, 4) AS credit, 0::BIGINT AS n_touches
+           |        FROM p WHERE NOT EXISTS
+           |          (SELECT 1 FROM j WHERE j.cid = p.event_id)
+           |        HAVING count(*) > 0)
+           |SELECT * FROM att UNION ALL SELECT * FROM una
+           |ORDER BY touch""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q123, q124, q125, q126, q127, q131, q132, q134, q135,
-    q136, q138, q139)
+    q136, q138, q139, q140)
 }

@@ -1,9 +1,10 @@
 package graft.events
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.join.AsOfJoin
+import graft.join.{AsOfJoin, RangeJoin}
 
 /** Marketing-attribution over an event log: credit each conversion to
   * the touch event that "caused" it under a last-touch model — the
@@ -43,5 +44,44 @@ object Attribution {
       .groupBy(coalesce(col("touch"), lit("unattributed")).as("touch"))
       .agg(count(lit(1)).as("conversions"))
       .orderBy(col("touch"))
+  }
+
+  /** Multi-touch LINEAR attribution — the [[lastTouch]] docstring's
+    * promised sibling: every touch inside the lookback shares the
+    * conversion's credit equally (1/k to each of k touches). This IS
+    * the banded range join ([[graft.join.RangeJoin]]) — each
+    * conversion opens the interval [ts − lookback, ts] (inclusive at
+    * the conversion instant, matching lastTouch's tolerance bound) and
+    * collects its in-window touches; weights are one window count over
+    * the candidate-proportional join output, never the event stream.
+    * Conversions with no touch report as `unattributed` with full
+    * credit 1 each — the same health metric lastTouch keeps.
+    * Output: (touch, credit rounded 4dp, n_touches BIGINT), ordered. */
+  def linear(events: DataFrame, user: String, ts: String,
+             eventType: String, id: String,
+             conversionType: String, touchTypes: Seq[String],
+             lookbackSec: Long): DataFrame = {
+    val conv = events.filter(col(eventType) === conversionType)
+      .select(col(user), col(id).as("__conv_id"),
+        (col(ts) - expr(s"INTERVAL $lookbackSec SECONDS")).as("__ws"),
+        (col(ts) + expr("INTERVAL 1 MICROSECOND")).as("__we"))
+    val touches = events.filter(col(eventType).isin(touchTypes: _*))
+      .select(col(user), col(ts), col(eventType).as("touch"))
+    val joined = RangeJoin.bandedIntervalJoin(conv, touches, user,
+      "__ws", "__we", ts, bandWidthSec = lookbackSec)
+    val weighted = joined.withColumn("__wt",
+      lit(1.0) / count(lit(1)).over(Window.partitionBy(col("__conv_id"))))
+    val credited = weighted.groupBy(col("touch"))
+      .agg(round(sum(col("__wt")), 4).as("credit"),
+        count(lit(1)).as("n_touches"))
+    val unattributed = conv
+      .join(joined.select(col("__conv_id")).distinct(),
+        Seq("__conv_id"), "left_anti")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 0)
+      .select(lit("unattributed").as("touch"),
+        round(col("__n").cast("double"), 4).as("credit"),
+        lit(0L).as("n_touches"))
+    credited.unionByName(unattributed).orderBy(col("touch"))
   }
 }

@@ -33,6 +33,29 @@ class AttributionSpec extends SparkSuite {
     assert(got == Seq(("click", 1L), ("unattributed", 2L), ("view", 1L)))
   }
 
+  test("linear: credit splits equally, unattributed keeps full credit") {
+    val ev = Seq(
+      // user 1: click + view inside the window → 0.5 each
+      (1L, 1L, ts("2024-01-05 10:00:00"), "click"),
+      (2L, 1L, ts("2024-01-05 11:00:00"), "view"),
+      (3L, 1L, ts("2024-01-05 12:00:00"), "purchase"),
+      // user 2: conversion with no in-window touch → unattributed 1.0
+      (4L, 2L, ts("2024-01-01 09:00:00"), "click"),
+      (5L, 2L, ts("2024-01-05 09:00:00"), "purchase"),
+      // user 3: two clicks, one conversion → click credit 1.0 over 2 rows
+      (6L, 3L, ts("2024-01-05 07:00:00"), "click"),
+      (7L, 3L, ts("2024-01-05 08:00:00"), "click"),
+      (8L, 3L, ts("2024-01-05 09:30:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Attribution.linear(ev, "user_id", "ts", "event_type",
+        "event_id", "purchase", Seq("click", "view"), 86400L)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 1.5, 3L),          // 0.5 (user 1) + 2·0.5 (user 3)
+      ("unattributed", 1.0, 0L),
+      ("view", 0.5, 1L)))
+  }
+
   test("simultaneous touches resolve by the id tie-break") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-05 10:00:00"), "click"),

@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   *    (sessionize, tumbling windows, banded range join) is
   *    calendar-dependent; a cluster-local zone would silently change
   *    results between deployments.
+  *  - Parquet NTZ inference OFF: naive `timestamp[us]` parquet columns
+  *    (no isAdjustedToUTC flag — how the test tables and most lakehouse
+  *    writers emit timestamps) read as TimestampType in the UTC session
+  *    rather than TIMESTAMP_NTZ, so epoch extractors (`unix_micros`,
+  *    `unix_millis`) and window functions apply uniformly. With UTC the
+  *    two readings are value-identical; this only pins the *type*.
   *
   * `shufflePartitions` left as None sets nothing — Spark's 200-partition
   * default applies, with AQE coalescing shrinking small shuffles at
@@ -36,6 +42,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     shufflePartitions.fold(b)(n => b.config("spark.sql.shuffle.partitions", n))
   }
 }

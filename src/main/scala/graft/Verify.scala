@@ -17,6 +17,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Naive parquet timestamps read as TimestampType (UTC), not NTZ —
+      // matches GraftSession and keeps unix_micros/unix_millis applicable.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // DuckDB-oracle parity: x/0 -> null, junk casts -> null (the library
       // itself is ANSI-safe; this pins query-level division semantics).
       // SPARK_GRAFT_ANSI=true runs the identical catalog under ANSI mode —

@@ -2307,6 +2307,62 @@ object CatalogDomain {
     * split equally over its in-lookback touches via the banded range
     * join — completing the attribution family (q125 last-touch = X1
     * as-of; linear = X2 range join + one weight window). */
+  /** X46: k-core decomposition — iterative peeling to the maximal
+    * subgraph of min-degree ≥ 6 over the part↔supplier co-occurrence
+    * graph (arcs that co-occur on ≥ 3 lineitems). Integer degrees and a
+    * unique fixpoint make the compare exact; the oracle replays the
+    * synchronous peel as a dedup-terminated recursive CTE over an
+    * alive-flag list (the q139 dense-state technique — UNION dedup stops
+    * the recursion at the fixpoint, and monotonicity makes the
+    * minimal-popcount state THE fixpoint). */
+  private val q141 = Q("q141_kcore",
+    (s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .filter($"l_partkey" % 997 =!= $"l_suppkey" % 997)
+        .groupBy(least($"l_partkey" % 997, $"l_suppkey" % 997).as("src"),
+          greatest($"l_partkey" % 997, $"l_suppkey" % 997).as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter($"w" >= 3)
+        .select($"src", $"dst")
+      graft.graph.KCore.kCore(s, edges, k = 6)
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE
+           |e0 AS (
+           |  SELECT least(l_partkey % 997, l_suppkey % 997) AS a,
+           |         greatest(l_partkey % 997, l_suppkey % 997) AS b
+           |  FROM lineitem WHERE l_partkey % 997 != l_suppkey % 997
+           |  GROUP BY 1,2 HAVING count(*) >= 3),
+           |nd AS (SELECT v, row_number() OVER (ORDER BY v) AS i FROM
+           |       (SELECT a AS v FROM e0 UNION SELECT b FROM e0)),
+           |nn AS (SELECT count(*)::INT AS n FROM nd),
+           |de AS (SELECT x.i AS ui, y.i AS vi FROM e0
+           |       JOIN nd x ON e0.a = x.v JOIN nd y ON e0.b = y.v),
+           |adj AS (SELECT list(ns ORDER BY i) AS us FROM (
+           |    SELECT nd.i AS i, coalesce(a.ns, []) AS ns
+           |    FROM nd LEFT JOIN (
+           |      SELECT i, list(j) AS ns FROM (
+           |        SELECT ui AS i, vi AS j FROM de
+           |        UNION ALL SELECT vi, ui FROM de) GROUP BY i) a
+           |      USING (i))),
+           |it AS (
+           |  SELECT list_transform(range(1, nn.n+1), i -> true) AS alive
+           |  FROM nn
+           |  UNION
+           |  SELECT list_transform(range(1, nn.n+1), i ->
+           |      it.alive[i] AND
+           |      len(list_filter(adj.us[i], j -> it.alive[j])) >= 6)
+           |  FROM it, adj, nn),
+           |fin AS (SELECT alive FROM it
+           |        ORDER BY len(list_filter(alive, x -> x)) LIMIT 1)
+           |SELECT nd.v AS node,
+           |  len(list_filter(adj.us[nd.i], j -> fin.alive[j]))::BIGINT
+           |    AS core_degree
+           |FROM nd, fin, adj
+           |WHERE fin.alive[nd.i]
+           |ORDER BY node""".stripMargin))
+
   private val q140 = Q("q140_linear_attribution",
     (s, dir) => {
       graft.events.Attribution.linear(
@@ -2341,5 +2397,5 @@ object CatalogDomain {
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q123, q124, q125, q126, q127, q131, q132, q134, q135,
-    q136, q138, q139, q140)
+    q136, q138, q139, q140, q141)
 }

@@ -2363,6 +2363,69 @@ object CatalogDomain {
            |WHERE fin.alive[nd.i]
            |ORDER BY node""".stripMargin))
 
+  /** X47: per-segment Spearman rank correlation of account balance vs
+    * total spend. Spend is rounded to cents BEFORE ranking on both sides
+    * so cross-engine sum-order noise cannot flip a tie; fractional-rank
+    * tie handling makes the ranks deterministic (tie-group row-number
+    * sums are fixed). */
+  private val q142 = Q("q142_spearman",
+    (s, dir) => {
+      import s.implicits._
+      val spend = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(round(sum($"o_totalprice"), 2).as("spend"))
+      val d = t(s, dir, "customer")
+        .join(spend, $"o_custkey" === $"c_custkey", "left")
+        .select($"c_mktsegment",
+          $"c_acctbal".as("x"),
+          coalesce($"spend", lit(0.0)).as("y"))
+      graft.ml.RankStats.spearman(d, "c_mktsegment", "x", "y")
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH sp AS (SELECT o_custkey, round(sum(o_totalprice), 2)
+           |              AS spend FROM orders GROUP BY 1),
+           |d AS (SELECT c_mktsegment AS seg, c_acctbal AS x,
+           |             coalesce(sp.spend, 0.0) AS y
+           |      FROM customer LEFT JOIN sp ON sp.o_custkey = c_custkey),
+           |r AS (SELECT seg, x, y,
+           |        row_number() OVER (PARTITION BY seg ORDER BY x) AS rx0,
+           |        row_number() OVER (PARTITION BY seg ORDER BY y) AS ry0
+           |      FROM d),
+           |a AS (SELECT seg,
+           |        avg(rx0) OVER (PARTITION BY seg, x) AS rx,
+           |        avg(ry0) OVER (PARTITION BY seg, y) AS ry FROM r)
+           |SELECT seg AS c_mktsegment, count(*)::BIGINT AS n,
+           |       round(corr(rx, ry), 4) AS spearman
+           |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** X48: lag-k autocorrelation of the per-type daily event-count
+    * series (lags 1–3). Integer counts make the paired series exact;
+    * all three lags ride ONE window sort (same spec → Catalyst collapses
+    * them into a single Window operator). */
+  private val q143 = Q("q143_autocorr",
+    (s, dir) => {
+      import s.implicits._
+      val series = t(s, dir, "events")
+        .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+        .agg(count(lit(1)).as("c"))
+      graft.ml.RankStats.autocorr(series, "event_type", "d", "c",
+        Seq(1, 2, 3))
+        .orderBy($"event_type", $"lag")
+    },
+    Some("""WITH s AS (SELECT event_type, date_trunc('day', ts) AS d,
+           |             count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+           |l AS (SELECT event_type, c,
+           |        lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
+           |        lag(c, 3) OVER w AS l3
+           |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+           |u AS (SELECT event_type, 1 AS lag, c, l1 AS xl FROM l
+           |      UNION ALL SELECT event_type, 2, c, l2 FROM l
+           |      UNION ALL SELECT event_type, 3, c, l3 FROM l)
+           |SELECT event_type, lag, count(*)::BIGINT AS n,
+           |       round(corr(c, xl), 4) AS acf
+           |FROM u WHERE xl IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   private val q140 = Q("q140_linear_attribution",
     (s, dir) => {
       graft.events.Attribution.linear(
@@ -2397,5 +2460,5 @@ object CatalogDomain {
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q123, q124, q125, q126, q127, q131, q132, q134, q135,
-    q136, q138, q139, q140, q141)
+    q136, q138, q139, q140, q141, q142, q143)
 }

@@ -1,0 +1,75 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based statistics: Spearman correlation and lag-k autocorrelation
+  * (stats extensions beyond the reference's A-family; the reference
+  * computes only Pearson — `pipeline2.py:702-703` — but rank and serial
+  * correlation are standard companions for skewed analytics data).
+  *
+  * Spearman ρ = Pearson correlation of the two columns' average ranks
+  * (ties receive the mean of the row numbers they span — the "fractional
+  * rank" convention both SciPy and SQL engines implement). Average ranks
+  * are deterministic even though `row_number` breaks ties arbitrarily:
+  * the SUM of row numbers over a tie group is fixed, so its mean is too.
+  *
+  * Plan shape per group: two rank windows (one per column — each a sort
+  * within the group partition), one tie-average window keyed by
+  * (group, value), then a single `corr` hash aggregate. Everything is
+  * partitioned by the group key — no global sort, no driver state, and
+  * group cardinality bounds the aggregate output. At 100 TB the cost is
+  * the two per-group sorts, the unavoidable core of any exact rank
+  * statistic; the shuffles all reuse the group-key partitioning.
+  */
+object RankStats {
+
+  /** Per-group Spearman rank correlation of `x` vs `y`:
+    * (groupCols*, n BIGINT, spearman = round(ρ, 4)). Groups with fewer
+    * than 2 rows or zero rank variance yield null ρ (undefined). */
+  def spearman(df: DataFrame, groupCol: String, x: String,
+               y: String): DataFrame = {
+    val rnX = Window.partitionBy(col(groupCol)).orderBy(col(x))
+    val rnY = Window.partitionBy(col(groupCol)).orderBy(col(y))
+    val tieX = Window.partitionBy(col(groupCol), col(x))
+    val tieY = Window.partitionBy(col(groupCol), col(y))
+    df.select(col(groupCol), col(x), col(y))
+      .withColumn("__rx0", row_number().over(rnX))
+      .withColumn("__ry0", row_number().over(rnY))
+      .withColumn("__rx", avg(col("__rx0")).over(tieX))
+      .withColumn("__ry", avg(col("__ry0")).over(tieY))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("__rx"), col("__ry")), 4).as("spearman"))
+  }
+
+  /** Lag-k autocorrelation of a per-key ordered series: for each key and
+    * each lag in `lags`, the sample Pearson correlation of (x_t, x_{t−k})
+    * over the t where both exist — the direct paired-corr estimator.
+    * `orderCol` must be unique per key (a time bucket). Output:
+    * (key, lag INT, n BIGINT, acf = round(corr, 4)).
+    *
+    * One lag window per requested k over the SAME (key, order) sort —
+    * Catalyst collapses same-spec windows into a single Window operator,
+    * so the series is sorted once regardless of how many lags are asked
+    * for; the stack+filter then feeds one hash aggregate keyed
+    * (key, lag). */
+  def autocorr(series: DataFrame, key: String, orderCol: String,
+               value: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
+    val lagged = lags.foldLeft(series.select(col(key), col(orderCol),
+      col(value).cast("double").as("__x"))) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("__x"), k).over(w))
+    }
+    val pairs = lagged.select(col(key), col("__x"),
+      stack((lit(lags.length) +:
+        lags.flatMap(k => Seq(lit(k), col(s"__l$k")))): _*)
+        .as(Seq("lag", "__xl")))
+      .filter(col("__xl").isNotNull)
+    pairs.groupBy(col(key), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("__x"), col("__xl")), 4).as("acf"))
+  }
+}

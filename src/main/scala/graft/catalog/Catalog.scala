@@ -219,7 +219,8 @@ object Catalog {
            |FROM r ORDER BY id""".stripMargin))
 
   val all: Seq[Q] =
-    Seq(q1, q2, q3, q13, q14, q15) ++ CatalogDomain.all ++ CatalogLlm.all
+    Seq(q1, q2, q3, q13, q14, q15) ++ CatalogDomain.all ++
+      CatalogLlm.all ++ CatalogStats.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,163 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog.Q
+import graft.util.Tables
+
+/** Oracle-checked catalog entries for the round-7 statistical / time-
+  * series operator family (X49+): distribution comparison, robust
+  * trend, recurrence smoothing, changepoint detection. Conventions
+  * follow Catalog.scala (matching aliases, deterministic ORDER BY,
+  * rounding on both sides).
+  */
+object CatalogStats {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** X49: per-group two-sample Kolmogorov–Smirnov D — l_quantity
+    * distributions of returnflag 'A' vs 'N' within each linestatus.
+    * Integral quantities tie heavily, exercising the distinct-value
+    * ECDF steps; the scaled max-gap is integer-exact on both engines. */
+  private val q144 = Q("q144_ks_test",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.RankStats.ksTest(t(s, dir, "lineitem"),
+        "l_linestatus", "l_returnflag", "l_quantity", a = "A", b = "N")
+        .orderBy($"l_linestatus")
+    },
+    Some("""WITH cells AS (
+           |  SELECT l_linestatus AS g, l_quantity AS v,
+           |         count(*) FILTER (WHERE l_returnflag = 'A')::BIGINT AS ca,
+           |         count(*) FILTER (WHERE l_returnflag = 'N')::BIGINT AS cb
+           |  FROM lineitem WHERE l_returnflag IN ('A', 'N')
+           |  GROUP BY 1, 2),
+           |w AS (
+           |  SELECT g,
+           |         sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+           |         sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb,
+           |         sum(ca) OVER (PARTITION BY g) AS ta,
+           |         sum(cb) OVER (PARTITION BY g) AS tb
+           |  FROM cells)
+           |SELECT g AS l_linestatus,
+           |       max(ta)::BIGINT AS n_a, max(tb)::BIGINT AS n_b,
+           |       round(CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN
+           |         max(abs(cuma * tb - cumb * ta)) * 1.0
+           |           / (max(ta) * max(tb)) END, 6) AS ks_d
+           |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** X50: Mann–Kendall S + Theil–Sen slope of each event type's daily
+    * count series (30 points → 435 pairs per key; the pairwise join
+    * runs over the AGGREGATE, never the events). Integer counts and
+    * integer day indices make S exact and every slope engine-identical;
+    * the median interpolates the two middle slopes on even counts. */
+  private val q145 = Q("q145_trend",
+    (s, dir) => {
+      import s.implicits._
+      val series = t(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), to_date(lit("2024-01-01"))).as("t"))
+        .agg(count(lit(1)).as("c"))
+      graft.ml.TrendStats.trend(series, "event_type", "t", "c")
+        .orderBy($"event_type")
+    },
+    Some("""WITH s AS (
+           |  SELECT event_type,
+           |         datediff('day', DATE '2024-01-01', ts::DATE) AS t,
+           |         count(*)::BIGINT AS c
+           |  FROM events GROUP BY 1, 2),
+           |p AS (
+           |  SELECT a.event_type AS et,
+           |         sign(b.c - a.c) AS sg,
+           |         (b.c - a.c) * 1.0 / (b.t - a.t) AS sl
+           |  FROM s a JOIN s b
+           |    ON a.event_type = b.event_type AND a.t < b.t),
+           |c AS (SELECT event_type AS et, count(*)::BIGINT AS n_points
+           |      FROM s GROUP BY 1)
+           |SELECT p.et AS event_type, c.n_points,
+           |       count(*)::BIGINT AS n_pairs,
+           |       sum(sg)::BIGINT AS mk_s,
+           |       round(median(sl), 6) AS theil_sen
+           |FROM p JOIN c ON c.et = p.et
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+
+  /** X51: exact EWMA (α = 0.25) of each event type's daily count
+    * series via the ordered-array fold; the oracle replays the
+    * identical recurrence as a recursive CTE (the q53/q80 technique),
+    * so the doubles agree bit-for-bit before the 6-dp round. */
+  private val q146 = Q("q146_ewma",
+    (s, dir) => {
+      import s.implicits._
+      val series = t(s, dir, "events")
+        .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+        .agg(count(lit(1)).as("c"))
+      graft.events.Ewma.ewmaLast(series, "event_type", "d", "c",
+        alpha = 0.25)
+        .orderBy($"event_type")
+    },
+    Some("""WITH RECURSIVE s AS (
+           |  SELECT event_type, date_trunc('day', ts) AS d,
+           |         count(*)::BIGINT AS c
+           |  FROM events GROUP BY 1, 2),
+           |r AS (
+           |  SELECT event_type, c,
+           |         row_number() OVER (PARTITION BY event_type
+           |                            ORDER BY d) AS rn
+           |  FROM s),
+           |e AS (
+           |  SELECT event_type, rn, c::DOUBLE AS acc
+           |  FROM r WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.event_type, r.rn, 0.75 * e.acc + 0.25 * r.c
+           |  FROM e JOIN r ON r.event_type = e.event_type
+           |               AND r.rn = e.rn + 1),
+           |f AS (SELECT event_type, max(rn) AS n FROM e GROUP BY 1)
+           |SELECT e.event_type, f.n::BIGINT AS n,
+           |       round(e.acc, 6) AS ewma_last
+           |FROM e JOIN f ON f.event_type = e.event_type AND e.rn = f.n
+           |ORDER BY 1""".stripMargin))
+
+  /** X52: best mean-shift changepoint of each event type's daily count
+    * series (CUSUM-scan argmax with earliest-split tie-break; prefix
+    * sums exact in LONG, stat rounded before ranking). */
+  private val q147 = Q("q147_changepoint",
+    (s, dir) => {
+      import s.implicits._
+      val series = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("c"))
+      graft.events.Changepoint.meanShiftScan(series, "event_type", "d",
+        "c", minSeg = 3)
+        .orderBy($"event_type")
+    },
+    Some("""WITH s AS (
+           |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
+           |  FROM events GROUP BY 1, 2),
+           |w AS (
+           |  SELECT event_type, d,
+           |         row_number() OVER pk AS i,
+           |         sum(c) OVER pk AS sl,
+           |         count(*) OVER (PARTITION BY event_type) AS n,
+           |         sum(c) OVER (PARTITION BY event_type) AS st
+           |  FROM s
+           |  WINDOW pk AS (PARTITION BY event_type ORDER BY d
+           |                ROWS BETWEEN UNBOUNDED PRECEDING
+           |                AND CURRENT ROW)),
+           |sc AS (
+           |  SELECT event_type, d, n,
+           |         round(pow(sl * 1.0 / i - (st - sl) * 1.0 / (n - i), 2)
+           |               * (i * (n - i)) * 1.0 / n, 6) AS stat
+           |  FROM w WHERE i >= 3 AND i <= n - 3),
+           |rk AS (
+           |  SELECT event_type, n, d, stat,
+           |         row_number() OVER (PARTITION BY event_type
+           |           ORDER BY stat DESC, d) AS rn
+           |  FROM sc)
+           |SELECT event_type, n::BIGINT AS n, d AS split_at,
+           |       round(stat, 4) AS stat
+           |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(q144, q145, q146, q147)
+}

@@ -61,6 +61,47 @@ object RankStats {
         sum(col("nn")).cast("long").as("n_neg"))
   }
 
+  /** Per-group two-sample Kolmogorov–Smirnov D between the `value`
+    * distributions of samples `a` and `b` (rows with other `sample`
+    * values are ignored): (group, n_a, n_b, ks_d 6-dp).
+    *
+    * Exactness: facts collapse to one row per (group, value) with the
+    * two sample counts, and the ECDF gap is maximized in INTEGER form —
+    * D·n_a·n_b = max |cum_a·n_b − cum_b·n_a| — so the statistic is
+    * noise-free by construction; only the final ratio is a double
+    * (exact while n_a·n_b < 2^63 — ~3e9 rows per side — the documented
+    * LONG-arithmetic contract). Ties are handled correctly because the
+    * running sums step once per DISTINCT value, counting the full tie
+    * group (the right-continuous ECDF both SciPy and R compute).
+    *
+    * Plan: one hash aggregate at (group, value) grain, then one sorted
+    * window and one unbounded window over that AGGREGATE, both
+    * partitioned by group (they share the group-key shuffle), then one
+    * final hash aggregate. The fact table is scanned once and never
+    * sorted; the sort cost is per-group distinct values. A single-class
+    * group (either total 0) yields null D. */
+  def ksTest(df: DataFrame, group: String, sample: String, value: String,
+             a: String, b: String): DataFrame = {
+    val cells = df
+      .filter(col(sample).isin(a, b))
+      .groupBy(col(group), col(value).as("__v"))
+      .agg(count(when(col(sample) === a, 1)).as("__ca"),
+        count(when(col(sample) === b, 1)).as("__cb"))
+    val wOrd = Window.partitionBy(col(group)).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col(group))
+    cells
+      .withColumn("__cuma", sum(col("__ca")).over(wOrd))
+      .withColumn("__cumb", sum(col("__cb")).over(wOrd))
+      .withColumn("__ta", sum(col("__ca")).over(wAll))
+      .withColumn("__tb", sum(col("__cb")).over(wAll))
+      .groupBy(col(group))
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        round(when(max(col("__ta")) > 0 && max(col("__tb")) > 0,
+          max(abs(col("__cuma") * col("__tb") - col("__cumb") * col("__ta")))
+            .cast("double") / (max(col("__ta")) * max(col("__tb")))),
+          6).as("ks_d"))
+  }
+
   /** Per-group simple OLS of y on x via the codegen'd built-in
     * regression aggregates (one hash aggregate, map-side partial):
     * slope / intercept / r2 (4-dp) and n per group. */

@@ -159,5 +159,119 @@ object CatalogStats {
            |       round(stat, 4) AS stat
            |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin))
 
-  val all: Seq[Q] = Seq(q144, q145, q146, q147)
+  /** X53: 2-D skyline — parts no other part beats on BOTH price and
+    * size. The Spark side is the sort-based distinct-x window plan; the
+    * ORACLE is the naive NOT EXISTS dominance query, an independent
+    * formulation proving the window plan computes the same front. */
+  private val q148 = Q("q148_skyline",
+    (s, dir) => {
+      import s.implicits._
+      graft.report.Skyline.skyline2d(
+        t(s, dir, "part").select($"p_partkey", $"p_retailprice", $"p_size"),
+        "p_retailprice", "p_size")
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, p_retailprice, p_size
+           |FROM part p
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM part q
+           |  WHERE q.p_retailprice <= p.p_retailprice
+           |    AND q.p_size <= p.p_size
+           |    AND (q.p_retailprice < p.p_retailprice
+           |         OR q.p_size < p.p_size))
+           |ORDER BY p_partkey""".stripMargin))
+
+  /** X54: RFM segment rollup — per (r,f,m) quintile cell, customer
+    * count and mean spend. Quintiles are floor-arithmetic on
+    * total-order ranks (custkey tie-break), so both engines cut
+    * identically; the oracle replays the same three ranks. */
+  private val q149 = Q("q149_rfm",
+    (s, dir) => {
+      import s.implicits._
+      graft.report.Rfm.segments(t(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy($"r_score", $"f_score", $"m_score")
+    },
+    Some("""WITH pe AS (
+           |  SELECT o_custkey AS k, max(o_orderdate::DATE) AS last_d,
+           |         count(*)::BIGINT AS frequency,
+           |         round(sum(o_totalprice), 2) AS monetary
+           |  FROM orders GROUP BY 1),
+           |a AS (SELECT max(last_d) AS anchor_d FROM pe),
+           |b AS (SELECT k, datediff('day', last_d, anchor_d)::BIGINT
+           |        AS recency_days, frequency, monetary FROM pe, a),
+           |r AS (SELECT *,
+           |        row_number() OVER (ORDER BY recency_days, k) AS rr,
+           |        row_number() OVER (ORDER BY frequency DESC, k) AS rf,
+           |        row_number() OVER (ORDER BY monetary DESC, k) AS rm,
+           |        count(*) OVER () AS n
+           |      FROM b),
+           |sc AS (SELECT monetary,
+           |         (5 - floor((rr - 1) * 5.0 / n))::INT AS r_score,
+           |         (5 - floor((rf - 1) * 5.0 / n))::INT AS f_score,
+           |         (5 - floor((rm - 1) * 5.0 / n))::INT AS m_score
+           |       FROM r)
+           |SELECT r_score, f_score, m_score,
+           |       count(*)::BIGINT AS n_customers,
+           |       round(avg(monetary), 4) AS avg_monetary
+           |FROM sc GROUP BY 1, 2, 3
+           |ORDER BY r_score, f_score, m_score""".stripMargin))
+
+  /** L61: per-doc bigram cross-entropy under the corpus add-1
+    * conditional LM (q72's order-2 companion); the oracle rebuilds the
+    * bigram stream with a lateral index unnest over the token list. */
+  private val q150 = Q("q150_bigram_ppl",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.bigramLogPerplexity(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |             regexp_extract_all(text, '\S+') AS ts
+           |           FROM documents),
+           |bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+           |       FROM d, UNNEST(range(1, len(ts))) AS r(i)),
+           |db AS (SELECT doc_id, bg, count(*) AS c_db
+           |       FROM bg GROUP BY 1, 2),
+           |lm AS (SELECT bg, sum(c_db) AS c_b,
+           |              split_part(bg, ' ', 1) AS w1
+           |       FROM db GROUP BY bg),
+           |tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+           |        FROM documents),
+           |uni AS (SELECT term, count(*) AS c_u FROM tok GROUP BY 1),
+           |vc AS (SELECT count(*) AS v FROM uni),
+           |sc AS (SELECT lm.bg,
+           |         -ln((c_b + 1) / CAST(c_u + v AS DOUBLE)) AS nlp
+           |       FROM lm JOIN uni ON uni.term = lm.w1, vc)
+           |SELECT doc_id, sum(c_db)::BIGINT AS n_bigrams,
+           |       round(sum(c_db * nlp) / CAST(sum(c_db) AS DOUBLE), 4)
+           |         AS bigram_logppl
+           |FROM db JOIN sc USING (bg)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** X55: Benford first-digit screen over order totals. The digit is
+    * extracted from the decimal STRING rendering (no float log), so
+    * both engines bucket identically by construction. */
+  private val q151 = Q("q151_benford",
+    (s, dir) => {
+      import s.implicits._
+      graft.util.Profile.benfordFirstDigit(t(s, dir, "orders"),
+        "o_totalprice")
+    },
+    Some("""WITH v AS (
+           |  SELECT substr(regexp_replace(
+           |           CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR),
+           |           '[^1-9]', '', 'g'), 1, 1)::INT AS digit
+           |  FROM orders WHERE o_totalprice > 0),
+           |c AS (SELECT digit, count(*)::BIGINT AS n FROM v GROUP BY 1),
+           |t AS (SELECT sum(n) AS tot FROM c)
+           |SELECT digit, n,
+           |       round(n * 1.0 / tot, 6) AS share,
+           |       round(log10(1 + 1.0 / digit), 6) AS benford_p,
+           |       round(round(n * 1.0 / tot, 6)
+           |             - round(log10(1 + 1.0 / digit), 6), 6) AS deviation
+           |FROM c, t ORDER BY digit""".stripMargin))
+
+  val all: Seq[Q] = Seq(q144, q145, q146, q147, q148, q149, q150, q151)
 }

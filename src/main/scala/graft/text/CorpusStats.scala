@@ -85,6 +85,48 @@ object CorpusStats {
           sum(col("c_dt")).cast("double"), 4).as("logppl"))
   }
 
+  /** Per-doc bigram cross-entropy under a corpus-trained add-1
+    * conditional LM — the order-2 companion to
+    * [[unigramLogPerplexity]]: P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V),
+    * score = Σ −ln P over the doc's bigrams / n_bigrams. Bigram
+    * surprise separates shuffled-token spam from fluent text where the
+    * unigram model (same vocabulary either way) cannot.
+    *
+    * Shape mirrors the unigram op: two fact-grain explodes (bigram and
+    * unigram token streams) collapse immediately to per-doc-bigram and
+    * per-term counts; every later table is vocabulary-bounded, V is a
+    * 1-row broadcast, and the scoring join runs at per-doc-bigram-type
+    * grain. The conditioning count c(w₁) is the FULL unigram count
+    * (the common slightly-deficient convention — doc-final tokens
+    * count toward the denominator), with the prefix sliced from the
+    * shingle by `substring_index` (codegen'd built-in). Docs with
+    * fewer than 2 tokens have no bigrams and drop out. */
+  def bigramLogPerplexity(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    import graft.functions.gfunctions.word_shingles
+    val db = docs.select(col(idCol),
+        explode(word_shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c_db"))
+    val bgLm = db.groupBy("bg").agg(sum(col("c_db")).as("c_b"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val uniLm = docs.select(
+        explode(word_shingles(col(textCol), 1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_u"))
+    val vocab = uniLm.agg(count(lit(1)).as("v"))
+    val scored = bgLm
+      .join(uniLm, bgLm("w1") === uniLm("term"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nlp", -log((col("c_b") + 1).cast("double") /
+        (col("c_u") + col("v")).cast("double")))
+      .select(col("bg"), col("__nlp"))
+    db.join(scored, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c_db")).as("n_bigrams"),
+        round(sum(col("c_db").cast("double") * col("__nlp")) /
+          sum(col("c_db")).cast("double"), 4).as("bigram_logppl"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with
     * [[unigramLogPerplexity]], cut the corpus at the `lo`/`hi` score
     * quantiles, and label head (most fluent, lowest log-ppl) / middle /

@@ -97,4 +97,38 @@ object Profile {
         max(col("__v")).as("hi"))
       .orderBy(col("bin"))
   }
+
+  /** Benford first-digit conformance screen — the forensic-accounting
+    * test: natural multi-magnitude positive quantities (amounts,
+    * populations) put digit d first with probability log10(1 + 1/d);
+    * fabricated or constrained data deviates. Output per digit 1–9:
+    * observed count, observed share (6-dp), the Benford expectation
+    * (6-dp), and the signed deviation (6-dp).
+    *
+    * The first digit is extracted WITHOUT float log arithmetic — the
+    * value is rendered by `format_number(v, 0)`-free integer casting:
+    * cast to a plain decimal string and take the first digit character
+    * — so boundary values like 999.9999 can never flap between 9 and 1
+    * across engines. Non-positive and null values are excluded (Benford
+    * applies to positive quantities). One filtered projection + one
+    * 9-row aggregate + a windowed total over those 9 rows. */
+  def benfordFirstDigit(df: DataFrame, value: String): DataFrame = {
+    val digit = substring(regexp_replace(
+      col(value).cast("decimal(38,6)").cast("string"), "[^1-9]", ""),
+      1, 1).cast("int")
+    val counts = df
+      .filter(col(value).isNotNull && col(value) > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = sum(col("n"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    counts
+      .withColumn("share",
+        round(col("n").cast("double") / total, 6))
+      .withColumn("benford_p",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("deviation", round(col("share") - col("benford_p"), 6))
+      .orderBy(col("digit"))
+  }
 }

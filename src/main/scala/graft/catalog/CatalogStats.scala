@@ -273,5 +273,131 @@ object CatalogStats {
            |             - round(log10(1 + 1.0 / digit), 6), 6) AS deviation
            |FROM c, t ORDER BY digit""".stripMargin))
 
-  val all: Seq[Q] = Seq(q144, q145, q146, q147, q148, q149, q150, q151)
+  /** X56: grid-blocked DBSCAN over integer planar coordinates
+    * (customers scattered by (rounded acctbal, hash-derived y)). The
+    * Spark side blocks with the 3×3 cell join; the ORACLE is the naive
+    * all-pairs ε-join plus a recursive min-label closure over the core
+    * graph — independent formulations, integer distance arithmetic on
+    * both, so membership and labels match exactly. eps=200/minPts=4
+    * yields a real mix at sf0.01 (~530 core, ~160 isolated). */
+  private val q152 = Q("q152_dbscan",
+    (s, dir) => {
+      import s.implicits._
+      val pts = t(s, dir, "customer").select($"c_custkey",
+        round($"c_acctbal", 0).cast("long").as("x"),
+        (($"c_custkey" * 40503L) % 8000L).as("y"))
+      graft.ml.Dbscan.cluster(pts, "c_custkey", "x", "y",
+        eps = 200L, minPts = 4)
+        .orderBy($"c_custkey")
+    },
+    Some("""WITH RECURSIVE p AS (
+           |  SELECT c_custkey AS id,
+           |         CAST(round(c_acctbal, 0) AS BIGINT) AS x,
+           |         (c_custkey * 40503) % 8000 AS y
+           |  FROM customer),
+           |nb AS (SELECT a.id AS ia, b.id AS ib
+           |       FROM p a JOIN p b ON a.id != b.id
+           |         AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 40000),
+           |cnt AS (SELECT ia, count(*) AS nn FROM nb GROUP BY 1),
+           |rl AS (SELECT p.id, coalesce(nn, 0) + 1 >= 4 AS is_core
+           |       FROM p LEFT JOIN cnt ON cnt.ia = p.id),
+           |ce AS (SELECT ia, ib FROM nb
+           |       JOIN rl ra ON ra.id = nb.ia AND ra.is_core
+           |       JOIN rl rb ON rb.id = nb.ib AND rb.is_core),
+           |reach AS (
+           |  SELECT id, id AS lbl FROM rl WHERE is_core
+           |  UNION
+           |  SELECT ce.ib, reach.lbl FROM reach
+           |  JOIN ce ON ce.ia = reach.id),
+           |cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1),
+           |bord AS (SELECT nb.ia AS id, min(cl.cluster) AS cluster
+           |         FROM nb
+           |         JOIN rl r ON r.id = nb.ia AND NOT r.is_core
+           |         JOIN rl rc ON rc.id = nb.ib AND rc.is_core
+           |         JOIN cl ON cl.id = nb.ib
+           |         GROUP BY 1)
+           |SELECT rl.id AS c_custkey,
+           |       CASE WHEN is_core THEN 'core'
+           |            WHEN bord.id IS NOT NULL THEN 'border'
+           |            ELSE 'noise' END AS role,
+           |       CASE WHEN is_core THEN cl.cluster
+           |            ELSE bord.cluster END AS cluster
+           |FROM rl
+           |LEFT JOIN cl ON cl.id = rl.id
+           |LEFT JOIN bord ON bord.id = rl.id
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** X57: item–item cosine top-5 neighbors over order-basket
+    * incidence (support ≥ 20, co-count ≥ 2); cosine rounded before the
+    * per-item rank so the cut is engine-stable. */
+  private val q153 = Q("q153_item_neighbors",
+    (s, dir) => {
+      import s.implicits._
+      graft.reco.ItemSim.topNeighbors(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 20L, minPairCount = 2L,
+        k = 5)
+        .orderBy($"item", $"rk")
+    },
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+           |           FROM lineitem),
+           |f AS (SELECT it, count(*)::BIGINT AS sup FROM b
+           |      GROUP BY 1 HAVING count(*) >= 20),
+           |pb AS (SELECT b.bk, b.it, f.sup FROM b JOIN f USING (it)),
+           |pr AS (SELECT a.it AS i, c.it AS j, a.sup AS si, c.sup AS sj,
+           |              count(*)::BIGINT AS pc
+           |       FROM pb a JOIN pb c ON a.bk = c.bk AND a.it < c.it
+           |       GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+           |bo AS (SELECT i AS item, j AS neighbor, pc, si AS sa, sj AS sb
+           |       FROM pr
+           |       UNION ALL
+           |       SELECT j, i, pc, sj, si FROM pr),
+           |sc AS (SELECT item, neighbor, pc AS pair_count,
+           |         round(pc / sqrt(CAST(sa * sb AS DOUBLE)), 6) AS cosine
+           |       FROM bo),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY item
+           |         ORDER BY cosine DESC, neighbor) AS rk FROM sc)
+           |SELECT item, neighbor, pair_count, cosine, rk::INT AS rk
+           |FROM rk WHERE rk <= 5 ORDER BY item, rk""".stripMargin))
+
+  /** X58: common-neighbor Jaccard link prediction on the sparse
+    * low-quantity part–supplier graph (2,289 edges); pairs with ≥ 2
+    * shared neighbors, existing edges flagged. The oracle is the
+    * direct symmetric-adjacency self-join. */
+  private val q154 = Q("q154_link_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .filter($"l_quantity" <= 2)
+        .select(($"l_partkey" % 997).as("src"),
+          ($"l_suppkey" % 997).as("dst"))
+      graft.graph.LinkPrediction.neighborhoodJaccard(edges,
+        minCommon = 2L)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH e AS (
+           |  SELECT DISTINCT least(l_partkey % 997, l_suppkey % 997) AS a,
+           |                  greatest(l_partkey % 997, l_suppkey % 997) AS b
+           |  FROM lineitem
+           |  WHERE l_quantity <= 2
+           |    AND l_partkey % 997 != l_suppkey % 997),
+           |sym AS (SELECT a AS v, b AS n FROM e
+           |        UNION ALL SELECT b, a FROM e),
+           |deg AS (SELECT v, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+           |cm AS (SELECT l.v AS id_a, r.v AS id_b,
+           |              count(*)::BIGINT AS common
+           |       FROM sym l JOIN sym r ON l.n = r.n AND l.v < r.v
+           |       GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT id_a, id_b, common,
+           |       da.deg AS deg_a, db.deg AS deg_b,
+           |       round(common * 1.0 / (da.deg + db.deg - common), 6)
+           |         AS jaccard,
+           |       (ex.a IS NOT NULL) AS is_edge
+           |FROM cm
+           |JOIN deg da ON da.v = id_a
+           |JOIN deg db ON db.v = id_b
+           |LEFT JOIN e ex ON ex.a = id_a AND ex.b = id_b
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[Q] = Seq(q144, q145, q146, q147, q148, q149, q150, q151,
+    q152, q153, q154)
 }

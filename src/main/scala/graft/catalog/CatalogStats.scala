@@ -398,6 +398,72 @@ object CatalogStats {
            |LEFT JOIN e ex ON ex.a = id_a AND ex.b = id_b
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** §2.5 widening: the remaining analytic-window family — ntile,
+    * nth_value / first_value / last_value over an explicit full frame,
+    * and lag — all on ONE (partition, order) sort; the unique
+    * (orderkey, linenumber) tie-break makes every cell deterministic. */
+  private val q155 = Q("q155_window_battery",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_orderkey", $"l_linenumber")
+      val wFull = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "lineitem")
+        .filter($"l_suppkey" < 10)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_quantity",
+          ntile(4).over(wOrd).as("quartile"),
+          lag($"l_quantity", 1).over(wOrd).as("prev_qty"),
+          nth_value($"l_quantity", 2).over(wFull).as("second_qty"),
+          first($"l_quantity").over(wFull).as("first_qty"),
+          last($"l_quantity").over(wFull).as("last_qty"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           |       (ntile(4) OVER wo)::INT AS quartile,
+           |       lag(l_quantity, 1) OVER wo AS prev_qty,
+           |       nth_value(l_quantity, 2) OVER wf AS second_qty,
+           |       first_value(l_quantity) OVER wf AS first_qty,
+           |       last_value(l_quantity) OVER wf AS last_qty
+           |FROM lineitem WHERE l_suppkey < 10
+           |WINDOW wo AS (PARTITION BY l_suppkey
+           |              ORDER BY l_orderkey, l_linenumber),
+           |       wf AS (PARTITION BY l_suppkey
+           |              ORDER BY l_orderkey, l_linenumber
+           |              ROWS BETWEEN UNBOUNDED PRECEDING
+           |              AND UNBOUNDED FOLLOWING)
+           |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin))
+
+  /** X59: hierarchy flattening by pointer doubling (child→parent
+    * forest from integer-divided custkeys, depth ≈ log₁₀ n). The
+    * Spark side settles in ⌈log₂ depth⌉ self-joins; the ORACLE walks
+    * the hierarchy one hop per recursive round — independent
+    * formulations of root and depth. */
+  private val q156 = Q("q156_hierarchy",
+    (s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "customer").select($"c_custkey",
+        when($"c_custkey" <= 10, lit(null).cast("long"))
+          .otherwise(($"c_custkey" / 10).cast("long")).as("par"))
+      graft.graph.Hierarchy.flattenToRoot(edges, "c_custkey", "par")
+        .orderBy($"c_custkey")
+    },
+    Some("""WITH RECURSIVE e AS (
+           |  SELECT c_custkey AS node,
+           |         CASE WHEN c_custkey <= 10 THEN NULL
+           |              ELSE c_custkey // 10 END AS par
+           |  FROM customer),
+           |r AS (
+           |  SELECT node, node AS root, 0::BIGINT AS depth
+           |  FROM e WHERE par IS NULL
+           |  UNION ALL
+           |  SELECT e.node, r.root, r.depth + 1
+           |  FROM e JOIN r ON e.par = r.node)
+           |SELECT node AS c_custkey, root, depth
+           |FROM r ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154)
+    q152, q153, q154, q155, q156)
 }

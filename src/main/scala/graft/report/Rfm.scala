@@ -63,8 +63,9 @@ object Rfm {
     * cell, customer count and mean monetary (4-dp) — at most 125 rows
     * regardless of input size. */
   def segments(orders: DataFrame, key: String, ts: String,
-               amount: String): DataFrame =
-    scores(orders, key, ts, amount)
+               amount: String,
+               distributedThreshold: Long = 2000000L): DataFrame =
+    scores(orders, key, ts, amount, distributedThreshold)
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
         round(avg(col("monetary")), 4).as("avg_monetary"))

@@ -293,7 +293,94 @@ object LlmScaleSmoke {
               concat(lit("u"), col("user_id") % 997).as("src"),
               concat(lit("u"), pmod(col("event_id") * 2654435761L, lit(997L)))
                 .as("dst")),
-            iters = 5))))
+            iters = 5))),
+        // round-7 batch-D additions: the series/graph/geometry family.
+        // SSSP and k-core run their DISTRIBUTED loops (fixed 997-vertex
+        // graph, edge count scaling with n — per-round shuffles are
+        // edge-proportional, the 100-TB shape; kCore is forced off the
+        // driver dispatch with edgeThreshold = 1)
+        "sssp_distributed" -> (() => sink(
+          graft.graph.ShortestPaths.fromSourceDistributed(spark,
+            events.select(concat(lit("u"), col("user_id") % 997)
+              .as("gene")).distinct(),
+            events.select(
+              concat(lit("u"), col("user_id") % 997).as("src"),
+              concat(lit("u"), pmod(col("event_id") * 2654435761L,
+                lit(997L))).as("dst"),
+              (col("event_id") % 7 + 1).as("w")),
+            source = "u0"))),
+        "kcore_distributed" -> (() => sink(
+          graft.graph.KCore.kCore(spark,
+            events.select((col("user_id") % 997).as("src"),
+              pmod(col("event_id") * 2654435761L, lit(997L)).as("dst")),
+            k = 4, edgeThreshold = 1L))),
+        // constant-density plane: the point count AND the area scale
+        // with n, so per-cell occupancy (the candidate knob) is scale-
+        // invariant — the honest way to measure the 3x3 cell join
+        "spatial_nn" -> (() => sink {
+          val m = math.max(100L, math.round(math.sqrt(n.toDouble * 400)))
+          val pts = events.select(col("event_id"),
+            (col("user_id") * 48271L % m).as("px"),
+            (pmod(col("event_id") * 2654435761L, lit(m))).as("py"))
+          graft.join.SpatialJoin.nearestWithinRadius(
+            pts, pts.select(col("event_id").as("rid"),
+              col("px").as("qx"), col("py").as("qy")),
+            "event_id", "rid", "px", "py", "qx", "qy", radius = 20.0)
+        }),
+        "dbscan" -> (() => sink {
+          val m = math.max(100L, math.round(math.sqrt(n.toDouble * 400)))
+          val pts = events.select(col("event_id"),
+            (col("user_id") * 48271L % m).as("px"),
+            (pmod(col("event_id") * 2654435761L, lit(m))).as("py"))
+          graft.ml.Dbscan.cluster(pts, "event_id", "px", "py",
+            eps = 20L, minPts = 4)
+        }),
+        // covariance fan-out is dim²/2 per vector at fixed dim = linear
+        "pca" -> (() => sink(
+          graft.ml.Pca.topComponent(vecs, "vec_id", "embedding",
+            iters = 10))),
+        // per-group rank windows over n/100-user groups
+        "spearman" -> (() => sink(
+          graft.ml.RankStats.spearman(
+            events.select((col("user_id") % 64).as("g"),
+              col("value").as("x"),
+              unix_millis(col("ts")).cast("double").as("y")),
+            "g", "x", "y"))),
+        "ks_test" -> (() => sink(
+          graft.de.RankStats.ksTest(
+            events.select((col("user_id") % 16).as("g"),
+              col("event_type"), col("value")),
+            "g", "event_type", "value", a = "click", b = "view"))),
+        // entity-grain collapse + three global ranks at user grain;
+        // forced onto the DISTRIBUTED two-pass rank so the 100-TB path
+        // is the one measured
+        "rfm" -> (() => sink(
+          graft.report.Rfm.segments(
+            events.select(col("user_id"), col("ts"),
+              col("value").as("amt")),
+            "user_id", "ts", "amt", distributedThreshold = 1L))),
+        // item universe scales with n so per-item support stays ~
+        // constant (the basket_lift discipline); top-5 neighbor cut
+        "item_neighbors" -> (() => sink(
+          graft.reco.ItemSim.topNeighbors(
+            events.select((col("event_id") % lit(math.max(1L, n / 5)))
+              .as("basket"),
+              pmod(col("event_id") * 2654435761L, lit(math.max(2L, n / 500)))
+                .as("item")),
+            "basket", "item", minSupport = 50L, minPairCount = 2L,
+            k = 5))),
+        // user count scales with n at ~constant degree → wedge volume
+        // linear; hub cap exercised as the documented skew knob
+        "link_jaccard" -> (() => sink {
+          // thinned to ~20 edges/user so the wedge volume (Σ deg²)
+          // grows linearly with the user count, not with density
+          val nUsers = math.max(2L, n / 100)
+          graft.graph.LinkPrediction.neighborhoodJaccard(
+            events.filter(col("event_id") % 5 === 0)
+              .select(col("user_id").as("src"),
+                pmod(col("event_id") * 2654435761L, lit(nUsers)).as("dst")),
+            minCommon = 2L, maxDegree = 500L)
+        }))
       val timed = ops.map { case (name, run) =>
         run()                       // warm-up: codegen + parquet footers
         name -> (1 to 2).map(_ => time(run())).min

@@ -2454,11 +2454,92 @@ object CatalogDomain {
            |SELECT * FROM att UNION ALL SELECT * FROM una
            |ORDER BY touch""".stripMargin))
 
+  /** X59: multi-alias correlated EXISTS / NOT EXISTS decorrelation — the
+    * TPC-H Q21 "solely responsible supplier" shape (the reference surface
+    * has no subqueries at all; this is the canonical warehouse query a
+    * Spark user rewrites by hand). Spark side is the AGGREGATE
+    * decorrelation: the two correlated subqueries over lineitem collapse
+    * into ONE per-order count-distinct pass (n suppliers, n suppliers with
+    * a returned line), then the fact rows join the order profile — one
+    * shuffle on the order key instead of two correlated self-joins, and
+    * the profile frame is orders-grain (smaller than lineitem) so the
+    * join-back is the cheapest available. The ORACLE keeps both literal
+    * correlated subqueries, so the compare proves the rewrite. */
+  private val q157 = Q("q157_exclusive_returns",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      val ordProfile = li.groupBy($"l_orderkey").agg(
+        countDistinct($"l_suppkey").as("n_sups"),
+        countDistinct(when($"l_returnflag" === "R", $"l_suppkey"))
+          .as("n_ret_sups"))
+      val culprit = li.filter($"l_returnflag" === "R")
+        .join(ordProfile, Seq("l_orderkey"))
+        .filter($"n_sups" > 1 && $"n_ret_sups" === 1)
+      culprit.groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_name", $"numwait")
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    },
+    Some("""SELECT s_name, count(*)::BIGINT AS numwait
+           |FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+           |WHERE l1.l_returnflag = 'R'
+           |  AND EXISTS (SELECT 1 FROM lineitem l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey
+           |                    AND l3.l_returnflag = 'R')
+           |GROUP BY s_name
+           |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
+
+  /** X60: scalar subquery threshold + anti join — the TPC-H Q22
+    * "dormant wealthy customers" shape. Spark side: the global
+    * positive-balance average is a 1-row aggregate broadcast-crossJoined
+    * onto the customer scan (the A14 pattern — no single-partition
+    * window), and NOT EXISTS(urgent orders) is a left_anti against the
+    * DISTINCT customer keys of the filtered orders (the anti side shrinks
+    * to its key set before the shuffle — at 100 TB the distinct is the
+    * difference between shuffling orders and shuffling its custkey set;
+    * the correlated filter rides the scan as a pushed predicate). Oracle
+    * keeps the literal scalar subquery + NOT EXISTS. */
+  private val q158 = Q("q158_dormant_customers",
+    (s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter($"c_acctbal" > 0)
+        .agg(avg($"c_acctbal").as("thresh"))
+      val buyers = t(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey").distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"thresh")
+        .join(buyers, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum($"c_acctbal"), 2).as("totacctbal"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+           |  round(sum(c_acctbal), 2) AS totacctbal
+           |FROM customer
+           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+           |                   WHERE c_acctbal > 0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey
+           |                    AND o_orderpriority = '1-URGENT')
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[Q] = Seq(q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q16, q17, q18, q19, q34, q35, q36, q38, q39, q40, q50, q52, q53,
     q61, q70, q71, q75, q77, q78, q79, q80, q81, q84, q85, q86, q87, q88,
     q89, q92, q95, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q123, q124, q125, q126, q127, q131, q132, q134, q135,
-    q136, q138, q139, q140, q141, q142, q143)
+    q136, q138, q139, q140, q141, q142, q143, q157, q158)
 }

@@ -464,6 +464,40 @@ object CatalogStats {
            |SELECT node AS c_custkey, root, depth
            |FROM r ORDER BY 1""".stripMargin))
 
+  /** X59 (fuzzy-match verify kernel): blocked Jaro-Winkler name matching.
+    * Spark side is graft's native codegen'd [[JaroWinkler]] expression;
+    * the ORACLE is DuckDB's built-in `jaro_winkler_similarity` — two
+    * independent implementations of the published definition, so the
+    * hash compare certifies the algorithm itself (the q62/NFC technique).
+    * Blocking: distinct names paired only within their last-word block
+    * (the ER-blocking shape of q107 — the quadratic verify runs per
+    * block, never corpus²; at 100 TB the block key is the skew knob).
+    * Score rounded to 4 dp so last-ulp arithmetic-order differences
+    * between the two engines' formula evaluation cannot flip the hash. */
+  private val q159 = Q("q159_jaro_winkler",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.gfunctions.jaro_winkler
+      val names = t(s, dir, "part")
+        .select($"p_name").distinct()
+        .withColumn("blk", element_at(split($"p_name", " "), 2))
+      val a = names.select($"p_name".as("name_a"), $"blk")
+      val b = names.select($"p_name".as("name_b"), $"blk")
+      a.join(b, Seq("blk"))
+        .filter($"name_a" < $"name_b")
+        .withColumn("jw", round(jaro_winkler($"name_a", $"name_b"), 4))
+        .filter($"jw" >= 0.75)
+        .select($"name_a", $"name_b", $"jw")
+        .orderBy($"jw".desc, $"name_a", $"name_b")
+    },
+    Some("""WITH n AS (SELECT DISTINCT p_name,
+           |    split_part(p_name, ' ', 2) AS blk FROM part),
+           |p AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+           |    round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+           |  FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name)
+           |SELECT name_a, name_b, jw FROM p WHERE jw >= 0.75
+           |ORDER BY jw DESC, name_a, name_b""".stripMargin))
+
   val all: Seq[Q] = Seq(q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154, q155, q156)
+    q152, q153, q154, q155, q156, q159)
 }

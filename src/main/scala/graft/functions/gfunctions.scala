@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.DoubleType
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -33,6 +33,11 @@ object gfunctions {
   /** Order-sensitive 64-bit rolling-hash fingerprint of a token array. */
   def rolling_hash64(tokens: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(tokens)))
+
+  /** Jaro-Winkler similarity (DuckDB jaro_winkler_similarity semantics). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Word n-gram shingles of a STRING column, native + codegen'd (the
     * dedup hot path; same token boundaries as TextAnalysis.shingles). */
@@ -128,5 +133,7 @@ object gfunctions {
       "md5_long", exprs => Md5Long(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
   }
 }

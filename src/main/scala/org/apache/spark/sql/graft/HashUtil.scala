@@ -299,3 +299,64 @@ object MinhashKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** String-similarity kernels callable from generated code. */
+object StringSim {
+
+  /** Jaro-Winkler similarity, pinned to DuckDB `jaro_winkler_similarity`
+    * semantics (probed against DuckDB 1.x on this host, JaroWinklerSpec):
+    * either side empty → 0.0 (even both-empty); match window
+    * max(|a|,|b|)/2 − 1 (floored, min 0); transpositions = floor(half the
+    * out-of-order matched positions); Winkler prefix boost (weight 0.1,
+    * prefix capped at 4) applied only when jaro > 0.7 strictly. Compares
+    * UTF-16 code units — identical to byte comparison on ASCII, which is
+    * all the catalog exercises.
+    */
+  def jaroWinkler(aS: UTF8String, bS: UTF8String): Double = {
+    val a = aS.toString
+    val b = bS.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    if (a == b) return 1.0
+    val win = math.max(0, math.max(la, lb) / 2 - 1)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + win)
+      var j = math.max(0, i - win)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && b.charAt(j) == a.charAt(i)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var raw = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) raw += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = raw / 2
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var p = 0
+      val maxP = math.min(4, math.min(la, lb))
+      while (p < maxP && a.charAt(p) == b.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+  }
+}

@@ -137,6 +137,35 @@ case class Md5Long(child: Expression)
     copy(child = newChild)
 }
 
+/** Jaro-Winkler string similarity in [0,1], codegen'd, with semantics
+  * pinned to DuckDB's native `jaro_winkler_similarity` (the oracle side of
+  * q159 — an INDEPENDENT implementation of the same published definition,
+  * so the cross-engine compare checks the algorithm, not a replay).
+  * Kernel and exact conventions in [[StringSim.jaroWinkler]]. Spark has
+  * `levenshtein` but no Jaro-Winkler; fuzzy-matching pipelines (ER
+  * blocking verifies, typo-tolerant joins) want the prefix-weighted form
+  * because it ranks short-name typos far better than raw edit distance.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.jaroWinkler(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"org.apache.spark.sql.graft.StringSim.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode NFC normalization of a string (UAX #15 canonical composition),
   * matching DuckDB `nfc_normalize`. Spark has no built-in normalizer; a
   * native expression keeps the cleaning stage inside whole-stage codegen

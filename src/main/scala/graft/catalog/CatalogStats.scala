@@ -498,6 +498,66 @@ object CatalogStats {
            |SELECT name_a, name_b, jw FROM p WHERE jw >= 0.75
            |ORDER BY jw DESC, name_a, name_b""".stripMargin))
 
+  /** X61: count-min sketch point estimates for the corpus's top tokens.
+    * Every hash is md5-derived (== DuckDB md5_number_lower) and the
+    * bucket is the hash's LOW BITS (width a power of two), so sketch
+    * CELLS — not just estimates — are bit-identical cross-engine; the
+    * oracle rebuilds the full sketch and replays the min-over-rows
+    * point query. est >= exact by construction (CmsKmvSpec). */
+  private val q160 = Q("q160_cms_tokens",
+    (s, dir) => {
+      import s.implicits._
+      graft.sketch.Sketches.cmsTokenReport(
+        t(s, dir, "documents"), "text",
+        depth = 4, width = 256, probeTopK = 20)
+    },
+    Some("""WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+           |             FROM documents),
+           |freq AS (SELECT token, count(*)::BIGINT AS exact_n
+           |         FROM tok GROUP BY token),
+           |idx AS (SELECT unnest(generate_series(0, 3)) AS i),
+           |hb AS (SELECT token, exact_n, i,
+           |    (md5_number_lower(CAST(i AS VARCHAR) || ':' || token) & 255)::BIGINT AS b
+           |  FROM freq, idx),
+           |cells AS (SELECT i, b, sum(exact_n)::BIGINT AS cell
+           |          FROM hb GROUP BY i, b),
+           |probes AS (SELECT token, exact_n FROM freq
+           |           ORDER BY exact_n DESC, token LIMIT 20)
+           |SELECT p.token, p.exact_n, min(c.cell)::BIGINT AS cms_n
+           |FROM probes p JOIN hb h ON h.token = p.token
+           |     JOIN cells c ON c.i = h.i AND c.b = h.b
+           |GROUP BY p.token, p.exact_n
+           |ORDER BY p.token""".stripMargin))
+
+  /** X62: KMV distinct-count sketch vs exact, per group. The k-th
+    * minimum hash is selected under UNSIGNED order on both engines
+    * (Spark ranks on h XOR Long.MinValue over the signed
+    * reinterpretation; DuckDB ranks the native UBIGINT — same element),
+    * and both divide the same IEEE double, so the 4-dp estimate is
+    * engine-noise-free. ~11k distinct orderkeys per flag vs k=256
+    * → ±1/√k ≈ 6% expected error, visible in the report. */
+  private val q161 = Q("q161_kmv_distinct",
+    (s, dir) => {
+      import s.implicits._
+      graft.sketch.Sketches.kmvDistinct(
+          t(s, dir, "lineitem"), "l_returnflag", "l_orderkey", k = 256)
+        .withColumnRenamed("grp", "l_returnflag")
+    },
+    Some("""WITH dh AS (SELECT DISTINCT l_returnflag AS grp,
+           |    md5_number_lower(CAST(l_orderkey AS VARCHAR)) AS hu
+           |  FROM lineitem),
+           |ex AS (SELECT grp, count(*)::BIGINT AS exact_distinct
+           |       FROM dh GROUP BY grp),
+           |rk AS (SELECT grp, hu,
+           |         row_number() OVER (PARTITION BY grp ORDER BY hu) AS r
+           |       FROM dh),
+           |kth AS (SELECT grp, hu::DOUBLE AS uk FROM rk WHERE r = 256)
+           |SELECT ex.grp AS l_returnflag, ex.exact_distinct,
+           |  round(coalesce(255 * 18446744073709551616.0 / uk,
+           |                 ex.exact_distinct::DOUBLE), 4) AS kmv_est
+           |FROM ex LEFT JOIN kth ON kth.grp = ex.grp
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154, q155, q156, q159)
+    q152, q153, q154, q155, q156, q159, q160, q161)
 }

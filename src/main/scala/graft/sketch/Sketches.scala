@@ -1,0 +1,138 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.gfunctions.md5_long
+
+/** Deterministic, oracle-checkable sketches (X61/X62).
+  *
+  * Production Spark reaches for `approx_count_distinct` (HLL++) and the
+  * DataSketches bindings; those are engine-specific binaries a DuckDB
+  * oracle cannot replay. These sketches keep the same asymptotics but
+  * derive every hash from md5 (bit-compatible with DuckDB
+  * `md5_number_lower`, [[org.apache.spark.sql.graft.HashUtil]]), so the
+  * sketch CONTENT — not just the final estimate — is reproducible
+  * cross-engine and the whole pipeline stays under the driver's hash
+  * compare. The md5-vs-xxhash64 cost trade is the same one the dedup
+  * family documents (SCALE.md): swap the hash for speed once you give up
+  * the oracle.
+  */
+object Sketches {
+
+  /** Count-min sketch over token frequencies + point-estimate report for
+    * the exact top-`probeTopK` tokens (the CMS paper's point query,
+    * Cormode & Muthukrishnan 2005).
+    *
+    * Shape (100-TB posture): one corpus-grain explode collapses
+    * immediately into the (token, n) frequency aggregate — map-side
+    * partial, shuffle is vocabulary-sized. The sketch itself is a
+    * `depth × width` aggregate of that table (tiny, broadcast-sized by
+    * construction), and estimates join probes back against it on the
+    * (row, bucket) key. Nothing downstream of the first aggregate ever
+    * touches corpus grain.
+    *
+    * `width` must be a power of two: the bucket is the hash's low bits
+    * (`h & (width-1)`), which is identical arithmetic on Spark's signed
+    * reinterpretation and DuckDB's UBIGINT — no signed-mod headache.
+    * Estimates are upper bounds: est >= exact always (CmsKmvSpec pins
+    * the guarantee).
+    */
+  def cmsTokenReport(docs: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 256,
+                     probeTopK: Int = 20): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    import docs.sparkSession.implicits._
+    import graft.functions.gfunctions.word_shingles
+
+    val freq = docs
+      .select(explode(word_shingles(col(textCol), 1)).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("exact_n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val rows = explode(array((0 until depth).map(lit): _*)).as("i")
+    def bucket(tok: Column, i: Column): Column =
+      md5_long(concat(i.cast("string"), lit(":"), tok))
+        .bitwiseAND(lit((width - 1).toLong))
+
+    // depth × vocab rows -> depth × width sketch cells
+    val sketch = freq.select($"token", $"exact_n", rows)
+      .select($"i", bucket($"token", $"i").as("b"), $"exact_n")
+      .groupBy($"i", $"b")
+      .agg(sum($"exact_n").as("cell"))
+
+    val probes = freq
+      .orderBy($"exact_n".desc, $"token")
+      .limit(probeTopK)
+
+    val out = probes.select($"token", $"exact_n", rows)
+      .select($"token", $"exact_n", $"i", bucket($"token", $"i").as("b"))
+      .join(sketch, Seq("i", "b"))
+      .groupBy($"token")
+      .agg(max($"exact_n").as("exact_n"), min($"cell").as("cms_n"))
+      .orderBy($"token")
+    // probeTopK-row output: materialize-and-release (the Dedup pattern)
+    // so the cached vocabulary table isn't pinned in a long session
+    val r = out.localCheckpoint()
+    freq.unpersist(false)
+    r
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
+    * et al. 2002): keep the k smallest distinct hash values; estimate
+    * D ≈ (k−1) / u_k where u_k is the k-th minimum as a fraction of the
+    * hash space. Groups with fewer than k distinct values are exact by
+    * construction (the sketch holds every hash), and the report says so.
+    *
+    * Shape: facts collapse to the DISTINCT (group, hash) table first —
+    * the only corpus-grain pass. The rank window partitions by group over
+    * that distinct table (shuffle is distinct-values-sized). At 100 TB
+    * you would pre-prune with a per-partition local top-k (the
+    * `util/Ranks` two-pass trick) before the window; at catalog scale the
+    * window IS the honest plan. Unsigned hash order: Spark ranks on
+    * `h XOR Long.MinValue` (exact unsigned order over the signed
+    * reinterpretation); the oracle ranks the native UBIGINT — same
+    * element wins on both engines, and the estimate divides the same
+    * IEEE double. Estimate rounded to 4 dp.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import df.sparkSession.implicits._
+
+    val hashed = df
+      .select(col(groupCol).as("grp"),
+        md5_long(col(valueCol).cast("string")).as("h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val exact = hashed.groupBy($"grp")
+      .agg(count(lit(1)).as("exact_distinct"))
+
+    val w = Window.partitionBy($"grp")
+      .orderBy($"h".bitwiseXOR(lit(Long.MinValue)))
+    val two64 = 18446744073709551616.0 // 2^64
+    val kth = hashed
+      .withColumn("r", row_number().over(w))
+      .filter($"r" === k)
+      // unsigned value of the signed bit pattern, as an IEEE double
+      .select($"grp",
+        ($"h".cast("double") + when($"h" < 0, lit(two64)).otherwise(lit(0.0)))
+          .as("uk"))
+
+    val out = exact.join(kth, Seq("grp"), "left")
+      .select($"grp",
+        $"exact_distinct",
+        round(coalesce(lit(k - 1) * lit(two64) / $"uk",
+          $"exact_distinct".cast("double")), 4).as("kmv_est"))
+      .orderBy($"grp")
+    // group-count-sized output: materialize-and-release
+    val r = out.localCheckpoint()
+    hashed.unpersist(false)
+    r
+  }
+}

@@ -558,6 +558,49 @@ object CatalogStats {
            |FROM ex LEFT JOIN kth ON kth.grp = ex.grp
            |ORDER BY l_returnflag""".stripMargin))
 
+  /** X63: Kruskal–Wallis H per scope — l_quantity across returnflag
+    * classes within each linestatus (q144's KS companion for 3+
+    * samples). Integral quantities tie massively, so the tie-corrected
+    * h_adj visibly exceeds h. Rank sums are exact BIGINTs on both
+    * engines (doubled-rank trick, RankStats.kruskalWallis); the oracle
+    * replays the identical cell formulation. */
+  private val q162 = Q("q162_kruskal_wallis",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.RankStats.kruskalWallis(
+          t(s, dir, "lineitem"), "l_linestatus", "l_returnflag",
+          "l_quantity")
+        .orderBy($"l_linestatus")
+    },
+    Some("""WITH cells AS (SELECT l_linestatus AS s, l_returnflag AS c,
+           |    l_quantity AS v, count(*)::BIGINT AS cnt
+           |  FROM lineitem GROUP BY 1, 2, 3),
+           |pv AS (SELECT s, v, sum(cnt)::BIGINT AS t
+           |       FROM cells GROUP BY 1, 2),
+           |rk AS (SELECT s, v, t,
+           |    coalesce(sum(t) OVER (PARTITION BY s ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0)::BIGINT AS cb
+           |  FROM pv),
+           |rc AS (SELECT cells.s, cells.c, cnt,
+           |         (2 * cb + t + 1)::BIGINT AS r2
+           |       FROM cells JOIN rk ON cells.s = rk.s AND cells.v = rk.v),
+           |cl AS (SELECT s, c, sum(cnt * r2)::BIGINT AS rsum,
+           |         sum(cnt)::BIGINT AS nj
+           |       FROM rc GROUP BY 1, 2),
+           |ties AS (SELECT s, sum(t*t*t - t)::BIGINT AS tt
+           |         FROM pv GROUP BY 1),
+           |sc AS (SELECT s, sum(nj)::BIGINT AS n,
+           |         (count(*) - 1)::BIGINT AS dof,
+           |         sum(rsum::DOUBLE * rsum / (4.0 * nj)) AS sq
+           |       FROM cl GROUP BY 1)
+           |SELECT sc.s AS l_linestatus, n, dof,
+           |  round(12.0 / (n * (n + 1.0)) * sq - 3.0 * (n + 1.0), 4) AS h,
+           |  round((12.0 / (n * (n + 1.0)) * sq - 3.0 * (n + 1.0)) /
+           |    nullif(1.0 - tt / (n::DOUBLE * n * n - n), 0.0), 4) AS h_adj
+           |FROM sc JOIN ties ON ties.s = sc.s
+           |ORDER BY l_linestatus""".stripMargin))
+
   val all: Seq[Q] = Seq(q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154, q155, q156, q159, q160, q161)
+    q152, q153, q154, q155, q156, q159, q160, q161, q162)
 }

@@ -112,4 +112,59 @@ object RankStats {
         round(regr_intercept(col(y), col(x)), 4).as("intercept"),
         round(regr_r2(col(y), col(x)), 4).as("r2"),
         regr_count(col(y), col(x)).as("n"))
+
+  /** Kruskal–Wallis H (one-way ANOVA on ranks) per scope: does `value`'s
+    * distribution differ across the `cls` classes? Output per scope:
+    * (scope, n, dof = k−1, h, h_adj) with the standard tie correction
+    * H_adj = H / (1 − Σ(t³−t)/(N³−N)); all-tied scopes get null h_adj.
+    *
+    * Facts collapse to (scope, cls, value, count) CELLS first — the only
+    * fact-grain pass; every window runs over cells (the rocAuc/ksTest
+    * shape, cell count bounded by |values|×|classes|). Fractional ranks
+    * are never materialized per observation: the doubled rank of value v
+    * is 2·cum_before + t + 1 — an INTEGER — so each class's doubled rank
+    * sum Σ cnt·r2 is an exact BIGINT and the only floating-point steps
+    * are the k per-class square/divide terms and their k-term sum, which
+    * the 4-dp round absorbs. A single class in a scope yields H = 0
+    * (rank sum is forced), which is the honest degenerate answer. */
+  def kruskalWallis(df: DataFrame, scope: String, cls: String,
+                    value: String): DataFrame = {
+    val cells = df
+      .groupBy(col(scope).as("__s"), col(cls).as("__c"),
+        col(value).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val perVal = cells.groupBy(col("__s"), col("__v"))
+      .agg(sum(col("__cnt")).as("__t"))
+    val wOrd = Window.partitionBy(col("__s")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // renamed join keys: ranked derives from cells, so a name-based
+    // self-join would hit Spark's ambiguous-lineage resolution
+    val ranked = perVal
+      .withColumn("__cb", coalesce(sum(col("__t")).over(wOrd), lit(0L)))
+      .select(col("__s").as("__rs"), col("__v").as("__rv"),
+        (lit(2) * col("__cb") + col("__t") + 1).as("__r2"))
+    val perCls = cells.join(ranked,
+        col("__s") === col("__rs") && col("__v") === col("__rv"))
+      .groupBy(col("__s"), col("__c"))
+      .agg(sum(col("__cnt") * col("__r2")).as("__rsum"),
+        sum(col("__cnt")).as("__nj"))
+    val ties = perVal.groupBy(col("__s"))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tt"))
+      .select(col("__s").as("__ts"), col("__tt"))
+    val n = col("__n").cast("double")
+    perCls.groupBy(col("__s"))
+      .agg(sum(col("__nj")).as("__n"),
+        (count(lit(1)) - 1).as("dof"),
+        sum(col("__rsum").cast("double") * col("__rsum") /
+          (lit(4.0) * col("__nj"))).as("__sqsum"))
+      .join(ties, col("__s") === col("__ts"))
+      .select(col("__s"), col("__n").as("n"), col("dof"),
+        round(lit(12.0) / (n * (n + 1)) * col("__sqsum") - lit(3.0) * (n + 1), 4)
+          .as("h"),
+        round((lit(12.0) / (n * (n + 1)) * col("__sqsum") - lit(3.0) * (n + 1)) /
+          nullif(lit(1.0) - col("__tt") / (n * n * n - n), lit(0.0)), 4)
+          .as("h_adj"))
+      .withColumnRenamed("__s", scope)
+  }
 }

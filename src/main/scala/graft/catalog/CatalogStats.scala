@@ -601,6 +601,50 @@ object CatalogStats {
            |FROM sc JOIN ties ON ties.s = sc.s
            |ORDER BY l_linestatus""".stripMargin))
 
+  /** X64: Holt linear-trend smoothing of each event type's daily count
+    * series (q146's two-state companion). The oracle replays the
+    * identical recurrence as a recursive CTE carrying (l, b) columns;
+    * both engines evaluate 1−α as the runtime double `1.0 − α` (the
+    * Ewma.holtForecast docstring explains why the decimal-simplified
+    * literal would diverge). */
+  private val q163 = Q("q163_holt_trend",
+    (s, dir) => {
+      import s.implicits._
+      val series = t(s, dir, "events")
+        .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+        .agg(count(lit(1)).as("c"))
+      graft.events.Ewma.holtForecast(series, "event_type", "d", "c",
+        alpha = 0.3, beta = 0.1)
+        .orderBy($"event_type")
+    },
+    Some("""WITH RECURSIVE s AS (
+           |  SELECT event_type, date_trunc('day', ts) AS d,
+           |         count(*)::BIGINT AS c
+           |  FROM events GROUP BY 1, 2),
+           |r AS (
+           |  SELECT event_type, c,
+           |         row_number() OVER (PARTITION BY event_type
+           |                            ORDER BY d) AS rn
+           |  FROM s),
+           |e AS (
+           |  SELECT event_type, rn, c::DOUBLE AS l, 0.0::DOUBLE AS b
+           |  FROM r WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.event_type, r.rn,
+           |    0.3::DOUBLE * r.c +
+           |      (1.0::DOUBLE - 0.3::DOUBLE) * (e.l + e.b),
+           |    0.1::DOUBLE * ((0.3::DOUBLE * r.c +
+           |        (1.0::DOUBLE - 0.3::DOUBLE) * (e.l + e.b)) - e.l) +
+           |      (1.0::DOUBLE - 0.1::DOUBLE) * e.b
+           |  FROM e JOIN r ON r.event_type = e.event_type
+           |               AND r.rn = e.rn + 1),
+           |f AS (SELECT event_type, max(rn) AS n FROM e GROUP BY 1)
+           |SELECT e.event_type, f.n::BIGINT AS n,
+           |       round(e.l, 6) AS level, round(e.b, 6) AS trend,
+           |       round(e.l + e.b, 6) AS forecast_next
+           |FROM e JOIN f ON f.event_type = e.event_type AND e.rn = f.n
+           |ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154, q155, q156, q159, q160, q161, q162)
+    q152, q153, q154, q155, q156, q159, q160, q161, q162, q163)
 }

@@ -43,4 +43,48 @@ class EwmaSpec extends SparkSuite {
       Ewma.ewmaLast(df, "g", "t", "x", 0.0)
     }
   }
+
+  test("holt: matches a driver-side fold of the same recurrence") {
+    val xs = Seq(10.0, 12.0, 15.0, 13.0, 18.0, 21.0, 20.0, 25.0)
+    val (alpha, beta) = (0.3, 0.1)
+    var l = xs.head; var b = 0.0
+    xs.tail.foreach { x =>
+      val lNew = alpha * x + (1.0 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1.0 - beta) * b
+      l = lNew
+    }
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "t", "x")
+    val r = Ewma.holtForecast(df, "g", "t", "x", alpha, beta)
+      .collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Double]("level") ==
+      BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("trend") ==
+      BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("forecast_next") ==
+      BigDecimal(l + b).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("holt: single point is level = x, trend = 0; constant series has zero trend") {
+    val df = (Seq(("one", 0, 7.0)) ++
+      (0 until 5).map(i => ("const", i, 4.0))).toDF("g", "t", "x")
+    val m = Ewma.holtForecast(df, "g", "t", "x", 0.5, 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast_next"))).toMap
+    assert(m("one") == ((7.0, 0.0, 7.0)))
+    assert(m("const") == ((4.0, 0.0, 4.0)))
+  }
+
+  test("holt: linear series trend approaches the true slope") {
+    // x_t = 5 + 3t for 40 steps: with b seeded 0 the trend estimate
+    // converges toward 3
+    val df = (0 until 40).map(i => ("g", i, 5.0 + 3.0 * i))
+      .toDF("g", "t", "x")
+    val r = Ewma.holtForecast(df, "g", "t", "x", 0.5, 0.3)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("trend") - 3.0) < 0.05)
+  }
 }

@@ -645,6 +645,51 @@ object CatalogStats {
            |FROM e JOIN f ON f.event_type = e.event_type AND e.rn = f.n
            |ORDER BY 1""".stripMargin))
 
+  /** X65: CUPED experiment readout over events — variant assigned by
+    * the deterministic md5 parity of user_id (cross-engine identical),
+    * pre/post = first/second half-month spend per user, cents-snapped
+    * so both engines adjust IDENTICAL unit frames and only the final
+    * 4-dp-rounded aggregates touch accumulation order. */
+  private val q164 = Q("q164_cuped",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.gfunctions.md5_long
+      val cut = lit("2024-01-16").cast("timestamp")
+      val units = t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          round(coalesce(sum(when($"ts" < cut, $"value")), lit(0.0)), 2)
+            .as("pre"),
+          round(coalesce(sum(when($"ts" >= cut, $"value")), lit(0.0)), 2)
+            .as("post"))
+        .withColumn("variant",
+          when(md5_long($"user_id".cast("string"))
+            .bitwiseAND(lit(1L)) === 0, "A").otherwise("B"))
+      graft.de.Experiment.cupedReadout(units, "variant", "pre", "post")
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id,
+           |    round(coalesce(sum(value) FILTER (
+           |      WHERE ts < TIMESTAMP '2024-01-16'), 0), 2) AS pre,
+           |    round(coalesce(sum(value) FILTER (
+           |      WHERE ts >= TIMESTAMP '2024-01-16'), 0), 2) AS post,
+           |    CASE WHEN (md5_number_lower(CAST(user_id AS VARCHAR)) & 1) = 0
+           |         THEN 'A' ELSE 'B' END AS variant
+           |  FROM events GROUP BY user_id),
+           |s AS (SELECT avg(pre) AS mx, covar_samp(pre, post) AS cxy,
+           |             var_samp(pre) AS vx FROM u),
+           |a AS (SELECT variant, post,
+           |        post - (CASE WHEN vx > 0 THEN cxy / vx ELSE 0 END) *
+           |          (pre - mx) AS adj
+           |      FROM u, s)
+           |SELECT variant, count(*)::BIGINT AS n,
+           |  round(avg(post), 4) AS raw_mean, round(avg(adj), 4) AS adj_mean,
+           |  round(var_samp(post), 4) AS raw_var,
+           |  round(var_samp(adj), 4) AS adj_var,
+           |  round(1.0 - var_samp(adj) / nullif(var_samp(post), 0), 4)
+           |    AS var_reduction
+           |FROM a GROUP BY variant ORDER BY variant""".stripMargin))
+
   val all: Seq[Q] = Seq(q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154, q155, q156, q159, q160, q161, q162, q163)
+    q152, q153, q154, q155, q156, q159, q160, q161, q162, q163, q164)
 }

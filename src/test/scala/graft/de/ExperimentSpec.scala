@@ -1,0 +1,54 @@
+package graft.de
+
+import graft.SparkSuite
+
+class ExperimentSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("adjusted means match a driver-side replay of theta") {
+    val units = Seq(
+      ("A", 10.0, 22.0), ("A", 12.0, 25.0), ("A", 8.0, 18.0),
+      ("B", 11.0, 28.0), ("B", 9.0, 23.0), ("B", 13.0, 30.0))
+    val xs = units.map(_._2); val ys = units.map(_._3)
+    val n = units.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }
+      .sum / (n - 1)
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum / (n - 1)
+    val theta = cxy / vx
+    val adjA = units.filter(_._1 == "A")
+      .map { case (_, x, y) => y - theta * (x - mx) }
+    val expA = adjA.sum / adjA.size
+
+    val r = Experiment.cupedReadout(
+        units.toDF("variant", "pre", "post"), "variant", "pre", "post")
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(math.abs(r("A").getAs[Double]("adj_mean") - expA) < 1e-3)
+    assert(r("A").getAs[Long]("n") == 3L)
+  }
+
+  test("zero pre-period variance degrades to the raw readout") {
+    val units = Seq(("A", 5.0, 10.0), ("A", 5.0, 14.0),
+      ("B", 5.0, 20.0), ("B", 5.0, 24.0)).toDF("variant", "pre", "post")
+    val r = Experiment.cupedReadout(units, "variant", "pre", "post")
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(r("A").getAs[Double]("adj_mean") ==
+      r("A").getAs[Double]("raw_mean"))
+    assert(r("B").getAs[Double]("adj_var") ==
+      r("B").getAs[Double]("raw_var"))
+  }
+
+  test("perfectly correlated covariate removes nearly all variance") {
+    // post = 2*pre + variant effect: within-variant adj variance ~ 0
+    val units = ((1 to 20).map(i => ("A", i.toDouble, 2.0 * i)) ++
+      (1 to 20).map(i => ("B", i.toDouble, 2.0 * i + 5)))
+      .toDF("variant", "pre", "post")
+    val r = Experiment.cupedReadout(units, "variant", "pre", "post")
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(r("A").getAs[Double]("var_reduction") > 0.99)
+    // and the A/B difference in adjusted means equals the true effect
+    val diff = r("B").getAs[Double]("adj_mean") -
+      r("A").getAs[Double]("adj_mean")
+    assert(math.abs(diff - 5.0) < 1e-6)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.de
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Categorical dependence via Shannon information: entropies of two
+  * discrete columns, their joint entropy, mutual information, and
+  * normalized MI — the model-free "are these features redundant"
+  * screen used in feature selection and leakage audits, and the
+  * continuous-free companion to the chi-square independence statistic
+  * ([[RankStats]]).
+  *
+  * Everything reduces over the JOINT CELL TABLE (one row per distinct
+  * (x, y) pair — bounded by the category-domain product, never the fact
+  * table): H(X) and H(Y) come from marginal sums over the same cells,
+  * so the fact table is scanned once into one hash aggregate. Identity
+  * used throughout: H = ln N − (Σ c·ln c)/N with exact BIGINT counts,
+  * so the only float work is c·ln c terms whose accumulation noise
+  * (~1e-12) is far inside the 6-dp round. MI = H(X)+H(Y)−H(XY) is
+  * computed from the UNROUNDED entropies, then rounded once.
+  */
+object InfoTheory {
+
+  /** One row: (n BIGINT, n_cells BIGINT, h_x, h_y, h_xy, mi, nmi — all
+    * 6 dp; nmi null for a degenerate axis with zero entropy). */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val agg = cells.agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("n_cells"),
+      sum(col("c").cast("double") * log(col("c").cast("double")))
+        .as("clc_xy"))
+    val aggX = mx.agg(sum(col("cx").cast("double") *
+      log(col("cx").cast("double"))).as("clc_x"))
+    val aggY = my.agg(sum(col("cy").cast("double") *
+      log(col("cy").cast("double"))).as("clc_y"))
+    val hx = log(col("n").cast("double")) - col("clc_x") / col("n")
+    val hy = log(col("n").cast("double")) - col("clc_y") / col("n")
+    val hxy = log(col("n").cast("double")) - col("clc_xy") / col("n")
+    val mi = hx + hy - hxy
+    agg.crossJoin(broadcast(aggX)).crossJoin(broadcast(aggY))
+      .select(col("n"), col("n_cells"),
+        round(hx, 6).as("h_x"), round(hy, 6).as("h_y"),
+        round(hxy, 6).as("h_xy"), round(mi, 6).as("mi"),
+        when(hx > 0 && hy > 0, round(mi / sqrt(hx * hy), 6))
+          .as("nmi"))
+  }
+}

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** graft's function surface: custom Catalyst expressions exposed as
   * `Column`s plus pure-column helpers composed from Spark built-ins.
@@ -16,6 +16,17 @@ object gfunctions {
     ColumnBridge.column(TTestPValue(
       ColumnBridge.expression(t.cast(DoubleType)),
       ColumnBridge.expression(df.cast(DoubleType))))
+
+  /** Hypergeometric upper-tail p-value P(X >= k): enrichment /
+    * over-representation significance of overlap k between a size-n
+    * draw and a size-K success set in a size-N population. */
+  def hypergeom_pvalue(k: Column, bigK: Column, n: Column,
+                       bigN: Column): Column =
+    ColumnBridge.column(HypergeomPValue(
+      ColumnBridge.expression(k.cast(LongType)),
+      ColumnBridge.expression(bigK.cast(LongType)),
+      ColumnBridge.expression(n.cast(LongType)),
+      ColumnBridge.expression(bigN.cast(LongType))))
 
   /** Cosine similarity of two ARRAY<DOUBLE> columns (codegen'd). */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -135,5 +146,9 @@ object gfunctions {
       "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hypergeom_pvalue",
+      exprs => HypergeomPValue(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
   }
 }

@@ -36,6 +36,49 @@ case class TTestPValue(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hypergeometric upper-tail p-value P(X >= k) for overlap k between a
+  * size-`n` draw and a size-`bigK` success set in a size-`bigN`
+  * population — the over-representation (ORA / one-sided Fisher exact)
+  * test of enrichment analysis, the significance layer the reference's
+  * target-validation stage reports qualitatively
+  * (`drug_target_gse46602/pipeline2.py:700-760` scores target overlap
+  * without a p-value; every published ORA tool computes exactly this
+  * tail). Evaluated per GROUP row (pathways × conditions), never per
+  * fact row, so CodegenFallback + commons-math3 (same precedent as
+  * [[TTestPValue]]) costs nothing measurable. Null for inconsistent
+  * margins; exact 1.0 / 0.0 at the support edges.
+  */
+case class HypergeomPValue(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, LongType, LongType, LongType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hypergeom_pvalue"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(kV: Any, bigKV: Any, nV: Any, bigNV: Any): Any = {
+    val k = kV.asInstanceOf[Long]
+    val bigK = bigKV.asInstanceOf[Long]
+    val n = nV.asInstanceOf[Long]
+    val bigN = bigNV.asInstanceOf[Long]
+    if (bigN <= 0 || bigK < 0 || n < 0 || bigK > bigN || n > bigN ||
+        bigN > Int.MaxValue) null
+    else if (k <= math.max(0L, n + bigK - bigN)) 1.0
+    else if (k > math.min(bigK, n)) 0.0
+    else new org.apache.commons.math3.distribution.HypergeometricDistribution(
+      bigN.toInt, bigK.toInt, n.toInt)
+      .upperCumulativeProbability(k.toInt)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 /** Cosine similarity between two double arrays, with whole-stage codegen.
   *
   * Backbone of the similarity-search / embedding-dedup operators. Nulls and

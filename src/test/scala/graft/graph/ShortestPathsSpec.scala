@@ -49,4 +49,55 @@ class ShortestPathsSpec extends SparkSuite {
       assert(got(g) == exp, s"node $g")
     }
   }
+
+  test("allPairs matches Floyd-Warshall from EVERY source, and the " +
+    "driver/distributed paths agree") {
+    val rnd = new scala.util.Random(29)
+    val n = 8
+    val names = (0 until n).map(i => s"v$i")
+    val arcs = (for {
+      a <- 0 until n; b <- 0 until n
+      if a != b && rnd.nextDouble() < 0.25
+    } yield (names(a), names(b), (rnd.nextInt(9) + 1).toLong)).toSeq
+    val inf = Long.MaxValue / 4
+    val d = Array.fill(n, n)(inf)
+    (0 until n).foreach(i => d(i)(i) = 0L)
+    arcs.foreach { case (u, v, w) =>
+      val (i, j) = (names.indexOf(u), names.indexOf(v))
+      d(i)(j) = math.min(d(i)(j), w)
+    }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+    val nodes = names.toDF("gene")
+    val edges = arcs.toDF("src", "dst", "w")
+    val driver = ShortestPaths.allPairs(spark, nodes, edges)
+      .as[(String, String, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val dist = ShortestPaths.allPairsDistributed(spark, nodes, edges)
+      .as[(String, String, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(driver == dist)
+    for (i <- 0 until n; j <- 0 until n) {
+      val exp = if (d(i)(j) >= inf) None else Some(d(i)(j))
+      assert(driver((names(i), names(j))) == exp, s"pair $i->$j")
+    }
+  }
+
+  test("closenessStats on a directed path a->b->c (unit weights)") {
+    val nodes = Seq("a", "b", "c").toDF("gene")
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val m = ShortestPaths.closenessStats(spark, nodes, edges)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Long]("n_reachable") == 2L)
+    assert(m("a").getAs[Long]("eccentricity") == 2L)
+    // closeness = 2/(1+2); harmonic = 1 + 1/2
+    assert(m("a").getAs[Double]("closeness") ==
+      math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(m("a").getAs[Double]("harmonic") == 1.5)
+    // sink c reaches nothing: null closeness/eccentricity, harmonic 0
+    assert(m("c").getAs[Long]("n_reachable") == 0L)
+    assert(m("c").isNullAt(m("c").fieldIndex("eccentricity")))
+    assert(m("c").isNullAt(m("c").fieldIndex("closeness")))
+    assert(m("c").getAs[Double]("harmonic") == 0.0)
+  }
 }

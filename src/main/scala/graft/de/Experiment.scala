@@ -49,4 +49,45 @@ object Experiment {
           lit(0.0)), 4).as("var_reduction"))
       .orderBy(col(variant))
   }
+
+  /** Stratified two-proportion z-test (X76): per stratum, the pooled
+    * z-statistic for conversion-rate difference between two groups —
+    * z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)), p̂ the pooled
+    * rate. Every input to the formula is an exact integer count per
+    * (stratum, group), so z is one deterministic double expression per
+    * STRATUM row (4-dp). The p-value is left to the caller's normal
+    * table — reporting the statistic keeps the operator engine-exact
+    * and DuckDB-oracle-able (no erf on either side). Strata with a
+    * group missing or a degenerate pooled rate (p̂ ∈ {0,1}) yield null
+    * z. `success` is any boolean column expression name.
+    *
+    * Output: (stratum, n_a, x_a, n_b, x_b, p_a 6dp, p_b 6dp, z 4dp).
+    * One hash aggregate over facts; strata-bounded output. */
+  def twoProportionZ(df: DataFrame, stratum: String, group: String,
+                     success: String, a: String, b: String): DataFrame = {
+    val isA = col(group) === a
+    val isB = col(group) === b
+    val s = col(success).cast("long")
+    val agg = df.filter(isA || isB)
+      .groupBy(col(stratum))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA, s).otherwise(0L)).as("x_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isB, s).otherwise(0L)).as("x_b"))
+    // nullif guards keep the whole readout ANSI-safe: an empty group
+    // yields null rate/z, never a division error.
+    val pa = col("x_a").cast("double") / nullif(col("n_a"), lit(0L))
+    val pb = col("x_b").cast("double") / nullif(col("n_b"), lit(0L))
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      nullif(col("n_a") + col("n_b"), lit(0L))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / nullif(col("n_a"), lit(0L)) +
+        lit(1.0) / nullif(col("n_b"), lit(0L))))
+    agg.select(col(stratum), col("n_a"), col("x_a"), col("n_b"),
+      col("x_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && pp > 0 && pp < 1,
+        round((pa - pb) / se, 4)).as("z"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.de
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-statistic summaries that stay exact cross-engine because they
+  * select VALUES rather than interpolate: weighted median, deterministic
+  * mode, and the Pythagorean-means battery. All three collapse the fact
+  * table to (group, value) CELLS first — every window or argmax then
+  * runs over the value domain, the gate-sweep scale shape.
+  */
+object RobustStats {
+
+  /** Lower weighted median per group: the smallest value v whose
+    * cumulative weight reaches half the total (2·cumw ≥ totw — integer
+    * comparison, no ½ double). Weights must be non-negative integers.
+    * Output: (group, n_values BIGINT, total_weight BIGINT,
+    * w_median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("__w"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    cells
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__nc"), min(col(valueCol)).as("w_median"),
+        max(col("__tot")).as("total_weight"))
+      .join(cells.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_values")), Seq(groupCol))
+      .select(col(groupCol), col("n_values"), col("total_weight"),
+        col("w_median"))
+  }
+
+  /** Deterministic mode per group: the most frequent value, smallest
+    * value on count ties (an explicit convention where `mode()`
+    * builtins are tie-unspecified). Output: (group, mode_value,
+    * mode_count BIGINT, n_distinct BIGINT). */
+  def mode(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val wRk = Window.partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col(valueCol).asc)
+    cells
+      .withColumn("__nd", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))))
+      .withColumn("__rk", row_number().over(wRk))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col(valueCol).as("mode_value"),
+        col("__c").as("mode_count"), col("__nd").as("n_distinct"))
+  }
+
+  /** Arithmetic / geometric / harmonic means of a positive integer
+    * column per group (AM ≥ GM ≥ HM, pinned by spec). GM = exp(mean ln)
+    * and HM = n/Σ(1/x) accumulate doubles — rounded to 4 dp; AM is an
+    * exact-integer ratio. Output: (group, n BIGINT, am, gm, hm). */
+  def pythagoreanMeans(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("__s"),
+        sum(log(col(valueCol).cast("double"))).as("__sl"),
+        sum(lit(1.0) / col(valueCol)).as("__sr"))
+      .select(col(groupCol), col("n"),
+        round(col("__s").cast("double") / col("n"), 4).as("am"),
+        round(exp(col("__sl") / col("n")), 4).as("gm"),
+        round(col("n") / col("__sr"), 4).as("hm"))
+  }

@@ -95,4 +95,80 @@ object Ewma {
         round(col("__fin").getField("l") + col("__fin").getField("b"), 6)
           .as("forecast_next"))
   }
+
+  /** Holt–Winters ADDITIVE seasonal (triple exponential) smoothing:
+    * final (level, trend, next-season term) state and the one-step
+    * forecast per key, season length `m`.
+    *
+    * Seed convention (documented so any engine can replay it): the
+    * first m observations initialize l = mean(x₁..x_m) (summed LEFT TO
+    * RIGHT — the fold order is part of the contract), b = 0, and
+    * s_j = x_j − l; the recurrence runs from observation m+1:
+    * l_t = α(x_t − s_{t−m}) + (1−α)(l + b);
+    * b_t = β(l_t − l) + (1−β)b;
+    * s_t = γ(x_t − l_t) + (1−γ)s_{t−m}. The seasonal window rides the
+    * STRUCT accumulator as an m-element array rotated per step —
+    * state is (l, b, s[1..m]), which no SQL window expresses but both
+    * the higher-order fold here and a recursive CTE carrying a LIST
+    * column replay identically. Same 1−α runtime-double discipline as
+    * [[holtForecast]].
+    *
+    * Keys with fewer than m+1 points yield null outputs (not enough
+    * data to seed a season). Output: (key, n, level, trend,
+    * season_next, forecast_next — all 6-dp; forecast_next =
+    * l + b + s_{t+1−m}). Scale contract as [[ewmaLast]]: per-key
+    * payload is the calendar-bounded bucket series. */
+  def holtWinters(series: DataFrame, key: String, orderCol: String,
+                  value: String, m: Int, alpha: Double, beta: Double,
+                  gamma: Double): DataFrame = {
+    require(m >= 2, s"season length must be >= 2, got $m")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma must be in [0,1], got $gamma")
+    val a = lit(alpha); val oneA = lit(1.0) - lit(alpha)
+    val bt = lit(beta); val oneB = lit(1.0) - lit(beta)
+    val g = lit(gamma); val oneG = lit(1.0) - lit(gamma)
+    val arr = array_sort(collect_list(struct(col(orderCol).as("t"),
+      col(value).cast("double").as("x"))))
+    val seedL = aggregate(
+      transform(slice(col("__arr"), lit(1), lit(m)),
+        e => e.getField("x")),
+      lit(0.0), (acc, x) => acc + x) / lit(m.toDouble)
+    series.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), arr.as("__arr"))
+      .withColumn("__l0", seedL)
+      .withColumn("__fin",
+        when(col("n") <= m, lit(null))
+          .otherwise(aggregate(
+            // greatest-guard: slice length must be non-negative even on
+            // the short-series rows the `when` will null out anyway
+            slice(col("__arr"), lit(m + 1),
+              greatest(size(col("__arr")) - m, lit(0))),
+            struct(
+              col("__l0").as("l"),
+              lit(0.0).as("b"),
+              transform(slice(col("__arr"), lit(1), lit(m)),
+                e => e.getField("x") - col("__l0")).as("s")),
+            (acc, e) => {
+              val sHead = element_at(acc.getField("s"), 1)
+              val lNew = a * (e.getField("x") - sHead) +
+                oneA * (acc.getField("l") + acc.getField("b"))
+              val bNew = bt * (lNew - acc.getField("l")) +
+                oneB * acc.getField("b")
+              val sNew = g * (e.getField("x") - lNew) + oneG * sHead
+              struct(
+                lNew.as("l"),
+                bNew.as("b"),
+                concat(slice(acc.getField("s"), 2, m - 1),
+                  array(sNew)).as("s"))
+            })))
+      .select(col(key), col("n"),
+        round(col("__fin").getField("l"), 6).as("level"),
+        round(col("__fin").getField("b"), 6).as("trend"),
+        round(element_at(col("__fin").getField("s"), 1), 6)
+          .as("season_next"),
+        round(col("__fin").getField("l") + col("__fin").getField("b") +
+          element_at(col("__fin").getField("s"), 1), 6)
+          .as("forecast_next"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -44,6 +44,12 @@ object gfunctions {
   /** Order-sensitive 64-bit rolling-hash fingerprint of a token array. */
   def rolling_hash64(tokens: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(tokens)))
+
+  /** TRUE Damerau-Levenshtein distance (DuckDB damerau_levenshtein
+    * semantics — unrestricted transpositions, codegen'd). */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    ColumnBridge.column(DamerauLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Jaro-Winkler similarity (DuckDB jaro_winkler_similarity semantics). */
   def jaro_winkler(a: Column, b: Column): Column =
@@ -146,6 +152,9 @@ object gfunctions {
       "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "damerau_levenshtein",
+      exprs => DamerauLevenshtein(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "hypergeom_pvalue",
       exprs => HypergeomPValue(exprs(0), exprs(1), exprs(2), exprs(3)),

@@ -268,4 +268,108 @@ object CorpusStats {
         round(log(sum(col("n")).cast("double")) -
           sum(col("n").cast("double") * log(col("n").cast("double"))) /
             sum(col("n")).cast("double"), 4).as("entropy"))
+
+  /** Pairwise Jensen–Shannon divergence between stratum unigram
+    * distributions — the SYMMETRIC, always-finite companion to
+    * [[tokenDivergence]]'s KL (JSD needs no smoothing even on disjoint
+    * supports, and √JSD is a metric), the standard corpus-mixture
+    * distance.
+    *
+    * Identity used: with m = (p_a+p_b)/2,
+    * JSD = ½Σ p_a ln(2p_a/(p_a+p_b)) + ½Σ p_b ln(2p_b/(p_a+p_b)),
+    * and a term present in only one stratum contributes ½p·ln2 — so the
+    * COMMON-support sum comes from the vocab-keyed self-join (never
+    * strata²×vocab, the [[strataSimilarityMatrix]] shape) and the
+    * disjoint mass enters in closed form via (1 − Σ_common p): no full
+    * outer join, no zero-probability rows. Bounded by ln 2.
+    *
+    * Output per unordered pair: (s_a, s_b, n_common_terms, jsd 6-dp,
+    * jsd_normalized 6-dp = jsd/ln2). */
+  def pairwiseJsd(docs: DataFrame, strataCol: String,
+                  textCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val tf = docs.select(col(strataCol).as("stratum"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("stratum", "term").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = tf.groupBy("stratum").agg(sum(col("c")).as("n"))
+    val a = tf.select(col("stratum").as("s_a"), col("term"),
+      col("c").as("c_a"))
+    val b = tf.select(col("stratum").as("s_b"), col("term"),
+      col("c").as("c_b"))
+    val joined = a.join(b, Seq("term")).filter(col("s_a") < col("s_b"))
+      .join(broadcast(tot.withColumnRenamed("stratum", "s_a")
+        .withColumnRenamed("n", "n_a")), Seq("s_a"))
+      .join(broadcast(tot.withColumnRenamed("stratum", "s_b")
+        .withColumnRenamed("n", "n_b")), Seq("s_b"))
+    val pa = col("c_a").cast("double") / col("n_a")
+    val pb = col("c_b").cast("double") / col("n_b")
+    val common = joined.groupBy(col("s_a"), col("s_b"))
+      .agg(count(lit(1)).as("n_common_terms"),
+        sum(pa).as("__ma"), sum(pb).as("__mb"),
+        sum(pa * log(lit(2.0) * pa / (pa + pb)) +
+          pb * log(lit(2.0) * pb / (pa + pb))).as("__core"))
+    val ln2 = log(lit(2.0))
+    common.select(col("s_a"), col("s_b"), col("n_common_terms"),
+      round((col("__core") +
+        (lit(2.0) - col("__ma") - col("__mb")) * ln2) / 2, 6).as("jsd"),
+      round((col("__core") +
+        (lit(2.0) - col("__ma") - col("__mb")) * ln2) / 2 / ln2, 6)
+        .as("jsd_normalized"))
+  }
+
+  /** N-gram multiset overlap F1 between sorted-neighborhood candidate
+    * pairs — the ROUGE-style precision/recall readout used to audit
+    * what a near-dedup stage is about to merge ("how much of A's
+    * content does B actually contain"), where set-Jaccard (q24)
+    * under-weights repeated spans.
+    *
+    * Pairing: within each block, docs sort by (length, id) and each doc
+    * pairs with its successor (lead window — the L55 SNM shape, so every
+    * doc appears in ≤ 2 pairs and the gram join stays corpus-linear).
+    * Per pair, overlap = Σ_g min(c_a(g), c_b(g)) over n-gram MULTISETS:
+    * precision = overlap/|A|, recall = overlap/|B|, F1 harmonic. Counts
+    * exact BIGINTs; ratios 4-dp.
+    *
+    * Output: (id_a, id_b, n_a, n_b, overlap, precision, recall, f1). */
+  def ngramOverlapF1(docs: DataFrame, idCol: String, textCol: String,
+                     blockCol: String, n: Int): DataFrame = {
+    import graft.functions.gfunctions.word_shingles
+    import org.apache.spark.sql.expressions.Window
+    val wNb = Window.partitionBy(col(blockCol))
+      .orderBy(length(col(textCol)), col(idCol))
+    val pairs = docs
+      .select(col(idCol).as("id_a"), col(blockCol).as("__blk"),
+        length(col(textCol)).as("__len"))
+      .withColumn("id_b", lead(col("id_a"), 1).over(
+        Window.partitionBy(col("__blk"))
+          .orderBy(col("__len"), col("id_a"))))
+      .filter(col("id_b").isNotNull)
+      .select(col("id_a"), col("id_b"))
+    val grams = docs.select(col(idCol).as("__id"),
+        explode(word_shingles(col(textCol), n)).as("g"))
+      .groupBy(col("__id"), col("g")).agg(count(lit(1)).as("c"))
+    val totals = grams.groupBy(col("__id")).agg(sum(col("c")).as("tot"))
+    val ga = grams.select(col("__id").as("id_a"), col("g"),
+      col("c").as("c_a"))
+    val gb = grams.select(col("__id").as("id_b"), col("g"),
+      col("c").as("c_b"))
+    val ov = pairs.join(ga, Seq("id_a")).join(gb, Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("c_a"), col("c_b"))).as("overlap"))
+    pairs.join(ov, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("overlap"))
+      .join(totals.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("tot", "n_a"), Seq("id_a"))
+      .join(totals.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("tot", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("overlap"),
+        round(col("overlap").cast("double") / col("n_a"), 4)
+          .as("precision"),
+        round(col("overlap").cast("double") / col("n_b"), 4)
+          .as("recall"),
+        round(lit(2.0) * col("overlap") /
+          (col("n_a") + col("n_b")), 4).as("f1"))
+  }
 }

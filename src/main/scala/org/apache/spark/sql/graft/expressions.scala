@@ -209,6 +209,36 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** TRUE Damerau-Levenshtein distance (unrestricted transpositions —
+  * Lowrance-Wagner), codegen'd; semantics pinned to DuckDB's built-in
+  * `damerau_levenshtein`, an INDEPENDENT implementation of the same
+  * published definition, so the q-catalog compare certifies the
+  * algorithm (the q159 technique). Spark ships only `levenshtein`;
+  * typo-tolerant ER wants the transposition-aware distance because
+  * swapped adjacent letters are the dominant human typo class and plain
+  * edit distance double-charges them. Kernel in
+  * [[StringSim.damerauLevenshtein]].
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "damerau_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.damerauLevenshtein(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"org.apache.spark.sql.graft.StringSim.damerauLevenshtein($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode NFC normalization of a string (UAX #15 canonical composition),
   * matching DuckDB `nfc_normalize`. Spark has no built-in normalizer; a
   * native expression keeps the cleaning stage inside whole-stage codegen

@@ -51,4 +51,39 @@ class ExperimentSpec extends SparkSuite {
       r("A").getAs[Double]("adj_mean")
     assert(math.abs(diff - 5.0) < 1e-6)
   }
+
+  test("twoProportionZ: hand-computed pooled z") {
+    // A: 30/100, B: 20/100 → p̂ = 0.25,
+    // z = 0.1 / sqrt(0.25·0.75·0.02) ≈ 1.6330
+    val rows = (Seq.fill(30)(("s", "A", true)) ++
+      Seq.fill(70)(("s", "A", false)) ++
+      Seq.fill(20)(("s", "B", true)) ++
+      Seq.fill(80)(("s", "B", false))).toDF("st", "grp", "ok")
+    val r = Experiment.twoProportionZ(rows, "st", "grp", "ok", "A", "B")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 100L)
+    assert(r.getAs[Long]("x_a") == 30L)
+    assert(r.getAs[Double]("p_a") == 0.3)
+    val z = 0.1 / math.sqrt(0.25 * 0.75 * 0.02)
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("twoProportionZ: equal rates give z = 0; degenerate pooled " +
+    "rate and missing group give null; extra groups are ignored") {
+    val rows = (Seq.fill(5)(("eq", "A", true)) ++
+      Seq.fill(5)(("eq", "A", false)) ++
+      Seq.fill(3)(("eq", "B", true)) ++
+      Seq.fill(3)(("eq", "B", false)) ++
+      Seq.fill(4)(("allok", "A", true)) ++
+      Seq.fill(4)(("allok", "B", true)) ++
+      Seq.fill(4)(("onlya", "A", true)) ++
+      Seq.fill(9)(("eq", "C", true))).toDF("st", "grp", "ok")
+    val m = Experiment.twoProportionZ(rows, "st", "grp", "ok", "A", "B")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("eq").getAs[Double]("z") == 0.0)
+    assert(m("eq").getAs[Long]("n_a") == 10L)    // C rows excluded
+    assert(m("allok").isNullAt(m("allok").fieldIndex("z")))
+    assert(m("onlya").isNullAt(m("onlya").fieldIndex("z")))
+  }
 }

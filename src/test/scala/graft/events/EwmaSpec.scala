@@ -87,4 +87,57 @@ class EwmaSpec extends SparkSuite {
       .collect().head
     assert(math.abs(r.getAs[Double]("trend") - 3.0) < 0.05)
   }
+
+  private def hwRef(xs: Seq[Double], m: Int, a: Double, b: Double,
+                    g: Double): (Double, Double, Double) = {
+    val l0 = xs.take(m).foldLeft(0.0)(_ + _) / m
+    var l = l0; var tr = 0.0
+    var s = xs.take(m).map(_ - l0).toVector
+    xs.drop(m).foreach { x =>
+      val sh = s.head
+      val lN = a * (x - sh) + (1 - a) * (l + tr)
+      val bN = b * (lN - l) + (1 - b) * tr
+      val sN = g * (x - lN) + (1 - g) * sh
+      l = lN; tr = bN; s = s.tail :+ sN
+    }
+    (l, tr, s.head)
+  }
+
+  test("holtWinters replays the driver fold bit-for-bit (pre-round)") {
+    val xs = Seq(10.0, 20.0, 12.0, 22.0, 11.0, 21.0, 13.0, 23.0, 10.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "t", "x")
+    val r = Ewma.holtWinters(df, "g", "t", "x", m = 2,
+      alpha = 0.3, beta = 0.1, gamma = 0.2).collect().head
+    val (l, tr, sh) = hwRef(xs, 2, 0.3, 0.1, 0.2)
+    def rd(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("level") == rd(l))
+    assert(r.getAs[Double]("trend") == rd(tr))
+    assert(r.getAs[Double]("season_next") == rd(sh))
+    assert(r.getAs[Double]("forecast_next") == rd(l + tr + sh))
+  }
+
+  test("holtWinters: perfectly periodic series is captured by the " +
+    "seasonal terms with near-zero trend") {
+    // period-4 pattern repeated 10 times
+    val pat = Seq(100.0, 50.0, 80.0, 20.0)
+    val xs = Seq.fill(10)(pat).flatten
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "t", "x")
+    val r = Ewma.holtWinters(df, "g", "t", "x", m = 4,
+      alpha = 0.3, beta = 0.1, gamma = 0.3).collect().head
+    assert(math.abs(r.getAs[Double]("trend")) < 0.01)
+    // next observation would be pat(0): forecast = level + season ≈ 100
+    assert(math.abs(r.getAs[Double]("forecast_next") - 100.0) < 1.0)
+  }
+
+  test("holtWinters: series shorter than one season yields nulls") {
+    val df = Seq(("g", 0, 1.0), ("g", 1, 2.0)).toDF("g", "t", "x")
+    val r = Ewma.holtWinters(df, "g", "t", "x", m = 4,
+      alpha = 0.3, beta = 0.1, gamma = 0.2).collect().head
+    assert(r.isNullAt(r.fieldIndex("level")))
+    assert(r.isNullAt(r.fieldIndex("forecast_next")))
+    assert(r.getAs[Long]("n") == 2L)
+  }
 }

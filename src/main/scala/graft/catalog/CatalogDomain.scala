@@ -1631,8 +1631,10 @@ object CatalogDomain {
            |  FROM orders GROUP BY 1, 2),
            |e AS (SELECT o,
            |  sum(o) OVER (PARTITION BY a) * sum(o) OVER (PARTITION BY b)
-           |    / CAST(sum(o) OVER () AS DOUBLE) AS ex FROM c)
-           |SELECT round(sum((o - ex) * (o - ex) / ex), 4) AS chi2,
+           |    / CAST(sum(o) OVER () AS DOUBLE) AS ex,
+           |  sum(o) OVER () AS nn FROM c)
+           |SELECT round(sum((o - ex) * (o - ex) / ex)
+           |             + max(nn) - sum(ex), 4) AS chi2,
            |  (SELECT (count(DISTINCT o_orderstatus) - 1) *
            |          (count(DISTINCT o_orderpriority) - 1) FROM orders) AS dof,
            |  (SELECT count(*) FROM orders) AS n

@@ -28,11 +28,58 @@ object RankStats {
       .withColumn("__n", allTot)
       .withColumn("__e",
         col("__rt").cast("double") * col("__ct") / col("__n"))
+    // n − Σ_observed e adds the zero cells' (0−e)²/e = e mass in closed
+    // form (Σe over ALL cells = n) — see [[contingencyEffects]].
     e.agg(
-      round(sum(pow(col("o") - col("__e"), 2) / col("__e")), 4).as("chi2"),
+      round(sum(pow(col("o") - col("__e"), 2) / col("__e")) +
+        first(col("__n")) - sum(col("__e")), 4).as("chi2"),
       ((countDistinct(col("__a")) - 1) *
         (countDistinct(col("__b")) - 1)).as("dof"),
       first(col("__n")).as("n"))
+  }
+
+  /** Contingency effect sizes (X85): the chi-square statistic PLUS the
+    * sample-size-free association measures a readout actually needs —
+    * Cramér's V = √(χ²/(n·(min(r,c)−1))) (0 = independent, 1 = perfect
+    * association) and the phi-family contingency coefficient
+    * C = √(χ²/(χ²+n)). Same single-cell-aggregate shape as
+    * [[chiSquare]]; V is what makes χ² comparable across tables of
+    * different size, which the bare statistic is not.
+    *
+    * Output (one row): (chi2 4-dp, dof BIGINT, n BIGINT, n_rows,
+    * n_cols, cramers_v 4-dp, contingency_c 4-dp; V null for a 1×k
+    * table). */
+  def contingencyEffects(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = sum(col("o")).over(Window.partitionBy("__a"))
+    val colTot = sum(col("o")).over(Window.partitionBy("__b"))
+    val allTot = sum(col("o")).over(Window.partitionBy())
+    val e = cells
+      .withColumn("__rt", rowTot).withColumn("__ct", colTot)
+      .withColumn("__n", allTot)
+      .withColumn("__e",
+        col("__rt").cast("double") * col("__ct") / col("__n"))
+    // Zero cells are absent from the observed-cell aggregate but each
+    // contributes (0−e)²/e = e to χ²; since Σe over ALL cells = n, the
+    // missing mass is n − Σ_observed e — added in closed form, no dense
+    // cross-join of the category domains needed.
+    val agg = e.agg(
+      (sum(pow(col("o") - col("__e"), 2) / col("__e")) +
+        first(col("__n")) - sum(col("__e"))).as("__chi2"),
+      countDistinct(col("__a")).as("n_rows"),
+      countDistinct(col("__b")).as("n_cols"),
+      first(col("__n")).as("n"))
+    val minDim = least(col("n_rows"), col("n_cols")) - 1
+    agg.select(
+      round(col("__chi2"), 4).as("chi2"),
+      ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+      col("n"), col("n_rows"), col("n_cols"),
+      when(minDim > 0,
+        round(sqrt(col("__chi2") / (col("n") * minDim)), 4))
+        .as("cramers_v"),
+      round(sqrt(col("__chi2") / (col("__chi2") + col("n"))), 4)
+        .as("contingency_c"))
   }
 
   /** ROC AUC of `score` against binary `label` (1 = positive), with

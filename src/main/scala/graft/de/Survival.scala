@@ -58,4 +58,58 @@ object Survival {
           .otherwise(round(exp(sum(col("__lnterm")).over(wAsc)), 6))
           .as("survival"))
   }
+
+  /** Two-sample log-rank test (X79): does group `a`'s survival curve
+    * differ from group `b`'s, accounting for censoring — the standard
+    * companion inference to [[kaplanMeier]]'s estimate.
+    *
+    * At each distinct duration t with d_t total events: the group-a
+    * expected events E_a += d_t·n_at/n_t and hypergeometric variance
+    * V += d_t·(n_at/n_t)·(1−n_at/n_t)·(n_t−d_t)/(n_t−1); the statistic
+    * is z = (O_a−E_a)/√V (χ² = z²). Every n/d input is an exact BIGINT
+    * from ONE (duration) aggregate plus two cumulative windows sharing
+    * a single bounded sort over the duration domain — the
+    * [[kaplanMeier]] scale shape. Rows from other groups are ignored.
+    *
+    * Output (one row): n_a, n_b, o_a, e_a 4-dp, o_b, e_b 4-dp, z 4-dp,
+    * chi2 4-dp; z is null when V = 0 (no events, or one group absent
+    * everywhere). */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+              eventCol: String, a: String, b: String): DataFrame = {
+    val isA = col(groupCol) === a
+    val byT = df.filter(isA || col(groupCol) === b)
+      .groupBy(col(durationCol).as("t"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("c_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("c_b"),
+        sum(when(isA && col(eventCol) === 1, 1L).otherwise(0L)).as("d_a"),
+        sum(when(!isA && col(eventCol) === 1, 1L).otherwise(0L)).as("d_b"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val at = byT
+      .withColumn("n_at", sum(col("c_a")).over(wAll) -
+        coalesce(sum(col("c_a")).over(wPrev), lit(0L)))
+      .withColumn("n_bt", sum(col("c_b")).over(wAll) -
+        coalesce(sum(col("c_b")).over(wPrev), lit(0L)))
+    val nT = (col("n_at") + col("n_bt")).cast("double")
+    val dT = (col("d_a") + col("d_b")).cast("double")
+    val expA = dT * col("n_at") / nT
+    val varT = when(col("n_at") + col("n_bt") > 1,
+      dT * (col("n_at") / nT) * (col("n_bt") / nT) *
+        (nT - dT) / (nT - lit(1.0))).otherwise(lit(0.0))
+    val agg = at.agg(
+      sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+      sum(col("d_a")).as("o_a"), sum(col("d_b")).as("o_b"),
+      sum(expA).as("__ea"), sum(dT - expA).as("__eb"),
+      sum(varT).as("__v"))
+    agg.select(col("n_a"), col("n_b"), col("o_a"),
+      round(col("__ea"), 4).as("e_a"), col("o_b"),
+      round(col("__eb"), 4).as("e_b"),
+      when(col("__v") > 0,
+        round((col("o_a") - col("__ea")) / sqrt(col("__v")), 4)).as("z"),
+      when(col("__v") > 0,
+        round(pow(col("o_a") - col("__ea"), 2) / col("__v"), 4))
+        .as("chi2"))
+  }
 }

@@ -59,4 +59,55 @@ object Changepoint {
       .select(col(key), col("__n").as("n"), col(orderCol).as("split_at"),
         round(col("__stat"), 4).as("stat"))
   }
+
+  /** Tabular CUSUM control chart (X82): the sequential drift detector —
+    * S⁺ accumulates upward deviations past slack k, S⁻ downward;
+    * crossing decision interval h raises an alarm and RESETS that side
+    * (the standard restart-after-signal convention, stated because
+    * implementations differ). A true recurrence, so it rides the X51
+    * ordered-array fold with a struct accumulator
+    * (sPos, sNeg, nAlarms, firstAlarmIdx); the oracle replays it as a
+    * recursive CTE. Deterministic: the series is integer counts, and
+    * mu0/k/h enter as the same runtime doubles on both engines.
+    *
+    * Output per key: (key, n BIGINT, s_pos 6-dp, s_neg 6-dp,
+    * n_alarms BIGINT, first_alarm BIGINT nullable — 1-based index of
+    * the first crossing). Scale contract as [[Ewma.ewmaLast]]:
+    * calendar-bounded per-key payload, parallelism = keys. */
+  def cusum(series: DataFrame, key: String, orderCol: String,
+            value: String, mu0: Double, k: Double, h: Double): DataFrame = {
+    require(h > 0, s"decision interval must be positive, got $h")
+    val arr = array_sort(collect_list(struct(col(orderCol).as("t"),
+      col(value).cast("double").as("x"))))
+    val mu = lit(mu0); val kk = lit(k); val hh = lit(h)
+    series.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), arr.as("__arr"))
+      .withColumn("__fin",
+        aggregate(col("__arr"),
+          struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+            lit(0L).as("na"), lit(null).cast("long").as("fa"),
+            lit(0L).as("i")),
+          (acc, e) => {
+            val i = acc.getField("i") + 1
+            val spRaw = greatest(lit(0.0),
+              acc.getField("sp") + (e.getField("x") - mu - kk))
+            val snRaw = greatest(lit(0.0),
+              acc.getField("sn") + (mu - kk - e.getField("x")))
+            val alarm = spRaw > hh || snRaw > hh
+            struct(
+              when(spRaw > hh, lit(0.0)).otherwise(spRaw).as("sp"),
+              when(snRaw > hh, lit(0.0)).otherwise(snRaw).as("sn"),
+              (acc.getField("na") +
+                when(spRaw > hh, 1L).otherwise(0L) +
+                when(snRaw > hh, 1L).otherwise(0L)).as("na"),
+              coalesce(acc.getField("fa"),
+                when(alarm, i)).as("fa"),
+              i.as("i"))
+          }))
+      .select(col(key), col("n"),
+        round(col("__fin").getField("sp"), 6).as("s_pos"),
+        round(col("__fin").getField("sn"), 6).as("s_neg"),
+        col("__fin").getField("na").as("n_alarms"),
+        col("__fin").getField("fa").as("first_alarm"))
+  }
 }

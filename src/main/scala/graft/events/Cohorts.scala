@@ -46,4 +46,33 @@ object Cohorts {
         round(col("n_active") / col("n_cohort").cast("double"), 4)
           .as("retention"))
   }
+
+  /** New-vs-returning daily actives (X84): per bucket, how many active
+    * users are seen for the FIRST time vs returning — the growth
+    * dashboard's top row, and the decomposition that separates
+    * acquisition from engagement in a DAU trend.
+    *
+    * Scale shape mirrors [[weeklyRetention]]: per-user min aggregate
+    * (first-seen), distinct (user, day) actives (shuffle ∝ active
+    * user-days, never events), user-keyed join between two frames
+    * already partitioned on user, then a day-grain aggregate. All
+    * counts exact.
+    *
+    * Output: (day, n_active, n_new, n_returning, new_share 4-dp). */
+  def newVsReturning(events: DataFrame, userCol: String,
+                     tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol).as("__u"))
+      .agg(to_date(min(col(tsCol))).as("__first"))
+    val active = events.select(col(userCol).as("__u"),
+      to_date(col(tsCol)).as("day")).distinct()
+    active.join(firstSeen, Seq("__u"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("__first"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new") / col("n_active").cast("double"), 4)
+          .as("new_share"))
+  }
 }

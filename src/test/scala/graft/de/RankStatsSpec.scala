@@ -66,4 +66,31 @@ class RankStatsSpec extends SparkSuite {
     assert(got("g1") == ((2.0, 1.0, 1.0, 10L)))
     assert(got("g2") == ((-1.0, 10.0, 1.0, 10L)))
   }
+
+  test("contingencyEffects: independent table gives V = 0, " +
+    "perfect association gives V = 1") {
+    val indep = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val r1 = RankStats.contingencyEffects(indep, "x", "y")
+      .collect().head
+    assert(r1.getAs[Double]("chi2") == 0.0)
+    assert(r1.getAs[Double]("cramers_v") == 0.0)
+    val perfect = (Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("b", "v")))
+      .toDF("x", "y")
+    val r2 = RankStats.contingencyEffects(perfect, "x", "y")
+      .collect().head
+    assert(r2.getAs[Double]("cramers_v") == 1.0)
+    assert(r2.getAs[Long]("dof") == 1L)
+    // 2x2 with n=10, chi2=10: C = sqrt(10/20)
+    assert(r2.getAs[Double]("contingency_c") ==
+      BigDecimal(math.sqrt(0.5))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("contingencyEffects: degenerate 1xk table yields null V") {
+    val df = Seq(("a", "u"), ("a", "v"), ("a", "u")).toDF("x", "y")
+    val r = RankStats.contingencyEffects(df, "x", "y").collect().head
+    assert(r.isNullAt(r.fieldIndex("cramers_v")))
+    assert(r.getAs[Long]("n_rows") == 1L)
+  }
 }

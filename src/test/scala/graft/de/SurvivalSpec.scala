@@ -48,4 +48,50 @@ class SurvivalSpec extends SparkSuite {
     assert(m(2L).getAs[Long]("n_risk") == 4L)
     assert(m(2L).getAs[Double]("survival") == 0.5)
   }
+
+  test("logRank: identical group curves give z = 0") {
+    val df = (Seq(("A", 1L, 1), ("A", 2L, 0), ("A", 3L, 1)) ++
+      Seq(("B", 1L, 1), ("B", 2L, 0), ("B", 3L, 1)))
+      .toDF("grp", "dur", "ev")
+    val r = Survival.logRank(df, "grp", "dur", "ev", "A", "B")
+      .collect().head
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Long]("o_a") == 2L)
+    // t=1: E += 2·3/6 = 1; t=3: E += 2·1/2 = 1
+    assert(r.getAs[Double]("e_a") == 2.0)
+  }
+
+  test("logRank: hand-computed single event time") {
+    // t=1: A has 2 at risk (1 death), B has 2 at risk (0 deaths)
+    // E_a = 1·2/4 = .5; V = 1·(2/4)(2/4)(4-1)/(4-1) = .25
+    // z = (1 − .5)/.5 = 1
+    val df = (Seq(("A", 1L, 1), ("A", 5L, 0)) ++
+      Seq(("B", 5L, 0), ("B", 5L, 0))).toDF("grp", "dur", "ev")
+    val r = Survival.logRank(df, "grp", "dur", "ev", "A", "B")
+      .collect().head
+    assert(r.getAs[Double]("e_a") == 0.5)
+    assert(r.getAs[Double]("z") == 1.0)
+    assert(r.getAs[Double]("chi2") == 1.0)
+  }
+
+  test("logRank: no events anywhere gives null z; other groups ignored") {
+    val df = (Seq(("A", 1L, 0), ("B", 2L, 0)) ++
+      Seq(("C", 1L, 1), ("C", 2L, 1))).toDF("grp", "dur", "ev")
+    val r = Survival.logRank(df, "grp", "dur", "ev", "A", "B")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("z")))
+    assert(r.getAs[Long]("n_a") == 1L)
+    assert(r.getAs[Long]("n_b") == 1L)
+  }
+
+  test("logRank: strongly divergent curves give a large statistic") {
+    // A all die early, B all censored late
+    val df = ((1 to 10).map(i => ("A", i.toLong, 1)) ++
+      (1 to 10).map(_ => ("B", 20L, 0))).toDF("grp", "dur", "ev")
+    val r = Survival.logRank(df, "grp", "dur", "ev", "A", "B")
+      .collect().head
+    assert(r.getAs[Double]("chi2") > 6.0)   // p << 0.05 territory
+    assert(r.getAs[Double]("z") > 0)        // A over-observed vs expected
+  }
 }

@@ -53,4 +53,42 @@ class ChangepointSpec extends SparkSuite {
       .head()
     assert(r.getAs[Int]("split_at") == 5)
   }
+
+  test("cusum: in-control series raises no alarms and stays near zero") {
+    // mean 10, slack k=2, h=5: deviations never accumulate past h
+    val xs = Seq(10L, 11L, 9L, 10L, 12L, 8L, 10L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "t", "x")
+    val r = Changepoint.cusum(df, "g", "t", "x", mu0 = 10.0, k = 2.0,
+      h = 5.0).head()
+    assert(r.getAs[Long]("n_alarms") == 0L)
+    assert(r.isNullAt(r.fieldIndex("first_alarm")))
+    assert(r.getAs[Double]("s_pos") == 0.0)
+  }
+
+  test("cusum: sustained upward shift alarms at the hand-computed step") {
+    // mu0=10, k=1, h=5; shift to 14 from step 4 (1-based):
+    // S+ gains 3 per step → crosses 5 at the SECOND shifted point
+    val xs = Seq(10L, 10L, 10L, 14L, 14L, 14L, 14L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "t", "x")
+    val r = Changepoint.cusum(df, "g", "t", "x", mu0 = 10.0, k = 1.0,
+      h = 5.0).head()
+    assert(r.getAs[Long]("first_alarm") == 5L)
+    assert(r.getAs[Long]("n_alarms") >= 1L)
+  }
+
+  test("cusum: downward shift trips the negative side; reset-on-alarm " +
+    "restarts accumulation") {
+    val xs = Seq(10L, 2L, 2L, 10L, 10L, 2L, 2L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "t", "x")
+    // each low point adds 10-1-2=7 to S-: alarms at steps 2 and 3
+    // (reset after each crossing), then again at 6 and 7
+    val r = Changepoint.cusum(df, "g", "t", "x", mu0 = 10.0, k = 1.0,
+      h = 5.0).head()
+    assert(r.getAs[Long]("first_alarm") == 2L)
+    assert(r.getAs[Long]("n_alarms") == 4L)
+    assert(r.getAs[Double]("s_neg") == 0.0)   // reset by final alarm
+  }
 }

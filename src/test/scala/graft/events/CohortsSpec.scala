@@ -31,4 +31,22 @@ class CohortsSpec extends SparkSuite {
     assert(got((w1, 1L)) == ((1L, 1L, 1.0)))
     assert(got.size == 4)
   }
+
+  test("newVsReturning: first-day users are new, repeats return, " +
+    "multiple same-day events count once") {
+    val df = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 09:00:00"),
+      (2L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-02 08:00:00"),
+      (3L, "2024-01-02 09:00:00"))
+      .toDF("u", "ts0")
+      .select($"u", $"ts0".cast("timestamp").as("ts"))
+    val got = Cohorts.newVsReturning(df, "u", "ts").collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_returning"), r.getAs[Double]("new_share"))))
+      .toMap
+    assert(got("2024-01-01") == ((2L, 2L, 0L, 1.0)))
+    assert(got("2024-01-02") == ((2L, 1L, 1L, 0.5)))
+  }
 }

@@ -36,6 +36,11 @@ object Bench {
     SparkEntry.queries.keys.toSeq.sortBy(n => (queryNumber(n), n))
 
   def main(args: Array[String]): Unit = {
+    // Builder-local iteration only (the driver sets neither): restrict
+    // the headline set to a comma-separated subset.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -63,7 +68,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val queries = SparkEntry.queries
     val results: Seq[(String, Either[String, (Double, Long)])] =
-      headline.map { name =>
+      headline.filter(n => only.forall(_.contains(n))).map { name =>
         // headline is derived from the same map, so lookup cannot miss
         val fn = queries(name)
         try {

@@ -37,6 +37,31 @@ object RobustStats {
         col("w_median"))
   }
 
+  /** Generalized lower weighted quantiles (X96) — [[weightedMedian]]
+    * for arbitrary percent points: per (group, q) the smallest value
+    * whose cumulative weight reaches q% of the total, decided in pure
+    * integers (100·cumw ≥ q·totw). All requested quantiles ride ONE
+    * cell window sort; the per-q selection explodes the (small) cell
+    * table by |qs|, never the facts. Output: (group, q INT, value,
+    * total_weight BIGINT). */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100))
+    val cells = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("__w"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    cells
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .withColumn("q", explode(lit(qs.toArray)))
+      .filter(col("__cum") * 100 >= col("q") * col("__tot"))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min(col(valueCol)).as("value"),
+        max(col("__tot")).as("total_weight"))
+  }
+
   /** Deterministic mode per group: the most frequent value, smallest
     * value on count ties (an explicit convention where `mode()`
     * builtins are tie-unspecified). Output: (group, mode_value,

@@ -1,0 +1,81 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clustering / embedding-space quality metrics (X92): the simplified
+  * silhouette — per point, a = distance to its OWN label centroid,
+  * b = distance to the nearest OTHER centroid, s = (b−a)/max(a,b) —
+  * and the nearest-centroid prediction it induces. The simplified
+  * (centroid) variant is chosen deliberately: full silhouette is an
+  * all-pairs O(n²) construct, while this one is
+  * broadcast-centroids × points — the form that survives a
+  * billion-vector table, and the one sklearn's `silhouette_score`
+  * users switch to at scale anyway.
+  *
+  * Scale shape: centroids via ONE (label, dim) aggregate over the
+  * posexploded vectors (shuffle ∝ labels×dim, never points×dim after
+  * the map-side partial), collected to a k-row broadcast frame;
+  * per-point distances are a crossJoin against that tiny frame with a
+  * zip_with/aggregate dot — no point-to-point join anywhere.
+  * Determinism: distances are 6-dp-rounded BEFORE the argmin so
+  * centroid-mean accumulation noise (~1e-13) cannot flip the nearest
+  * label; label asc breaks exact ties.
+  */
+object ClusterMetrics {
+
+  /** Per-point silhouette + nearest-centroid prediction:
+    * (idCol, label, pred_label, a_dist 6-dp, b_dist 6-dp,
+    * silhouette 4-dp). `vecCol` is ARRAY<numeric> (cast to double). */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, labelCol: String,
+                           vecCol: String): DataFrame = {
+    val pts = df.select(col(idCol).as("__id"),
+      col(labelCol).cast("long").as("__lbl"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val cent = pts
+      .select(col("__lbl"), posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy(col("__lbl"), col("__d"))
+      .agg(avg(col("__x")).as("__m"))
+      .groupBy(col("__lbl"))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m"))))
+        .as("__ms"))
+      .select(col("__lbl").as("__clbl"),
+        transform(col("__ms"), e => e.getField("__m")).as("__c"))
+    val dist = pts.crossJoin(broadcast(cent))
+      .select(col("__id"), col("__lbl"), col("__clbl"),
+        round(sqrt(aggregate(
+          zip_with(col("__v"), col("__c"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e)), 6).as("__dist"))
+    val agg = dist.groupBy(col("__id"), col("__lbl"))
+      .agg(
+        min(when(col("__clbl") === col("__lbl"), col("__dist")))
+          .as("a_dist"),
+        min(when(col("__clbl") =!= col("__lbl"),
+          struct(col("__dist"), col("__clbl")))).as("__b"))
+    agg.select(col("__id").as(idCol), col("__lbl").as("label"),
+      col("__b").getField("__clbl").as("pred_when_other"),
+      col("a_dist"), col("__b").getField("__dist").as("b_dist"))
+      .withColumn("pred_label",
+        when(col("a_dist") <= col("b_dist"), col("label"))
+          .otherwise(col("pred_when_other")))
+      .withColumn("silhouette",
+        when(greatest(col("a_dist"), col("b_dist")) > 0,
+          round((col("b_dist") - col("a_dist")) /
+            greatest(col("a_dist"), col("b_dist")), 4))
+          .otherwise(lit(0.0)))
+      .drop("pred_when_other")
+  }
+
+  /** Label-grain rollup of [[simplifiedSilhouette]]: (label, n,
+    * mean_silhouette 4-dp, n_misassigned BIGINT — points whose nearest
+    * centroid is NOT their own label's). */
+  def silhouetteByLabel(df: DataFrame, idCol: String, labelCol: String,
+                        vecCol: String): DataFrame =
+    simplifiedSilhouette(df, idCol, labelCol, vecCol)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("silhouette")), 4).as("mean_silhouette"),
+        sum(when(col("pred_label") =!= col("label"), 1L).otherwise(0L))
+          .as("n_misassigned"))
+}

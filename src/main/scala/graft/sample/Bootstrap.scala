@@ -49,8 +49,13 @@ object Bootstrap {
       .withColumn("__idx",
         md5_long(concat_ws(":", col("__b"), col("__j")))
           .bitwiseAND(lit(Mask47)) % col("__n"))
+    // The B·n draw table is the big side; the rank-indexed unit table
+    // is bounded by the unit domain — broadcast it so the draws never
+    // shuffle (the replicate means then reduce map-side to B rows per
+    // group). At unit counts past broadcast range, drop the hint and
+    // both sides hash-partition on (group, idx).
     val repMeans = draws
-      .join(indexed, Seq("__g", "__idx"))
+      .join(broadcast(indexed), Seq("__g", "__idx"))
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
       .select(col("__g"), col("__b"),

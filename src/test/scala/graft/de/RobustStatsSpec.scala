@@ -35,6 +35,25 @@ class RobustStatsSpec extends SparkSuite {
       .collect().head.getAs[Long]("w_median") == 2L)
   }
 
+  test("weightedQuantiles generalizes the median and hits hand-" +
+    "computed cut points") {
+    // values (weights): 1(2), 2(2), 3(4), 10(2): tot 10
+    // q25 → cum≥2.5 → 2; q50 → cum≥5 → 3(cum 8)... 2 has cum 4 <5 → 3
+    // wait: cum(1)=2, cum(2)=4, cum(3)=8, cum(10)=10
+    // q25: 100·cum ≥ 25·10=250 → cum≥2.5 → v=2; q50: cum≥5 → 3;
+    // q80: cum≥8 → 3; q90: cum≥9 → 10
+    val df = Seq(("g", 1L, 2L), ("g", 2L, 2L), ("g", 3L, 4L),
+      ("g", 10L, 2L)).toDF("grp", "v", "w")
+    val got = RobustStats.weightedQuantiles(df, "grp", "v", "w",
+        Seq(25, 50, 80, 90)).collect()
+      .map(r => r.getAs[Int]("q") -> r.getAs[Long]("value")).toMap
+    assert(got == Map(25 -> 2L, 50 -> 3L, 80 -> 3L, 90 -> 10L))
+    // q50 agrees with weightedMedian
+    val wm = RobustStats.weightedMedian(df, "grp", "v", "w")
+      .collect().head.getAs[Long]("w_median")
+    assert(wm == got(50))
+  }
+
   test("mode: plain majority and the smallest-value tie-break") {
     val df = (Seq.fill(3)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
       Seq.fill(2)(("b", "q")) ++ Seq.fill(2)(("b", "p")))

@@ -122,4 +122,34 @@ class StatsSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("adj")).toMap
     assert(out("a") == out("b") && out("b") == out("c"))
   }
+
+  test("byAdjust matches statsmodels fdr_by on a pinned case and is " +
+    "uniformly >= BH") {
+    import spark.implicits._
+    // statsmodels multipletests(method='fdr_by') on
+    // [0.01, 0.02, 0.03, 0.5]: H_4 = 25/12; BH = [.04, .04, .04, .5]
+    // → BY = min(1, BH·H_4) = [.0833.., .0833.., .0833.., 1.0]
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.5))
+      .toDF("id", "pvalue")
+    val by = Stats.byAdjust(df, "pvalue", "adj", Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("adj")).toMap
+    assert(approx(by("a"), 0.04 * 25 / 12, 1e-9))
+    assert(approx(by("c"), 0.04 * 25 / 12, 1e-9))
+    assert(by("d") == 1.0)
+    val bh = Stats.bhAdjust(df, "pvalue", "adj", Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("adj")).toMap
+    Seq("a", "b", "c", "d").foreach(k => assert(by(k) >= bh(k)))
+  }
+
+  test("byAdjust isolates null/NaN p-values like bhAdjust") {
+    import spark.implicits._
+    val df = Seq(("a", 0.01), ("b", Double.NaN), ("c", 0.2))
+      .toDF("id", "pvalue")
+    val out = Stats.byAdjust(df, "pvalue", "adj", Seq("id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("b").isNullAt(out("b").fieldIndex("adj")))
+    assert(!out("a").isNullAt(out("a").fieldIndex("adj")))
+    // m counts only the 2 valid tests: H_2 = 1.5
+    assert(approx(out("a").getAs[Double]("adj"), 0.01 * 2 * 1.5, 1e-9))
+  }
 }

@@ -222,7 +222,8 @@ object Catalog {
     Seq(q1, q2, q3, q13, q14, q15) ++ CatalogDomain.all ++
       CatalogLlm.all ++ CatalogStats.all ++ CatalogEcon.all ++
       CatalogEcon2.all ++ CatalogEcon3.all ++ CatalogEcon4.all ++
-      CatalogEcon5.all ++ CatalogEcon6.all
+      CatalogEcon5.all ++ CatalogEcon6.all ++ CatalogEcon7.all ++
+      CatalogEcon8.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -66,6 +66,11 @@ object gfunctions {
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 
+  /** Diacritic stripping (DuckDB strip_accents semantics — NFD, drop
+    * combining marks, NFC), native + codegen'd. */
+  def strip_accents(text: Column): Column =
+    ColumnBridge.column(StripAccents(ColumnBridge.expression(text)))
+
   /** Repetition counts of a STRING column in one native pass:
     * [total n-grams, distinct n-grams, n_tokens, max token count]. */
   def repetition_counts(text: Column, n: Int): Column =
@@ -96,6 +101,20 @@ object gfunctions {
     ColumnBridge.column(BloomMightContain(
       ColumnBridge.expression(lit(bloomBytes)),
       ColumnBridge.expression(value)))
+
+  /** Great-circle (haversine) distance in km between two lat/lon
+    * degree pairs — pure built-ins, codegen'd; the identical
+    * expression tree is replayable in any SQL engine (libm last-ulp
+    * differences are absorbed by the caller's rounding contract).
+    * Mean Earth radius 6371.0 km. */
+  def haversine_km(lat1: Column, lon1: Column, lat2: Column,
+                   lon2: Column): Column = {
+    val dlat = radians(lat2 - lat1) / 2
+    val dlon = radians(lon2 - lon1) / 2
+    val a = sin(dlat) * sin(dlat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dlon) * sin(dlon)
+    lit(2.0 * 6371.0) * asin(sqrt(a))
+  }
 
   /** NaN / +-Inf -> null (F4, `pipeline2.py:617` inf coercion plus graft's
     * NaN-as-null discipline, SURVEY §1.2). */
@@ -152,6 +171,8 @@ object gfunctions {
       "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "strip_accents", exprs => StripAccents(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "damerau_levenshtein",
       exprs => DamerauLevenshtein(exprs(0), exprs(1)), "built-in")

@@ -40,6 +40,26 @@ object EventStream {
         col("event_type"), col("n_events"), col("sum_value"),
         col("avg_value"))
 
+  /** Session-window aggregate (X99): per (user, gap-bounded activity
+    * burst) — Structured Streaming's built-in `session_window` closes
+    * a session when `gap` passes without an event, emitting it once
+    * the watermark clears the session end (append mode). Batch twin:
+    * the q17/q50 lag-based sessionization — same (user, session)
+    * grain, so a backfill reconciles with the live stream. State per
+    * OPEN session only; the watermark bounds total state, which is the
+    * entire 100-TB story for streaming sessionization. */
+  def sessionWindowStream(events: DataFrame, gap: String,
+                          watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Sliding-window aggregate (windowLen every slide). */
   def slidingCounts(events: DataFrame, windowLen: String, slide: String,
                     watermark: String): DataFrame =

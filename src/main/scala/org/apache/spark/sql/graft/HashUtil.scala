@@ -135,6 +135,27 @@ object TextKernels {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Diacritic stripping: NFD decomposition, drop combining marks
+    * (\p{Mn}), recompose survivors — semantics pinned to DuckDB's
+    * utf8proc-based `strip_accents` (probed: café→cafe, Zürich→Zurich,
+    * й→и; ø/æ/ß/đ/ł have no decomposition and pass through —
+    * StripAccentsSpec). ASCII fast path pays one scan, no allocation.
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
+    val decomposed = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val c = decomposed.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
   /** All quality-metric counts of a text in ONE character pass — no regex,
     * no token-array allocation. Returns
     * [n_tokens, n_non_ws, n_alpha, n_digit, n_marker_tokens].

@@ -264,6 +264,32 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Diacritic stripping (NFD → drop \p{Mn} → NFC), pinned to DuckDB's
+  * INDEPENDENT utf8proc-based `strip_accents` (the q159/q176
+  * certify-the-algorithm discipline) — the accent-folding step of
+  * search normalization and ER blocking ("Müller" must block with
+  * "Muller"). Codegen'd; ASCII fast path. Kernel in
+  * [[TextKernels.stripAccents]].
+  */
+case class StripAccents(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.stripAccents(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.stripAccents($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Word n-gram shingles of a string in a single native pass (tokenize on
   * \s+, join n consecutive tokens with one space). Replaces the
   * interpreted transform/slice/concat_ws chain in the dedup hot path —

@@ -480,4 +480,30 @@ class EventStreamSpec extends SparkSuite {
       .map(r => r._1 -> Upsert(r._1, r._2, r._3)).toMap
     assert(streamed == batch)
   }
+
+  test("session_window stream: gap splits sessions; watermark emits " +
+    "closed sessions with correct bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 7: two events 10 min apart (one session, gap 30m), then a
+    // burst 2 hours later (second session); user 8: single event
+    in.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 7, "click", 2.0),
+      Event(3, ts("2024-01-01 12:30:00"), 7, "view", 4.0),
+      Event(4, ts("2024-01-01 10:05:00"), 8, "view", 8.0))
+    in.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+    runToMemory(EventStream.sessionWindowStream(in.toDF(), "30 minutes",
+      "10 minutes"), "sessions")
+    val got = spark.table("sessions")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // first session: start 10:00, end = last event + gap = 10:40
+    assert(got((7L, ts("2024-01-01 10:00:00"))) ==
+      ((ts("2024-01-01 10:40:00"), 2L, 3.0)))
+    assert(got((7L, ts("2024-01-01 12:30:00"))) ==
+      ((ts("2024-01-01 13:00:00"), 1L, 4.0)))
+    assert(got((8L, ts("2024-01-01 10:05:00")))._2 == 1L)
+  }
 }

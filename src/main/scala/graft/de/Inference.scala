@@ -1,0 +1,174 @@
+package graft.de
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.gfunctions.{normal_sf, reg_inc_beta}
+
+/** Classical inference battery beyond the reference's Welch t-test
+  * (`drug_target_gse46602/pipeline2.py:598-603` is two-group only):
+  * one-way ANOVA, Brown–Forsythe variance homogeneity, Mann–Whitney U,
+  * and standardized effect sizes. All four reduce to per-group
+  * sufficient statistics (count/mean/var or exact rank sums), so each
+  * is one or two hash aggregates with map-side partials — fact rows are
+  * never shuffled wholesale and output is scope×group bounded. The
+  * F/normal tails come from [[graft.functions.gfunctions.reg_inc_beta]]
+  * / [[graft.functions.gfunctions.normal_sf]] (commons-math3 kernels,
+  * group-row cardinality only).
+  */
+object Inference {
+
+  /** One-way ANOVA per scope: F = (SSB/(k−1)) / (SSW/(N−k)) from
+    * group-level sufficient statistics only (n_g, mean_g, var_g —
+    * SSB/SSW are exact functions of these, no second pass over facts).
+    * P(F_{d1,d2} > f) = I_x(d2/2, d1/2), x = d2/(d2 + d1·f).
+    *
+    * Output per scope row: (scope…, k, n, f_stat 4dp, df1, df2,
+    * p_value 6dp). Degenerate scopes (k < 2, N ≤ k, SSW = 0) yield
+    * null f/p, never a division error.
+    */
+  def oneWayF(df: DataFrame, scope: Seq[String], group: String,
+              value: String): DataFrame = {
+    val v = col(value).cast("double")
+    val sc = scope.map(col)
+    val cells = df
+      .filter(v.isNotNull)
+      .groupBy((sc :+ col(group)): _*)
+      .agg(count(lit(1)).as("__n"), avg(v).as("__m"),
+        coalesce(var_samp(v), lit(0.0)).as("__v"))
+    val agg = cells.groupBy(sc: _*)
+      .agg(count(lit(1)).as("k"),
+        sum(col("__n")).as("n"),
+        (sum(col("__n") * col("__m")) / sum(col("__n"))).as("__grand"),
+        sum((col("__n") - 1) * col("__v")).as("__ssw"),
+        sum(col("__n") * col("__m") * col("__m")).as("__sq"))
+    val ssb = col("__sq") - col("n") * col("__grand") * col("__grand")
+    val d1 = (col("k") - 1).cast("double")
+    val d2 = (col("n") - col("k")).cast("double")
+    val f = (ssb / nullif(d1, lit(0.0))) /
+      nullif(col("__ssw") / nullif(d2, lit(0.0)), lit(0.0))
+    val x = d2 / (d2 + d1 * f)
+    agg.select((sc ++ Seq(col("k"), col("n"),
+      round(f, 4).as("f_stat"),
+      d1.cast("long").as("df1"), d2.cast("long").as("df2"),
+      when(f.isNotNull && d1 > 0 && d2 > 0,
+        round(reg_inc_beta(x, d2 / 2, d1 / 2), 6)).as("p_value"))): _*)
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test: one-way ANOVA on
+    * z_ij = |x_ij − median_g| (the median-centered Levene variant —
+    * robust to non-normality, scipy.stats.levene(center='median')).
+    * Group medians are exact (`percentile(v, 0.5)`), joined back
+    * broadcast — the medians frame is group-bounded, so the join adds
+    * no shuffle to the fact side. Output: (k, n, w_stat 4dp, df1, df2,
+    * p_value 6dp).
+    */
+  def brownForsythe(df: DataFrame, group: String,
+                    value: String): DataFrame = {
+    val v = col(value).cast("double")
+    val med = df.filter(v.isNotNull)
+      .groupBy(col(group).as("__g"))
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val dev = df.filter(v.isNotNull)
+      .join(broadcast(med), col(group) === col("__g"))
+      .select(col(group), abs(v - col("__med")).as("__z"))
+    oneWayF(dev, Nil, group, "__z")
+      .withColumnRenamed("f_stat", "w_stat")
+  }
+
+  /** Mann–Whitney U (two-sided, asymptotic, tie-corrected, no
+    * continuity correction — scipy.stats.mannwhitneyu(
+    * use_continuity=False, method='asymptotic') parity) per scope.
+    *
+    * Ranks are exact: per distinct value, midrank×2 is the integer
+    * 2·cumulative_below + t + 1 (same kernel as
+    * [[RankStats.kruskalWallis]]), so rank sums carry no float error.
+    * U_a = R_a − n_a(n_a+1)/2; z = (U_a − n_a·n_b/2) / σ with
+    * σ² = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))).
+    *
+    * Output per scope: (scope, n_a, n_b, u 1dp, z 4dp, p_value 6dp).
+    * Degenerate scopes (a group empty, all values tied → σ = 0) yield
+    * null z/p.
+    */
+  def mannWhitney(df: DataFrame, scope: String, group: String,
+                  value: String, a: String, b: String): DataFrame = {
+    val in = df.filter(col(group).isin(a, b) && col(value).isNotNull)
+    val cells = in
+      .groupBy(col(scope).as("__s"), col(group).as("__c"),
+        col(value).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val perVal = cells.groupBy(col("__s"), col("__v"))
+      .agg(sum(col("__cnt")).as("__t"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = perVal
+      .withColumn("__cb", coalesce(sum(col("__t")).over(wOrd), lit(0L)))
+      .select(col("__s").as("__rs"), col("__v").as("__rv"),
+        (lit(2) * col("__cb") + col("__t") + 1).as("__r2"))
+    val perCls = cells.join(ranked,
+        col("__s") === col("__rs") && col("__v") === col("__rv"))
+      .groupBy(col("__s"))
+      .agg(
+        sum(when(col("__c") === a, col("__cnt")).otherwise(0L)).as("n_a"),
+        sum(when(col("__c") === b, col("__cnt")).otherwise(0L)).as("n_b"),
+        sum(when(col("__c") === a, col("__cnt") * col("__r2"))
+          .otherwise(0L)).as("__r2a"))
+    val ties = perVal.groupBy(col("__s"))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tt"))
+      .select(col("__s").as("__ts"), col("__tt"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    // __r2a is 2·R_a exactly; U in halves to stay exact until the end.
+    val u = col("__r2a").cast("double") / 2 - na * (na + 1) / 2
+    val sigma2 = na * nb / 12 *
+      ((n + 1) - col("__tt") / nullif(n * (n - 1), lit(0.0)))
+    val z = (u - na * nb / 2) / nullif(sqrt(sigma2), lit(0.0))
+    perCls.join(ties, col("__s") === col("__ts"))
+      .select(col("__s").as(scope), col("n_a"), col("n_b"),
+        round(u, 1).as("u"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(z, 4)).as("z"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(lit(2.0) * normal_sf(abs(z)), 6)).as("p_value"))
+  }
+
+  /** Standardized two-group effect sizes per key: Cohen's d (pooled
+    * SD), Hedges' g (small-sample correction J ≈ 1 − 3/(4(n_c+n_t)−9),
+    * the standard approximation to the exact gamma ratio), and Glass's
+    * Δ (control-SD denominator). Pure sufficient statistics — one hash
+    * aggregate. Output: (keys…, n_case, n_ctrl, mean_diff 4dp,
+    * cohen_d 4dp, hedges_g 4dp, glass_delta 4dp).
+    */
+  def effectSizes(df: DataFrame, keys: Seq[String], group: String,
+                  value: String, caseVal: String,
+                  controlVal: String): DataFrame = {
+    val v = col(value).cast("double")
+    val isC = col(group) === caseVal
+    val isK = col(group) === controlVal
+    val ks = keys.map(col)
+    val agg = df.filter(isC || isK)
+      .groupBy(ks: _*)
+      .agg(
+        count(when(isC, 1)).as("n_case"),
+        count(when(isK, 1)).as("n_ctrl"),
+        avg(when(isC, v)).as("__mc"),
+        avg(when(isK, v)).as("__mk"),
+        var_samp(when(isC, v)).as("__vc"),
+        var_samp(when(isK, v)).as("__vk"))
+    val n1 = col("n_case").cast("double")
+    val n2 = col("n_ctrl").cast("double")
+    val diff = col("__mc") - col("__mk")
+    val pooled = sqrt(((n1 - 1) * col("__vc") + (n2 - 1) * col("__vk")) /
+      nullif(n1 + n2 - 2, lit(0.0)))
+    val d = diff / nullif(pooled, lit(0.0))
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (n1 + n2) - 9)
+    agg.select((ks ++ Seq(col("n_case"), col("n_ctrl"),
+      round(diff, 4).as("mean_diff"),
+      round(d, 4).as("cohen_d"),
+      round(d * j, 4).as("hedges_g"),
+      round(diff / nullif(sqrt(col("__vk")), lit(0.0)), 4)
+        .as("glass_delta"))): _*)
+  }
+}

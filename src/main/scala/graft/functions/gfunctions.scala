@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, RepetitionCounts, RollingHash64, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, NormalSF, RegularizedIncBeta, RepetitionCounts, RollingHash64, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -156,6 +156,21 @@ object gfunctions {
       c.rlike("[A-Za-z]") &&
       c.rlike("^[A-Za-z0-9.\\-]+$")
 
+  /** Regularized incomplete beta I_x(a, b): F-distribution tails
+    * (P(F_{d1,d2} > f) = reg_inc_beta(d2/(d2+d1*f), d2/2, d1/2)),
+    * binomial tails, t tails. */
+  def reg_inc_beta(x: Column, a: Column, b: Column): Column =
+    ColumnBridge.column(RegularizedIncBeta(
+      ColumnBridge.expression(x.cast(DoubleType)),
+      ColumnBridge.expression(a.cast(DoubleType)),
+      ColumnBridge.expression(b.cast(DoubleType))))
+
+  /** Standard-normal survival function P(Z > z) (rank-test and
+    * two-proportion normal approximations). */
+  def normal_sf(z: Column): Column =
+    ColumnBridge.column(NormalSF(
+      ColumnBridge.expression(z.cast(DoubleType))))
+
   /** Register the SQL-callable names (usable from `spark.sql`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -176,6 +191,11 @@ object gfunctions {
     reg.createOrReplaceTempFunction(
       "damerau_levenshtein",
       exprs => DamerauLevenshtein(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "reg_inc_beta",
+      exprs => RegularizedIncBeta(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "normal_sf", exprs => NormalSF(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "hypergeom_pvalue",
       exprs => HypergeomPValue(exprs(0), exprs(1), exprs(2), exprs(3)),

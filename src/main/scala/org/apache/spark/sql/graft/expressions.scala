@@ -489,3 +489,61 @@ case class BloomMightContain(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Regularized incomplete beta I_x(a, b) — the shared kernel behind the
+  * F-distribution tail (one-way ANOVA, Brown–Forsythe), the binomial
+  * tail, and the t tail ([[TTestPValue]] is the b = 1/2 special case).
+  * P(F_{d1,d2} > f) = I_x(d2/2, d1/2) with x = d2 / (d2 + d1·f).
+  * Evaluated per GROUP row (one per ANOVA scope), never per fact row, so
+  * CodegenFallback + commons-math3's continued fraction costs nothing
+  * measurable (same precedent as [[TTestPValue]]). Null outside the
+  * support (x ∉ [0,1], a/b ≤ 0), matching scipy.special.betainc's NaN.
+  */
+case class RegularizedIncBeta(first: Expression, second: Expression,
+                              third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "reg_inc_beta"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(xV: Any, aV: Any, bV: Any): Any = {
+    val x = xV.asInstanceOf[Double]
+    val a = aV.asInstanceOf[Double]
+    val b = bV.asInstanceOf[Double]
+    if (x.isNaN || a.isNaN || b.isNaN || x < 0.0 || x > 1.0 ||
+        a <= 0.0 || b <= 0.0) null
+    else Beta.regularizedBeta(x, a, b)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Standard-normal survival function P(Z > z) = erfc(z/√2)/2 — the tail
+  * behind rank-test normal approximations (Mann–Whitney U, Wilcoxon) and
+  * two-proportion z-tests. commons-math3 Erf.erfc is accurate to machine
+  * precision over the full double range (scipy.stats.norm.sf parity).
+  * Group-row cardinality only; CodegenFallback per [[TTestPValue]].
+  */
+case class NormalSF(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "normal_sf"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(zV: Any): Any = {
+    val z = zV.asInstanceOf[Double]
+    if (z.isNaN) null
+    else org.apache.commons.math3.special.Erf.erfc(z / math.sqrt(2.0)) / 2.0
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -63,6 +63,36 @@ object Experiment {
     *
     * Output: (stratum, n_a, x_a, n_b, x_b, p_a 6dp, p_b 6dp, z 4dp).
     * One hash aggregate over facts; strata-bounded output. */
+  /** 2×2 difference-in-differences readout: cell means of `value` over
+    * (treated?, post?) and the DiD estimate
+    * (T,post − T,pre) − (C,post − C,pre). `treated` and `post` are
+    * boolean column names (callers precompute the cohort and period
+    * predicates). One hash aggregate of conditional sufficient
+    * statistics; the estimate is computed from unrounded means and
+    * rounded last. Output (one row): n, n_treated, mean_t_pre,
+    * mean_t_post, mean_c_pre, mean_c_post (4dp), did_estimate (4dp).
+    */
+  def didEstimate(df: DataFrame, treated: String, post: String,
+                  value: String): DataFrame = {
+    val v = col(value).cast("double")
+    val tr = col(treated)
+    val po = col(post)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(tr, 1L).otherwise(0L)).as("n_treated"),
+      avg(when(tr && !po, v)).as("__tp0"),
+      avg(when(tr && po, v)).as("__tp1"),
+      avg(when(!tr && !po, v)).as("__cp0"),
+      avg(when(!tr && po, v)).as("__cp1"))
+    agg.select(col("n"), col("n_treated"),
+      round(col("__tp0"), 4).as("mean_t_pre"),
+      round(col("__tp1"), 4).as("mean_t_post"),
+      round(col("__cp0"), 4).as("mean_c_pre"),
+      round(col("__cp1"), 4).as("mean_c_post"),
+      round((col("__tp1") - col("__tp0")) - (col("__cp1") - col("__cp0")), 4)
+        .as("did_estimate"))
+  }
+
   def twoProportionZ(df: DataFrame, stratum: String, group: String,
                      success: String, a: String, b: String): DataFrame = {
     val isA = col(group) === a

@@ -1,0 +1,96 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Financial time-series kernels over pre-bucketed series: max
+  * drawdown, Bollinger bands, and OHLC/VWAP bar assembly. All three
+  * are single-shuffle shapes — one hash partition by series key (or
+  * (key, bar)), windows and aggregates ride the same partitioning, and
+  * output is bucket- or key-bounded. Equity/flow series are expected
+  * in exact integer units (cents) when cross-engine determinism
+  * matters — the catalog entries feed `round(sum(x)*100)::long`.
+  */
+object Finance {
+
+  /** Per-key maximum drawdown of the cumulative-sum equity curve of
+    * `value` ordered by `bucket`: equity_t = Σ flow, peak_t = running
+    * max, drawdown_t = peak_t − equity_t. Output per key:
+    * (key, n_buckets, final_equity, peak_equity, max_drawdown,
+    * trough = earliest bucket attaining the max drawdown). With an
+    * integer flow column every statistic is exact. One shuffle; the
+    * drawdown-argmax sort reuses the key partitioning.
+    */
+  def maxDrawdown(df: DataFrame, key: String, bucket: String,
+                  value: String): DataFrame = {
+    val wRun = Window.partitionBy(key).orderBy(col(bucket))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cur = df
+      .withColumn("__eq", sum(col(value)).over(wRun))
+      .withColumn("__peak", max(col("__eq")).over(wRun))
+      .withColumn("__dd", col("__peak") - col("__eq"))
+    val byDd = Window.partitionBy(key)
+      .orderBy(col("__dd").desc, col(bucket))
+    val byLast = Window.partitionBy(key).orderBy(col(bucket).desc)
+    cur
+      .withColumn("__rn", row_number().over(byDd))
+      .withColumn("__rnl", row_number().over(byLast))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(when(col("__rnl") === 1, col("__eq"))).as("final_equity"),
+        max(col("__peak")).as("peak_equity"),
+        max(when(col("__rn") === 1, col("__dd"))).as("max_drawdown"),
+        max(when(col("__rn") === 1, col(bucket))).as("trough"))
+  }
+
+  /** Bollinger bands: trailing `width`-bucket sample mean/stddev per
+    * key, band = mean ± k·sd, with breakout flags. Incomplete leading
+    * windows (fewer than `width` buckets) get null bands and false
+    * flags. Adds roll_mean / roll_sd / upper / lower / break_up /
+    * break_down / roll_n to the input rows.
+    */
+  def bollinger(df: DataFrame, key: String, bucket: String,
+                value: String, width: Int, k: Double): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(bucket))
+      .rowsBetween(-(width - 1), 0)
+    val v = col(value)
+    val full = count(lit(1)).over(w) === width
+    val m = when(full, avg(v).over(w))
+    val sd = when(full, stddev_samp(v).over(w))
+    df.withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_mean", m)
+      .withColumn("roll_sd", sd)
+      .withColumn("upper", m + lit(k) * sd)
+      .withColumn("lower", m - lit(k) * sd)
+      .withColumn("break_up", coalesce(v > m + lit(k) * sd, lit(false)))
+      .withColumn("break_down", coalesce(v < m - lit(k) * sd, lit(false)))
+  }
+
+  /** OHLC + VWAP bars: per (key, day-of-`ts`) open/high/low/close of
+    * `price` (open/close picked by deterministic (ts, tie) order — no
+    * max_by tie ambiguity), volume = Σ qty, vwap = Σ price·qty / Σ qty,
+    * n_trades. Two row_number windows and the bar aggregate all share
+    * one (key, bar_ts) partitioning.
+    */
+  def ohlcVwap(df: DataFrame, key: String, ts: String, tie: String,
+               price: String, qty: String): DataFrame = {
+    val withBar = df.withColumn("bar_ts", date_trunc("day", col(ts)))
+    val asc = Window.partitionBy(col(key), col("bar_ts"))
+      .orderBy(col(ts).asc, col(tie).asc)
+    val desc = Window.partitionBy(col(key), col("bar_ts"))
+      .orderBy(col(ts).desc, col(tie).desc)
+    withBar
+      .withColumn("__rna", row_number().over(asc))
+      .withColumn("__rnd", row_number().over(desc))
+      .groupBy(col(key), col("bar_ts"))
+      .agg(
+        max(when(col("__rna") === 1, col(price))).as("open"),
+        max(col(price)).as("high"),
+        min(col(price)).as("low"),
+        max(when(col("__rnd") === 1, col(price))).as("close"),
+        sum(col(qty)).as("volume"),
+        (sum(col(price) * col(qty)) / sum(col(qty))).as("vwap"),
+        count(lit(1)).as("n_trades"))
+  }
+}

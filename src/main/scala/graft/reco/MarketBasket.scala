@@ -69,4 +69,46 @@ object MarketBasket {
     b.unpersist(false)
     r
   }
+
+  /** Frequent ordered 3-itemsets with the {a,b}→c rule confidence.
+    * Two successive basket self-joins with strict item ordering
+    * (a < b < c) emit each combination once; per-basket item counts
+    * are caller-bounded (an order has a bounded brand set), so the
+    * blow-up is C(k,3) per basket, not quadratic in the table. The
+    * support-pruned incidence is persisted once across the three join
+    * sides (same discipline as [[liftPairs]]). Output: (item_a,
+    * item_b, item_c, triple_count, pair_ab_count,
+    * confidence = sup(abc)/sup(ab) 4dp), support-filtered.
+    */
+  def tripleRules(df: DataFrame, basket: String, item: String,
+                  minItemSupport: Long, minTripleCount: Long): DataFrame = {
+    val b = df.select(col(basket).as("__bk"), col(item).as("__it"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = b.groupBy(col("__it")).agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= minItemSupport)
+    val pruned = b.join(broadcast(freq.select(col("__it"))), Seq("__it"))
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
+      .select(col("a.__bk").as("__bk"), col("a.__it").as("item_a"),
+        col("b.__it").as("item_b"))
+    val pairCounts = pairs.groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_ab_count"))
+    val triples = pairs.as("p")
+      .join(pruned.as("c"),
+        col("p.__bk") === col("c.__bk") && col("p.item_b") < col("c.__it"))
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"),
+        col("c.__it").as("item_c"))
+      .agg(count(lit(1)).as("triple_count"))
+      .filter(col("triple_count") >= minTripleCount)
+    val out = triples.join(pairCounts, Seq("item_a", "item_b"))
+      .select(col("item_a"), col("item_b"), col("item_c"),
+        col("triple_count"), col("pair_ab_count"),
+        round(col("triple_count").cast("double") / col("pair_ab_count"), 4)
+          .as("confidence"))
+    val r = out.localCheckpoint()
+    b.unpersist(false)
+    r
+  }
 }

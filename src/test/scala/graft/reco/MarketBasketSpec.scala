@@ -29,6 +29,34 @@ class MarketBasketSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("tripleRules: hand-counted triples with rule confidence") {
+    // baskets: 1:{a,b,c} 2:{a,b,c} 3:{a,b,c,d} 4:{a,b,d} 5:{a,b}
+    val rows = Seq(
+      (1, "a"), (1, "b"), (1, "c"),
+      (2, "a"), (2, "b"), (2, "c"),
+      (3, "a"), (3, "b"), (3, "c"), (3, "d"),
+      (4, "a"), (4, "b"), (4, "d"),
+      (5, "a"), (5, "b"))
+    val got = MarketBasket.tripleRules(rows.toDF("bk", "it"), "bk", "it",
+        minItemSupport = 1L, minTripleCount = 2L)
+      .orderBy("item_a", "item_b", "item_c")
+      .as[(String, String, String, Long, Long, Double)].collect().toSeq
+    // triples: abc=3, abd=2, acd=1 (pruned), bcd=1 (pruned)
+    // pair ab=5 → conf(ab→c)=0.6, conf(ab→d)=0.4
+    assert(got == Seq(
+      ("a", "b", "c", 3L, 5L, 0.6),
+      ("a", "b", "d", 2L, 5L, 0.4)))
+  }
+
+  test("tripleRules: duplicate basket rows collapse before counting") {
+    val rows = Seq((1, "a"), (1, "a"), (1, "b"), (1, "c"),
+      (2, "a"), (2, "b"), (2, "c"))
+    val got = MarketBasket.tripleRules(rows.toDF("bk", "it"), "bk", "it",
+        minItemSupport = 1L, minTripleCount = 1L)
+      .as[(String, String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", "c", 2L, 2L, 1.0)))
+  }
+
   test("minSupport prunes items before pairing") {
     // c appears in only 1 basket; with minSupport=2 no c-pair survives
     // even though (a,c) co-occurs once

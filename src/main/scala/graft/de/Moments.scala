@@ -1,0 +1,80 @@
+package graft.de
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Higher-moment shape statistics and internal-consistency reliability.
+  * Everything reduces to map-side-combinable power sums — no
+  * engine-specific skewness/kurtosis builtins (Spark's are population
+  * m3/m2^1.5 while DuckDB's are bias-corrected sample forms; computing
+  * from Σx…Σx⁴ explicitly makes the definition, and the cross-engine
+  * oracle, unambiguous).
+  */
+object Moments {
+
+  /** Population skewness and excess kurtosis per group from one pass
+    * of power sums: m_k = central moments via the binomial expansion.
+    * Output: (group, n, mean 4dp, sd 4dp population, skewness 4dp,
+    * kurtosis 4dp excess). Degenerate groups (n < 2 or zero variance)
+    * yield null shape statistics.
+    */
+  def groupedMoments(df: DataFrame, group: String,
+                     value: String): DataFrame = {
+    val v = col(value).cast("double")
+    val a = df.filter(v.isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1") / n
+    val m2 = col("s2") / n - m * m
+    val m3 = col("s3") / n - lit(3.0) * m * col("s2") / n +
+      lit(2.0) * m * m * m
+    val m4 = col("s4") / n - lit(4.0) * m * col("s3") / n +
+      lit(6.0) * m * m * col("s2") / n - lit(3.0) * m * m * m * m
+    val m2ok = nullif(when(col("n") >= 2, m2), lit(0.0))
+    // m2^1.5 as sqrt(m2)*m2 — multiply+sqrt are IEEE-exact on both
+    // engines, unlike libm pow whose last ulp may differ.
+    a.select(col(group), col("n"),
+      round(m, 4).as("mean"),
+      round(sqrt(m2), 4).as("sd"),
+      round(m3 / (sqrt(m2ok) * m2ok), 4).as("skewness"),
+      round(m4 / (m2ok * m2ok) - lit(3.0), 4).as("kurtosis"))
+  }
+
+  /** Cronbach's alpha: internal consistency of k items over subjects.
+    * Long input (subject, item, score contribution); per-(subject,
+    * item) scores are summed and missing cells zero-filled via a
+    * broadcast item-grid join (items are k-bounded; the grid is k·n —
+    * linear in subjects, never quadratic). alpha = k/(k−1) ·
+    * (1 − Σ item var / total var), sample variances over subjects.
+    * Output (one row): k, n_subjects, sum_item_var 4dp, total_var 4dp,
+    * alpha 4dp.
+    */
+  def cronbachAlpha(df: DataFrame, subject: String, item: String,
+                    value: String): DataFrame = {
+    val cell = df.groupBy(col(subject).as("__s"), col(item).as("__i"))
+      .agg(sum(col(value).cast("double")).as("__v"))
+    val items = cell.select(col("__i")).distinct()
+    val subjects = cell.select(col("__s")).distinct()
+    val grid = subjects.crossJoin(broadcast(items))
+    val full = grid.join(cell, Seq("__s", "__i"), "left")
+      .select(col("__s"), col("__i"), coalesce(col("__v"), lit(0.0)).as("__v"))
+    val itemVar = full.groupBy(col("__i"))
+      .agg(var_samp(col("__v")).as("__iv"))
+      .agg(count(lit(1)).as("k"), sum(col("__iv")).as("__siv"))
+    val totalVar = full.groupBy(col("__s"))
+      .agg(sum(col("__v")).as("__tot"))
+      .agg(count(lit(1)).as("n_subjects"), var_samp(col("__tot")).as("__tv"))
+    val kd = col("k").cast("double")
+    itemVar.crossJoin(totalVar)
+      .select(col("k"), col("n_subjects"),
+        round(col("__siv"), 4).as("sum_item_var"),
+        round(col("__tv"), 4).as("total_var"),
+        when(col("k") >= 2,
+          round(kd / (kd - 1) *
+            (lit(1.0) - col("__siv") / nullif(col("__tv"), lit(0.0))), 4))
+          .as("alpha"))
+  }
+}

@@ -47,4 +47,40 @@ object Regression {
       round(b0, 4).as("b0"), round(b1, 4).as("b1"),
       round(b2, 4).as("b2"), round(r2, 4).as("r2"))
   }
+
+  /** First-order partial correlation r_xy·z = (r_xy − r_xz·r_zy) /
+    * √((1−r_xz²)(1−r_zy²)) — the "does x still correlate with y once z
+    * is held fixed" readout, from the same one-aggregate sufficient
+    * statistics as [[ols2]]. Output (one row): n, r_xy, r_xz, r_yz,
+    * r_xy_z (all 4dp; null when any marginal correlation is
+    * degenerate).
+    */
+  def partialCorr(df: DataFrame, x: String, y: String,
+                  z: String): DataFrame = {
+    val xv = col(x).cast("double")
+    val yv = col(y).cast("double")
+    val zv = col(z).cast("double")
+    val a = df
+      .filter(xv.isNotNull && yv.isNotNull && zv.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(xv).as("sx"), sum(yv).as("sy"), sum(zv).as("sz"),
+        sum(xv * xv).as("sxx"), sum(yv * yv).as("syy"),
+        sum(zv * zv).as("szz"), sum(xv * yv).as("sxy"),
+        sum(xv * zv).as("sxz"), sum(yv * zv).as("syz"))
+    val n = col("n").cast("double")
+    def cov(spq: String, sp: String, sq: String) =
+      col(spq) - col(sp) * col(sq) / n
+    val vx = cov("sxx", "sx", "sx")
+    val vy = cov("syy", "sy", "sy")
+    val vz = cov("szz", "sz", "sz")
+    val rxy = cov("sxy", "sx", "sy") / nullif(sqrt(vx * vy), lit(0.0))
+    val rxz = cov("sxz", "sx", "sz") / nullif(sqrt(vx * vz), lit(0.0))
+    val ryz = cov("syz", "sy", "sz") / nullif(sqrt(vy * vz), lit(0.0))
+    val part = (rxy - rxz * ryz) /
+      nullif(sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)),
+        lit(0.0))
+    a.select(col("n"),
+      round(rxy, 4).as("r_xy"), round(rxz, 4).as("r_xz"),
+      round(ryz, 4).as("r_yz"), round(part, 4).as("r_xy_z"))
+  }
 }

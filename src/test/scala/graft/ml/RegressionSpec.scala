@@ -28,6 +28,30 @@ class RegressionSpec extends SparkSuite {
     assert(math.abs(r._5 - 4.5 / 4.75) < 1e-4 + 1e-12)
   }
 
+  test("partialCorr: controlling for the common driver removes r") {
+    // x = z + noise-free, y = z: r_xy = 1 via z only... instead use
+    // exact: z in 1..4, x = z, y = 2z → all marginals 1, partial 0/0 null.
+    val pure = (1 to 4).map(i => (i.toDouble, 2.0 * i, i.toDouble))
+      .toDF("x", "y", "z")
+    val rp = Regression.partialCorr(pure, "x", "y", "z")
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    assert(rp._2 == 1.0 && rp._3 == 1.0 && rp._4 == 1.0 && rp._5.isEmpty)
+    // hand case: x=[1,2,3,4], y=[1,3,2,4], z=[1,1,2,2]
+    // means 2.5, 2.5, 1.5; cxy = 25 - 25 = ... compute via sums:
+    // sxy = 1+6+6+16 = 29, cxy = 29 - 4*2.5*2.5 = 4
+    // sxz = 1+2+6+8 = 17, cxz = 17 - 15 = 2
+    // syz = 1+3+4+8 = 16, cyz = 16 - 15 = 1
+    // cxx = 30-25 = 5, cyy = 30-25 = 5, czz = 10-9 = 1
+    // rxy = 4/5 = .8, rxz = 2/sqrt(5), ryz = 1/sqrt(5)
+    // partial = (.8 - .4)/sqrt((1-.8)(1-.2)) = .4/.4 = 1.0
+    val df = Seq((1.0, 1.0, 1.0), (2.0, 3.0, 1.0), (3.0, 2.0, 2.0),
+      (4.0, 4.0, 2.0)).toDF("x", "y", "z")
+    val r = Regression.partialCorr(df, "x", "y", "z")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r._2 == 0.8 && r._5 == 1.0)
+    assert(r._3 == math.rint(2.0 / math.sqrt(5) * 1e4) / 1e4)
+  }
+
   test("ols2: collinear regressors yield null coefficients") {
     val df = Seq((1.0, 1.0, 2.0), (2.0, 2.0, 4.0), (3.0, 3.0, 6.0))
       .toDF("y", "x1", "x2")

@@ -3,6 +3,8 @@ package graft.de
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.gfunctions.normal_sf
+
 /** Experimentation readouts (X65): CUPED variance reduction.
   *
   * CUPED (Deng et al. 2013, "Improving the Sensitivity of Online
@@ -63,6 +65,38 @@ object Experiment {
     *
     * Output: (stratum, n_a, x_a, n_b, x_b, p_a 6dp, p_b 6dp, z 4dp).
     * One hash aggregate over facts; strata-bounded output. */
+  /** Poisson rate-ratio test: events per exposure unit in group `a` vs
+    * group `b` (each input row = one exposure unit, `event` a boolean
+    * event marker). RR = (x_a/t_a)/(x_b/t_b); the log-RR standard
+    * error is the Poisson √(1/x_a + 1/x_b); two-sided p from
+    * [[graft.functions.gfunctions.normal_sf]]. One conditional
+    * aggregate. Output (one row): x_a, t_a, x_b, t_b, rate_a 6dp,
+    * rate_b 6dp, rate_ratio 4dp, z 4dp, p_value 6dp — null z/p when
+    * either event count is zero (the log scale is undefined there).
+    */
+  def rateRatio(df: DataFrame, group: String, a: String, b: String,
+                event: String): DataFrame = {
+    val isA = col(group) === a
+    val isB = col(group) === b
+    val e = col(event).cast("long")
+    val agg = df.filter(isA || isB).agg(
+      sum(when(isA, e).otherwise(0L)).as("x_a"),
+      sum(when(isA, 1L).otherwise(0L)).as("t_a"),
+      sum(when(isB, e).otherwise(0L)).as("x_b"),
+      sum(when(isB, 1L).otherwise(0L)).as("t_b"))
+    val ra = col("x_a").cast("double") / nullif(col("t_a"), lit(0L))
+    val rb = col("x_b").cast("double") / nullif(col("t_b"), lit(0L))
+    val rr = ra / nullif(rb, lit(0.0))
+    val se = sqrt(lit(1.0) / col("x_a") + lit(1.0) / col("x_b"))
+    val z = log(rr) / se
+    val ok = col("x_a") > 0 && col("x_b") > 0
+    agg.select(col("x_a"), col("t_a"), col("x_b"), col("t_b"),
+      round(ra, 6).as("rate_a"), round(rb, 6).as("rate_b"),
+      round(rr, 4).as("rate_ratio"),
+      when(ok, round(z, 4)).as("z"),
+      when(ok, round(lit(2.0) * normal_sf(abs(z)), 6)).as("p_value"))
+  }
+
   /** 2×2 difference-in-differences readout: cell means of `value` over
     * (treated?, post?) and the DiD estimate
     * (T,post − T,pre) − (C,post − C,pre). `treated` and `post` are

@@ -59,6 +59,36 @@ object Survival {
           .as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard and the Fleming–Harrington
+    * survival estimate: H(t) = Σ_{t_i ≤ t} d_i/n_i, S_FH(t) = e^−H(t)
+    * — the hazard-scale companion to [[kaplanMeier]] (less biased in
+    * small risk sets; the standard basis for hazard plots and Cox
+    * diagnostics). Same input contract and the same
+    * one-aggregate-plus-shared-window shape as the KM estimator.
+    * Output: (t, n_risk, n_event, n_censored, cum_hazard 6dp,
+    * fh_survival 6dp). */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val byT = df.groupBy(col(durationCol).as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_event"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    byT
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censored")).over(wAll) -
+          coalesce(sum(col("n_event") + col("n_censored")).over(wPrev),
+            lit(0L)))
+      .withColumn("__h",
+        sum(col("n_event").cast("double") / col("n_risk")).over(wAsc))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        round(col("__h"), 6).as("cum_hazard"),
+        round(exp(-col("__h")), 6).as("fh_survival"))
+  }
+
   /** Two-sample log-rank test (X79): does group `a`'s survival curve
     * differ from group `b`'s, accounting for censoring — the standard
     * companion inference to [[kaplanMeier]]'s estimate.

@@ -372,4 +372,39 @@ object CorpusStats {
         round(lit(2.0) * col("overlap") /
           (col("n_a") + col("n_b")), 4).as("f1"))
   }
+
+  /** Zipf-law fit of the corpus word-frequency distribution: rank
+    * terms by count (desc, term asc — deterministic), then OLS of
+    * ln(count) on ln(rank); alpha = −slope is the Zipf exponent
+    * (natural text ≈ 1, repetitive/boilerplate corpora drift far from
+    * it — a corpus-health gate). The regression runs over the
+    * VOCABULARY (term-bounded), not the token stream; the global rank
+    * is one bounded sort. Output (one row): n_terms, n_tokens,
+    * alpha 4dp, intercept 4dp, r2 4dp.
+    */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term").asc)
+    val xy = counts.withColumn("__r", row_number().over(w))
+      .select(log(col("__r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"), col("c"))
+    val a = xy.agg(count(lit(1)).as("n_terms"),
+      sum(col("c")).as("n_tokens"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n_terms").cast("double")
+    val cxx = col("sxx") - col("sx") * col("sx") / n
+    val cxy = col("sxy") - col("sx") * col("sy") / n
+    val cyy = col("syy") - col("sy") * col("sy") / n
+    val slope = cxy / nullif(cxx, lit(0.0))
+    a.select(col("n_terms"), col("n_tokens"),
+      round(-slope, 4).as("alpha"),
+      round((col("sy") - slope * col("sx")) / n, 4).as("intercept"),
+      round(cxy * cxy / nullif(cxx * cyy, lit(0.0)), 4).as("r2"))
+  }
 }

@@ -256,4 +256,29 @@ object TextAnalysis {
     df.withColumn("fingerprint_md5", md5(trim(t).cast("binary")))
       .withColumn("fingerprint_rolling", rolling_hash64(tokens(t)))
   }
+
+  /** Out-of-vocabulary rate per document against the corpus top-k
+    * vocabulary (count desc, term asc — a deterministic cut): the
+    * fraction of TOKEN INSTANCES outside the vocab, the standard
+    * "how much of this corpus would a fixed tokenizer vocab cover"
+    * gate. The vocab is top-k-bounded and broadcast; the token stream
+    * is exploded once. Output per doc: (id, n_tokens, n_oov,
+    * oov_rate 4dp).
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("w").asc)
+      .limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4)
+          .as("oov_rate"))
+  }
 }

@@ -224,7 +224,8 @@ object Catalog {
       CatalogEcon2.all ++ CatalogEcon3.all ++ CatalogEcon4.all ++
       CatalogEcon5.all ++ CatalogEcon6.all ++ CatalogEcon7.all ++
       CatalogEcon8.all ++ CatalogEcon9.all ++ CatalogFin.all ++
-      CatalogEr.all ++ CatalogStats2.all
+      CatalogEr.all ++ CatalogStats2.all ++ CatalogEpi.all ++
+      CatalogBiz.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

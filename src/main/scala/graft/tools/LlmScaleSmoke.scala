@@ -380,7 +380,71 @@ object LlmScaleSmoke {
               .select(col("user_id").as("src"),
                 pmod(col("event_id") * 2654435761L, lit(nUsers)).as("dst")),
             minCommon = 2L, maxDegree = 500L)
-        }))
+        }),
+        // exact-rank kernel: per-value cells + one window per group,
+        // both shuffles value-distinct-bounded
+        "mann_whitney" -> (() => sink(
+          graft.de.Inference.mannWhitney(
+            events.select((col("user_id") % 16).as("g"),
+              col("event_type"), col("value")),
+            "g", "event_type", "value", a = "click", b = "view"))),
+        // equity windows over (key, day) buckets — bucket count is the
+        // scale axis, all three windows share one partitioning
+        "max_drawdown" -> (() => sink {
+          val daily = events.groupBy((col("user_id") % 64).as("k"),
+              date_trunc("day", col("ts")).as("d"))
+            .agg(round(sum(when(col("event_type") === "purchase",
+                col("value")).otherwise(-col("value"))) * 100)
+              .cast("long").as("flow"))
+          graft.events.Finance.maxDrawdown(daily, "k", "d", "flow")
+        }),
+        // blocked pair volume = blocks x C(~100,2): linear in entities
+        // at constant block size (the ER blocking contract)
+        "fellegi_sunter" -> (() => sink {
+          val nUsers = math.max(2L, n / 100)
+          val ents = events.groupBy(col("user_id"))
+            .agg(sum(col("value")).as("bal"))
+            .select(col("user_id"),
+              (col("user_id") % math.max(1L, nUsers / 100)).as("blk"),
+              col("bal"))
+          graft.er.FellegiSunter.score(
+            graft.er.FellegiSunter.blockedPairs(ents, "user_id", Seq("blk"))
+              .withColumn("bal_close",
+                abs(col("l_bal") - col("r_bal")) < 50)
+              .withColumn("key_mod",
+                col("l_user_id") % 10 === col("r_user_id") % 10),
+            Map("bal_close" -> ((0.9, 0.1)), "key_mod" -> ((0.9, 0.1))))
+        }),
+        // ~5 items/basket constant → C(k,3) per basket constant →
+        // triple volume linear in baskets
+        "triple_rules" -> (() => sink(
+          graft.reco.MarketBasket.tripleRules(
+            events.select((col("event_id") % lit(math.max(1L, n / 5)))
+              .as("basket"),
+              pmod(col("event_id") * 2654435761L, lit(math.max(2L, n / 500)))
+                .as("item")),
+            "basket", "item", minItemSupport = 50L, minTripleCount = 2L))),
+        // exact-integer partition scoring on the link_jaccard graph
+        "modularity" -> (() => sink {
+          val nUsers = math.max(2L, n / 100)
+          val edges = events.filter(col("event_id") % 5 === 0)
+            .select(col("user_id").as("src"),
+              pmod(col("event_id") * 2654435761L, lit(nUsers)).as("dst"))
+          val comm = edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node"))).distinct()
+            .withColumn("community", col("node") % 32)
+          graft.graph.Modularity.modularity(edges, "src", "dst",
+            comm, "node", "community")
+        }),
+        // one row_number window + per-key count, state user-bounded
+        "cdc_apply" -> (() => sink(
+          graft.events.Cdc.applyLog(
+            events.withColumn("op",
+              when(col("event_type") === "signup", "I")
+                .when(col("event_type") === "error", "D")
+                .otherwise("U")),
+            "user_id", "ts", "event_id", "op", Seq("value"),
+            deleteOp = "D"))))
       val timed = ops.map { case (name, run) =>
         run()                       // warm-up: codegen + parquet footers
         name -> (1 to 2).map(_ => time(run())).min

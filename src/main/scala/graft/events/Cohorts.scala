@@ -75,4 +75,40 @@ object Cohorts {
         round(col("n_new") / col("n_active").cast("double"), 4)
           .as("new_share"))
   }
+
+  /** Cohort LTV accumulation matrix: per (acquisition cohort, age) the
+    * cumulative revenue per cohort member — the "how much is a
+    * customer worth by month/year N" curve that pairs with
+    * [[weeklyRetention]]'s activity counts. `valueCents` keeps the
+    * accumulation in exact integers (the q210 cents convention); the
+    * per-member normalization divides by the FIXED acquisition-cohort
+    * size, not the still-active count (LTV convention — churned
+    * members dilute, that's the point). Cohort = the key's first
+    * `bucket`; age = bucket − cohort. One first-bucket aggregate, one
+    * (cohort, age) aggregate, one cumulative window over the
+    * cohort×age-bounded matrix. Output: (cohort, age, cohort_size,
+    * period_cents, cum_cents, cum_per_member 2dp).
+    */
+  def ltvMatrix(df: DataFrame, key: String, bucket: String,
+                valueCents: String): DataFrame = {
+    val firsts = df.groupBy(col(key).as("__k"))
+      .agg(min(col(bucket)).as("cohort"))
+    val sizes = firsts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = df
+      .join(firsts, col(key) === col("__k"))
+      .groupBy(col("cohort"), (col(bucket) - col("cohort")).as("age"))
+      .agg(sum(col(valueCents)).as("period_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("period_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("age"), col("cohort_size"),
+        col("period_cents"), col("cum_cents"),
+        round(col("cum_cents").cast("double") /
+          (col("cohort_size") * 100), 2).as("cum_per_member"))
+  }
 }

@@ -112,4 +112,29 @@ object Sessionize {
       round(col("n") /
         sum(col("n")).over(Window.partitionBy("cur")).cast("double"), 4))
   }
+
+  /** Second-order Markov transitions: P(next | prev, cur) from
+    * consecutive event-type trigrams per key — the memory-1 upgrade of
+    * [[transitionMatrix]] (captures "view→click means purchase, but
+    * error→click means retry" distinctions a first-order chain
+    * blends). Same shape: one per-key window (two leads share it), one
+    * (prev, cur, nxt) hash aggregate, and the normalizer window runs
+    * over the |states|³-bounded trigram table.
+    * Returns (prev, cur, nxt, n, p 4-dp). */
+  def transitionMatrix2(events: DataFrame, keyCol: String, tsCol: String,
+                        typeCol: String,
+                        tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol).asc +: tieBreak.map(col(_).asc))
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    val trigrams = events
+      .select(col(typeCol).as("prev"),
+        lead(col(typeCol), 1).over(w).as("cur"),
+        lead(col(typeCol), 2).over(w).as("nxt"))
+      .filter(col("cur").isNotNull && col("nxt").isNotNull)
+      .groupBy("prev", "cur", "nxt").agg(count(lit(1)).as("n"))
+    trigrams.withColumn("p",
+      round(col("n") /
+        sum(col("n")).over(Window.partitionBy("prev", "cur"))
+          .cast("double"), 4))
+  }
 }

@@ -53,6 +53,30 @@ object Privacy {
       .drop("__gn")
   }
 
+  /** l-diversity audit: per quasi-identifier equivalence class, the
+    * class size and the number of DISTINCT sensitive values (the l of
+    * that class). k-anonymity alone leaves a class of k rows that all
+    * share one sensitive value fully disclosed (the homogeneity
+    * attack, Machanavajjhala et al. 2007); a release is l-diverse iff
+    * min over classes of distinct-sensitive ≥ l. Output per class:
+    * (quasiCols…, class_size, l_distinct, diverse = l_distinct ≥ l),
+    * plus min_l repeated via a window over the class-bounded table so
+    * the release-level verdict rides along. One aggregate over facts;
+    * the window runs over classes, never rows.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(l >= 1, "l must be >= 1")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    classes.select((quasiCols.map(col) ++ Seq(col("class_size"),
+      col("l_distinct"), (col("l_distinct") >= l).as("diverse"),
+      min(col("l_distinct")).over(w).as("min_l"))): _*)
+  }
+
   /** The release report a privacy review actually reads: per k in
     * `ks`, how many quasi-identifier combinations and rows survive a
     * >= k gate, and the suppressed-row fraction. One group-size

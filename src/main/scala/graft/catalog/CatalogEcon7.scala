@@ -150,8 +150,15 @@ object CatalogEcon7 {
         .rowsBetween(-6, Window.currentRow)
       daily.filter($"event_type" =!= "purchase")
         .join(broadcast(ref), Seq("d"))
+        // covar/stddev with a nullif guard instead of corr(): Spark's
+        // Corr divides by sqrt(m2x*m2y) unguarded, which ANSI mode
+        // turns into DIVIDE_BY_ZERO on a zero-variance window; this
+        // form is the same estimator (4-dp round absorbs accumulation
+        // order) and yields null exactly where DuckDB's corr does.
         .withColumn("roll_corr",
-          round(corr($"c", $"ref_c").over(w), 4))
+          round(covar_samp($"c", $"ref_c").over(w) /
+            nullif(stddev_samp($"c").over(w) *
+              stddev_samp($"ref_c").over(w), lit(0.0)), 4))
         .withColumn("rn", row_number().over(
           Window.partitionBy($"event_type").orderBy($"d")))
         .filter($"rn" >= 7)

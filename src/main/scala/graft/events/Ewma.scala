@@ -171,4 +171,66 @@ object Ewma {
           element_at(col("__fin").getField("s"), 1), 6)
           .as("forecast_next"))
   }
+
+  /** Croston's method for intermittent demand (Croston 1972): separate
+    * exponential smoothing of nonzero demand SIZE (z) and the
+    * INTERVAL between nonzero demands (p); forecast per period =
+    * z/p. The standard spare-parts/slow-mover forecaster — plain EWMA
+    * on a mostly-zero series collapses toward zero between demands,
+    * Croston doesn't.
+    *
+    * Seed convention (part of the cross-engine contract): the FIRST
+    * nonzero observation seeds z = x and p = its 1-based position;
+    * thereafter each nonzero observation at gap q (periods since the
+    * previous nonzero, ≥ 1) updates z' = αx + (1−α)z,
+    * p' = αq + (1−α)p. Zero periods only advance the gap counter. The
+    * state (z, p, q) rides a struct accumulator over one ordered
+    * per-key array — the [[holtForecast]] fold shape, replayable by a
+    * recursive CTE. 1−α stays the runtime double `1.0 - α` (same
+    * discipline as Holt).
+    *
+    * Keys with no nonzero demand yield nulls. Output: (key, n,
+    * n_demands, size_z 6dp, interval_p 6dp, forecast 6dp = z/p).
+    */
+  def croston(series: DataFrame, key: String, orderCol: String,
+              value: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val a = lit(alpha)
+    val oneA = lit(1.0) - lit(alpha)
+    val arr = array_sort(collect_list(struct(col(orderCol).as("t"),
+      col(value).cast("double").as("x"))))
+    // state: z (smoothed size), p (smoothed interval), q (gap counter),
+    // m (n_demands); z < 0 marks "not yet seeded".
+    series.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), arr.as("__arr"))
+      .withColumn("__fin",
+        aggregate(
+          col("__arr"),
+          struct(lit(-1.0).as("z"), lit(0.0).as("p"), lit(0.0).as("q"),
+            lit(0L).as("m")),
+          (acc, e) => {
+            val x = e.getField("x")
+            val q1 = acc.getField("q") + lit(1.0)
+            val unseeded = acc.getField("z") < 0
+            struct(
+              when(x === 0, acc.getField("z"))
+                .when(unseeded, x)
+                .otherwise(a * x + oneA * acc.getField("z")).as("z"),
+              when(x === 0, acc.getField("p"))
+                .when(unseeded, q1)
+                .otherwise(a * q1 + oneA * acc.getField("p")).as("p"),
+              when(x === 0, q1).otherwise(lit(0.0)).as("q"),
+              when(x === 0, acc.getField("m"))
+                .otherwise(acc.getField("m") + 1).as("m"))
+          }))
+      .select(col(key), col("n"),
+        col("__fin").getField("m").as("n_demands"),
+        when(col("__fin").getField("z") >= 0,
+          round(col("__fin").getField("z"), 6)).as("size_z"),
+        when(col("__fin").getField("z") >= 0,
+          round(col("__fin").getField("p"), 6)).as("interval_p"),
+        when(col("__fin").getField("z") >= 0,
+          round(col("__fin").getField("z") / col("__fin").getField("p"), 6))
+          .as("forecast"))
+  }
 }

@@ -373,6 +373,37 @@ object CorpusStats {
           (col("n_a") + col("n_b")), 4).as("f1"))
   }
 
+  /** Ecological-diversity battery of the unigram distribution per
+    * stratum: Shannon H (nats, from the Σn·ln n identity — no
+    * probability join), effective species e^H, the unbiased Simpson
+    * concentration λ = Σn(n−1)/(N(N−1)) (exact integer numerators),
+    * and inverse Simpson 1/Σp². The "is this source's vocabulary
+    * actually varied" gate that complements [[tokenEntropy]]. One
+    * (stratum, term) aggregate + one stratum roll-up. Output:
+    * (stratum, n_types, n_tokens, shannon 4dp, eff_species 4dp,
+    * simpson 6dp, inv_simpson 4dp).
+    */
+  def diversityIndexes(docs: DataFrame, strataCol: String,
+                       textCol: String): DataFrame = {
+    val counts = docs.select(col(strataCol).as("stratum"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("stratum", "term").agg(count(lit(1)).as("n"))
+    val bigN = sum(col("n")).cast("double")
+    val h = log(bigN) -
+      sum(col("n").cast("double") * log(col("n").cast("double"))) / bigN
+    counts.groupBy("stratum")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_tokens"),
+        round(h, 4).as("shannon"),
+        round(exp(h), 4).as("eff_species"),
+        round(sum(col("n") * (col("n") - 1)).cast("double") /
+          (sum(col("n")).cast("double") * (sum(col("n")) - 1)), 6)
+          .as("simpson"),
+        round(lit(1.0) /
+          (sum(col("n").cast("double") * col("n")) / (bigN * bigN)), 4)
+          .as("inv_simpson"))
+  }
+
   /** Zipf-law fit of the corpus word-frequency distribution: rank
     * terms by count (desc, term asc — deterministic), then OLS of
     * ln(count) on ln(rank); alpha = −slope is the Zipf exponent

@@ -257,6 +257,55 @@ object TextAnalysis {
       .withColumn("fingerprint_rolling", rolling_hash64(tokens(t)))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs (lowercased, ≤ maxPhraseLen
+    * words); word score = deg/freq where deg(w) = Σ phrase length over
+    * occurrences and freq(w) = occurrence count; phrase score = Σ word
+    * scores. Corpus-level top-k phrases by (rounded score desc,
+    * phrase asc) — ranking on the ROUNDED score, the q43 discipline,
+    * so libm ulps can't flip the cut.
+    *
+    * Scale shape: one posexplode of the token stream, one per-doc
+    * position window for the gap-and-islands phrase ids, then every
+    * aggregate runs at phrase/word grain (corpus-vocabulary bounded).
+    * Output: (phrase, n_words, n_occurrences, score 4dp, rank).
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], maxPhraseLen: Int,
+                   topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+      .withColumn("__stop", col("w").isin(stopwords: _*))
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val phrases = toks
+      .withColumn("__pid",
+        sum(when(col("__stop"), 1L).otherwise(0L)).over(wOrd))
+      .filter(!col("__stop"))
+      .groupBy(col("id"), col("__pid"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .filter(col("len") <= maxPhraseLen)
+    val words = phrases.select(col("phrase"), col("len"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val wordScores = words.groupBy(col("w"))
+      .agg((sum(col("len")).cast("double") / count(lit(1))).as("__ws"))
+    val distinctPhrases = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("len")).as("n_words"))
+    val scored = distinctPhrases
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScores, Seq("w"))
+      .groupBy(col("phrase"), col("n_words"), col("n_occurrences"))
+      .agg(round(sum(col("__ws")), 4).as("score"))
+    val wTop = Window.orderBy(col("score").desc, col("phrase").asc)
+    scored.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Out-of-vocabulary rate per document against the corpus top-k
     * vocabulary (count desc, term asc — a deterministic cut): the
     * fraction of TOKEN INSTANCES outside the vocab, the standard

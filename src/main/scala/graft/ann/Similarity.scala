@@ -257,4 +257,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily select k candidates maximizing
+    * λ·relevance − (1−λ)·max_{s ∈ selected} cos(c, s) — the standard
+    * relevance-vs-redundancy trade in retrieval and training-data
+    * curation (pick diverse exemplars, not k near-copies).
+    *
+    * Greedy is inherently sequential in k; each round is ONE
+    * distributed argmax over the candidate frame against the
+    * (≤ k)-row broadcast selected set, and only the single winning row
+    * is collected — k driver rows total, never the candidate set. All
+    * comparison scores are pre-rounded to 6dp (the q43 discipline) so
+    * the argmax tie-break (rounded score desc, id asc) is
+    * cross-engine deterministic. Candidates are expected pre-pruned
+    * (e.g. a top-N cosine cut); relevance is any caller-computed
+    * column. Output: (rank 1..k, id, relevance 6dp, mmr_score 6dp).
+    */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0 && lambda <= 1, "lambda in [0,1]")
+    val cand = candidates.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        round(col(relCol), 6).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = candidates.sparkSession
+    import scala.collection.mutable.ArrayBuffer
+    val picked = ArrayBuffer.empty[(Long, Double, Double)] // id, rel, mmr
+    var selVecs = ArrayBuffer.empty[(Long, Seq[Double])]
+    var i = 0
+    val total = cand.count()
+    while (i < k && i < total) {
+      val selDf = if (selVecs.isEmpty) null
+      else {
+        import spark.implicits._
+        selVecs.toSeq.toDF("sid", "sv")
+      }
+      val scored = if (selDf == null)
+        cand.select(col("id"), col("rel"),
+          round(lit(lambda) * col("rel"), 6).as("mmr"))
+      else cand
+        .join(broadcast(selDf), col("id") =!= col("sid"))
+        .filter(!col("id").isInCollection(selVecs.map(_._1)))
+        .groupBy(col("id"), col("rel"))
+        .agg(max(round(cosine_similarity(col("v"), col("sv")), 6))
+          .as("__maxsim"))
+        .select(col("id"), col("rel"),
+          round(lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * col("__maxsim"), 6).as("mmr"))
+      val win = scored.orderBy(col("mmr").desc, col("id").asc).limit(1)
+        .collect()(0)
+      val wid = win.getLong(0)
+      val wrel = win.getDouble(1)
+      val wmmr = win.getDouble(2)
+      val wvec = cand.filter(col("id") === wid)
+        .select(col("v")).collect()(0).getSeq[Double](0)
+      picked += ((wid, wrel, wmmr))
+      selVecs += ((wid, wvec))
+      i += 1
+    }
+    cand.unpersist(false)
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, rel, mmr), ix) => (ix + 1L, id, rel, mmr) }
+      .toDF("rank", "id", "relevance", "mmr_score")
+  }
 }

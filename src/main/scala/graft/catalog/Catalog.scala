@@ -225,7 +225,8 @@ object Catalog {
       CatalogEcon5.all ++ CatalogEcon6.all ++ CatalogEcon7.all ++
       CatalogEcon8.all ++ CatalogEcon9.all ++ CatalogFin.all ++
       CatalogEr.all ++ CatalogStats2.all ++ CatalogEpi.all ++
-      CatalogBiz.all ++ CatalogWalks.all ++ CatalogText2.all
+      CatalogBiz.all ++ CatalogWalks.all ++ CatalogText2.all ++
+      CatalogSignal.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

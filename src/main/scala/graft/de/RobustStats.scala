@@ -95,4 +95,32 @@ object RobustStats {
         round(col("__s").cast("double") / col("n"), 4).as("am"),
         round(exp(col("__sl") / col("n")), 4).as("gm"),
         round(col("n") / col("__sr"), 4).as("hm"))
+
+  /** Trimmed mean: the mean of values inside the [pLo, pHi] exact
+    * interpolated percentile band per group — the robust location
+    * estimate between the mean (trim 0) and median (trim 0.5).
+    * Interpolated cut points are never data values for non-degenerate
+    * group sizes, so band membership is float-safe across engines.
+    * Output: (group, n, n_kept, p_lo 4dp, p_hi 4dp, trimmed_mean 4dp).
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "0 <= pLo < pHi <= 1")
+    val v = col(valueCol).cast("double")
+    val cuts = df.filter(v.isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(percentile(v, lit(pLo)).as("__lo"),
+        percentile(v, lit(pHi)).as("__hi"),
+        count(lit(1)).as("n"))
+    df.filter(v.isNotNull)
+      .join(broadcast(cuts), col(groupCol) === col("__g"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        sum(when(v >= col("__lo") && v <= col("__hi"), 1L).otherwise(0L))
+          .as("n_kept"),
+        round(max(col("__lo")), 4).as("p_lo"),
+        round(max(col("__hi")), 4).as("p_hi"),
+        round(avg(when(v >= col("__lo") && v <= col("__hi"), v)), 4)
+          .as("trimmed_mean"))
   }
+}

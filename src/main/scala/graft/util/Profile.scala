@@ -112,6 +112,31 @@ object Profile {
     * across engines. Non-positive and null values are excluded (Benford
     * applies to positive quantities). One filtered projection + one
     * 9-row aggregate + a windowed total over those 9 rows. */
+  /** Functional-dependency check lhs → rhs: per lhs value, does
+    * exactly one rhs value appear? Output (one row): n_keys,
+    * n_violating_keys (lhs values with > 1 distinct rhs),
+    * n_violating_rows (rows under those keys beyond the majority rhs —
+    * the minimum repairs to make the FD hold), holds. The profiling
+    * primitive behind schema-inference and join-key audits; one
+    * (lhs, rhs) aggregate then lhs-grain roll-ups, never a fact-grain
+    * second pass. Nulls in lhs or rhs are excluded (SQL FD convention).
+    */
+  def fdCheck(df: DataFrame, lhs: String, rhs: String): DataFrame = {
+    val cells = df
+      .filter(col(lhs).isNotNull && col(rhs).isNotNull)
+      .groupBy(col(lhs).as("__l"), col(rhs).as("__r"))
+      .agg(count(lit(1)).as("__n"))
+    cells.groupBy(col("__l"))
+      .agg(count(lit(1)).as("__nrhs"), sum(col("__n")).as("__rows"),
+        max(col("__n")).as("__maj"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__nrhs") > 1, 1L).otherwise(0L))
+          .as("n_violating_keys"),
+        sum(when(col("__nrhs") > 1, col("__rows") - col("__maj"))
+          .otherwise(0L)).as("n_violating_rows"))
+      .withColumn("holds", col("n_violating_keys") === 0)
+  }
+
   def benfordFirstDigit(df: DataFrame, value: String): DataFrame = {
     val digit = substring(regexp_replace(
       col(value).cast("decimal(38,6)").cast("string"), "[^1-9]", ""),

@@ -748,6 +748,50 @@ object Dedup {
       verifyFromPostings(sh, cand, minJaccard, Some(sizes)), sh)
   }
 
+  /** Asymmetric containment pairs C(A→B) = |A∩B|/|A| — the
+    * subset/excerpt detector Jaccard misses (a 100-word excerpt of a
+    * 10k-word document has tiny Jaccard but containment ≈ 1; the
+    * ExactSubstr motivation at shingle-set granularity). Candidates
+    * come from shared RARE shingles (document frequency ≤
+    * `maxShingleDf` — hot shingles are both uninformative and the
+    * quadratic blow-up, the q24 df-pruning discipline; recall bound
+    * documented: pairs sharing only ultra-common shingles are missed).
+    * Verification counts the exact intersection over ALL shingles
+    * relationally. Output (id_a < id_b): (id_a, id_b, n_common, n_a,
+    * n_b, cont_a 4dp = |∩|/n_a, cont_b 4dp), kept when
+    * max(cont_a, cont_b) ≥ minContainment.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, minContainment: Double = 0.8,
+                       maxShingleDf: Long = 100L): DataFrame = {
+    val sh = postings(df, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf && col("df") >= 2)
+        .select("shingle"),
+      Seq("shingle"))
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    val out = common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .withColumn("cont_a", round(col("n_common") / col("n_a"), 4))
+      .withColumn("cont_b", round(col("n_common") / col("n_b"), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "cont_a", "cont_b")
+    materializeAndRelease(out, sh)
+  }
+
   /** Distinct (id, shingle) postings of a document table (native
     * word_shingles expression — stays in whole-stage codegen). */
   private def postings(df: DataFrame, idCol: String, textCol: String,

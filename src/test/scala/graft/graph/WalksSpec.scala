@@ -42,6 +42,23 @@ class WalksSpec extends SparkSuite {
     assert(r.map(_._2).toSeq == Seq(1.0, 1.5, 1.75))
   }
 
+  test("driver and distributed paths agree on the path graph") {
+    val (nodes, edges) = pathGraph
+    val drv = Walks.personalizedPageRank(spark, nodes, edges, seed = 1L,
+        damping = 0.5, iters = 15)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    val dst = Walks.personalizedPageRank(spark, nodes, edges, seed = 1L,
+        damping = 0.5, iters = 15, driverThreshold = 0L)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    assert(drv == dst)
+    val kd = Walks.katz(spark, nodes, edges, alpha = 0.5, iters = 6)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    val kx = Walks.katz(spark, nodes, edges, alpha = 0.5, iters = 6,
+        driverThreshold = 0L)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    assert(kd == kx)
+  }
+
   test("katz: isolated node keeps beta") {
     val nodes = Seq(1L, 2L, 9L).toDF("node")
     val edges = Seq((1L, 2L)).toDF("src", "dst")

@@ -226,7 +226,8 @@ object Catalog {
       CatalogEcon8.all ++ CatalogEcon9.all ++ CatalogFin.all ++
       CatalogEr.all ++ CatalogStats2.all ++ CatalogEpi.all ++
       CatalogBiz.all ++ CatalogWalks.all ++ CatalogText2.all ++
-      CatalogSignal.all ++ CatalogRecon.all ++ CatalogBiz2.all
+      CatalogSignal.all ++ CatalogRecon.all ++ CatalogBiz2.all ++
+      CatalogLlm2.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -89,4 +89,46 @@ object Ranking {
           nullif(col("__totPos").cast("double") / col("__totN"),
             lit(0.0)), 4).as("cum_lift"))
   }
+
+  /** Graded ranking evaluation per query: nDCG@k with the
+    * (2^rel − 1)/log2(pos + 1) gain (Järvelin & Kekäläinen 2002), MRR
+    * over items with rel ≥ `relThreshold`, and precision@k at the same
+    * threshold. Rankings order by (score desc, id asc) and the ideal
+    * ranking by (rel desc, id asc) — both total orders, so every
+    * metric is deterministic. Two windows per query over
+    * query-bounded candidate lists; one aggregate. Output per query:
+    * (query, n_docs, dcg 6dp, idcg 6dp, ndcg 6dp, mrr 6dp,
+    * p_at_k 4dp). Queries with no relevant item get null mrr and
+    * ndcg = null when idcg = 0.
+    */
+  def ndcgAtK(df: DataFrame, queryCol: String, idCol: String,
+              relCol: String, scoreCol: String, k: Int,
+              relThreshold: Double = 2.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val wScore = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wIdeal = Window.partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(idCol).asc)
+    val rel = col(relCol).cast("double")
+    val gain = pow(lit(2.0), rel) - 1.0
+    val ranked = df
+      .withColumn("__pos", row_number().over(wScore))
+      .withColumn("__ipos", row_number().over(wIdeal))
+    ranked.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pos") <= k,
+          gain / log2(col("__pos") + 1))).as("__dcg"),
+        sum(when(col("__ipos") <= k,
+          gain / log2(col("__ipos") + 1))).as("__idcg"),
+        min(when(rel >= relThreshold, col("__pos"))).as("__first"),
+        sum(when(col("__pos") <= k && rel >= relThreshold, 1L)
+          .otherwise(0L)).as("__hits"))
+      .select(col(queryCol), col("n_docs"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        round(col("__dcg") / nullif(col("__idcg"), lit(0.0)), 6)
+          .as("ndcg"),
+        round(lit(1.0) / col("__first"), 6).as("mrr"),
+        round(col("__hits").cast("double") / k, 4).as("p_at_k"))
+  }
 }

@@ -217,4 +217,33 @@ object Sampling {
       pmod(md5_long(concat_ws(":", lit(salt), col(keyCol).cast("string"))),
         lit(nShards.toLong)))
   }
+
+  /** Deterministic negative sampling for contrastive/implicit-feedback
+    * training: for each entity, the `k` hash-top-ranked candidates the
+    * entity has NOT interacted with. The candidate universe is the
+    * broadcast `items` frame (bounded — a vocabulary, a brand list);
+    * positives are excluded with a null-safe anti-join and the
+    * per-entity ranking is md5-ordered (salted), so every engine and
+    * every rerun draws the same negatives — the q45 hash-sampling
+    * discipline applied to the negative-pair generator. Output:
+    * (entity, item, neg_rank 1..k).
+    */
+  def negativeSample(positives: DataFrame, entityCol: String,
+                     itemCol: String, items: DataFrame, k: Int,
+                     salt: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ents = positives.select(col(entityCol)).distinct()
+    val cand = ents.crossJoin(broadcast(items.select(col(itemCol))
+      .distinct()))
+    val neg = cand.join(positives.select(col(entityCol), col(itemCol))
+        .distinct(),
+      Seq(entityCol, itemCol), "left_anti")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(md5_long(concat_ws(":", lit(salt),
+        col(entityCol).cast("string"), col(itemCol).cast("string"))),
+        col(itemCol))
+    neg.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+  }
 }

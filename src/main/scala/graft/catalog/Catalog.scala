@@ -227,7 +227,7 @@ object Catalog {
       CatalogEr.all ++ CatalogStats2.all ++ CatalogEpi.all ++
       CatalogBiz.all ++ CatalogWalks.all ++ CatalogText2.all ++
       CatalogSignal.all ++ CatalogRecon.all ++ CatalogBiz2.all ++
-      CatalogLlm2.all ++ CatalogRank.all
+      CatalogLlm2.all ++ CatalogRank.all ++ CatalogSurv.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -59,6 +59,38 @@ object Survival {
           .as("survival"))
   }
 
+  /** Scalar endpoints of the KM curve: median survival time (smallest
+    * t with S(t) ≤ ½ — null while the curve never crosses, the honest
+    * heavy-censoring answer) and the restricted mean survival time
+    * RMST = ∫₀^τ S dt, τ = the largest observed time — the area under
+    * the step curve, computed exactly as t₁·1 + Σ S(tᵢ)·(tᵢ₊₁ − tᵢ)
+    * (RMST is the modern reporting endpoint when medians are unstable
+    * or uncrossed). One [[kaplanMeier]] pass + one lead window + one
+    * aggregate over the time-bounded KM table. Output (one row):
+    * (n_times, max_t, median_t, s_at_median 6dp, rmst 4dp).
+    */
+  def kmSummary(df: DataFrame, durationCol: String,
+                eventCol: String): DataFrame = {
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val wOrd = Window.orderBy(col("t"))
+    val withNext = km
+      .withColumn("__next", lead(col("t"), 1).over(wOrd))
+      .withColumn("__first",
+        min(col("t")).over(Window.partitionBy(lit(1))))
+    withNext.agg(
+      count(lit(1)).as("n_times"),
+      max(col("t")).as("max_t"),
+      min(when(col("survival") <= 0.5, col("t"))).as("median_t"),
+      // S is non-increasing, so the first crossing's survival is the
+      // LARGEST among the <= 0.5 values
+      round(max(when(col("survival") <= 0.5, col("survival"))), 6)
+        .as("s_at_median"),
+      round(max(col("__first")).cast("double") +
+        sum(when(col("__next").isNotNull,
+          col("survival") * (col("__next") - col("t"))).otherwise(0.0)),
+        4).as("rmst"))
+  }
+
   /** Nelson–Aalen cumulative hazard and the Fleming–Harrington
     * survival estimate: H(t) = Σ_{t_i ≤ t} d_i/n_i, S_FH(t) = e^−H(t)
     * — the hazard-scale companion to [[kaplanMeier]] (less biased in

@@ -444,7 +444,36 @@ object LlmScaleSmoke {
                 .when(col("event_type") === "error", "D")
                 .otherwise("U")),
             "user_id", "ts", "event_id", "op", Seq("value"),
-            deleteOp = "D"))))
+            deleteOp = "D"))),
+        // 3 sync rounds × (edge join + argmax window), both node-keyed;
+        // vertex set grows with n at ~constant degree
+        "label_prop" -> (() => sink {
+          val nUsers = math.max(2L, n / 100)
+          graft.graph.LabelProp.propagate(
+            events.filter(col("event_id") % 5 === 0)
+              .select(col("user_id").as("src"),
+                pmod(col("event_id") * 2654435761L, lit(nUsers)).as("dst")),
+            "src", "dst", iters = 3)
+        }),
+        // rare-shingle candidates keep pair volume df-bounded; the
+        // verify join is candidate-proportional
+        "containment" -> (() => sink(
+          Dedup.containmentPairs(docs, "doc_id", "text",
+            shingleSize = 3, minContainment = 0.6, maxShingleDf = 20L))),
+        // phrase islands + word/phrase-grain aggregates; the token
+        // stream is exploded once
+        "rake" -> (() => sink(
+          TextAnalysis.rakeKeywords(docs, "doc_id", "text",
+            stopwords.toSeq, maxPhraseLen = 3, topK = 50))),
+        // two per-query windows over query-bounded candidate lists;
+        // query count scales with n
+        "ndcg" -> (() => sink(
+          graft.ml.Ranking.ndcgAtK(
+            events.select((col("user_id") % math.max(2L, n / 500))
+              .as("q"), col("event_id"),
+              (col("event_id") % 4).cast("double").as("rel"),
+              col("value").as("s")),
+            "q", "event_id", "rel", "s", k = 10))))
       val timed = ops.map { case (name, run) =>
         run()                       // warm-up: codegen + parquet footers
         name -> (1 to 2).map(_ => time(run())).min

@@ -227,7 +227,8 @@ object Catalog {
       CatalogEr.all ++ CatalogStats2.all ++ CatalogEpi.all ++
       CatalogBiz.all ++ CatalogWalks.all ++ CatalogText2.all ++
       CatalogSignal.all ++ CatalogRecon.all ++ CatalogBiz2.all ++
-      CatalogLlm2.all ++ CatalogRank.all ++ CatalogSurv.all
+      CatalogLlm2.all ++ CatalogRank.all ++ CatalogSurv.all ++
+      CatalogMisc.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

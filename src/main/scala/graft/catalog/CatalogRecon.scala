@@ -99,7 +99,9 @@ object CatalogRecon {
   /** X148: asymmetric containment pairs
     * ([[graft.dedup.Dedup.containmentPairs]]) — planted excerpts
     * (first 120 chars of every 25th document) must surface with
-    * cont ≈ 1 toward their parent; rare-shingle candidate generation,
+    * cont ≈ 1 toward their parent; rare-shingle candidate generation
+    * (df ≤ 10 — excerpt/parent shingles have df = 2, and the cap is
+    * the knob that keeps candidate volume duplicate-proportional),
     * exact relational intersection. */
   private val q258 = Q("q258_containment",
     (s, dir) => {
@@ -110,7 +112,7 @@ object CatalogRecon {
           substring($"text", 1, 120).as("text"))
       graft.dedup.Dedup.containmentPairs(base.unionByName(ex),
           "doc_id", "text", shingleSize = 3, minContainment = 0.5,
-          maxShingleDf = 50L)
+          maxShingleDf = 10L)
         .orderBy($"id_a", $"id_b")
     },
     Some("""WITH corpus AS (
@@ -129,7 +131,7 @@ object CatalogRecon {
            |        FROM toks)),
            |dfq AS (SELECT shingle FROM (
            |    SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
-           |  WHERE df <= 50 AND df >= 2),
+           |  WHERE df <= 10 AND df >= 2),
            |rare AS (SELECT id, sh.shingle FROM sh JOIN dfq USING (shingle)),
            |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
            |         FROM rare a JOIN rare b

@@ -456,10 +456,14 @@ object LlmScaleSmoke {
             "src", "dst", iters = 3)
         }),
         // rare-shingle candidates keep pair volume df-bounded; the
-        // verify join is candidate-proportional
+        // synthetic corpus's every-6th-token stopwords make 3-gram
+        // patterns collide at df ~ 12 at 50k docs, so the df cap must
+        // sit BELOW that plateau (the duplicate pairs the op exists to
+        // find have df = 2) — the documented tuning contract: cap under
+        // the background-collision df, above the true-duplicate df
         "containment" -> (() => sink(
           Dedup.containmentPairs(docs, "doc_id", "text",
-            shingleSize = 3, minContainment = 0.6, maxShingleDf = 20L))),
+            shingleSize = 3, minContainment = 0.6, maxShingleDf = 4L))),
         // phrase islands + word/phrase-grain aggregates; the token
         // stream is exploded once
         "rake" -> (() => sink(

@@ -228,7 +228,8 @@ object Catalog {
       CatalogBiz.all ++ CatalogWalks.all ++ CatalogText2.all ++
       CatalogSignal.all ++ CatalogRecon.all ++ CatalogBiz2.all ++
       CatalogLlm2.all ++ CatalogRank.all ++ CatalogSurv.all ++
-      CatalogMisc.all ++ CatalogMisc2.all ++ CatalogMisc3.all
+      CatalogMisc.all ++ CatalogMisc2.all ++ CatalogMisc3.all ++
+      CatalogAttr.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

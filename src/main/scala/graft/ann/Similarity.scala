@@ -278,7 +278,13 @@ object Similarity {
                 relCol: String, k: Int, lambda: Double): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(lambda >= 0 && lambda <= 1, "lambda in [0,1]")
-    val cand = candidates.select(col(idCol).as("id"),
+    // id normalized to long and null-relevance rows dropped up front:
+    // the per-round argmax collect reads getLong/getDouble, so an
+    // int-typed id or a null rel would otherwise throw mid-loop after
+    // partial work.
+    val cand = candidates
+      .filter(col(relCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"),
         round(col(relCol), 6).as("rel"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

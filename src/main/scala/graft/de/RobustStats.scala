@@ -102,18 +102,39 @@ object RobustStats {
     * Interpolated cut points are never data values for non-degenerate
     * group sizes, so band membership is float-safe across engines.
     * Output: (group, n, n_kept, p_lo 4dp, p_hi 4dp, trimmed_mean 4dp).
+    *
+    * Size dispatch (the Preprocess.pctAgg discipline): exact
+    * `percentile` buffers every group value in one task, so when the
+    * probe sees a hot group past ExactPercentileMaxGroupRows the cut
+    * points dispatch to approx_percentile's bounded-memory sketch
+    * (rank error 1/accuracy ≪ the trim band width); the same probe's
+    * group count decides whether the cuts frame is broadcast or
+    * hash-joined. `exactQuantiles` skips the probe when cardinality is
+    * known.
     */
   def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
-                  pLo: Double, pHi: Double): DataFrame = {
+                  pLo: Double, pHi: Double,
+                  exactQuantiles: Option[Boolean] = None): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, "0 <= pLo < pHi <= 1")
     val v = col(valueCol).cast("double")
-    val cuts = df.filter(v.isNotNull)
+    val nn = df.filter(v.isNotNull)
+    val (nGroups, exact) = exactQuantiles match {
+      case Some(e) => (0L, e) // probe skipped: caller vouches; broadcast
+      case None =>
+        val (ng, mx) = graft.prep.Preprocess.groupSizeProbe(
+          nn, Seq(col(groupCol)))
+        (ng, mx <= graft.prep.Preprocess.ExactPercentileMaxGroupRows)
+    }
+    def pct(p: Double) =
+      if (exact) percentile(v, lit(p))
+      else approx_percentile(v, lit(p), lit(10000)).cast("double")
+    val cuts = nn
       .groupBy(col(groupCol).as("__g"))
-      .agg(percentile(v, lit(pLo)).as("__lo"),
-        percentile(v, lit(pHi)).as("__hi"),
+      .agg(pct(pLo).as("__lo"), pct(pHi).as("__hi"),
         count(lit(1)).as("n"))
-    df.filter(v.isNotNull)
-      .join(broadcast(cuts), col(groupCol) === col("__g"))
+    val cutsSide =
+      if (nGroups <= 2000000L) broadcast(cuts) else cuts
+    nn.join(cutsSide, col(groupCol) === col("__g"))
       .groupBy(col(groupCol))
       .agg(max(col("n")).as("n"),
         sum(when(v >= col("__lo") && v <= col("__hi"), 1L).otherwise(0L))

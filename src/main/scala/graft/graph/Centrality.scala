@@ -67,7 +67,23 @@ object Centrality {
     */
   def betweennessCentrality(spark: SparkSession, nodes: DataFrame,
                             edges: DataFrame,
-                            sampleSources: Option[Int] = None): DataFrame = {
+                            sampleSources: Option[Int] = None,
+                            maxDriverNodes: Long = 2000000L,
+                            maxDriverEdges: Long = 20000000L): DataFrame = {
+    // Explicit contract guard: Brandes broadcasts the full adjacency,
+    // so the edge list must be driver-collectable. The operator is
+    // documented for dimension-bounded graphs (top-N construction);
+    // feeding a fact-scale graph must fail with THIS message, not a
+    // driver OOM minutes later. Sampling (Brandes–Pich) bounds the BFS
+    // work, not the adjacency size, so the guard applies either way.
+    val nCount = nodes.count()
+    val eCount = edges.count()
+    require(nCount <= maxDriverNodes && eCount <= maxDriverEdges,
+      s"betweennessCentrality: graph ($nCount nodes, $eCount edges) " +
+        s"exceeds the driver-collectable contract " +
+        s"($maxDriverNodes nodes / $maxDriverEdges edges); this " +
+        "operator broadcasts the full adjacency — reduce the graph " +
+        "(top-N edges) or raise the caps if the driver has headroom")
     val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
     val edgeSeq = edges.select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq

@@ -32,8 +32,18 @@ object Walks {
     // fixed-iteration DataFrame loop on a dimension-bounded graph pays
     // ~20 rounds of job overhead for micro-work; below the thresholds
     // the identical update runs as an in-memory loop (same math, same
-    // 6dp rounding — the recursive-CTE oracles match either path)
-    if (nodes.count() <= driverThreshold &&
+    // 6dp rounding — the recursive-CTE oracles match either path).
+    // One pass yields both the dispatch count and seed presence: a
+    // seed outside the node set would otherwise silently return an
+    // all-zero vector on either path.
+    val nStats = nodes.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("node") === seed, 1L).otherwise(0L)),
+        lit(0L)).as("s"))
+      .collect()(0)
+    require(nStats.getLong(1) > 0,
+      s"personalizedPageRank: seed $seed is not in the node set")
+    if (nStats.getLong(0) <= driverThreshold &&
         edges.count() <= edgeThreshold)
       return pprDriver(spark, nodes, edges, seed, damping, iters)
     val v = nodes.select(col("node")).distinct()
@@ -139,6 +149,8 @@ object Walks {
     val (ns, inAdj, outDeg) = collectGraph(nodes, edges)
     val n = ns.length
     val si = ns.indexWhere(_ == seed)
+    require(si >= 0,
+      s"personalizedPageRank: seed $seed is not in the node set")
     var x = Array.tabulate(n)(i => if (i == si) 1.0 else 0.0)
     var it = 0
     while (it < iters) {

@@ -108,17 +108,22 @@ object Preprocess {
 
   private val ApproxPercentileAccuracy = 10000
 
-  /** Size probe for the dispatch: the hottest group's row count. A
-    * count-only aggregate (map-side partial, no value buffering) — one
-    * extra scan, traded for never letting the exact path buffer an
-    * unbounded hot group. Callers that know their cardinality can skip
-    * the probe by forcing `exact`. */
+  /** Size probe for the dispatch: (group count, hottest group's row
+    * count) in ONE count-only aggregate (map-side partial, no value
+    * buffering) — one extra scan, traded for never letting an exact
+    * percentile path buffer an unbounded hot group, and reused by
+    * callers that also size-dispatch a broadcast on the group-bounded
+    * stats frame. Callers that know their cardinality skip the probe
+    * by forcing `exact`. */
+  private[graft] def groupSizeProbe(df: DataFrame,
+                                    g: Seq[Column]): (Long, Long) = {
+    val r = df.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__ng"), max(col("__n")).as("__mx")).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   private def maxGroupRows(df: DataFrame, g: Seq[Column]): Long =
-    df.groupBy(g: _*).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).head.get(0) match {
-      case n: java.lang.Long => n
-      case _ => 0L // empty input
-    }
+    groupSizeProbe(df, g)._2
 
   /** percentile-family aggregate honoring the exact/approx dispatch. */
   private def pctAgg(v: Column, p: Double, exact: Boolean): Column =

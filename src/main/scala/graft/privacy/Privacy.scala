@@ -63,7 +63,11 @@ object Privacy {
     * 47 md5 bits; noise = −(Δ/ε)·sgn(u)·ln(1−2|u|), the ln argument
     * clamped at 1e−12 so the u = −½ grid edge can't produce −∞.
     * Output per group: (group, true_count, noise 4dp, released 4dp,
-    * epsilon).
+    * epsilon). true_count and noise are AUDIT-ONLY columns for the
+    * data-owner side of the pipeline — publishing them alongside
+    * released would disclose the exact counts and void the DP
+    * guarantee; the publishable frame is [[dpRelease]] (group,
+    * released, epsilon) only.
     */
   def dpCounts(df: DataFrame, group: String, epsilon: Double,
                seedSalt: String): DataFrame = {
@@ -84,6 +88,15 @@ object Privacy {
         round(col("true_count") + noise, 4).as("released"),
         lit(epsilon).as("epsilon"))
   }
+
+  /** The publishable projection of [[dpCounts]]: only (group,
+    * released, epsilon) leave the trust boundary — the noised value
+    * carries the full ε-DP guarantee; the audit columns never do.
+    */
+  def dpRelease(df: DataFrame, group: String, epsilon: Double,
+                seedSalt: String): DataFrame =
+    dpCounts(df, group, epsilon, seedSalt)
+      .select(col(group), col("released"), col("epsilon"))
 
   /** l-diversity audit: per quasi-identifier equivalence class, the
     * class size and the number of DISTINCT sensitive values (the l of

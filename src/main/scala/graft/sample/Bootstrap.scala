@@ -30,17 +30,24 @@ object Bootstrap {
 
   /** Per-group percentile-bootstrap CI of the mean of an integer-cents
     * column: (group, n_units, b_reps, mean 4dp, ci_lo 4dp, ci_hi 4dp).
-    * alpha is the two-sided tail mass (0.05 → 95% CI). */
+    * alpha is the two-sided tail mass (0.05 → 95% CI).
+    * broadcastUnitRows: unit-table row count up to which the rank-indexed
+    * units are broadcast into the draw join (see dispatch comment). */
   def meanCi(df: DataFrame, groupCol: String, valueCol: String,
-             bReps: Int = 200, alpha: Double = 0.05): DataFrame = {
+             bReps: Int = 200, alpha: Double = 0.05,
+             broadcastUnitRows: Long = 2000000L): DataFrame = {
     require(bReps >= 2 && alpha > 0 && alpha < 1)
     // Index rank ties on value alone: equal values are interchangeable
     // under resampling, so the drawn MULTISET (hence every replicate
     // mean) is deterministic even where the per-row index is not.
+    // Persisted: the indexed frame feeds the size probe, the draw join
+    // and the point estimate — an unpersisted plan would re-run the
+    // rank window three times.
     val indexed = df
       .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
       .withColumn("__idx", row_number().over(
         Window.partitionBy(col("__g")).orderBy(col("__v").asc)) - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = indexed.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     // (group, b, j) -> drawn index = md5("b:j") & Mask47 mod n.
     val draws = sizes
@@ -50,12 +57,18 @@ object Bootstrap {
         md5_long(concat_ws(":", col("__b"), col("__j")))
           .bitwiseAND(lit(Mask47)) % col("__n"))
     // The B·n draw table is the big side; the rank-indexed unit table
-    // is bounded by the unit domain — broadcast it so the draws never
-    // shuffle (the replicate means then reduce map-side to B rows per
-    // group). At unit counts past broadcast range, drop the hint and
-    // both sides hash-partition on (group, idx).
+    // is bounded by the unit domain — when it fits broadcast range the
+    // hint ships it to every task so the draws never shuffle (the
+    // replicate means then reduce map-side to B rows per group). Past
+    // broadcastUnitRows the dispatch drops the hint automatically and
+    // both sides hash-partition on (group, idx) — the bhAdjust
+    // discipline: the caller never edits code to cross the size cliff.
+    // Both paths compute identical draws (parity pinned in the spec).
+    val unitSide =
+      if (indexed.count() <= broadcastUnitRows) broadcast(indexed)
+      else indexed
     val repMeans = draws
-      .join(broadcast(indexed), Seq("__g", "__idx"))
+      .join(unitSide, Seq("__g", "__idx"))
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
       .select(col("__g"), col("__b"),

@@ -384,8 +384,12 @@ object EventStream {
     entries.groupByKey(_.key)
       .mapGroupsWithState[CdcEntry, CdcOut](GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[CdcEntry]) =>
+          // op participates in the tie key: two same-version entries
+          // with equal payload but different ops (U vs D) must resolve
+          // identically regardless of delivery order — the total-order
+          // guarantee the batch twin gets from its explicit tie column.
           val best = (rows ++ state.getOption.iterator)
-            .maxBy(e => (e.version, e.payload))
+            .maxBy(e => (e.version, e.payload, e.op))
           state.update(best)
           CdcOut(key, best.version, best.payload, best.op == deleteOp)
       }

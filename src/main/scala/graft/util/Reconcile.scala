@@ -23,13 +23,18 @@ object Reconcile {
   def report(left: DataFrame, right: DataFrame, key: String,
              compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "compareCols must be non-empty")
+    // Presence is a literal marker projected per side BEFORE the join,
+    // not inferred from key non-nullness after it: a row with a null
+    // key still counts toward its side's total (it can never match —
+    // null keys don't equi-join — but it must not vanish from n_left/
+    // n_right, which reconcile against the input row counts).
     val l = left.select((key +: compareCols).map(c =>
-      col(c).as(s"l_$c")): _*)
+      col(c).as(s"l_$c")) :+ lit(1).as("__in_l"): _*)
     val r = right.select((key +: compareCols).map(c =>
-      col(c).as(s"r_$c")): _*)
+      col(c).as(s"r_$c")) :+ lit(1).as("__in_r"): _*)
     val j = l.join(r, col(s"l_$key") === col(s"r_$key"), "full_outer")
-    val inL = col(s"l_$key").isNotNull
-    val inR = col(s"r_$key").isNotNull
+    val inL = col("__in_l").isNotNull
+    val inR = col("__in_r").isNotNull
     val colEq = compareCols.map(c => col(s"l_$c") <=> col(s"r_$c"))
     val allEq = colEq.reduce(_ && _)
     val perCol = compareCols.map(c =>

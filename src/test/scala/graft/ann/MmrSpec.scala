@@ -23,6 +23,19 @@ class MmrSpec extends SparkSuite {
     assert(r(1)._4 == 0.3)
   }
 
+  test("mmrSelect: int-typed ids are normalized and null relevance " +
+    "rows dropped up front") {
+    val cand = Seq(
+      (1, Seq(1.0, 0.0), Some(0.9)),
+      (2, Seq(0.0, 1.0), Some(0.8)),
+      (3, Seq(0.5, 0.5), None: Option[Double]))
+      .toDF("id", "v", "rel") // id is IntegerType here
+    val r = Similarity.mmrSelect(cand, "id", "v", "rel", k = 5,
+        lambda = 0.7)
+      .orderBy("rank").as[(Long, Long, Double, Double)].collect()
+    assert(r.map(_._2).toSeq == Seq(1L, 2L)) // null-rel row 3 excluded
+  }
+
   test("mmrSelect: k larger than candidate count returns all") {
     val cand = Seq((1L, Seq(1.0, 0.0), 0.9), (2L, Seq(0.0, 1.0), 0.8))
       .toDF("id", "v", "rel")

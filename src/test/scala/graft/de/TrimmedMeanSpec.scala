@@ -21,4 +21,22 @@ class TrimmedMeanSpec extends SparkSuite {
     assert(r._4 == 1.1 && r._5 == 9.9)
     assert(r._6 == 5.5)
   }
+
+  test("trimmedMean: exact and approx dispatch agree where the cut " +
+    "points are data values") {
+    // n=5, p25/p75 land exactly on sorted[1]=2 and sorted[3]=4, where
+    // interpolated percentile and the sketch's value-select coincide —
+    // so forcing either path must give the identical frame (the
+    // documented accuracy bound: sketch rank error ≪ band width)
+    val df = (1 to 5).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val exact = RobustStats.trimmedMean(df, "g", "v", 0.25, 0.75,
+      exactQuantiles = Some(true)).collect().head
+    val approx = RobustStats.trimmedMean(df, "g", "v", 0.25, 0.75,
+      exactQuantiles = Some(false)).collect().head
+    val probed = RobustStats.trimmedMean(df, "g", "v", 0.25, 0.75)
+      .collect().head
+    assert(exact == approx)
+    assert(exact == probed) // tiny data → the probe picks exact
+    assert(exact.getAs[Double]("trimmed_mean") == 3.0)
+  }
 }

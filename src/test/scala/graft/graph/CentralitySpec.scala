@@ -23,6 +23,17 @@ class CentralitySpec extends SparkSuite {
     assert(approx(btw("c"), 1.0) && approx(btw("l1"), 0.0))
   }
 
+  test("betweenness: a graph past the driver-collectable caps fails " +
+    "with the contract message, not an OOM") {
+    val (nodes, edges) = graph(Seq("c", "l1", "l2"),
+      Seq("c" -> "l1", "c" -> "l2"))
+    val e = intercept[IllegalArgumentException] {
+      Centrality.betweennessCentrality(spark, nodes, edges,
+        maxDriverEdges = 1L)
+    }
+    assert(e.getMessage.contains("driver-collectable"))
+  }
+
   test("path P4: nx-parity centralities") {
     val (nodes, edges) = graph(Seq("a", "b", "c", "d"),
       Seq("a" -> "b", "b" -> "c", "c" -> "d"))

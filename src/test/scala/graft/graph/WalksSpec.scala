@@ -25,6 +25,14 @@ class WalksSpec extends SparkSuite {
     assert(math.abs(r(2)._2 - 1.0 / 7) < 1e-5)
   }
 
+  test("personalizedPageRank: a seed outside the node set fails fast") {
+    val (nodes, edges) = pathGraph
+    val e = intercept[IllegalArgumentException] {
+      Walks.personalizedPageRank(spark, nodes, edges, seed = 99L)
+    }
+    assert(e.getMessage.contains("seed 99"))
+  }
+
   test("personalizedPageRank: zero iterations keeps the seed indicator") {
     val (nodes, edges) = pathGraph
     val r = Walks.personalizedPageRank(spark, nodes, edges, seed = 2L,

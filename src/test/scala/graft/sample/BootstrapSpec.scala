@@ -41,6 +41,19 @@ class BootstrapSpec extends SparkSuite {
     assert(solo == joint)
   }
 
+  test("size dispatch: broadcast and hash-partitioned unit joins " +
+    "produce identical CIs") {
+    // broadcastUnitRows = 0 forces the shuffle path the dispatch takes
+    // past broadcast range; the draws are hash-deterministic, so the
+    // two plans must agree bit-for-bit (the BhParity pattern).
+    val hinted = Bootstrap.meanCi(df, "grp", "v", bReps = 50)
+      .collect().head
+    val shuffled = Bootstrap.meanCi(df, "grp", "v", bReps = 50,
+        broadcastUnitRows = 0L)
+      .collect().head
+    assert(hinted == shuffled)
+  }
+
   test("wider data spread widens the interval") {
     val narrow = Seq.tabulate(30)(i => ("g", 100L + i % 3)).toDF("grp", "v")
     val wide = Seq.tabulate(30)(i => ("g", 100L + (i % 3) * 200)).toDF("grp", "v")

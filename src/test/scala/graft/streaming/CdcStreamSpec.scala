@@ -50,4 +50,34 @@ class CdcStreamSpec extends SparkSuite {
       finalState.filterNot(_._2.deleted).keySet)
     assert(batch(2L) == "y" && batch(3L) == "c")
   }
+
+  test("cdcApplyStream: same-version same-payload U-vs-D tie resolves " +
+    "identically regardless of delivery order") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def run(entries: Seq[CdcEntry], name: String): CdcOut = {
+      val in = MemoryStream[CdcEntry]
+      val q = EventStream.cdcApplyStream(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-ck-$name").toString)
+        .start()
+      // deliver one entry per batch so arrival order is real
+      entries.foreach { e => in.addData(e); q.processAllAvailable() }
+      q.stop()
+      // update-mode memory sink appends per batch in order; the final
+      // state for the key is the LAST emitted row
+      spark.table(name).as[CdcOut].collect().last
+    }
+
+    val ud = Seq(CdcEntry(1L, 5L, "x", "U"), CdcEntry(1L, 5L, "x", "D"))
+    val a = run(ud, "cdc_tie_ud")
+    val b = run(ud.reverse, "cdc_tie_du")
+    // op participates in the fold's total order, so both deliveries
+    // resolve to the same winner ("U" > "D" lexicographically)
+    assert(a == b)
+    assert(!a.deleted)
+  }
 }

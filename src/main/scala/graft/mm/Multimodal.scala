@@ -7,12 +7,13 @@ import graft.functions.gfunctions._
 
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `binary` columns with a typed metadata struct. The Spark-side shape —
-  * schema, partitioning, per-batch decode boundary — is real, and so is
-  * the IMAGE path: [[imageKernel]] decodes PNG/JPEG via javax.imageio
-  * (JDK-only) inside the same mapPartitions boundary. Audio/video
-  * kernels remain the clearly-marked deterministic [[stubKernel]] (no
-  * codec libraries for those in this environment); swapping kernels
-  * changes nothing upstream or downstream.
+  * schema, partitioning, per-batch decode boundary — is real, and so
+  * are the IMAGE and AUDIO paths: [[imageKernel]] decodes PNG/JPEG via
+  * javax.imageio and [[audioKernel]] decodes WAV/AIFF/AU PCM via
+  * javax.sound.sampled (both JDK-only, zero-egress-safe) inside the
+  * same mapPartitions boundary. Only the VIDEO kernel remains the
+  * clearly-marked deterministic [[stubKernel]] (the JDK ships no video
+  * codec); swapping kernels changes nothing upstream or downstream.
   */
 object Multimodal {
 
@@ -105,6 +106,58 @@ object Multimodal {
     px.foreach { case (_, _, r, g, b) => sr += r; sg += g; sb += b }
     val n = math.max(px.size, 1).toFloat
     Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n)
+  }
+
+  /** Decoded mono PCM samples (doubles in [−1, 1]) of a WAV/AIFF/AU
+    * payload via javax.sound.sampled (on the JDK — no external codec,
+    * zero-egress-safe, the imageio argument). The source stream is
+    * converted to signed 16-bit little-endian PCM first, so 8-bit
+    * unsigned and big-endian sources read identically; multi-channel
+    * frames average to mono. Throws on undecodable bytes — a corrupt
+    * blob surfaces loudly at the decode boundary (the [[imagePixels]]
+    * discipline). Returns (sample_rate, channels, mono samples). */
+  def audioSamples(bytes: Array[Byte]): (Float, Int, Array[Double]) = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val src = in.getFormat
+    val ch = src.getChannels
+    val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      src.getSampleRate, 16, ch, ch * 2, src.getSampleRate, false)
+    val raw = AudioSystem.getAudioInputStream(target, in).readAllBytes()
+    val nFrames = raw.length / (2 * ch)
+    val mono = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var s = 0.0
+      var c = 0
+      while (c < ch) {
+        val off = (f * ch + c) * 2
+        s += ((raw(off + 1) << 8) | (raw(off) & 0xff)).toShort / 32768.0
+        c += 1
+      }
+      mono(f) = s / ch
+      f += 1
+    }
+    (src.getSampleRate, ch, mono)
+  }
+
+  /** REAL audio decode kernel for [[decodePartitions]]: sample rate,
+    * channel count, frame count, RMS level and zero-crossing count of
+    * the decoded mono PCM — the audio counterpart of [[imageKernel]]
+    * behind the identical (media_id, features array<float>) contract. */
+  val audioKernel: Array[Byte] => Array[Float] = { bytes =>
+    val (rate, ch, mono) = audioSamples(bytes)
+    var sq = 0.0
+    var zc = 0
+    var i = 0
+    while (i < mono.length) {
+      sq += mono(i) * mono(i)
+      if (i > 0 && (mono(i) >= 0) != (mono(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    val rms = if (mono.isEmpty) 0.0 else math.sqrt(sq / mono.length)
+    Array(rate, ch.toFloat, mono.length.toFloat, rms.toFloat, zc.toFloat)
   }
 
   /** The production decode boundary: a per-partition batch loop over

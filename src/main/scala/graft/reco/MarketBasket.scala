@@ -23,8 +23,9 @@ import org.apache.spark.storage.StorageLevel
   *
   * Per-basket pairing cost is quadratic in the basket's FREQUENT-item
   * count only; a hot basket (one order with thousands of distinct
-  * frequent items) is the residual skew risk and should be length-capped
-  * upstream, exactly like a hot document in shingle dedup.
+  * frequent items) is the residual skew risk — pass `maxBasketItems`
+  * to drop such baskets with a logged count (exactly the hot-document
+  * cap of shingle dedup), or length-cap upstream.
   *
   * Plan: one shuffle to distinct the incidence, one broadcast join, one
   * shuffle on the basket key for the pairing, one pair aggregate with
@@ -37,12 +38,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object MarketBasket {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Opt-in hot-basket cap: drop baskets whose (support-pruned) item
+    * count exceeds `cap`, so one pathological order cannot quadratic
+    * a task — the Dedup maxBucket discipline, but as an explicit
+    * parameter so the truncation is LOGGED, never silent. The hot
+    * baskets are found with one bounded aggregate over the persisted
+    * incidence (hot keys are few by definition) and removed with a
+    * broadcast anti-join, so the cap adds no extra shuffle. */
+  private def capBaskets(pruned: DataFrame, cap: Option[Int],
+                         op: String): DataFrame = cap match {
+    case Some(c) =>
+      val big = pruned.groupBy(col("__bk"))
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > c).select(col("__bk"))
+      val nBig = big.count()
+      if (nBig > 0) log.warn(
+        s"$op: dropped $nBig baskets with more than $c frequent items" +
+          " — co-occurrence is uncounted for their members")
+      pruned.join(broadcast(big), Seq("__bk"), "left_anti")
+    case None => pruned
+  }
+
   /** Frequent co-occurring item pairs with support, confidence and
     * lift. Output: (item_a, item_b, pair_count BIGINT,
     * confidence = P(b|a) rounded 4dp, lift rounded 4dp), item_a < item_b.
+    * `maxBasketItems` enables the logged hot-basket cap (see
+    * [[capBaskets]]); None (default) leaves every basket in.
     */
   def liftPairs(df: DataFrame, basket: String, item: String,
-                minSupport: Long, minPairCount: Long): DataFrame = {
+                minSupport: Long, minPairCount: Long,
+                maxBasketItems: Option[Int] = None): DataFrame = {
     // incidence feeds three consumers (basket count, item support, the
     // two self-join sides) — persist so the distinct shuffle runs once.
     val b = df.select(col(basket).as("__bk"), col(item).as("__it"))
@@ -51,7 +78,8 @@ object MarketBasket {
     val nBaskets = b.agg(countDistinct(col("__bk")).as("__nb"))
     val freq = b.groupBy(col("__it")).agg(count(lit(1)).as("__sup"))
       .filter(col("__sup") >= minSupport)
-    val pruned = b.join(broadcast(freq), Seq("__it"))
+    val pruned = capBaskets(b.join(broadcast(freq), Seq("__it")),
+      maxBasketItems, "liftPairs")
     val pairs = pruned.as("a")
       .join(pruned.as("b"),
         col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
@@ -81,13 +109,16 @@ object MarketBasket {
     * confidence = sup(abc)/sup(ab) 4dp), support-filtered.
     */
   def tripleRules(df: DataFrame, basket: String, item: String,
-                  minItemSupport: Long, minTripleCount: Long): DataFrame = {
+                  minItemSupport: Long, minTripleCount: Long,
+                  maxBasketItems: Option[Int] = None): DataFrame = {
     val b = df.select(col(basket).as("__bk"), col(item).as("__it"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val freq = b.groupBy(col("__it")).agg(count(lit(1)).as("__sup"))
       .filter(col("__sup") >= minItemSupport)
-    val pruned = b.join(broadcast(freq.select(col("__it"))), Seq("__it"))
+    val pruned = capBaskets(
+      b.join(broadcast(freq.select(col("__it"))), Seq("__it")),
+      maxBasketItems, "tripleRules")
     val pairs = pruned.as("a")
       .join(pruned.as("b"),
         col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))

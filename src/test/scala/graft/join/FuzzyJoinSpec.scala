@@ -39,4 +39,18 @@ class FuzzyJoinSpec extends SparkSuite {
       .collect().toSet
     assert(got == Set((1L, 10L, 0), (2L, 10L, 1), (1L, 11L, 2)))
   }
+
+  test("maxBlockRows: generous cap is a no-op; tight cap drops the " +
+    "hot block with a logged count") {
+    val names = Seq((1L, "acme corp"), (2L, "acme corp."),
+      (3L, "acme  corp"), (4L, "zeta inc"), (5L, "zeta inc.")).toDF("id", "nm")
+    def run(cap: Option[Int]) =
+      FuzzyJoin.selfBlockedLevenshtein(names, "id", "nm",
+          maxDist = 2, prefixLen = 4, maxBlockRows = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = run(None)
+    assert(run(Some(10)) == uncapped)
+    // "acme" block has 3 rows; cap 2 drops it, leaving only the zeta pair
+    assert(run(Some(2)) == Set((4L, 5L)))
+  }
 }

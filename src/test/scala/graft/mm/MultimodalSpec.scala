@@ -63,6 +63,41 @@ class MultimodalSpec extends SparkSuite {
     assert(err.getMessage != null)
   }
 
+  test("audioKernel decodes a real WAV to exact PCM features") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    // 8 kHz mono 16-bit square wave at half amplitude: ±16384 = ±0.5
+    // exactly; sign flips at frames 2, 4, 6 → 3 zero crossings
+    val samples = Array[Short](16384, 16384, -16384, -16384,
+      16384, 16384, -16384, -16384)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val (rate, ch, mono) = Multimodal.audioSamples(wav)
+    assert(rate == 8000f && ch == 1)
+    assert(mono.toSeq == Seq(0.5, 0.5, -0.5, -0.5, 0.5, 0.5, -0.5, -0.5))
+
+    // through the production decodePartitions boundary:
+    // rate, channels, frames, RMS (= 0.5 exactly), zero crossings
+    val media = Seq((9L, wav)).toDF("media_id", "media")
+    val f = Multimodal.decodePartitions(media, Multimodal.audioKernel)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(f(9L) == Seq(8000f, 1f, 8f, 0.5f, 3f))
+
+    // corrupt payload fails loudly at the boundary
+    val bad = Seq((10L, Array[Byte](9, 9, 9))).toDF("media_id", "media")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePartitions(bad, Multimodal.audioKernel).collect()
+    }
+  }
+
   test("frame sampling: every stride-th byte, short media empty") {
     val m = Multimodal.asMediaTable(docs, "id", "payload", "text/plain")
     val fr = Multimodal.frameValues(m, stride = 3)

@@ -67,4 +67,41 @@ class MarketBasketSpec extends SparkSuite {
       .as[(String, String, Long, Double, Double)].collect().toSeq
     assert(got == Seq(("a", "b", 2L, 0.6667, 1.0)))
   }
+
+  test("maxBasketItems: a generous cap is a no-op; a tight cap drops " +
+    "the hot basket's pairs") {
+    val rows = Seq(
+      (1, "a"), (1, "b"), (1, "c"),
+      (2, "a"), (2, "b"),
+      (3, "a"), (3, "b"),
+      (4, "b"), (4, "c"))
+    val df = rows.toDF("bk", "it")
+    def run(cap: Option[Int]) =
+      MarketBasket.liftPairs(df, "bk", "it", minSupport = 2L,
+          minPairCount = 1L, maxBasketItems = cap)
+        .orderBy("item_a", "item_b")
+        .as[(String, String, Long, Double, Double)].collect().toSeq
+    // cap above every basket size: identical to uncapped
+    assert(run(Some(10)) == run(None))
+    // cap of 2 drops basket 1 ({a,b,c}); pairs recount without it:
+    // supports unchanged (computed pre-cap), (a,b)=2, (b,c)=1
+    val capped = run(Some(2))
+    assert(capped.map(p => (p._1, p._2, p._3)) ==
+      Seq(("a", "b", 2L), ("b", "c", 1L)))
+  }
+
+  test("tripleRules: maxBasketItems parity and capping") {
+    val rows = Seq(
+      (1, "a"), (1, "b"), (1, "c"),
+      (2, "a"), (2, "b"), (2, "c"),
+      (3, "a"), (3, "b"))
+    val df = rows.toDF("bk", "it")
+    def run(cap: Option[Int]) =
+      MarketBasket.tripleRules(df, "bk", "it", minItemSupport = 2L,
+          minTripleCount = 1L, maxBasketItems = cap)
+        .as[(String, String, String, Long, Long, Double)]
+        .collect().toSeq
+    assert(run(Some(10)) == run(None))
+    assert(run(Some(2)).isEmpty) // both 3-item baskets dropped
+  }
 }

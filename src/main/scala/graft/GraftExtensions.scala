@@ -64,6 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"text_quality_counts(text, 'w1,w2,...') requires a string literal, got $other")
       })))
+    // table-valued functions: sessionize / exact dedup / as-of join
+    // become `SELECT * FROM graft_...('view', ...)` for SQL-first
+    // users — the TVF expands at analysis time into the identical
+    // logical plan the Scala operator builds (graft.sql.TableFunctions,
+    // which also offers an imperative register() for live sessions)
+    graft.sql.TableFunctions.all.foreach(ext.injectTableFunction)
   }
 
   private def litInt(e: Expression, ctx: String): Int = e match {

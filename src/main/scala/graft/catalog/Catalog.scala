@@ -229,7 +229,8 @@ object Catalog {
       CatalogSignal.all ++ CatalogRecon.all ++ CatalogBiz2.all ++
       CatalogLlm2.all ++ CatalogRank.all ++ CatalogSurv.all ++
       CatalogMisc.all ++ CatalogMisc2.all ++ CatalogMisc3.all ++
-      CatalogAttr.all ++ CatalogGrid.all
+      CatalogAttr.all ++ CatalogGrid.all ++ CatalogSqlTvf.all ++
+      CatalogSeq.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,171 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog.Q
+import graft.util.Tables
+
+/** Oracle-checked catalog entries, round-8 batch: sequential patterns
+  * and drift/trend screens — pair support (X176), transition entropy
+  * rate (X177), Storey π₀ (X178), burst ratio (X179), Page–Hinkley
+  * (X180), Cochran–Armitage (X181).
+  */
+object CatalogSeq {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** X176: ordered-pair sequential support over the per-(user, type)
+    * first/last timestamps — "A then B" counting without touching the
+    * event grain twice. */
+  private val q285 = Q("q285_seq_pairs",
+    (s, dir) =>
+      graft.events.SeqPatterns.pairSupport(t(s, dir, "events"),
+        "user_id", "event_type", "ts"),
+    Some("""WITH spans AS (
+           |  SELECT user_id, event_type, min(ts) AS f, max(ts) AS l
+           |  FROM events GROUP BY 1, 2)
+           |SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |  count(CASE WHEN a.f < b.l THEN 1 END)::BIGINT AS n_users_seq,
+           |  count(*)::BIGINT AS n_users_both,
+           |  round(count(CASE WHEN a.f < b.l THEN 1 END) /
+           |        count(*)::DOUBLE, 4) AS support
+           |FROM spans a JOIN spans b ON a.user_id = b.user_id
+           |  AND a.event_type <> b.event_type
+           |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin))
+
+  /** X177: per-state next-action entropy + transition-share-weighted
+    * entropy rate (one lead window at event grain, then state-bounded). */
+  private val q286 = Q("q286_entropy_rate",
+    (s, dir) =>
+      graft.events.SeqPatterns.transitionEntropy(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id"),
+    Some("""WITH tr AS (
+           |  SELECT event_type AS state,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |c AS (SELECT state, nxt, count(*) AS c FROM tr
+           |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |st AS (SELECT state, sum(c) AS n_trans,
+           |         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+           |       FROM c GROUP BY 1)
+           |SELECT state, n_trans::BIGINT AS n_trans,
+           |  round(h, 4) AS entropy,
+           |  round(n_trans::DOUBLE / sum(n_trans) OVER (), 4) AS share,
+           |  round(sum(h * n_trans) OVER () / sum(n_trans) OVER (), 4)
+           |    AS entropy_rate
+           |FROM st ORDER BY state""".stripMargin))
+
+  /** X178: Storey π₀ over a λ grid, the q-value ingredient; p-values
+    * stand in as value/100 (uniform-ish on the synthetic events). One
+    * conditional-aggregate scan for every λ. */
+  private val q287 = Q("q287_storey_pi0",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Stats.storeyPi0(
+        t(s, dir, "events").select(($"value" / 100.0).as("p")), "p")
+    },
+    Some("""WITH l AS (SELECT unnest([0.2, 0.35, 0.5, 0.65, 0.8]::DOUBLE[])
+           |             AS lambda),
+           |p AS (SELECT value / 100.0 AS pv FROM events)
+           |SELECT round(lambda, 2)::DOUBLE AS lambda, count(*)::BIGINT AS m,
+           |  count(CASE WHEN pv > lambda THEN 1 END)::BIGINT AS n_above,
+           |  round(least(1.0, count(CASE WHEN pv > lambda THEN 1 END) /
+           |    ((1 - lambda) * count(*))), 4) AS pi0
+           |FROM p CROSS JOIN l GROUP BY lambda ORDER BY lambda""".stripMargin))
+
+  /** X179: hourly burst ratio per event type — max hourly rate over
+    * the mean hourly rate, the load-spike screen; two exact-integer
+    * aggregates. */
+  private val q288 = Q("q288_burst_ratio",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          max($"n").as("max_hourly"),
+          round(avg($"n"), 4).as("avg_hourly"),
+          round(max($"n") / avg($"n"), 4).as("burst_ratio"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH h AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h,
+           |    count(*) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, count(*)::BIGINT AS n_hours,
+           |  max(n)::BIGINT AS max_hourly,
+           |  round(avg(n), 4) AS avg_hourly,
+           |  round(max(n) / avg(n), 4) AS burst_ratio
+           |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** X180: Page–Hinkley drift statistic over per-type daily counts —
+    * pure ordered windows (running mean / prefix sum / running min),
+    * so both engines evaluate the identical sequential float chain. */
+  private val q289 = Q("q289_page_hinkley",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("x"))
+      graft.events.Changepoint.pageHinkley(daily, "event_type", "d",
+          "x", delta = 0.0, lambda = 10.0)
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS k, ts::DATE AS d, count(*) AS x
+           |  FROM events GROUP BY 1, 2),
+           |w AS (SELECT k, d, x,
+           |  x - avg(x) OVER (PARTITION BY k ORDER BY d
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 0.0
+           |    AS dev FROM d),
+           |ph AS (SELECT k, d, sum(dev) OVER (PARTITION BY k ORDER BY d
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+           |  FROM w),
+           |g AS (SELECT k, d, round(ph - min(ph) OVER (PARTITION BY k
+           |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+           |    ROW), 6) AS gap FROM ph),
+           |r AS (SELECT k, d, gap,
+           |  row_number() OVER (PARTITION BY k ORDER BY gap DESC, d)
+           |    AS rn,
+           |  count(*) OVER (PARTITION BY k) AS n FROM g)
+           |SELECT k AS event_type, n::BIGINT AS n,
+           |  round(gap, 4) AS ph_stat, d AS detect_at,
+           |  gap > 10.0 AS alarm
+           |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin))
+
+  /** X181: Cochran–Armitage dose-response trend — ordinal dose from
+    * the priority code's leading digit, success = finished order;
+    * exact-integer sufficient statistics, single-row readout. */
+  private val q290 = Q("q290_cochran_armitage",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.cochranArmitage(
+        t(s, dir, "orders").select(
+          substring($"o_orderpriority", 1, 1).cast("int").as("dose"),
+          ($"o_orderstatus" === "F").cast("long").as("succ")),
+        "dose", "succ")
+    },
+    Some("""WITH pd AS (
+           |  SELECT substring(o_orderpriority, 1, 1)::INT::DOUBLE AS w,
+           |    count(*) AS n,
+           |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r
+           |  FROM orders GROUP BY 1),
+           |a AS (SELECT sum(n) AS nn, sum(r) AS rr,
+           |        count(*) AS nd, sum(w * r) AS wr, sum(w * n) AS wn,
+           |        sum(w * w * n) AS wwn FROM pd)
+           |SELECT nn::BIGINT AS n, nd::BIGINT AS n_doses,
+           |  round(wr - (rr::DOUBLE / nn) * wn, 4) AS t_stat,
+           |  round((wr - (rr::DOUBLE / nn) * wn) /
+           |    sqrt((rr::DOUBLE / nn) * (1 - rr::DOUBLE / nn) *
+           |      (wwn - wn * wn / nn)), 4) AS z,
+           |  round(pow((wr - (rr::DOUBLE / nn) * wn) /
+           |    sqrt((rr::DOUBLE / nn) * (1 - rr::DOUBLE / nn) *
+           |      (wwn - wn * wn / nn)), 2), 4) AS chi2
+           |FROM a""".stripMargin))
+
+  val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290)
+}

@@ -154,4 +154,35 @@ object Experiment {
       when(col("n_a") > 0 && col("n_b") > 0 && pp > 0 && pp < 1,
         round((pa - pb) / se, 4)).as("z"))
   }
+
+  /** Cochran–Armitage trend test: is a binary outcome's rate MONOTONE
+    * in an ordered dose — the dose-response screen that a plain k-group
+    * chi-square throws away ordering information on. With per-dose
+    * (score w_i, n_i, successes r_i) and overall p̄ = R/N:
+    * T = Σ w_i (r_i − n_i·p̄), Var(T) = p̄(1−p̄)(Σ w_i² n_i −
+    * (Σ w_i n_i)²/N), Z = T/√Var. Everything reduces from ONE
+    * conditional aggregate over facts into a dose-bounded frame, then a
+    * single-row readout; r/n/N are exact BIGINTs. doseCol must be
+    * numeric scores (ordinal levels mapped upstream). Output one row:
+    * (n BIGINT, n_doses BIGINT, t_stat 4dp, z 4dp, chi2 4dp). */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+                      successCol: String): DataFrame = {
+    val perDose = df.groupBy(col(doseCol).cast("double").as("__w"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(successCol).cast("long")).as("__r"))
+    val agg = perDose.agg(
+      sum(col("__n")).as("N"), sum(col("__r")).as("R"),
+      count(lit(1)).as("n_doses"),
+      sum(col("__w") * col("__r")).as("__wr"),
+      sum(col("__w") * col("__n")).as("__wn"),
+      sum(col("__w") * col("__w") * col("__n")).as("__wwn"))
+    val pbar = col("R").cast("double") / col("N")
+    val t = col("__wr") - pbar * col("__wn")
+    val v = pbar * (lit(1.0) - pbar) *
+      (col("__wwn") - col("__wn") * col("__wn") / col("N"))
+    val z = t / sqrt(nullif(v, lit(0.0)))
+    agg.select(col("N").as("n"), col("n_doses"),
+      round(t, 4).as("t_stat"), round(z, 4).as("z"),
+      round(z * z, 4).as("chi2"))
+  }
 }

@@ -201,4 +201,35 @@ object Stats {
       .withColumn("pvalue", t_test_pvalue(col("t_stat"), col("t_df")))
       .drop("var_case", "var_control")
   }
+
+  /** Storey's π₀ estimate (Storey 2002) over a λ grid: the estimated
+    * fraction of true nulls, π̂₀(λ) = #{p > λ} / ((1−λ)·m), capped at
+    * 1 — the q-value ingredient that tells a screening pipeline how
+    * much of its p-value mass is noise. ONE conditional-aggregate scan
+    * produces every λ's count (no per-λ passes); null/NaN p-values are
+    * excluded from m (the bhAdjust convention). Output per λ:
+    * (lambda 2dp, m BIGINT, n_above BIGINT, pi0 4dp). */
+  def storeyPi0(df: DataFrame, pCol: String,
+                lambdas: Seq[Double] = Seq(0.2, 0.35, 0.5, 0.65, 0.8))
+      : DataFrame = {
+    require(lambdas.nonEmpty && lambdas.forall(l => l > 0 && l < 1),
+      "lambdas must lie in (0,1)")
+    val p = col(pCol)
+    val ok = p.isNotNull && !isnan(p)
+    val aggs = count(when(ok, 1)).as("__m") +:
+      lambdas.zipWithIndex.map { case (l, i) =>
+        count(when(ok && p > l, 1)).as(s"__a$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = lambdas.zipWithIndex.map { case (l, i) =>
+      struct(round(lit(l), 2).as("lambda"), col(s"__a$i").as("n_above"),
+        lit(1.0 - l).as("__den"))
+    }
+    one.select(col("__m").as("m"), explode(array(rows: _*)).as("__r"))
+      .select(col("__r.lambda").as("lambda"), col("m"),
+        col("__r.n_above").as("n_above"),
+        round(least(lit(1.0), col("__r.n_above").cast("double") /
+          nullif(col("__r.__den") * col("m"), lit(0.0))), 4).as("pi0"))
+      .orderBy(col("lambda"))
+  }
 }

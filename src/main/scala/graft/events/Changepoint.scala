@@ -110,4 +110,39 @@ object Changepoint {
         col("__fin").getField("na").as("n_alarms"),
         col("__fin").getField("fa").as("first_alarm"))
   }
+
+  /** Page–Hinkley drift statistic per key (Page 1954; the standard
+    * stream-drift test in online-learning monitors): with running mean
+    * x̄_t over the prefix, PH_t = Σ_{i≤t} (x_i − x̄_i − δ) and the
+    * reported statistic is max_t (PH_t − min_{s≤t} PH_s) — how far the
+    * deviation sum has climbed off its historical floor; δ is the
+    * magnitude tolerance. Unlike [[cusum]] this needs NO recurrence —
+    * running mean, prefix sum and running min are all plain ordered
+    * windows, so both engines evaluate the identical sequential float
+    * chain. Output: (key, n BIGINT, ph_stat 4dp, detect_at = orderCol
+    * of the first max, alarm = stat > lambda). Per-key payload is the
+    * aggregate series (calendar-bounded), the cusum scale contract. */
+  def pageHinkley(series: DataFrame, key: String, orderCol: String,
+                  value: String, delta: Double,
+                  lambda: Double): DataFrame = {
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(orderCol))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val x = col(value).cast("double")
+    val scored = series
+      .withColumn("__dev", x - avg(x).over(wCum) - lit(delta))
+      .withColumn("__ph", sum(col("__dev")).over(wCum))
+      .withColumn("__gap",
+        round(col("__ph") - min(col("__ph")).over(wCum), 6))
+    val wBest = Window.partitionBy(col(key))
+      .orderBy(col("__gap").desc, col(orderCol))
+    scored
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(key))))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("__n").as("n"),
+        round(col("__gap"), 4).as("ph_stat"),
+        col(orderCol).as("detect_at"),
+        (col("__gap") > lambda).as("alarm"))
+  }
 }

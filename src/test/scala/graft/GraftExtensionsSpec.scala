@@ -38,6 +38,24 @@ class GraftExtensionsSpec extends SparkSuite {
       assert(r.getSeq[Int](r.fieldIndex("rc")).toSeq == Seq(3, 2, 4, 2))
       // 3 tokens, 8 non-ws chars, 6 alpha, 2 digits, 1 marker hit ("the")
       assert(r.getSeq[Int](r.fieldIndex("qc")).toSeq == Seq(3, 8, 6, 2, 1))
+
+      // table-valued functions ride the same injection: sessionize a
+      // tiny view purely through SQL (2 events 10s apart + 1 far away
+      // → 2 sessions for the user)
+      import s2.implicits._
+      Seq((1L, "2024-01-01 00:00:00", 1.0),
+        (1L, "2024-01-01 00:00:10", 2.0),
+        (1L, "2024-01-01 09:00:00", 3.0))
+        .toDF("user_id", "ts_s", "value")
+        .selectExpr("user_id", "cast(ts_s as timestamp) as ts", "value")
+        .createOrReplaceTempView("ext_events")
+      val sess = s2.sql(
+        """SELECT user_id, session_seq, n_events, total_value
+          |FROM graft_sessions('ext_events', 'ts', 'user_id', 'value', 1800)
+          |ORDER BY session_seq""".stripMargin).collect()
+      assert(sess.length == 2)
+      assert(sess(0).getAs[Long]("n_events") == 2L)
+      assert(sess(1).getAs[Double]("total_value") == 3.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -86,4 +86,27 @@ class ExperimentSpec extends SparkSuite {
     assert(m("allok").isNullAt(m("allok").fieldIndex("z")))
     assert(m("onlya").isNullAt(m("onlya").fieldIndex("z")))
   }
+
+  test("cochranArmitage: hand-computed trend z on a perfect gradient") {
+    // doses 1,2,3 each n=2 with successes 0,1,2:
+    // N=6 R=3 pbar=.5; wr=8 wn=12 wwn=28
+    // T = 8 - .5*12 = 2; V = .25*(28 - 144/6) = 1 -> Z = 2, chi2 = 4
+    val rows = Seq((1, 0), (1, 0), (2, 1), (2, 0), (3, 1), (3, 1))
+    val df = rows.toDF("dose", "succ")
+    val r = Experiment.cochranArmitage(df, "dose", "succ").head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_doses") == 3L)
+    assert(r.getAs[Double]("t_stat") == 2.0)
+    assert(r.getAs[Double]("z") == 2.0)
+    assert(r.getAs[Double]("chi2") == 4.0)
+  }
+
+  test("cochranArmitage: flat rates give z = 0; constant-dose v = 0 " +
+    "gives null z") {
+    val flat = Seq((1, 1), (1, 0), (2, 1), (2, 0)).toDF("dose", "succ")
+    assert(Experiment.cochranArmitage(flat, "dose", "succ")
+      .head().getAs[Double]("z") == 0.0)
+    val const = Seq((2, 1), (2, 0)).toDF("dose", "succ")
+    val r = Experiment.cochranArmitage(const, "dose", "succ").head()
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
 }

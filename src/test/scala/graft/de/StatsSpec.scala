@@ -152,4 +152,28 @@ class StatsSpec extends SparkSuite {
     // m counts only the 2 valid tests: H_2 = 1.5
     assert(approx(out("a").getAs[Double]("adj"), 0.01 * 2 * 1.5, 1e-9))
   }
+
+  test("storeyPi0: hand-computed pi0 over the lambda grid, nulls " +
+    "excluded from m") {
+    import spark.implicits._
+    val df = Seq(Some(0.1), Some(0.3), Some(0.6), Some(0.9),
+      None: Option[Double]).toDF("pvalue")
+    val r = Stats.storeyPi0(df, "pvalue", Seq(0.2, 0.5))
+      .collect().map(x => x.getDouble(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // m = 4 valid; lambda 0.2: 3 above -> 3/(0.8*4) = 0.9375
+    assert(r(0.2) == ((4L, 3L, 0.9375)))
+    // lambda 0.5: 2 above -> 2/(0.5*4) = 1.0 (capped boundary)
+    assert(r(0.5) == ((4L, 2L, 1.0)))
+  }
+
+  test("storeyPi0: all-tiny p-values give pi0 0; cap holds at 1") {
+    import spark.implicits._
+    val tiny = Seq(0.001, 0.002, 0.003).toDF("pvalue")
+    val r = Stats.storeyPi0(tiny, "pvalue", Seq(0.5)).head()
+    assert(r.getDouble(3) == 0.0)
+    val high = Seq(0.95, 0.96, 0.97).toDF("pvalue")
+    val r2 = Stats.storeyPi0(high, "pvalue", Seq(0.5)).head()
+    assert(r2.getDouble(3) == 1.0) // 3/(0.5*3) = 2 -> capped
+  }
 }

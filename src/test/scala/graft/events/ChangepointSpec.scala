@@ -91,4 +91,28 @@ class ChangepointSpec extends SparkSuite {
     assert(r.getAs[Long]("n_alarms") == 4L)
     assert(r.getAs[Double]("s_neg") == 0.0)   // reset by final alarm
   }
+
+  test("pageHinkley: hand-computed drift off the floor") {
+    // x = 0,0,10,10 with delta 0:
+    // PH = 0, 0, 6.6667 (10 - mean 10/3), 11.6667 (+10 - mean 5)
+    // running min stays 0 -> stat = 11.6667 at t=3, alarm at lambda 10
+    val df = Seq(0L, 0L, 10L, 10L).zipWithIndex
+      .map { case (x, i) => ("g", i, x) }.toDF("g", "t", "x")
+    val r = Changepoint.pageHinkley(df, "g", "t", "x", delta = 0.0,
+      lambda = 10.0).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("ph_stat") == 11.6667)
+    assert(r.getAs[Int]("detect_at") == 3)
+    assert(r.getAs[Boolean]("alarm"))
+  }
+
+  test("pageHinkley: flat series has zero statistic, no alarm") {
+    val df = Seq.fill(5)(7L).zipWithIndex
+      .map { case (x, i) => ("g", i, x) }.toDF("g", "t", "x")
+    val r = Changepoint.pageHinkley(df, "g", "t", "x", delta = 0.0,
+      lambda = 1.0).head()
+    assert(r.getAs[Double]("ph_stat") == 0.0)
+    assert(!r.getAs[Boolean]("alarm"))
+    assert(r.getAs[Int]("detect_at") == 0) // earliest tie
+  }
 }

@@ -167,5 +167,163 @@ object CatalogSeq {
            |      (wwn - wn * wn / nn)), 2), 4) AS chi2
            |FROM a""".stripMargin))
 
-  val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290)
+  /** X182: Sharpe/Sortino over the per-type daily value series (2dp
+    * bucket sums so the return chain starts from identical doubles). */
+  private val q291 = Q("q291_sharpe_sortino",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(round(sum($"value"), 2).as("v"))
+      graft.events.Finance.sharpeSortino(daily, "event_type", "d", "v")
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type, ts::DATE AS d, round(sum(value), 2) AS v
+           |  FROM events GROUP BY 1, 2),
+           |r AS (SELECT event_type,
+           |        v / nullif(lag(v) OVER (PARTITION BY event_type
+           |          ORDER BY d), 0) - 1.0 AS r
+           |      FROM d)
+           |SELECT event_type, count(*)::BIGINT AS n_returns,
+           |  round(avg(r), 6) AS mean_ret,
+           |  round(avg(r) / nullif(stddev_samp(r), 0), 4) AS sharpe,
+           |  round(avg(r) / nullif(stddev_samp(least(r, 0.0)), 0), 4)
+           |    AS sortino
+           |FROM r WHERE r IS NOT NULL
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** X183: ABC×XYZ planning matrix over part demand — value classes
+    * crossed with demand-variability classes (cv of monthly demand). */
+  private val q292 = Q("q292_abc_xyz",
+    (s, dir) => {
+      import s.implicits._
+      graft.report.Abc.abcXyz(
+        t(s, dir, "lineitem").select(
+          ($"l_partkey" % 199).as("pk"),
+          date_trunc("month", $"l_shipdate").as("mo"),
+          $"l_quantity".cast("long").as("q"),
+          round($"l_extendedprice" * 100).cast("long").as("cents")),
+        "pk", "mo", "q", "cents")
+        .orderBy($"pk")
+    },
+    Some("""WITH pb AS (
+           |  SELECT l_partkey % 199 AS pk,
+           |    date_trunc('month', l_shipdate) AS mo,
+           |    sum(l_quantity::BIGINT) AS q,
+           |    sum(round(l_extendedprice * 100)::BIGINT) AS v
+           |  FROM lineitem GROUP BY 1, 2),
+           |pk AS (SELECT pk, sum(v) AS total_cents,
+           |         count(*) AS n_buckets, avg(q) AS mq,
+           |         stddev_samp(q::DOUBLE) AS sq
+           |       FROM pb GROUP BY 1),
+           |abc AS (SELECT pk, total_cents,
+           |  CASE WHEN sum(total_cents) OVER (ORDER BY total_cents DESC,
+           |         pk ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+           |         ROW) * 100 <= sum(total_cents) OVER () * 80 THEN 'A'
+           |       WHEN sum(total_cents) OVER (ORDER BY total_cents DESC,
+           |         pk ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+           |         ROW) * 100 <= sum(total_cents) OVER () * 95 THEN 'B'
+           |       ELSE 'C' END AS abc_class
+           |  FROM pk)
+           |SELECT k.pk, k.total_cents::BIGINT AS total_cents,
+           |  a.abc_class, k.n_buckets::BIGINT AS n_buckets,
+           |  round(k.mq, 4) AS mean_demand,
+           |  round(k.sq / nullif(k.mq, 0), 4) AS cv,
+           |  CASE WHEN k.sq IS NULL THEN 'Z'
+           |       WHEN k.sq / nullif(k.mq, 0) < 0.5 THEN 'X'
+           |       WHEN k.sq / nullif(k.mq, 0) < 1.0 THEN 'Y'
+           |       ELSE 'Z' END AS xyz_class,
+           |  a.abc_class || '-' ||
+           |  CASE WHEN k.sq IS NULL THEN 'Z'
+           |       WHEN k.sq / nullif(k.mq, 0) < 0.5 THEN 'X'
+           |       WHEN k.sq / nullif(k.mq, 0) < 1.0 THEN 'Y'
+           |       ELSE 'Z' END AS class
+           |FROM pk k JOIN abc a USING (pk) ORDER BY k.pk""".stripMargin))
+
+  /** X184: inter-arrival exponential fit + KS distance per event type
+    * — "is this stream Poisson-like". Gaps are exact-microsecond
+    * ratios, D from exact ranks. */
+  private val q293 = Q("q293_interarrival_expfit",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.Intervals.interArrivalExpFit(
+        t(s, dir, "events"), "event_type", "ts", "event_id")
+        .orderBy($"event_type")
+    },
+    Some("""WITH g AS (
+           |  SELECT event_type,
+           |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           |      PARTITION BY event_type ORDER BY ts, event_id))
+           |      / 1000000 AS g
+           |  FROM events),
+           |v AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+           |r AS (SELECT event_type, g,
+           |        row_number() OVER (PARTITION BY event_type
+           |          ORDER BY g ASC) AS i,
+           |        count(*) OVER (PARTITION BY event_type) AS n,
+           |        sum(g) OVER (PARTITION BY event_type)::DOUBLE /
+           |          count(*) OVER (PARTITION BY event_type) AS m
+           |      FROM v),
+           |d AS (SELECT event_type, i, n, m,
+           |        greatest(
+           |          abs(i / n::DOUBLE - (1 - exp(-g / m))),
+           |          abs((i - 1) / n::DOUBLE - (1 - exp(-g / m)))) AS dd
+           |      FROM r WHERE n >= 3 AND m > 0)
+           |SELECT event_type, max(n)::BIGINT AS n_gaps,
+           |  round(max(m), 4) AS mean_gap_sec,
+           |  round(3600.0 / max(m), 4) AS rate_per_hour,
+           |  round(max(dd), 4) AS ks_d
+           |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** X185: vocabulary coverage curve — token-stream share covered by
+    * the top-N terms, for the tokenizer-sizing grid. */
+  private val q294 = Q("q294_vocab_coverage",
+    (s, dir) =>
+      graft.text.CorpusStats.vocabCoverage(t(s, dir, "documents"),
+        "text"),
+    Some("""WITH c AS (
+           |  SELECT t AS term, count(*) AS c
+           |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS t
+           |        FROM documents) GROUP BY 1),
+           |r AS (SELECT term, c,
+           |        row_number() OVER (ORDER BY c DESC, term ASC) AS r,
+           |        sum(c) OVER (ORDER BY c DESC, term ASC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |          AS cum,
+           |        sum(c) OVER () AS tot
+           |      FROM c),
+           |n AS (SELECT unnest([10, 50, 100, 500, 1000]) AS top_n)
+           |SELECT top_n::INT AS top_n, count(*)::BIGINT AS n_terms_used,
+           |  max(cum)::BIGINT AS covered_tokens,
+           |  round(max(cum)::DOUBLE / max(tot), 4) AS coverage
+           |FROM r JOIN n ON r.r <= n.top_n
+           |GROUP BY top_n ORDER BY top_n""".stripMargin))
+
+  /** X186: per-document novel-bigram rate (distinct bigrams with
+    * corpus df = 1 — unique content vs boilerplate). */
+  private val q295 = Q("q295_novel_bigrams",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.novelBigramRate(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+           |  FROM documents),
+           |g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+           |      FROM (SELECT doc_id, tk,
+           |              unnest(generate_series(1, len(tk) - 1)) AS i
+           |            FROM toks)),
+           |df AS (SELECT bg, count(*) AS df FROM g GROUP BY 1)
+           |SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+           |  count(CASE WHEN df.df = 1 THEN 1 END)::BIGINT AS n_novel,
+           |  round(count(CASE WHEN df.df = 1 THEN 1 END) /
+           |    count(*)::DOUBLE, 4) AS novelty
+           |FROM g JOIN df USING (bg)
+           |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290, q291,
+    q292, q293, q294, q295)
 }

@@ -93,4 +93,31 @@ object Finance {
         (sum(col(price) * col(qty)) / sum(col(qty))).as("vwap"),
         count(lit(1)).as("n_trades"))
   }
+
+  /** Per-key Sharpe and Sortino ratios over the simple returns of a
+    * per-bucket value series: r_t = v_t / v_{t−1} − 1 from one lag
+    * window, then sharpe = mean(r)/sd(r) and sortino =
+    * mean(r)/sd(min(r, 0)) (downside deviation about zero — the
+    * convention that treats all positive periods as zero risk). Sample
+    * std throughout; keys with < 3 buckets or zero deviation yield
+    * null ratios (nullif guards, ANSI-safe). Series are bucket-grain
+    * aggregates (the maxDrawdown scale contract). Output: (key,
+    * n_returns BIGINT, mean_ret 6dp, sharpe 4dp, sortino 4dp). */
+  def sharpeSortino(df: DataFrame, key: String, bucket: String,
+                    value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val v = col(value).cast("double")
+    val r = v / nullif(lag(v, 1).over(w), lit(0.0)) - 1.0
+    df.withColumn("__r", r)
+      .filter(col("__r").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_returns"),
+        avg(col("__r")).as("__m"),
+        stddev_samp(col("__r")).as("__sd"),
+        stddev_samp(least(col("__r"), lit(0.0))).as("__dd"))
+      .select(col(key), col("n_returns"),
+        round(col("__m"), 6).as("mean_ret"),
+        round(col("__m") / nullif(col("__sd"), lit(0.0)), 4).as("sharpe"),
+        round(col("__m") / nullif(col("__dd"), lit(0.0)), 4).as("sortino"))
+  }
 }

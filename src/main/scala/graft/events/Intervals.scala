@@ -24,6 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
+  /** Inter-arrival exponential fit + Lilliefors-style KS distance per
+    * key: gaps g_i between consecutive events (one lag window), MLE
+    * rate λ̂ = 1/mean(g), and D = max_i max(|i/n − F(g_(i))|,
+    * |(i−1)/n − F(g_(i))|) with F(g) = 1 − e^(−λ̂ g) — the standard
+    * two-sided empirical-CDF distance, here against the FITTED
+    * exponential ("is this stream Poisson-like, and how far off").
+    * Two window passes (lag for gaps, rank over gaps) + one aggregate;
+    * gaps are exact-microsecond differences divided once (the same
+    * IEEE double in any engine), so the rank sort is engine-stable,
+    * and tied gaps share F(g) — the max over their rank range is
+    * rank-order-independent. Zero gaps (simultaneous events)
+    * participate; keys with < 3 gaps or zero mean drop out. Output:
+    * (key, n_gaps BIGINT, mean_gap_sec 4dp, rate_per_hour 4dp,
+    * ks_d 4dp). */
+  def interArrivalExpFit(events: DataFrame, key: String, tsCol: String,
+                         tieCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val gap = ((us - lag(us, 1).over(wOrd)) / 1000000L).as("__g")
+    val gaps = events.select(col(key), gap).filter(col("__g").isNotNull)
+    val wRank = Window.partitionBy(col(key))
+      .orderBy(col("__g").asc)
+    val wAll = Window.partitionBy(col(key))
+    val ranked = gaps
+      .withColumn("__i", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__mean",
+        sum(col("__g")).over(wAll).cast("double") / col("__n"))
+      .filter(col("__n") >= 3 && col("__mean") > 0)
+    val fit = lit(1.0) - exp(-col("__g") / col("__mean"))
+    ranked
+      .withColumn("__d", greatest(
+        abs(col("__i") / col("__n").cast("double") - fit),
+        abs((col("__i") - 1) / col("__n").cast("double") - fit)))
+      .groupBy(col(key))
+      .agg(max(col("__n")).as("n_gaps"),
+        round(max(col("__mean")), 4).as("mean_gap_sec"),
+        round(lit(3600.0) / max(col("__mean")), 4).as("rate_per_hour"),
+        round(max(col("__d")), 4).as("ks_d"))
+  }
+
   /** Merged islands per key: (key, island BIGINT, start, end) — `start`/
     * `end` keep the input column names. Interval columns are numeric
     * (epoch ms/sec); `slack` in the same unit joins intervals separated

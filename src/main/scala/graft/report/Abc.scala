@@ -35,4 +35,40 @@ object Abc {
           .when(col("__cum") * 100 <= col("__tot") * bPct, "B")
           .otherwise("C").as("abc_class"))
   }
+
+  /** ABC × XYZ: value classification ([[classify]]) crossed with
+    * demand-variability classes from the coefficient of variation of
+    * per-bucket demand — X (cv < xCut: steady, forecastable),
+    * Y (< yCut), Z (≥ yCut or undefined: erratic). The planning matrix
+    * behind inventory policy (A-X items get tight service levels, C-Z
+    * get make-to-order). Inputs are fact rows (key, bucketCol,
+    * qtyCol, valueCents); per-key total value feeds ABC, per-bucket
+    * demand sums feed the cv. Output per key: (key, total_cents
+    * BIGINT, abc_class, n_buckets BIGINT, mean_demand 4dp, cv 4dp
+    * nullable, xyz_class, class = concat). */
+  def abcXyz(df: DataFrame, key: String, bucketCol: String,
+             qtyCol: String, valueCents: String,
+             xCut: Double = 0.5, yCut: Double = 1.0,
+             aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(0 < xCut && xCut < yCut, "0 < xCut < yCut")
+    val perBucket = df.groupBy(col(key), col(bucketCol))
+      .agg(sum(col(qtyCol)).as("__q"), sum(col(valueCents)).as("__v"))
+    val perKey = perBucket.groupBy(col(key))
+      .agg(sum(col("__v")).as("total_cents"),
+        count(lit(1)).as("n_buckets"),
+        avg(col("__q")).as("__mq"),
+        stddev_samp(col("__q").cast("double")).as("__sq"))
+    val cv = col("__sq") / nullif(col("__mq"), lit(0.0))
+    val abc = classify(perKey, key, "total_cents", aPct, bPct)
+      .select(col(key), col("abc_class"))
+    perKey.join(abc, Seq(key))
+      .select(col(key), col("total_cents"), col("abc_class"),
+        col("n_buckets"),
+        round(col("__mq"), 4).as("mean_demand"),
+        round(cv, 4).as("cv"),
+        when(cv.isNull, "Z").when(cv < xCut, "X")
+          .when(cv < yCut, "Y").otherwise("Z").as("xyz_class"))
+      .withColumn("class",
+        concat(col("abc_class"), lit("-"), col("xyz_class")))
+  }
 }

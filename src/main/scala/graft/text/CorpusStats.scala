@@ -438,4 +438,69 @@ object CorpusStats {
       round((col("sy") - slope * col("sx")) / n, 4).as("intercept"),
       round(cxy * cxy / nullif(cxx * cyy, lit(0.0)), 4).as("r2"))
   }
+
+  /** Vocabulary coverage curve: for each N in `grid`, the share of the
+    * corpus TOKEN STREAM covered by the top-N most frequent terms
+    * (freq desc, term asc tie-break) — the tokenizer-sizing readout
+    * ("how big a vocab buys how much coverage"). One term aggregate,
+    * one bounded vocab sort with a cumulative window, then a grid
+    * lookup: per N, the cumulative count at rank ≤ N over the total.
+    * Output per N: (top_n INT, n_terms_used BIGINT, covered_tokens
+    * BIGINT, coverage 4dp). n_terms_used < top_n when the vocab is
+    * smaller than N. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    grid: Seq[Int] = Seq(10, 50, 100, 500, 1000))
+      : DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ >= 1), "grid must be >= 1")
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val ranked = counts
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__cum", sum(col("c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .withColumn("__tot", sum(col("c")).over(wAll))
+    ranked
+      .withColumn("top_n", explode(lit(grid.toArray)))
+      .filter(col("__r") <= col("top_n"))
+      .groupBy(col("top_n"))
+      .agg(count(lit(1)).as("n_terms_used"),
+        max(col("__cum")).as("covered_tokens"),
+        round(max(col("__cum")).cast("double") / max(col("__tot")), 4)
+          .as("coverage"))
+      .orderBy(col("top_n"))
+  }
+
+  /** Per-document novel-bigram rate: the fraction of a document's
+    * DISTINCT word bigrams whose corpus document-frequency is 1 (they
+    * appear in no other document) — a cheap "unique content vs
+    * boilerplate" score (novelty ≈ 1 original prose, ≈ 0 template
+    * text). One explode into distinct (doc, bigram), a bigram-keyed df
+    * aggregate that rides the same shuffle, and one per-doc readout.
+    * Output: (idCol, n_bigrams BIGINT, n_novel BIGINT, novelty 4dp)
+    * for docs with ≥ 1 bigram. */
+  def novelBigramRate(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = docs.select(col(idCol),
+        explode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .distinct()
+    val dfreq = grams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("__df") === 1, 1)).as("n_novel"))
+      .withColumn("novelty", round(
+        col("n_novel").cast("double") / col("n_bigrams"), 4))
+  }
 }

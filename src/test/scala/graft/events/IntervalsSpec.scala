@@ -41,4 +41,27 @@ class IntervalsSpec extends SparkSuite {
     assert(got("a") == ((2L, 160L, 150L)))
     assert(got("b") == ((1L, 1L, 1L)))
   }
+
+  test("interArrivalExpFit: hand-computed KS distance vs fitted " +
+    "exponential") {
+    // one key, events at 0/10/20/40 s -> gaps 10,10,20; mean 13.3333
+    // F(10) = 1 - e^-0.75 = .527633; F(20) = 1 - e^-1.5 = .776870
+    // D = max over i of two-sided distances = |0/3 - F(10)| = .5276
+    import java.sql.Timestamp
+    def ts(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(("k", ts(0), 1L), ("k", ts(10), 2L),
+      ("k", ts(20), 3L), ("k", ts(40), 4L)).toDF("k", "ts", "id")
+    val r = Intervals.interArrivalExpFit(ev, "k", "ts", "id").head()
+    assert(r.getAs[Long]("n_gaps") == 3L)
+    assert(r.getAs[Double]("mean_gap_sec") == 13.3333)
+    assert(r.getAs[Double]("rate_per_hour") == 270.0)
+    assert(r.getAs[Double]("ks_d") == 0.5276)
+  }
+
+  test("interArrivalExpFit: keys with under 3 gaps drop out") {
+    import java.sql.Timestamp
+    def ts(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(("k", ts(0), 1L), ("k", ts(5), 2L)).toDF("k", "ts", "id")
+    assert(Intervals.interArrivalExpFit(ev, "k", "ts", "id").count() == 0)
+  }
 }

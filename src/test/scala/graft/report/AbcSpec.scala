@@ -26,4 +26,25 @@ class AbcSpec extends SparkSuite {
     assert(r.map(_._1) == Seq("a", "b", "c"))
     assert(r.map(_._5) == Seq("A", "B", "C"))
   }
+
+  test("abcXyz: value class crossed with demand-variability class") {
+    // k1: buckets (10,10) cv=0 -> X; cum 2000/2200 > 80% -> B
+    // k2: buckets (1,9) cv=1.1314 -> Z; cum 100% -> C
+    val rows = Seq(("k1", 1, 10L, 1000L), ("k1", 2, 10L, 1000L),
+      ("k2", 1, 1L, 100L), ("k2", 2, 9L, 100L))
+    val df = rows.toDF("k", "mo", "q", "cents")
+    val got = Abc.abcXyz(df, "k", "mo", "q", "cents")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[String]("abc_class"), r.getAs[String]("xyz_class"),
+          r.getAs[String]("class")))).toMap
+    assert(got("k1") == (("B", "X", "B-X")))
+    assert(got("k2") == (("C", "Z", "C-Z")))
+  }
+
+  test("abcXyz: single-bucket key has null cv and lands in Z") {
+    val df = Seq(("solo", 1, 5L, 100L)).toDF("k", "mo", "q", "cents")
+    val r = Abc.abcXyz(df, "k", "mo", "q", "cents").head()
+    assert(r.isNullAt(r.fieldIndex("cv")))
+    assert(r.getAs[String]("xyz_class") == "Z")
+  }
 }

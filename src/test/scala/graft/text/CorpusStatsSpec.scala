@@ -133,4 +133,23 @@ class CorpusStatsSpec extends SparkSuite {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
     assert(got(("z")) == ((1L, 4L, 0.0)))
   }
+
+  test("vocabCoverage: cumulative token share at each grid point") {
+    import spark.implicits._
+    // counts: a=3, b=1, c=1 (rank a, b, c by freq desc / term asc)
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = CorpusStats.vocabCoverage(docs, "text", Seq(1, 2, 10))
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1, 1L, 3L, 0.6), (2, 2L, 4L, 0.8),
+      (10, 3L, 5L, 1.0)))
+  }
+
+  test("novelBigramRate: df-1 bigrams over distinct doc bigrams") {
+    import spark.implicits._
+    // d1 {x y, y z}, d2 {x y, y w}: "x y" df=2, others df=1
+    val docs = Seq((1L, "x y z"), (2L, "x y w")).toDF("doc_id", "text")
+    val r = CorpusStats.novelBigramRate(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
 }

@@ -324,6 +324,89 @@ object CatalogSeq {
            |FROM g JOIN df USING (bg)
            |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))
 
+  /** X187: strongly connected components (directed) — Tarjan driver
+    * with a distributed Orzan-coloring twin (SccSpec pins their
+    * parity); the oracle is algorithm-independent MUTUAL REACHABILITY
+    * via a recursive CTE (component = min mutually-reachable node),
+    * so the compare proves the SCC semantics, not the algorithm. The
+    * graph: a deterministic 40-vertex projection of events with
+    * forward edges plus a sampled back-edge set (so the condensation
+    * has real multi-node SCCs AND singletons). */
+  private val q296 = Q("q296_scc",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .withColumn("src", $"user_id" % 40)
+        .withColumn("dst", pmod($"event_id" * 31, lit(40)))
+        .filter($"event_id" % 13 === 0 && $"src" =!= $"dst" &&
+          ($"src" < $"dst" || $"event_id" % 5 === 0))
+        .select($"src", $"dst").distinct()
+      val nodes = e.select($"src".as("node"))
+        .union(e.select($"dst".as("node"))).distinct()
+      graft.graph.Scc.components(s, nodes, e)
+    },
+    Some("""WITH RECURSIVE e AS (
+           |  SELECT DISTINCT user_id % 40 AS src,
+           |    (event_id * 31) % 40 AS dst
+           |  FROM events
+           |  WHERE event_id % 13 = 0
+           |    AND user_id % 40 <> (event_id * 31) % 40
+           |    AND (user_id % 40 < (event_id * 31) % 40
+           |         OR event_id % 5 = 0)),
+           |n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           |reach AS (
+           |  SELECT v AS s, v AS t FROM n
+           |  UNION
+           |  SELECT r.s, e.dst FROM reach r JOIN e ON r.t = e.src)
+           |SELECT a.s::BIGINT AS node, min(a.t)::BIGINT AS component
+           |FROM reach a JOIN reach b ON a.t = b.s AND b.t = a.s
+           |GROUP BY 1 ORDER BY node""".stripMargin))
+
+  /** X188: isotonic regression (PAVA) per key over 10 value buckets —
+    * oracled against the algorithm-independent minimax closed form
+    * y*_k = min_{j≥k} max_{i≤k} wavg(y[i..j]) from integer prefix
+    * sums, so the compare proves the FIT, not the pooling algorithm.
+    * Label = deterministic event_id % 3 indicator. */
+  private val q297 = Q("q297_isotonic",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Isotonic.calibrate(
+        t(s, dir, "events")
+          .select($"event_type", floor($"value" / 10).cast("double")
+            .as("bk"), ($"event_id" % 3 === 0).cast("long").as("y")),
+        "event_type", "bk", "y")
+        .withColumnRenamed("key", "event_type")
+        .orderBy($"event_type", $"bucket")
+    },
+    Some("""WITH f AS (
+           |  SELECT event_type AS k, floor(value / 10) AS b,
+           |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+           |  FROM events),
+           |bk AS (SELECT k, b, count(*) AS w, sum(y) AS sy
+           |       FROM f GROUP BY 1, 2),
+           |r AS (SELECT k, b, w, sy,
+           |        row_number() OVER (PARTITION BY k ORDER BY b) AS r,
+           |        sum(w) OVER (PARTITION BY k ORDER BY b) AS cw,
+           |        sum(sy) OVER (PARTITION BY k ORDER BY b) AS cs
+           |      FROM bk),
+           |base AS (SELECT k, r AS r0, cw AS cw0, cs AS cs0 FROM r
+           |         UNION ALL
+           |         SELECT DISTINCT k, 0, 0, 0 FROM r),
+           |mx AS (SELECT kk.k, kk.r AS rk, j.r AS rj,
+           |         max((j.cs - i0.cs0)::DOUBLE /
+           |             (j.cw - i0.cw0)) AS mx
+           |       FROM r kk
+           |       JOIN r j ON j.k = kk.k AND j.r >= kk.r
+           |       JOIN base i0 ON i0.k = kk.k AND i0.r0 <= kk.r - 1
+           |       GROUP BY 1, 2, 3),
+           |iso AS (SELECT k, rk, min(mx) AS v FROM mx GROUP BY 1, 2)
+           |SELECT r.k AS event_type, r.b::DOUBLE AS bucket,
+           |  r.w::BIGINT AS n,
+           |  round(r.sy::DOUBLE / r.w, 6) AS rate_raw,
+           |  round(iso.v, 6) AS rate_iso
+           |FROM r JOIN iso ON iso.k = r.k AND iso.rk = r.r
+           |ORDER BY event_type, bucket""".stripMargin))
+
   val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290, q291,
-    q292, q293, q294, q295)
+    q292, q293, q294, q295, q296, q297)
 }

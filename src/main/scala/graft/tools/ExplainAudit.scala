@@ -33,7 +33,12 @@ object ExplainAudit {
       // q130, q133 — materialize during construction and can't be
       // audited here)
       "q125_attribution", "q126_time_weighted_avg",
-      "q134_seasonal_anomaly", "q135_datetime_scalars", "q136_spatial_nn")
+      "q134_seasonal_anomaly", "q135_datetime_scalars", "q136_spatial_nn",
+      // round-8 lazy entries (q296/q297 materialize in construction)
+      "q285_seq_pairs", "q286_entropy_rate", "q288_burst_ratio",
+      "q289_page_hinkley", "q291_sharpe_sortino",
+      "q293_interarrival_expfit", "q294_vocab_coverage",
+      "q295_novel_bigrams")
     val qs = Catalog.queries
     names.foreach { n =>
       println(s"\n================ $n ================")

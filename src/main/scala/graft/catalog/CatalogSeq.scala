@@ -407,6 +407,185 @@ object CatalogSeq {
            |FROM r JOIN iso ON iso.k = r.k AND iso.rk = r.r
            |ORDER BY event_type, bucket""".stripMargin))
 
+  /** X189: peak concurrency (sweep line, end-exclusive) — intervals
+    * are (ts, ts + round(value) seconds) in exact epoch micros. */
+  private val q298 = Q("q298_max_concurrency",
+    (s, dir) => {
+      import s.implicits._
+      val iv = t(s, dir, "events").select($"event_type",
+        unix_micros($"ts").as("s"),
+        (unix_micros($"ts") + round($"value").cast("long") * 1000000L)
+          .as("e"))
+      graft.events.Intervals.maxConcurrency(iv, "event_type", "s", "e")
+        .orderBy($"event_type")
+    },
+    Some("""WITH iv AS (
+           |  SELECT event_type, epoch_us(ts) AS s,
+           |    epoch_us(ts) + round(value)::BIGINT * 1000000 AS e
+           |  FROM events),
+           |sw AS (
+           |  SELECT event_type, s AS t, 1 AS d FROM iv
+           |  UNION ALL
+           |  SELECT event_type, e AS t, -1 AS d FROM iv),
+           |run AS (SELECT event_type, t, d,
+           |    sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS run
+           |  FROM sw),
+           |best AS (SELECT event_type, t, run,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY run DESC, t ASC) AS rn,
+           |    count(CASE WHEN d = 1 THEN 1 END)
+           |      OVER (PARTITION BY event_type) AS n
+           |  FROM run)
+           |SELECT event_type, n::BIGINT AS n_intervals,
+           |  run::BIGINT AS peak, t AS peak_at
+           |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin))
+
+  /** X190: Allen's 13 interval relations over the first 8 intervals
+    * per type (rank-bounded pair set; the taxonomy CASE is the whole
+    * operator, so the oracle is the same CASE independently written). */
+  private val q299 = Q("q299_allen_relations",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"ts", $"event_id")
+      val iv = t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 8)
+        .select($"event_type", $"event_id".as("id"),
+          unix_micros($"ts").as("s"),
+          (unix_micros($"ts") + round($"value").cast("long") * 1000000L)
+            .as("e"))
+      graft.events.Intervals.allenRelations(iv, "event_type", "id",
+          "s", "e")
+        .orderBy($"event_type", $"id_a", $"id_b")
+    },
+    Some("""WITH iv AS (
+           |  SELECT event_type, event_id AS id, epoch_us(ts) AS s,
+           |    epoch_us(ts) + round(value)::BIGINT * 1000000 AS e,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY ts, event_id) AS rn
+           |  FROM events QUALIFY rn <= 8)
+           |SELECT a.event_type, a.id AS id_a, b.id AS id_b,
+           |  CASE WHEN a.e < b.s THEN 'before'
+           |       WHEN b.e < a.s THEN 'before_inv'
+           |       WHEN a.e = b.s THEN 'meets'
+           |       WHEN b.e = a.s THEN 'meets_inv'
+           |       WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+           |       WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+           |       WHEN a.s = b.s AND a.e > b.e THEN 'starts_inv'
+           |       WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+           |       WHEN a.e = b.e AND a.s < b.s THEN 'finishes_inv'
+           |       WHEN a.s > b.s AND a.e < b.e THEN 'during'
+           |       WHEN a.s < b.s AND a.e > b.e THEN 'during_inv'
+           |       WHEN a.s < b.s AND a.e < b.e THEN 'overlaps'
+           |       ELSE 'overlaps_inv' END AS relation
+           |FROM iv a JOIN iv b
+           |  ON a.event_type = b.event_type AND a.id < b.id
+           |ORDER BY a.event_type, id_a, id_b""".stripMargin))
+
+  /** X191: Unicode script profile / mixed-script audit — Cyrillic
+    * injected deterministically on doc_id % 9 (the q48 pattern) so
+    * the mixed flag has real positives; the regex engines differ in
+    * script-class SYNTAX (Java \p{IsCyrillic} vs RE2 \p{Cyrillic})
+    * but agree on membership, which is what the counts read. */
+  private val q300 = Q("q300_script_profile",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        when($"doc_id" % 9 === 0, concat($"text", lit(" съешь ещё")))
+          .otherwise($"text").as("text"))
+      graft.text.TextAnalysis.scriptProfile(docs, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 9 = 0 THEN text || ' съешь ещё'
+           |         ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(text, '\p{Latin}'))::INT AS n_latin,
+           |  len(regexp_extract_all(text, '\p{Cyrillic}'))::INT
+           |    AS n_cyrillic,
+           |  len(regexp_extract_all(text, '\p{Greek}'))::INT AS n_greek,
+           |  len(regexp_extract_all(text, '[0-9]'))::INT AS n_digit,
+           |  (CASE WHEN len(regexp_extract_all(text, '\p{Latin}')) > 0
+           |        THEN 1 ELSE 0 END +
+           |   CASE WHEN len(regexp_extract_all(text, '\p{Cyrillic}')) > 0
+           |        THEN 1 ELSE 0 END +
+           |   CASE WHEN len(regexp_extract_all(text, '\p{Greek}')) > 0
+           |        THEN 1 ELSE 0 END) >= 2 AS mixed
+           |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** X192: Fisher's exact test per event type on two deterministic
+    * 0/1 indicators — both engines build ln-factorials from the SAME
+    * sequential cumulative Σln table, so the hypergeometric pmfs are
+    * bit-identical (no lgamma approximations in the compare). */
+  private val q301 = Q("q301_fisher_exact",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Inference.fisherExact(
+        t(s, dir, "events").select($"event_type",
+          pmod($"event_id", lit(2)).cast("int").as("x"),
+          when($"event_id" % 3 === 0, 1).otherwise(0).as("y")),
+        "event_type", "x", "y")
+        .orderBy($"event_type")
+    },
+    Some("""WITH cnt AS (
+           |  SELECT event_type AS s,
+           |    count(CASE WHEN event_id % 2 = 1 AND event_id % 3 = 0
+           |               THEN 1 END) AS a,
+           |    count(CASE WHEN event_id % 2 = 1 AND event_id % 3 <> 0
+           |               THEN 1 END) AS b,
+           |    count(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
+           |               THEN 1 END) AS c,
+           |    count(CASE WHEN event_id % 2 = 0 AND event_id % 3 <> 0
+           |               THEN 1 END) AS d
+           |  FROM events GROUP BY 1),
+           |m AS (SELECT *, a + b AS m1, c + d AS m2, a + c AS n1,
+           |        a + b + c + d AS nn FROM cnt),
+           |lf AS (SELECT i AS id,
+           |    sum(CASE WHEN i > 0 THEN ln(i::DOUBLE) ELSE 0 END)
+           |      OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |            CURRENT ROW) AS lf
+           |  FROM (SELECT unnest(generate_series(0, mx)) AS i
+           |        FROM (SELECT max(nn) AS mx FROM m))),
+           |obs AS (SELECT m.*,
+           |    (SELECT lf FROM lf WHERE id = m.m1)
+           |    - (SELECT lf FROM lf WHERE id = m.a)
+           |    - (SELECT lf FROM lf WHERE id = m.m1 - m.a)
+           |    + (SELECT lf FROM lf WHERE id = m.m2)
+           |    - (SELECT lf FROM lf WHERE id = m.n1 - m.a)
+           |    - (SELECT lf FROM lf WHERE id = m.m2 - m.n1 + m.a)
+           |    - (SELECT lf FROM lf WHERE id = m.nn)
+           |    + (SELECT lf FROM lf WHERE id = m.n1)
+           |    + (SELECT lf FROM lf WHERE id = m.nn - m.n1) AS lnpobs
+           |  FROM m),
+           |grid AS (SELECT o.*,
+           |    unnest(generate_series(greatest(0, o.n1 - o.m2),
+           |      least(o.m1, o.n1))) AS k
+           |  FROM obs o),
+           |terms AS (SELECT g.*,
+           |    (SELECT lf FROM lf WHERE id = g.m1)
+           |    - (SELECT lf FROM lf WHERE id = g.k)
+           |    - (SELECT lf FROM lf WHERE id = g.m1 - g.k)
+           |    + (SELECT lf FROM lf WHERE id = g.m2)
+           |    - (SELECT lf FROM lf WHERE id = g.n1 - g.k)
+           |    - (SELECT lf FROM lf WHERE id = g.m2 - g.n1 + g.k)
+           |    - (SELECT lf FROM lf WHERE id = g.nn)
+           |    + (SELECT lf FROM lf WHERE id = g.n1)
+           |    + (SELECT lf FROM lf WHERE id = g.nn - g.n1) AS lnpk
+           |  FROM grid g)
+           |SELECT s AS event_type, a::BIGINT AS a, b::BIGINT AS b,
+           |  c::BIGINT AS c, d::BIGINT AS d,
+           |  round(a * d / nullif((b * c)::DOUBLE, 0), 4) AS odds_ratio,
+           |  round(sum(CASE WHEN lnpk <= lnpobs + 1e-7
+           |                 THEN exp(lnpk) END), 6) AS p_value
+           |FROM terms GROUP BY s, a, b, c, d
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290, q291,
-    q292, q293, q294, q295, q296, q297)
+    q292, q293, q294, q295, q296, q297, q298, q299, q300, q301)
 }

@@ -1,6 +1,6 @@
 package graft.de
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.gfunctions.{normal_sf, reg_inc_beta}
@@ -170,5 +170,93 @@ object Inference {
       round(d * j, 4).as("hedges_g"),
       round(diff / nullif(sqrt(col("__vk")), lit(0.0)), 4)
         .as("glass_delta"))): _*)
+  }
+
+  /** Fisher's exact test per stratum over two 0/1 indicator columns —
+    * the chi-square replacement for SMALL 2×2 tables (expected cell
+    * counts under ~5 make the χ² approximation lie; Fisher sums the
+    * exact hypergeometric tail instead). Two-sided p: Σ over k of the
+    * hypergeometric pmf for every table at-or-more-extreme than the
+    * observed one (pmf(k) ≤ pmf(a)·(1+1e-7), R's fisher.test
+    * convention).
+    *
+    * No lgamma dependency: ln-factorials come from ONE shared
+    * cumulative-Σln table over 0..max(N) — a single-partition window
+    * over a value-domain-bounded frame (max N rows, documented) that
+    * broadcasts into the k-grid — so any engine that evaluates the
+    * same sequential cumsum produces bit-identical pmfs (the oracle
+    * does exactly that; no engine-specific gamma approximations in the
+    * compare). The k-grid per stratum is min(m1, n1) − max(0, n1−m2)
+    * rows — margin-bounded, never fact-bounded.
+    *
+    * Output per stratum: (stratum, a, b, c, d BIGINT, odds_ratio 4dp
+    * (ad/bc, null when bc = 0), p_value 6dp). */
+  def fisherExact(df: DataFrame, stratumCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val x = col(xCol) === 1
+    val y = col(yCol) === 1
+    val cnt = df.groupBy(col(stratumCol).as("__s"))
+      .agg(count(when(x && y, 1)).as("a"),
+        count(when(x && !y, 1)).as("b"),
+        count(when(!x && y, 1)).as("c"),
+        count(when(!x && !y, 1)).as("d"))
+      .withColumn("__m1", col("a") + col("b"))
+      .withColumn("__m2", col("c") + col("d"))
+      .withColumn("__n1", col("a") + col("c"))
+      .withColumn("__N", col("__m1") + col("__m2"))
+    val maxN = cnt.agg(coalesce(max(col("__N")), lit(0L))).head.getLong(0)
+    // shared ln-factorial table: lf(i) = Σ_{j≤i} ln j, sequential
+    // cumsum (single partition — bounded by the largest stratum size)
+    val wLf = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val lnfact = spark.range(0L, maxN + 1)
+      .select(col("id"),
+        sum(when(col("id") > 0, log(col("id").cast("double")))
+          .otherwise(0.0)).over(wLf).as("lf"))
+    def lf(k: Column, alias: String) =
+      broadcast(lnfact.select(col("id").as(s"__i$alias"),
+        col("lf").as(s"__lf$alias")))
+    // lnP(k) = lf(m1)−lf(k)−lf(m1−k)+lf(m2)−lf(n1−k)−lf(m2−n1+k)
+    //          −lf(N)+lf(n1)+lf(N−n1)
+    def lnP(base: DataFrame, k: Column, out: String): DataFrame = {
+      val keys = Seq(k, col("__m1") - k, col("__n1") - k,
+        col("__m2") - col("__n1") + k)
+      val names = Seq("k", "m1k", "n1k", "m2k")
+      val joined = keys.zip(names).foldLeft(base) { case (d, (kc, nm)) =>
+        d.join(lf(kc, nm), kc === col(s"__i$nm")).drop(s"__i$nm")
+      }
+      joined.withColumn(out,
+        col("__lfm1") - col("__lfk") - col("__lfm1k") +
+          col("__lfm2") - col("__lfn1k") - col("__lfm2k") -
+          col("__lfN") + col("__lfn1") + col("__lfNn1"))
+        .drop("__lfk", "__lfm1k", "__lfn1k", "__lfm2k")
+    }
+    val withMargLf = Seq(("__m1", "m1"), ("__m2", "m2"), ("__n1", "n1"))
+      .foldLeft(cnt) { case (d, (c0, nm)) =>
+        d.join(lf(col(c0), nm), col(c0) === col(s"__i$nm"))
+          .drop(s"__i$nm")
+      }
+      .join(lf(col("__N"), "N"), col("__N") === col("__iN")).drop("__iN")
+      .join(lf(col("__N") - col("__n1"), "Nn1"),
+        col("__N") - col("__n1") === col("__iNn1")).drop("__iNn1")
+    val obs = lnP(withMargLf, col("a"), "__lnPobs")
+    val grid = obs.withColumn("k",
+      explode(sequence(greatest(lit(0L), col("__n1") - col("__m2")),
+        least(col("__m1"), col("__n1")))))
+    val terms = lnP(grid, col("k"), "__lnPk")
+    terms
+      .groupBy(col("__s"), col("a"), col("b"), col("c"), col("d"))
+      .agg(round(sum(when(
+        col("__lnPk") <= col("__lnPobs") + lit(1e-7),
+        exp(col("__lnPk")))), 6).as("p_value"))
+      .select(col("__s").as(stratumCol), col("a"), col("b"), col("c"),
+        col("d"),
+        round(col("a") * col("d") /
+          nullif((col("b") * col("c")).cast("double"), lit(0.0)), 4)
+          .as("odds_ratio"),
+        col("p_value"))
   }
 }

@@ -24,6 +24,76 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
+  /** Peak concurrency per key — the sweep-line classic: +1 at each
+    * interval start, −1 at each (exclusive) end, running sum over the
+    * merged event sequence; the max of that sum is the most intervals
+    * simultaneously open (server concurrency, ward occupancy, parallel
+    * session count). End events sort BEFORE start events at the same
+    * timestamp (end-exclusive semantics: an interval ending exactly
+    * when another starts does not overlap it). One union, one per-key
+    * window sort, one aggregate — the coverageStats scale contract.
+    * Output: (key, n_intervals BIGINT, peak BIGINT, peak_at = first
+    * time the peak is reached). */
+  def maxConcurrency(df: DataFrame, key: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val starts = df.select(col(key).as("__k"),
+      col(startCol).as("__t"), lit(1L).as("__d"))
+    val ends = df.select(col(key).as("__k"),
+      col(endCol).as("__t"), lit(-1L).as("__d"))
+    // __d asc puts -1 (ends) before +1 (starts) at equal timestamps
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = starts.union(ends)
+      .withColumn("__run", sum(col("__d")).over(w))
+    val wBest = Window.partitionBy(col("__k"))
+      .orderBy(col("__run").desc, col("__t").asc)
+    swept
+      .withColumn("__n", count(when(col("__d") === 1L, 1)).over(
+        Window.partitionBy(col("__k"))))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("__k").as(key), col("__n").as("n_intervals"),
+        col("__run").as("peak"), col("__t").as("peak_at"))
+  }
+
+  /** Allen's interval algebra over per-key interval pairs: classify
+    * every ordered pair (a, b) with a.id < b.id into one of the 13
+    * relations (before/meets/overlaps/starts/during/finishes/equals +
+    * the 6 inverses, named with a `_inv` suffix). The full taxonomy a
+    * temporal-reasoning consumer needs where [[mergeIntervals]] only
+    * answers "do they touch". Pairing is per key (the bounded-key
+    * contract of every pairwise operator here); the classification is
+    * one nested CASE on exact endpoint comparisons. Output: (key,
+    * id_a, id_b, relation). */
+  def allenRelations(df: DataFrame, key: String, idCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val a = df.select(col(key).as("__k"), col(idCol).as("id_a"),
+      col(startCol).as("__sa"), col(endCol).as("__ea"))
+    val b = df.select(col(key).as("__k"), col(idCol).as("id_b"),
+      col(startCol).as("__sb"), col(endCol).as("__eb"))
+    val sa = col("__sa"); val ea = col("__ea")
+    val sb = col("__sb"); val eb = col("__eb")
+    val rel =
+      when(ea < sb, "before")
+        .when(eb < sa, "before_inv")
+        .when(ea === sb, "meets")
+        .when(eb === sa, "meets_inv")
+        .when(sa === sb && ea === eb, "equals")
+        .when(sa === sb && ea < eb, "starts")
+        .when(sa === sb && ea > eb, "starts_inv")
+        .when(ea === eb && sa > sb, "finishes")
+        .when(ea === eb && sa < sb, "finishes_inv")
+        .when(sa > sb && ea < eb, "during")
+        .when(sa < sb && ea > eb, "during_inv")
+        .when(sa < sb && ea < eb, "overlaps")
+        .otherwise("overlaps_inv")
+    a.join(b, Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("__k").as(key), col("id_a"), col("id_b"),
+        rel.as("relation"))
+  }
+
   /** Inter-arrival exponential fit + Lilliefors-style KS distance per
     * key: gaps g_i between consecutive events (one lag window), MLE
     * rate λ̂ = 1/mean(g), and D = max_i max(|i/n − F(g_(i))|,

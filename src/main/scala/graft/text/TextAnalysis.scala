@@ -330,4 +330,29 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 4)
           .as("oov_rate"))
   }
+
+  /** Mixed-script audit (X191): per document, letter counts by Unicode
+    * script (Latin / Cyrillic / Greek) plus digits, and a `mixed` flag
+    * when at least two letter scripts co-occur — the homoglyph-spoof /
+    * encoding-mojibake screen an LLM-data pipeline runs before
+    * language-ID trusts the text (а Cyrillic 'а' inside a Latin word
+    * defeats both dedup and langid). Pure regexp_count over script
+    * character classes — codegen'd, no UDF, no explode; the regex
+    * engines differ in CLASS SYNTAX across engines but agree on class
+    * MEMBERSHIP, which is all the counts read. Output: (idCol,
+    * n_latin, n_cyrillic, n_greek, n_digit, mixed BOOLEAN). */
+  def scriptProfile(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t = col(textCol)
+    def c(cls: String) = regexp_count(t, lit(cls))
+    df.select(col(idCol),
+        c("\\p{IsLatin}").as("n_latin"),
+        c("\\p{IsCyrillic}").as("n_cyrillic"),
+        c("\\p{IsGreek}").as("n_greek"),
+        c("[0-9]").as("n_digit"))
+      .withColumn("mixed",
+        (when(col("n_latin") > 0, 1).otherwise(0) +
+          when(col("n_cyrillic") > 0, 1).otherwise(0) +
+          when(col("n_greek") > 0, 1).otherwise(0)) >= 2)
+  }
 }

@@ -5,6 +5,34 @@ import graft.SparkSuite
 class InferenceSpec extends SparkSuite {
   import spark.implicits._
 
+  test("fisherExact: the tea-tasting 2x2 matches R fisher.test") {
+    // a=3 b=1 c=1 d=3 -> two-sided p = 34/70 = 0.485714
+    val rows =
+      Seq.fill(3)((1, 1)) ++ Seq.fill(1)((1, 0)) ++
+        Seq.fill(1)((0, 1)) ++ Seq.fill(3)((0, 0))
+    val df = rows.map { case (x, y) => ("s", x, y) }.toDF("st", "x", "y")
+    val r = Inference.fisherExact(df, "st", "x", "y").head()
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+      r.getAs[Long]("d")) == ((3L, 1L, 1L, 3L)))
+    assert(r.getAs[Double]("p_value") == 0.485714)
+    assert(r.getAs[Double]("odds_ratio") == 9.0)
+  }
+
+  test("fisherExact: independence-shaped table gives p = 1; zero " +
+    "cell gives null odds ratio") {
+    val indep = (Seq.fill(2)((1, 1)) ++ Seq.fill(2)((1, 0)) ++
+      Seq.fill(2)((0, 1)) ++ Seq.fill(2)((0, 0)))
+      .map { case (x, y) => ("s", x, y) }.toDF("st", "x", "y")
+    assert(Inference.fisherExact(indep, "st", "x", "y")
+      .head().getAs[Double]("p_value") == 1.0)
+    val zc = (Seq.fill(3)((1, 1)) ++ Seq.fill(3)((0, 0)))
+      .map { case (x, y) => ("s", x, y) }.toDF("st", "x", "y")
+    val r = Inference.fisherExact(zc, "st", "x", "y").head()
+    assert(r.isNullAt(r.fieldIndex("odds_ratio")))
+    // perfect association on 3+3: p = 2/C(6,3) = 0.1
+    assert(r.getAs[Double]("p_value") == 0.1)
+  }
+
   test("oneWayF: hand-computed three-group ANOVA") {
     // groups: (1,2,3), (2,3,4), (4,5,6) — means 2,3,5; grand 10/3.
     // SSB = 3[(2-10/3)^2+(3-10/3)^2+(5-10/3)^2] = 3*(16/9+1/9+25/9) = 14

@@ -58,6 +58,45 @@ class IntervalsSpec extends SparkSuite {
     assert(r.getAs[Double]("ks_d") == 0.5276)
   }
 
+  test("maxConcurrency: sweep line with end-exclusive semantics") {
+    // (1,5),(2,6),(5,7): at t=5 the first ends BEFORE the third
+    // starts, so the peak is 2 (first reached at t=2), never 3
+    val iv = Seq(("k", 1L, 5L), ("k", 2L, 6L), ("k", 5L, 7L))
+      .toDF("k", "s", "e")
+    val r = Intervals.maxConcurrency(iv, "k", "s", "e").head()
+    assert(r.getAs[Long]("n_intervals") == 3L)
+    assert(r.getAs[Long]("peak") == 2L)
+    assert(r.getAs[Long]("peak_at") == 2L)
+  }
+
+  test("allenRelations: the full 13-relation taxonomy on a pinned set") {
+    val iv = Seq((1L, 1L, 3L), (2L, 3L, 5L), (3L, 1L, 5L),
+      (4L, 6L, 7L), (5L, 2L, 3L))
+      .map { case (id, s, e) => ("k", id, s, e) }.toDF("k", "id", "s", "e")
+    val got = Intervals.allenRelations(iv, "k", "id", "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getString(3))
+      .toMap
+    assert(got((1L, 2L)) == "meets")
+    assert(got((1L, 3L)) == "starts")
+    assert(got((1L, 4L)) == "before")
+    assert(got((1L, 5L)) == "finishes_inv")
+    assert(got((2L, 3L)) == "finishes")
+    assert(got((2L, 5L)) == "meets_inv")
+    assert(got((3L, 5L)) == "during_inv")
+    assert(got((4L, 5L)) == "before_inv")
+    assert(got.size == 10)
+  }
+
+  test("allenRelations: overlaps both ways") {
+    val iv = Seq((1L, 1L, 4L), (2L, 2L, 6L), (3L, 0L, 2L))
+      .map { case (id, s, e) => ("k", id, s, e) }.toDF("k", "id", "s", "e")
+    val got = Intervals.allenRelations(iv, "k", "id", "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getString(3))
+      .toMap
+    assert(got((1L, 2L)) == "overlaps")
+    assert(got((1L, 3L)) == "overlaps_inv")
+  }
+
   test("interArrivalExpFit: keys with under 3 gaps drop out") {
     import java.sql.Timestamp
     def ts(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)

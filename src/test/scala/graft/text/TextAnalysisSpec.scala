@@ -226,4 +226,16 @@ class TextAnalysisSpec extends SparkSuite {
     val got = df.select($"s", md5_long($"s")).as[(String, Long)].collect().toMap
     expected.foreach { case (k, v) => assert(got(k) == v, s"hash of $k") }
   }
+
+  test("scriptProfile: per-script letter counts and the mixed flag") {
+    val docs = Seq((1L, "hello мир 123"), (2L, "plain ascii"),
+      (3L, "αβ")).toDF("id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getBoolean(5)))).toMap
+    assert(got(1L) == ((5, 3, 0, 3, true)))
+    assert(got(2L) == ((10, 0, 0, 0, false)))
+    assert(got(3L) == ((0, 0, 2, 0, false)))
+  }
 }

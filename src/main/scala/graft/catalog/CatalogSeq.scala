@@ -586,6 +586,205 @@ object CatalogSeq {
            |FROM terms GROUP BY s, a, b, c, d
            |ORDER BY event_type""".stripMargin))
 
+  /** X193: Hampel filter over per-type daily counts — faithful
+    * center-median MAD (the pair-join recomputation, not stacked
+    * rolling medians); exact-integer inputs, interpolated medians. */
+  private val q302 = Q("q302_hampel",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("x"))
+      graft.events.Anomaly.hampel(daily, "event_type", "d", "x",
+          halfWindow = 3)
+        .orderBy($"event_type", $"d")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS k, ts::DATE AS d, count(*) AS x
+           |  FROM events GROUP BY 1, 2),
+           |idx AS (SELECT k, d, x::DOUBLE AS x,
+           |    row_number() OVER (PARTITION BY k ORDER BY d) AS i
+           |  FROM d),
+           |pairs AS (SELECT a.k, a.i, a.d, a.x, b.x AS xj
+           |  FROM idx a JOIN idx b ON a.k = b.k
+           |    AND abs(a.i - b.i) <= 3),
+           |med AS (SELECT k, i, median(xj) AS m
+           |  FROM pairs GROUP BY 1, 2),
+           |mad AS (SELECT p.k, p.i, median(abs(p.xj - med.m)) AS md
+           |  FROM pairs p JOIN med ON med.k = p.k AND med.i = p.i
+           |  GROUP BY 1, 2)
+           |SELECT idx.k AS event_type, idx.d, idx.x,
+           |  round(med.m, 6) AS roll_med, round(mad.md, 6) AS roll_mad,
+           |  abs(idx.x - med.m) > 3 * 1.4826 * mad.md AS is_outlier
+           |FROM idx
+           |JOIN med ON med.k = idx.k AND med.i = idx.i
+           |JOIN mad ON mad.k = idx.k AND mad.i = idx.i
+           |ORDER BY event_type, d""".stripMargin))
+
+  /** X194: Kendall τ-b per type between daily volume and daily value —
+    * pairwise over the calendar-bounded daily aggregate, exact-integer
+    * concordance counts with full tie correction. */
+  private val q303 = Q("q303_kendall_tau",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("nv"),
+          round(sum($"value"), 2).as("sv"))
+      graft.ml.RankStats.kendallTauB(daily, "event_type", "nv", "sv")
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, ts::DATE AS d, count(*) AS nv,
+           |    round(sum(value), 2) AS sv
+           |  FROM events GROUP BY 1, 2),
+           |p AS (SELECT a.g,
+           |    sign(b.nv - a.nv) * sign(b.sv - a.sv) AS sgn,
+           |    a.nv = b.nv AS tx, a.sv = b.sv AS ty
+           |  FROM d a JOIN d b ON a.g = b.g AND a.d < b.d),
+           |agg AS (SELECT g, count(*) AS n0,
+           |    count(CASE WHEN sgn > 0 THEN 1 END) AS c,
+           |    count(CASE WHEN sgn < 0 THEN 1 END) AS dd,
+           |    count(CASE WHEN tx THEN 1 END) AS ntx,
+           |    count(CASE WHEN ty THEN 1 END) AS nty
+           |  FROM p GROUP BY 1),
+           |n AS (SELECT g, count(*) AS n FROM d GROUP BY 1)
+           |SELECT agg.g AS event_type, n.n::BIGINT AS n,
+           |  c::BIGINT AS n_concordant, dd::BIGINT AS n_discordant,
+           |  round((c - dd) / nullif(sqrt((n0 - ntx)::DOUBLE *
+           |    (n0 - nty)), 0), 4) AS tau_b
+           |FROM agg JOIN n USING (g) ORDER BY event_type""".stripMargin))
+
+  /** X195: PACF lags 1-3 (Durbin–Levinson closed forms) over per-type
+    * daily counts — the AR-order diagnostic next to q143's ACF. */
+  private val q304 = Q("q304_pacf",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("x"))
+      graft.ml.TrendStats.pacf3(daily, "event_type", "d", "x")
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS k, ts::DATE AS d, count(*) AS x
+           |  FROM events GROUP BY 1, 2),
+           |dev AS (SELECT k, d,
+           |    x - avg(x) OVER (PARTITION BY k) AS dd
+           |  FROM d),
+           |c AS (SELECT k, d, dd,
+           |    lag(dd, 1) OVER (PARTITION BY k ORDER BY d) AS d1,
+           |    lag(dd, 2) OVER (PARTITION BY k ORDER BY d) AS d2,
+           |    lag(dd, 3) OVER (PARTITION BY k ORDER BY d) AS d3
+           |  FROM dev),
+           |a AS (SELECT k, count(*) AS n, sum(dd * dd) AS g0,
+           |    sum(dd * d1) AS g1, sum(dd * d2) AS g2,
+           |    sum(dd * d3) AS g3
+           |  FROM c GROUP BY 1),
+           |r AS (SELECT k, n, g1 / nullif(g0, 0) AS r1,
+           |    g2 / nullif(g0, 0) AS r2, g3 / nullif(g0, 0) AS r3
+           |  FROM a),
+           |f AS (SELECT k, n, r1, r2, r3,
+           |    (r2 - r1 * r1) / nullif(1 - r1 * r1, 0) AS p22,
+           |    r1 * (1 - r2) / nullif(1 - r1 * r1, 0) AS p21
+           |  FROM r)
+           |SELECT k AS event_type, n::BIGINT AS n,
+           |  round(r1, 4) AS r1, round(r2, 4) AS r2,
+           |  round(r3, 4) AS r3, round(r1, 4) AS pacf1,
+           |  round(p22, 4) AS pacf2,
+           |  round((r3 - p21 * r2 - p22 * r1) /
+           |    nullif(1 - p21 * r1 - p22 * r2, 0), 4) AS pacf3
+           |FROM f ORDER BY event_type""".stripMargin))
+
+  /** X196: Chow structural-break F on orders (odd vs even order year)
+    * — with d1 = 2 the F tail collapses to the closed form
+    * x^(d2/2), x = d2/(d2 + 2F), so the oracle needs no special
+    * functions (reg_inc_beta(x, a, 1) = x^a). */
+  private val q305 = Q("q305_chow",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Regression.chowTest(
+        t(s, dir, "orders").select(
+          dayofmonth(to_date($"o_orderdate")).as("x"),
+          $"o_totalprice".as("y"),
+          (year(to_date($"o_orderdate")) % 2).cast("int").as("regime")),
+        "y", "x", "regime")
+    },
+    Some("""WITH f AS (
+           |  SELECT day(o_orderdate::DATE)::DOUBLE AS x, o_totalprice AS y,
+           |    year(o_orderdate::DATE) % 2 AS r
+           |  FROM orders),
+           |a AS (SELECT count(*) AS n,
+           |    count(CASE WHEN r = 0 THEN 1 END) AS n0,
+           |    count(CASE WHEN r = 1 THEN 1 END) AS n1,
+           |    sum(x) AS sxp, sum(y) AS syp, sum(x*x) AS sxxp,
+           |    sum(x*y) AS sxyp, sum(y*y) AS syyp,
+           |    sum(CASE WHEN r = 0 THEN x END) AS sx0,
+           |    sum(CASE WHEN r = 0 THEN y END) AS sy0,
+           |    sum(CASE WHEN r = 0 THEN x*x END) AS sxx0,
+           |    sum(CASE WHEN r = 0 THEN x*y END) AS sxy0,
+           |    sum(CASE WHEN r = 0 THEN y*y END) AS syy0,
+           |    sum(CASE WHEN r = 1 THEN x END) AS sx1,
+           |    sum(CASE WHEN r = 1 THEN y END) AS sy1,
+           |    sum(CASE WHEN r = 1 THEN x*x END) AS sxx1,
+           |    sum(CASE WHEN r = 1 THEN x*y END) AS sxy1,
+           |    sum(CASE WHEN r = 1 THEN y*y END) AS syy1
+           |  FROM f),
+           |s AS (SELECT n, n0, n1,
+           |    (syyp - syp*syp/n) - pow(sxyp - sxp*syp/n, 2) /
+           |      nullif(sxxp - sxp*sxp/n, 0) AS ssrp,
+           |    (syy0 - sy0*sy0/n0) - pow(sxy0 - sx0*sy0/n0, 2) /
+           |      nullif(sxx0 - sx0*sx0/n0, 0) AS ssr0,
+           |    (syy1 - sy1*sy1/n1) - pow(sxy1 - sx1*sy1/n1, 2) /
+           |      nullif(sxx1 - sx1*sx1/n1, 0) AS ssr1
+           |  FROM a),
+           |ff AS (SELECT n, n0, n1,
+           |    ((ssrp - ssr0 - ssr1) / 2) /
+           |      nullif((ssr0 + ssr1) / nullif(n - 4.0, 0), 0) AS f
+           |  FROM s)
+           |SELECT n::BIGINT AS n, n0::BIGINT AS n_r0,
+           |  n1::BIGINT AS n_r1, round(f, 4) AS f_stat,
+           |  CASE WHEN n0 >= 3 AND n1 >= 3 AND f IS NOT NULL AND f >= 0
+           |       THEN round(pow((n - 4.0) / (n - 4.0 + 2 * f),
+           |                      (n - 4.0) / 2), 6) END AS p_value
+           |FROM ff""".stripMargin))
+
+  /** X197: Durbin–Watson serial-correlation diagnostic of the daily
+    * value trend per type (y = 2dp daily sums, x = epoch day). */
+  private val q306 = Q("q306_durbin_watson",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(round(sum($"value"), 2).as("y"))
+        .withColumn("x", datediff($"d", lit("1970-01-01")).cast("double"))
+      graft.ml.Regression.durbinWatson(daily, "event_type", "d", "y", "x")
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS k, ts::DATE AS d,
+           |    round(sum(value), 2) AS y,
+           |    date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS x
+           |  FROM events GROUP BY 1, 2, 4),
+           |st AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |    sum(x*x) AS sxx, sum(x*y) AS sxy
+           |  FROM d GROUP BY 1),
+           |fit AS (SELECT k, n,
+           |    (sxy - sx*sy/n) / nullif(sxx - sx*sx/n, 0) AS b,
+           |    sy/n - ((sxy - sx*sy/n) / nullif(sxx - sx*sx/n, 0))
+           |      * sx/n AS a
+           |  FROM st),
+           |e AS (SELECT d.k, d.d, d.y - fit.a - fit.b * d.x AS e,
+           |    lag(d.y - fit.a - fit.b * d.x)
+           |      OVER (PARTITION BY d.k ORDER BY d.d) AS el,
+           |    fit.n, fit.b
+           |  FROM d JOIN fit ON fit.k = d.k)
+           |SELECT k AS event_type, max(n)::BIGINT AS n,
+           |  round(max(b), 4) AS slope,
+           |  round(sum(pow(e - el, 2)) / nullif(sum(e * e), 0), 4) AS dw
+           |FROM e GROUP BY k ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290, q291,
-    q292, q293, q294, q295, q296, q297, q298, q299, q300, q301)
+    q292, q293, q294, q295, q296, q297, q298, q299, q300, q301,
+    q302, q303, q304, q305, q306)
 }

@@ -77,4 +77,43 @@ object Anomaly {
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > cut, lit(false)))
   }
+
+  /** Hampel filter per key — the robust sibling of the z-score
+    * screens: a point is an outlier when it sits more than
+    * nSigma · 1.4826 · MAD from the CENTERED rolling median, where
+    * MAD_i = median_{j ∈ ±halfWindow}(|x_j − m_i|) is taken about the
+    * center's OWN median (the faithful Hampel definition — stacking
+    * two independent rolling medians, the common shortcut, is a
+    * different and weaker filter). The window recomputation is a
+    * per-key range self-join (|i − j| ≤ halfWindow): n·(2h+1) pair
+    * rows over per-key AGGREGATE series (calendar-bounded, the
+    * changepoint contract), never fact grain. Medians are exact
+    * interpolated percentiles — cross-engine identical. Output:
+    * (key, orderCol, value, roll_med 6dp, roll_mad 6dp, is_outlier). */
+  def hampel(series: DataFrame, key: String, orderCol: String,
+             value: String, halfWindow: Int,
+             nSigma: Double = 3.0): DataFrame = {
+    require(halfWindow >= 1, "halfWindow must be >= 1")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val idx = series.select(col(key).as("__k"), col(orderCol).as("__t"),
+        col(value).cast("double").as("__x"))
+      .withColumn("__i", row_number().over(w))
+    val nb = idx.select(col("__k"), col("__i").as("__j"),
+      col("__x").as("__xj"))
+    val pairs = idx.join(nb, Seq("__k"))
+      .filter(abs(col("__i") - col("__j")) <= halfWindow)
+    val med = pairs.groupBy(col("__k"), col("__i"))
+      .agg(percentile(col("__xj"), lit(0.5)).as("__med"))
+    val mad = pairs.join(med, Seq("__k", "__i"))
+      .groupBy(col("__k"), col("__i"))
+      .agg(percentile(abs(col("__xj") - col("__med")), lit(0.5))
+        .as("__mad"))
+    idx.join(med, Seq("__k", "__i")).join(mad, Seq("__k", "__i"))
+      .select(col("__k").as(key), col("__t").as(orderCol),
+        col("__x").as(value),
+        round(col("__med"), 6).as("roll_med"),
+        round(col("__mad"), 6).as("roll_mad"),
+        (abs(col("__x") - col("__med")) >
+          lit(nSigma * 1.4826) * col("__mad")).as("is_outlier"))
+  }
 }

@@ -83,4 +83,85 @@ object Regression {
       round(rxy, 4).as("r_xy"), round(rxz, 4).as("r_xz"),
       round(ryz, 4).as("r_yz"), round(part, 4).as("r_xy_z"))
   }
+
+  /** Chow structural-break test: did the simple regression y ~ x
+    * change between two regimes (pre/post a policy date, two cohorts)?
+    * F = ((SSR_pooled − SSR₁ − SSR₂)/k) / ((SSR₁+SSR₂)/(n−2k)), k = 2
+    * (slope + intercept); SSR = Cyy − Cxy²/Cxx per fit, every C from
+    * ONE conditional-aggregate pass (regime flags ride the same scan —
+    * no per-regime jobs). P(F > f) = I_x(d₂/2, d₁/2), the oneWayF
+    * tail. Output (one row): n, n_r0, n_r1, f_stat 4dp, p_value 6dp
+    * (nulls on degenerate regimes). */
+  def chowTest(df: DataFrame, y: String, x: String,
+               regimeCol: String): DataFrame = {
+    import graft.functions.gfunctions.reg_inc_beta
+    val yv = col(y).cast("double")
+    val xv = col(x).cast("double")
+    val r = col(regimeCol) === 1
+    def block(p: org.apache.spark.sql.Column, tag: String) = Seq(
+      count(when(p, 1)).as(s"n$tag"),
+      sum(when(p, xv)).as(s"sx$tag"), sum(when(p, yv)).as(s"sy$tag"),
+      sum(when(p, xv * xv)).as(s"sxx$tag"),
+      sum(when(p, xv * yv)).as(s"sxy$tag"),
+      sum(when(p, yv * yv)).as(s"syy$tag"))
+    val a = df.filter(yv.isNotNull && xv.isNotNull)
+      .agg(block(lit(true), "P").head,
+        (block(lit(true), "P").tail ++ block(!r, "0") ++
+          block(r, "1")): _*)
+    def ssr(tag: String) = {
+      val n = col(s"n$tag").cast("double")
+      val cxx = col(s"sxx$tag") - col(s"sx$tag") * col(s"sx$tag") / n
+      val cxy = col(s"sxy$tag") - col(s"sx$tag") * col(s"sy$tag") / n
+      val cyy = col(s"syy$tag") - col(s"sy$tag") * col(s"sy$tag") / n
+      cyy - cxy * cxy / nullif(cxx, lit(0.0))
+    }
+    val ssrP = ssr("P"); val ssr0 = ssr("0"); val ssr1 = ssr("1")
+    val n = col("nP").cast("double")
+    val d1 = lit(2.0)
+    val d2 = n - 4
+    val f = ((ssrP - ssr0 - ssr1) / d1) /
+      nullif((ssr0 + ssr1) / nullif(d2, lit(0.0)), lit(0.0))
+    val xbeta = d2 / (d2 + d1 * f)
+    a.select(col("nP").as("n"), col("n0").as("n_r0"),
+      col("n1").as("n_r1"),
+      round(f, 4).as("f_stat"),
+      when(col("n0") >= 3 && col("n1") >= 3 && f.isNotNull && f >= 0,
+        round(reg_inc_beta(xbeta, d2 / 2, d1 / 2), 6)).as("p_value"))
+  }
+
+  /** Durbin–Watson statistic of the per-key simple-OLS residuals:
+    * DW = Σ_t (e_t − e_{t−1})² / Σ e_t², e_t the residual of y ~ x in
+    * `orderCol` order — the serial-correlation diagnostic every
+    * time-series regression report carries (DW ≈ 2 none, → 0 positive,
+    * → 4 negative autocorrelation). Slope/intercept come from one
+    * stats aggregate; residuals are computed by joining those two
+    * numbers back (group-bounded broadcast) and the quadratic forms
+    * from one lag window. Output: (key, n BIGINT, slope 4dp, dw 4dp —
+    * null for degenerate fits). */
+  def durbinWatson(df: DataFrame, key: String, orderCol: String,
+                   y: String, x: String): DataFrame = {
+    val yv = col(y).cast("double")
+    val xv = col(x).cast("double")
+    val stats = df.groupBy(col(key).as("__k"))
+      .agg(count(lit(1)).as("n"), sum(xv).as("sx"), sum(yv).as("sy"),
+        sum(xv * xv).as("sxx"), sum(xv * yv).as("sxy"))
+    val n = col("n").cast("double")
+    val beta = (col("sxy") - col("sx") * col("sy") / n) /
+      nullif(col("sxx") - col("sx") * col("sx") / n, lit(0.0))
+    val fit = stats.select(col("__k"), col("n"), beta.as("__b"),
+      (col("sy") / n - beta * col("sx") / n).as("__a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col(orderCol))
+    val res = df.select(col(key).as("__k"), col(orderCol), yv.as("__y"),
+        xv.as("__x"))
+      .join(broadcast(fit), Seq("__k"))
+      .withColumn("__e", col("__y") - col("__a") - col("__b") * col("__x"))
+      .withColumn("__el", lag(col("__e"), 1).over(w))
+    res.groupBy(col("__k"))
+      .agg(max(col("n")).as("n"),
+        round(max(col("__b")), 4).as("slope"),
+        round(sum(pow(col("__e") - col("__el"), 2)) /
+          nullif(sum(col("__e") * col("__e")), lit(0.0)), 4).as("dw"))
+      .select(col("__k").as(key), col("n"), col("slope"), col("dw"))
+  }
 }

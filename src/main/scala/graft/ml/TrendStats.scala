@@ -56,4 +56,49 @@ object TrendStats {
       .select(col("__k").as(key), col("n_points"), col("n_pairs"),
         col("mk_s"), col("theil_sen"))
   }
+
+  /** Partial autocorrelation at lags 1–3 per key, via the
+    * Durbin–Levinson closed forms over the standard biased ACF
+    * r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²:
+    * φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²);
+    * φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂),
+    * φ₂₁ = r₁(1−r₂)/(1−r₁²) — the AR-order diagnostic next to
+    * [[graft.ml.RankStats.autocorr]]'s plain ACF (PACF cutting off at
+    * lag p is the AR(p) signature; ACF alone can't tell AR from MA).
+    * One (key, order) window sort for the three lags + one aggregate;
+    * everything else is closed-form column math on the aggregate row.
+    * Output: (key, n BIGINT, r1, r2, r3, pacf1, pacf2, pacf3 — 4dp,
+    * nulls where a denominator degenerates). */
+  def pacf3(series: DataFrame, key: String, orderCol: String,
+            value: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__t"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+    val base = series.select(col(key).as("__k"),
+        col(orderCol).as("__t"), col(value).cast("double").as("__x"))
+      .withColumn("__m", avg(col("__x")).over(wAll))
+      .withColumn("__d", col("__x") - col("__m"))
+      .withColumn("__d1", lag(col("__d"), 1).over(w))
+      .withColumn("__d2", lag(col("__d"), 2).over(w))
+      .withColumn("__d3", lag(col("__d"), 3).over(w))
+    val agg = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d") * col("__d")).as("__g0"),
+        sum(col("__d") * col("__d1")).as("__g1"),
+        sum(col("__d") * col("__d2")).as("__g2"),
+        sum(col("__d") * col("__d3")).as("__g3"))
+    val r1 = col("__g1") / nullif(col("__g0"), lit(0.0))
+    val r2 = col("__g2") / nullif(col("__g0"), lit(0.0))
+    val r3 = col("__g3") / nullif(col("__g0"), lit(0.0))
+    val p22 = (r2 - r1 * r1) / nullif(lit(1.0) - r1 * r1, lit(0.0))
+    val p21 = r1 * (lit(1.0) - r2) / nullif(lit(1.0) - r1 * r1, lit(0.0))
+    val p33 = (r3 - p21 * r2 - p22 * r1) /
+      nullif(lit(1.0) - p21 * r1 - p22 * r2, lit(0.0))
+    agg.select(col("__k").as(key), col("n"),
+      round(r1, 4).as("r1"), round(r2, 4).as("r2"),
+      round(r3, 4).as("r3"),
+      round(r1, 4).as("pacf1"), round(p22, 4).as("pacf2"),
+      round(p33, 4).as("pacf3"))
+  }
 }

@@ -74,4 +74,32 @@ class AnomalySpec extends SparkSuite {
       .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
     assert(got.forall { case (_, z, fl) => z.isEmpty && !fl })
   }
+
+  test("hampel: a lone spike is the only outlier; flat windows give " +
+    "zero MAD and never flag their own center") {
+    import spark.implicits._
+    val s = Seq(10, 10, 10, 100, 10, 10, 10).zipWithIndex
+      .map { case (x, t) => ("g", t, x) }.toDF("g", "t", "x")
+    val got = Anomaly.hampel(s, "g", "t", "x", halfWindow = 2)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getAs[Double]("roll_med"), r.getAs[Double]("roll_mad"),
+          r.getAs[Boolean]("is_outlier")))).toMap
+    assert(got(3) == ((10.0, 0.0, true)))   // the spike
+    assert(got.filter(_._2._3).keySet == Set(3))
+    assert(got(0) == ((10.0, 0.0, false)))
+  }
+
+  test("hampel: faithful center-median MAD (not stacked rolling " +
+    "medians)") {
+    import spark.implicits._
+    // window around i=2 (1-based 3rd): values 1,2,9,2,1 -> med 2,
+    // MAD about THAT med = median(1,0,7,0,1) = 1 -> |9-2|=7 > 3*1.4826
+    val s = Seq(1, 2, 9, 2, 1).zipWithIndex
+      .map { case (x, t) => ("g", t, x) }.toDF("g", "t", "x")
+    val got = Anomaly.hampel(s, "g", "t", "x", halfWindow = 2)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getAs[Double]("roll_med"), r.getAs[Double]("roll_mad"),
+          r.getAs[Boolean]("is_outlier")))).toMap
+    assert(got(2) == ((2.0, 1.0, true)))
+  }
 }

@@ -784,7 +784,168 @@ object CatalogSeq {
            |  round(sum(pow(e - el, 2)) / nullif(sum(e * e), 0), 4) AS dw
            |FROM e GROUP BY k ORDER BY event_type""".stripMargin))
 
+  /** X198: Holm + Hochberg FWER adjustments (one sorted window pass;
+    * the step-down/step-up companions to q15's BH). */
+  private val q307 = Q("q307_holm_hochberg",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Stats.holmHochberg(
+        t(s, dir, "events").select($"event_id",
+          round($"value" / 100.0, 6).as("p")),
+        "p", Seq("event_id"))
+        .select($"event_id", $"p", round($"holm", 6).as("holm"),
+          round($"hochberg", 6).as("hochberg"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT event_id, round(value / 100.0, 6) AS p FROM events),
+           |r AS (SELECT event_id, p,
+           |    row_number() OVER (ORDER BY p, event_id) AS rk,
+           |    count(*) OVER () AS m
+           |  FROM p),
+           |t AS (SELECT event_id, p, rk,
+           |    least(1.0, (m - rk + 1) * p) AS term
+           |  FROM r)
+           |SELECT event_id, p,
+           |  round(max(term) OVER (ORDER BY rk
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           |    AS holm,
+           |  round(min(term) OVER (ORDER BY rk DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           |    AS hochberg
+           |FROM t ORDER BY event_id""".stripMargin))
+
+  /** X199: Harrell's concordance index per user cohort — duration =
+    * user's first-to-last-event minutes, event = saw an error, risk
+    * score = total value; pairwise over the bounded cohort grain. */
+  private val q308 = Q("q308_c_index",
+    (s, dir) => {
+      import s.implicits._
+      val subj = t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(((unix_micros(max($"ts")) - unix_micros(min($"ts"))) /
+          60000000L).as("dur"),
+          max(when($"event_type" === "error", 1).otherwise(0)).as("ev"),
+          round(sum($"value"), 2).as("score"))
+        .withColumn("cohort", pmod($"user_id", lit(8)).cast("int"))
+      graft.de.Survival.concordanceIndex(subj, "cohort", "dur", "ev",
+          "score")
+        .orderBy($"cohort")
+    },
+    Some("""WITH subj AS (
+           |  SELECT user_id, (user_id % 8)::INT AS cohort,
+           |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000
+           |      AS dur,
+           |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           |      AS ev,
+           |    round(sum(value), 2) AS score
+           |  FROM events GROUP BY 1, 2),
+           |p AS (SELECT i.cohort,
+           |    CASE WHEN i.score > j.score THEN 1 ELSE 0 END AS conc,
+           |    CASE WHEN i.score = j.score THEN 1 ELSE 0 END AS tie
+           |  FROM subj i JOIN subj j ON i.cohort = j.cohort
+           |  WHERE i.ev = 1 AND i.dur < j.dur),
+           |n AS (SELECT cohort, count(*) AS n FROM subj GROUP BY 1)
+           |SELECT p.cohort, n.n::BIGINT AS n,
+           |  count(*)::BIGINT AS n_pairs,
+           |  sum(conc)::BIGINT AS n_concordant,
+           |  sum(tie)::BIGINT AS n_tied,
+           |  round((sum(conc) + sum(tie) / 2.0) /
+           |    nullif(count(*), 0), 4) AS c_index
+           |FROM p JOIN n USING (cohort)
+           |GROUP BY p.cohort, n.n ORDER BY cohort""".stripMargin))
+
+  /** X200: Atkinson inequality index (ε = 1, geometric-mean EDE) of
+    * order value per priority class — the welfare-grounded member
+    * next to q165's Gini. */
+  private val q309 = Q("q309_atkinson",
+    (s, dir) => {
+      import s.implicits._
+      graft.report.Inequality.atkinson(t(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice")
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
+           |  0::BIGINT AS n_nonpos,
+           |  round(avg(o_totalprice), 4) AS mean,
+           |  round(exp(avg(ln(o_totalprice))), 4) AS ede,
+           |  round(1 - exp(avg(ln(o_totalprice))) /
+           |    avg(o_totalprice), 6) AS atkinson
+           |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+
+  /** X201: directly standardized finished-order rates per priority,
+    * reweighted to the pooled order-year mix — composition-adjusted
+    * comparison, the epidemiology classic. */
+  private val q310 = Q("q310_std_rates",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.standardizedRates(
+        t(s, dir, "orders").select($"o_orderpriority",
+          year(to_date($"o_orderdate")).as("yr"),
+          ($"o_orderstatus" === "F").cast("int").as("ev")),
+        "o_orderpriority", "yr", "ev")
+        .orderBy($"o_orderpriority")
+    },
+    Some("""WITH cell AS (
+           |  SELECT o_orderpriority AS g, year(o_orderdate::DATE) AS s,
+           |    count(*) AS n,
+           |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x
+           |  FROM orders GROUP BY 1, 2),
+           |ref AS (SELECT s, sum(n) AS ns FROM cell GROUP BY 1),
+           |tot AS (SELECT sum(ns) AS nt FROM ref),
+           |k AS (SELECT count(*) AS k FROM ref)
+           |SELECT g AS o_orderpriority, sum(cell.n)::BIGINT AS n,
+           |  round(sum(cell.x)::DOUBLE / sum(cell.n), 6) AS crude_rate,
+           |  CASE WHEN count(*) = (SELECT k FROM k)
+           |       THEN round(sum((cell.x::DOUBLE / cell.n) * ref.ns /
+           |                      (SELECT nt FROM tot)), 6) END
+           |    AS std_rate
+           |FROM cell JOIN ref USING (s)
+           |GROUP BY g ORDER BY o_orderpriority""".stripMargin))
+
+  /** X202: Mantel–Haenszel pooled odds ratio + CMH χ² over per-type
+    * 2×2 strata (the stratified sibling of q301's Fisher exact). The
+    * oracle compares the exact-arithmetic columns; the χ²→p tail is
+    * spec-pinned against R's pchisq instead (DuckDB ships no
+    * erfc/normal CDF to compare against). */
+  private val q311 = Q("q311_mantel_haenszel",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.mantelHaenszel(
+        t(s, dir, "events").select($"event_type",
+          pmod($"event_id", lit(2)).cast("int").as("x"),
+          when($"event_id" % 3 === 0, 1).otherwise(0).as("y")),
+        "event_type", "x", "y")
+        .drop("p_value")
+    },
+    Some("""WITH cell AS (
+           |  SELECT event_type,
+           |    count(CASE WHEN event_id % 2 = 1 AND event_id % 3 = 0
+           |               THEN 1 END) AS a,
+           |    count(CASE WHEN event_id % 2 = 1 AND event_id % 3 <> 0
+           |               THEN 1 END) AS b,
+           |    count(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
+           |               THEN 1 END) AS c,
+           |    count(CASE WHEN event_id % 2 = 0 AND event_id % 3 <> 0
+           |               THEN 1 END) AS d
+           |  FROM events GROUP BY 1),
+           |m AS (SELECT *, (a + b + c + d)::DOUBLE AS n,
+           |    (a + b)::DOUBLE AS m1, (c + d)::DOUBLE AS m0,
+           |    (a + c)::DOUBLE AS n1, (b + d)::DOUBLE AS n0
+           |  FROM cell),
+           |agg AS (SELECT count(*) AS n_strata, sum(n)::BIGINT AS nn,
+           |    sum(a * d / n) AS num, sum(b * c / n) AS den,
+           |    sum(a)::DOUBLE AS sa, sum(m1 * n1 / n) AS se,
+           |    sum(CASE WHEN n > 1
+           |             THEN m1 * m0 * n1 * n0 / (n * n * (n - 1))
+           |             ELSE 0 END) AS sv
+           |  FROM m)
+           |SELECT n_strata::BIGINT AS n_strata, nn AS n,
+           |  round(num / nullif(den, 0), 4) AS or_mh,
+           |  round(pow(sa - se, 2) / nullif(sv, 0), 4) AS chi2
+           |FROM agg""".stripMargin))
+
   val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290, q291,
     q292, q293, q294, q295, q296, q297, q298, q299, q300, q301,
-    q302, q303, q304, q305, q306)
+    q302, q303, q304, q305, q306, q307, q308, q309, q310, q311)
 }

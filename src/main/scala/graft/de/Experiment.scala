@@ -185,4 +185,85 @@ object Experiment {
       round(t, 4).as("t_stat"), round(z, 4).as("z"),
       round(z * z, 4).as("chi2"))
   }
+
+  /** Directly standardized rates: per group, the event rate REWEIGHTED
+    * to the pooled population's stratum mix — the epidemiology classic
+    * that makes two groups with different age/priority structures
+    * comparable (a crude-rate gap can be pure composition; the
+    * standardized gap is not). Standard population = the pooled
+    * stratum sizes across all groups. Two aggregates over one scan +
+    * a stratum-bounded broadcast join. Output per group: (group,
+    * n BIGINT, crude_rate 6dp, std_rate 6dp — null when a group is
+    * missing a stratum entirely, surfaced rather than silently
+    * re-normalized). */
+  def standardizedRates(df: DataFrame, groupCol: String,
+                        stratumCol: String,
+                        eventCol: String): DataFrame = {
+    val e = col(eventCol).cast("long")
+    val cell = df.groupBy(col(groupCol).as("__g"),
+        col(stratumCol).as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(e).as("__x"))
+    val ref = cell.groupBy(col("__s"))
+      .agg(sum(col("__n")).as("__ns"))
+    val refTot = ref.agg(sum(col("__ns")).as("__nt"))
+    val nStrata = ref.count()
+    val rate = col("__x").cast("double") / col("__n")
+    cell.join(broadcast(ref), Seq("__s"))
+      .crossJoin(broadcast(refTot))
+      .groupBy(col("__g"))
+      .agg(sum(col("__n")).as("n"),
+        count(lit(1)).as("__k"),
+        sum(col("__x")).as("__xx"),
+        sum(rate * col("__ns").cast("double") / col("__nt"))
+          .as("__std"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__xx").cast("double") / col("n"), 6).as("crude_rate"),
+        when(col("__k") === nStrata, round(col("__std"), 6))
+          .as("std_rate"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio + Cochran–Mantel–Haenszel χ²
+    * across stratified 2×2 tables — "is the exposure–outcome
+    * association real once the confounder is held fixed" (the
+    * stratified big brother of a single 2×2; [[graft.de.Inference
+    * .fisherExact]] is its small-sample per-stratum sibling).
+    * OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ); CMH χ² (1 df, no continuity
+    * correction) = (Σaᵢ − ΣEᵢ)² / ΣVᵢ with the standard hypergeometric
+    * Eᵢ/Vᵢ. One conditional aggregate to the stratum grain, one
+    * readout row. Output: (n_strata BIGINT, n BIGINT, or_mh 4dp,
+    * chi2 4dp, p_value 6dp). */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    import graft.functions.gfunctions.normal_sf
+    val x = col(xCol) === 1
+    val y = col(yCol) === 1
+    val cell = df.groupBy(col(stratumCol).as("__s"))
+      .agg(count(when(x && y, 1)).as("a"),
+        count(when(x && !y, 1)).as("b"),
+        count(when(!x && y, 1)).as("c"),
+        count(when(!x && !y, 1)).as("d"))
+      .withColumn("__n",
+        (col("a") + col("b") + col("c") + col("d")).cast("double"))
+    val m1 = (col("a") + col("b")).cast("double")
+    val m0 = (col("c") + col("d")).cast("double")
+    val n1 = (col("a") + col("c")).cast("double")
+    val n0 = (col("b") + col("d")).cast("double")
+    val ei = m1 * n1 / col("__n")
+    val vi = when(col("__n") > 1,
+      m1 * m0 * n1 * n0 / (col("__n") * col("__n") * (col("__n") - 1)))
+      .otherwise(lit(0.0))
+    val agg = cell.agg(count(lit(1)).as("n_strata"),
+      sum(col("__n")).cast("long").as("n"),
+      sum(col("a") * col("d") / col("__n")).as("__num"),
+      sum(col("b") * col("c") / col("__n")).as("__den"),
+      sum(col("a")).cast("double").as("__sa"),
+      sum(ei).as("__se"), sum(vi).as("__sv"))
+    val chi2 = pow(col("__sa") - col("__se"), 2) /
+      nullif(col("__sv"), lit(0.0))
+    agg.select(col("n_strata"), col("n"),
+      round(col("__num") / nullif(col("__den"), lit(0.0)), 4)
+        .as("or_mh"),
+      round(chi2, 4).as("chi2"),
+      round(lit(2.0) * normal_sf(sqrt(chi2)), 6).as("p_value"))
+  }
 }

@@ -232,4 +232,45 @@ object Stats {
           nullif(col("__r.__den") * col("m"), lit(0.0))), 4).as("pi0"))
       .orderBy(col("lambda"))
   }
+
+  /** Holm (step-down) and Hochberg (step-up) adjusted p-values in one
+    * pass — the FWER companions to [[bhAdjust]]'s FDR: Holm controls
+    * family-wise error under any dependence (always valid, most
+    * conservative), Hochberg is sharper but needs nonnegative
+    * dependence; both are monotone transforms of (m−rank+1)·p —
+    * Holm the forward running max, Hochberg the reverse running min,
+    * so they share ONE p-sorted window pass (the bhWindowed shape;
+    * this is the dimension-bounded-m variant — route genuinely huge
+    * m through bhAdjust's distributed rank, FDR being the regime that
+    * scale implies anyway). Null/NaN p-values pass through with null
+    * adjustments (the bhAdjust convention). Output: input columns +
+    * holm, hochberg. */
+  def holmHochberg(df: DataFrame, pCol: String,
+                   tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val p = col(pCol)
+    val bad = p.isNull || isnan(p)
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val invalid = cached.filter(bad)
+      .withColumn("holm", lit(null).cast("double"))
+      .withColumn("hochberg", lit(null).cast("double"))
+    val valid = cached.filter(!bad)
+    val m = valid.count()
+    val adjusted = if (m == 0) invalid.limit(0)
+    else {
+      val wAsc = Window.orderBy((p.asc +: tieBreak.map(col(_).asc)): _*)
+      val wFwd = Window.orderBy(col("__rk").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBwd = Window.orderBy(col("__rk").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val term = least(lit(1.0), (lit(m.toDouble) - col("__rk") + 1) * p)
+      valid
+        .withColumn("__rk", row_number().over(wAsc))
+        .withColumn("holm", max(term).over(wFwd))
+        .withColumn("hochberg", min(term).over(wBwd))
+        .drop("__rk")
+    }
+    val result = adjusted.unionByName(invalid).localCheckpoint()
+    cached.unpersist(false)
+    result
+  }
 }

@@ -174,4 +174,41 @@ object Survival {
         round(pow(col("o_a") - col("__ea"), 2) / col("__v"), 4))
         .as("chi2"))
   }
+
+  /** Harrell's concordance index per group — "does a higher risk score
+    * actually mean an earlier event": over comparable pairs (the one
+    * with the shorter time had an OBSERVED event), count pairs where
+    * the shorter-time subject also has the higher score; score ties
+    * count ½. The survival generalization of AUC (c = AUC when all
+    * events are observed). Inherently pairwise — per-group O(n²) over
+    * BOUNDED groups (pre-aggregate or sample to the cohort grain
+    * upstream, the kendallTauB contract). All counts exact integers.
+    * Output: (group, n BIGINT, n_pairs BIGINT, n_concordant BIGINT,
+    * n_tied BIGINT, c_index 4dp — null with no comparable pairs). */
+  def concordanceIndex(df: DataFrame, groupCol: String,
+                       durationCol: String, eventCol: String,
+                       scoreCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(durationCol).cast("double").as("__t"),
+      col(eventCol).cast("int").as("__e"),
+      col(scoreCol).cast("double").as("__s"))
+    val i = base.select(col("__g"), col("__t").as("__ti"),
+      col("__e").as("__ei"), col("__s").as("__si"))
+    val j = base.select(col("__g"), col("__t").as("__tj"),
+      col("__s").as("__sj"))
+    // comparable: i's event observed strictly before j's time
+    val pairs = i.join(j, Seq("__g"))
+      .filter(col("__ei") === 1 && col("__ti") < col("__tj"))
+    val nPts = base.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    pairs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("__si") > col("__sj"), 1)).as("n_concordant"),
+        count(when(col("__si") === col("__sj"), 1)).as("n_tied"))
+      .join(nPts, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("n_pairs"),
+        col("n_concordant"), col("n_tied"),
+        round((col("n_concordant") + col("n_tied") / 2.0) /
+          nullif(col("n_pairs").cast("double"), lit(0.0)), 4)
+          .as("c_index"))
+  }
 }

@@ -111,4 +111,34 @@ object Inequality {
             (col("n_units").cast("double") / col("__n"))), 6)
           .as("between_term"))
   }
+
+  /** Atkinson inequality index per group — the welfare-grounded member
+    * of the family ([[gini]] is rank-based, [[theilDecomposition]]
+    * entropy-based): A_ε = 1 − EDE/mean, where the equally-distributed
+    * equivalent is the power mean of order 1−ε (geometric mean at
+    * ε = 1). ε is society's inequality aversion — A rises toward 1 as
+    * the chosen ε weights the poor more. Values must be positive (the
+    * log/power means are undefined otherwise — filtered out with a
+    * count reported). One aggregate. Output: (group, n BIGINT,
+    * n_nonpos BIGINT, mean 4dp, ede 4dp, atkinson 6dp). */
+  def atkinson(df: DataFrame, groupCol: String, valueCol: String,
+               epsilon: Double = 1.0): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val v = col(valueCol).cast("double")
+    val pos = v > 0
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(when(pos, 1)).as("n"),
+        count(when(!pos || v.isNull, 1)).as("n_nonpos"),
+        avg(when(pos, v)).as("__m"),
+        avg(when(pos, log(v))).as("__ml"),
+        avg(when(pos, pow(v, lit(1.0 - epsilon)))).as("__mp"))
+    val ede =
+      if (epsilon == 1.0) exp(col("__ml"))
+      else pow(col("__mp"), lit(1.0 / (1.0 - epsilon)))
+    agg.select(col(groupCol), col("n"), col("n_nonpos"),
+      round(col("__m"), 4).as("mean"),
+      round(ede, 4).as("ede"),
+      round(lit(1.0) - ede / nullif(col("__m"), lit(0.0)), 6)
+        .as("atkinson"))
+  }
 }

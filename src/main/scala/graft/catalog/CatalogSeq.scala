@@ -945,7 +945,104 @@ object CatalogSeq {
            |  round(pow(sa - se, 2) / nullif(sv, 0), 4) AS chi2
            |FROM agg""".stripMargin))
 
+  /** X203: KMV set operations — distinct/overlap/Jaccard estimates
+    * between the parts referenced by lineitem and the part dimension,
+    * from bottom-k md5 signatures (bit-replayable: the oracle rebuilds
+    * the identical sketch with md5_number_lower). */
+  private val q312 = Q("q312_kmv_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      graft.sketch.Sketches.kmvSetOps(
+        t(s, dir, "lineitem").select($"l_partkey".as("v")),
+        t(s, dir, "part").select($"p_partkey".as("v")),
+        "v", k = 256)
+    },
+    Some("""WITH ha AS (SELECT DISTINCT
+           |    md5_number_lower(CAST(l_partkey AS VARCHAR)) AS hu
+           |  FROM lineitem),
+           |hb AS (SELECT DISTINCT
+           |    md5_number_lower(CAST(p_partkey AS VARCHAR)) AS hu
+           |  FROM part),
+           |u AS (SELECT hu, max(ina) AS ina, max(inb) AS inb FROM (
+           |    SELECT hu, 1 AS ina, 0 AS inb FROM ha
+           |    UNION ALL SELECT hu, 0, 1 FROM hb) GROUP BY hu),
+           |ra AS (SELECT hu, row_number() OVER (ORDER BY hu) AS r
+           |       FROM ha),
+           |rb AS (SELECT hu, row_number() OVER (ORDER BY hu) AS r
+           |       FROM hb),
+           |ru AS (SELECT hu, ina, inb,
+           |         row_number() OVER (ORDER BY hu) AS r FROM u),
+           |n AS (SELECT (SELECT count(*) FROM ha) AS na,
+           |        (SELECT count(*) FROM hb) AS nb,
+           |        (SELECT count(*) FROM u) AS nu),
+           |es AS (SELECT
+           |    coalesce((SELECT 255 * 18446744073709551616.0 / hu::DOUBLE
+           |              FROM ra WHERE r = 256), (SELECT na FROM n))
+           |      AS est_a,
+           |    coalesce((SELECT 255 * 18446744073709551616.0 / hu::DOUBLE
+           |              FROM rb WHERE r = 256), (SELECT nb FROM n))
+           |      AS est_b,
+           |    coalesce((SELECT 255 * 18446744073709551616.0 / hu::DOUBLE
+           |              FROM ru WHERE r = 256), (SELECT nu FROM n))
+           |      AS est_u,
+           |    least(256, (SELECT nu FROM n)) AS k_used,
+           |    (SELECT count(*) FROM ru
+           |     WHERE r <= 256 AND ina = 1 AND inb = 1) AS rho)
+           |SELECT k_used::BIGINT AS k_used, round(est_a, 4) AS est_a,
+           |  round(est_b, 4) AS est_b, round(est_u, 4) AS est_union,
+           |  rho::BIGINT AS rho,
+           |  round(rho / k_used::DOUBLE, 4) AS jaccard_est,
+           |  round(rho / k_used::DOUBLE * est_u, 4) AS est_intersection
+           |FROM es""".stripMargin))
+
+  /** X204: prefix dedup — "same article, different tail" groups via
+    * the md5 of the first 30 tokens, with the tail-length spread. */
+  private val q313 = Q("q313_prefix_groups",
+    (s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.prefixGroups(t(s, dir, "documents"),
+          "doc_id", "text", nTokens = 30)
+        .orderBy($"prefix_md5")
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, text,
+           |    md5(array_to_string(
+           |      regexp_extract_all(text, '\S+')[1:30], ' ')) AS pm
+           |  FROM documents)
+           |SELECT pm AS prefix_md5, min(doc_id)::BIGINT AS keep_id,
+           |  count(*)::BIGINT AS n_dups,
+           |  min(length(text))::INT AS min_len,
+           |  max(length(text))::INT AS max_len
+           |FROM p GROUP BY pm ORDER BY prefix_md5""".stripMargin))
+
+  /** X205: template mining — top masked line patterns (digit runs →
+    * '#', hex runs → '@'), the Drain-style log triage done
+    * relationally. */
+  private val q314 = Q("q314_templates",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.TextAnalysis.templateMiner(t(s, dir, "documents"),
+          "doc_id", "text", topK = 20)
+        .orderBy($"rank")
+    },
+    Some("""WITH l AS (
+           |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |    regexp_replace(regexp_replace(line, '[0-9a-f]{8,}', '@',
+           |      'g'), '[0-9]+', '#', 'g') AS pattern
+           |  FROM l WHERE length(trim(line)) > 0),
+           |c AS (SELECT pattern, count(*) AS n_lines,
+           |        count(DISTINCT doc_id) AS n_docs
+           |      FROM f GROUP BY 1)
+           |SELECT pattern, n_lines::BIGINT AS n_lines,
+           |  n_docs::BIGINT AS n_docs,
+           |  (row_number() OVER (ORDER BY n_lines DESC, pattern))::INT
+           |    AS rank
+           |FROM c QUALIFY rank <= 20 ORDER BY rank""".stripMargin))
+
   val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290, q291,
     q292, q293, q294, q295, q296, q297, q298, q299, q300, q301,
-    q302, q303, q304, q305, q306, q307, q308, q309, q310, q311)
+    q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
+    q312, q313, q314)
 }

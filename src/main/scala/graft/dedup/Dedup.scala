@@ -81,6 +81,27 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Prefix dedup: group documents by the md5 of their first
+    * `nTokens` whitespace tokens — the "same article, different tail"
+    * duplicate class exact dedup misses (syndicated copies with
+    * appended boilerplate, truncated mirrors) and shingle near-dup
+    * only catches when the shared prefix dominates. Exactly the
+    * [[exactGroups]] shape on a derived key: one narrow tokenize-slice
+    * projection, one hash-keyed shuffle. Output: (prefix_md5, keep_id,
+    * n_dups, min/max length — the tail-length spread inside the group,
+    * which is the triage signal: spread 0 ⇒ plain exact dup). */
+  def prefixGroups(df: DataFrame, idCol: String, textCol: String,
+                   nTokens: Int = 50): DataFrame = {
+    require(nTokens >= 1, "nTokens must be >= 1")
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), col(textCol),
+        md5(array_join(slice(toks, 1, nTokens), " ")).as("prefix_md5"))
+      .groupBy(col("prefix_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"),
+        min(length(col(textCol))).as("min_len"),
+        max(length(col(textCol))).as("max_len"))
+  }
+
   /** Incremental exact dedup — the production shape at corpus scale: each
     * ingest batch dedups against the HASH SET of everything already
     * accepted (content_md5 column, e.g. accumulated [[exactGroups]]

@@ -183,4 +183,69 @@ object Sketches {
     hashed.unpersist(false)
     r
   }
+
+  /** KMV set operations (Beyer et al. 2007): distinct-count estimates
+    * for A, B, A∪B plus the Jaccard/intersection estimates from ONE
+    * pass of bottom-k signatures — the sketch answer to "how much do
+    * these two columns overlap" that never materializes the
+    * intersection ([[graft.util.Profile]]'s joinability twin at
+    * sketch cost). The union's bottom-k IS the merged sketch (same
+    * deterministic md5 value domain as [[kmvDistinct]], so estimates
+    * are engine-replayable); ρ = how many of those k smallest union
+    * hashes belong to BOTH sides, Jaccard ≈ ρ/k, |A∩B| ≈ (ρ/k)·|A∪B|.
+    * Per-side membership rides the same hash aggregate — no second
+    * scan. Output (one row): k_used BIGINT, est_a, est_b, est_union
+    * (4dp), rho BIGINT, jaccard_est 4dp, est_intersection 4dp. */
+  def kmvSetOps(left: DataFrame, right: DataFrame, valueCol: String,
+                k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import left.sparkSession.implicits._
+    val two64 = 18446744073709551616.0
+    val hashes = left.select(md5_long(col(valueCol).cast("string"))
+        .as("h"), lit(1).as("__a"), lit(0).as("__b"))
+      .unionAll(right.select(
+        md5_long(col(valueCol).cast("string")).as("h"),
+        lit(0).as("__a"), lit(1).as("__b")))
+      .groupBy($"h")
+      .agg(max($"__a").as("in_a"), max($"__b").as("in_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy($"h".bitwiseXOR(lit(Long.MinValue)))
+    val ranked = hashes.withColumn("r", row_number().over(w))
+    val u = ($"h".cast("double") +
+      when($"h" < 0, lit(two64)).otherwise(lit(0.0)))
+    def kthEst(df: DataFrame, rCol: String) =
+      df.filter(col(rCol) === k)
+        .select((lit(k - 1) * lit(two64) / u).as("est"))
+    // per-side kth minima need per-side ranks: one more window each
+    // over the (already distinct) hash frame
+    val wA = Window.orderBy($"h".bitwiseXOR(lit(Long.MinValue)))
+    val ra = hashes.filter($"in_a" === 1)
+      .withColumn("ra", row_number().over(wA))
+    val rb = hashes.filter($"in_b" === 1)
+      .withColumn("rb", row_number().over(wA))
+    val exactA = hashes.filter($"in_a" === 1).count().toDouble
+    val exactB = hashes.filter($"in_b" === 1).count().toDouble
+    val exactU = hashes.count().toDouble
+    val estA = kthEst(ra, "ra").as[Double].collect()
+      .headOption.getOrElse(exactA)
+    val estB = kthEst(rb, "rb").as[Double].collect()
+      .headOption.getOrElse(exactB)
+    val topU = ranked.filter($"r" <= k)
+    val stats = topU.agg(count(lit(1)).as("k_used"),
+      count(when($"in_a" === 1 && $"in_b" === 1, 1)).as("rho")).head
+    val kUsed = stats.getLong(0)
+    val rho = stats.getLong(1)
+    val estU =
+      if (kUsed < k) exactU
+      else kthEst(ranked, "r").as[Double].collect().head
+    hashes.unpersist(false)
+    val jac = if (kUsed == 0) 0.0 else rho.toDouble / kUsed
+    Seq((kUsed, rnd4(estA), rnd4(estB), rnd4(estU), rho, rnd4(jac),
+      rnd4(jac * estU)))
+      .toDF("k_used", "est_a", "est_b", "est_union", "rho",
+        "jaccard_est", "est_intersection")
+  }
+
+  private def rnd4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

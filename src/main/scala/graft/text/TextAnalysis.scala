@@ -331,6 +331,34 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** Template mining (X205): the most frequent LINE PATTERNS after
+    * masking volatile spans (digit runs → '#', long hex runs → '@') —
+    * the log/boilerplate triage that turns a million distinct lines
+    * into the dozen templates generating them (the Drain-style first
+    * pass, done relationally). One explode at line grain, a narrow
+    * masking projection, one pattern-keyed aggregate with map-side
+    * partials; topK cut by (count desc, pattern asc). Output:
+    * (pattern, n_lines BIGINT, n_docs BIGINT, rank). */
+  def templateMiner(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val lines = df.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .filter(length(trim(col("__line"))) > 0)
+    val pattern = regexp_replace(
+      regexp_replace(col("__line"), "[0-9a-f]{8,}", "@"),
+      "[0-9]+", "#")
+    val counts = lines
+      .select(col(idCol), pattern.as("pattern"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_lines").desc, col("pattern").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Mixed-script audit (X191): per document, letter counts by Unicode
     * script (Latin / Cyrillic / Greek) plus digits, and a `mixed` flag
     * when at least two letter scripts co-occur — the homoglyph-spoof /

@@ -547,6 +547,37 @@ object LlmScaleSmoke {
               .as("pvalue"))
           graft.de.Stats.bhAdjust(ps, "pvalue", "adj", Seq("id"))
         }),
+        // exact hypergeometric tails: lnfact table ∝ max stratum size,
+        // k-grid ∝ margins — both grow linearly with n
+        "fisher_exact" -> (() => sink(
+          graft.de.Inference.fisherExact(
+            events.select(col("event_type"),
+              pmod(col("event_id"), lit(2)).cast("int").as("x"),
+              when(col("event_id") % 3 === 0, 1).otherwise(0).as("y")),
+            "event_type", "x", "y"))),
+        // event-grain sweep line: one union + one keyed window sort
+        "max_concurrency" -> (() => sink {
+          val iv = events.select(col("event_type"),
+            unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) +
+              round(col("value")).cast("long") * 1000000L).as("e"))
+          graft.events.Intervals.maxConcurrency(iv, "event_type",
+            "s", "e")
+        }),
+        // narrow regexp_count scan over the corpus, no shuffle at all
+        "script_profile" -> (() => sink(
+          graft.text.TextAnalysis.scriptProfile(docs, "doc_id", "text"))),
+        // distributed Orzan SCC on the user graph (driver thresholds 0)
+        "scc_distributed" -> (() => sink {
+          val nUsers = math.max(2L, n / 100)
+          val edges = events.filter(col("event_id") % 5 === 0)
+            .select(col("user_id").as("src"),
+              pmod(col("event_id") * 2654435761L, lit(nUsers)).as("dst"))
+          val nodes = edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node"))).distinct()
+          graft.graph.Scc.components(spark, nodes, edges,
+            driverNodeThreshold = 0L, driverEdgeThreshold = 0L)
+        }),
         // force the DISTRIBUTED seeded-walk loop (driverThreshold 0) on
         // the user graph — the scale path the q241 driver twin dispatches
         // away from; nodes/edges grow with n

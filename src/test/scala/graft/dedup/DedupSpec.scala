@@ -25,6 +25,22 @@ class DedupSpec extends SparkSuite {
     assert(dup.toSeq == Seq(1L))
   }
 
+  test("prefixGroups: shared-prefix docs group; tail-length spread " +
+    "separates truncation dups from exact dups") {
+    val pd = Seq(
+      (1L, "alpha beta gamma delta tail one"),
+      (2L, "alpha beta gamma delta"),            // truncated mirror
+      (3L, "alpha beta gamma delta tail one"),   // exact dup of 1
+      (4L, "totally different document text"))
+      .toDF("doc_id", "text")
+    val g = Dedup.prefixGroups(pd, "doc_id", "text", nTokens = 4)
+      .collect().map(r => r.getAs[Long]("keep_id") ->
+        ((r.getAs[Long]("n_dups"), r.getAs[Int]("min_len"),
+          r.getAs[Int]("max_len")))).toMap
+    assert(g(1L) == ((3L, 22, 31)))  // docs 1,2,3 share the prefix
+    assert(g(4L) == ((1L, 31, 31)))
+  }
+
   test("incremental dedup: drops seen content, first-wins within batch") {
     // seen corpus = doc 1's content; batch has a copy of it (7), an
     // in-batch dup pair (8, 9), and fresh content (10)

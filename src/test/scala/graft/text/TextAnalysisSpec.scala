@@ -227,6 +227,21 @@ class TextAnalysisSpec extends SparkSuite {
     expected.foreach { case (k, v) => assert(got(k) == v, s"hash of $k") }
   }
 
+  test("templateMiner: digit/hex masking collapses log lines to " +
+    "ranked templates") {
+    val docs = Seq(
+      (1L, "req 123 took 45ms\nreq 999 took 7ms\nboot ok"),
+      (2L, "req 5 took 1ms\nsession deadbeef99 closed"))
+      .toDF("id", "text")
+    val got = TextAnalysis.templateMiner(docs, "id", "text", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_docs"),
+          r.getAs[Int]("rank")))).toMap
+    assert(got("req # took #ms") == ((3L, 2L, 1)))
+    assert(got("session @ closed") == ((1L, 1L, 3)))
+    assert(got("boot ok")._1 == 1L)
+  }
+
   test("scriptProfile: per-script letter counts and the mixed flag") {
     val docs = Seq((1L, "hello мир 123"), (2L, "plain ascii"),
       (3L, "αβ")).toDF("id", "text")

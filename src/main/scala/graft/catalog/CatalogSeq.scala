@@ -1041,8 +1041,221 @@ object CatalogSeq {
            |    AS rank
            |FROM c QUALIFY rank <= 20 ORDER BY rank""".stripMargin))
 
+  /** X206: G-test of independence (2N·MI identity) next to Pearson. */
+  private val q315 = Q("q315_g_test",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.InfoTheory.gTest(
+        t(s, dir, "events").select($"event_type",
+          pmod($"event_id", lit(3)).as("m3")),
+        "event_type", "m3")
+    },
+    Some("""WITH cells AS (
+           |  SELECT event_type AS x, event_id % 3 AS y, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |mx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY 1),
+           |my AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
+           |n AS (SELECT sum(c) AS n,
+           |        (SELECT count(*) FROM mx) AS nx,
+           |        (SELECT count(*) FROM my) AS ny FROM cells)
+           |SELECT (SELECT n FROM n)::BIGINT AS n,
+           |  ((SELECT nx FROM n) - 1) * ((SELECT ny FROM n) - 1)
+           |    AS df,
+           |  round(2.0 * sum(c * ln(c /
+           |    (mx.cx::DOUBLE * my.cy / (SELECT n FROM n)))), 4) AS g,
+           |  round(sum(pow(c - mx.cx::DOUBLE * my.cy /
+           |    (SELECT n FROM n), 2) /
+           |    (mx.cx::DOUBLE * my.cy / (SELECT n FROM n))), 4)
+           |    AS pearson_chi2
+           |FROM cells JOIN mx USING (x) JOIN my USING (y)""".stripMargin))
+
+  /** X207: McNemar's paired test — per user-cohort, did users who
+    * clicked also purchase (pre = clicked, post = purchased). */
+  private val q316 = Q("q316_mcnemar",
+    (s, dir) => {
+      import s.implicits._
+      val users = t(s, dir, "events").groupBy($"user_id")
+        .agg(max(when($"event_type" === "click", 1).otherwise(0))
+          .as("pre"),
+          max(when($"event_type" === "purchase", 1).otherwise(0))
+            .as("post"))
+        .withColumn("cohort", pmod($"user_id", lit(4)).cast("int"))
+      graft.de.Experiment.mcnemar(users, "cohort", "pre", "post")
+        .orderBy($"cohort")
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id, (user_id % 4)::INT AS cohort,
+           |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           |      AS pre,
+           |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS post
+           |  FROM events GROUP BY 1, 2)
+           |SELECT cohort, count(*)::BIGINT AS n,
+           |  count(CASE WHEN pre = 1 AND post = 0 THEN 1 END)::BIGINT
+           |    AS b,
+           |  count(CASE WHEN pre = 0 AND post = 1 THEN 1 END)::BIGINT
+           |    AS c,
+           |  round(pow(count(CASE WHEN pre = 1 AND post = 0 THEN 1 END)
+           |          - count(CASE WHEN pre = 0 AND post = 1 THEN 1 END),
+           |        2) /
+           |    nullif(count(CASE WHEN pre = 1 AND post = 0 THEN 1 END)
+           |         + count(CASE WHEN pre = 0 AND post = 1 THEN 1 END),
+           |         0)::DOUBLE, 4) AS chi2,
+           |  round(pow(greatest(abs(
+           |      count(CASE WHEN pre = 1 AND post = 0 THEN 1 END)
+           |    - count(CASE WHEN pre = 0 AND post = 1 THEN 1 END)) - 1,
+           |      0), 2) /
+           |    nullif(count(CASE WHEN pre = 1 AND post = 0 THEN 1 END)
+           |         + count(CASE WHEN pre = 0 AND post = 1 THEN 1 END),
+           |         0)::DOUBLE, 4) AS chi2_cc
+           |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin))
+
+  /** X208: Cohen's h effect size — high-quantity rate A vs N flag per
+    * linestatus (arcsine scale). */
+  private val q317 = Q("q317_cohens_h",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.cohensH(
+        t(s, dir, "lineitem").select($"l_linestatus", $"l_returnflag",
+          ($"l_quantity" > 25).cast("long").as("hi")),
+        "l_linestatus", "l_returnflag", "hi", "A", "N")
+        .orderBy($"l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+           |  count(CASE WHEN l_returnflag = 'A' THEN 1 END)::BIGINT
+           |    AS n_a,
+           |  count(CASE WHEN l_returnflag = 'N' THEN 1 END)::BIGINT
+           |    AS n_b,
+           |  round(sum(CASE WHEN l_returnflag = 'A' AND l_quantity > 25
+           |                 THEN 1 ELSE 0 END)::DOUBLE /
+           |    nullif(count(CASE WHEN l_returnflag = 'A' THEN 1 END), 0),
+           |    6) AS p_a,
+           |  round(sum(CASE WHEN l_returnflag = 'N' AND l_quantity > 25
+           |                 THEN 1 ELSE 0 END)::DOUBLE /
+           |    nullif(count(CASE WHEN l_returnflag = 'N' THEN 1 END), 0),
+           |    6) AS p_b,
+           |  round(2 * asin(sqrt(
+           |      sum(CASE WHEN l_returnflag = 'A' AND l_quantity > 25
+           |          THEN 1 ELSE 0 END)::DOUBLE /
+           |      nullif(count(CASE WHEN l_returnflag = 'A' THEN 1 END),
+           |             0)))
+           |    - 2 * asin(sqrt(
+           |      sum(CASE WHEN l_returnflag = 'N' AND l_quantity > 25
+           |          THEN 1 ELSE 0 END)::DOUBLE /
+           |      nullif(count(CASE WHEN l_returnflag = 'N' THEN 1 END),
+           |             0))), 4) AS cohens_h
+           |FROM lineitem WHERE l_returnflag IN ('A', 'N')
+           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+
+  /** X209: run-length statistics — per (user-cohort, state) event-type
+    * persistence. Keyed per user then re-aggregated to cohorts for a
+    * bounded result. */
+  private val q318 = Q("q318_run_lengths",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.Sessionize.runLengths(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .groupBy(pmod($"user_id", lit(4)).cast("int").as("cohort"),
+          $"state")
+        .agg(sum($"n_events").as("n_events"),
+          sum($"n_runs").as("n_runs"),
+          round(sum($"n_events") / sum($"n_runs").cast("double"), 4)
+            .as("events_per_run"),
+          max($"max_run_len").as("max_run_len"))
+        .orderBy($"cohort", $"state")
+    },
+    Some("""WITH r AS (
+           |  SELECT user_id, event_type AS state, ts, event_id,
+           |    CASE WHEN lag(event_type) OVER w IS NULL
+           |         OR lag(event_type) OVER w <> event_type
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |runs AS (SELECT user_id, state,
+           |    sum(is_new) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS run
+           |  FROM r),
+           |g AS (SELECT user_id, state, run, count(*) AS len
+           |      FROM runs GROUP BY 1, 2, 3)
+           |SELECT (user_id % 4)::INT AS cohort, state,
+           |  sum(len)::BIGINT AS n_events, count(*)::BIGINT AS n_runs,
+           |  round(sum(len) / count(*)::DOUBLE, 4) AS events_per_run,
+           |  max(len)::BIGINT AS max_run_len
+           |FROM g GROUP BY 1, 2 ORDER BY cohort, state""".stripMargin))
+
+  /** X210: multiplicative seasonal index (ratio-to-MA, m = 7) of daily
+    * volume per type — "Mondays run at 0.9× trend". */
+  private val q319 = Q("q319_seasonal_index",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("x"))
+      graft.events.Decompose.multiplicativeIndex(daily, "event_type",
+          "d", "x", m = 7)
+        .orderBy($"event_type", $"phase")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS k, ts::DATE AS d, count(*) AS x
+           |  FROM events GROUP BY 1, 2),
+           |b AS (SELECT k, d, x,
+           |    row_number() OVER (PARTITION BY k ORDER BY d) - 1 AS i,
+           |    count(*) OVER (PARTITION BY k) AS n,
+           |    sum(x) OVER (PARTITION BY k ORDER BY d
+           |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+           |  FROM d),
+           |t AS (SELECT k, i % 7 AS phase, x,
+           |    CASE WHEN i >= 3 AND i < n - 3 THEN s7 / 7.0 END AS tr
+           |  FROM b),
+           |r AS (SELECT k, phase, count(*) AS n_obs,
+           |        avg(x / tr) AS rr
+           |      FROM t WHERE tr IS NOT NULL AND tr <> 0 GROUP BY 1, 2),
+           |c AS (SELECT k, avg(rr) AS c FROM r GROUP BY 1)
+           |SELECT r.k AS event_type, phase::BIGINT AS phase,
+           |  n_obs::BIGINT AS n_obs,
+           |  round(rr / nullif(c.c, 0), 6) AS seasonal_index
+           |FROM r JOIN c ON c.k = r.k
+           |ORDER BY event_type, phase""".stripMargin))
+
+  /** X211: Woolf odds-ratio CI per event type (the CI next to q311's
+    * pooled point estimate). */
+  private val q320 = Q("q320_odds_ratio_ci",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.oddsRatioCi(
+        t(s, dir, "events").select($"event_type",
+          pmod($"event_id", lit(2)).cast("int").as("x"),
+          when($"event_id" % 3 === 0, 1).otherwise(0).as("y")),
+        "event_type", "x", "y")
+        .orderBy($"event_type")
+    },
+    Some("""WITH cell AS (
+           |  SELECT event_type,
+           |    count(CASE WHEN event_id % 2 = 1 AND event_id % 3 = 0
+           |               THEN 1 END) AS a,
+           |    count(CASE WHEN event_id % 2 = 1 AND event_id % 3 <> 0
+           |               THEN 1 END) AS b,
+           |    count(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
+           |               THEN 1 END) AS c,
+           |    count(CASE WHEN event_id % 2 = 0 AND event_id % 3 <> 0
+           |               THEN 1 END) AS d
+           |  FROM events GROUP BY 1)
+           |SELECT event_type, a::BIGINT AS a, b::BIGINT AS b,
+           |  c::BIGINT AS c, d::BIGINT AS d,
+           |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+           |    round(a * d / (b * c)::DOUBLE, 4) END AS odds_ratio,
+           |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+           |    round(exp(ln(a * d / (b * c)::DOUBLE) - 1.959964 *
+           |      sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 4) END AS ci_lo,
+           |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+           |    round(exp(ln(a * d / (b * c)::DOUBLE) + 1.959964 *
+           |      sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 4) END AS ci_hi
+           |FROM cell ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290, q291,
     q292, q293, q294, q295, q296, q297, q298, q299, q300, q301,
     q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
-    q312, q313, q314)
+    q312, q313, q314, q315, q316, q317, q318, q319, q320)
 }

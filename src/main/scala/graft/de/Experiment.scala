@@ -266,4 +266,77 @@ object Experiment {
       round(chi2, 4).as("chi2"),
       round(lit(2.0) * normal_sf(sqrt(chi2)), 6).as("p_value"))
   }
+
+  /** McNemar's test per stratum over paired 0/1 outcomes (pre, post) —
+    * did a within-subject intervention move the marginal rate; only
+    * the DISCORDANT pairs carry information: χ² = (b−c)²/(b+c) with
+    * b = pre-only, c = post-only (plus the Edwards continuity-corrected
+    * variant, the default in most packages). One conditional
+    * aggregate. Output per stratum: (stratum, n BIGINT, b BIGINT,
+    * c BIGINT, chi2 4dp, chi2_cc 4dp — nulls when b + c = 0). */
+  def mcnemar(df: DataFrame, stratumCol: String, preCol: String,
+              postCol: String): DataFrame = {
+    val pre = col(preCol) === 1
+    val post = col(postCol) === 1
+    val agg = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(pre && !post, 1)).as("b"),
+        count(when(!pre && post, 1)).as("c"))
+    val bc = (col("b") + col("c")).cast("double")
+    val diff = (col("b") - col("c")).cast("double")
+    agg.select(col(stratumCol), col("n"), col("b"), col("c"),
+      round(diff * diff / nullif(bc, lit(0.0)), 4).as("chi2"),
+      round(pow(greatest(abs(diff) - 1, lit(0.0)), 2) /
+        nullif(bc, lit(0.0)), 4).as("chi2_cc"))
+  }
+
+  /** Cohen's h per stratum — the effect size for two proportions
+    * (2·asin√p₁ − 2·asin√p₂, the variance-stabilizing arcsine scale
+    * where a given h means the same detectability at any base rate —
+    * the power-analysis companion to [[twoProportionZ]]'s
+    * significance). Output per stratum: (stratum, n_a, n_b BIGINT,
+    * p_a, p_b 6dp, cohens_h 4dp). */
+  def cohensH(df: DataFrame, stratumCol: String, groupCol: String,
+              successCol: String, a: String, b: String): DataFrame = {
+    val isA = col(groupCol) === a
+    val isB = col(groupCol) === b
+    val s = col(successCol).cast("long")
+    val agg = df.filter(isA || isB).groupBy(col(stratumCol))
+      .agg(count(when(isA, 1)).as("n_a"),
+        sum(when(isA, s).otherwise(0L)).as("x_a"),
+        count(when(isB, 1)).as("n_b"),
+        sum(when(isB, s).otherwise(0L)).as("x_b"))
+    val pa = col("x_a").cast("double") / nullif(col("n_a"), lit(0L))
+    val pb = col("x_b").cast("double") / nullif(col("n_b"), lit(0L))
+    agg.select(col(stratumCol), col("n_a"), col("n_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(lit(2.0) * asin(sqrt(pa)) - lit(2.0) * asin(sqrt(pb)), 4)
+        .as("cohens_h"))
+  }
+
+  /** Woolf confidence interval for the per-stratum odds ratio:
+    * ln OR ± z·√(1/a + 1/b + 1/c + 1/d) — the readout that belongs
+    * next to [[mantelHaenszel]]'s pooled point estimate (a CI
+    * excluding 1 is the decision users actually make). Zero cells
+    * yield null OR/CI (surfaced; Haldane-correct upstream if
+    * desired). Output per stratum: (stratum, a, b, c, d BIGINT,
+    * odds_ratio 4dp, ci_lo 4dp, ci_hi 4dp). */
+  def oddsRatioCi(df: DataFrame, stratumCol: String, xCol: String,
+                  yCol: String, z: Double = 1.959964): DataFrame = {
+    val x = col(xCol) === 1
+    val y = col(yCol) === 1
+    val agg = df.groupBy(col(stratumCol))
+      .agg(count(when(x && y, 1)).as("a"),
+        count(when(x && !y, 1)).as("b"),
+        count(when(!x && y, 1)).as("c"),
+        count(when(!x && !y, 1)).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val or = col("a") * col("d") / (col("b") * col("c")).cast("double")
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    agg.select(col(stratumCol), col("a"), col("b"), col("c"), col("d"),
+      when(ok, round(or, 4)).as("odds_ratio"),
+      when(ok, round(exp(log(or) - lit(z) * se), 4)).as("ci_lo"),
+      when(ok, round(exp(log(or) + lit(z) * se), 4)).as("ci_hi"))
+  }
 }

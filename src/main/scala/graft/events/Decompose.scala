@@ -57,4 +57,41 @@ object Decompose {
         round(col(value) - col("trend") - col("seasonal"), 6)
           .as("residual"))
   }
+
+  /** Ratio-to-moving-average seasonal INDEX — the multiplicative
+    * sibling of [[classical]]: per phase p, the mean of x/trend over
+    * complete-window buckets, renormalized so the m indexes average
+    * exactly 1 ("Mondays run at 0.82× the weekly trend"). The form
+    * forecasting courses call the classical multiplicative
+    * decomposition's seasonal step; right where amplitude scales with
+    * level (sales, traffic), where the additive seasonal misfits both
+    * ends. Same machinery and scale contract as [[classical]]; zero
+    * trend buckets drop from the fit (ratio undefined). Output:
+    * (key, phase BIGINT, n_obs BIGINT, seasonal_index 6dp). */
+  def multiplicativeIndex(series: DataFrame, key: String,
+                          orderCol: String, value: String,
+                          m: Int): DataFrame = {
+    require(m >= 3 && m % 2 == 1, s"period must be odd and >= 3, got $m")
+    val half = m / 2
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(orderCol))
+    val wMa = wOrd.rowsBetween(-half, half)
+    val base = series
+      .withColumn("__idx", (row_number().over(wOrd) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(key))))
+      .withColumn("__trend",
+        when(col("__idx") >= half && col("__idx") < col("__n") - half,
+          sum(col(value)).over(wMa).cast("double") / m))
+      .withColumn("__phase", col("__idx") % m)
+    val ratios = base.filter(col("__trend").isNotNull &&
+        col("__trend") =!= 0.0)
+      .groupBy(col(key), col("__phase"))
+      .agg(count(lit(1)).as("n_obs"),
+        avg(col(value) / col("__trend")).as("__r"))
+    val centers = ratios.groupBy(col(key))
+      .agg(avg(col("__r")).as("__c"))
+    ratios.join(broadcast(centers), Seq(key))
+      .select(col(key), col("__phase").as("phase"), col("n_obs"),
+        round(col("__r") / nullif(col("__c"), lit(0.0)), 6)
+          .as("seasonal_index"))
+  }
 }

@@ -137,4 +137,31 @@ object Sessionize {
         sum(col("n")).over(Window.partitionBy("prev", "cur"))
           .cast("double"), 4))
   }
+
+  /** Run-length statistics per (key, state): how long does a user
+    * PERSIST in a state before switching — the state-stickiness
+    * readout transition matrices throw away (p(a→a) says nothing
+    * about whether that's one 10-run or five 2-runs). A run starts
+    * where the state differs from the lag; run ids are the running sum
+    * of starts (the sessionize discipline, keyed on state change
+    * instead of time gap). Output per (key, state): (key, state,
+    * n_events BIGINT, n_runs BIGINT, mean_run_len 4dp,
+    * max_run_len BIGINT). */
+  def runLengths(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val isNew = when(lag(col(stateCol), 1).over(w).isNull ||
+      lag(col(stateCol), 1).over(w) =!= col(stateCol), 1).otherwise(0)
+    val runs = events
+      .withColumn("__run", sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col(stateCol).as("state"), col("__run"))
+      .agg(count(lit(1)).as("__len"))
+    runs.groupBy(col(keyCol), col("state"))
+      .agg(sum(col("__len")).as("n_events"),
+        count(lit(1)).as("n_runs"),
+        round(avg(col("__len")), 4).as("mean_run_len"),
+        max(col("__len")).as("max_run_len"))
+  }
 }

@@ -67,4 +67,34 @@ class DecomposeSpec extends SparkSuite {
       Decompose.classical(df, "g", "t", "x", m = 1)
     }
   }
+
+  test("multiplicativeIndex: exact-fraction ratio-to-MA indexes " +
+    "averaging to 1") {
+    import spark.implicits._
+    // x = 5,10,15,10,20,30 m=3: ratios 2/3 (p0), 1,1 (p1), 9/7 (p2)
+    // -> indexes 21/31-scaled: 0.677419, 1.016129, 1.306452
+    val df = Seq(5, 10, 15, 10, 20, 30).zipWithIndex
+      .map { case (x, t) => ("g", t, x) }.toDF("g", "t", "x")
+    val got = Decompose.multiplicativeIndex(df, "g", "t", "x", m = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getAs[Double]("seasonal_index")))).toMap
+    assert(got(0L) == ((1L, 0.677419)))
+    assert(got(1L) == ((2L, 1.016129)))
+    assert(got(2L) == ((1L, 1.306452)))
+  }
+
+  test("runLengths: state persistence per (key, state)") {
+    import spark.implicits._
+    // A A B A A A -> A runs (2, 3), B run (1)
+    val ev = Seq("A", "A", "B", "A", "A", "A").zipWithIndex
+      .map { case (st, t) => (1L, t, t.toLong, st) }
+      .toDF("u", "ts", "tie", "state")
+    val got = Sessionize.runLengths(ev, "u", "ts", "tie", "state")
+      .collect().map(r => r.getString(1) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_runs"),
+          r.getAs[Double]("mean_run_len"), r.getAs[Long]("max_run_len"))))
+      .toMap
+    assert(got("A") == ((5L, 2L, 2.5, 3L)))
+    assert(got("B") == ((1L, 1L, 1.0, 1L)))
+  }
 }

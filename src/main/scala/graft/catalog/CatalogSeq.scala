@@ -1254,8 +1254,44 @@ object CatalogSeq {
            |      sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 4) END AS ci_hi
            |FROM cell ORDER BY event_type""".stripMargin))
 
+  /** X212: Kitagawa / Oaxaca–Blinder mix-rate decomposition of the
+    * even→odd user-cohort mean-value change, stratified by event type
+    * (mix + rate + interaction sum exactly to delta). */
+  private val q321 = Q("q321_mix_decomposition",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.mixDecomposition(
+        t(s, dir, "events").select(
+          pmod($"user_id", lit(2)).cast("int").as("period"),
+          $"event_type", $"value"),
+        "period", "event_type", "value")
+    },
+    Some("""WITH cell AS (
+           |  SELECT event_type,
+           |    count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n0,
+           |    sum(CASE WHEN user_id % 2 = 0 THEN value END) AS x0,
+           |    count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n1,
+           |    sum(CASE WHEN user_id % 2 = 1 THEN value END) AS x1
+           |  FROM events GROUP BY 1),
+           |t AS (SELECT sum(n0) AS t0, sum(n1) AS t1 FROM cell),
+           |e AS (SELECT n0 / t0::DOUBLE AS w0, n1 / t1::DOUBLE AS w1,
+           |    coalesce(x0 / nullif(n0, 0)::DOUBLE,
+           |             x1 / nullif(n1, 0)::DOUBLE) AS r0,
+           |    coalesce(x1 / nullif(n1, 0)::DOUBLE,
+           |             x0 / nullif(n0, 0)::DOUBLE) AS r1,
+           |    t0, t1
+           |  FROM cell CROSS JOIN t)
+           |SELECT max(t0)::BIGINT AS n_0, max(t1)::BIGINT AS n_1,
+           |  round(sum(w0 * r0), 6) AS mean_0,
+           |  round(sum(w1 * r1), 6) AS mean_1,
+           |  round(sum(w1 * r1) - sum(w0 * r0), 6) AS delta,
+           |  round(sum((w1 - w0) * r0), 6) AS mix_effect,
+           |  round(sum(w0 * (r1 - r0)), 6) AS rate_effect,
+           |  round(sum((w1 - w0) * (r1 - r0)), 6) AS interaction
+           |FROM e""".stripMargin))
+
   val all: Seq[Q] = Seq(q285, q286, q287, q288, q289, q290, q291,
     q292, q293, q294, q295, q296, q297, q298, q299, q300, q301,
     q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
-    q312, q313, q314, q315, q316, q317, q318, q319, q320)
+    q312, q313, q314, q315, q316, q317, q318, q319, q320, q321)
 }

@@ -1,0 +1,454 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog.Q
+import graft.util.Tables
+
+/** Oracle-checked catalog entries, round-8 batch: normality testing
+  * (X213 Jarque–Bera), robust trend (X214 Theil–Sen), circadian
+  * statistics (X215), scorecard screening (X216 WoE/IV, X217 target
+  * encoding), and sequential testing (X218 SPRT).
+  */
+object CatalogStats3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** X213: Jarque–Bera normality screen of event values per type —
+    * χ²₂ survival is exactly exp(−JB/2), so the p-value is
+    * engine-exact with no numeric integration. */
+  private val q322 = Q("q322_jarque_bera",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Moments.jarqueBera(t(s, dir, "events"),
+        "event_type", "value").orderBy($"event_type")
+    },
+    Some("""WITH a AS (
+           |  SELECT event_type, count(*)::DOUBLE AS n,
+           |    sum(value) AS s1, sum(value * value) AS s2,
+           |    sum(value * value * value) AS s3,
+           |    sum(value * value * value * value) AS s4
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |m AS (
+           |  SELECT event_type, n, s1 / n AS mu,
+           |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+           |    s3 / n - 3 * (s1 / n) * s2 / n
+           |      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+           |    s4 / n - 4 * (s1 / n) * s3 / n
+           |      + 6 * (s1 / n) * (s1 / n) * s2 / n
+           |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+           |  FROM a),
+           |st AS (
+           |  SELECT event_type, n,
+           |    m3 / (sqrt(m2) * m2) AS s,
+           |    m4 / (m2 * m2) - 3 AS k
+           |  FROM m),
+           |jb AS (
+           |  SELECT event_type, n, s, k,
+           |    n / 6 * (s * s + k * k / 4) AS jb
+           |  FROM st)
+           |SELECT event_type, n::BIGINT AS n,
+           |  round(s, 4) AS skewness, round(k, 4) AS kurtosis,
+           |  round(jb, 4) AS jb, round(exp(-jb / 2), 6) AS p_value
+           |FROM jb ORDER BY event_type""".stripMargin))
+
+  /** X214: Theil–Sen robust slope of the daily event count per type —
+    * the exact median of all pairwise day-over-day slopes; one outlier
+    * day cannot move the trend estimate. Series grain (days), so the
+    * O(n²) pair join is domain-bounded by contract. */
+  private val q323 = Q("q323_theil_sen",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      graft.de.RobustStats.theilSen(daily, "event_type", "day", "y")
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type, date_diff('day', DATE '2024-01-01',
+           |           ts::DATE)::DOUBLE AS x, count(*)::DOUBLE AS y
+           |  FROM events GROUP BY event_type, ts::DATE),
+           |sl AS (
+           |  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
+           |  FROM d a JOIN d b ON a.event_type = b.event_type
+           |    AND a.x < b.x),
+           |med AS (
+           |  SELECT event_type, count(*)::BIGINT AS n_pairs,
+           |    quantile_cont(s, 0.5) AS slope
+           |  FROM sl GROUP BY 1),
+           |anch AS (
+           |  SELECT event_type, count(*)::BIGINT AS n,
+           |    quantile_cont(x, 0.5) AS mx, quantile_cont(y, 0.5) AS my
+           |  FROM d GROUP BY 1)
+           |SELECT anch.event_type, n, coalesce(n_pairs, 0) AS n_pairs,
+           |  round(slope, 6) AS slope,
+           |  round(my - slope * mx, 6) AS intercept
+           |FROM anch LEFT JOIN med USING (event_type)
+           |ORDER BY event_type""".stripMargin))
+
+  /** X215: circular time-of-day battery per event type — resultant
+    * length + circular mean direction as the peak hour; the correct
+    * answer when activity straddles midnight. */
+  private val q324 = Q("q324_circadian",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.Circadian.timeOfDayStats(t(s, dir, "events"),
+        "event_type", "ts").orderBy($"event_type")
+    },
+    Some("""WITH a AS (
+           |  SELECT event_type, count(*)::BIGINT AS n,
+           |    avg(cos((hour(ts) * 3600 + minute(ts) * 60 +
+           |      date_part('second', ts)) * 2 * pi() / 86400)) AS c,
+           |    avg(sin((hour(ts) * 3600 + minute(ts) * 60 +
+           |      date_part('second', ts)) * 2 * pi() / 86400)) AS s
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |r AS (SELECT event_type, n, sqrt(c * c + s * s) AS rb,
+           |        atan2(s, c) AS dir
+           |      FROM a)
+           |SELECT event_type, n, round(rb, 4) AS r_bar,
+           |  CASE WHEN rb > 1e-12 THEN
+           |    round((CASE WHEN dir < 0 THEN dir + 2 * pi()
+           |                ELSE dir END) * 24 / (2 * pi()), 4)
+           |  END AS peak_hour,
+           |  round(1 - rb, 4) AS circ_variance,
+           |  CASE WHEN rb > 1e-12 THEN
+           |    round(sqrt(-2 * ln(rb)), 4) END AS circ_std
+           |FROM r ORDER BY event_type""".stripMargin))
+
+  /** X216: weight-of-evidence / information value of order priority
+    * against the finished-order flag — the scorecard feature screen. */
+  private val q325 = Q("q325_woe_iv",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Scorecard.woeIv(
+        t(s, dir, "orders").select($"o_orderpriority",
+          when($"o_orderstatus" === "F", 1).otherwise(0).as("target")),
+        "o_orderpriority", "target")
+        .orderBy($"o_orderpriority")
+    },
+    Some("""WITH cell AS (
+           |  SELECT o_orderpriority, count(*)::BIGINT AS n,
+           |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+           |        END)::BIGINT AS n_pos
+           |  FROM orders GROUP BY 1),
+           |sh AS (
+           |  SELECT o_orderpriority, n, n_pos,
+           |    n_pos::DOUBLE / sum(n_pos) OVER () AS pos,
+           |    (n - n_pos)::DOUBLE / sum(n - n_pos) OVER () AS neg
+           |  FROM cell),
+           |w AS (
+           |  SELECT *, CASE WHEN pos > 0 AND neg > 0
+           |                 THEN ln(pos / neg) END AS woe
+           |  FROM sh)
+           |SELECT o_orderpriority, n, n_pos,
+           |  round(pos, 6) AS pos_share, round(neg, 6) AS neg_share,
+           |  round(woe, 6) AS woe,
+           |  round(sum(coalesce((pos - neg) * woe, 0)) OVER (), 6)
+           |    AS iv
+           |FROM w ORDER BY o_orderpriority""".stripMargin))
+
+  /** X217: smoothed target encoding of market segment against the
+    * positive-balance flag (m = 20 pseudo-count prior shrinkage). */
+  private val q326 = Q("q326_target_encoding",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Scorecard.targetEncode(
+        t(s, dir, "customer").select($"c_mktsegment",
+          when($"c_acctbal" > 0, 1.0).otherwise(0.0).as("target")),
+        "c_mktsegment", "target", m = 20.0)
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH cell AS (
+           |  SELECT c_mktsegment, count(*)::BIGINT AS n,
+           |    sum(CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END) AS s
+           |  FROM customer GROUP BY 1),
+           |g AS (
+           |  SELECT sum(CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0
+           |             END) / count(*) AS gmean
+           |  FROM customer)
+           |SELECT c_mktsegment, n, round(s / n, 6) AS cat_mean,
+           |  round((s + 20.0 * gmean) / (n + 20.0), 6) AS encoded
+           |FROM cell CROSS JOIN g ORDER BY c_mktsegment""".stripMargin))
+
+  /** X218: Wald SPRT walk per event type — H0 p=0.30 vs H1 p=0.36 on
+    * the event_id%3=0 indicator in (ts, event_id) order; decision at
+    * the FIRST boundary crossing, the sequential-testing semantics. */
+  private val q327 = Q("q327_sprt",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.sprtBernoulli(
+        t(s, dir, "events").select($"event_type", $"ts", $"event_id",
+          when($"event_id" % 3 === 0, 1).otherwise(0).as("x")),
+        "event_type", Seq("ts", "event_id"), "x",
+        p0 = 0.30, p1 = 0.36)
+        .orderBy($"event_type")
+    },
+    Some("""WITH obs AS (
+           |  SELECT event_type,
+           |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS x,
+           |    ts, event_id
+           |  FROM events),
+           |walk AS (
+           |  SELECT event_type, x,
+           |    sum(CASE WHEN x = 1 THEN ln(0.36 / 0.30)
+           |        ELSE ln(0.64 / 0.70) END) OVER (
+           |      PARTITION BY event_type ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS llr,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY ts, event_id) AS i
+           |  FROM obs),
+           |agg AS (
+           |  SELECT event_type, count(*)::BIGINT AS n,
+           |    sum(x)::BIGINT AS x,
+           |    min(CASE WHEN llr >= ln(0.95 / 0.05) THEN i END)
+           |      AS hit1,
+           |    min(CASE WHEN llr <= ln(0.05 / 0.95) THEN i END)
+           |      AS hit0
+           |  FROM walk GROUP BY 1)
+           |SELECT event_type, n, x,
+           |  round(x * ln(0.36 / 0.30) + (n - x) * ln(0.64 / 0.70), 6)
+           |    AS llr,
+           |  CASE WHEN hit1 IS NOT NULL AND (hit0 IS NULL OR
+           |            hit1 <= hit0) THEN 'accept_h1'
+           |       WHEN hit0 IS NOT NULL THEN 'accept_h0'
+           |       ELSE 'continue' END AS decision,
+           |  least(hit1, hit0)::BIGINT AS n_decision
+           |FROM agg ORDER BY event_type""".stripMargin))
+
+  /** X219: Weibull shape/scale per event type by median-rank
+    * regression over the value column as a duration — the parametric
+    * survival complement to q168/q232. */
+  private val q328 = Q("q328_weibull_fit",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Survival.weibullFit(t(s, dir, "events"),
+        "event_type", "value").orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type, value::DOUBLE AS t FROM events
+           |  WHERE value IS NOT NULL AND value > 0),
+           |r AS (
+           |  SELECT event_type, ln(t) AS x,
+           |    ln(-ln(1 - (row_number() OVER (PARTITION BY event_type
+           |          ORDER BY t) - 0.3) /
+           |        (count(*) OVER (PARTITION BY event_type) + 0.4)))
+           |      AS y
+           |  FROM d),
+           |a AS (
+           |  SELECT event_type, count(*)::BIGINT AS n,
+           |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+           |    sum(y * y) AS syy, sum(x * y) AS sxy
+           |  FROM r GROUP BY 1),
+           |f AS (
+           |  SELECT event_type, n,
+           |    (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0)
+           |      AS slope,
+           |    sxx - sx * sx / n AS vx, syy - sy * sy / n AS vy,
+           |    sxy - sx * sy / n AS cxy, sx, sy
+           |  FROM a)
+           |SELECT event_type, n, round(slope, 4) AS shape,
+           |  round(exp(-((sy - slope * sx) / n) / slope), 4) AS scale,
+           |  round(cxy * cxy / nullif(vx * vy, 0), 4) AS r2
+           |FROM f ORDER BY event_type""".stripMargin))
+
+  /** X220: Little's-law queueing profile per event type over the
+    * q298 interval convention (duration = value seconds). */
+  private val q329 = Q("q329_littles_law",
+    (s, dir) => {
+      import s.implicits._
+      val iv = t(s, dir, "events").select($"event_type",
+        unix_micros($"ts").as("s"),
+        (unix_micros($"ts") + round($"value").cast("long") * 1000000L)
+          .as("e"))
+      graft.events.Intervals.littlesLaw(iv, "event_type", "s", "e")
+        .orderBy($"event_type")
+    },
+    Some("""WITH iv AS (
+           |  SELECT event_type, epoch_us(ts) AS s,
+           |    epoch_us(ts) + round(value)::BIGINT * 1000000 AS e
+           |  FROM events),
+           |agg AS (
+           |  SELECT event_type, count(*)::BIGINT AS n,
+           |    min(s) AS t0, max(e) AS t1, sum(e - s) AS sd,
+           |    avg(e - s) AS w
+           |  FROM iv GROUP BY 1),
+           |ev AS (
+           |  SELECT event_type, s AS t, 1 AS d FROM iv
+           |  UNION ALL SELECT event_type, e, -1 FROM iv),
+           |run AS (
+           |  SELECT event_type, sum(d) OVER (PARTITION BY event_type
+           |    ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS run
+           |  FROM ev),
+           |pk AS (SELECT event_type, max(run)::BIGINT AS peak
+           |       FROM run GROUP BY 1)
+           |SELECT agg.event_type, n AS n_intervals,
+           |  round((t1 - t0) / 1e6, 4) AS span_sec,
+           |  round(n / nullif((t1 - t0) / 1e6, 0) * 3600, 4)
+           |    AS arrivals_per_hour,
+           |  round(w / 1e6, 4) AS w_avg_sec,
+           |  round(sd / 1e6 / nullif((t1 - t0) / 1e6, 0), 4) AS l_avg,
+           |  peak
+           |FROM agg JOIN pk USING (event_type)
+           |ORDER BY event_type""".stripMargin))
+
+  /** X221: Friedman test across the 3 interaction event types with
+    * user cohorts as blocks (k = 3 → dof 2 → exact χ² p-value). */
+  private val q330 = Q("q330_friedman",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.RankStats.friedman(
+        t(s, dir, "events")
+          .filter($"event_type".isin("click", "view", "purchase"))
+          .select(pmod($"user_id", lit(20)).as("cohort"),
+            $"event_type", $"value"),
+        "cohort", "event_type", "value")
+    },
+    Some("""WITH cell AS (
+           |  SELECT user_id % 20 AS b, event_type AS t,
+           |    avg(value) AS v
+           |  FROM events
+           |  WHERE event_type IN ('click', 'view', 'purchase')
+           |  GROUP BY 1, 2),
+           |comp AS (SELECT *, count(*) OVER (PARTITION BY b) AS kb
+           |         FROM cell),
+           |c2 AS (SELECT b, t, v FROM comp WHERE kb = 3),
+           |pv AS (SELECT b, v, count(*) AS c FROM c2 GROUP BY 1, 2),
+           |r AS (
+           |  SELECT b, v, coalesce(sum(c) OVER (PARTITION BY b
+           |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |      1 PRECEDING), 0) + (c + 1) / 2.0 AS rk
+           |  FROM pv),
+           |rs AS (
+           |  SELECT t, sum(rk) AS rsum, count(*) AS nb
+           |  FROM c2 JOIN r USING (b, v) GROUP BY 1),
+           |agg AS (SELECT max(nb) AS n_blocks,
+           |          sum(rsum * rsum) AS sq
+           |        FROM rs),
+           |qq AS (
+           |  SELECT n_blocks,
+           |    round(12.0 / (n_blocks * 3 * 4) * sq
+           |      - 3.0 * n_blocks * 4, 4) AS q
+           |  FROM agg)
+           |SELECT 3 AS k, n_blocks::BIGINT AS n_blocks, q, 2 AS dof,
+           |  round(exp(-q / 2), 6) AS p_value
+           |FROM qq""".stripMargin))
+
+  /** X222: Cochran's Q — did the high-value rate differ across the 3
+    * interaction types for the same users (absent cell = 0)? */
+  private val q331 = Q("q331_cochran_q",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.cochranQ(
+        t(s, dir, "events")
+          .filter($"event_type".isin("click", "view", "purchase"))
+          .select($"user_id", $"event_type",
+            when($"value" > 150, 1).otherwise(0).as("x")),
+        "user_id", "event_type", "x")
+    },
+    Some("""WITH cell AS (
+           |  SELECT user_id AS b, event_type AS t,
+           |    max(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS x
+           |  FROM events
+           |  WHERE event_type IN ('click', 'view', 'purchase')
+           |  GROUP BY 1, 2),
+           |g AS (
+           |  SELECT sum(gg) AS tt, sum(gg * gg) AS g2
+           |  FROM (SELECT t, sum(x) AS gg FROM cell GROUP BY 1)),
+           |l AS (
+           |  SELECT count(*) AS n_blocks, sum(ll) AS l1,
+           |    sum(ll * ll) AS l2
+           |  FROM (SELECT b, sum(x) AS ll FROM cell GROUP BY 1)),
+           |qq AS (
+           |  SELECT n_blocks,
+           |    round(2.0 * (3 * g2 - tt * tt) /
+           |      nullif(3.0 * l1 - l2, 0), 4) AS q
+           |  FROM g CROSS JOIN l)
+           |SELECT 3 AS k, n_blocks::BIGINT AS n_blocks, q, 2 AS dof,
+           |  round(exp(-q / 2), 6) AS p_value
+           |FROM qq""".stripMargin))
+
+  /** X223: directional association order-priority → order-status:
+    * Goodman–Kruskal λ and the uncertainty coefficient side by
+    * side. */
+  private val q332 = Q("q332_predictive_assoc",
+    (s, dir) =>
+      graft.de.InfoTheory.predictiveAssociation(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus"),
+    Some("""WITH cells AS (
+           |  SELECT o_orderpriority AS x, o_orderstatus AS y,
+           |    count(*) AS c
+           |  FROM orders GROUP BY 1, 2),
+           |px AS (SELECT x, max(c) AS mx, sum(c) AS cx
+           |       FROM cells GROUP BY 1),
+           |a AS (SELECT sum(mx) AS smax, sum(cx) AS n,
+           |        sum(cx * ln(cx)) AS clcx
+           |      FROM px),
+           |my AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
+           |b AS (SELECT max(cy) AS ymax, sum(cy * ln(cy)) AS clcy
+           |      FROM my),
+           |j AS (SELECT sum(c * ln(c)) AS clcxy FROM cells)
+           |SELECT n::BIGINT AS n,
+           |  round((smax - ymax) /
+           |    nullif((n - ymax)::DOUBLE, 0), 6) AS lambda,
+           |  round((ln(n) - clcx / n + ln(n) - clcy / n
+           |      - (ln(n) - clcxy / n)) /
+           |    nullif(ln(n) - clcy / n, 0), 6) AS uncertainty
+           |FROM a CROSS JOIN b CROSS JOIN j""".stripMargin))
+
+  /** X224: Heaps'-law vocabulary-growth fit per source — template
+    * spam saturates (low β), id soup never does (β → 1). */
+  private val q333 = Q("q333_heaps_law",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.heapsLaw(t(s, dir, "documents"),
+        "source", "doc_id", "text").orderBy($"source")
+    },
+    Some("""WITH nd AS (
+           |  SELECT source AS s, doc_id AS d,
+           |    length(regexp_extract_all(text, '\S+')) AS nt
+           |  FROM documents),
+           |tok AS (
+           |  SELECT source AS s, doc_id AS d,
+           |    unnest(regexp_extract_all(text, '\S+')) AS t
+           |  FROM documents),
+           |fs AS (SELECT s, t, min(d) AS fd FROM tok GROUP BY 1, 2),
+           |nv AS (SELECT s, fd AS d, count(*) AS nv
+           |       FROM fs GROUP BY 1, 2),
+           |pts AS (
+           |  SELECT nd.s, nd.d,
+           |    sum(nd.nt) OVER (PARTITION BY nd.s ORDER BY nd.d
+           |      ROWS UNBOUNDED PRECEDING) AS cn,
+           |    sum(coalesce(nv.nv, 0)) OVER (PARTITION BY nd.s
+           |      ORDER BY nd.d ROWS UNBOUNDED PRECEDING) AS cv
+           |  FROM nd LEFT JOIN nv ON nv.s = nd.s AND nv.d = nd.d),
+           |p2 AS (
+           |  SELECT s, ln(cn::DOUBLE) AS x, ln(cv::DOUBLE) AS y,
+           |    cn, cv
+           |  FROM pts WHERE cn > 0 AND cv > 0),
+           |a AS (
+           |  SELECT s, count(*)::BIGINT AS n_docs,
+           |    max(cn)::BIGINT AS n_tokens, max(cv)::BIGINT AS vocab,
+           |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+           |    sum(y * y) AS syy, sum(x * y) AS sxy
+           |  FROM p2 GROUP BY 1),
+           |f AS (
+           |  SELECT s, n_docs, n_tokens, vocab,
+           |    (sxy - sx * sy / n_docs) /
+           |      nullif(sxx - sx * sx / n_docs, 0) AS beta,
+           |    sxx - sx * sx / n_docs AS vx,
+           |    syy - sy * sy / n_docs AS vy,
+           |    sxy - sx * sy / n_docs AS cxy, sx, sy
+           |  FROM a)
+           |SELECT s AS source, n_docs, n_tokens, vocab,
+           |  round(beta, 4) AS beta,
+           |  round(exp((sy - beta * sx) / n_docs), 4) AS k,
+           |  round(cxy * cxy / nullif(vx * vy, 0), 4) AS r2
+           |FROM f ORDER BY source""".stripMargin))
+
+  val all: Seq[Q] = Seq(q322, q323, q324, q325, q326, q327, q328,
+    q329, q330, q331, q332, q333)
+}

@@ -339,4 +339,135 @@ object Experiment {
       when(ok, round(exp(log(or) - lit(z) * se), 4)).as("ci_lo"),
       when(ok, round(exp(log(or) + lit(z) * se), 4)).as("ci_hi"))
   }
+
+  /** Cochran's Q test for k correlated proportions: did the success
+    * rate differ across k treatments applied to the SAME blocks
+    * (the k-treatment generalization of McNemar)? Input is long
+    * (block, treatment, x 0/1); a (block, treatment) cell absent from
+    * the input counts as 0 — the natural encoding for "did the user
+    * convert in period j" logs where absence IS failure (documented
+    * contract; duplicates are OR-ed). Q = (k−1)·(k·ΣG_j² − T²) /
+    * (k·ΣL_i − ΣL_i²) with G_j the treatment successes, L_i the block
+    * successes, T = ΣG_j. χ²_{k−1} under H0; the p-value is emitted
+    * only for dof = 2 (k = 3, exactly exp(−Q/2)), null otherwise.
+    * Blocks with L_i = 0 or L_i = k contribute nothing (standard).
+    * Output (one row): (k INT, n_blocks BIGINT, q 4dp, dof INT,
+    * p_value 6dp). */
+  def cochranQ(df: DataFrame, block: String, treatment: String,
+               xCol: String): DataFrame = {
+    val cell = df.groupBy(col(block).as("__b"),
+        col(treatment).as("__t"))
+      .agg(max(col(xCol).cast("int")).as("__x"))
+    val k = cell.select(col("__t")).distinct().count()
+    val g = cell.groupBy(col("__t"))
+      .agg(sum(col("__x")).as("__g"))
+      .agg(sum(col("__g")).as("__T"),
+        sum(col("__g") * col("__g")).as("__G2"))
+    val l = cell.groupBy(col("__b"))
+      .agg(sum(col("__x")).as("__l"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__l")).as("__L1"),
+        sum(col("__l") * col("__l")).as("__L2"))
+    val kD = lit(k.toDouble)
+    g.crossJoin(l)
+      .select(lit(k.toInt).as("k"), col("n_blocks"),
+        round((kD - 1) * (kD * col("__G2") - col("__T") * col("__T")) /
+          nullif(kD * col("__L1") - col("__L2"), lit(0.0)), 4).as("q"),
+        lit((k - 1).toInt).as("dof"))
+      .withColumn("p_value",
+        when(col("dof") === 2, round(exp(-col("q") / 2.0), 6)))
+  }
+
+  /** Wald sequential probability ratio test (SPRT, Wald 1945) for a
+    * Bernoulli rate, per group: the cumulative log-likelihood ratio
+    * ln L = x·ln(p1/p0) + (n−x)·ln((1−p1)/(1−p0)) walked over the
+    * observation order, against the decision boundaries
+    * ln B = ln(β/(1−α)) (accept H0) and ln A = ln((1−β)/α) (accept
+    * H1). Output per group: (group, n BIGINT, x BIGINT, llr 6dp final,
+    * decision 'accept_h1'|'accept_h0'|'continue', n_decision BIGINT —
+    * the first sample index whose running LLR crossed a boundary, null
+    * while 'continue'). Decision is taken at the FIRST crossing (the
+    * sequential semantics), not the final value: a walk that touched
+    * ln A and drifted back still stops at H1.
+    *
+    * One cumulative window per group over the observation grain plus a
+    * conditional-min readout — no iteration, no driver loop. */
+  def sprtBernoulli(df: DataFrame, groupCol: String,
+                    orderCols: Seq[String], xCol: String,
+                    p0: Double, p1: Double, alpha: Double = 0.05,
+                    beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0, p1 in (0,1) and distinct")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    val lnA = math.log((1 - beta) / alpha)
+    val lnB = math.log(beta / (1 - alpha))
+    val wPos = math.log(p1 / p0)
+    val wNeg = math.log((1 - p1) / (1 - p0))
+    val x = col(xCol).cast("int")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val walked = df
+      .withColumn("__llr", sum(
+        when(x === 1, lit(wPos)).otherwise(lit(wNeg))).over(wCum))
+      .withColumn("__i", count(lit(1)).over(wCum))
+    walked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast("long")).as("x"),
+        min(when(col("__llr") >= lnA, col("__i"))).as("__hit1"),
+        min(when(col("__llr") <= lnB, col("__i"))).as("__hit0"))
+      .select(col(groupCol), col("n"), col("x"),
+        // the final LLR is a closed form of the totals — no need to
+        // carry the last window row through the aggregate
+        round(col("x") * wPos + (col("n") - col("x")) * wNeg, 6)
+          .as("llr"),
+        when(col("__hit1").isNotNull &&
+          (col("__hit0").isNull || col("__hit1") <= col("__hit0")),
+          lit("accept_h1"))
+          .when(col("__hit0").isNotNull, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"),
+        least(col("__hit1"), col("__hit0")).as("n_decision"))
+  }
+
+  /** Mix/rate decomposition of a period-over-period mean change (the
+    * Oaxaca–Blinder / Kitagawa decomposition): Δ = ȳ₁ − ȳ₀ splits
+    * EXACTLY into Σ(w₁−w₀)·r₀ (mix: the stratum composition moved) +
+    * Σw₀·(r₁−r₀) (rate: within-stratum behavior moved) +
+    * Σ(w₁−w₀)(r₁−r₀) (interaction) — the "why did the metric move"
+    * answer a week-over-week dashboard actually needs. A stratum
+    * absent from one period takes the other period's rate as its
+    * baseline (coalesce), which keeps the identity exact instead of
+    * dropping the stratum's contribution. One conditional aggregate
+    * to the stratum grain, one readout row. Output: (n_0, n_1 BIGINT,
+    * mean_0, mean_1, delta, mix_effect, rate_effect, interaction —
+    * all 6dp; the last three sum to delta by construction). */
+  def mixDecomposition(df: DataFrame, periodCol: String,
+                       stratumCol: String,
+                       valueCol: String): DataFrame = {
+    val p1 = col(periodCol) === 1
+    val v = col(valueCol).cast("double")
+    val cell = df.groupBy(col(stratumCol).as("__s"))
+      .agg(count(when(!p1, 1)).as("__n0"),
+        sum(when(!p1, v)).as("__x0"),
+        count(when(p1, 1)).as("__n1"),
+        sum(when(p1, v)).as("__x1"))
+    val tot = cell.agg(sum(col("__n0")).as("__t0"),
+      sum(col("__n1")).as("__t1"))
+    val w0 = col("__n0").cast("double") / col("__t0")
+    val w1 = col("__n1").cast("double") / col("__t1")
+    val r0raw = col("__x0") / nullif(col("__n0").cast("double"), lit(0.0))
+    val r1raw = col("__x1") / nullif(col("__n1").cast("double"), lit(0.0))
+    val r0 = coalesce(r0raw, r1raw)
+    val r1 = coalesce(r1raw, r0raw)
+    cell.crossJoin(broadcast(tot))
+      .agg(max(col("__t0")).as("n_0"), max(col("__t1")).as("n_1"),
+        round(sum(w0 * r0), 6).as("mean_0"),
+        round(sum(w1 * r1), 6).as("mean_1"),
+        round(sum(w1 * r1) - sum(w0 * r0), 6).as("delta"),
+        round(sum((w1 - w0) * r0), 6).as("mix_effect"),
+        round(sum(w0 * (r1 - r0)), 6).as("rate_effect"),
+        round(sum((w1 - w0) * (r1 - r0)), 6).as("interaction"))
+  }
 }

@@ -75,4 +75,43 @@ object InfoTheory {
       round(lit(2.0) * sum(col("c") * log(col("c") / e)), 4).as("g"),
       round(sum(pow(col("c") - e, 2) / e), 4).as("pearson_chi2"))
   }
+
+  /** Directional categorical association Y←X: Goodman–Kruskal
+    * λ(Y|X) — the proportional reduction in modal-prediction error
+    * from knowing X — and the uncertainty coefficient
+    * U(Y|X) = I(X;Y)/H(Y) — the entropy fraction of Y that X
+    * explains. λ can be 0 when association exists off the modes;
+    * U cannot — reading both is the standard practice. Both reduce to
+    * the joint cell table (category-domain-bounded), max-per-x via
+    * one more aggregate, entropies via exact count·ln(count) sums.
+    * Output (one row): (n BIGINT, lambda 6dp, uncertainty 6dp);
+    * degenerate H(Y) = 0 yields null uncertainty. */
+  def predictiveAssociation(df: DataFrame, xCol: String,
+                            yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val perX = cells.groupBy(col("x"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("cx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val a = perX.agg(sum(col("mx")).as("smax"),
+      sum(col("cx")).as("n"),
+      sum(col("cx").cast("double") * log(col("cx").cast("double")))
+        .as("clc_x"))
+    val b = my.agg(max(col("cy")).as("ymax"),
+      sum(col("cy").cast("double") * log(col("cy").cast("double")))
+        .as("clc_y"))
+    val j = cells.agg(sum(col("c").cast("double") *
+      log(col("c").cast("double"))).as("clc_xy"))
+    val n = col("n").cast("double")
+    val hx = log(n) - col("clc_x") / n
+    val hy = log(n) - col("clc_y") / n
+    val hxy = log(n) - col("clc_xy") / n
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(j))
+      .select(col("n"),
+        round((col("smax") - col("ymax")).cast("double") /
+          nullif((col("n") - col("ymax")).cast("double"), lit(0.0)), 6)
+          .as("lambda"),
+        round((hx + hy - hxy) / nullif(hy, lit(0.0)), 6)
+          .as("uncertainty"))
+  }
 }

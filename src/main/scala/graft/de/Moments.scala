@@ -43,6 +43,40 @@ object Moments {
       round(m4 / (m2ok * m2ok) - lit(3.0), 4).as("kurtosis"))
   }
 
+  /** Jarque–Bera normality test per group: JB = n/6·(S² + K²/4) from
+    * the same one-pass power sums as [[groupedMoments]] (S population
+    * skewness, K excess kurtosis). JB is asymptotically χ²₂ under
+    * normality, and the χ² survival function at 2 degrees of freedom
+    * is EXACTLY exp(−x/2) — no numeric integration, so the p-value is
+    * engine-exact. Output: (group, n BIGINT, skewness 4dp,
+    * kurtosis 4dp, jb 4dp, p_value 6dp); groups with n < 2 or zero
+    * variance yield null statistics. */
+  def jarqueBera(df: DataFrame, group: String,
+                 value: String): DataFrame = {
+    val v = col(value).cast("double")
+    val a = df.filter(v.isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1") / n
+    val m2 = col("s2") / n - m * m
+    val m3 = col("s3") / n - lit(3.0) * m * col("s2") / n +
+      lit(2.0) * m * m * m
+    val m4 = col("s4") / n - lit(4.0) * m * col("s3") / n +
+      lit(6.0) * m * m * col("s2") / n - lit(3.0) * m * m * m * m
+    val m2ok = nullif(when(col("n") >= 2, m2), lit(0.0))
+    val s = m3 / (sqrt(m2ok) * m2ok)
+    val k = m4 / (m2ok * m2ok) - lit(3.0)
+    val jb = n / 6.0 * (s * s + k * k / 4.0)
+    a.select(col(group), col("n"),
+      round(s, 4).as("skewness"),
+      round(k, 4).as("kurtosis"),
+      round(jb, 4).as("jb"),
+      round(exp(-jb / 2.0), 6).as("p_value"))
+  }
+
   /** Cronbach's alpha: internal consistency of k items over subjects.
     * Long input (subject, item, score contribution); per-(subject,
     * item) scores are summed and missing cells zero-filled via a

@@ -214,4 +214,54 @@ object RankStats {
           .as("h_adj"))
       .withColumnRenamed("__s", scope)
   }
+
+  /** Friedman test (the repeated-measures Kruskal–Wallis): k treatments
+    * ranked WITHIN each block, Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) over
+    * the per-treatment rank sums. Duplicate (block, treatment)
+    * observations are averaged first; blocks not observing every
+    * treatment are dropped (complete-block design), and ties within a
+    * block take average ranks via the cumulative-count identity
+    * avg_rank = before + (t+1)/2 (classic statistic, no tie
+    * correction — documented). The p-value is emitted only for
+    * dof = 2 (k = 3), where the χ² survival is exactly exp(−Q/2);
+    * other dofs yield null rather than an approximation.
+    * Output (one row): (k INT, n_blocks BIGINT, q 4dp, dof INT,
+    * p_value 6dp). */
+  def friedman(df: DataFrame, block: String, treatment: String,
+               value: String): DataFrame = {
+    val cell = df.groupBy(col(block).as("__b"),
+        col(treatment).as("__t"))
+      .agg(avg(col(value).cast("double")).as("__v"))
+    val k = cell.select(col("__t")).distinct().count()
+    val complete = cell
+      .withColumn("__kb", count(lit(1)).over(
+        Window.partitionBy(col("__b"))))
+      .filter(col("__kb") === k)
+    // average rank within block: per distinct value, ranks span
+    // (before, before + t]; their mean is before + (t+1)/2
+    val perVal = complete.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perVal
+      .withColumn("__before", coalesce(sum(col("__c")).over(wOrd),
+        lit(0L)))
+      .select(col("__b").as("__rb"), col("__v").as("__rv"),
+        (col("__before") + (col("__c") + 1) / lit(2.0)).as("__rank"))
+    val rankSums = complete.join(ranked,
+        col("__b") === col("__rb") && col("__v") === col("__rv"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__rank")).as("__rsum"),
+        count(lit(1)).as("__nb"))
+    val kD = lit(k.toDouble)
+    rankSums.agg(max(col("__nb")).as("n_blocks"),
+        sum(col("__rsum") * col("__rsum")).as("__sq"))
+      .select(lit(k.toInt).as("k"), col("n_blocks"),
+        round(lit(12.0) / (col("n_blocks") * kD * (kD + 1)) *
+          col("__sq") - lit(3.0) * col("n_blocks") * (kD + 1), 4)
+          .as("q"),
+        lit((k - 1).toInt).as("dof"))
+      .withColumn("p_value",
+        when(col("dof") === 2, round(exp(-col("q") / 2.0), 6)))
+  }
 }

@@ -144,4 +144,56 @@ object RobustStats {
         round(avg(when(v >= col("__lo") && v <= col("__hi"), v)), 4)
           .as("trimmed_mean"))
   }
+
+  /** Theil–Sen robust trend per group: the exact median of all
+    * pairwise slopes (y_b − y_a)/(x_b − x_a) over x_a < x_b, with the
+    * standard median-anchored intercept median(y) − slope·median(x).
+    * 29%-breakdown-point alternative to OLS trend — one outlier day
+    * cannot move it.
+    *
+    * SERIES-GRAIN CONTRACT: the input is a pre-aggregated series
+    * (e.g. one row per day), not the fact table — the pair join is
+    * O(n²) per group by definition of the estimator. A size probe
+    * `require`s every group under `maxSeriesRows` (default 10k → ≤50M
+    * pairs/group) so a fact-scale input fails with a message instead
+    * of a quadratic blowup — the betweenness-guard discipline.
+    * Output: (group, n BIGINT, n_pairs BIGINT, slope 6dp,
+    * intercept 6dp); groups with < 2 distinct x yield null slope. */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String, maxSeriesRows: Long = 10000L): DataFrame = {
+    val pts = df.select(col(groupCol).as("__g"),
+      col(xCol).cast("double").as("__x"),
+      col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val worst = pts.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head
+    val maxN = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(maxN <= maxSeriesRows,
+      s"theilSen input has a group with $maxN rows — above the " +
+        s"series-grain contract ($maxSeriesRows); pre-aggregate the " +
+        "series (e.g. to daily grain) before calling")
+    val a = pts.select(col("__g"), col("__x").as("__xa"),
+      col("__y").as("__ya"))
+    val b = pts.select(col("__g"), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    val slopes = a.join(b, Seq("__g"))
+      .filter(col("__xa") < col("__xb"))
+      .select(col("__g"),
+        ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
+          .as("__s"))
+    val med = slopes.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile(col("__s"), lit(0.5)).as("__slope"))
+    val anchors = pts.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("__x"), lit(0.5)).as("__mx"),
+        percentile(col("__y"), lit(0.5)).as("__my"))
+    anchors.join(med, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        round(col("__slope"), 6).as("slope"),
+        round(col("__my") - col("__slope") * col("__mx"), 6)
+          .as("intercept"))
+  }
 }

@@ -211,4 +211,46 @@ object Survival {
           nullif(col("n_pairs").cast("double"), lit(0.0)), 4)
           .as("c_index"))
   }
+
+  /** Weibull fit per group by median-rank regression (the probability-
+    * plot / Weibull-paper method): sort the n UNCENSORED durations,
+    * give rank i the Bernard median-rank plotting position
+    * F_i = (i − 0.3)/(n + 0.4), and OLS-fit
+    * ln(−ln(1−F_i)) = k·ln(t_i) − k·ln(λ) — slope is the shape k
+    * (k < 1 infant-mortality, k ≈ 1 memoryless, k > 1 wear-out),
+    * intercept gives the scale λ = exp(−b/k). The closed-form
+    * parametric complement to [[kaplanMeier]]/[[nelsonAalen]].
+    *
+    * Equal durations get distinct ranks (order-statistic convention);
+    * the OLS sums are permutation-invariant within a tie, so the fit
+    * is deterministic. One rank window + one aggregate per group.
+    * Output: (group, n BIGINT, shape 4dp, scale 4dp, r2 4dp); groups
+    * with < 2 distinct durations yield nulls. */
+  def weibullFit(df: DataFrame, groupCol: String,
+                 durationCol: String): DataFrame = {
+    val t = col(durationCol).cast("double")
+    val pts = df.filter(t.isNotNull && t > 0)
+      .select(col(groupCol).as("__g"), t.as("__t"))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__t"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__g"))))
+    val x = log(col("__t"))
+    val y = log(-log(lit(1.0) -
+      (col("__i") - lit(0.3)) / (col("__n") + lit(0.4))))
+    val a = pts.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * x).as("sxx"),
+        sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val n = col("n").cast("double")
+    val vx = col("sxx") - col("sx") * col("sx") / n
+    val vy = col("syy") - col("sy") * col("sy") / n
+    val cxy = col("sxy") - col("sx") * col("sy") / n
+    val slope = cxy / nullif(vx, lit(0.0))
+    val inter = (col("sy") - slope * col("sx")) / n
+    a.select(col("__g").as(groupCol), col("n"),
+      round(slope, 4).as("shape"),
+      round(exp(-inter / slope), 4).as("scale"),
+      round(cxy * cxy / nullif(vx * vy, lit(0.0)), 4).as("r2"))
+  }
 }

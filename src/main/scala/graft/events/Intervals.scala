@@ -57,6 +57,39 @@ object Intervals {
         col("__run").as("peak"), col("__t").as("peak_at"))
   }
 
+  /** Little's-law queueing profile per key over (start, end) interval
+    * micros: arrival rate λ = n/span, mean time-in-system W = avg
+    * duration, time-averaged occupancy L = Σduration/span — L = λ·W
+    * holds by construction (the identity is the DEFINITION of the
+    * time-averaged estimator; emitting all three makes the readout
+    * directly comparable to external λ or W measurements) — plus the
+    * sweep-line peak from [[maxConcurrency]] so the profile carries
+    * the max alongside the mean. Two passes over the interval frame
+    * (one aggregate, one sweep), both shuffling only on the key.
+    * Output: (key, n_intervals BIGINT, span_sec 4dp,
+    * arrivals_per_hour 4dp, w_avg_sec 4dp, l_avg 4dp, peak BIGINT);
+    * single-instant spans yield null rates. */
+  def littlesLaw(df: DataFrame, key: String, startCol: String,
+                 endCol: String): DataFrame = {
+    val dur = (col(endCol) - col(startCol)).cast("double")
+    val agg = df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_intervals"),
+        min(col(startCol)).as("__t0"), max(col(endCol)).as("__t1"),
+        sum(dur).as("__sumdur"), avg(dur).as("__w"))
+    val span = (col("__t1") - col("__t0")).cast("double") / 1e6
+    val spanOk = nullif(span, lit(0.0))
+    val peak = maxConcurrency(df, key, startCol, endCol)
+      .select(col(key), col("peak"))
+    agg.join(peak, Seq(key))
+      .select(col(key), col("n_intervals"),
+        round(span, 4).as("span_sec"),
+        round(col("n_intervals") / spanOk * 3600.0, 4)
+          .as("arrivals_per_hour"),
+        round(col("__w") / 1e6, 4).as("w_avg_sec"),
+        round(col("__sumdur") / 1e6 / spanOk, 4).as("l_avg"),
+        col("peak"))
+  }
+
   /** Allen's interval algebra over per-key interval pairs: classify
     * every ordered pair (a, b) with a.id < b.id into one of the 13
     * relations (before/meets/overlaps/starts/during/finishes/equals +

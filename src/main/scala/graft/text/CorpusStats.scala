@@ -503,4 +503,99 @@ object CorpusStats {
       .withColumn("novelty", round(
         col("n_novel").cast("double") / col("n_bigrams"), 4))
   }
+
+  /** Mean segmental type-token ratio (MSTTR) per stratum — the
+    * length-robust lexical-diversity measure: raw TTR falls with
+    * document length (Heaps' law), so compare FIXED-length windows
+    * instead. Each document's token stream is cut into consecutive
+    * `segLen`-token segments, the trailing partial segment dropped
+    * (the standard MSTTR-50 convention), TTR = types/segLen per
+    * segment, averaged per stratum.
+    *
+    * One posexplode + two hash aggregates (segment-type grain, then
+    * segment grain) — token-stream-proportional, no window, no join.
+    * Output: (stratum, n_docs BIGINT, n_segments BIGINT, msttr 4dp);
+    * strata with no full segment yield null msttr. */
+  def msttr(docs: DataFrame, strataCol: String, idCol: String,
+            textCol: String, segLen: Int = 50): DataFrame = {
+    require(segLen >= 2, "segLen must be >= 2")
+    val toks = docs.select(col(strataCol).as("__s"),
+      col(idCol).as("__d"),
+      posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("__p", "__t")))
+    val segTypes = toks
+      .withColumn("__seg", floor(col("__p") / segLen))
+      .groupBy(col("__s"), col("__d"), col("__seg"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val segs = segTypes.groupBy(col("__s"), col("__d"), col("__seg"))
+      .agg(count(lit(1)).as("__types"), sum(col("__c")).as("__len"))
+      .filter(col("__len") === segLen)
+    val nDocs = docs.groupBy(col(strataCol).as("__s"))
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.join(
+        segs.groupBy(col("__s"))
+          .agg(count(lit(1)).as("n_segments"),
+            round(avg(col("__types").cast("double") / segLen), 4)
+              .as("msttr")),
+        Seq("__s"), "left")
+      .select(col("__s").as(strataCol), col("n_docs"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        col("msttr"))
+  }
+
+  /** Heaps'-law fit per stratum: vocabulary growth V(N) ≈ K·N^β over
+    * the corpus read in document-id order, fit by OLS on
+    * (ln N_d, ln V_d) at document-boundary checkpoints (N_d =
+    * cumulative tokens through doc d, V_d = cumulative distinct
+    * types). β far from the 0.4–0.6 natural-text band flags template
+    * spam (low β: vocabulary saturates) or OCR noise / id soup
+    * (β → 1: every token novel) — a corpus-health screen that needs no
+    * reference model.
+    *
+    * Scale shape: one explode → (stratum, term) first-seen-doc
+    * aggregate (vocab-bounded shuffle, map-side combined), doc-grain
+    * new-type counts joined to doc-grain token counts (doc-bounded,
+    * never token-grain joins), two cumulative windows per stratum over
+    * the DOC table, one closing aggregate. Output: (stratum,
+    * n_docs BIGINT, n_tokens BIGINT, vocab BIGINT, beta 4dp, k 4dp,
+    * r2 4dp); strata with < 2 checkpoint docs yield null fits. */
+  def heapsLaw(docs: DataFrame, strataCol: String, idCol: String,
+               textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(strataCol).as("__s"),
+      col(idCol).as("__d"),
+      explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+    val perDocTokens = docs.select(col(strataCol).as("__s"),
+      col(idCol).as("__d"),
+      TextAnalysis.tokenCount(col(textCol)).as("__nt"))
+    val firstSeen = toks.groupBy(col("__s"), col("__t"))
+      .agg(min(col("__d")).as("__d"))
+      .groupBy(col("__s"), col("__d"))
+      .agg(count(lit(1)).as("__nv"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__d"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val pts = perDocTokens
+      .join(firstSeen, Seq("__s", "__d"), "left")
+      .withColumn("__N", sum(col("__nt")).over(wCum))
+      .withColumn("__V", sum(coalesce(col("__nv"), lit(0L))).over(wCum))
+      .filter(col("__N") > 0 && col("__V") > 0)
+    val x = log(col("__N").cast("double"))
+    val y = log(col("__V").cast("double"))
+    val a = pts.groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__N")).as("n_tokens"), max(col("__V")).as("vocab"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * x).as("sxx"),
+        sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val n = col("n_docs").cast("double")
+    val vx = col("sxx") - col("sx") * col("sx") / n
+    val vy = col("syy") - col("sy") * col("sy") / n
+    val cxy = col("sxy") - col("sx") * col("sy") / n
+    val beta = cxy / nullif(vx, lit(0.0))
+    a.select(col("__s").as(strataCol), col("n_docs"),
+      col("n_tokens"), col("vocab"),
+      round(beta, 4).as("beta"),
+      round(exp((col("sy") - beta * col("sx")) / n), 4).as("k"),
+      round(cxy * cxy / nullif(vx * vy, lit(0.0)), 4).as("r2"))
+  }
 }

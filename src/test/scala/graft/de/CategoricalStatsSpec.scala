@@ -43,6 +43,34 @@ class CategoricalStatsSpec extends SparkSuite {
     assert(expected == 0.9273)
   }
 
+  test("mixDecomposition: exact three-way split of the mean change") {
+    // p0: s1 (1,1), s2 (3,3) -> mean 2; p1: s1 (1), s2 (5,5,5) -> 4
+    // mix = .5, rate = 1.0, interaction = .5 (sums to delta 2)
+    val rows = Seq((0, "s1", 1.0), (0, "s1", 1.0), (0, "s2", 3.0),
+      (0, "s2", 3.0), (1, "s1", 1.0), (1, "s2", 5.0), (1, "s2", 5.0),
+      (1, "s2", 5.0))
+    val df = rows.toDF("period", "stratum", "v")
+    val r = Experiment.mixDecomposition(df, "period", "stratum", "v")
+      .head()
+    assert(r.getAs[Double]("mean_0") == 2.0)
+    assert(r.getAs[Double]("mean_1") == 4.0)
+    assert(r.getAs[Double]("delta") == 2.0)
+    assert(r.getAs[Double]("mix_effect") == 0.5)
+    assert(r.getAs[Double]("rate_effect") == 1.0)
+    assert(r.getAs[Double]("interaction") == 0.5)
+  }
+
+  test("mixDecomposition: a stratum absent from one period keeps the " +
+    "identity exact via the rate fallback") {
+    val rows = Seq((0, "s1", 2.0), (1, "s1", 2.0), (1, "s2", 6.0))
+    val r = Experiment.mixDecomposition(rows.toDF("period", "stratum",
+      "v"), "period", "stratum", "v").head()
+    val parts = r.getAs[Double]("mix_effect") +
+      r.getAs[Double]("rate_effect") + r.getAs[Double]("interaction")
+    assert(math.abs(parts - r.getAs[Double]("delta")) < 1e-9)
+    assert(r.getAs[Double]("delta") == 2.0) // mean 2 -> 4
+  }
+
   test("oddsRatioCi: Woolf interval brackets the OR; zero cell nulls") {
     val r = Experiment.oddsRatioCi(table2x2(3, 1, 1, 3), "st", "x", "y")
       .head()

@@ -449,6 +449,335 @@ object CatalogStats3 {
            |  round(cxy * cxy / nullif(vx * vy, 0), 4) AS r2
            |FROM f ORDER BY source""".stripMargin))
 
+  /** X225: Mann–Kendall trend TEST of the daily count per type —
+    * q323's slope upgraded with tie-corrected variance and a normal
+    * p-value (Simpson-integrated independent oracle, the q14
+    * discipline). */
+  private val q334 = Q("q334_mann_kendall",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      graft.ml.TrendStats.mannKendallTest(daily, "event_type",
+        "day", "y").orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, date_diff('day',
+           |      DATE '2024-01-01', ts::DATE)::DOUBLE AS t,
+           |    count(*)::DOUBLE AS x
+           |  FROM events GROUP BY event_type, ts::DATE),
+           |s AS (
+           |  SELECT a.g, sum(sign(b.x - a.x)) AS s
+           |  FROM d a JOIN d b ON a.g = b.g AND a.t < b.t GROUP BY 1),
+           |ties AS (
+           |  SELECT g, sum(c) AS n, sum(c * (c - 1) * (2 * c + 5))
+           |    AS tt
+           |  FROM (SELECT g, x, count(*) AS c FROM d GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |st AS (
+           |  SELECT ties.g, n, s,
+           |    (n * (n - 1.0) * (2 * n + 5) - tt) / 18.0 AS vs
+           |  FROM ties JOIN s USING (g)),
+           |z AS (
+           |  SELECT g, n, s, vs,
+           |    CASE WHEN s > 0 THEN (s - 1) / sqrt(vs)
+           |         WHEN s < 0 THEN (s + 1) / sqrt(vs)
+           |         ELSE 0 END AS z
+           |  FROM st),
+           |grid AS (SELECT g, abs(z) AS az,
+           |           unnest(generate_series(0, 20000)) AS i
+           |         FROM z),
+           |pts AS (SELECT g, az * i / 20000 AS xx,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          az / 20000 AS h
+           |        FROM grid),
+           |ig AS (SELECT g, sum(wt * exp(-xx * xx / 2)) * max(h)
+           |         / 3.0 / sqrt(2 * pi()) AS phi
+           |       FROM pts GROUP BY 1)
+           |SELECT z.g AS event_type, n::BIGINT AS n, s::BIGINT AS s,
+           |  round(vs, 4) AS var_s, round(z, 4) AS z,
+           |  round(1.0 - 2.0 * phi, 6) AS p_value
+           |FROM z JOIN ig USING (g) ORDER BY event_type""".stripMargin))
+
+  /** X226: spectral entropy of the daily count per type — the
+    * forecastability screen over the full Fourier spectrum. */
+  private val q335 = Q("q335_spectral_entropy",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      graft.events.Spectral.spectralEntropy(daily, "event_type",
+        "d", "c").orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, ts::DATE AS b,
+           |    count(*)::DOUBLE AS x
+           |  FROM events GROUP BY 1, 2),
+           |idx AS (
+           |  SELECT g, x,
+           |    (row_number() OVER (PARTITION BY g ORDER BY b) - 1)
+           |      ::DOUBLE AS t,
+           |    count(*) OVER (PARTITION BY g) AS n,
+           |    avg(x) OVER (PARTITION BY g) AS m
+           |  FROM d),
+           |wj AS (
+           |  SELECT g, t, x - m AS dd, n,
+           |    unnest(generate_series(1, n // 2)) AS j
+           |  FROM idx WHERE n >= 2),
+           |pf AS (
+           |  SELECT g, j, max(n) AS n,
+           |    power(sum(dd * cos(2 * pi() * t * j / n)), 2) +
+           |    power(sum(dd * sin(2 * pi() * t * j / n)), 2) AS p
+           |  FROM wj GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT g, max(n)::BIGINT AS n, count(*)::BIGINT AS n_freq,
+           |    sum(p) AS tot,
+           |    sum(CASE WHEN p > 0 THEN p * ln(p) END) AS plp
+           |  FROM pf GROUP BY 1)
+           |SELECT g AS event_type, n, n_freq,
+           |  CASE WHEN tot > 0 AND n_freq >= 2
+           |    THEN round(ln(tot) - plp / tot, 4) END AS entropy,
+           |  CASE WHEN tot > 0 AND n_freq >= 2
+           |    THEN round((ln(tot) - plp / tot) / ln(n_freq), 4)
+           |  END AS norm_entropy
+           |FROM agg ORDER BY event_type""".stripMargin))
+
+  /** X227: Cook's distance top-3 per type on the daily-count trend
+    * regression — which days own the q117-style fit. */
+  private val q336 = Q("q336_cooks_distance",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01"))
+            .cast("double").as("day"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      graft.ml.Regression.cooksDistance(daily, "event_type",
+        "day", "y", topK = 3)
+        .orderBy($"event_type", $"cooks_d".desc, $"day")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, date_diff('day',
+           |      DATE '2024-01-01', ts::DATE)::DOUBLE AS x,
+           |    count(*)::DOUBLE AS y
+           |  FROM events GROUP BY event_type, ts::DATE),
+           |st AS (
+           |  SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
+           |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+           |    sum(y * y) AS syy
+           |  FROM d GROUP BY 1),
+           |c AS (
+           |  SELECT g, n, sx / n AS mx, sy,
+           |    sxx - sx * sx / n AS cxx, sxy - sx * sy / n AS cxy,
+           |    syy - sy * sy / n AS cyy, sx
+           |  FROM st WHERE n >= 3),
+           |f AS (
+           |  SELECT g, n, mx, cxx,
+           |    cxy / nullif(cxx, 0) AS b,
+           |    sy / n - cxy / nullif(cxx, 0) * sx / n AS a,
+           |    nullif(cyy - cxy / nullif(cxx, 0) * cxy, 0) / (n - 2)
+           |      AS mse
+           |  FROM c),
+           |sc AS (
+           |  SELECT d.g, d.x, d.y, d.y - f.a - f.b * d.x AS e,
+           |    1 / f.n + (d.x - f.mx) * (d.x - f.mx) /
+           |      nullif(f.cxx, 0) AS h,
+           |    f.mse
+           |  FROM d JOIN f USING (g)),
+           |cd AS (
+           |  SELECT g, x, y, e, h,
+           |    e * e / (2 * mse) * h / ((1 - h) * (1 - h)) AS cd
+           |  FROM sc),
+           |rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY g
+           |    ORDER BY cd DESC, x ASC) AS rn
+           |  FROM cd WHERE cd IS NOT NULL)
+           |SELECT g AS event_type, x AS day, y,
+           |  round(e, 4) AS residual, round(h, 4) AS leverage,
+           |  round(cd, 4) AS cooks_d
+           |FROM rk WHERE rn <= 3
+           |ORDER BY event_type, cooks_d DESC, day""".stripMargin))
+
+  /** X228: empirical-Bayes beta-binomial shrinkage of per-user
+    * purchase rates — the learn-the-prior CTR smoother (a 1/1 user
+    * reads near the prior, not 100%). */
+  private val q337 = Q("q337_eb_shrinkage",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Scorecard.ebBetaBinomial(
+        t(s, dir, "events").select($"user_id",
+          when($"event_type" === "purchase", 1).otherwise(0).as("x")),
+        "user_id", "x")
+        .orderBy($"user_id")
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id, count(*)::BIGINT AS n,
+           |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+           |        END)::BIGINT AS x
+           |  FROM events GROUP BY 1),
+           |p AS (SELECT avg(x::DOUBLE / n) AS m,
+           |        var_pop(x::DOUBLE / n) AS v
+           |      FROM u),
+           |mo AS (
+           |  SELECT m,
+           |    CASE WHEN v > 0 AND m * (1 - m) / v > 1
+           |      THEN m * (m * (1 - m) / v - 1) END AS alpha,
+           |    CASE WHEN v > 0 AND m * (1 - m) / v > 1
+           |      THEN (1 - m) * (m * (1 - m) / v - 1) END AS beta
+           |  FROM p)
+           |SELECT user_id, n, x, round(x::DOUBLE / n, 6) AS raw_rate,
+           |  round(alpha, 4) AS alpha, round(beta, 4) AS beta,
+           |  round(coalesce((x + alpha) / (n + alpha + beta),
+           |    x::DOUBLE / n), 6) AS posterior
+           |FROM u CROSS JOIN mo ORDER BY user_id""".stripMargin))
+
+  /** X229: MSTTR-50 lexical diversity per source — fixed-window TTR,
+    * the length-robust companion to q248. */
+  private val q338 = Q("q338_msttr",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.msttr(t(s, dir, "documents"),
+        "source", "doc_id", "text", segLen = 50)
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+           |  SELECT source AS s, doc_id AS d,
+           |    generate_subscripts(regexp_extract_all(text, '\S+'), 1)
+           |      - 1 AS p,
+           |    unnest(regexp_extract_all(text, '\S+')) AS t
+           |  FROM documents),
+           |segt AS (SELECT s, d, p // 50 AS seg, t, count(*) AS c
+           |         FROM tok GROUP BY 1, 2, 3, 4),
+           |segs AS (SELECT s, d, seg, count(*) AS types,
+           |           sum(c) AS len
+           |         FROM segt GROUP BY 1, 2, 3),
+           |fl AS (SELECT s, count(*)::BIGINT AS n_segments,
+           |         round(avg(types::DOUBLE / 50), 4) AS msttr
+           |       FROM segs WHERE len = 50 GROUP BY 1),
+           |nd AS (SELECT source AS s, count(*)::BIGINT AS n_docs
+           |       FROM documents GROUP BY 1)
+           |SELECT nd.s AS source, n_docs,
+           |  coalesce(n_segments, 0) AS n_segments, msttr
+           |FROM nd LEFT JOIN fl USING (s) ORDER BY source""".stripMargin))
+
+  /** X230: Gini decision stump per user cohort — best hour-of-day
+    * threshold separating purchases, the CART split scan at value
+    * grain. */
+  private val q339 = Q("q339_gini_stump",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Stump.giniStump(
+        t(s, dir, "events").select(
+          pmod($"user_id", lit(4)).cast("int").as("cohort"),
+          hour($"ts").cast("long").as("h"),
+          when($"event_type" === "purchase", 1).otherwise(0).as("t")),
+        "cohort", "h", "t")
+        .orderBy($"cohort")
+    },
+    Some("""WITH e AS (
+           |  SELECT (user_id % 4)::INT AS g, hour(ts) AS v,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           |      AS t
+           |  FROM events),
+           |cells AS (SELECT g, v, count(*) AS c, sum(t) AS p
+           |          FROM e GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT g, v,
+           |    sum(c) OVER (PARTITION BY g ORDER BY v
+           |      ROWS UNBOUNDED PRECEDING) AS nl,
+           |    sum(p) OVER (PARTITION BY g ORDER BY v
+           |      ROWS UNBOUNDED PRECEDING) AS pl,
+           |    sum(c) OVER (PARTITION BY g) AS n,
+           |    sum(p) OVER (PARTITION BY g) AS pt
+           |  FROM cells),
+           |cand AS (SELECT g, v, n, nl, pl, n - nl AS nr,
+           |           pt - pl AS pr, pt
+           |         FROM sc WHERE nl < n),
+           |gg AS (
+           |  SELECT g, v, n,
+           |    1 - power(pt::DOUBLE / n, 2)
+           |      - power(1 - pt::DOUBLE / n, 2) AS gp,
+           |    (nl * (1 - power(pl::DOUBLE / nl, 2)
+           |           - power(1 - pl::DOUBLE / nl, 2))
+           |     + nr * (1 - power(pr::DOUBLE / nr, 2)
+           |           - power(1 - pr::DOUBLE / nr, 2))) / n AS gs,
+           |    pl::DOUBLE / nl AS rl, pr::DOUBLE / nr AS rr
+           |  FROM cand),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY g
+           |         ORDER BY gp - gs DESC, v ASC) AS rn
+           |       FROM gg)
+           |SELECT g AS cohort, n::BIGINT AS n,
+           |  round(gp, 4) AS gini_parent, v AS threshold,
+           |  round(rl, 4) AS rate_left, round(rr, 4) AS rate_right,
+           |  round(gp - gs, 4) AS gain
+           |FROM rk WHERE rn = 1 ORDER BY cohort""".stripMargin))
+
+  /** X231: Breusch–Pagan heteroskedasticity screen of the daily
+    * revenue trend per type (Koenker LM; Simpson normal-tail
+    * oracle). */
+  private val q340 = Q("q340_breusch_pagan",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01"))
+            .cast("double").as("day"))
+        .agg(sum($"value").as("y"))
+      graft.ml.Regression.breuschPagan(daily, "event_type",
+        "day", "y").orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, date_diff('day',
+           |      DATE '2024-01-01', ts::DATE)::DOUBLE AS x,
+           |    sum(value) AS y
+           |  FROM events GROUP BY event_type, ts::DATE),
+           |st AS (
+           |  SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
+           |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+           |  FROM d GROUP BY 1),
+           |f AS (
+           |  SELECT g,
+           |    (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0)
+           |      AS b,
+           |    sy / n - (sxy - sx * sy / n) /
+           |      nullif(sxx - sx * sx / n, 0) * sx / n AS a
+           |  FROM st),
+           |r AS (
+           |  SELECT d.g, d.x,
+           |    power(d.y - f.a - f.b * d.x, 2) AS u
+           |  FROM d JOIN f USING (g)),
+           |aux AS (
+           |  SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
+           |    sum(u) AS su, sum(x * x) AS sxx, sum(x * u) AS sxu,
+           |    sum(u * u) AS suu
+           |  FROM r GROUP BY 1),
+           |lm AS (
+           |  SELECT g, n,
+           |    n * (sxu - sx * su / n) * (sxu - sx * su / n) /
+           |      nullif((sxx - sx * sx / n) * (suu - su * su / n), 0)
+           |      AS lm
+           |  FROM aux),
+           |grid AS (SELECT g, sqrt(lm) AS az,
+           |           unnest(generate_series(0, 20000)) AS i
+           |         FROM lm),
+           |pts AS (SELECT g, az * i / 20000 AS xx,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          az / 20000 AS h
+           |        FROM grid),
+           |ig AS (SELECT g, sum(wt * exp(-xx * xx / 2)) * max(h)
+           |         / 3.0 / sqrt(2 * pi()) AS phi
+           |       FROM pts GROUP BY 1)
+           |SELECT lm.g AS event_type, n::BIGINT AS n,
+           |  round(lm, 4) AS lm, round(1.0 - 2.0 * phi, 6) AS p_value
+           |FROM lm JOIN ig USING (g)
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q322, q323, q324, q325, q326, q327, q328,
-    q329, q330, q331, q332, q333)
+    q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
+    q339, q340)
 }

@@ -164,4 +164,98 @@ object Regression {
           nullif(sum(col("__e") * col("__e")), lit(0.0)), 4).as("dw"))
       .select(col("__k").as(key), col("n"), col("slope"), col("dw"))
   }
+
+  /** Cook's distance top-k per group for the simple regression
+    * y = a + b·x: D_i = e_i²/(2·MSE) · h_i/(1−h_i)² with leverage
+    * h_i = 1/n + (x_i−x̄)²/S_xx and MSE = SSE/(n−2) — "which points
+    * own the fit", the influence diagnostic to run before trusting
+    * q117/q224 coefficients. Group sufficient statistics broadcast
+    * back onto the facts ([[durbinWatson]]'s shape), one window for
+    * the per-group top-k cut. Output: (group, x, y, residual 4dp,
+    * leverage 4dp, cooks_d 4dp), the k most influential rows per
+    * group, influence-descending (ties broken by x); groups with
+    * n < 3 or zero MSE drop out. */
+  def cooksDistance(df: DataFrame, key: String, x: String, y: String,
+                    topK: Int = 3): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val yv = col(y).cast("double")
+    val xv = col(x).cast("double")
+    val stats = df.groupBy(col(key).as("__k"))
+      .agg(count(lit(1)).as("n"), sum(xv).as("sx"), sum(yv).as("sy"),
+        sum(xv * xv).as("sxx"), sum(xv * yv).as("sxy"),
+        sum(yv * yv).as("syy"))
+    val n = col("n").cast("double")
+    val cxx = col("sxx") - col("sx") * col("sx") / n
+    val cxy = col("sxy") - col("sx") * col("sy") / n
+    val cyy = col("syy") - col("sy") * col("sy") / n
+    val b = cxy / nullif(cxx, lit(0.0))
+    val fit = stats.filter(col("n") >= 3).select(col("__k"),
+      col("n"), b.as("__b"),
+      (col("sy") / n - b * col("sx") / n).as("__a"),
+      (col("sx") / n).as("__mx"), cxx.as("__cxx"),
+      (nullif(cyy - b * cxy, lit(0.0)) / (n - 2)).as("__mse"))
+    val e = col("__y") - col("__a") - col("__b") * col("__x")
+    val h = lit(1.0) / col("n") +
+      (col("__x") - col("__mx")) * (col("__x") - col("__mx")) /
+        nullif(col("__cxx"), lit(0.0))
+    val d = e * e / (lit(2.0) * col("__mse")) *
+      h / ((lit(1.0) - h) * (lit(1.0) - h))
+    val scored = df.select(col(key).as("__k"), xv.as("__x"),
+        yv.as("__y"))
+      .join(broadcast(fit), Seq("__k"))
+      .select(col("__k"), col("__x"), col("__y"),
+        e.as("__e"), h.as("__h"), d.as("__d"))
+      .filter(col("__d").isNotNull)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__d").desc, col("__x").asc)
+    scored.withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= topK)
+      .select(col("__k").as(key), col("__x").as(x), col("__y").as(y),
+        round(col("__e"), 4).as("residual"),
+        round(col("__h"), 4).as("leverage"),
+        round(col("__d"), 4).as("cooks_d"))
+  }
+
+  /** Breusch–Pagan heteroskedasticity test per group (the
+    * Koenker studentized form): regress the squared residuals of
+    * y = a + b·x on x; LM = n·R² of that auxiliary regression is
+    * χ²₁ under homoskedasticity, p = 2·P(Z > √LM). The "can I trust
+    * the OLS standard errors" gate next to [[durbinWatson]]'s
+    * autocorrelation gate. Two aggregate passes (fit, then auxiliary
+    * sums over the residuals), no window. Output: (group, n BIGINT,
+    * lm 4dp, p_value 6dp); degenerate auxiliaries yield nulls. */
+  def breuschPagan(df: DataFrame, key: String, x: String,
+                   y: String): DataFrame = {
+    import graft.functions.gfunctions.normal_sf
+    val yv = col(y).cast("double")
+    val xv = col(x).cast("double")
+    val stats = df.groupBy(col(key).as("__k"))
+      .agg(count(lit(1)).as("n"), sum(xv).as("sx"), sum(yv).as("sy"),
+        sum(xv * xv).as("sxx"), sum(xv * yv).as("sxy"))
+    val n0 = col("n").cast("double")
+    val b = (col("sxy") - col("sx") * col("sy") / n0) /
+      nullif(col("sxx") - col("sx") * col("sx") / n0, lit(0.0))
+    val fit = stats.select(col("__k"), b.as("__b"),
+      (col("sy") / n0 - b * col("sx") / n0).as("__a"))
+    val e2 = (col("__y") - col("__a") - col("__b") * col("__x")) *
+      (col("__y") - col("__a") - col("__b") * col("__x"))
+    val aux = df.select(col(key).as("__k"), xv.as("__x"), yv.as("__y"))
+      .join(broadcast(fit), Seq("__k"))
+      .select(col("__k"), col("__x"), e2.as("__u"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+        sum(col("__u")).as("su"), sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__x") * col("__u")).as("sxu"),
+        sum(col("__u") * col("__u")).as("suu"))
+    val n = col("n").cast("double")
+    val cxx = col("sxx") - col("sx") * col("sx") / n
+    val cxu = col("sxu") - col("sx") * col("su") / n
+    val cuu = col("suu") - col("su") * col("su") / n
+    val r2 = cxu * cxu / nullif(cxx * cuu, lit(0.0))
+    val lm = n * r2
+    aux.select(col("__k").as(key), col("n"),
+      round(lm, 4).as("lm"),
+      round(lit(2.0) * normal_sf(sqrt(lm)), 6).as("p_value"))
+  }
 }

@@ -57,6 +57,52 @@ object TrendStats {
         col("mk_s"), col("theil_sen"))
   }
 
+  /** Mann–Kendall trend TEST per key — [[trend]]'s S statistic
+    * upgraded to a significance readout: tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 over the
+    * per-value tie runs, continuity-corrected
+    * z = (S ∓ 1)/√Var(S) (0 when S = 0), and the two-sided normal
+    * p-value via the codegen'd normal_sf kernel. The nonparametric
+    * "is there a monotone trend" answer that needs no distributional
+    * assumption on the series. Pairwise at SERIES grain (the
+    * theilSen/q323 contract — pre-aggregate to days first).
+    * Output: (key, n BIGINT, s BIGINT, var_s 4dp, z 4dp,
+    * p_value 6dp); keys with < 2 points drop out. */
+  def mannKendallTest(series: DataFrame, key: String, orderCol: String,
+                      value: String): DataFrame = {
+    import graft.functions.gfunctions.normal_sf
+    val base = series.select(col(key).as("__k"),
+      col(orderCol).cast("double").as("__t"),
+      col(value).cast("double").as("__x"))
+    val lhs = base.select(col("__k"), col("__t").as("__t1"),
+      col("__x").as("__x1"))
+    val rhs = base.select(col("__k"), col("__t").as("__t2"),
+      col("__x").as("__x2"))
+    val s = lhs.join(rhs, Seq("__k"))
+      .filter(col("__t1") < col("__t2"))
+      .groupBy(col("__k"))
+      .agg(sum(signum(col("__x2") - col("__x1"))).cast("long")
+        .as("s"))
+    val ties = base.groupBy(col("__k"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__c") * (col("__c") - 1) * (col("__c") * 2 + 5))
+          .as("__tt"))
+    val n = col("n").cast("double")
+    val varS = (n * (n - 1) * (n * 2 + 5) - col("__tt")) / 18.0
+    val sD = col("s").cast("double")
+    val z = when(col("s") > 0, (sD - 1) / sqrt(varS))
+      .when(col("s") < 0, (sD + 1) / sqrt(varS))
+      .otherwise(lit(0.0))
+    ties.join(s, Seq("__k"))
+      .filter(col("n") >= 2)
+      .select(col("__k").as(key), col("n"), col("s"),
+        round(varS, 4).as("var_s"),
+        round(z, 4).as("z"),
+        round(lit(2.0) * normal_sf(abs(z)), 6).as("p_value"))
+  }
+
   /** Partial autocorrelation at lags 1–3 per key, via the
     * Durbin–Levinson closed forms over the standard biased ACF
     * r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²:

@@ -777,7 +777,333 @@ object CatalogStats3 {
            |FROM lm JOIN ig USING (g)
            |ORDER BY event_type""".stripMargin))
 
+  /** X232: seasonal/trend strength of the daily count per type
+    * (Hyndman F-measures over the m = 7 classical decomposition) —
+    * "is this series worth a seasonal model", scale-free. */
+  private val q341 = Q("q341_seasonal_strength",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      graft.events.Decompose.strength(daily, "event_type", "d", "c",
+        m = 7).orderBy($"event_type")
+    },
+    Some("""WITH s AS (
+           |  SELECT event_type, ts::DATE AS d, count(*)::DOUBLE AS c
+           |  FROM events GROUP BY 1, 2),
+           |b AS (
+           |  SELECT event_type, c,
+           |    (row_number() OVER (PARTITION BY event_type ORDER BY d)
+           |     - 1)::BIGINT AS idx,
+           |    count(*) OVER (PARTITION BY event_type) AS n,
+           |    sum(c) OVER (PARTITION BY event_type ORDER BY d
+           |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+           |  FROM s),
+           |b2 AS (
+           |  SELECT event_type, c, idx, n,
+           |    CASE WHEN idx >= 3 AND idx < n - 3
+           |         THEN win / 7 END AS trend
+           |  FROM b),
+           |se AS (SELECT event_type, idx % 7 AS ph,
+           |         avg(c - trend) AS sraw
+           |       FROM b2 WHERE trend IS NOT NULL GROUP BY 1, 2),
+           |ce AS (SELECT event_type, avg(sraw) AS cc
+           |       FROM se GROUP BY 1),
+           |sea AS (SELECT se.event_type, ph,
+           |          round(sraw - cc, 6) AS seasonal
+           |        FROM se JOIN ce USING (event_type)),
+           |dec AS (
+           |  SELECT b2.event_type,
+           |    round(b2.trend, 6) AS trend, sea.seasonal,
+           |    round(b2.c - b2.trend - sea.seasonal, 6) AS residual
+           |  FROM b2 JOIN sea ON sea.event_type = b2.event_type
+           |                  AND sea.ph = b2.idx % 7
+           |  WHERE b2.trend IS NOT NULL),
+           |v AS (
+           |  SELECT event_type, count(*)::BIGINT AS n_used,
+           |    var_pop(residual) AS vr,
+           |    var_pop(seasonal + residual) AS vsr,
+           |    var_pop(trend + residual) AS vtr
+           |  FROM dec GROUP BY 1)
+           |SELECT event_type, n_used,
+           |  round(greatest(0, 1 - vr / nullif(vsr, 0)), 4)
+           |    AS f_seasonal,
+           |  round(greatest(0, 1 - vr / nullif(vtr, 0)), 4)
+           |    AS f_trend
+           |FROM v ORDER BY event_type""".stripMargin))
+
+  /** X233: second SQL-TVF surface — exact dedup invoked through
+    * spark.sql over a corpus with planted duplicates, then a plain
+    * SQL rollup over the deduped table (the q284 discipline: the
+    * library IS reachable by SQL-first users). */
+  private val q342 = Q("q342_sql_tvf_dedup",
+    (s, dir) => {
+      import s.implicits._
+      graft.sql.TableFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      docs.unionByName(docs.filter($"doc_id" % 7 === 0)
+          .withColumn("doc_id", $"doc_id" + 1000000L))
+        .createOrReplaceTempView("docs_dedup_tvf")
+      s.sql("""SELECT source, count(*) AS n_docs,
+              |  sum(n_chars) AS total_chars
+              |FROM graft_exact_dedup('docs_dedup_tvf', 'doc_id',
+              |                       'text')
+              |GROUP BY source ORDER BY source""".stripMargin)
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text, source, n_chars FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text, source, n_chars
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM corpus
+           |         GROUP BY md5(text)),
+           |k2 AS (SELECT corpus.* FROM corpus JOIN keep
+           |       USING (doc_id))
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  sum(n_chars)::BIGINT AS total_chars
+           |FROM k2 GROUP BY 1 ORDER BY source""".stripMargin))
+
+  /** X234: Grubbs outlier test on event values per type — exact
+    * t-tail via the reg_inc_beta kernel; Simpson-integrated
+    * independent oracle (q14 discipline). */
+  private val q343 = Q("q343_grubbs",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Inference.grubbs(t(s, dir, "events"),
+        "event_type", "value").orderBy($"event_type")
+    },
+    Some("""WITH st AS (
+           |  SELECT event_type, count(*)::DOUBLE AS n,
+           |    avg(value) AS m, stddev_samp(value) AS sd
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |ok AS (SELECT * FROM st WHERE n >= 3 AND sd > 0),
+           |dev AS (
+           |  SELECT e.event_type, e.value,
+           |    abs(e.value - ok.m) AS dv, ok.n, ok.sd,
+           |    row_number() OVER (PARTITION BY e.event_type
+           |      ORDER BY abs(e.value - ok.m) DESC, e.value DESC)
+           |      AS rn
+           |  FROM events e JOIN ok USING (event_type)
+           |  WHERE e.value IS NOT NULL),
+           |top AS (SELECT event_type, value AS outlier, dv, n, sd
+           |        FROM dev WHERE rn = 1),
+           |gg AS (
+           |  SELECT event_type, n, outlier, dv / sd AS g,
+           |    (n - 1) * (n - 1) - n * (dv / sd) * (dv / sd)
+           |      AS denom
+           |  FROM top),
+           |tau AS (
+           |  SELECT event_type, n, outlier, g, denom,
+           |    CASE WHEN denom > 0
+           |      THEN n * (n - 2) * g * g / denom END AS tau2
+           |  FROM gg),
+           |g2 AS (
+           |  SELECT event_type, n, outlier, g, denom, tau2,
+           |    (n - 2) / 2.0 AS a,
+           |    CASE WHEN denom > 0
+           |      THEN sqrt(1 - (n - 2) / ((n - 2) + tau2)) END AS lo
+           |  FROM tau),
+           |grid AS (SELECT g2.*, unnest(generate_series(0, 20000))
+           |           AS i
+           |         FROM g2 WHERE denom > 0),
+           |pts AS (SELECT event_type, a,
+           |          lo + (1.0 - lo) * i / 20000 AS u,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          (1.0 - lo) / 20000 AS h
+           |        FROM grid),
+           |simpson AS (
+           |  SELECT event_type, max(a) AS a,
+           |    sum(wt * 2 * exp((a - 1.0) *
+           |      ln(greatest(1e-300, 1 - u * u)))) * max(h) / 3.0
+           |      AS binc
+           |  FROM pts GROUP BY event_type)
+           |SELECT g2.event_type, g2.n::BIGINT AS n, g2.outlier,
+           |  round(g2.g, 4) AS g,
+           |  round(CASE WHEN g2.denom <= 0 THEN 0.0
+           |    ELSE least(1.0, g2.n * simpson.binc /
+           |      exp(lgamma(simpson.a) + lgamma(0.5)
+           |          - lgamma(simpson.a + 0.5))) END, 6) AS p_value
+           |FROM g2 LEFT JOIN simpson USING (event_type)
+           |ORDER BY g2.event_type""".stripMargin))
+
+  /** X235: Hodges–Lehmann pseudo-median of the daily count per type —
+    * the Walsh-average location the signed-rank test inverts to. */
+  private val q344 = Q("q344_hodges_lehmann",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      graft.de.RobustStats.hodgesLehmann(daily, "event_type", "c")
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, count(*)::DOUBLE AS v
+           |  FROM events GROUP BY event_type, ts::DATE),
+           |i AS (SELECT g, v, row_number() OVER (PARTITION BY g
+           |        ORDER BY v) AS rn
+           |      FROM d),
+           |pr AS (SELECT a.g, (a.v + b.v) / 2 AS w
+           |       FROM i a JOIN i b ON a.g = b.g AND a.rn <= b.rn),
+           |agg AS (SELECT g, count(*)::BIGINT AS n_pairs,
+           |          quantile_cont(w, 0.5) AS hl
+           |        FROM pr GROUP BY 1),
+           |nn AS (SELECT g, count(*)::BIGINT AS n FROM d GROUP BY 1)
+           |SELECT nn.g AS event_type, n, n_pairs,
+           |  round(hl, 6) AS hl_estimate
+           |FROM nn JOIN agg USING (g) ORDER BY event_type""".stripMargin))
+
+  /** X236: Cliff's delta of finished vs open order totals per
+    * priority — the ordinal effect size next to q216's p-value,
+    * derived exactly from the tie-averaged U. */
+  private val q345 = Q("q345_cliffs_delta",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Inference.cliffsDelta(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus", "o_totalprice", "F", "O")
+        .orderBy($"o_orderpriority")
+    },
+    Some("""WITH i AS (
+           |  SELECT o_orderpriority AS s, o_orderstatus AS g,
+           |    o_totalprice AS v
+           |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+           |cells AS (SELECT s, g, v, count(*) AS cnt
+           |          FROM i GROUP BY 1, 2, 3),
+           |pv AS (SELECT s, v, sum(cnt) AS t FROM cells
+           |       GROUP BY 1, 2),
+           |r AS (SELECT s, v,
+           |        2 * coalesce(sum(t) OVER (PARTITION BY s ORDER BY v
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |          0) + t + 1 AS r2
+           |      FROM pv),
+           |pc AS (
+           |  SELECT s,
+           |    sum(CASE WHEN g = 'F' THEN cnt ELSE 0 END)::BIGINT
+           |      AS n_a,
+           |    sum(CASE WHEN g = 'O' THEN cnt ELSE 0 END)::BIGINT
+           |      AS n_b,
+           |    sum(CASE WHEN g = 'F' THEN cnt * r2 ELSE 0 END) AS r2a
+           |  FROM cells JOIN r USING (s, v) GROUP BY 1),
+           |d AS (
+           |  SELECT s, n_a, n_b,
+           |    round((r2a / 2.0 - n_a * (n_a + 1) / 2.0), 1) AS u
+           |  FROM pc),
+           |dd AS (
+           |  SELECT s, n_a, n_b,
+           |    round(2.0 * u / nullif((n_a * n_b)::DOUBLE, 0) - 1.0,
+           |      4) AS delta,
+           |    abs(2.0 * u / nullif((n_a * n_b)::DOUBLE, 0) - 1.0)
+           |      AS ad
+           |  FROM d)
+           |SELECT s AS o_orderpriority, n_a, n_b, delta,
+           |  CASE WHEN delta IS NULL THEN NULL
+           |       WHEN ad < 0.147 THEN 'negligible'
+           |       WHEN ad < 0.33 THEN 'small'
+           |       WHEN ad < 0.474 THEN 'medium'
+           |       ELSE 'large' END AS magnitude
+           |FROM dd ORDER BY o_orderpriority""".stripMargin))
+
+  /** X237: Wilcoxon signed-rank of first-half vs second-half-of-month
+    * per-user mean value by cohort — the PAIRED complement to q216
+    * (Simpson normal-tail oracle). */
+  private val q346 = Q("q346_wilcoxon",
+    (s, dir) => {
+      import s.implicits._
+      val paired = t(s, dir, "events")
+        .groupBy(pmod($"user_id", lit(4)).cast("int").as("cohort"),
+          $"user_id")
+        .agg(avg(when(dayofmonth($"ts") <= 15, $"value")).as("pre"),
+          avg(when(dayofmonth($"ts") > 15, $"value")).as("post"))
+        .filter($"pre".isNotNull && $"post".isNotNull)
+      graft.de.Inference.wilcoxonSignedRank(paired, "cohort",
+        "pre", "post").orderBy($"cohort")
+    },
+    Some("""WITH pm AS (
+           |  SELECT (user_id % 4)::INT AS s, user_id,
+           |    avg(CASE WHEN day(ts) <= 15 THEN value END) AS pre,
+           |    avg(CASE WHEN day(ts) > 15 THEN value END) AS post
+           |  FROM events GROUP BY 1, 2),
+           |p2 AS (SELECT s, post - pre AS d, abs(post - pre) AS a
+           |       FROM pm WHERE pre IS NOT NULL AND post IS NOT NULL
+           |         AND post - pre <> 0),
+           |cells AS (SELECT s, a, count(*) AS t,
+           |            sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+           |          FROM p2 GROUP BY 1, 2),
+           |r AS (SELECT s, a, t, pos,
+           |        2 * coalesce(sum(t) OVER (PARTITION BY s ORDER BY a
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |          0) + t + 1 AS r2
+           |      FROM cells),
+           |agg AS (SELECT s, sum(t)::BIGINT AS n_pairs,
+           |          sum(pos * r2) AS w2, sum(t * t * t - t) AS tt
+           |        FROM r GROUP BY 1),
+           |z AS (
+           |  SELECT s, n_pairs, w2 / 2.0 AS wp,
+           |    (w2 / 2.0 - n_pairs * (n_pairs + 1) / 4.0) /
+           |      nullif(sqrt(n_pairs * (n_pairs + 1.0) *
+           |        (2 * n_pairs + 1) / 24.0 - tt / 48.0), 0) AS z
+           |  FROM agg),
+           |grid AS (SELECT s, abs(z) AS az,
+           |           unnest(generate_series(0, 20000)) AS i
+           |         FROM z),
+           |pts AS (SELECT s, az * i / 20000 AS xx,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          az / 20000 AS h
+           |        FROM grid),
+           |ig AS (SELECT s, sum(wt * exp(-xx * xx / 2)) * max(h)
+           |         / 3.0 / sqrt(2 * pi()) AS phi
+           |       FROM pts GROUP BY 1)
+           |SELECT z.s AS cohort, n_pairs, round(wp, 1) AS w_plus,
+           |  round(z, 4) AS z, round(1.0 - 2.0 * phi, 6) AS p_value
+           |FROM z JOIN ig USING (s) ORDER BY cohort""".stripMargin))
+
+  /** X238: Ljung–Box whiteness test (h = 2, exact χ²₂ tail) of the
+    * daily count per type — the residual-autocorrelation gate. */
+  private val q347 = Q("q347_ljung_box",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      graft.ml.TrendStats.ljungBox2(daily, "event_type", "d", "c")
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, ts::DATE AS b,
+           |    count(*)::DOUBLE AS c
+           |  FROM events GROUP BY 1, 2),
+           |ctr AS (
+           |  SELECT g, b, c - avg(c) OVER (PARTITION BY g) AS dd
+           |  FROM d),
+           |lagd AS (
+           |  SELECT g, dd,
+           |    lag(dd, 1) OVER (PARTITION BY g ORDER BY b) AS d1,
+           |    lag(dd, 2) OVER (PARTITION BY g ORDER BY b) AS d2
+           |  FROM ctr),
+           |a AS (
+           |  SELECT g, count(*)::DOUBLE AS n,
+           |    sum(dd * dd) AS s0, sum(dd * d1) AS s1,
+           |    sum(dd * d2) AS s2
+           |  FROM lagd GROUP BY 1),
+           |q AS (
+           |  SELECT g, n,
+           |    s1 / nullif(CASE WHEN n > 2 THEN s0 END, 0) AS r1,
+           |    s2 / nullif(CASE WHEN n > 2 THEN s0 END, 0) AS r2
+           |  FROM a),
+           |qq AS (
+           |  SELECT g, n, r1, r2,
+           |    n * (n + 2) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2))
+           |      AS q
+           |  FROM q)
+           |SELECT g AS event_type, n::BIGINT AS n,
+           |  round(r1, 4) AS r1, round(r2, 4) AS r2,
+           |  round(q, 4) AS q, round(exp(-q / 2), 6) AS p_value
+           |FROM qq ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q322, q323, q324, q325, q326, q327, q328,
     q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
-    q339, q340)
+    q339, q340, q341, q342, q343, q344, q345, q346, q347)
 }

@@ -259,4 +259,112 @@ object Inference {
           .as("odds_ratio"),
         col("p_value"))
   }
+
+  /** Cliff's delta per scope — the ordinal effect size the
+    * [[mannWhitney]] p-value needs next to it: δ = 2U/(n_a·n_b) − 1
+    * ∈ [−1, 1], the probability a random `a` exceeds a random `b`
+    * minus the reverse. Derived EXACTLY from the tie-averaged U
+    * (mannWhitney's u is k/2, exact at 1 decimal), plus Romano's
+    * conventional magnitude bands. Output: (scope, n_a, n_b,
+    * delta 4dp, magnitude ∈ negligible|small|medium|large; null
+    * delta when either sample is empty). */
+  def cliffsDelta(df: DataFrame, scope: String, group: String,
+                  value: String, a: String, b: String): DataFrame = {
+    val mw = mannWhitney(df, scope, group, value, a, b)
+    val d = lit(2.0) * col("u") /
+      nullif((col("n_a") * col("n_b")).cast("double"), lit(0.0)) -
+      lit(1.0)
+    val ad = abs(d)
+    mw.select(col(scope), col("n_a"), col("n_b"),
+      round(d, 4).as("delta"),
+      when(d.isNull, lit(null).cast("string"))
+        .when(ad < 0.147, lit("negligible"))
+        .when(ad < 0.33, lit("small"))
+        .when(ad < 0.474, lit("medium"))
+        .otherwise(lit("large")).as("magnitude"))
+  }
+
+  /** Wilcoxon signed-rank test per scope over PAIRED observations
+    * (one row per unit with pre and post): d = post − pre, zeros
+    * dropped (the standard Wilcoxon convention), |d| tie-averaged-
+    * ranked, W⁺ = Σ ranks of positive d, normal approximation with
+    * tie-corrected variance σ² = n(n+1)(2n+1)/24 − Σt(t³−t)/48 and
+    * z = (W⁺ − n(n+1)/4)/σ (no continuity correction — documented),
+    * p two-sided. The paired complement to [[mannWhitney]]. Exact
+    * integer rank arithmetic (doubled ranks) until the final division.
+    * Output: (scope, n_pairs BIGINT nonzero pairs, w_plus 1dp,
+    * z 4dp, p_value 6dp); scopes with no nonzero pair drop out,
+    * all-tied scopes yield null z/p. */
+  def wilcoxonSignedRank(df: DataFrame, scope: String, pre: String,
+                         post: String): DataFrame = {
+    val d = col(post).cast("double") - col(pre).cast("double")
+    val base = df.filter(d.isNotNull && d =!= 0)
+      .select(col(scope).as("__s"), d.as("__d"), abs(d).as("__a"))
+    val cells = base.groupBy(col("__s"), col("__a"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__pos"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__a"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    // doubled tie-averaged rank of the |d| run: 2·before + t + 1
+    val ranked = cells
+      .withColumn("__cb", coalesce(sum(col("__t")).over(wOrd), lit(0L)))
+      .withColumn("__r2", lit(2) * col("__cb") + col("__t") + 1)
+    val agg = ranked.groupBy(col("__s"))
+      .agg(sum(col("__t")).as("n_pairs"),
+        sum(col("__pos") * col("__r2")).as("__w2"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t"))
+          .as("__tt"))
+    val n = col("n_pairs").cast("double")
+    val wPlus = col("__w2").cast("double") / 2
+    val sigma2 = n * (n + 1) * (n * 2 + 1) / 24.0 -
+      col("__tt").cast("double") / 48.0
+    val z = (wPlus - n * (n + 1) / 4) / nullif(sqrt(sigma2), lit(0.0))
+    agg.select(col("__s").as(scope), col("n_pairs"),
+      round(wPlus, 1).as("w_plus"),
+      round(z, 4).as("z"),
+      round(lit(2.0) * normal_sf(abs(z)), 6).as("p_value"))
+  }
+
+  /** Grubbs' test per group — is the single most extreme value an
+    * outlier under normality? G = max|x − x̄|/s (sample s), p =
+    * min(1, n·I_x(ν/2, ½)) with ν = n − 2, x = ν/(ν + τ²),
+    * τ² = n·ν·G²/((n−1)² − n·G²) — the exact t-tail form, evaluated
+    * by the [[graft.functions.gfunctions.reg_inc_beta]] kernel on
+    * group rows only. G at its theoretical maximum (τ² denominator
+    * ≤ 0, the 2-point degenerate case) reports p = 0. One aggregate +
+    * one broadcast-join argmax pass; the reported outlier breaks
+    * absolute-deviation ties by the larger value. Output: (group,
+    * n BIGINT, outlier, g 4dp, p_value 6dp); groups with n < 3 or
+    * zero variance drop out. */
+  def grubbs(df: DataFrame, groupCol: String,
+             valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.filter(v.isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"), avg(v).as("__m"),
+        stddev_samp(v).as("__sd"))
+      .filter(col("n") >= 3 && col("__sd") > 0)
+    val scored = df.filter(v.isNotNull)
+      .select(col(groupCol).as("__g"), v.as("__v"))
+      .join(broadcast(stats), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("n")).as("n"),
+        max(struct(abs(col("__v") - col("__m")).as("__dev"),
+          col("__v").as("__val"))).as("__top"),
+        max(col("__sd")).as("__sd"))
+    val n = col("n").cast("double")
+    val g = col("__top").getField("__dev") / col("__sd")
+    val nu = n - 2
+    val denom = (n - 1) * (n - 1) - n * g * g
+    val tau2 = n * nu * g * g / denom
+    val p = when(denom <= 0, lit(0.0))
+      .otherwise(least(lit(1.0),
+        n * reg_inc_beta(nu / (nu + tau2), nu / 2, lit(0.5))))
+    scored.select(col("__g").as(groupCol), col("n"),
+      col("__top").getField("__val").as("outlier"),
+      round(g, 4).as("g"),
+      round(p, 6).as("p_value"))
+  }
 }

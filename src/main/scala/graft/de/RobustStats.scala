@@ -145,6 +145,44 @@ object RobustStats {
           .as("trimmed_mean"))
   }
 
+  /** Hodges–Lehmann location estimator per group: the exact median of
+    * the n(n+1)/2 Walsh averages (x_i + x_j)/2 over i ≤ j — the
+    * location the Wilcoxon signed-rank test inverts to, more
+    * efficient than the plain median under near-symmetric noise while
+    * keeping a 29% breakdown point. Same SERIES-GRAIN O(n²) contract
+    * and size guard as [[theilSen]]. Row indexing breaks value ties
+    * arbitrarily, but the Walsh-average MULTISET is permutation-
+    * invariant within a tie, so the estimate is deterministic.
+    * Output: (group, n BIGINT, n_pairs BIGINT, hl_estimate 6dp). */
+  def hodgesLehmann(df: DataFrame, groupCol: String, valueCol: String,
+                    maxGroupRows: Long = 10000L): DataFrame = {
+    val pts = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val worst = pts.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head
+    val maxN = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(maxN <= maxGroupRows,
+      s"hodgesLehmann input has a group with $maxN rows — above the " +
+        s"series-grain contract ($maxGroupRows); pre-aggregate first")
+    val a = pts.select(col("__g"), col("__i").as("__ia"),
+      col("__v").as("__va"))
+    val b = pts.select(col("__g"), col("__i").as("__ib"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("__g"))
+      .filter(col("__ia") <= col("__ib"))
+      .groupBy(col("__g"))
+      .agg(max(col("__ib")).cast("long").as("n"),
+        count(lit(1)).as("n_pairs"),
+        round(percentile((col("__va") + col("__vb")) / 2, lit(0.5)), 6)
+          .as("hl_estimate"))
+      .select(col("__g").as(groupCol), col("n"), col("n_pairs"),
+        col("hl_estimate"))
+  }
+
   /** Theil–Sen robust trend per group: the exact median of all
     * pairwise slopes (y_b − y_a)/(x_b − x_a) over x_a < x_b, with the
     * standard median-anchored intercept median(y) − slope·median(x).

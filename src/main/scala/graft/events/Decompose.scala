@@ -58,6 +58,33 @@ object Decompose {
           .as("residual"))
   }
 
+  /** Seasonal/trend STRENGTH per key (Hyndman & Athanasopoulos,
+    * fpp3 §4.4): over [[classical]]'s complete-window rows,
+    * F_seasonal = max(0, 1 − Var(R)/Var(S + R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T + R)) — the scale-free 0..1
+    * answer to "is this series worth a seasonal model", directly
+    * comparable across thousands of series where raw variances are
+    * not. Same machinery and scale contract as [[classical]] plus one
+    * closing aggregate. Output: (key, n_used BIGINT, f_seasonal 4dp,
+    * f_trend 4dp); degenerate variances yield nulls. */
+  def strength(series: DataFrame, key: String, orderCol: String,
+               value: String, m: Int): DataFrame = {
+    val dec = classical(series, key, orderCol, value, m)
+      .filter(col("residual").isNotNull)
+    dec.groupBy(col(key))
+      .agg(count(lit(1)).as("n_used"),
+        var_pop(col("residual")).as("__vr"),
+        var_pop(col("seasonal") + col("residual")).as("__vsr"),
+        var_pop(col("trend") + col("residual")).as("__vtr"))
+      .select(col(key), col("n_used"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("__vr") / nullif(col("__vsr"), lit(0.0))), 4)
+          .as("f_seasonal"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("__vr") / nullif(col("__vtr"), lit(0.0))), 4)
+          .as("f_trend"))
+  }
+
   /** Ratio-to-moving-average seasonal INDEX — the multiplicative
     * sibling of [[classical]]: per phase p, the mean of x/trend over
     * complete-window buckets, renormalized so the m indexes average

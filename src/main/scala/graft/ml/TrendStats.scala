@@ -57,6 +57,44 @@ object TrendStats {
         col("mk_s"), col("theil_sen"))
   }
 
+  /** Ljung–Box portmanteau test at h = 2 per key: are the first two
+    * autocorrelations jointly zero (is the series white noise)?
+    * Q = n(n+2)·[r₁²/(n−1) + r₂²/(n−2)] over the standard biased ACF;
+    * χ²₂ under H0, so the p-value is exactly exp(−Q/2) — the
+    * residual-whiteness gate to run after q146/q163/q173 fits
+    * (h fixed at 2 keeps the χ² tail closed-form; larger h needs an
+    * incomplete gamma this engine deliberately avoids). One window
+    * sort per key for the two lags + one aggregate. Output: (key,
+    * n BIGINT, r1 4dp, r2 4dp, q 4dp, p_value 6dp); keys with n ≤ 2
+    * or zero variance yield nulls. */
+  def ljungBox2(series: DataFrame, key: String, orderCol: String,
+                value: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(orderCol))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+    val v = col(value).cast("double")
+    val lagged = series
+      .withColumn("__m", avg(v).over(wKey))
+      .withColumn("__d", v - col("__m"))
+      .withColumn("__d1", lag(col("__d"), 1).over(wOrd))
+      .withColumn("__d2", lag(col("__d"), 2).over(wOrd))
+    val a = lagged.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d") * col("__d")).as("__s0"),
+        sum(col("__d") * col("__d1")).as("__s1"),
+        sum(col("__d") * col("__d2")).as("__s2"))
+    val n = col("n").cast("double")
+    val s0 = nullif(when(col("n") > 2, col("__s0")), lit(0.0))
+    val r1 = col("__s1") / s0
+    val r2 = col("__s2") / s0
+    val q = n * (n + 2) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2))
+    a.select(col(key), col("n"),
+      round(r1, 4).as("r1"), round(r2, 4).as("r2"),
+      round(q, 4).as("q"),
+      round(exp(-q / 2), 6).as("p_value"))
+  }
+
   /** Mann–Kendall trend TEST per key — [[trend]]'s S statistic
     * upgraded to a significance readout: tie-corrected variance
     * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 over the

@@ -1103,7 +1103,495 @@ object CatalogStats3 {
            |  round(q, 4) AS q, round(exp(-q / 2), 6) AS p_value
            |FROM qq ORDER BY event_type""".stripMargin))
 
+  /** X240: Calinski–Harabasz + Davies–Bouldin clustering validity
+    * over the labeled embedding vectors — "is this clustering any
+    * good" in two numbers, next to q200's per-point silhouette. */
+  private val q348 = Q("q348_cluster_validity",
+    (s, dir) =>
+      graft.ml.ClusterMetrics.validityIndices(
+        t(s, dir, "embeddings"), "vec_id", "label", "embedding"),
+    Some("""WITH pts AS (
+           |  SELECT vec_id, label,
+           |    generate_subscripts(embedding, 1) AS d,
+           |    unnest(embedding)::DOUBLE AS x
+           |  FROM embeddings),
+           |cent AS (SELECT label, d, avg(x) AS m, count(*) AS nk
+           |         FROM pts GROUP BY 1, 2),
+           |gl AS (SELECT d, avg(x) AS gm FROM pts GROUP BY 1),
+           |wss AS (SELECT sum((x - m) * (x - m)) AS w
+           |        FROM pts JOIN cent USING (label, d)),
+           |bss AS (SELECT sum(nk * (m - gm) * (m - gm)) AS b
+           |        FROM cent JOIN gl USING (d)),
+           |pd AS (SELECT vec_id, label,
+           |         sqrt(sum((x - m) * (x - m))) AS dist
+           |       FROM pts JOIN cent USING (label, d)
+           |       GROUP BY 1, 2),
+           |sk AS (SELECT label, avg(dist) AS s FROM pd GROUP BY 1),
+           |cd AS (
+           |  SELECT a.label AS la, b.label AS lb,
+           |    sqrt(sum((a.m - b.m) * (a.m - b.m))) AS mij
+           |  FROM cent a JOIN cent b ON a.d = b.d
+           |    AND a.label <> b.label
+           |  GROUP BY 1, 2),
+           |dbi AS (
+           |  SELECT avg(mx) AS db FROM (
+           |    SELECT la, max((sa.s + sb.s) / nullif(mij, 0)) AS mx
+           |    FROM cd JOIN sk sa ON sa.label = cd.la
+           |    JOIN sk sb ON sb.label = cd.lb GROUP BY la)),
+           |meta AS (SELECT count(*)::BIGINT AS n,
+           |           count(DISTINCT label)::INT AS k
+           |         FROM embeddings)
+           |SELECT n, k,
+           |  CASE WHEN k >= 2 THEN round((b / (k - 1)) /
+           |    nullif(w / (n - k), 0), 4) END AS ch_index,
+           |  CASE WHEN k >= 2 THEN round(db, 4) END AS db_index
+           |FROM meta CROSS JOIN wss CROSS JOIN bss
+           |CROSS JOIN dbi""".stripMargin))
+
+  /** X241: Kupiec POF VaR backtest of the daily-revenue 5% tail per
+    * type (first half estimates, second half tests; Simpson
+    * normal-tail oracle). */
+  private val q349 = Q("q349_var_backtest",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(sum($"value").as("v"))
+      graft.events.Finance.varBacktest(daily, "event_type", "d", "v",
+        p = 0.05).orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, ts::DATE AS b, sum(value) AS v
+           |  FROM events GROUP BY 1, 2),
+           |sp AS (
+           |  SELECT g, b, v,
+           |    row_number() OVER (PARTITION BY g ORDER BY b) AS rn,
+           |    count(*) OVER (PARTITION BY g) AS n
+           |  FROM d),
+           |est AS (SELECT g, count(*)::BIGINT AS n_est,
+           |          quantile_cont(v, 0.05) AS vr
+           |        FROM sp WHERE rn <= n // 2 GROUP BY 1),
+           |tst AS (
+           |  SELECT sp.g, max(n_est) AS n_est,
+           |    count(*)::BIGINT AS n_test, max(vr) AS vr,
+           |    sum(CASE WHEN v < vr THEN 1 ELSE 0 END)::BIGINT AS x
+           |  FROM sp JOIN est USING (g) WHERE rn > n // 2
+           |  GROUP BY sp.g),
+           |lr AS (
+           |  SELECT g, n_est, n_test, vr, x,
+           |    greatest(0, -2 * ((n_test - x) * ln(0.95)
+           |      + x * ln(0.05)
+           |      - (CASE WHEN x < n_test THEN (n_test - x) *
+           |          ln(1 - x::DOUBLE / n_test) ELSE 0 END)
+           |      - (CASE WHEN x > 0 THEN x *
+           |          ln(x::DOUBLE / n_test) ELSE 0 END))) AS lr
+           |  FROM tst WHERE n_est > 0 AND n_test > 0),
+           |grid AS (SELECT g, sqrt(lr) AS az,
+           |           unnest(generate_series(0, 20000)) AS i
+           |         FROM lr),
+           |pts AS (SELECT g, az * i / 20000 AS xx,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          az / 20000 AS h
+           |        FROM grid),
+           |ig AS (SELECT g, sum(wt * exp(-xx * xx / 2)) * max(h)
+           |         / 3.0 / sqrt(2 * pi()) AS phi
+           |       FROM pts GROUP BY 1)
+           |SELECT lr.g AS event_type, n_est, n_test,
+           |  round(vr, 4) AS var_est, x AS n_violations,
+           |  round(x::DOUBLE / n_test, 4) AS rate,
+           |  round(lr, 4) AS lr_pof,
+           |  round(1.0 - 2.0 * phi, 6) AS p_value
+           |FROM lr JOIN ig USING (g) ORDER BY event_type""".stripMargin))
+
+  /** X242: newsvendor optimal stock from the empirical daily-demand
+    * distribution per type (c_u = 4, c_o = 1 → critical ratio 0.8). */
+  private val q350 = Q("q350_newsvendor",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).cast("double").as("demand"))
+      graft.report.Inventory.newsvendor(daily, "event_type",
+        "demand", cu = 4.0, co = 1.0).orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, count(*)::DOUBLE AS dem
+           |  FROM events GROUP BY event_type, ts::DATE),
+           |q AS (SELECT g, count(*)::BIGINT AS n,
+           |        quantile_cont(dem, 0.8) AS qo
+           |      FROM d GROUP BY 1),
+           |e AS (
+           |  SELECT d.g, max(n) AS n, max(qo) AS qo,
+           |    avg(greatest(dem - qo, 0)) AS und,
+           |    avg(greatest(qo - dem, 0)) AS ovr
+           |  FROM d JOIN q USING (g) GROUP BY d.g)
+           |SELECT g AS event_type, n, 0.8::DOUBLE AS critical_ratio,
+           |  round(qo, 4) AS q_opt, round(und, 4) AS exp_underage,
+           |  round(ovr, 4) AS exp_overage,
+           |  round(4 * und + 1 * ovr, 4) AS exp_cost
+           |FROM e ORDER BY event_type""".stripMargin))
+
+  /** X243: Granger causality (lag 1) — do daily clicks predict daily
+    * purchases beyond purchase history (exact F-tail via
+    * reg_inc_beta; Simpson t oracle)? */
+  private val q351 = Q("q351_granger",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy(to_date($"ts").as("d"))
+        .agg(sum(when($"event_type" === "click", 1).otherwise(0))
+          .as("x"),
+          sum(when($"event_type" === "purchase", 1).otherwise(0))
+            .as("y"))
+        .withColumn("k", lit("all"))
+      graft.ml.Regression.grangerLag1(daily, "k", "d", "x", "y")
+    },
+    Some("""WITH d AS (
+           |  SELECT ts::DATE AS b,
+           |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+           |        END)::DOUBLE AS x,
+           |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+           |        END)::DOUBLE AS y
+           |  FROM events GROUP BY 1),
+           |lg AS (
+           |  SELECT y, lag(y) OVER (ORDER BY b) AS y1,
+           |    lag(x) OVER (ORDER BY b) AS x1
+           |  FROM d),
+           |l2 AS (SELECT * FROM lg WHERE y1 IS NOT NULL
+           |       AND x1 IS NOT NULL AND y IS NOT NULL),
+           |a AS (
+           |  SELECT count(*)::DOUBLE AS n, sum(y1) AS s1,
+           |    sum(x1) AS s2, sum(y) AS sy, sum(y1 * y1) AS s11,
+           |    sum(x1 * x1) AS s22, sum(y1 * x1) AS s12,
+           |    sum(y1 * y) AS s1y, sum(x1 * y) AS s2y,
+           |    sum(y * y) AS syy
+           |  FROM l2),
+           |c AS (
+           |  SELECT n, s11 - s1 * s1 / n AS c11,
+           |    s22 - s2 * s2 / n AS c22, s12 - s1 * s2 / n AS c12,
+           |    s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y,
+           |    syy - sy * sy / n AS cyy
+           |  FROM a),
+           |f AS (
+           |  SELECT n, cyy, c1y * c1y / nullif(c11, 0) AS expl_r,
+           |    ((c1y * c22 - c2y * c12) * c1y +
+           |     (c2y * c11 - c1y * c12) * c2y) /
+           |      nullif(c11 * c22 - c12 * c12, 0) AS expl_u
+           |  FROM c),
+           |ff AS (
+           |  SELECT n, cyy, cyy - expl_r AS rss_r,
+           |    cyy - expl_u AS rss_u,
+           |    ((cyy - expl_r) - (cyy - expl_u)) /
+           |      (nullif(cyy - expl_u, 0) / (n - 3)) AS fstat
+           |  FROM f),
+           |g2 AS (
+           |  SELECT n, cyy, rss_r, rss_u, fstat,
+           |    (n - 3) / 2.0 AS aa,
+           |    sqrt(1 - (n - 3) / ((n - 3) + fstat)) AS lo
+           |  FROM ff),
+           |grid AS (SELECT g2.*, unnest(generate_series(0, 20000))
+           |           AS i
+           |         FROM g2),
+           |pts AS (SELECT aa, lo + (1.0 - lo) * i / 20000 AS u,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          (1.0 - lo) / 20000 AS h
+           |        FROM grid),
+           |simpson AS (
+           |  SELECT max(aa) AS aa,
+           |    sum(wt * 2 * exp((aa - 1.0) *
+           |      ln(greatest(1e-300, 1 - u * u)))) * max(h) / 3.0
+           |      AS binc
+           |  FROM pts)
+           |SELECT 'all' AS k, g2.n::BIGINT AS n,
+           |  round(1.0 - rss_r / nullif(cyy, 0), 4)
+           |    AS r2_restricted,
+           |  round(1.0 - rss_u / nullif(cyy, 0), 4)
+           |    AS r2_unrestricted,
+           |  round(fstat, 4) AS f,
+           |  round(simpson.binc / exp(lgamma(simpson.aa)
+           |    + lgamma(0.5) - lgamma(simpson.aa + 0.5)), 6)
+           |    AS p_value
+           |FROM g2 CROSS JOIN simpson""".stripMargin))
+
+  /** X244: position-based (U-shaped 40/20/40) multi-touch
+    * attribution — the third classic next to q125 last-touch and
+    * q140 linear, same banded range join. */
+  private val q352 = Q("q352_position_attribution",
+    (s, dir) =>
+      graft.events.Attribution.positionBased(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", "purchase",
+        Seq("click", "signup", "view"), lookbackSec = 86400L),
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+           |           FROM events WHERE event_type = 'purchase'),
+           |t AS (SELECT event_id AS tid, user_id, epoch_us(ts) AS tsu,
+           |        event_type
+           |      FROM events
+           |      WHERE event_type IN ('click', 'signup', 'view')),
+           |j AS (SELECT p.event_id AS cid, t.event_type AS touch,
+           |        t.tsu, t.tid
+           |      FROM p JOIN t ON t.user_id = p.user_id
+           |        AND t.tsu <= p.tsu
+           |        AND t.tsu >= p.tsu - 86400000000),
+           |r AS (SELECT cid, touch,
+           |        count(*) OVER (PARTITION BY cid) AS k,
+           |        row_number() OVER (PARTITION BY cid
+           |          ORDER BY tsu, tid) AS rn
+           |      FROM j),
+           |w AS (SELECT touch,
+           |        CASE WHEN k = 1 THEN 1.0
+           |             WHEN k = 2 THEN 0.5
+           |             WHEN rn = 1 THEN 0.4
+           |             WHEN rn = k THEN 0.4
+           |             ELSE 0.2 / (k - 2) END AS wt
+           |      FROM r),
+           |att AS (SELECT touch, round(sum(wt), 4) AS credit,
+           |          count(*)::BIGINT AS n_touches
+           |        FROM w GROUP BY 1),
+           |una AS (SELECT 'unattributed' AS touch,
+           |          round(count(*) * 1.0, 4) AS credit,
+           |          0::BIGINT AS n_touches
+           |        FROM p WHERE NOT EXISTS
+           |          (SELECT 1 FROM j WHERE j.cid = p.event_id)
+           |        HAVING count(*) > 0)
+           |SELECT * FROM att UNION ALL SELECT * FROM una
+           |ORDER BY touch""".stripMargin))
+
+  /** X245: pinball-loss quantile-forecast evaluation — the first
+    * half's P10/P50/P90 of daily revenue scored on the second half,
+    * with empirical coverage as the calibration readout. */
+  private val q353 = Q("q353_pinball",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(sum($"value").as("v"))
+      graft.ml.Ranking.quantileForecastEval(daily, "event_type",
+        "d", "v", Seq(0.1, 0.5, 0.9))
+        .orderBy($"event_type", $"q")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, ts::DATE AS b, sum(value) AS v
+           |  FROM events GROUP BY 1, 2),
+           |sp AS (
+           |  SELECT g, b, v,
+           |    row_number() OVER (PARTITION BY g ORDER BY b) AS rn,
+           |    count(*) OVER (PARTITION BY g) AS n
+           |  FROM d),
+           |fc AS (
+           |  SELECT g, 0.1 AS q, quantile_cont(v, 0.1) AS f
+           |  FROM sp WHERE rn <= n // 2 GROUP BY g
+           |  UNION ALL
+           |  SELECT g, 0.5, quantile_cont(v, 0.5)
+           |  FROM sp WHERE rn <= n // 2 GROUP BY g
+           |  UNION ALL
+           |  SELECT g, 0.9, quantile_cont(v, 0.9)
+           |  FROM sp WHERE rn <= n // 2 GROUP BY g)
+           |SELECT sp.g AS event_type, round(fc.q, 2)::DOUBLE AS q,
+           |  count(*)::BIGINT AS n_test,
+           |  round(max(fc.f), 4) AS forecast,
+           |  round(avg(fc.q * greatest(sp.v - fc.f, 0) +
+           |    (1 - fc.q) * greatest(fc.f - sp.v, 0)), 4) AS pinball,
+           |  round(avg(CASE WHEN sp.v <= fc.f THEN 1.0 ELSE 0.0
+           |        END), 4) AS coverage
+           |FROM sp JOIN fc USING (g) WHERE rn > n // 2
+           |GROUP BY sp.g, fc.q
+           |ORDER BY event_type, q""".stripMargin))
+
+  /** X246: Kendall's W — do the 5 user cohorts agree on the ranking
+    * of event types by mean value? */
+  private val q354 = Q("q354_kendalls_w",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.RankStats.kendallsW(
+        t(s, dir, "events").select(
+          pmod($"user_id", lit(5)).cast("int").as("rater"),
+          $"event_type", $"value"),
+        "rater", "event_type", "value")
+    },
+    Some("""WITH cell AS (
+           |  SELECT (user_id % 5)::INT AS r, event_type AS i,
+           |    avg(value) AS v
+           |  FROM events GROUP BY 1, 2),
+           |m AS (SELECT count(DISTINCT r) AS m FROM cell),
+           |comp AS (
+           |  SELECT cell.* FROM cell, m
+           |  WHERE (SELECT count(*) FROM cell c2 WHERE c2.i = cell.i)
+           |    = m.m),
+           |pv AS (SELECT r, v, count(*) AS c FROM comp GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT r, v, coalesce(sum(c) OVER (PARTITION BY r
+           |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |      1 PRECEDING), 0) + (c + 1) / 2.0 AS rnk
+           |  FROM pv),
+           |isum AS (
+           |  SELECT i, sum(rnk) AS rs
+           |  FROM comp JOIN rk USING (r, v) GROUP BY 1),
+           |ties AS (SELECT sum(c * c * c - c) AS tt FROM pv),
+           |agg AS (
+           |  SELECT count(*)::DOUBLE AS n, sum(rs) AS sm,
+           |    sum(rs * rs) AS sq
+           |  FROM isum),
+           |w AS (
+           |  SELECT m.m, agg.n, sq - sm * sm / n AS sdev,
+           |    12.0 * (sq - sm * sm / n) /
+           |      nullif(m.m * m.m * (n * n * n - n) - m.m * tt, 0)
+           |      AS w
+           |  FROM agg CROSS JOIN m CROSS JOIN ties)
+           |SELECT m::INT AS m, n::BIGINT AS n, round(sdev, 4) AS s,
+           |  round(w, 4) AS w, round(m * (n - 1) * w, 4) AS chi2
+           |FROM w""".stripMargin))
+
+  /** X247: nearest-neighbor covariate matching ATT per type — does
+    * the odd-user "treatment" shift hour-of-day at matched spend
+    * levels? Sorted union sweep, no pairwise join. */
+  private val q355 = Q("q355_nn_matching",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.nnMatchedAtt(
+        t(s, dir, "events").select($"event_type",
+          pmod($"user_id", lit(2)).cast("int").as("treat"),
+          $"value", hour($"ts").cast("double").as("y")),
+        "event_type", "treat", "value", "y")
+        .orderBy($"event_type")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type AS s, (user_id % 2)::INT AS t,
+           |    value AS x, hour(ts)::DOUBLE AS y
+           |  FROM events),
+           |sw AS (
+           |  SELECT s, t, x, y,
+           |    last_value(CASE WHEN t = 0 THEN x END IGNORE NULLS)
+           |      OVER (PARTITION BY s ORDER BY x, t, y
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS px,
+           |    last_value(CASE WHEN t = 0 THEN y END IGNORE NULLS)
+           |      OVER (PARTITION BY s ORDER BY x, t, y
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS py,
+           |    last_value(CASE WHEN t = 0 THEN x END IGNORE NULLS)
+           |      OVER (PARTITION BY s ORDER BY x DESC, t DESC, y DESC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS nx,
+           |    last_value(CASE WHEN t = 0 THEN y END IGNORE NULLS)
+           |      OVER (PARTITION BY s ORDER BY x DESC, t DESC, y DESC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS ny
+           |  FROM b),
+           |mt AS (
+           |  SELECT s,
+           |    y - (CASE WHEN nx IS NULL OR (px IS NOT NULL AND
+           |          abs(x - px) <= abs(x - nx)) THEN py ELSE ny END)
+           |      AS eff,
+           |    CASE WHEN nx IS NULL OR (px IS NOT NULL AND
+           |          abs(x - px) <= abs(x - nx))
+           |      THEN abs(x - px) ELSE abs(x - nx) END AS dist
+           |  FROM sw WHERE t = 1
+           |    AND (px IS NOT NULL OR nx IS NOT NULL)),
+           |cnt AS (
+           |  SELECT s,
+           |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_treated,
+           |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_controls
+           |  FROM b GROUP BY 1)
+           |SELECT cnt.s AS event_type, n_treated, n_controls,
+           |  round(avg(eff), 4) AS att,
+           |  round(avg(dist), 4) AS avg_match_dist
+           |FROM cnt JOIN mt USING (s)
+           |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin))
+
+  /** X248: rank-biased overlap of supplier revenue leaderboards,
+    * 1995-97 vs 1998+ per nation — the top-weighted "did the
+    * leaderboard change" measure (truncated RBO, D = 10, p = 0.9). */
+  private val q356 = Q("q356_rbo",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").join(t(s, dir, "supplier"),
+          $"l_suppkey" === $"s_suppkey")
+        .join(t(s, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name", $"s_suppkey",
+          (year($"l_shipdate") < 1998).as("h1"),
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      val pivoted = li.groupBy($"n_name", $"s_suppkey")
+        .agg(sum(when($"h1", $"rev")).as("ra_rev"),
+          sum(when(!$"h1", $"rev")).as("rb_rev"))
+        .filter($"ra_rev".isNotNull && $"rb_rev".isNotNull)
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy($"n_name")
+        .orderBy($"ra_rev".desc, $"s_suppkey".asc)
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy($"n_name")
+        .orderBy($"rb_rev".desc, $"s_suppkey".asc)
+      val ranked = pivoted
+        .withColumn("ra", row_number().over(wA))
+        .withColumn("rb", row_number().over(wB))
+      graft.ml.Ranking.rbo(ranked, "n_name", "ra", "rb",
+        depth = 10, p = 0.9).orderBy($"n_name")
+    },
+    Some("""WITH li AS (
+           |  SELECT n_name, s_suppkey,
+           |    year(l_shipdate) < 1998 AS h1,
+           |    l_extendedprice * (1.0 - l_discount) AS rev
+           |  FROM lineitem
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey),
+           |pv AS (
+           |  SELECT n_name, s_suppkey,
+           |    sum(CASE WHEN h1 THEN rev END) AS ra_rev,
+           |    sum(CASE WHEN NOT h1 THEN rev END) AS rb_rev
+           |  FROM li GROUP BY 1, 2),
+           |p2 AS (SELECT * FROM pv WHERE ra_rev IS NOT NULL
+           |       AND rb_rev IS NOT NULL),
+           |rk AS (
+           |  SELECT n_name,
+           |    row_number() OVER (PARTITION BY n_name
+           |      ORDER BY ra_rev DESC, s_suppkey ASC) AS ra,
+           |    row_number() OVER (PARTITION BY n_name
+           |      ORDER BY rb_rev DESC, s_suppkey ASC) AS rb
+           |  FROM p2),
+           |dep AS (SELECT unnest(generate_series(1, 10)) AS d),
+           |ov AS (
+           |  SELECT n_name, d, count(*) AS ovl
+           |  FROM rk CROSS JOIN dep
+           |  WHERE ra <= d AND rb <= d GROUP BY 1, 2),
+           |nn AS (SELECT n_name, count(*)::BIGINT AS n_items
+           |       FROM rk GROUP BY 1),
+           |rb2 AS (
+           |  SELECT n_name,
+           |    round(sum(power(0.9, d - 1) * ovl / d) * 0.1, 4)
+           |      AS rbo
+           |  FROM ov GROUP BY 1)
+           |SELECT nn.n_name, n_items, coalesce(rbo, 0.0) AS rbo
+           |FROM nn LEFT JOIN rb2 USING (n_name)
+           |ORDER BY n_name""".stripMargin))
+
+  /** X249: term burstiness (Fano factor of per-doc counts, zeros
+    * included via sufficient sums) — boilerplate-block screen. */
+  private val q357 = Q("q357_term_burstiness",
+    (s, dir) =>
+      graft.text.CorpusStats.termBurstiness(t(s, dir, "documents"),
+        "doc_id", "text", minDf = 5L, topK = 20),
+    Some("""WITH pd AS (
+           |  SELECT doc_id, t, count(*) AS c
+           |  FROM (SELECT doc_id,
+           |          unnest(regexp_extract_all(text, '\S+')) AS t
+           |        FROM documents)
+           |  GROUP BY 1, 2),
+           |pt AS (SELECT t, count(*) AS df, sum(c) AS total,
+           |         sum(c * c) AS s2
+           |       FROM pd GROUP BY 1),
+           |nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+           |SELECT t AS term, df::BIGINT AS df, total::BIGINT AS total,
+           |  round(total / n, 6) AS mean_per_doc,
+           |  round((s2 / n - (total / n) * (total / n)) /
+           |    nullif(total / n, 0), 4) AS vmr
+           |FROM pt CROSS JOIN nn WHERE df >= 5
+           |ORDER BY vmr DESC, term ASC LIMIT 20""".stripMargin))
+
   val all: Seq[Q] = Seq(q322, q323, q324, q325, q326, q327, q328,
     q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
-    q339, q340, q341, q342, q343, q344, q345, q346, q347)
+    q339, q340, q341, q342, q343, q344, q345, q346, q347, q348,
+    q349, q350, q351, q352, q353, q354, q355, q356, q357)
 }

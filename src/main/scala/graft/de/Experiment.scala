@@ -1,6 +1,7 @@
 package graft.de
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.gfunctions.normal_sf
@@ -338,6 +339,69 @@ object Experiment {
       when(ok, round(or, 4)).as("odds_ratio"),
       when(ok, round(exp(log(or) - lit(z) * se), 4)).as("ci_lo"),
       when(ok, round(exp(log(or) + lit(z) * se), 4)).as("ci_hi"))
+  }
+
+  /** Nearest-neighbor covariate matching ATT per stratum — the third
+    * classic causal readout next to CUPED and DiD: each TREATED unit
+    * is matched to the control with the closest covariate value
+    * (exact-distance ties break toward the LOWER control covariate —
+    * deterministic), ATT = mean(y_treated − y_matched_control).
+    * 1-NN with replacement on a scalar covariate reduces to a sorted
+    * sweep: controls and treated union-sorted by x per stratum, each
+    * treated row reads its nearest preceding and following control
+    * via running-last / reversed-running-last windows — NO pairwise
+    * join, O(n log n) per stratum at any scale. Output: (stratum,
+    * n_treated BIGINT, n_controls BIGINT, att 4dp,
+    * avg_match_dist 4dp); treated rows in strata with no control
+    * drop out (count visible via n_controls on surviving strata). */
+  def nnMatchedAtt(df: DataFrame, stratumCol: String, treatCol: String,
+                   xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val t = col(treatCol).cast("int")
+    val base = df.filter(x.isNotNull && y.isNotNull && t.isNotNull)
+      .select(col(stratumCol).as("__s"), t.as("__t"), x.as("__x"),
+        y.as("__y"))
+    // union sweep: at equal x, controls sort BEFORE treated (so an
+    // exact-x control is "preceding" = the tie winner toward lower x)
+    // __y in the sort keys: two controls at the SAME covariate value
+    // must resolve to one deterministic match (the running-last picks
+    // the frame's sort-maximal row)
+    val wFwd = Window.partitionBy(col("__s"))
+      .orderBy(col("__x"), col("__t"), col("__y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBwd = Window.partitionBy(col("__s"))
+      .orderBy(col("__x").desc, col("__t").desc, col("__y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cx = when(col("__t") === 0, col("__x"))
+    val cy = when(col("__t") === 0, col("__y"))
+    val swept = base
+      .withColumn("__px", last(cx, ignoreNulls = true).over(wFwd))
+      .withColumn("__py", last(cy, ignoreNulls = true).over(wFwd))
+      .withColumn("__nx", last(cx, ignoreNulls = true).over(wBwd))
+      .withColumn("__ny", last(cy, ignoreNulls = true).over(wBwd))
+    val dPrev = abs(col("__x") - col("__px"))
+    val dNext = abs(col("__x") - col("__nx"))
+    val usePrev = col("__nx").isNull ||
+      (col("__px").isNotNull && dPrev <= dNext)
+    val matched = swept.filter(col("__t") === 1 &&
+        (col("__px").isNotNull || col("__nx").isNotNull))
+      .select(col("__s"),
+        (col("__y") - when(usePrev, col("__py")).otherwise(col("__ny")))
+          .as("__eff"),
+        when(usePrev, dPrev).otherwise(dNext).as("__dist"))
+    val counts = base.groupBy(col("__s"))
+      .agg(sum(when(col("__t") === 1, 1L).otherwise(0L))
+        .as("n_treated"),
+        sum(when(col("__t") === 0, 1L).otherwise(0L))
+          .as("n_controls"))
+    counts.join(
+        matched.groupBy(col("__s"))
+          .agg(round(avg(col("__eff")), 4).as("att"),
+            round(avg(col("__dist")), 4).as("avg_match_dist")),
+        Seq("__s"))
+      .select(col("__s").as(stratumCol), col("n_treated"),
+        col("n_controls"), col("att"), col("avg_match_dist"))
   }
 
   /** Cochran's Q test for k correlated proportions: did the success

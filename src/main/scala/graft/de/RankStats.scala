@@ -215,6 +215,58 @@ object RankStats {
       .withColumnRenamed("__s", scope)
   }
 
+  /** Kendall's W coefficient of concordance: how much do m raters
+    * agree on the ranking of n items (0 = no agreement, 1 = perfect)?
+    * Items are tie-average-ranked WITHIN each rater; W = 12·S /
+    * (m²(n³−n) − m·ΣT) over the deviation of item rank-sums from
+    * their mean, with the per-rater tie correction T = Σ(t³−t).
+    * Only items scored by every rater count (complete-case; the
+    * Friedman discipline transposed). Duplicate (rater, item) scores
+    * are averaged. Output (one row): (m INT raters, n BIGINT items,
+    * s 4dp, w 4dp, chi2 4dp = m(n−1)W — χ²_{n−1} under H0, emitted
+    * for external lookup since n−1 is data-dependent); degenerate
+    * denominators yield null W. */
+  def kendallsW(df: DataFrame, rater: String, item: String,
+                value: String): DataFrame = {
+    val cell = df.groupBy(col(rater).as("__r"), col(item).as("__i"))
+      .agg(avg(col(value).cast("double")).as("__v"))
+    val m = cell.select(col("__r")).distinct().count()
+    val complete = cell
+      .withColumn("__mr", count(lit(1)).over(
+        Window.partitionBy(col("__i"))))
+      .filter(col("__mr") === m)
+    val perVal = complete.groupBy(col("__r"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(col("__r")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perVal
+      .withColumn("__before", coalesce(sum(col("__c")).over(wOrd),
+        lit(0L)))
+      .select(col("__r").as("__rr"), col("__v").as("__rv"),
+        (col("__before") + (col("__c") + 1) / lit(2.0)).as("__rank"))
+    val itemSums = complete.join(ranked,
+        col("__r") === col("__rr") && col("__v") === col("__rv"))
+      .groupBy(col("__i"))
+      .agg(sum(col("__rank")).as("__rs"))
+    val ties = perVal.groupBy(col("__r"))
+      .agg(sum(col("__c") * col("__c") * col("__c") - col("__c"))
+        .as("__t"))
+      .agg(sum(col("__t")).as("__tt"))
+    val mD = lit(m.toDouble)
+    val agg = itemSums.agg(count(lit(1)).as("n"),
+      sum(col("__rs")).as("__sum"),
+      sum(col("__rs") * col("__rs")).as("__sq"))
+    val n = col("n").cast("double")
+    val sDev = col("__sq") - col("__sum") * col("__sum") / n
+    val w = lit(12.0) * sDev /
+      nullif(mD * mD * (n * n * n - n) - mD * col("__tt"), lit(0.0))
+    agg.crossJoin(broadcast(ties))
+      .select(lit(m.toInt).as("m"), col("n"),
+        round(sDev, 4).as("s"),
+        round(w, 4).as("w"),
+        round(mD * (n - 1) * w, 4).as("chi2"))
+  }
+
   /** Friedman test (the repeated-measures Kruskal–Wallis): k treatments
     * ranked WITHIN each block, Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) over
     * the per-treatment rank sums. Duplicate (block, treatment)

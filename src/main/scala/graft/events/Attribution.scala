@@ -84,4 +84,60 @@ object Attribution {
         lit(0L).as("n_touches"))
     credited.unionByName(unattributed).orderBy(col("touch"))
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the third
+    * classic next to [[lastTouch]] and [[linear]]: the FIRST touch in
+    * the lookback gets `firstW` (default 40%), the LAST gets `lastW`
+    * (40%), and the middles share the remainder equally. Journeys of
+    * one touch take full credit; of two, first/last split
+    * proportionally (50/50 at the defaults). Same banded range join
+    * as [[linear]] plus one ordered window per conversion (ties on
+    * timestamp broken by the touch event id — deterministic).
+    * Output: (touch, credit 4dp, n_touches BIGINT) +
+    * `unattributed`. */
+  def positionBased(events: DataFrame, user: String, ts: String,
+                    eventType: String, id: String,
+                    conversionType: String, touchTypes: Seq[String],
+                    lookbackSec: Long, firstW: Double = 0.4,
+                    lastW: Double = 0.4): DataFrame = {
+    require(firstW > 0 && lastW > 0 && firstW + lastW <= 1,
+      "firstW/lastW must be positive and sum to <= 1")
+    val conv = events.filter(col(eventType) === conversionType)
+      .select(col(user), col(id).as("__conv_id"),
+        (col(ts) - expr(s"INTERVAL $lookbackSec SECONDS")).as("__ws"),
+        (col(ts) + expr("INTERVAL 1 MICROSECOND")).as("__we"))
+    val touches = events.filter(col(eventType).isin(touchTypes: _*))
+      .select(col(user), col(ts), col(id).as("__touch_id"),
+        col(eventType).as("touch"))
+    val joined = RangeJoin.bandedIntervalJoin(conv, touches, user,
+      "__ws", "__we", ts, bandWidthSec = lookbackSec)
+    val wConv = Window.partitionBy(col("__conv_id"))
+    val wOrd = Window.partitionBy(col("__conv_id"))
+      .orderBy(col(ts), col("__touch_id"))
+    val midW = 1.0 - firstW - lastW
+    val ranked = joined
+      .withColumn("__k", count(lit(1)).over(wConv))
+      .withColumn("__r", row_number().over(wOrd))
+    val wt = when(col("__k") === 1, lit(1.0))
+      .when(col("__k") === 2,
+        when(col("__r") === 1, lit(firstW / (firstW + lastW)))
+          .otherwise(lit(lastW / (firstW + lastW))))
+      .otherwise(
+        when(col("__r") === 1, lit(firstW))
+          .when(col("__r") === col("__k"), lit(lastW))
+          .otherwise(lit(midW) / (col("__k") - 2)))
+    val credited = ranked.withColumn("__wt", wt)
+      .groupBy(col("touch"))
+      .agg(round(sum(col("__wt")), 4).as("credit"),
+        count(lit(1)).as("n_touches"))
+    val unattributed = conv
+      .join(joined.select(col("__conv_id")).distinct(),
+        Seq("__conv_id"), "left_anti")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 0)
+      .select(lit("unattributed").as("touch"),
+        round(col("__n").cast("double"), 4).as("credit"),
+        lit(0L).as("n_touches"))
+    credited.unionByName(unattributed).orderBy(col("touch"))
+  }
 }

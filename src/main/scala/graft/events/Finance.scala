@@ -120,4 +120,56 @@ object Finance {
         round(col("__m") / nullif(col("__sd"), lit(0.0)), 4).as("sharpe"),
         round(col("__m") / nullif(col("__dd"), lit(0.0)), 4).as("sortino"))
   }
+
+  /** Kupiec POF (proportion-of-failures) VaR backtest per key: the
+    * first ⌊n/2⌋ buckets (in bucket order) estimate the p-quantile
+    * VaR; the rest are tested for violations (value < VaR).
+    * LR_POF = −2·ln[(1−p)^{n−x}·p^x / ((1−x/n)^{n−x}·(x/n)^x)] is
+    * χ²₁ under a correctly calibrated model; p-value via the normal
+    * tail 2·P(Z > √LR). The "does the 5% tail actually fire 5% of
+    * the time" audit every quantile forecast needs. Zero/full
+    * violation counts take the x·ln(x/n) → 0 limit explicitly.
+    * One rank window + two aggregates per key. Output: (key,
+    * n_est BIGINT, n_test BIGINT, var_est 4dp, n_violations BIGINT,
+    * rate 4dp, lr_pof 4dp, p_value 6dp); keys with an empty half
+    * drop out. */
+  def varBacktest(df: DataFrame, key: String, bucket: String,
+                  value: String, p: Double = 0.05): DataFrame = {
+    import graft.functions.gfunctions.normal_sf
+    require(p > 0 && p < 1, "p in (0,1)")
+    val v = col(value).cast("double")
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val wKey = Window.partitionBy(col(key))
+    val split = df
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__est", col("__rn") <= floor(col("__n") / 2))
+    val est = split.filter(col("__est"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_est"),
+        percentile(v, lit(p)).as("__var"))
+    val test = split.filter(!col("__est"))
+      .join(broadcast(est), Seq(key))
+      .groupBy(col(key))
+      .agg(max(col("n_est")).as("n_est"),
+        count(lit(1)).as("n_test"),
+        max(col("__var")).as("__var"),
+        sum(when(v < col("__var"), 1L).otherwise(0L)).as("x"))
+    val n = col("n_test").cast("double")
+    val x = col("x").cast("double")
+    val xln = when(col("x") > 0, x * log(x / n)).otherwise(lit(0.0))
+    val nxln = when(col("x") < col("n_test"),
+      (n - x) * log(lit(1.0) - x / n)).otherwise(lit(0.0))
+    // LR is ≥ 0 analytically; clamp the −1e-16 float dips so √LR
+    // never goes NaN when the observed rate sits exactly at p
+    val lr = greatest(lit(0.0), lit(-2.0) *
+      ((n - x) * math.log(1 - p) + x * math.log(p) - nxln - xln))
+    test.filter(col("n_est") > 0 && col("n_test") > 0)
+      .select(col(key), col("n_est"), col("n_test"),
+        round(col("__var"), 4).as("var_est"),
+        col("x").as("n_violations"),
+        round(x / n, 4).as("rate"),
+        round(lr, 4).as("lr_pof"),
+        round(lit(2.0) * normal_sf(sqrt(lr)), 6).as("p_value"))
+  }
 }

@@ -67,6 +67,74 @@ object ClusterMetrics {
       .drop("pred_when_other")
   }
 
+  /** Whole-clustering validity indices over labeled vectors:
+    * Calinski–Harabasz = [B/(k−1)]/[W/(n−k)] (higher = tighter,
+    * better-separated) and Davies–Bouldin = mean over clusters of
+    * max_j (S_i + S_j)/M_ij (lower better) — the two standard
+    * single-number answers to "is this clustering any good", next to
+    * the per-point [[simplifiedSilhouette]]. Everything reduces to
+    * centroid statistics: one (label, dim) aggregate, one per-point
+    * distance pass against broadcast centroids, one k²-bounded
+    * centroid-pair frame. Output (one row): (n BIGINT, k INT,
+    * ch_index 4dp, db_index 4dp); k < 2 yields nulls. */
+  def validityIndices(df: DataFrame, idCol: String, labelCol: String,
+                      vecCol: String): DataFrame = {
+    val pts = df.select(col(labelCol).cast("long").as("__lbl"),
+      posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("__d", "__x")))
+    val cent = pts.groupBy(col("__lbl"), col("__d"))
+      .agg(avg(col("__x")).as("__m"), count(lit(1)).as("__nk"))
+    val glob = pts.groupBy(col("__d")).agg(avg(col("__x")).as("__gm"))
+    val w = pts.join(broadcast(cent.select(col("__lbl"), col("__d"),
+        col("__m"))), Seq("__lbl", "__d"))
+      .agg(sum((col("__x") - col("__m")) * (col("__x") - col("__m")))
+        .as("__w"))
+    val b = cent.join(broadcast(glob), Seq("__d"))
+      .agg(sum(col("__nk") * (col("__m") - col("__gm")) *
+        (col("__m") - col("__gm"))).as("__b"))
+    // per-point euclidean distance to own centroid -> S_k
+    val pd = df.select(col(labelCol).cast("long").as("__lbl"),
+        col(idCol).as("__rid"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("__d", "__x")))
+      .join(broadcast(cent.select(col("__lbl"), col("__d"),
+        col("__m"))), Seq("__lbl", "__d"))
+      .groupBy(col("__lbl"), col("__rid"))
+      .agg(sqrt(sum((col("__x") - col("__m")) *
+        (col("__x") - col("__m")))).as("__dist"))
+    val sk = pd.groupBy(col("__lbl")).agg(avg(col("__dist")).as("__s"))
+    val ca = cent.select(col("__lbl").as("__la"), col("__d"),
+      col("__m").as("__ma"))
+    val cb = cent.select(col("__lbl").as("__lb"), col("__d"),
+      col("__m").as("__mb"))
+    val cd = ca.join(cb, Seq("__d"))
+      .filter(col("__la") =!= col("__lb"))
+      .groupBy(col("__la"), col("__lb"))
+      .agg(sqrt(sum((col("__ma") - col("__mb")) *
+        (col("__ma") - col("__mb")))).as("__mij"))
+    val dbi = cd
+      .join(broadcast(sk.select(col("__lbl").as("__la"),
+        col("__s").as("__sa"))), Seq("__la"))
+      .join(broadcast(sk.select(col("__lbl").as("__lb"),
+        col("__s").as("__sb"))), Seq("__lb"))
+      .groupBy(col("__la"))
+      .agg(max((col("__sa") + col("__sb")) /
+        nullif(col("__mij"), lit(0.0))).as("__mx"))
+      .agg(avg(col("__mx")).as("__db"))
+    val meta = df.agg(count(lit(1)).as("n"),
+      countDistinct(col(labelCol)).cast("int").as("k"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    meta.crossJoin(broadcast(w)).crossJoin(broadcast(b))
+      .crossJoin(broadcast(dbi))
+      .select(col("n"), col("k"),
+        when(col("k") >= 2,
+          round((col("__b") / (kD - 1)) /
+            nullif(col("__w") / (nD - kD), lit(0.0)), 4))
+          .as("ch_index"),
+        when(col("k") >= 2, round(col("__db"), 4)).as("db_index"))
+  }
+
   /** Label-grain rollup of [[simplifiedSilhouette]]: (label, n,
     * mean_silhouette 4-dp, n_misassigned BIGINT — points whose nearest
     * centroid is NOT their own label's). */

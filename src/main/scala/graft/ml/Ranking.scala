@@ -131,4 +131,89 @@ object Ranking {
         round(lit(1.0) / col("__first"), 6).as("mrr"),
         round(col("__hits").cast("double") / k, 4).as("p_at_k"))
   }
+
+  /** Quantile-forecast evaluation by pinball (quantile) loss: the
+    * first ⌊n/2⌋ buckets per key estimate each requested quantile,
+    * the rest score it — pinball = mean of q·(a−f)⁺ + (1−q)·(f−a)⁺,
+    * the strictly proper loss for quantile forecasts (what the M5
+    * uncertainty track ranks by), plus empirical coverage (share of
+    * test actuals ≤ forecast, which should sit near q for a
+    * calibrated forecaster). One rank window, one exact-percentile
+    * aggregate over the estimation half, one broadcast-grid join over
+    * the test half. Output: (key, q 2dp, n_test BIGINT, forecast 4dp,
+    * pinball 4dp, coverage 4dp); keys with an empty half drop out. */
+  def quantileForecastEval(series: DataFrame, key: String,
+                           bucket: String, value: String,
+                           qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      "quantiles in (0,1)")
+    val v = col(value).cast("double")
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val wKey = Window.partitionBy(col(key))
+    val split = series
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__est", col("__rn") <= floor(col("__n") / 2))
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      percentile(v, lit(q)).as(s"__f$i")
+    }
+    val fc = split.filter(col("__est"))
+      .groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(key), explode(array(qs.zipWithIndex.map {
+        case (q, i) =>
+          struct(lit(q).as("__q"), col(s"__f$i").as("__f"))
+      }: _*)).as("__qf"))
+      .select(col(key), col("__qf.__q").as("__q"),
+        col("__qf.__f").as("__f"))
+    split.filter(!col("__est"))
+      .join(broadcast(fc), Seq(key))
+      .groupBy(col(key), col("__q"))
+      .agg(count(lit(1)).as("n_test"),
+        max(col("__f")).as("__fv"),
+        avg(col("__q") * greatest(v - col("__f"), lit(0.0)) +
+          (lit(1.0) - col("__q")) *
+            greatest(col("__f") - v, lit(0.0))).as("__pb"),
+        avg(when(v <= col("__f"), 1.0).otherwise(0.0)).as("__cov"))
+      .select(col(key), round(col("__q"), 2).as("q"), col("n_test"),
+        round(col("__fv"), 4).as("forecast"),
+        round(col("__pb"), 4).as("pinball"),
+        round(col("__cov"), 4).as("coverage"))
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010), truncated at depth D:
+    * RBO_D = (1−p)·Σ_{d=1..D} p^{d−1}·|A_d ∩ B_d|/d over the top-d
+    * prefixes of two rankings — the top-weighted "how much did the
+    * leaderboard change" measure that Kendall/Spearman (which weight
+    * all positions equally) cannot give. Truncated form, no
+    * extrapolation residual (documented; comparable across keys at
+    * fixed D and p). Inputs are two rank columns per item (1-based);
+    * items missing either rank are ignored. The depth grid is
+    * D-bounded and broadcast — work is |items|·D per key at worst,
+    * with items already top-k-bounded by the caller. Output: (key,
+    * n_items BIGINT, rbo 4dp). */
+  def rbo(df: DataFrame, key: String, rankA: String, rankB: String,
+          depth: Int = 20, p: Double = 0.9): DataFrame = {
+    require(depth >= 1 && p > 0 && p < 1, "depth >= 1, p in (0,1)")
+    val items = df.select(col(key).as("__k"),
+      col(rankA).cast("long").as("__ra"),
+      col(rankB).cast("long").as("__rb"))
+      .filter(col("__ra").isNotNull && col("__rb").isNotNull)
+    val depths = items.sparkSession
+      .createDataFrame((1 to depth).map(Tuple1(_))).toDF("__d")
+    val overlaps = items.crossJoin(broadcast(depths))
+      .filter(col("__ra") <= col("__d") && col("__rb") <= col("__d"))
+      .groupBy(col("__k"), col("__d"))
+      .agg(count(lit(1)).as("__ov"))
+    val nItems = items.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_items"))
+    val term = pow(lit(p), col("__d") - 1) *
+      col("__ov").cast("double") / col("__d")
+    nItems.join(
+        overlaps.groupBy(col("__k"))
+          .agg(round(sum(term) * (1 - p), 4).as("rbo")),
+        Seq("__k"), "left")
+      .select(col("__k").as(key), col("n_items"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
 }

@@ -217,6 +217,63 @@ object Regression {
         round(col("__d"), 4).as("cooks_d"))
   }
 
+  /** Granger causality at lag 1 per key: does x yesterday improve the
+    * prediction of y today beyond y's own history? F-test of adding
+    * x_{t−1} to y_t ~ y_{t−1}: F = (RSS_r − RSS_u)/(RSS_u/(n−3)),
+    * F_{1,n−3} under H0, whose tail is exactly the two-sided t tail
+    * I_v(ν/2, ½) at ν = n−3, x = ν/(ν+F) — evaluated by the
+    * reg_inc_beta kernel on key rows only ("Granger-causes" is
+    * predictive precedence, not mechanism — the standard caveat).
+    * One lag window per key + one ten-statistic aggregate; both OLS
+    * fits are closed-form Cramer solves on that row. Output: (key,
+    * n BIGINT usable rows, r2_restricted 4dp, r2_unrestricted 4dp,
+    * f 4dp, p_value 6dp); singular designs yield nulls. */
+  def grangerLag1(df: DataFrame, key: String, orderCol: String,
+                  x: String, y: String): DataFrame = {
+    import graft.functions.gfunctions.reg_inc_beta
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(orderCol))
+    val lagged = df
+      .withColumn("__y", col(y).cast("double"))
+      .withColumn("__y1", lag(col(y).cast("double"), 1).over(w))
+      .withColumn("__x1", lag(col(x).cast("double"), 1).over(w))
+      .filter(col("__y1").isNotNull && col("__x1").isNotNull &&
+        col("__y").isNotNull)
+    val a = lagged.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y1")).as("s1"), sum(col("__x1")).as("s2"),
+        sum(col("__y")).as("sy"),
+        sum(col("__y1") * col("__y1")).as("s11"),
+        sum(col("__x1") * col("__x1")).as("s22"),
+        sum(col("__y1") * col("__x1")).as("s12"),
+        sum(col("__y1") * col("__y")).as("s1y"),
+        sum(col("__x1") * col("__y")).as("s2y"),
+        sum(col("__y") * col("__y")).as("syy"))
+    val n = col("n").cast("double")
+    val c11 = col("s11") - col("s1") * col("s1") / n
+    val c22 = col("s22") - col("s2") * col("s2") / n
+    val c12 = col("s12") - col("s1") * col("s2") / n
+    val c1y = col("s1y") - col("s1") * col("sy") / n
+    val c2y = col("s2y") - col("s2") * col("sy") / n
+    val cyy = col("syy") - col("sy") * col("sy") / n
+    val rssR = cyy - c1y * c1y / nullif(c11, lit(0.0))
+    val det = nullif(c11 * c22 - c12 * c12, lit(0.0))
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c2y * c11 - c1y * c12) / det
+    val rssU = cyy - (b1 * c1y + b2 * c2y)
+    val nu = n - 3
+    val f = (rssR - rssU) / (nullif(rssU, lit(0.0)) / nu)
+    a.filter(col("n") >= 4)
+      .select(col(key), col("n"),
+        round(lit(1.0) - rssR / nullif(cyy, lit(0.0)), 4)
+          .as("r2_restricted"),
+        round(lit(1.0) - rssU / nullif(cyy, lit(0.0)), 4)
+          .as("r2_unrestricted"),
+        round(f, 4).as("f"),
+        round(reg_inc_beta(nu / (nu + f), nu / 2, lit(0.5)), 6)
+          .as("p_value"))
+  }
+
   /** Breusch–Pagan heteroskedasticity test per group (the
     * Koenker studentized form): regress the squared residuals of
     * y = a + b·x on x; LM = n·R² of that auxiliary regression is

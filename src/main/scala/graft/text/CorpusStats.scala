@@ -504,6 +504,42 @@ object CorpusStats {
         col("n_novel").cast("double") / col("n_bigrams"), 4))
   }
 
+  /** Term burstiness top-k: the variance-to-mean ratio (Fano factor)
+    * of each term's per-document count over the WHOLE corpus
+    * (absent docs count as 0 — computed from the sufficient sums
+    * Σc, Σc² without materializing zeros). VMR ≈ 1 is Poisson
+    * (topic-neutral function words); VMR ≫ 1 is bursty content —
+    * when such a term is also high-df it flags boilerplate blocks
+    * repeated verbatim inside documents (Church & Gale 1995's
+    * burstiness, as a corpus screen). df ≥ minDf guards the
+    * estimate; ordered by VMR descending, term ascending. One
+    * explode + two hash aggregates + a 1-row broadcast for the doc
+    * count. Output: (term, df BIGINT, total BIGINT, mean_per_doc 6dp,
+    * vmr 4dp), topK rows. */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                     minDf: Long = 5L, topK: Int = 20): DataFrame = {
+    require(topK >= 1 && minDf >= 1, "topK/minDf must be >= 1")
+    val perDoc = docs.select(col(idCol).as("__d"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__d"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val perTerm = perDoc.groupBy(col("__t"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("total"),
+        sum(col("__c") * col("__c")).as("__s2"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val n = col("__n").cast("double")
+    val mean = col("total").cast("double") / n
+    val vmr = (col("__s2").cast("double") / n - mean * mean) /
+      nullif(mean, lit(0.0))
+    perTerm.crossJoin(broadcast(nDocs))
+      .filter(col("df") >= minDf)
+      .select(col("__t").as("term"), col("df"), col("total"),
+        round(mean, 6).as("mean_per_doc"),
+        round(vmr, 4).as("vmr"))
+      .orderBy(col("vmr").desc, col("term").asc)
+      .limit(topK)
+  }
+
   /** Mean segmental type-token ratio (MSTTR) per stratum — the
     * length-robust lexical-diversity measure: raw TTR falls with
     * document length (Heaps' law), so compare FIXED-length windows

@@ -591,6 +591,58 @@ object LlmScaleSmoke {
           graft.graph.Walks.personalizedPageRank(spark, nodes, edges,
             seed = 0L, damping = 0.85, iters = 5,
             driverThreshold = 0L, edgeThreshold = 0L)
+        }),
+        // round-8 batch: one conditional trig aggregate at event grain
+        "circadian" -> (() => sink(
+          graft.events.Circadian.timeOfDayStats(events, "event_type",
+            "ts"))),
+        // cumulative-LLR window per type over the event grain
+        "sprt" -> (() => sink(
+          graft.de.Experiment.sprtBernoulli(
+            events.select(col("event_type"), col("ts"), col("event_id"),
+              when(col("event_id") % 3 === 0, 1).otherwise(0).as("x")),
+            "event_type", Seq("ts", "event_id"), "x", 0.30, 0.36))),
+        // token-grain first-seen aggregate + doc-grain cumulative fit
+        "heaps_law" -> (() => sink(
+          CorpusStats.heapsLaw(docs, "source", "doc_id", "text"))),
+        // token-grain posexplode + two hash aggregates
+        "msttr" -> (() => sink(
+          CorpusStats.msttr(docs, "source", "doc_id", "text"))),
+        // unit-grain aggregate + 1-row broadcast MoM prior
+        "eb_shrinkage" -> (() => sink(
+          graft.ml.Scorecard.ebBetaBinomial(
+            events.select(col("user_id"),
+              when(col("event_type") === "purchase", 1).otherwise(0)
+                .as("x")),
+            "user_id", "x"))),
+        // value-grain split scan (cells bounded by 24 hour buckets)
+        "gini_stump" -> (() => sink(
+          graft.ml.Stump.giniStump(
+            events.select(pmod(col("user_id"), lit(4)).cast("int")
+              .as("g"),
+              hour(col("ts")).cast("long").as("h"),
+              when(col("event_type") === "purchase", 1).otherwise(0)
+                .as("t")),
+            "g", "h", "t"))),
+        // keys grow with n, series length fixed (30-day horizon) —
+        // the pairwise stage is per-key-bounded, linear in keys
+        "theil_sen_keys" -> (() => sink {
+          val daily = events
+            .groupBy(pmod(col("user_id"), lit(math.max(2L, n / 1000)))
+              .as("k"), to_date(col("ts")).as("d"))
+            .agg(count(lit(1)).as("y"))
+            .withColumn("x", datediff(col("d"), lit("2024-01-01")))
+          graft.de.RobustStats.theilSen(daily, "k", "x", "y",
+            maxSeriesRows = 100L)
+        }),
+        // full-spectrum DFT: keys × 30 × 15 working rows, linear in
+        // keys at the fixed series horizon
+        "spectral_entropy_keys" -> (() => sink {
+          val daily = events
+            .groupBy(pmod(col("user_id"), lit(math.max(2L, n / 1000)))
+              .as("k"), to_date(col("ts")).as("d"))
+            .agg(count(lit(1)).cast("double").as("c"))
+          graft.events.Spectral.spectralEntropy(daily, "k", "d", "c")
         }))
       val timed = ops
         .filter { case (name, _) => onlyOps.forall(_.contains(name)) }

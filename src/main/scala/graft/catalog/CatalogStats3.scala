@@ -1590,8 +1590,315 @@ object CatalogStats3 {
            |FROM pt CROSS JOIN nn WHERE df >= 5
            |ORDER BY vmr DESC, term ASC LIMIT 20""".stripMargin))
 
+  /** X250: Anderson–Darling + Cramér–von Mises normality battery
+    * (estimated parameters, Stephens 5% criticals) over the daily
+    * counts per type — per-row Φ Simpson-integrated in the oracle. */
+  private val q358 = Q("q358_normality_battery",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      graft.de.Gof.normalityBattery(daily, "event_type", "c")
+        .orderBy($"event_type")
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type AS g, ts::DATE AS b,
+           |    count(*)::DOUBLE AS v
+           |  FROM events GROUP BY 1, 2),
+           |st AS (
+           |  SELECT g, count(*)::DOUBLE AS n, avg(v) AS m,
+           |    stddev_samp(v) AS sd
+           |  FROM d GROUP BY 1),
+           |ok AS (SELECT * FROM st WHERE n >= 5 AND sd > 0),
+           |rk AS (
+           |  SELECT d.g, (v - m) / sd AS z,
+           |    row_number() OVER (PARTITION BY d.g ORDER BY v)
+           |      ::DOUBLE AS i,
+           |    n
+           |  FROM d JOIN ok USING (g)),
+           |gr AS (SELECT g, z, i, n, abs(z) AS az,
+           |         unnest(generate_series(0, 2000)) AS j
+           |       FROM rk),
+           |pts AS (SELECT g, i, az * j / 2000 AS xx,
+           |          CASE WHEN j = 0 OR j = 2000 THEN 1
+           |               WHEN j % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          az / 2000 AS h
+           |        FROM gr),
+           |ig AS (SELECT g, i, sum(wt * exp(-xx * xx / 2)) * max(h)
+           |         / 3.0 / sqrt(2 * pi()) AS integ
+           |       FROM pts GROUP BY 1, 2),
+           |ph AS (
+           |  SELECT rk.g, rk.i, rk.n,
+           |    CASE WHEN rk.z >= 0 THEN 0.5 + integ
+           |         ELSE 0.5 - integ END AS phi
+           |  FROM rk JOIN ig ON ig.g = rk.g AND ig.i = rk.i),
+           |terms AS (
+           |  SELECT g, n,
+           |    (2 * i - 1) * ln(greatest(1e-300, phi)) +
+           |    (2 * (n - i) + 1) * ln(greatest(1e-300, 1 - phi))
+           |      AS adt,
+           |    (phi - (2 * i - 1) / (2 * n)) *
+           |    (phi - (2 * i - 1) / (2 * n)) AS cvt
+           |  FROM ph),
+           |agg AS (SELECT g, max(n) AS n, sum(adt) AS sad,
+           |          sum(cvt) AS scv
+           |        FROM terms GROUP BY 1),
+           |fin AS (
+           |  SELECT g, n,
+           |    (-n - sad / n) * (1 + 0.75 / n + 2.25 / (n * n))
+           |      AS a2s,
+           |    scv + 1 / (12 * n) AS w2
+           |  FROM agg)
+           |SELECT g AS event_type, n::BIGINT AS n,
+           |  round(a2s, 4) AS a2_star, a2s > 0.752 AS ad_reject_5pct,
+           |  round(w2, 4) AS w2, w2 > 0.126 AS cvm_reject_5pct
+           |FROM fin ORDER BY event_type""".stripMargin))
+
+  /** X251: exact rank-based two-sample Anderson–Darling of finished
+    * vs open order totals per priority — the tail-sensitive
+    * complement to q144's KS (asymptotic-variance normal tail,
+    * documented; Simpson oracle). */
+  private val q359 = Q("q359_ad_two_sample",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Gof.adTwoSample(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus", "o_totalprice", "F", "O")
+        .orderBy($"o_orderpriority")
+    },
+    Some("""WITH i AS (
+           |  SELECT o_orderpriority AS s, o_orderstatus AS g,
+           |    o_totalprice AS v
+           |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+           |cells AS (
+           |  SELECT s, v,
+           |    sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS la,
+           |    count(*) AS l
+           |  FROM i GROUP BY 1, 2),
+           |sw AS (
+           |  SELECT s, l, la,
+           |    sum(l) OVER (PARTITION BY s ORDER BY v
+           |      ROWS UNBOUNDED PRECEDING) AS bb,
+           |    sum(la) OVER (PARTITION BY s ORDER BY v
+           |      ROWS UNBOUNDED PRECEDING) AS ma,
+           |    sum(l) OVER (PARTITION BY s) AS nn,
+           |    sum(la) OVER (PARTITION BY s) AS mm
+           |  FROM cells),
+           |tm AS (
+           |  SELECT s, max(nn)::DOUBLE AS nn, max(mm)::DOUBLE AS mm,
+           |    sum(CASE WHEN (bb - l / 2.0) * (nn - bb + l / 2.0)
+           |               - nn * l / 4.0 > 0
+           |        THEN l * (nn * (ma - la / 2.0) -
+           |             mm * (bb - l / 2.0)) *
+           |             (nn * (ma - la / 2.0) - mm * (bb - l / 2.0)) /
+           |             ((bb - l / 2.0) * (nn - bb + l / 2.0)
+           |              - nn * l / 4.0)
+           |        ELSE 0 END) AS t
+           |  FROM sw GROUP BY 1),
+           |ok AS (SELECT * FROM tm WHERE mm > 0 AND mm < nn),
+           |zz AS (
+           |  SELECT s, mm, nn, t / (mm * (nn - mm)) AS a2,
+           |    (t / (mm * (nn - mm)) - 1.0) /
+           |      sqrt(2.0 * (pi() * pi() - 9) / 3) AS z
+           |  FROM ok),
+           |grid AS (SELECT s, abs(z) AS az,
+           |           unnest(generate_series(0, 20000)) AS j
+           |         FROM zz),
+           |pts AS (SELECT s, az * j / 20000 AS xx,
+           |          CASE WHEN j = 0 OR j = 20000 THEN 1
+           |               WHEN j % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          az / 20000 AS h
+           |        FROM grid),
+           |ig AS (SELECT s, sum(wt * exp(-xx * xx / 2)) * max(h)
+           |         / 3.0 / sqrt(2 * pi()) AS integ
+           |       FROM pts GROUP BY 1)
+           |SELECT zz.s AS o_orderpriority, mm::BIGINT AS n_a,
+           |  (nn - mm)::BIGINT AS n_b, round(a2, 4) AS a2,
+           |  round(z, 4) AS z,
+           |  round(CASE WHEN z >= 0 THEN 0.5 - integ
+           |        ELSE 0.5 + integ END, 6) AS p_value
+           |FROM zz JOIN ig USING (s)
+           |ORDER BY o_orderpriority""".stripMargin))
+
+  /** X252: GPD tail fit by method of moments over the 95%-threshold
+    * exceedances of event values per type — "how heavy is the tail"
+    * (ξ > 0 = heavy), the EVT readout central moments can't give. */
+  private val q360 = Q("q360_gpd_tail",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Evt.gpdTail(t(s, dir, "events"), "event_type",
+        "value", q = 0.95).orderBy($"event_type")
+    },
+    Some("""WITH thr AS (
+           |  SELECT event_type, count(*)::BIGINT AS n,
+           |    quantile_cont(value, 0.95) AS u
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |ex AS (
+           |  SELECT e.event_type, max(n) AS n, max(u) AS u,
+           |    count(*)::BIGINT AS n_exceed,
+           |    avg(e.value - u) AS me, var_pop(e.value - u) AS ve
+           |  FROM events e JOIN thr USING (event_type)
+           |  WHERE e.value > u GROUP BY 1),
+           |r AS (
+           |  SELECT *, me * me / nullif(CASE WHEN n_exceed >= 2
+           |      THEN ve END, 0) AS ratio
+           |  FROM ex)
+           |SELECT event_type, n, round(u, 4) AS threshold, n_exceed,
+           |  round(me, 4) AS mean_excess,
+           |  round(0.5 * (1 - ratio), 4) AS xi,
+           |  round(0.5 * me * (1 + ratio), 4) AS sigma
+           |FROM r ORDER BY event_type""".stripMargin))
+
+  /** X253: Bland–Altman limits of agreement between each user's
+    * first-half and second-half mean value, by cohort — the method-
+    * agreement readout correlation cannot give. */
+  private val q361 = Q("q361_bland_altman",
+    (s, dir) => {
+      import s.implicits._
+      val paired = t(s, dir, "events")
+        .groupBy(pmod($"user_id", lit(4)).cast("int").as("cohort"),
+          $"user_id")
+        .agg(avg(when(dayofmonth($"ts") <= 15, $"value")).as("a"),
+          avg(when(dayofmonth($"ts") > 15, $"value")).as("b"))
+        .filter($"a".isNotNull && $"b".isNotNull)
+      graft.de.Agreement.blandAltman(paired, "cohort", "a", "b")
+        .orderBy($"cohort")
+    },
+    Some("""WITH pm AS (
+           |  SELECT (user_id % 4)::INT AS g, user_id,
+           |    avg(CASE WHEN day(ts) <= 15 THEN value END) AS a,
+           |    avg(CASE WHEN day(ts) > 15 THEN value END) AS b
+           |  FROM events GROUP BY 1, 2),
+           |p2 AS (SELECT g, b - a AS d FROM pm
+           |       WHERE a IS NOT NULL AND b IS NOT NULL),
+           |st AS (SELECT g, count(*)::BIGINT AS n, avg(d) AS m,
+           |         stddev_samp(d) AS sd
+           |       FROM p2 GROUP BY 1)
+           |SELECT st.g AS cohort, n, round(m, 4) AS bias,
+           |  round(sd, 4) AS sd_diff,
+           |  round(m - 1.959964 * sd, 4) AS loa_lo,
+           |  round(m + 1.959964 * sd, 4) AS loa_hi,
+           |  round(avg(CASE WHEN d < m - 1.959964 * sd
+           |             OR d > m + 1.959964 * sd
+           |        THEN 1.0 ELSE 0.0 END), 4) AS pct_outside
+           |FROM st JOIN p2 USING (g)
+           |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY cohort""".stripMargin))
+
+  /** X254: one-way ICC(1,1) of event values within users — how much
+    * variance is between-user vs noise; the continuous sibling of
+    * q202 kappa / q229 alpha. */
+  private val q362 = Q("q362_icc",
+    (s, dir) =>
+      graft.de.Agreement.iccOneWay(t(s, dir, "events"), "user_id",
+        "value"),
+    Some("""WITH per AS (
+           |  SELECT user_id, count(*) AS k, sum(value) AS sv,
+           |    sum(value * value) AS sv2
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |agg AS (
+           |  SELECT count(*)::BIGINT AS n_subjects,
+           |    sum(k)::BIGINT AS n_ratings,
+           |    sum(k * k) AS k2, sum(sv) AS tot, sum(sv2) AS tot2,
+           |    sum(sv * sv / k) AS ssb_raw
+           |  FROM per),
+           |c AS (
+           |  SELECT n_subjects, n_ratings,
+           |    (n_ratings - k2 / n_ratings::DOUBLE) /
+           |      nullif(n_subjects - 1, 0) AS k0,
+           |    (ssb_raw - tot * tot / n_ratings::DOUBLE) /
+           |      nullif(n_subjects - 1, 0) AS msb,
+           |    (tot2 - ssb_raw) /
+           |      nullif(n_ratings - n_subjects, 0) AS msw
+           |  FROM agg)
+           |SELECT n_subjects, n_ratings, round(k0, 4) AS k0,
+           |  round(msb, 4) AS msb, round(msw, 4) AS msw,
+           |  round((msb - msw) / nullif(msb + (k0 - 1) * msw, 0), 4)
+           |    AS icc
+           |FROM c""".stripMargin))
+
+  /** X255: TOST equivalence of even- vs odd-user mean value per type
+    * at margin δ = 5 — "provably the same within 5", which a
+    * non-significant t-test cannot claim (two Simpson t-tail
+    * integrals in the oracle). */
+  private val q363 = Q("q363_tost",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Inference.tostEquivalence(
+        t(s, dir, "events").select($"event_type",
+          when(pmod($"user_id", lit(2)) === 0, "A").otherwise("B")
+            .as("grp"),
+          $"value"),
+        "event_type", "grp", "value", "A", "B", margin = 5.0)
+        .orderBy($"event_type")
+    },
+    Some("""WITH st AS (
+           |  SELECT event_type,
+           |    count(CASE WHEN user_id % 2 = 0 THEN 1 END)::BIGINT
+           |      AS n_a,
+           |    avg(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+           |    var_samp(CASE WHEN user_id % 2 = 0 THEN value END)
+           |      AS va,
+           |    count(CASE WHEN user_id % 2 = 1 THEN 1 END)::BIGINT
+           |      AS n_b,
+           |    avg(CASE WHEN user_id % 2 = 1 THEN value END) AS mb,
+           |    var_samp(CASE WHEN user_id % 2 = 1 THEN value END)
+           |      AS vb
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |w AS (
+           |  SELECT event_type, n_a, n_b, ma - mb AS diff,
+           |    sqrt(va / n_a + vb / n_b) AS se,
+           |    power(va / n_a + vb / n_b, 2) /
+           |      nullif(power(va / n_a, 2) / (n_a - 1)
+           |        + power(vb / n_b, 2) / (n_b - 1), 0) AS dfw
+           |  FROM st),
+           |ts AS (
+           |  SELECT event_type, n_a, n_b, diff, se, dfw,
+           |    (diff + 5.0) / nullif(se, 0) AS t1,
+           |    (diff - 5.0) / nullif(se, 0) AS t2
+           |  FROM w),
+           |long AS (
+           |  SELECT event_type, 1 AS tag, t1 AS t, dfw FROM ts
+           |  UNION ALL
+           |  SELECT event_type, 2, -t2, dfw FROM ts),
+           |g2 AS (
+           |  SELECT event_type, tag, t, dfw / 2.0 AS a,
+           |    sqrt(1 - dfw / (dfw + t * t)) AS lo
+           |  FROM long),
+           |grid AS (SELECT g2.*, unnest(generate_series(0, 20000))
+           |           AS j
+           |         FROM g2),
+           |pts AS (SELECT event_type, tag, a,
+           |          lo + (1.0 - lo) * j / 20000 AS u,
+           |          CASE WHEN j = 0 OR j = 20000 THEN 1
+           |               WHEN j % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          (1.0 - lo) / 20000 AS h
+           |        FROM grid),
+           |simpson AS (
+           |  SELECT event_type, tag, max(a) AS a,
+           |    sum(wt * 2 * exp((a - 1.0) *
+           |      ln(greatest(1e-300, 1 - u * u)))) * max(h) / 3.0
+           |      AS binc
+           |  FROM pts GROUP BY 1, 2),
+           |ps AS (
+           |  SELECT g2.event_type, g2.tag, g2.t,
+           |    simpson.binc / exp(lgamma(simpson.a) + lgamma(0.5)
+           |      - lgamma(simpson.a + 0.5)) / 2 AS half
+           |  FROM g2 JOIN simpson USING (event_type, tag)),
+           |pv AS (
+           |  SELECT event_type,
+           |    max(CASE WHEN t >= 0 THEN half
+           |        ELSE 1.0 - half END) AS p_tost
+           |  FROM ps GROUP BY 1)
+           |SELECT ts.event_type, n_a, n_b, round(diff, 4) AS diff,
+           |  round(se, 4) AS se, round(dfw, 2) AS df,
+           |  round(p_tost, 6) AS p_tost,
+           |  p_tost < 0.05 AS equivalent
+           |FROM ts JOIN pv USING (event_type)
+           |ORDER BY ts.event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q322, q323, q324, q325, q326, q327, q328,
     q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
     q339, q340, q341, q342, q343, q344, q345, q346, q347, q348,
-    q349, q350, q351, q352, q353, q354, q355, q356, q357)
+    q349, q350, q351, q352, q353, q354, q355, q356, q357, q358,
+    q359, q360, q361, q362, q363)
 }

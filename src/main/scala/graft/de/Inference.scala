@@ -260,6 +260,56 @@ object Inference {
         col("p_value"))
   }
 
+  /** TOST equivalence test per scope (two one-sided Welch t-tests,
+    * Schuirmann 1987): is |mean_a − mean_b| provably SMALLER than the
+    * margin δ — the question a non-significant ordinary t-test does
+    * NOT answer. t₁ = (Δ + δ)/SE against H0: Δ ≤ −δ,
+    * t₂ = (Δ − δ)/SE against H0: Δ ≥ +δ, Welch–Satterthwaite df;
+    * p_tost = max of the two one-sided t tails (each from the exact
+    * reg_inc_beta kernel), equivalence declared when p_tost < α.
+    * Output: (scope, n_a, n_b, diff 4dp, se 4dp, df 2dp, p_tost 6dp,
+    * equivalent BOOLEAN at α = 0.05); degenerate groups yield
+    * nulls. */
+  def tostEquivalence(df: DataFrame, scope: String, group: String,
+                      value: String, a: String, b: String,
+                      margin: Double): DataFrame = {
+    require(margin > 0, "margin must be positive")
+    val v = col(value).cast("double")
+    val in = df.filter(col(group).isin(a, b) && v.isNotNull)
+    val st = in.groupBy(col(scope))
+      .agg(
+        count(when(col(group) === a, 1)).as("n_a"),
+        avg(when(col(group) === a, v)).as("__ma"),
+        var_samp(when(col(group) === a, v)).as("__va"),
+        count(when(col(group) === b, 1)).as("n_b"),
+        avg(when(col(group) === b, v)).as("__mb"),
+        var_samp(when(col(group) === b, v)).as("__vb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val se2 = col("__va") / na + col("__vb") / nb
+    val se = sqrt(se2)
+    val dfW = se2 * se2 / nullif(
+      (col("__va") / na) * (col("__va") / na) / (na - 1) +
+        (col("__vb") / nb) * (col("__vb") / nb) / (nb - 1), lit(0.0))
+    val diff = col("__ma") - col("__mb")
+    // one-sided upper tail P(T_df > t): I_x(df/2, ½)/2 for t ≥ 0,
+    // 1 − I/2 for t < 0 (reg_inc_beta gives the two-sided tail)
+    def tSf(t: org.apache.spark.sql.Column) = {
+      val half = reg_inc_beta(dfW / (dfW + t * t), dfW / 2,
+        lit(0.5)) / 2
+      when(t >= 0, half).otherwise(lit(1.0) - half)
+    }
+    val t1 = (diff + margin) / nullif(se, lit(0.0))
+    val t2 = (diff - margin) / nullif(se, lit(0.0))
+    val pTost = greatest(tSf(t1), tSf(-t2))
+    st.select(col(scope), col("n_a"), col("n_b"),
+      round(diff, 4).as("diff"),
+      round(se, 4).as("se"),
+      round(dfW, 2).as("df"),
+      round(pTost, 6).as("p_tost"),
+      (pTost < 0.05).as("equivalent"))
+  }
+
   /** Cliff's delta per scope — the ordinal effect size the
     * [[mannWhitney]] p-value needs next to it: δ = 2U/(n_a·n_b) − 1
     * ∈ [−1, 1], the probability a random `a` exceeds a random `b`

@@ -1896,9 +1896,40 @@ object CatalogStats3 {
            |FROM ts JOIN pv USING (event_type)
            |ORDER BY ts.event_type""".stripMargin))
 
+  /** X256: DSIR-style importance scores — every non-English doc
+    * scored by its mean unigram log-ratio against the English slice
+    * (add-½ smoothing over the union vocab); exp-weights into q91's
+    * sampler IS importance resampling. */
+  private val q364 = Q("q364_dsir_scores",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.importanceScores(
+        t(s, dir, "documents"), "doc_id", "text", $"lang" === "en")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id AS d, lang = 'en' AS tgt,
+           |    unnest(regexp_extract_all(text, '\S+')) AS t
+           |  FROM documents),
+           |vocab AS (
+           |  SELECT t, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+           |    sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cs
+           |  FROM toks GROUP BY 1),
+           |tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts2,
+           |          count(*) AS v
+           |        FROM vocab),
+           |sc AS (
+           |  SELECT t, ln((ct + 0.5) / (tt + 0.5 * v))
+           |    - ln((cs + 0.5) / (ts2 + 0.5 * v)) AS lr
+           |  FROM vocab CROSS JOIN tot)
+           |SELECT d AS doc_id, count(*)::BIGINT AS n_tokens,
+           |  round(avg(lr), 6) AS avg_log_ratio
+           |FROM toks JOIN sc USING (t) WHERE NOT tgt
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q322, q323, q324, q325, q326, q327, q328,
     q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
     q339, q340, q341, q342, q343, q344, q345, q346, q347, q348,
     q349, q350, q351, q352, q353, q354, q355, q356, q357, q358,
-    q359, q360, q361, q362, q363)
+    q359, q360, q361, q362, q363, q364)
 }

@@ -394,4 +394,67 @@ object EventStream {
           CdcOut(key, best.version, best.payload, best.op == deleteOp)
       }
   }
+
+  final case class SprtObs(key: String, ts: Timestamp, event_id: Long,
+                           x: Int)
+  final case class SprtState(n: Long, x: Long, llr: Double,
+                             decided: Boolean)
+  final case class SprtDecision(key: String, decision: String,
+                                n_decision: Long, llr_at: Double)
+
+  /** Streaming Wald SPRT — the live twin of
+    * [[graft.de.Experiment.sprtBernoulli]]: per key, walk the
+    * cumulative log-likelihood ratio over arriving Bernoulli
+    * observations and EMIT EXACTLY ONE row the moment a decision
+    * boundary is first crossed (the sequential-testing semantics:
+    * the experiment monitor fires once, then stays silent). State per
+    * key is three numbers + a flag, retained so post-decision
+    * observations cannot re-fire; within a micro-batch rows process
+    * in (ts, event_id) order, and because the walk visits
+    * observations in the same order as the batch twin's window, the
+    * LLR float path is IDENTICAL — parity is exact, not approximate,
+    * for arrival patterns whose cross-batch order respects event time
+    * (the funnelStream contract; a late straggler that would have
+    * crossed earlier is the documented divergence). */
+  def sprtStream(obs: Dataset[SprtObs], p0: Double, p1: Double,
+                 alpha: Double = 0.05, beta: Double = 0.05)
+      : Dataset[SprtDecision] = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1)
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    import obs.sparkSession.implicits._
+    val lnA = math.log((1 - beta) / alpha)
+    val lnB = math.log(beta / (1 - alpha))
+    val wPos = math.log(p1 / p0)
+    val wNeg = math.log((1 - p1) / (1 - p0))
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[SprtState, SprtDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[SprtObs],
+         state: GroupState[SprtState]) =>
+          var st = state.getOption.getOrElse(SprtState(0L, 0L, 0.0,
+            decided = false))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[SprtDecision]
+          rows.toSeq.sortBy(o => (micros(o.ts), o.event_id))
+            .foreach { o =>
+              if (!st.decided) {
+                val step = if (o.x == 1) wPos else wNeg
+                val llr = st.llr + step
+                val n = st.n + 1
+                val x = st.x + (if (o.x == 1) 1L else 0L)
+                if (llr >= lnA) {
+                  out += SprtDecision(key, "accept_h1", n,
+                    math.round(llr * 1e6) / 1e6)
+                  st = SprtState(n, x, llr, decided = true)
+                } else if (llr <= lnB) {
+                  out += SprtDecision(key, "accept_h0", n,
+                    math.round(llr * 1e6) / 1e6)
+                  st = SprtState(n, x, llr, decided = true)
+                } else st = SprtState(n, x, llr, decided = false)
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

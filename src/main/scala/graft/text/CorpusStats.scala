@@ -504,6 +504,46 @@ object CorpusStats {
         col("n_novel").cast("double") / col("n_bigrams"), 4))
   }
 
+  /** DSIR-style data-selection importance scores (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * reduced to the unigram feature space): score each document by
+    * the mean per-token log importance ratio ln(p_target/p_source)
+    * under add-½-smoothed unigram LMs fit on a TARGET slice vs the
+    * rest, both smoothed over the shared union vocabulary. Positive
+    * score = looks like the target domain; feeding the exp-weights to
+    * the existing weighted sampler (q91) IS importance resampling.
+    *
+    * Scale shape: two vocab-bounded count aggregates (one pass over
+    * the token stream), a token→vocab co-partitioned join, one
+    * doc-grain aggregate — no per-doc model, no driver state.
+    * Output: (doc, n_tokens BIGINT, avg_log_ratio 6dp) for every
+    * SOURCE document (the candidates to select); docs with no tokens
+    * drop out. */
+  def importanceScores(docs: DataFrame, idCol: String, textCol: String,
+                       isTarget: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val toks = docs.select(col(idCol).as("__d"), isTarget.as("__tgt"),
+      explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+    val vocab = toks.groupBy(col("__t"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cs"))
+    val totals = vocab.agg(sum(col("__ct")).as("__Tt"),
+      sum(col("__cs")).as("__Ts"), count(lit(1)).as("__V"))
+    val scored = vocab.crossJoin(broadcast(totals))
+      .select(col("__t"),
+        (log((col("__ct") + 0.5) /
+            (col("__Tt") + lit(0.5) * col("__V"))) -
+          log((col("__cs") + 0.5) /
+            (col("__Ts") + lit(0.5) * col("__V")))).as("__lr"))
+    toks.filter(!col("__tgt"))
+      .join(scored, Seq("__t"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lr")), 6).as("avg_log_ratio"))
+      .select(col("__d").as(idCol), col("n_tokens"),
+        col("avg_log_ratio"))
+  }
+
   /** Term burstiness top-k: the variance-to-mean ratio (Fano factor)
     * of each term's per-document count over the WHOLE corpus
     * (absent docs count as 0 — computed from the sufficient sums

@@ -102,7 +102,14 @@ object StreamingSmoke {
         EventStream.cdcApplyStream(
           in.toDS().map(e => CdcEntry(e.user_id, e.event_id,
             e.event_type, if (e.event_type == "error") "D" else "U")))
-          .toDF())))
+          .toDF())),
+      // monitor-per-user SPRT: state is 3 numbers + flag per key
+      "sprt_state" -> (() => drive("sprt_state", "append")(in =>
+        EventStream.sprtStream(
+          in.toDS().map(e => EventStream.SprtObs(
+            (e.user_id % 1000).toString, e.ts, e.event_id,
+            if (e.event_id % 3 == 0) 1 else 0)),
+          p0 = 0.30, p1 = 0.36).toDF())))
 
     val timed = ops
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -656,7 +656,8 @@ object CatalogStats3 {
            |           sum(c) AS len
            |         FROM segt GROUP BY 1, 2, 3),
            |fl AS (SELECT s, count(*)::BIGINT AS n_segments,
-           |         round(avg(types::DOUBLE / 50), 4) AS msttr
+           |         round(sum(types)::DOUBLE / (50 * count(*)), 4)
+           |           AS msttr
            |       FROM segs WHERE len = 50 GROUP BY 1),
            |nd AS (SELECT source AS s, count(*)::BIGINT AS n_docs
            |       FROM documents GROUP BY 1)
@@ -1927,9 +1928,228 @@ object CatalogStats3 {
            |FROM toks JOIN sc USING (t) WHERE NOT tgt
            |GROUP BY 1 ORDER BY doc_id""".stripMargin))
 
+  /** X258: Erlang-C staffing per event type over the q298 interval
+    * convention — smallest server count with P(wait) ≤ 0.2; the
+    * aᵏ/k! ladder rides two log-space cumulative windows (no
+    * factorial overflow). */
+  private val q365 = Q("q365_erlang_staffing",
+    (s, dir) => {
+      import s.implicits._
+      val iv = t(s, dir, "events").select($"event_type",
+        unix_micros($"ts").as("s"),
+        (unix_micros($"ts") + round($"value").cast("long") * 1000000L)
+          .as("e"))
+      graft.report.Staffing.erlangStaffing(iv, "event_type", "s", "e",
+        targetWait = 0.2, maxC = 60).orderBy($"event_type")
+    },
+    Some("""WITH iv AS (
+           |  SELECT event_type, epoch_us(ts) AS s,
+           |    epoch_us(ts) + round(value)::BIGINT * 1000000 AS e
+           |  FROM events),
+           |agg AS (
+           |  SELECT event_type,
+           |    count(*) / nullif((max(e) - min(s))::DOUBLE, 0) * 1e6
+           |      AS lam,
+           |    avg(e - s) / 1e6 AS sv
+           |  FROM iv GROUP BY 1),
+           |a2 AS (SELECT event_type, lam, sv, lam * sv AS a
+           |       FROM agg WHERE lam * sv > 0),
+           |grid AS (SELECT a2.*, unnest(generate_series(1, 60)) AS c
+           |         FROM a2),
+           |s2 AS (
+           |  SELECT event_type, lam, sv, a, c,
+           |    exp(c * ln(a) - lnf) AS term,
+           |    1.0 + sum(exp(c * ln(a) - lnf)) OVER w - exp(c * ln(a)
+           |      - lnf) AS csum
+           |  FROM (SELECT grid.*, sum(ln(c)) OVER (PARTITION BY
+           |          event_type ORDER BY c ROWS UNBOUNDED PRECEDING)
+           |          AS lnf
+           |        FROM grid)
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY c
+           |    ROWS UNBOUNDED PRECEDING)),
+           |pw AS (
+           |  SELECT event_type, lam, sv, a, c,
+           |    CASE WHEN a / c >= 1 THEN 1.0
+           |         ELSE term / ((1 - a / c) * csum + term) END AS p
+           |  FROM s2),
+           |best AS (
+           |  SELECT event_type, min(c) AS c_req
+           |  FROM pw WHERE p <= 0.2 GROUP BY 1),
+           |bp AS (SELECT pw.event_type, pw.p, best.c_req
+           |       FROM pw JOIN best ON best.event_type = pw.event_type
+           |         AND best.c_req = pw.c),
+           |mx AS (SELECT event_type, p AS pmax FROM pw WHERE c = 60)
+           |SELECT a2.event_type, round(lam * 3600, 4)
+           |    AS arrivals_per_hour,
+           |  round(sv, 4) AS avg_service_sec,
+           |  round(a, 4) AS offered_erlangs,
+           |  c_req::INT AS c_req,
+           |  round(coalesce(bp.p, mx.pmax), 4) AS p_wait
+           |FROM a2 LEFT JOIN bp USING (event_type)
+           |JOIN mx USING (event_type)
+           |ORDER BY a2.event_type""".stripMargin))
+
+  /** X259: Syntetos–Boylan demand classification of parts by monthly
+    * order quantity (smooth/intermittent/erratic/lumpy — which
+    * forecaster per item). */
+  private val q366 = Q("q366_demand_classes",
+    (s, dir) => {
+      import s.implicits._
+      val monthly = t(s, dir, "lineitem")
+        .groupBy($"l_partkey", date_trunc("month", $"l_shipdate")
+          .as("m"))
+        .agg(sum($"l_quantity").cast("double").as("qty"))
+      graft.report.Inventory.demandClasses(monthly, "l_partkey",
+        "m", "qty").orderBy($"demand_class")
+    },
+    Some("""WITH monthly AS (
+           |  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+           |    sum(l_quantity)::DOUBLE AS qty
+           |  FROM lineitem GROUP BY 1, 2),
+           |nb AS (SELECT count(DISTINCT m)::DOUBLE AS nb
+           |       FROM monthly WHERE qty > 0),
+           |per AS (
+           |  SELECT l_partkey, count(DISTINCT m) AS nz,
+           |    avg(qty) AS mu, var_pop(qty) AS v
+           |  FROM monthly WHERE qty > 0 GROUP BY 1),
+           |cl AS (
+           |  SELECT nb / nz AS adi,
+           |    coalesce(v / nullif(mu * mu, 0), 0) AS cv2
+           |  FROM per CROSS JOIN nb),
+           |lab AS (
+           |  SELECT CASE
+           |      WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+           |      WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+           |      WHEN adi < 1.32 THEN 'erratic'
+           |      ELSE 'lumpy' END AS demand_class, adi, cv2
+           |  FROM cl)
+           |SELECT demand_class, count(*)::BIGINT AS n_items,
+           |  round(avg(adi), 4) AS avg_adi,
+           |  round(avg(cv2), 4) AS avg_cv2
+           |FROM lab GROUP BY 1 ORDER BY demand_class""".stripMargin))
+
+  /** X260: D'Agostino K² omnibus normality (closed-form Z_s/Z_k,
+    * exact χ²₂ p) — scipy.normaltest parity, finite-n-calibrated
+    * upgrade of q322. */
+  private val q367 = Q("q367_dagostino",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Moments.dagostinoK2(t(s, dir, "events"),
+        "event_type", "value").orderBy($"event_type")
+    },
+    Some("""WITH a AS (
+           |  SELECT event_type, count(*)::DOUBLE AS n,
+           |    sum(value) AS s1, sum(value * value) AS s2,
+           |    sum(value * value * value) AS s3,
+           |    sum(value * value * value * value) AS s4
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1
+           |  HAVING count(*) >= 20),
+           |mm AS (
+           |  SELECT event_type, n, s1 / n AS mu,
+           |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+           |    s3 / n - 3 * (s1 / n) * s2 / n
+           |      + 2 * pow(s1 / n, 3) AS m3,
+           |    s4 / n - 4 * (s1 / n) * s3 / n
+           |      + 6 * pow(s1 / n, 2) * s2 / n
+           |      - 3 * pow(s1 / n, 4) AS m4
+           |  FROM a),
+           |bb AS (
+           |  SELECT event_type, n,
+           |    m3 / (sqrt(m2) * m2) AS b1, m4 / (m2 * m2) AS b2
+           |  FROM mm),
+           |zs AS (
+           |  SELECT event_type, n, b1, b2,
+           |    b1 * sqrt((n + 1) * (n + 3) / (6 * (n - 2))) AS y,
+           |    3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3) /
+           |      ((n - 2) * (n + 5) * (n + 7) * (n + 9)) AS beta2
+           |  FROM bb),
+           |z1 AS (
+           |  SELECT event_type, n, b2,
+           |    (1 / sqrt(ln(sqrt(sqrt(2 * (beta2 - 1)) - 1)))) *
+           |    ln(y / sqrt(2 / (sqrt(2 * (beta2 - 1)) - 2)) +
+           |       sqrt(pow(y / sqrt(2 / (sqrt(2 * (beta2 - 1)) - 2)),
+           |         2) + 1)) AS zskew
+           |  FROM zs),
+           |z2 AS (
+           |  SELECT event_type, n, zskew,
+           |    (b2 - 3.0 * (n - 1) / (n + 1)) /
+           |      sqrt(24.0 * n * (n - 2) * (n - 3) /
+           |        ((n + 1) * (n + 1) * (n + 3) * (n + 5))) AS x,
+           |    6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9)) *
+           |      sqrt(6.0 * (n + 3) * (n + 5) /
+           |        (n * (n - 2) * (n - 3))) AS sb1
+           |  FROM z1),
+           |z3 AS (
+           |  SELECT event_type, n, zskew, x,
+           |    6.0 + 8.0 / sb1 * (2.0 / sb1 +
+           |      sqrt(1 + 4.0 / (sb1 * sb1))) AS aa
+           |  FROM z2),
+           |z4 AS (
+           |  SELECT event_type, n, zskew,
+           |    (1 - 2.0 / (9 * aa) -
+           |     cbrt((1 - 2.0 / aa) / (1 + x * sqrt(2.0 / (aa - 4)))))
+           |      * sqrt(9.0 * aa / 2) AS zkurt
+           |  FROM z3)
+           |SELECT event_type, n::BIGINT AS n,
+           |  round(zskew, 4) AS z_skew, round(zkurt, 4) AS z_kurt,
+           |  round(zskew * zskew + zkurt * zkurt, 4) AS k2,
+           |  round(exp(-(zskew * zskew + zkurt * zkurt) / 2), 6)
+           |    AS p_value
+           |FROM z4 ORDER BY event_type""".stripMargin))
+
+  /** X261: MDE at current traffic per type — "what lift could this
+    * segment even detect" before launching a test. */
+  private val q368 = Q("q368_power_mde",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.mdeAtCurrentTraffic(
+        t(s, dir, "events").select($"event_type",
+          when($"value" > 100, 1).otherwise(0).as("x")),
+        "event_type", "x").orderBy($"event_type")
+    },
+    Some("""WITH a AS (
+           |  SELECT event_type, count(*)::BIGINT AS n,
+           |    avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END) AS p
+           |  FROM events GROUP BY 1),
+           |m AS (
+           |  SELECT event_type, n, p, n // 2 AS n_arm,
+           |    CASE WHEN p > 0 AND p < 1 THEN
+           |      (1.959964 + 0.841621) *
+           |        sqrt(2 * p * (1 - p) / (n // 2)) END AS mde
+           |  FROM a)
+           |SELECT event_type, n, round(p, 6) AS base_rate,
+           |  n_arm AS n_per_arm, round(mde, 6) AS mde_abs,
+           |  round(mde / p, 4) AS mde_rel
+           |FROM m ORDER BY event_type""".stripMargin))
+
+  /** X262: historical bandit regret of the logged traffic allocation
+    * against the best single arm (event types as arms, value as
+    * reward). */
+  private val q369 = Q("q369_bandit_regret",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Experiment.banditRegret(t(s, dir, "events"),
+        "event_type", "value").orderBy($"event_type")
+    },
+    Some("""WITH arms AS (
+           |  SELECT event_type, count(*)::BIGINT AS n_pulls,
+           |    avg(value) AS m
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |r AS (
+           |  SELECT event_type, n_pulls, m,
+           |    n_pulls * (max(m) OVER () - m) AS regret
+           |  FROM arms)
+           |SELECT event_type, n_pulls, round(m, 4) AS mean_reward,
+           |  round(regret, 4) AS regret,
+           |  round(regret / nullif(sum(regret) OVER (), 0), 4)
+           |    AS regret_share,
+           |  round(sum(regret) OVER (), 4) AS total_regret
+           |FROM r ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q322, q323, q324, q325, q326, q327, q328,
     q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
     q339, q340, q341, q342, q343, q344, q345, q346, q347, q348,
     q349, q350, q351, q352, q353, q354, q355, q356, q357, q358,
-    q359, q360, q361, q362, q363, q364)
+    q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
+    q369)
 }

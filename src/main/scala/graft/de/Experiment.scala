@@ -341,6 +341,58 @@ object Experiment {
       when(ok, round(exp(log(or) + lit(z) * se), 4)).as("ci_hi"))
   }
 
+  /** Experiment-sizing readout: the minimum detectable effect (MDE)
+    * of a two-proportion test at the CURRENT traffic — per group,
+    * with baseline rate p from the success indicator and n/2 units
+    * per arm, MDE_abs = (z_{α/2} + z_β)·√(2p(1−p)/(n/2)) at
+    * α = 0.05 / power 80% (z constants 1.959964, 0.841621) — "what
+    * lift could this segment even detect", the go/no-go check BEFORE
+    * launching a test, inverse of the q175 z-test. Output: (group,
+    * n BIGINT, base_rate 6dp, n_per_arm BIGINT, mde_abs 6dp,
+    * mde_rel 4dp); degenerate rates (0 or 1) yield null MDE. */
+  def mdeAtCurrentTraffic(df: DataFrame, groupCol: String,
+                          xCol: String): DataFrame = {
+    val x = col(xCol).cast("int")
+    val a = df.filter(x.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), avg(x.cast("double")).as("__p"))
+    val nArm = floor(col("n") / 2).cast("long")
+    val p = col("__p")
+    val mde = when(p > 0 && p < 1,
+      lit(1.959964 + 0.841621) *
+        sqrt(lit(2.0) * p * (lit(1.0) - p) / nArm))
+    a.select(col(groupCol), col("n"),
+      round(p, 6).as("base_rate"),
+      nArm.as("n_per_arm"),
+      round(mde, 6).as("mde_abs"),
+      round(mde / p, 4).as("mde_rel"))
+  }
+
+  /** Historical bandit-policy regret: treat each group as an arm and
+    * the observed traffic as the pulls; regret of the logged policy =
+    * Σ_arm n_arm·(best mean reward − arm mean reward) — how much
+    * reward the logged allocation left on the table against the
+    * oracle-best single arm (the offline readout that motivates
+    * moving from an A/B split to a bandit). Output per arm: (arm,
+    * n_pulls BIGINT, mean_reward 4dp, regret 4dp, regret_share 4dp
+    * of the total, total_regret 4dp repeated). */
+  def banditRegret(df: DataFrame, armCol: String,
+                   rewardCol: String): DataFrame = {
+    val r = col(rewardCol).cast("double")
+    val arms = df.filter(r.isNotNull)
+      .groupBy(col(armCol))
+      .agg(count(lit(1)).as("n_pulls"), avg(r).as("__m"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val best = max(col("__m")).over(wAll)
+    val regret = col("n_pulls") * (best - col("__m"))
+    arms.select(col(armCol), col("n_pulls"),
+      round(col("__m"), 4).as("mean_reward"),
+      round(regret, 4).as("regret"),
+      round(regret / nullif(sum(regret).over(wAll), lit(0.0)), 4)
+        .as("regret_share"),
+      round(sum(regret).over(wAll), 4).as("total_regret"))
+  }
+
   /** Nearest-neighbor covariate matching ATT per stratum — the third
     * classic causal readout next to CUPED and DiD: each TREATED unit
     * is matched to the control with the closest covariate value

@@ -77,6 +77,66 @@ object Moments {
       round(exp(-jb / 2.0), 6).as("p_value"))
   }
 
+  /** D'Agostino K² omnibus normality test — the finite-n-calibrated
+    * upgrade of [[jarqueBera]]: the sample skewness and kurtosis are
+    * each transformed to approximate standard normals (D'Agostino
+    * 1970 for Z_s, Anscombe–Glynn 1983 for Z_k — both CLOSED FORM,
+    * no table lookup), K² = Z_s² + Z_k² is χ²₂, so the p-value is
+    * exactly exp(−K²/2). scipy.stats.normaltest parity. One power-sum
+    * pass; the cube root of a possibly negative Anscombe term goes
+    * through cbrt (sign-preserving on both engines, unlike pow).
+    * Output: (group, n BIGINT, z_skew 4dp, z_kurt 4dp, k2 4dp,
+    * p_value 6dp); groups with n < 20 drop out (the transformations'
+    * stated validity floor). */
+  def dagostinoK2(df: DataFrame, group: String,
+                  value: String): DataFrame = {
+    val v = col(value).cast("double")
+    val a = df.filter(v.isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+      .filter(col("n") >= 20)
+    val n = col("n").cast("double")
+    val m = col("s1") / n
+    val m2 = col("s2") / n - m * m
+    val m3 = col("s3") / n - lit(3.0) * m * col("s2") / n +
+      lit(2.0) * m * m * m
+    val m4 = col("s4") / n - lit(4.0) * m * col("s3") / n +
+      lit(6.0) * m * m * col("s2") / n - lit(3.0) * m * m * m * m
+    val m2ok = nullif(m2, lit(0.0))
+    val b1 = m3 / (sqrt(m2ok) * m2ok)        // population skewness
+    val b2 = m4 / (m2ok * m2ok)              // population kurtosis
+    // D'Agostino skewness transform
+    val y = b1 * sqrt((n + 1) * (n + 3) / (lit(6.0) * (n - 2)))
+    val beta2 = lit(3.0) * (n * n + lit(27.0) * n - 70) * (n + 1) *
+      (n + 3) / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    val w2 = sqrt(lit(2.0) * (beta2 - 1)) - 1
+    val delta = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - 1))
+    val zs = delta * log(y / alpha + sqrt(y / alpha * (y / alpha) + 1))
+    // Anscombe–Glynn kurtosis transform
+    val eb2 = lit(3.0) * (n - 1) / (n + 1)
+    val vb2 = lit(24.0) * n * (n - 2) * (n - 3) /
+      ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    val x = (b2 - eb2) / sqrt(vb2)
+    val sqB1 = lit(6.0) * (n * n - lit(5.0) * n + 2) /
+      ((n + 7) * (n + 9)) *
+      sqrt(lit(6.0) * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    val aa = lit(6.0) + lit(8.0) / sqB1 *
+      (lit(2.0) / sqB1 + sqrt(lit(1.0) + lit(4.0) / (sqB1 * sqB1)))
+    val zk = (lit(1.0) - lit(2.0) / (lit(9.0) * aa) -
+      cbrt((lit(1.0) - lit(2.0) / aa) /
+        (lit(1.0) + x * sqrt(lit(2.0) / (aa - 4))))) *
+      sqrt(lit(9.0) * aa / 2)
+    val k2 = zs * zs + zk * zk
+    a.select(col(group), col("n"),
+      round(zs, 4).as("z_skew"),
+      round(zk, 4).as("z_kurt"),
+      round(k2, 4).as("k2"),
+      round(exp(-k2 / 2), 6).as("p_value"))
+  }
+
   /** Cronbach's alpha: internal consistency of k items over subjects.
     * Long input (subject, item, score contribution); per-(subject,
     * item) scores are summed and missing cells zero-filled via a

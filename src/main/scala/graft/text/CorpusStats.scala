@@ -611,8 +611,10 @@ object CorpusStats {
     nDocs.join(
         segs.groupBy(col("__s"))
           .agg(count(lit(1)).as("n_segments"),
-            round(avg(col("__types").cast("double") / segLen), 4)
-              .as("msttr")),
+            // integer-sum form: order-insensitive (a double-avg here
+            // flips the 4th decimal across summation orders)
+            round(sum(col("__types")).cast("double") /
+              (lit(segLen) * count(lit(1))), 4).as("msttr")),
         Seq("__s"), "left")
       .select(col("__s").as(strataCol), col("n_docs"),
         coalesce(col("n_segments"), lit(0L)).as("n_segments"),

@@ -230,7 +230,7 @@ object Catalog {
       CatalogLlm2.all ++ CatalogRank.all ++ CatalogSurv.all ++
       CatalogMisc.all ++ CatalogMisc2.all ++ CatalogMisc3.all ++
       CatalogAttr.all ++ CatalogGrid.all ++ CatalogSqlTvf.all ++
-      CatalogSeq.all ++ CatalogStats3.all
+      CatalogSeq.all ++ CatalogStats3.all ++ CatalogStats4.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,6 +1,6 @@
 package graft.de
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -585,5 +585,96 @@ object Experiment {
         round(sum((w1 - w0) * r0), 6).as("mix_effect"),
         round(sum(w0 * (r1 - r0)), 6).as("rate_effect"),
         round(sum((w1 - w0) * (r1 - r0)), 6).as("interaction"))
+  }
+
+  /** Exact Bayesian A/B readout per stratum (X265): with uniform
+    * Beta(1, 1) priors and binomial data, P(p_B > p_A) has the exact
+    * closed form (Evan Miller, "Formulas for Bayesian A/B Testing")
+    *
+    *   P = Σ_{i=0}^{a₂−1} exp( lnB(a₁+i, b₁+b₂) − ln(b₂+i)
+    *                           − lnB(1+i, b₂) − lnB(a₁, b₁) )
+    *
+    * with a₁ = s_A+1, b₁ = n_A−s_A+1, a₂ = s_B+1, b₂ = n_B−s_B+1 —
+    * every Beta argument an integer, so ln B(x, y) =
+    * lf(x−1) + lf(y−1) − lf(x+y−1) comes from the SAME shared
+    * sequential Σln-factorial table as [[Inference.fisherExact]]
+    * (q192's bit-identical-cross-engine discipline; no lgamma
+    * approximations anywhere). No normal approximation, no MC
+    * sampling — the posterior probability itself.
+    *
+    * Shape: one hash aggregate to per-stratum (s_A, n_A, s_B, n_B);
+    * the summation grid is s_B+1 rows per stratum — SUCCESS-bounded,
+    * never fact-bounded — each resolving 4 lf lookups against the
+    * broadcast table (value-domain-bounded: max stratum n + 3 rows).
+    * A billion facts cost the one aggregate; everything after is
+    * margin arithmetic.
+    *
+    * Output per stratum: (stratum, n_a, s_a, n_b, s_b, rate_a 4dp,
+    * rate_b 4dp, p_b_beats_a 6dp). Strata with an empty side emit
+    * null p. */
+  def bayesAb(df: DataFrame, stratumCol: String, groupCol: String,
+              xCol: String, a: String = "A",
+              b: String = "B"): DataFrame = {
+    val spark = df.sparkSession
+    val succ = col(xCol) === 1
+    val cnt = df.filter(col(groupCol).isin(a, b))
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(count(when(col(groupCol) === a, 1)).as("n_a"),
+        count(when(col(groupCol) === a && succ, 1)).as("s_a"),
+        count(when(col(groupCol) === b, 1)).as("n_b"),
+        count(when(col(groupCol) === b && succ, 1)).as("s_b"))
+      .withColumn("__a1", col("s_a") + 1)
+      .withColumn("__b1", col("n_a") - col("s_a") + 1)
+      .withColumn("__a2", col("s_b") + 1)
+      .withColumn("__b2", col("n_b") - col("s_b") + 1)
+    val maxN = cnt
+      .agg(coalesce(max(col("n_a") + col("n_b")), lit(0L)))
+      .head.getLong(0)
+    val wLf = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // shared ln-factorial table lf(i) = Σ_{j≤i} ln j — sequential
+    // cumsum, bounded by the largest stratum size (+3 for the priors)
+    val lnfact = spark.range(0L, maxN + 4)
+      .select(col("id"),
+        sum(when(col("id") > 0, log(col("id").cast("double")))
+          .otherwise(0.0)).over(wLf).as("lf"))
+    def lf(k: Column, alias: String) =
+      broadcast(lnfact.select(col("id").as(s"__i$alias"),
+        col("lf").as(s"__lf$alias")))
+    // per-stratum constants: lnB(a1,b1) and the i-independent pieces
+    // of lnB(a1+i, b1+b2) and lnB(1+i, b2)
+    val const = Seq(
+      (col("__a1") - 1, "a1m"), (col("__b1") - 1, "b1m"),
+      (col("__a1") + col("__b1") - 1, "ab1"),
+      (col("__b1") + col("__b2") - 1, "bb"),
+      (col("__b2") - 1, "b2m"))
+      .foldLeft(cnt) { case (d, (kc, nm)) =>
+        d.join(lf(kc, nm), kc === col(s"__i$nm")).drop(s"__i$nm")
+      }
+    val grid = const.filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("__i", explode(sequence(lit(0L), col("__a2") - 1)))
+    val terms = Seq(
+      (col("__a1") + col("__i") - 1, "ai"),
+      (col("__a1") + col("__i") + col("__b1") + col("__b2") - 1, "aib"),
+      (col("__i"), "ii"),
+      (col("__i") + col("__b2"), "ib"))
+      .foldLeft(grid) { case (d, (kc, nm)) =>
+        d.join(lf(kc, nm), kc === col(s"__i$nm")).drop(s"__i$nm")
+      }
+      .withColumn("__lnt",
+        col("__lfai") + col("__lfbb") - col("__lfaib") -
+          log((col("__b2") + col("__i")).cast("double")) -
+          (col("__lfii") + col("__lfb2m") - col("__lfib")) -
+          (col("__lfa1m") + col("__lfb1m") - col("__lfab1")))
+    val p = terms.groupBy(col("__s"))
+      .agg(sum(exp(col("__lnt"))).as("__p"))
+    cnt.join(p, Seq("__s"), "left")
+      .select(col("__s").as(stratumCol),
+        col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        round(col("s_a").cast("double") /
+          nullif(col("n_a").cast("double"), lit(0.0)), 4).as("rate_a"),
+        round(col("s_b").cast("double") /
+          nullif(col("n_b").cast("double"), lit(0.0)), 4).as("rate_b"),
+        round(col("__p"), 6).as("p_b_beats_a"))
   }
 }

@@ -74,4 +74,93 @@ object Metrics {
             (lit(1.0) - col("__sump").cast("double") /
               (col("n") * col("n"))), 4)).as("cohens_kappa"))
   }
+
+  /** Weighted Cohen's κ for ORDINAL raters (X263): linear (w ∝ |i−j|)
+    * and quadratic (w ∝ (i−j)²) penalty variants in one pass — the agreement statistic for graded labels
+    * where "off by one" must cost less than "off by three" (plain κ,
+    * [[agreement]], treats every disagreement equally).
+    *
+    * κ_w = 1 − Σ w·O / Σ w·E over the FULL category grid (absent cells
+    * carry expected mass E_ij = r_i·c_j/n, so the grid is the
+    * bounded cross of the two margin domains — k² rows, never facts —
+    * with observed cells left-joined in and zero-filled). Every input
+    * to the ratios is an exact BIGINT count; the only float terms are
+    * the two k²-bounded weighted sums. Null κ when a weighted chance
+    * term is 0 (single category on either side).
+    *
+    * Output one row: (n, n_categories, kappa_linear 4dp,
+    * kappa_quadratic 4dp). Ratings must be integer-coded ordinals. */
+  def weightedKappa(df: DataFrame, aCol: String,
+                    bCol: String): DataFrame = {
+    val cl = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("long").as("i"),
+        col(bCol).cast("long").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val ra = cl.groupBy(col("i")).agg(sum(col("c")).as("ri"))
+    val rb = cl.groupBy(col("j")).agg(sum(col("c")).as("cj"))
+    // full margin-domain grid; observed cells joined back, zero-filled.
+    // Weights are raw |i−j| / (i−j)² — the conventional /(k−1) and
+    // /(k−1)² normalizers cancel in the 1 − ΣwO/ΣwE ratio, so they are
+    // omitted rather than computed.
+    val g = broadcast(ra).crossJoin(broadcast(rb))
+      .join(cl, Seq("i", "j"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("__d", abs(col("i") - col("j")).cast("double"))
+    val n = cl.agg(sum(col("c")).as("n"))
+    val cats = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("long").as("v"))
+      .union(df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(bCol).cast("long").as("v")))
+      .agg(countDistinct(col("v")).as("n_categories"))
+    val sums = g.agg(
+      sum(col("__d") * col("c")).as("__ol"),
+      sum(col("__d") * col("__d") * col("c")).as("__oq"),
+      sum(col("__d") * col("ri") * col("cj")).as("__el"),
+      sum(col("__d") * col("__d") * col("ri") * col("cj")).as("__eq"))
+    n.crossJoin(broadcast(cats)).crossJoin(broadcast(sums))
+      .select(col("n"), col("n_categories"),
+        round(lit(1.0) - col("__ol") * col("n") /
+          nullif(col("__el"), lit(0.0)), 4).as("kappa_linear"),
+        round(lit(1.0) - col("__oq") * col("n") /
+          nullif(col("__eq"), lit(0.0)), 4).as("kappa_quadratic"))
+  }
+
+  /** Multiclass Matthews correlation (Gorodkin's R_K) + balanced
+    * accuracy panel (X264) — the two class-imbalance-honest summary
+    * scores [[agreement]]'s accuracy/κ miss. R_K = (c·s − Σ tₖpₖ) /
+    * √((s² − Σ pₖ²)(s² − Σ tₖ²)) over exact BIGINT confusion margins
+    * (one hash aggregate over the pair stream, label-domain-bounded
+    * arithmetic after); balanced accuracy = mean per-class recall over
+    * the TRUE-label domain (sklearn convention). Null mcc when either
+    * variance factor is 0 (all-one-class truth or prediction).
+    *
+    * Output one row: (n, accuracy 4dp, balanced_accuracy 4dp,
+    * mcc 4dp). */
+  def mccPanel(df: DataFrame, labelCol: String,
+               predCol: String): DataFrame = {
+    val cl = cells(df, labelCol, predCol)
+    val tk = cl.groupBy(col("y").as("cls")).agg(sum(col("c")).as("t"))
+    val pk = cl.groupBy(col("p").as("cls")).agg(sum(col("c")).as("pc"))
+    val tpk = cl.filter(col("y") === col("p"))
+      .select(col("y").as("cls"), col("c").as("tp"))
+    val m = tk.join(pk, Seq("cls"), "full_outer")
+      .join(tpk, Seq("cls"), "left")
+      .na.fill(0L, Seq("t", "pc", "tp"))
+    val agg = m.agg(
+      sum(col("t")).as("__s"),
+      sum(col("tp")).as("__c"),
+      sum(col("t") * col("pc")).as("__tp_dot"),
+      sum(col("t") * col("t")).as("__tt"),
+      sum(col("pc") * col("pc")).as("__pp"),
+      avg(when(col("t") > 0,
+        col("tp").cast("double") / col("t"))).as("__bacc"))
+    agg.select(col("__s").as("n"),
+      round(col("__c").cast("double") / col("__s"), 4).as("accuracy"),
+      round(col("__bacc"), 4).as("balanced_accuracy"),
+      round((col("__c") * col("__s") - col("__tp_dot")).cast("double") /
+        nullif(sqrt((col("__s") * col("__s") - col("__pp"))
+            .cast("double") *
+          (col("__s") * col("__s") - col("__tt")).cast("double")),
+          lit(0.0)), 4).as("mcc"))
+  }
 }

@@ -109,4 +109,33 @@ class ExperimentSpec extends SparkSuite {
     val r = Experiment.cochranArmitage(const, "dose", "succ").head()
     assert(r.isNullAt(r.fieldIndex("z")))
   }
+
+  test("bayesAb: closed-form hand case P = 0.7") {
+    // A: 1/2, B: 1/1 → Beta(2,2) vs Beta(2,1);
+    // ∫ 6t(1−t)(1−t²) dt = 0.7 exactly
+    val df = Seq(("s", "A", 1), ("s", "A", 0), ("s", "B", 1))
+      .toDF("st", "grp", "x")
+    val r = Experiment.bayesAb(df, "st", "grp", "x").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("s_b") == 1L)
+    assert(r.getAs[Double]("p_b_beats_a") == 0.7)
+  }
+
+  test("bayesAb: identical arms give exactly 0.5; empty side null") {
+    val same = (Seq.fill(2)(("s", "A", 1)) ++ Seq.fill(2)(("s", "A", 0))
+      ++ Seq.fill(2)(("s", "B", 1)) ++ Seq.fill(2)(("s", "B", 0)))
+      .toDF("st", "grp", "x")
+    assert(Experiment.bayesAb(same, "st", "grp", "x").head()
+      .getAs[Double]("p_b_beats_a") == 0.5)
+    val lone = Seq(("s", "A", 1), ("s", "A", 0)).toDF("st", "grp", "x")
+    val r = Experiment.bayesAb(lone, "st", "grp", "x").head()
+    assert(r.isNullAt(r.fieldIndex("p_b_beats_a")))
+  }
+
+  test("bayesAb: dominant arm approaches 1") {
+    val dom = (Seq.fill(20)(("s", "A", 0)) ++ Seq.fill(2)(("s", "A", 1))
+      ++ Seq.fill(20)(("s", "B", 1)) ++ Seq.fill(2)(("s", "B", 0)))
+      .toDF("st", "grp", "x")
+    assert(Experiment.bayesAb(dom, "st", "grp", "x").head()
+      .getAs[Double]("p_b_beats_a") > 0.9999)
+  }
 }

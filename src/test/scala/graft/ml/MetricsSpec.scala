@@ -58,4 +58,45 @@ class MetricsSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("cohens_kappa")))
     assert(r.getAs[Double]("accuracy") == 1.0)
   }
+
+  test("weightedKappa: hand-computed linear and quadratic") {
+    // cells (0,0) (0,1) (1,1) (1,0) (2,2)×2; uniform margins 2/2/2
+    val ord = Seq((0, 0), (0, 1), (1, 1), (1, 0), (2, 2), (2, 2))
+      .toDF("ra", "rb")
+    val r = Metrics.weightedKappa(ord, "ra", "rb").collect().head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("n_categories") == 3L)
+    // ol=2 el=32 → 1−2·6/32 = 0.625 ; oq=2 eq=48 → 1−2·6/48 = 0.75
+    assert(r.getAs[Double]("kappa_linear") == 0.625)
+    assert(r.getAs[Double]("kappa_quadratic") == 0.75)
+  }
+
+  test("weightedKappa: perfect agreement is 1, single category null") {
+    val perfect = Seq((0, 0), (1, 1), (2, 2)).toDF("ra", "rb")
+    val p = Metrics.weightedKappa(perfect, "ra", "rb").collect().head
+    assert(p.getAs[Double]("kappa_linear") == 1.0)
+    assert(p.getAs[Double]("kappa_quadratic") == 1.0)
+    val degen = Seq((1, 1), (1, 1)).toDF("ra", "rb")
+    val d = Metrics.weightedKappa(degen, "ra", "rb").collect().head
+    assert(d.isNullAt(d.fieldIndex("kappa_linear")))
+  }
+
+  test("mccPanel: hand-computed R_K, balanced accuracy") {
+    val r = Metrics.mccPanel(pairs, "y", "p").collect().head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("accuracy") == 0.6667)
+    // recalls: a 2/3, b 1, c 0 → (2/3+1+0)/3 = 5/9
+    assert(r.getAs[Double]("balanced_accuracy") ==
+      math.rint(5.0 / 9 * 1e4) / 1e4)
+    // (c·s − Σtp̂) / √((s²−Σp²)(s²−Σt²)) = 9/√(18·22)
+    assert(r.getAs[Double]("mcc") ==
+      math.rint(9.0 / math.sqrt(396.0) * 1e4) / 1e4)
+  }
+
+  test("mccPanel: all-one-class prediction nulls mcc") {
+    val onePred = Seq(("a", "a"), ("b", "a"), ("c", "a")).toDF("y", "p")
+    val r = Metrics.mccPanel(onePred, "y", "p").collect().head
+    assert(r.isNullAt(r.fieldIndex("mcc")))
+    assert(r.getAs[Double]("accuracy") == 0.3333)
+  }
 }

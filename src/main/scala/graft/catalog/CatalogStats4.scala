@@ -161,5 +161,126 @@ object CatalogStats4 {
            |FROM cnt LEFT JOIN p USING (s)
            |ORDER BY event_type""".stripMargin))
 
-  val all: Seq[Q] = Seq(q370, q371, q372)
+  /** X266: historical VaR + expected shortfall of daily-quantity
+    * return chains per return flag — exact-integer daily series, so
+    * both engines derive identical return doubles; Spark `percentile`
+    * ≡ DuckDB `quantile_cont`. */
+  private val q373 = Q("q373_expected_shortfall",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_shipdate")
+        .agg(sum($"l_quantity").cast("long").as("qty"))
+      graft.events.Finance.expectedShortfall(daily, "l_returnflag",
+        "l_shipdate", "qty", p = 0.05)
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH daily AS (
+           |  SELECT l_returnflag, l_shipdate,
+           |    sum(l_quantity)::BIGINT AS qty
+           |  FROM lineitem GROUP BY 1, 2),
+           |r AS (
+           |  SELECT l_returnflag,
+           |    qty::DOUBLE / nullif(lag(qty) OVER (
+           |      PARTITION BY l_returnflag ORDER BY l_shipdate), 0) - 1
+           |      AS r
+           |  FROM daily),
+           |rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+           |v AS (SELECT l_returnflag, count(*)::BIGINT AS n_returns,
+           |        quantile_cont(r, 0.05) AS var
+           |      FROM rr GROUP BY 1)
+           |SELECT rr.l_returnflag, max(n_returns) AS n_returns,
+           |  round(max(var), 6) AS var_p,
+           |  sum(CASE WHEN r <= var THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_tail,
+           |  round(avg(CASE WHEN r <= var THEN r END), 6) AS es_p
+           |FROM rr JOIN v USING (l_returnflag)
+           |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+
+  /** X267: MASE backtest of the season-7 naive forecaster on per-type
+    * daily event counts — integer series, train-half scale, test-half
+    * score. */
+  private val q374 = Q("q374_mase",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("c"))
+      graft.events.Backtest.maseSplit(daily, "event_type", "d", "c",
+        season = 7).orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
+           |  FROM events GROUP BY 1, 2),
+           |w AS (
+           |  SELECT event_type, c,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY d)
+           |      AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n,
+           |    lag(c, 7) OVER (PARTITION BY event_type ORDER BY d)
+           |      AS f
+           |  FROM daily),
+           |t2 AS (SELECT *, rn <= n // 2 AS train FROM w)
+           |SELECT event_type,
+           |  sum(CASE WHEN train THEN 1 ELSE 0 END)::BIGINT AS n_train,
+           |  sum(CASE WHEN NOT train AND f IS NOT NULL THEN 1 ELSE 0
+           |      END)::BIGINT AS n_test_scored,
+           |  round(avg(CASE WHEN NOT train AND f IS NOT NULL
+           |                 THEN abs(c - f)::DOUBLE END), 4) AS test_mae,
+           |  round(avg(CASE WHEN train AND f IS NOT NULL
+           |                 THEN abs(c - f)::DOUBLE END), 4)
+           |    AS train_scale,
+           |  round(avg(CASE WHEN NOT train AND f IS NOT NULL
+           |                 THEN abs(c - f)::DOUBLE END) /
+           |    nullif(avg(CASE WHEN train AND f IS NOT NULL
+           |                    THEN abs(c - f)::DOUBLE END), 0), 4)
+           |    AS mase
+           |FROM t2 GROUP BY 1
+           |HAVING sum(CASE WHEN NOT train AND f IS NOT NULL THEN 1
+           |           ELSE 0 END) > 0
+           |ORDER BY event_type""".stripMargin))
+
+  /** X268: segmented OLS of extended price on quantity with a knot at
+    * 25 — the hinge-basis ols2, one sufficient-statistics
+    * aggregate. */
+  private val q375 = Q("q375_segmented_ols",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Regression.segmented(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", knot = 25.0)
+    },
+    Some("""WITH d AS (
+           |  SELECT l_extendedprice::DOUBLE AS y,
+           |    l_quantity::DOUBLE AS x,
+           |    greatest(0, l_quantity::DOUBLE - 25) AS h
+           |  FROM lineitem
+           |  WHERE l_extendedprice IS NOT NULL
+           |    AND l_quantity IS NOT NULL),
+           |a AS (
+           |  SELECT count(*)::BIGINT AS n, sum(x) AS s1, sum(h) AS s2,
+           |    sum(y) AS sy, sum(x * x) AS s11, sum(h * h) AS s22,
+           |    sum(x * h) AS s12, sum(x * y) AS s1y, sum(h * y) AS s2y,
+           |    sum(y * y) AS syy
+           |  FROM d),
+           |c AS (
+           |  SELECT n, sy, s1, s2,
+           |    s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+           |    s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+           |    s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy
+           |  FROM a),
+           |b AS (
+           |  SELECT n, sy, s1, s2, c1y, c2y, cyy,
+           |    (c1y * c22 - c2y * c12) / nullif(c11 * c22 - c12 * c12,
+           |      0) AS b1,
+           |    (c2y * c11 - c1y * c12) / nullif(c11 * c22 - c12 * c12,
+           |      0) AS b2
+           |  FROM c)
+           |SELECT n, round((sy - b1 * s1 - b2 * s2) / n, 4)
+           |    AS intercept,
+           |  round(b1, 4) AS slope_left, round(b2, 4) AS slope_change,
+           |  round(round(b1, 4) + round(b2, 4), 4) AS slope_right,
+           |  round((b1 * c1y + b2 * c2y) / nullif(cyy, 0), 4) AS r2
+           |FROM b""".stripMargin))
+
+  val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375)
 }

@@ -39,4 +39,50 @@ object Backtest {
           lit(2.0) * abs(col("__e")) / (abs(v) + abs(col("__f"))))), 4)
           .as("smape"))
   }
+
+  /** MASE backtest per key (X267) — the scale-free score
+    * [[seasonalNaive]]'s MAPE family can't give on series that touch
+    * zero (Hyndman & Koehler 2006). Split each key's series in bucket
+    * order (first ⌊n/2⌋ buckets train, rest test — the varBacktest
+    * convention); the seasonal-naive forecast over the FULL series
+    * scores the test half (test forecasts may read actual train
+    * history, the standard protocol), and the scale is the TRAIN-half
+    * in-sample seasonal-naive MAE. MASE = test MAE / train scale:
+    * < 1 beats the naive forecaster where it was fit, honestly
+    * comparable across series of any magnitude.
+    *
+    * One row_number/count window pair + one lag window (all share the
+    * per-key sort), two conditional aggregates. Keys whose train half
+    * can't produce a lag (≤ season train rows) or whose scale is 0
+    * yield null mase; keys with an empty scored test half drop out.
+    *
+    * Output per key: (key, n_train, n_test_scored, test_mae 4dp,
+    * train_scale 4dp, mase 4dp). */
+  def maseSplit(df: DataFrame, key: String, bucket: String,
+                value: String, season: Int): DataFrame = {
+    require(season >= 1, "season must be >= 1")
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val wKey = Window.partitionBy(col(key))
+    val v = col(value).cast("double")
+    val scored = df
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__f", lag(v, season).over(wOrd))
+      .withColumn("__train", col("__rn") <= floor(col("__n") / 2))
+    scored.groupBy(col(key))
+      .agg(
+        sum(when(col("__train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("__train") && col("__f").isNotNull, 1L)
+          .otherwise(0L)).as("n_test_scored"),
+        avg(when(!col("__train") && col("__f").isNotNull,
+          abs(v - col("__f")))).as("__mae"),
+        avg(when(col("__train") && col("__f").isNotNull,
+          abs(v - col("__f")))).as("__scale"))
+      .filter(col("n_test_scored") > 0)
+      .select(col(key), col("n_train"), col("n_test_scored"),
+        round(col("__mae"), 4).as("test_mae"),
+        round(col("__scale"), 4).as("train_scale"),
+        round(col("__mae") / nullif(col("__scale"), lit(0.0)), 4)
+          .as("mase"))
+  }
 }

@@ -172,4 +172,43 @@ object Finance {
         round(lr, 4).as("lr_pof"),
         round(lit(2.0) * normal_sf(sqrt(lr)), 6).as("p_value"))
   }
+
+  /** Historical VaR + expected shortfall (CVaR) per key (X266) — the
+    * coherent tail-risk companion to [[varBacktest]]: VaR_p is the
+    * exact interpolated p-quantile of the per-bucket return chain
+    * (the [[sharpeSortino]] construction), ES_p the mean of returns
+    * at-or-below it. ES is what VaR famously isn't: subadditive, and
+    * sensitive to HOW BAD the tail is, not just how often it fires.
+    *
+    * Shape: one lag window for returns (series-bounded per key), one
+    * exact-percentile aggregate per key, the VaR frame broadcast back
+    * (key-bounded), one tail aggregate. Keys with < 2 buckets drop out
+    * (no returns); an empty tail (VaR below every return — impossible
+    * for p > 0 with the ≤ rule, but guarded) yields null ES.
+    *
+    * Output per key: (key, n_returns, var_p 6dp, n_tail BIGINT,
+    * es_p 6dp). */
+  def expectedShortfall(df: DataFrame, key: String, bucket: String,
+                        value: String,
+                        p: Double = 0.05): DataFrame = {
+    require(p > 0 && p < 1, "p in (0,1)")
+    val w = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val v = col(value).cast("double")
+    val rets = df
+      .withColumn("__r", v / nullif(lag(v, 1).over(w), lit(0.0)) - 1.0)
+      .filter(col("__r").isNotNull)
+    val vars = rets.groupBy(col(key))
+      .agg(count(lit(1)).as("n_returns"),
+        percentile(col("__r"), lit(p)).as("__var"))
+    rets.join(broadcast(vars), Seq(key))
+      .groupBy(col(key))
+      .agg(max(col("n_returns")).as("n_returns"),
+        max(col("__var")).as("__v"),
+        sum(when(col("__r") <= col("__var"), 1L).otherwise(0L))
+          .as("n_tail"),
+        avg(when(col("__r") <= col("__var"), col("__r"))).as("__es"))
+      .select(col(key), col("n_returns"),
+        round(col("__v"), 6).as("var_p"), col("n_tail"),
+        round(col("__es"), 6).as("es_p"))
+  }
 }

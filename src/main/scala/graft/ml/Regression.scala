@@ -48,6 +48,32 @@ object Regression {
       round(b2, 4).as("b2"), round(r2, 4).as("r2"))
   }
 
+  /** Segmented (broken-stick) regression with a KNOWN knot (X268):
+    * y = b0 + b1·x + b2·max(0, x − knot) — [[ols2]] on the hinge
+    * basis, so the whole fit is still ONE map-side-combined
+    * sufficient-statistics aggregate (the 100 TB regression shape).
+    * slope_left = b1, slope_right = b1 + b2; b2 is the slope CHANGE at
+    * the knot, the quantity a "did the trend bend here" question
+    * actually asks. Knot placement is the caller's hypothesis (a
+    * launch date, a price threshold) — this is inference on a given
+    * breakpoint, not breakpoint search (see chowTest for testing one).
+    * Null coefficients when the design is singular (e.g. no data on
+    * one side of the knot makes the hinge collinear with x or
+    * constant).
+    *
+    * Output (one row): n, intercept 4dp, slope_left 4dp,
+    * slope_change 4dp, slope_right 4dp, r2 4dp. */
+  def segmented(df: DataFrame, y: String, x: String,
+                knot: Double): DataFrame = {
+    val hinged = df.withColumn("__hinge",
+      greatest(lit(0.0), col(x).cast("double") - knot))
+    ols2(hinged, y, x, "__hinge")
+      .select(col("n"), col("b0").as("intercept"),
+        col("b1").as("slope_left"), col("b2").as("slope_change"),
+        round(col("b1") + col("b2"), 4).as("slope_right"),
+        col("r2"))
+  }
+
   /** First-order partial correlation r_xy·z = (r_xy − r_xz·r_zy) /
     * √((1−r_xz²)(1−r_zy²)) — the "does x still correlate with y once z
     * is held fixed" readout, from the same one-aggregate sufficient

@@ -27,4 +27,33 @@ class BacktestSpec extends SparkSuite {
     // mape: only t3 → 1.0; smape: both → (2*5/5 + 2*5/5)/2 = 2.0
     assert(r._2 == 2L && r._5 == 1.0 && r._6 == 2.0)
   }
+
+  test("maseSplit: hand-traced split, scale, and ratio") {
+    // train 10,12,11,13 (lag-1 |e| = 2,1,2 → scale 5/3)
+    // test 13,15,10,14 (forecasts 13,13,15,10 → |e| = 0,2,5,4)
+    val df = (1 to 8).zip(Seq(10, 12, 11, 13, 13, 15, 10, 14))
+      .map { case (b, v) => ("k", b.toLong, v.toDouble) }
+      .toDF("k", "b", "v")
+    val r = Backtest.maseSplit(df, "k", "b", "v", season = 1).head()
+    assert(r.getAs[Long]("n_train") == 4L)
+    assert(r.getAs[Long]("n_test_scored") == 4L)
+    assert(r.getAs[Double]("test_mae") == 2.75)
+    assert(r.getAs[Double]("train_scale") == 1.6667)
+    assert(r.getAs[Double]("mase") == 1.65)
+  }
+
+  test("maseSplit: constant train half nulls mase; short train " +
+    "yields null scale") {
+    val flat = (1 to 6).zip(Seq(5, 5, 5, 6, 7, 8))
+      .map { case (b, v) => ("k", b.toLong, v.toDouble) }
+      .toDF("k", "b", "v")
+    val r = Backtest.maseSplit(flat, "k", "b", "v", season = 1).head()
+    assert(r.getAs[Double]("train_scale") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("mase")))
+    // season 7 > train size: no train lag exists → null scale
+    val short = (1 to 10).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("k", "b", "v")
+    val s = Backtest.maseSplit(short, "k", "b", "v", season = 7).head()
+    assert(s.isNullAt(s.fieldIndex("train_scale")))
+  }
 }

@@ -26,4 +26,33 @@ class FinanceRatiosSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("sharpe")))
     assert(r.isNullAt(r.fieldIndex("sortino")))
   }
+
+  test("expectedShortfall: hand-traced VaR and tail mean") {
+    // returns 0.1, -0.1, 0.1, -0.2, 0.05 → 5th pct at idx 0.2 between
+    // -0.2 and -0.1 → VaR = -0.18; tail = {-0.2} → ES = -0.2
+    val vals = Seq(100.0, 110.0, 99.0, 108.9, 87.12, 91.476)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "d", "v")
+    val r = Finance.expectedShortfall(df, "k", "d", "v", p = 0.05)
+      .head()
+    assert(r.getAs[Long]("n_returns") == 5L)
+    assert(r.getAs[Double]("var_p") == -0.18)
+    assert(r.getAs[Long]("n_tail") == 1L)
+    assert(r.getAs[Double]("es_p") == -0.2)
+  }
+
+  test("expectedShortfall: single-bucket key drops out; wide p " +
+    "averages a wider tail") {
+    val df = Seq(("a", 1L, 100.0), ("k", 1L, 100.0), ("k", 2L, 90.0),
+      ("k", 3L, 99.0), ("k", 4L, 89.1)).toDF("k", "d", "v")
+    val rows = Finance.expectedShortfall(df, "k", "d", "v", p = 0.5)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("k"))
+    // returns -0.1, 0.1, -0.1 → median VaR -0.1, tail {-0.1, -0.1}
+    val r = rows.head
+    assert(r.getAs[Double]("var_p") == -0.1)
+    assert(r.getAs[Long]("n_tail") == 2L)
+    assert(r.getAs[Double]("es_p") == -0.1)
+  }
 }

@@ -60,4 +60,27 @@ class RegressionSpec extends SparkSuite {
         Option[Double])].head()
     assert(r._2.isEmpty && r._3.isEmpty && r._4.isEmpty)
   }
+
+  test("segmented: exact broken stick is recovered") {
+    // y = 2 + 3x below the knot at 5, slope 7 above → change +4
+    val df = (1 to 10).map { x =>
+      val y = if (x <= 5) 2.0 + 3 * x else 17.0 + 7 * (x - 5)
+      (x.toDouble, y)
+    }.toDF("x", "y")
+    val r = Regression.segmented(df, "y", "x", knot = 5.0).head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("intercept") == 2.0)
+    assert(r.getAs[Double]("slope_left") == 3.0)
+    assert(r.getAs[Double]("slope_change") == 4.0)
+    assert(r.getAs[Double]("slope_right") == 7.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("segmented: all data left of the knot makes the hinge " +
+    "constant and the fit singular") {
+    val df = (1 to 5).map(x => (x.toDouble, 2.0 + 3 * x)).toDF("x", "y")
+    val r = Regression.segmented(df, "y", "x", knot = 10.0).head()
+    assert(r.isNullAt(r.fieldIndex("slope_left")))
+    assert(r.isNullAt(r.fieldIndex("slope_change")))
+  }
 }

@@ -282,5 +282,193 @@ object CatalogStats4 {
            |  round((b1 * c1y + b2 * c2y) / nullif(cyy, 0), 4) AS r2
            |FROM b""".stripMargin))
 
-  val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375)
+  /** Top-40 nation-trade edges by EXACT-CENTS revenue (integer sums →
+    * deterministic ranking cross-engine), the bounded graph under
+    * q376/q377. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val und = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .select(least($"c_nationkey", $"s_nationkey").as("a"),
+        greatest($"c_nationkey", $"s_nationkey").as("b"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"a", $"b").agg(sum($"cents").as("cents"))
+    und.withColumn("r", row_number().over(
+        Window.orderBy($"cents".desc, $"a", $"b")))
+      .filter($"r" <= 40)
+      .select($"a".cast("string").as("src"),
+        $"b".cast("string").as("dst"))
+  }
+
+  private val tradeEdgesSql =
+    """e0 AS (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+      |    greatest(c.c_nationkey, s.s_nationkey) AS b,
+      |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+      |e1 AS (SELECT a, b,
+      |        row_number() OVER (ORDER BY cents DESC, a, b) AS r
+      |      FROM e0 QUALIFY r <= 40),
+      |e AS (SELECT a::VARCHAR AS a, b::VARCHAR AS b, r FROM e1),
+      |und AS (SELECT least(a, b) AS a, greatest(a, b) AS b, r FROM e),
+      |nodes AS (SELECT DISTINCT a AS v FROM und
+      |          UNION SELECT b FROM und),
+      |sym AS (SELECT a AS u, b AS w, r FROM und
+      |        UNION ALL SELECT b, a, r FROM und)""".stripMargin
+
+  /** X269: articulation points of the top-40 trade graph — driver
+    * Tarjan vs an INDEPENDENT per-candidate-removal recursive-CTE
+    * reachability oracle (components counted as distinct min-reachable
+    * labels; sentinel -1 exclusion = the unmodified graph). */
+  private val q376 = Q("q376_articulation",
+    (s, dir) => {
+      import s.implicits._
+      graft.graph.Cut.articulationPoints(tradeEdges(s, dir),
+        "src", "dst").orderBy($"node")
+    },
+    Some(s"""WITH RECURSIVE $tradeEdgesSql,
+           |excl AS (SELECT v AS x FROM nodes
+           |         UNION ALL SELECT '-1'),
+           |reach(x, s, t) AS (
+           |  SELECT excl.x, n.v, n.v FROM excl, nodes n
+           |  WHERE n.v <> excl.x
+           |  UNION
+           |  SELECT reach.x, reach.s, sym.w
+           |  FROM reach JOIN sym ON sym.u = reach.t
+           |  WHERE sym.w <> reach.x),
+           |lab AS (SELECT x, s, min(t) AS l FROM reach GROUP BY 1, 2),
+           |comp AS (SELECT x, count(DISTINCT l)::BIGINT AS nc
+           |         FROM lab GROUP BY 1),
+           |base AS (SELECT nc AS c0 FROM comp WHERE x = '-1'),
+           |deg AS (SELECT v, count(*)::BIGINT AS degree FROM (
+           |          SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+           |        GROUP BY 1)
+           |SELECT deg.v AS node, degree, comp.nc
+           |    AS components_if_removed,
+           |  comp.nc > base.c0 AS is_articulation
+           |FROM deg JOIN comp ON comp.x = deg.v CROSS JOIN base
+           |ORDER BY node""".stripMargin))
+
+  /** X270: bridges of the same graph — Tarjan low-link vs a
+    * per-edge-removal reachability oracle (endpoint b unreachable from
+    * a without that edge ⇔ bridge). */
+  private val q377 = Q("q377_bridges",
+    (s, dir) => {
+      import s.implicits._
+      graft.graph.Cut.bridgeEdges(tradeEdges(s, dir), "src", "dst")
+        .orderBy($"src", $"dst")
+    },
+    Some(s"""WITH RECURSIVE $tradeEdgesSql,
+           |rb(eid, t) AS (
+           |  SELECT r, a FROM und
+           |  UNION
+           |  SELECT rb.eid, sym.w FROM rb
+           |  JOIN sym ON sym.u = rb.t AND sym.r <> rb.eid)
+           |SELECT und.a AS src, und.b AS dst,
+           |  NOT EXISTS (SELECT 1 FROM rb
+           |              WHERE rb.eid = und.r AND rb.t = und.b)
+           |    AS is_bridge
+           |FROM und ORDER BY src, dst""".stripMargin))
+
+  /** X271: Markov-chain removal-effect attribution over user journeys
+    * (channels = non-purchase event types, conversion = any
+    * purchase) — the driver's fixed 200-step absorption fixpoint
+    * replayed by the oracle as a recursive CTE over the same
+    * transition probabilities (absorbing self-loops keep CONV/NULL in
+    * the state vector). */
+  private val q378 = Q("q378_markov_attribution",
+    (s, dir) => {
+      import s.implicits._
+      graft.events.Attribution.markovRemoval(
+        t(s, dir, "events").select($"user_id", $"ts", $"event_id",
+          $"event_type",
+          when($"event_type" === "purchase", 1).otherwise(0)
+            .as("is_conv")),
+        "user_id", "ts", "event_id", "event_type", "is_conv",
+        iters = 200)
+        .orderBy($"channel")
+    },
+    Some("""WITH RECURSIVE conv AS (
+           |  SELECT DISTINCT user_id FROM events
+           |  WHERE event_type = 'purchase'),
+           |touches AS (
+           |  SELECT e.user_id AS u, e.ts, e.event_id,
+           |    e.event_type AS ch,
+           |    CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS cv
+           |  FROM events e LEFT JOIN conv c ON c.user_id = e.user_id
+           |  WHERE e.event_type <> 'purchase'),
+           |hops AS (
+           |  SELECT u, ch,
+           |    row_number() OVER (PARTITION BY u
+           |      ORDER BY ts, event_id) AS rn,
+           |    coalesce(lead(ch) OVER (PARTITION BY u
+           |        ORDER BY ts, event_id),
+           |      CASE WHEN cv = 1 THEN 'CONV' ELSE 'NULL' END) AS t
+           |  FROM touches),
+           |trans AS (
+           |  SELECT f, t, count(*)::BIGINT AS n FROM (
+           |    SELECT ch AS f, t FROM hops
+           |    UNION ALL
+           |    SELECT 'START', ch FROM hops WHERE rn = 1
+           |    UNION ALL
+           |    SELECT 'START', 'CONV' FROM conv
+           |    WHERE user_id NOT IN (SELECT u FROM touches))
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT sum(n)::BIGINT AS n_transitions FROM trans),
+           |pm AS (
+           |  SELECT f, t, n::DOUBLE / sum(n) OVER (PARTITION BY f)
+           |    AS p
+           |  FROM trans
+           |  UNION ALL SELECT 'CONV', 'CONV', 1.0::DOUBLE
+           |  UNION ALL SELECT 'NULL', 'NULL', 1.0::DOUBLE),
+           |chans AS (SELECT DISTINCT ch FROM touches),
+           |scen AS (SELECT ch AS sc FROM chans
+           |         UNION ALL SELECT 'BASE'),
+           |states AS (SELECT DISTINCT f AS st FROM pm),
+           |fx(sc, it, st, p) AS (
+           |  SELECT scen.sc, 0, states.st,
+           |    CASE WHEN states.st = 'CONV' THEN 1.0::DOUBLE
+           |         ELSE 0.0::DOUBLE END
+           |  FROM scen, states
+           |  UNION ALL
+           |  SELECT prev.sc, prev.it + 1, pm.f,
+           |    CASE WHEN pm.f = prev.sc THEN 0.0::DOUBLE
+           |         ELSE sum(pm.p * CASE WHEN pm.t = prev.sc THEN 0.0
+           |                              ELSE prev.p END)
+           |    END
+           |  FROM fx prev JOIN pm ON pm.t = prev.st
+           |  WHERE prev.it < 200
+           |  GROUP BY prev.sc, prev.it, pm.f),
+           |fin AS (SELECT sc, st, p FROM fx WHERE it = 200),
+           |pb AS (SELECT p AS base FROM fin
+           |       WHERE sc = 'BASE' AND st = 'START'),
+           |eff AS (
+           |  SELECT chans.ch, fin.p AS prem,
+           |    CASE WHEN base = 0 THEN 0.0
+           |         ELSE greatest(0.0, 1 - fin.p / base) END AS re
+           |  FROM chans
+           |  JOIN fin ON fin.sc = chans.ch AND fin.st = 'START'
+           |  CROSS JOIN pb),
+           |se AS (SELECT sum(re) AS s FROM eff)
+           |SELECT ch AS channel, n_transitions,
+           |  round(base, 6) AS p_conv_base,
+           |  round(prem, 6) AS p_conv_removed,
+           |  round(re, 6) AS removal_effect,
+           |  CASE WHEN s = 0 THEN NULL
+           |       ELSE round(re / s, 6) END AS attribution_share
+           |FROM eff CROSS JOIN pb CROSS JOIN se CROSS JOIN tot
+           |ORDER BY channel""".stripMargin))
+
+  val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
+    q377, q378)
 }

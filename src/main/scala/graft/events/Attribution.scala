@@ -140,4 +140,116 @@ object Attribution {
         lit(0L).as("n_touches"))
     credited.unionByName(unattributed).orderBy(col("touch"))
   }
+
+  /** First-order Markov-chain attribution by removal effects (X271,
+    * Anderl et al. 2014) — the model-based alternative to the
+    * heuristic splits above and the game-theoretic X171 Shapley:
+    * journeys become a Markov chain START → touches → CONV/NULL;
+    * a channel's value is how much the chain's conversion probability
+    * drops when every hop into that channel is redirected to NULL
+    * (the channel "goes dark"), normalized across channels into
+    * attribution shares.
+    *
+    * Relational part (the 100 TB part): transition counts from ONE
+    * lead window over (user, ts, tie) — START→first, touch→next,
+    * last→CONV/NULL — then a hash aggregate to the (states+2)²-bounded
+    * transition matrix. Driver part (the bounded part, the X239 IPF
+    * precedent): row-normalize and run a FIXED `iters`-step absorption
+    * fixpoint for the base chain and once per removal scenario —
+    * deterministic arithmetic, no linear-solver pivoting, so an
+    * engine replaying the same recipe (the oracle's recursive CTE)
+    * reproduces the doubles. Geometric convergence makes 200 steps
+    * ≪ 1e-9 residual for any journey mix with finite mean length.
+    *
+    * Conversions are USERS WITH ≥ 1 CONVERSION EVENT (journey grain =
+    * user); touches are the non-conversion events, in (ts, tie)
+    * order. Output per channel: (channel, n_transitions BIGINT,
+    * p_conv_base 6dp, p_conv_removed 6dp, removal_effect 6dp = 1 −
+    * removed/base, attribution_share 6dp; share null when every
+    * removal effect is 0). */
+  def markovRemoval(events: DataFrame, user: String, ts: String,
+                    tie: String, channel: String, isConversion: String,
+                    iters: Int = 200): DataFrame = {
+    val spark = events.sparkSession
+    require(iters >= 1, "iters must be >= 1")
+    val conv = col(isConversion) === 1
+    val converted = events.filter(conv)
+      .select(col(user).as("__u")).distinct()
+      .withColumn("__c", lit(1))
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts"), col("__tie"))
+    val touches = events.filter(!conv)
+      .select(col(user).as("__u"), col(ts).as("__ts"),
+        col(tie).as("__tie"), col(channel).cast("string").as("__ch"))
+      .join(converted, Seq("__u"), "left")
+      .na.fill(0, Seq("__c"))
+    val hops = touches
+      .withColumn("__next", lead(col("__ch"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .select(col("__u"), col("__ch"), col("__rn"),
+        coalesce(col("__next"),
+          when(col("__c") === 1, lit("CONV")).otherwise(lit("NULL")))
+          .as("__to"))
+    val starts = hops.filter(col("__rn") === 1)
+      .select(lit("START").as("__from"), col("__ch").as("__to"))
+    // users who convert with zero touches jump START → CONV directly
+    val bare = converted.join(
+        touches.select(col("__u")).distinct(), Seq("__u"), "left_anti")
+      .select(lit("START").as("__from"), lit("CONV").as("__to"))
+    val trans = hops.select(col("__ch").as("__from"), col("__to"))
+      .unionByName(starts).unionByName(bare)
+      .groupBy(col("__from"), col("__to"))
+      .agg(count(lit(1)).as("__n"))
+    // bounded collect: (channels + START) × (channels + CONV + NULL)
+    val rows = trans.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val totalTrans = rows.map(_._3).sum
+    val froms = rows.map(_._1).distinct.sorted
+    val channels = (rows.map(_._1) ++ rows.map(_._2))
+      .filter(s => s != "START" && s != "CONV" && s != "NULL")
+      .distinct.sorted
+    val out = froms.map { f =>
+      val row = rows.filter(_._1 == f).sortBy(_._2)
+      val tot = row.map(_._3).sum.toDouble
+      f -> row.map { case (_, t, n) => t -> n / tot }
+    }.toMap
+    // fixed-iteration absorption probability with the scenario channel
+    // (if any) clamped to 0 — identical recipe to the oracle's CTE
+    def absorb(removed: Option[String]): Double = {
+      var p = froms.map(_ -> 0.0).toMap
+      var it = 0
+      while (it < iters) {
+        p = froms.map { f =>
+          val pv = out(f).map { case (t, w0) =>
+            val v =
+              if (removed.contains(t)) 0.0
+              else if (t == "CONV") 1.0
+              else if (t == "NULL") 0.0
+              else p.getOrElse(t, 0.0)
+            w0 * v
+          }.sum
+          f -> (if (removed.contains(f)) 0.0 else pv)
+        }.toMap
+        it += 1
+      }
+      p.getOrElse("START", 0.0)
+    }
+    val base = absorb(None)
+    // a chain that never converts has nothing to attribute: every
+    // removal effect is 0 and the share column goes null
+    def removalEffect(pc: Double): Double =
+      if (base == 0) 0.0 else math.max(0.0, 1.0 - pc / base)
+    val eff = channels.map(c => (c, absorb(Some(c))))
+    val sumEff = eff.map { case (_, pc) => removalEffect(pc) }.sum
+    import spark.implicits._
+    eff.map { case (c, pc) =>
+      val re = removalEffect(pc)
+      (c, totalTrans,
+        math.rint(base * 1e6) / 1e6, math.rint(pc * 1e6) / 1e6,
+        math.rint(re * 1e6) / 1e6,
+        if (sumEff == 0) None else Some(math.rint(re / sumEff * 1e6) / 1e6))
+    }.toSeq
+      .toDF("channel", "n_transitions", "p_conv_base",
+        "p_conv_removed", "removal_effect", "attribution_share")
+  }
 }

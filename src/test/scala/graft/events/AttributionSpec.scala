@@ -67,4 +67,39 @@ class AttributionSpec extends SparkSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("view", 1L)))
   }
+
+  test("markovRemoval: hand-solved absorption chain") {
+    // u1 A→B→conv, u2 A→drop, u3 B→conv, u4 bare conversion
+    // P(START→A)=1/2, (START→B)=(START→CONV)=1/4; A→B=A→NULL=1/2;
+    // B→CONV=1 → base 0.75; remove A → 0.5 (re 1/3);
+    // remove B → 0.25 (re 2/3)
+    val ev = Seq(
+      ("u1", 1L, 1L, "A", 0), ("u1", 2L, 2L, "B", 0),
+      ("u1", 3L, 3L, "P", 1),
+      ("u2", 1L, 4L, "A", 0),
+      ("u3", 1L, 5L, "B", 0), ("u3", 2L, 6L, "P", 1),
+      ("u4", 1L, 7L, "P", 1))
+      .toDF("u", "ts", "id", "ch", "cv")
+    val m = Attribution.markovRemoval(ev, "u", "ts", "id", "ch", "cv")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m.keySet == Set("A", "B"))
+    assert(m("A").getAs[Long]("n_transitions") == 8L)
+    assert(m("A").getAs[Double]("p_conv_base") == 0.75)
+    assert(m("A").getAs[Double]("p_conv_removed") == 0.5)
+    assert(m("A").getAs[Double]("removal_effect") == 0.333333)
+    assert(m("A").getAs[Double]("attribution_share") == 0.333333)
+    assert(m("B").getAs[Double]("p_conv_removed") == 0.25)
+    assert(m("B").getAs[Double]("removal_effect") == 0.666667)
+    assert(m("B").getAs[Double]("attribution_share") == 0.666667)
+  }
+
+  test("markovRemoval: no conversions gives base 0 and null shares") {
+    val ev = Seq(("u1", 1L, 1L, "A", 0), ("u2", 1L, 2L, "B", 0))
+      .toDF("u", "ts", "id", "ch", "cv")
+    val rows = Attribution.markovRemoval(ev, "u", "ts", "id", "ch",
+      "cv").collect()
+    assert(rows.forall(_.getAs[Double]("p_conv_base") == 0.0))
+    assert(rows.forall(r =>
+      r.isNullAt(r.fieldIndex("attribution_share"))))
+  }
 }

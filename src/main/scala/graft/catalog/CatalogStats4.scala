@@ -469,6 +469,75 @@ object CatalogStats4 {
            |FROM eff CROSS JOIN pb CROSS JOIN se CROSS JOIN tot
            |ORDER BY channel""".stripMargin))
 
+  /** X272: two-regressor logistic regression (purchase ~ value +
+    * hour-of-day) — 8 fixed Newton steps, each ONE sufficient-stats
+    * aggregate; the oracle replays the identical cofactor solve in a
+    * recursive CTE. */
+  private val q379 = Q("q379_logistic",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Regression.logistic2(
+        t(s, dir, "events").filter($"value".isNotNull)
+          .select(
+            when($"event_type" === "purchase", 1.0).otherwise(0.0)
+              .as("y"),
+            ($"value" / 100).as("x1"),
+            (hour($"ts") / 24).as("x2")),
+        "y", "x1", "x2", iters = 8)
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0::DOUBLE
+           |              ELSE 0.0::DOUBLE END AS y,
+           |    value / 100 AS x1, hour(ts) / 24 AS x2
+           |  FROM events WHERE value IS NOT NULL),
+           |fx(it, b0, b1, b2) AS (
+           |  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+           |  UNION ALL
+           |  SELECT it + 1,
+           |    b0 + ((dd * f - e * e) * g1 + (c * e - b * f) * g2
+           |          + (b * e - c * dd) * g3) / det,
+           |    b1 + ((c * e - b * f) * g1 + (a * f - c * c) * g2
+           |          + (b * c - a * e) * g3) / det,
+           |    b2 + ((b * e - c * dd) * g1 + (b * c - a * e) * g2
+           |          + (a * dd - b * b) * g3) / det
+           |  FROM (
+           |    SELECT agg.*,
+           |      a * (dd * f - e * e) - b * (b * f - c * e)
+           |        + c * (b * e - c * dd) AS det
+           |    FROM (
+           |      SELECT it, b0, b1, b2,
+           |        sum(mu * (1 - mu)) AS a,
+           |        sum(mu * (1 - mu) * x1) AS b,
+           |        sum(mu * (1 - mu) * x2) AS c,
+           |        sum(mu * (1 - mu) * x1 * x1) AS dd,
+           |        sum(mu * (1 - mu) * x1 * x2) AS e,
+           |        sum(mu * (1 - mu) * x2 * x2) AS f,
+           |        sum(y - mu) AS g1, sum((y - mu) * x1) AS g2,
+           |        sum((y - mu) * x2) AS g3
+           |      FROM (
+           |        SELECT fx.it, fx.b0, fx.b1, fx.b2, d.y, d.x1, d.x2,
+           |          1 / (1 + exp(-(fx.b0 + fx.b1 * d.x1
+           |                         + fx.b2 * d.x2))) AS mu
+           |        FROM fx, d WHERE fx.it < 8) r
+           |      GROUP BY 1, 2, 3, 4) agg) s),
+           |fin AS (SELECT b0, b1, b2 FROM fx WHERE it = 8),
+           |sc AS (
+           |  SELECT count(*)::BIGINT AS n,
+           |    sum(y * eta - ln(1 + exp(eta))) AS ll,
+           |    sum(y) AS s
+           |  FROM (SELECT d.y,
+           |          fin.b0 + fin.b1 * d.x1 + fin.b2 * d.x2 AS eta
+           |        FROM d, fin) z)
+           |SELECT n,
+           |  round(fin.b0, 4) AS b0, round(fin.b1, 4) AS b1,
+           |  round(fin.b2, 4) AS b2,
+           |  round(-2 * ll, 4) AS deviance,
+           |  CASE WHEN s <= 0 OR s >= n THEN NULL
+           |       ELSE round(1 - ll / (s * ln(s / n)
+           |                  + (n - s) * ln(1 - s / n)), 4)
+           |  END AS mcfadden_r2
+           |FROM sc CROSS JOIN fin""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
-    q377, q378)
+    q377, q378, q379)
 }

@@ -457,4 +457,54 @@ object EventStream {
           out.iterator
       }
   }
+
+  final case class PhObs(key: String, ts: Timestamp, event_id: Long,
+                         x: Double)
+  final case class PhState(n: Long, sum: Double, ph: Double,
+                           phMin: Double, alarmed: Boolean)
+  final case class PhAlarm(key: String, n_detect: Long,
+                           gap_at: Double)
+
+  /** Streaming Page–Hinkley drift monitor (X273) — the live twin of
+    * [[graft.events.Changepoint.pageHinkley]]: per key, walk the
+    * deviation sum PH_t = Σ(x_i − x̄_i − δ) (x̄ = exact prefix
+    * sum/count, the SAME arithmetic as the batch twin's window
+    * average — no incremental-mean drift) and its running floor, and
+    * EMIT EXACTLY ONE alarm the first time the gap PH_t − min PH
+    * exceeds λ. Like [[sprtStream]], the monitor then stays silent —
+    * the online semantics the batch operator's argmax readout can't
+    * give. The 6-dp gap rounding before the λ compare matches the
+    * batch twin's `__gap` exactly, so first-crossing parity is
+    * testable bit-for-bit. State per key: 4 numbers + a flag, no
+    * timeout (drift monitors live as long as their metric). */
+  def phStream(obs: Dataset[PhObs], delta: Double, lambda: Double)
+      : Dataset[PhAlarm] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[PhObs],
+         state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0.0, 0.0, Double.PositiveInfinity,
+              alarmed = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PhAlarm]
+          rows.toSeq.sortBy(o => (micros(o.ts), o.event_id))
+            .foreach { o =>
+              if (!st.alarmed) {
+                val n = st.n + 1
+                val s = st.sum + o.x
+                val ph = st.ph + (o.x - s / n - delta)
+                val phMin = math.min(st.phMin, ph)
+                val gap = math.round((ph - phMin) * 1e6) / 1e6.toDouble
+                if (gap > lambda) {
+                  out += PhAlarm(key, n, gap)
+                  st = PhState(n, s, ph, phMin, alarmed = true)
+                } else st = PhState(n, s, ph, phMin, alarmed = false)
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

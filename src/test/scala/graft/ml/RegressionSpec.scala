@@ -61,6 +61,46 @@ class RegressionSpec extends SparkSuite {
     assert(r._2.isEmpty && r._3.isEmpty && r._4.isEmpty)
   }
 
+  test("logistic2: cell counts equal to expected counts make the " +
+    "true beta the exact MLE") {
+    // cells (x1,x2): (0,0) 5/10, (1,0) 8/10, (0,1) 8/10, (1,1) 16/17
+    // score(β*) = 0 exactly for β* = (0, ln4, ln4)
+    def cell(x1: Double, x2: Double, n: Int, ones: Int) =
+      (0 until n).map(i => (if (i < ones) 1.0 else 0.0, x1, x2))
+    val rows = cell(0, 0, 10, 5) ++ cell(1, 0, 10, 8) ++
+      cell(0, 1, 10, 8) ++ cell(1, 1, 17, 16)
+    val df = rows.toDF("y", "x1", "x2")
+    val r = Regression.logistic2(df, "y", "x1", "x2").head()
+    assert(r.getAs[Long]("n") == 47L)
+    assert(r.getAs[Double]("b0") == 0.0)
+    assert(r.getAs[Double]("b1") == 1.3863)   // ln 4
+    assert(r.getAs[Double]("b2") == 1.3863)
+    // deviance from the closed-form cell likelihood
+    val ll = 10 * math.log(0.5) +
+      2 * (8 * math.log(0.8) + 2 * math.log(0.2)) +
+      16 * math.log(16.0 / 17) + math.log(1.0 / 17)
+    assert(math.abs(r.getAs[Double]("deviance") - (-2 * ll)) < 1e-3)
+    val ll0 = 37 * math.log(37.0 / 47) + 10 * math.log(10.0 / 47)
+    assert(math.abs(r.getAs[Double]("mcfadden_r2") - (1 - ll / ll0))
+      < 1e-3)
+  }
+
+  test("logistic2: constant regressor is singular; all-one labels " +
+    "null mcfadden") {
+    val const = (1 to 20).map(i =>
+      (if (i % 2 == 0) 1.0 else 0.0, i.toDouble, 5.0))
+      .toDF("y", "x1", "x2")
+    val r = Regression.logistic2(const, "y", "x1", "x2").head()
+    assert(r.isNullAt(r.fieldIndex("b0")))
+    assert(r.getAs[Long]("n") == 20L)
+    // all-one labels: the y-margin is degenerate → separation pushes
+    // the intercept out but mcfadden's null model is undefined
+    val ones = (1 to 10).map(i =>
+      (1.0, i.toDouble, (i * i % 7).toDouble)).toDF("y", "x1", "x2")
+    val o = Regression.logistic2(ones, "y", "x1", "x2").head()
+    assert(o.isNullAt(o.fieldIndex("mcfadden_r2")))
+  }
+
   test("segmented: exact broken stick is recovered") {
     // y = 2 + 3x below the knot at 5, slope 7 above → change +4
     val df = (1 to 10).map { x =>

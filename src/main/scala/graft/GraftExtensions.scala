@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", classOf[RollingHash64]),
       (es: Seq[Expression]) => RollingHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("char_entropy"),
+      info("char_entropy", classOf[CharEntropy]),
+      (es: Seq[Expression]) => CharEntropy(es.head)))
     // parameterized expressions: the int arguments must be literals
     // (they shape the output schema / generated code)
     ext.injectFunction((FunctionIdentifier("word_shingles"),

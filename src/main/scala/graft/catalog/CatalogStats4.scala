@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.catalog.Catalog.Q
 import graft.util.Tables
 
-/** Oracle-checked catalog entries, round-8 batch: ordinal agreement
+/** Oracle-checked catalog entries, round-8 batches: ordinal agreement
   * (X263 weighted κ), imbalance-honest classification (X264 MCC
-  * panel), and exact Bayesian A/B (X265).
+  * panel), exact Bayesian A/B (X265), tail risk (X266 CVaR), forecast
+  * evaluation (X267 MASE), segmented OLS (X268), graph cuts
+  * (X269/X270), Markov removal-effect attribution (X271), logistic
+  * regression (X272), and the text/LLM batch (X274 char entropy,
+  * X275 G² collocations, X276 Good–Turing, X277 corpus BLEU-4).
   */
 object CatalogStats4 {
 
@@ -538,6 +542,182 @@ object CatalogStats4 {
            |  END AS mcfadden_r2
            |FROM sc CROSS JOIN fin""".stripMargin))
 
+  /** X274: per-source character-entropy profile via the codegen'd
+    * CharEntropy expression — the base64/padding screen; per-doc
+    * values pre-rounded 6dp before the source rollup. */
+  private val q380 = Q("q380_char_entropy",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.gfunctions.char_entropy
+      t(s, dir, "documents")
+        .select($"source", round(char_entropy($"text"), 6).as("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"h"), 4).as("avg_entropy"),
+          round(min($"h"), 6).as("min_entropy"),
+          round(max($"h"), 6).as("max_entropy"))
+        .orderBy($"source")
+    },
+    Some("""WITH ch AS (
+           |  SELECT doc_id, source,
+           |    unnest(string_split(text, '')) AS c
+           |  FROM documents),
+           |cnt AS (SELECT doc_id, source, c, count(*) AS k
+           |        FROM ch GROUP BY 1, 2, 3),
+           |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1),
+           |ent AS (
+           |  SELECT cnt.source,
+           |    round(-sum((k::DOUBLE / n) * ln(k::DOUBLE / n)
+           |      / ln(2)), 6) AS h
+           |  FROM cnt JOIN tot USING (doc_id)
+           |  GROUP BY cnt.source, cnt.doc_id)
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  round(avg(h), 4) AS avg_entropy,
+           |  round(min(h), 6) AS min_entropy,
+           |  round(max(h), 6) AS max_entropy
+           |FROM ent GROUP BY 1 ORDER BY source""".stripMargin))
+
+  /** X275: Dunning G² collocations over the corpus bigram universe —
+    * top 20 by the ROUNDED score with bigram tie-break. */
+  private val q381 = Q("q381_collocations",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.collocations(t(s, dir, "documents"),
+        "text", minCount = 5L, topK = 20)
+        .orderBy($"g2".desc, $"w1", $"w2")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id,
+           |    generate_subscripts(regexp_extract_all(text, '\S+'), 1)
+           |      AS p,
+           |    unnest(regexp_extract_all(text, '\S+')) AS t
+           |  FROM documents),
+           |bg AS (
+           |  SELECT a.t AS w1, b.t AS w2, count(*)::BIGINT AS k11
+           |  FROM tok a JOIN tok b
+           |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+           |  GROUP BY 1, 2),
+           |m1 AS (SELECT w1, sum(k11)::BIGINT AS c1
+           |       FROM bg GROUP BY 1),
+           |m2 AS (SELECT w2, sum(k11)::BIGINT AS c2
+           |       FROM bg GROUP BY 1),
+           |tot AS (SELECT sum(k11)::BIGINT AS nn FROM bg),
+           |cells AS (
+           |  SELECT bg.w1, bg.w2, k11, c1, c2, nn,
+           |    c1 - k11 AS k12, c2 - k11 AS k21,
+           |    nn - c1 - c2 + k11 AS k22
+           |  FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2)
+           |  CROSS JOIN tot WHERE k11 >= 5),
+           |sc AS (
+           |  SELECT w1, w2, k11,
+           |    round(2 * (
+           |      CASE WHEN k11 > 0 THEN k11 * ln(k11 /
+           |        (c1 * c2 / nn::DOUBLE)) ELSE 0 END +
+           |      CASE WHEN k12 > 0 THEN k12 * ln(k12 /
+           |        (c1 * (nn - c2) / nn::DOUBLE)) ELSE 0 END +
+           |      CASE WHEN k21 > 0 THEN k21 * ln(k21 /
+           |        ((nn - c1) * c2 / nn::DOUBLE)) ELSE 0 END +
+           |      CASE WHEN k22 > 0 THEN k22 * ln(k22 /
+           |        ((nn - c1) * (nn - c2) / nn::DOUBLE)) ELSE 0 END),
+           |      4) AS g2
+           |  FROM cells)
+           |SELECT w1, w2, k11 AS n11, g2 FROM sc
+           |ORDER BY g2 DESC, w1 || ' ' || w2 LIMIT 20""".stripMargin))
+
+  /** X276: Good–Turing unseen-mass panel per source. */
+  private val q382 = Q("q382_good_turing",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.goodTuring(t(s, dir, "documents"),
+        "source", "text").orderBy($"source")
+    },
+    Some("""WITH tc AS (
+           |  SELECT source, t, count(*)::BIGINT AS c FROM (
+           |    SELECT source, unnest(regexp_extract_all(text, '\S+'))
+           |      AS t
+           |    FROM documents) GROUP BY 1, 2)
+           |SELECT source, sum(c)::BIGINT AS n_tokens,
+           |  count(*)::BIGINT AS vocab,
+           |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+           |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+           |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) /
+           |    sum(c)::DOUBLE, 6) AS p_unseen,
+           |  round(2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) /
+           |    nullif(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)::DOUBLE,
+           |    4) AS r_star_1
+           |FROM tc GROUP BY 1 ORDER BY source""".stripMargin))
+
+  /** X277: corpus BLEU-4 of each document against its own 80%-prefix
+    * "reference" — clipping, geometric mean, and brevity penalty all
+    * exercised on a deterministic pair construction. */
+  private val q383 = Q("q383_bleu",
+    (s, dir) => {
+      import s.implicits._
+      val toks = graft.text.TextAnalysis.tokens($"text")
+      val cut = greatest(lit(1),
+        floor(size(toks) * 4 / 5).cast("int"))
+      val pairs = t(s, dir, "documents")
+        .select($"doc_id", $"text".as("cand"),
+          array_join(slice(toks, lit(1), cut), " ").as("ref"))
+      graft.text.Relevance.bleuCorpus(pairs, "doc_id", "cand", "ref")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT doc_id, text AS cand,
+           |    array_to_string(list_slice(
+           |      regexp_extract_all(text, '\S+'), 1,
+           |      greatest(1, (len(regexp_extract_all(text, '\S+'))
+           |                   * 4) // 5)), ' ') AS ref
+           |  FROM documents),
+           |cl AS (SELECT doc_id, regexp_extract_all(cand, '\S+')
+           |         AS l FROM pairs),
+           |rl AS (SELECT doc_id, regexp_extract_all(ref, '\S+')
+           |         AS l FROM pairs),
+           |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+           |gc0 AS (SELECT doc_id, n, l,
+           |          unnest(generate_series(1, len(l) - n + 1)) AS i
+           |        FROM cl CROSS JOIN ns),
+           |gr0 AS (SELECT doc_id, n, l,
+           |          unnest(generate_series(1, len(l) - n + 1)) AS i
+           |        FROM rl CROSS JOIN ns),
+           |gc AS (SELECT doc_id, n,
+           |         array_to_string(list_slice(l, i, i + n - 1), ' ')
+           |           AS g, count(*) AS cc
+           |       FROM gc0 GROUP BY 1, 2, 3),
+           |gr AS (SELECT doc_id, n,
+           |         array_to_string(list_slice(l, i, i + n - 1), ' ')
+           |           AS g, count(*) AS cr
+           |       FROM gr0 GROUP BY 1, 2, 3),
+           |pn AS (SELECT n,
+           |         sum(least(cc, coalesce(cr, 0)))::DOUBLE /
+           |           nullif(sum(cc), 0) AS p
+           |       FROM gc LEFT JOIN gr USING (doc_id, n, g)
+           |       GROUP BY 1),
+           |pv AS (SELECT max(CASE WHEN n = 1 THEN p END) AS p1,
+           |         max(CASE WHEN n = 2 THEN p END) AS p2,
+           |         max(CASE WHEN n = 3 THEN p END) AS p3,
+           |         max(CASE WHEN n = 4 THEN p END) AS p4
+           |       FROM pn),
+           |lens AS (
+           |  SELECT count(*)::BIGINT AS n_pairs,
+           |    sum(len(regexp_extract_all(cand, '\S+')))::BIGINT AS c,
+           |    sum(len(regexp_extract_all(ref, '\S+')))::BIGINT AS r
+           |  FROM pairs)
+           |SELECT n_pairs,
+           |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+           |  round(p3, 6) AS p3, round(p4, 6) AS p4,
+           |  round(CASE WHEN c >= r THEN 1.0::DOUBLE
+           |             ELSE exp(1 - r::DOUBLE / c) END, 6)
+           |    AS brevity_penalty,
+           |  round(CASE
+           |      WHEN p1 IS NULL OR p2 IS NULL OR p3 IS NULL
+           |        OR p4 IS NULL THEN NULL
+           |      WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0
+           |      THEN (CASE WHEN c >= r THEN 1.0::DOUBLE
+           |                 ELSE exp(1 - r::DOUBLE / c) END) *
+           |        exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4)
+           |      ELSE 0.0::DOUBLE END, 6) AS bleu
+           |FROM lens CROSS JOIN pv""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
-    q377, q378, q379)
+    q377, q378, q379, q380, q381, q382, q383)
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, NormalSF, RegularizedIncBeta, RepetitionCounts, RollingHash64, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{BloomMightContain, CharEntropy, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, NormalSF, RegularizedIncBeta, RepetitionCounts, RollingHash64, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -70,6 +70,11 @@ object gfunctions {
     * combining marks, NFC), native + codegen'd. */
   def strip_accents(text: Column): Column =
     ColumnBridge.column(StripAccents(ColumnBridge.expression(text)))
+
+  /** Shannon entropy (bits) of a STRING column's code-point
+    * distribution, native + codegen'd — the base64/padding screen. */
+  def char_entropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 
   /** Repetition counts of a STRING column in one native pass:
     * [total n-grams, distinct n-grams, n_tokens, max token count]. */
@@ -186,6 +191,8 @@ object gfunctions {
       "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "strip_accents", exprs => StripAccents(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-composition diagnostics for training-data pipelines: when
@@ -675,5 +675,90 @@ object CorpusStats {
       round(beta, 4).as("beta"),
       round(exp((col("sy") - beta * col("sx")) / n), 4).as("k"),
       round(cxy * cxy / nullif(vx * vy, lit(0.0)), 4).as("r2"))
+  }
+
+  /** Dunning log-likelihood-ratio collocations (X275; Dunning 1993) —
+    * adjacent word pairs that co-occur far beyond chance ("new york",
+    * "machine learning"), the statistically-grounded upgrade of the
+    * within-doc PMI pairs [[pmiPairs]] (G² is χ²-calibrated and safe
+    * at low counts, PMI's weakness). Over the corpus BIGRAM-POSITION
+    * universe: for bigram (w1, w2), the 2×2 table is k11 = c(w1 w2),
+    * k12 = c(w1 ·) − k11, k21 = c(· w2) − k11, k22 = N − the rest, and
+    * G² = 2·Σ k·ln(k/E) with margin-product expectations (empty cells
+    * contribute 0 — the x·ln x → 0 limit).
+    *
+    * Shape: ONE bigram explode collapsing to bigram-type counts
+    * (vocab²-bounded, map-side combined); both marginals come from the
+    * SAME type table (substring_index prefix/suffix, no second
+    * fact-grain pass); ranking on the ROUNDED score with a bigram
+    * tie-break (the bm25 rounded-rank-key discipline). Output top-k:
+    * (w1, w2, n11 BIGINT, g2 4dp). */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    import graft.functions.gfunctions.word_shingles
+    val bg = docs.select(explode(word_shingles(col(textCol), 2))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("k11"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val m1 = bg.groupBy(col("w1")).agg(sum(col("k11")).as("c1"))
+    val m2 = bg.groupBy(col("w2")).agg(sum(col("k11")).as("c2"))
+    val tot = bg.agg(sum(col("k11")).as("nn"))
+    val cells = bg.filter(col("k11") >= minCount)
+      .join(m1, Seq("w1")).join(m2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("k12", col("c1") - col("k11"))
+      .withColumn("k21", col("c2") - col("k11"))
+      .withColumn("k22",
+        col("nn") - col("c1") - col("c2") + col("k11"))
+    def term(k: Column, e: Column) =
+      when(k > 0, k.cast("double") * log(k.cast("double") / e))
+        .otherwise(lit(0.0))
+    val nD = col("nn").cast("double")
+    val g2 = lit(2.0) * (
+      term(col("k11"), col("c1") * col("c2") / nD) +
+      term(col("k12"), col("c1") * (col("nn") - col("c2")) / nD) +
+      term(col("k21"), (col("nn") - col("c1")) * col("c2") / nD) +
+      term(col("k22"),
+        (col("nn") - col("c1")) * (col("nn") - col("c2")) / nD))
+    val scored = cells.withColumn("g2", round(g2, 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("g2").desc, col("bg"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("w1"), col("w2"), col("k11").as("n11"), col("g2"))
+  }
+
+  /** Simple Good–Turing unseen-mass panel per stratum (X276; Good
+    * 1953) — "how much probability should the LM reserve for words it
+    * has never seen from this source": p₀ = N₁/N (singleton share of
+    * the token stream), with the first discounted count r*₁ = 2·N₂/N₁
+    * as the smoothing readout (how much a singleton's count deflates).
+    * High p₀ flags open-vocabulary noise (OCR soup, id strings); near
+    * zero flags saturated/templated sources — the triage signal behind
+    * Katz/GT-smoothed LMs.
+    *
+    * Shape: one token explode collapsing to (stratum, term) counts
+    * (vocab-bounded, map-side combined), then a frequency-of-
+    * frequencies aggregate — output rows = strata. Output:
+    * (stratum, n_tokens BIGINT, vocab BIGINT, n1 BIGINT, n2 BIGINT,
+    * p_unseen 6dp, r_star_1 4dp null when no singletons). */
+  def goodTuring(docs: DataFrame, strataCol: String,
+                 textCol: String): DataFrame = {
+    val tc = docs.select(col(strataCol).as("__s"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__s"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    tc.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("__s").as(strataCol), col("n_tokens"), col("vocab"),
+        col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tokens"), 6)
+          .as("p_unseen"),
+        round(lit(2.0) * col("n2") /
+          nullif(col("n1").cast("double"), lit(0.0)), 4).as("r_star_1"))
   }
 }

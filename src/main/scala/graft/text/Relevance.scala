@@ -97,4 +97,61 @@ object Relevance {
     posts.unpersist(false)
     out
   }
+
+  /** Corpus-level BLEU-4 (X277; Papineni et al. 2002) over
+    * (candidate, reference) text pairs — the generation-eval score a
+    * training pipeline needs once it produces model outputs: modified
+    * n-gram precision with per-pair clipping (a candidate n-gram earns
+    * credit at most as often as the reference contains it), geometric
+    * mean over n = 1..4, and the corpus brevity penalty
+    * e^(1 − r/c) for c < r. Unsmoothed: any empty precision order
+    * zeroes the score (the standard corpus-BLEU convention).
+    *
+    * Shape: per order n, two n-gram explodes collapse immediately to
+    * per-(pair, gram) counts and the clip join runs at that bounded
+    * grain (never gram-position grain); the four one-row precision
+    * frames and the one-row length frame broadcast-cross into the
+    * readout. Output (one row): n_pairs, p1..p4 6dp, brevity_penalty
+    * 6dp, bleu 6dp (null when a candidate side has no 4-grams at
+    * all). */
+  def bleuCorpus(pairs: DataFrame, idCol: String, candCol: String,
+                 refCol: String): DataFrame = {
+    import graft.functions.gfunctions.word_shingles
+    val base = pairs.select(col(idCol).as("id"),
+      col(candCol).as("cand"), col(refCol).as("ref"))
+    def grams(side: String, n: Int) =
+      base.select(col("id"),
+          explode(word_shingles(col(side), n)).as("g"))
+        .groupBy(col("id"), col("g"))
+        .agg(count(lit(1)).as(s"__c$side"))
+    def prec(n: Int) =
+      grams("cand", n)
+        .join(grams("ref", n), Seq("id", "g"), "left")
+        .agg(
+          sum(least(col("__ccand"), coalesce(col("__cref"), lit(0L))))
+            .as(s"__num$n"),
+          sum(col("__ccand")).as(s"__den$n"))
+        .select((col(s"__num$n").cast("double") /
+          nullif(col(s"__den$n").cast("double"), lit(0.0)))
+          .as(s"__p$n"))
+    val lens = base.agg(count(lit(1)).as("n_pairs"),
+      sum(size(TextAnalysis.tokens(col("cand")))).as("__c"),
+      sum(size(TextAnalysis.tokens(col("ref")))).as("__r"))
+    val joined = (1 to 4).map(prec)
+      .foldLeft(lens)((acc, p) => acc.crossJoin(broadcast(p)))
+    val bp = when(col("__c") >= col("__r"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("__r").cast("double") / col("__c")))
+    val ps = (1 to 4).map(n => col(s"__p$n"))
+    val allPos = ps.map(_ > 0.0).reduce(_ && _)
+    val bleu = when(ps.map(_.isNull).reduce(_ || _),
+        lit(null).cast("double"))
+      .when(allPos, bp * exp(ps.map(log).reduce(_ + _) / 4))
+      .otherwise(lit(0.0))
+    joined.select(col("n_pairs") +:
+      (ps.zipWithIndex.map { case (p, i) =>
+        round(p, 6).as(s"p${i + 1}")
+      } ++ Seq(round(bp, 6).as("brevity_penalty"),
+        round(bleu, 6).as("bleu"))): _*)
+  }
 }

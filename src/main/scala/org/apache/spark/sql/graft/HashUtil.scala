@@ -156,6 +156,36 @@ object TextKernels {
       sb.toString, java.text.Normalizer.Form.NFC))
   }
 
+  /** Shannon entropy (bits) of the CODE-POINT frequency distribution of
+    * a string — the cheap screen that separates natural text (~4 bits)
+    * from base64/hex blobs (high, flat distribution) and repeated-char
+    * padding (near 0). One code-point pass to count, one pass over the
+    * ≤ alphabet-size frequency table; the Σ p·log₂p accumulation runs in
+    * SORTED codepoint order so the float chain is deterministic
+    * per-engine (cross-engine diffs are one-ulp class, absorbed by the
+    * caller's rounding — the q338 lesson). Empty string → 0.0. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var total = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+      total += 1L
+      i += Character.charCount(cp)
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / total
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    h
+  }
+
   /** All quality-metric counts of a text in ONE character pass — no regex,
     * no token-array allocation. Returns
     * [n_tokens, n_non_ws, n_alpha, n_digit, n_marker_tokens].

@@ -290,6 +290,31 @@ case class StripAccents(child: Expression)
     copy(child = newChild)
 }
 
+/** Shannon entropy (bits) of a string's code-point distribution —
+  * codegen'd quality screen (base64/hex blobs score high and flat,
+  * padding scores near zero, natural language ~4 bits). Kernel in
+  * [[TextKernels.charEntropy]]; deterministic sorted-codepoint
+  * accumulation.
+  */
+case class CharEntropy(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charEntropy(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Word n-gram shingles of a string in a single native pass (tokenize on
   * \s+, join n consecutive tokens with one space). Replaces the
   * interpreted transform/slice/concat_ws chain in the dedup hot path —

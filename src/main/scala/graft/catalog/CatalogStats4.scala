@@ -718,6 +718,147 @@ object CatalogStats4 {
            |      ELSE 0.0::DOUBLE END, 6) AS bleu
            |FROM lens CROSS JOIN pv""".stripMargin))
 
+  /** X279: Poisson regression of per-(type, day) event counts on
+    * weekday and day-of-month trend (log link, 8 fixed Newton steps; recursive-CTE
+    * replay oracle — the q379 discipline with W = mu). */
+  private val q384 = Q("q384_poisson",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).cast("double").as("y"))
+        .select($"y",
+          ((dayofweek($"d") - 1) / lit(7.0)).as("x1"),
+          (dayofmonth($"d") / lit(31.0)).as("x2"))
+      graft.ml.Regression.poisson2(daily, "y", "x1", "x2", iters = 8)
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT y, dayofweek(dd) / 7.0 AS x1,
+           |    day(dd) / 31.0 AS x2
+           |  FROM (SELECT event_type, ts::DATE AS dd,
+           |          count(*)::DOUBLE AS y
+           |        FROM events GROUP BY 1, 2)),
+           |fx(it, b0, b1, b2) AS (
+           |  SELECT 0, ln((SELECT avg(y) FROM d)), 0.0::DOUBLE,
+           |    0.0::DOUBLE
+           |  UNION ALL
+           |  SELECT it + 1,
+           |    b0 + ((dd * f - e * e) * g1 + (c * e - b * f) * g2
+           |          + (b * e - c * dd) * g3) / det,
+           |    b1 + ((c * e - b * f) * g1 + (a * f - c * c) * g2
+           |          + (b * c - a * e) * g3) / det,
+           |    b2 + ((b * e - c * dd) * g1 + (b * c - a * e) * g2
+           |          + (a * dd - b * b) * g3) / det
+           |  FROM (
+           |    SELECT agg.*,
+           |      a * (dd * f - e * e) - b * (b * f - c * e)
+           |        + c * (b * e - c * dd) AS det
+           |    FROM (
+           |      SELECT it, b0, b1, b2,
+           |        sum(mu) AS a, sum(mu * x1) AS b, sum(mu * x2) AS c,
+           |        sum(mu * x1 * x1) AS dd, sum(mu * x1 * x2) AS e,
+           |        sum(mu * x2 * x2) AS f,
+           |        sum(y - mu) AS g1, sum((y - mu) * x1) AS g2,
+           |        sum((y - mu) * x2) AS g3
+           |      FROM (
+           |        SELECT fx.it, fx.b0, fx.b1, fx.b2, d.y, d.x1, d.x2,
+           |          exp(fx.b0 + fx.b1 * d.x1 + fx.b2 * d.x2) AS mu
+           |        FROM fx, d WHERE fx.it < 8) r
+           |      GROUP BY 1, 2, 3, 4) agg) s),
+           |fin AS (SELECT b0, b1, b2 FROM fx WHERE it = 8),
+           |sc AS (
+           |  SELECT count(*)::BIGINT AS n,
+           |    sum(2 * (CASE WHEN y > 0 THEN y * ln(y / mu)
+           |             ELSE 0 END - (y - mu))) AS dev,
+           |    avg(y) AS m
+           |  FROM (SELECT d.y,
+           |          exp(fin.b0 + fin.b1 * d.x1 + fin.b2 * d.x2) AS mu
+           |        FROM d, fin) z)
+           |SELECT n, round(fin.b0, 4) AS b0, round(fin.b1, 4) AS b1,
+           |  round(fin.b2, 4) AS b2, round(dev, 4) AS deviance,
+           |  round(m, 4) AS mean_rate
+           |FROM sc CROSS JOIN fin""".stripMargin))
+
+  /** X278: Huber robust regression of extended price on quantity and
+    * discount — OLS start, one MAD scale fix, 6 fixed IRLS steps; the
+    * oracle replays OLS + scale + the weighted-solve recursion. */
+  private val q385 = Q("q385_huber",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Regression.huber2(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_discount", iters = 6)
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT l_extendedprice::DOUBLE AS y,
+           |    l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2
+           |  FROM lineitem
+           |  WHERE l_extendedprice IS NOT NULL
+           |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+           |ols AS (
+           |  SELECT (sy - b1 * s1 - b2 * s2) / sw AS b0, b1, b2 FROM (
+           |    SELECT sw, s1, s2, sy,
+           |      (c1y * c22 - c2y * c12) / nullif(c11 * c22 - c12 * c12,
+           |        0) AS b1,
+           |      (c2y * c11 - c1y * c12) / nullif(c11 * c22 - c12 * c12,
+           |        0) AS b2
+           |    FROM (
+           |      SELECT sw, s1, s2, sy,
+           |        s11 - s1 * s1 / sw AS c11, s22 - s2 * s2 / sw AS c22,
+           |        s12 - s1 * s2 / sw AS c12, s1y - s1 * sy / sw AS c1y,
+           |        s2y - s2 * sy / sw AS c2y
+           |      FROM (
+           |        SELECT count(*)::DOUBLE AS sw, sum(x1) AS s1,
+           |          sum(x2) AS s2, sum(y) AS sy, sum(x1 * x1) AS s11,
+           |          sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+           |          sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+           |        FROM d) a) c) b),
+           |med AS (SELECT quantile_cont(y - b0 - b1 * x1 - b2 * x2,
+           |          0.5) AS m
+           |        FROM d, ols),
+           |sca AS (SELECT quantile_cont(abs(y - b0 - b1 * x1
+           |          - b2 * x2 - m), 0.5) / 0.6745 AS sc
+           |        FROM d, ols, med),
+           |fx(it, b0, b1, b2) AS (
+           |  SELECT 0, b0, b1, b2 FROM ols
+           |  UNION ALL
+           |  SELECT it + 1, (sy - b1n * s1 - b2n * s2) / sw, b1n, b2n
+           |  FROM (
+           |    SELECT it, sw, s1, s2, sy,
+           |      (c1y * c22 - c2y * c12) / nullif(c11 * c22 - c12 * c12,
+           |        0) AS b1n,
+           |      (c2y * c11 - c1y * c12) / nullif(c11 * c22 - c12 * c12,
+           |        0) AS b2n
+           |    FROM (
+           |      SELECT it, sw, s1, s2, sy,
+           |        s11 - s1 * s1 / sw AS c11, s22 - s2 * s2 / sw AS c22,
+           |        s12 - s1 * s2 / sw AS c12, s1y - s1 * sy / sw AS c1y,
+           |        s2y - s2 * sy / sw AS c2y
+           |      FROM (
+           |        SELECT it, sum(w) AS sw, sum(w * x1) AS s1,
+           |          sum(w * x2) AS s2, sum(w * y) AS sy,
+           |          sum(w * x1 * x1) AS s11, sum(w * x2 * x2) AS s22,
+           |          sum(w * x1 * x2) AS s12, sum(w * x1 * y) AS s1y,
+           |          sum(w * x2 * y) AS s2y
+           |        FROM (
+           |          SELECT fx.it, d.*,
+           |            least(1.0::DOUBLE, 1.345 * sca.sc /
+           |              abs(d.y - fx.b0 - fx.b1 * d.x1
+           |                  - fx.b2 * d.x2)) AS w
+           |          FROM fx, d, sca WHERE fx.it < 6) r
+           |        GROUP BY 1) a) c) b),
+           |fin AS (SELECT b0, b1, b2 FROM fx WHERE it = 6),
+           |sh AS (
+           |  SELECT count(*)::BIGINT AS n,
+           |    avg(CASE WHEN 1.345 * sca.sc /
+           |          abs(y - fin.b0 - fin.b1 * x1 - fin.b2 * x2) < 1
+           |        THEN 1.0 ELSE 0.0 END) AS share
+           |  FROM d, fin, sca)
+           |SELECT n, round(fin.b0, 4) AS b0, round(fin.b1, 4) AS b1,
+           |  round(fin.b2, 4) AS b2,
+           |  round(sca.sc, 6) AS scale,
+           |  round(share, 4) AS share_downweighted
+           |FROM sh CROSS JOIN fin CROSS JOIN sca""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
-    q377, q378, q379, q380, q381, q382, q383)
+    q377, q378, q379, q380, q381, q382, q383, q384, q385)
 }

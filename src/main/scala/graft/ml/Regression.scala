@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed closed-form regression beyond the univariate
@@ -146,6 +146,191 @@ object Regression {
           else Some(math.rint((1.0 - llv / ll0) * 1e4) / 1e4)))
           .toDF("n", "b0", "b1", "b2", "deviance", "mcfadden_r2")
       }
+    d.unpersist(false)
+    out
+  }
+
+  /** Two-regressor Poisson regression (log link) by fixed-iteration
+    * Newton (X279) — the count-data GLM next to [[logistic2]], same
+    * execution shape: μ = exp(b0 + b1·x1 + b2·x2), each step ONE
+    * aggregate of XᵀWX (W = μ) + Xᵀ(y − μ) and a closed-form cofactor
+    * solve. Fixed `iters` steps from β = 0; quadratic convergence to
+    * the unique MLE on any non-degenerate design. Singular designs
+    * null out. Deviance = 2·Σ[y·ln(y/μ) − (y−μ)] (0·ln 0 = 0), the
+    * Poisson GOF readout (≫ n−3 flags overdispersion → see the
+    * negative-binomial escape hatch in CountModels).
+    *
+    * Output (one row): n, b0, b1, b2 (4dp), deviance 4dp,
+    * mean_rate 4dp. */
+  def poisson2(df: DataFrame, y: String, x1: String, x2: String,
+               iters: Int = 8): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    val d = df.select(col(y).cast("double").as("__y"),
+        col(x1).cast("double").as("__x1"),
+        col(x2).cast("double").as("__x2"))
+      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull && col("__y") >= 0)
+      .persist()
+    // start at the intercept-only MLE b0 = ln(ȳ) — the standard GLM
+    // init; from β = 0 Newton can overshoot on high-rate data (exp
+    // link), from here it contracts quadratically
+    val my = d.agg(avg(col("__y"))).head()
+    var singular = my.isNullAt(0) || my.getDouble(0) <= 0
+    var beta = Array(if (singular) 0.0 else math.log(my.getDouble(0)),
+      0.0, 0.0)
+    var it = 0
+    while (it < iters && !singular) {
+      val mu = exp(lit(beta(0)) + lit(beta(1)) * col("__x1") +
+        lit(beta(2)) * col("__x2"))
+      val r = d.agg(
+        sum(mu).as("a"), sum(mu * col("__x1")).as("b"),
+        sum(mu * col("__x2")).as("c"),
+        sum(mu * col("__x1") * col("__x1")).as("dd"),
+        sum(mu * col("__x1") * col("__x2")).as("e"),
+        sum(mu * col("__x2") * col("__x2")).as("f"),
+        sum(col("__y") - mu).as("g1"),
+        sum((col("__y") - mu) * col("__x1")).as("g2"),
+        sum((col("__y") - mu) * col("__x2")).as("g3")).head()
+      if (r.isNullAt(0)) singular = true
+      val Seq(a, b, c, dd, e, f, g1, g2, g3) =
+        if (singular) Seq.fill(9)(0.0) else (0 until 9).map(r.getDouble)
+      val det = a * (dd * f - e * e) - b * (b * f - c * e) +
+        c * (b * e - c * dd)
+      if (det == 0.0 || det.isNaN) singular = true
+      else {
+        val i11 = dd * f - e * e; val i12 = c * e - b * f
+        val i13 = b * e - c * dd
+        val i22 = a * f - c * c; val i23 = b * c - a * e
+        val i33 = a * dd - b * b
+        beta = Array(
+          beta(0) + (i11 * g1 + i12 * g2 + i13 * g3) / det,
+          beta(1) + (i12 * g1 + i22 * g2 + i23 * g3) / det,
+          beta(2) + (i13 * g1 + i23 * g2 + i33 * g3) / det)
+      }
+      it += 1
+    }
+    val out =
+      if (singular)
+        d.agg(count(lit(1)).as("n"))
+          .select(col("n"), lit(null).cast("double").as("b0"),
+            lit(null).cast("double").as("b1"),
+            lit(null).cast("double").as("b2"),
+            lit(null).cast("double").as("deviance"),
+            lit(null).cast("double").as("mean_rate"))
+      else {
+        val mu = exp(lit(beta(0)) + lit(beta(1)) * col("__x1") +
+          lit(beta(2)) * col("__x2"))
+        val dev = lit(2.0) * (
+          when(col("__y") > 0,
+            col("__y") * log(col("__y") / mu)).otherwise(lit(0.0)) -
+            (col("__y") - mu))
+        val fin = d.agg(count(lit(1)).as("n"), sum(dev).as("__dev"),
+          avg(col("__y")).as("__m")).head()
+        import spark.implicits._
+        Seq((fin.getLong(0), math.rint(beta(0) * 1e4) / 1e4,
+          math.rint(beta(1) * 1e4) / 1e4,
+          math.rint(beta(2) * 1e4) / 1e4,
+          math.rint(fin.getDouble(1) * 1e4) / 1e4,
+          math.rint(fin.getDouble(2) * 1e4) / 1e4))
+          .toDF("n", "b0", "b1", "b2", "deviance", "mean_rate")
+      }
+    d.unpersist(false)
+    out
+  }
+
+  /** Two-regressor Huber robust regression (X278) — OLS that outliers
+    * can't hijack: start from the plain [[ols2]] solve, fix the scale
+    * ONCE as σ = MAD(residuals)/0.6745 (the standard-normal
+    * consistency constant), then run `iters` IRLS steps with Huber
+    * weights w = min(1, k·σ/|r|), k = 1.345 (95% Gaussian
+    * efficiency). Fixed-scale IRLS is the documented recipe — scale
+    * re-estimation per step would make the oracle replay needlessly
+    * stateful. Every step is ONE weighted-sufficient-stats aggregate +
+    * the cofactor solve; the MAD probe is two exact interpolated
+    * percentiles. Zero scale (≥ half the residuals identical —
+    * the fit is already through them) returns the OLS solution
+    * labeled converged.
+    *
+    * Output (one row): n, b0, b1, b2 (4dp), scale 6dp,
+    * share_downweighted 4dp (rows with w < 1 at the final fit). */
+  def huber2(df: DataFrame, y: String, x1: String, x2: String,
+             iters: Int = 6): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    val K = 1.345
+    val d = df.select(col(y).cast("double").as("__y"),
+        col(x1).cast("double").as("__x1"),
+        col(x2).cast("double").as("__x2"))
+      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+      .persist()
+    // weighted normal-equation solve for given per-row weight column
+    def solve(w: Column): Option[Array[Double]] = {
+      val r = d.agg(
+        sum(w).as("sw"), sum(w * col("__x1")).as("s1"),
+        sum(w * col("__x2")).as("s2"), sum(w * col("__y")).as("sy"),
+        sum(w * col("__x1") * col("__x1")).as("s11"),
+        sum(w * col("__x2") * col("__x2")).as("s22"),
+        sum(w * col("__x1") * col("__x2")).as("s12"),
+        sum(w * col("__x1") * col("__y")).as("s1y"),
+        sum(w * col("__x2") * col("__y")).as("s2y")).head()
+      if (r.isNullAt(0)) return None
+      val Seq(sw, s1, s2, sy, s11, s22, s12, s1y, s2y) =
+        (0 until 9).map(r.getDouble)
+      val c11 = s11 - s1 * s1 / sw; val c22 = s22 - s2 * s2 / sw
+      val c12 = s12 - s1 * s2 / sw
+      val c1y = s1y - s1 * sy / sw; val c2y = s2y - s2 * sy / sw
+      val det = c11 * c22 - c12 * c12
+      if (det == 0.0 || det.isNaN) None
+      else {
+        val b1 = (c1y * c22 - c2y * c12) / det
+        val b2 = (c2y * c11 - c1y * c12) / det
+        Some(Array((sy - b1 * s1 - b2 * s2) / sw, b1, b2))
+      }
+    }
+    def resid(beta: Array[Double]): Column =
+      col("__y") - lit(beta(0)) - lit(beta(1)) * col("__x1") -
+        lit(beta(2)) * col("__x2")
+    val out = solve(lit(1.0)) match {
+      case None =>
+        d.agg(count(lit(1)).as("n"))
+          .select(col("n"), lit(null).cast("double").as("b0"),
+            lit(null).cast("double").as("b1"),
+            lit(null).cast("double").as("b2"),
+            lit(null).cast("double").as("scale"),
+            lit(null).cast("double").as("share_downweighted"))
+      case Some(ols) =>
+        val r0 = resid(ols)
+        val medR = d.agg(percentile(r0, lit(0.5))).head.getDouble(0)
+        val mad = d.agg(percentile(abs(r0 - medR), lit(0.5)))
+          .head.getDouble(0)
+        val scale = mad / 0.6745
+        var beta = ols
+        if (scale > 0) {
+          var it = 0
+          var dead = false
+          while (it < iters && !dead) {
+            val w = least(lit(1.0), lit(K * scale) / abs(resid(beta)))
+            solve(coalesce(w, lit(1.0))) match {
+              case Some(b) => beta = b
+              case None => dead = true
+            }
+            it += 1
+          }
+        }
+        val wFin = least(lit(1.0),
+          coalesce(lit(K * scale) / abs(resid(beta)), lit(1.0)))
+        val fin = d.agg(count(lit(1)).as("n"),
+          avg(when(wFin < 1.0, 1.0).otherwise(0.0)).as("sh")).head()
+        import spark.implicits._
+        Seq((fin.getLong(0), math.rint(beta(0) * 1e4) / 1e4,
+          math.rint(beta(1) * 1e4) / 1e4,
+          math.rint(beta(2) * 1e4) / 1e4,
+          math.rint(scale * 1e6) / 1e6,
+          math.rint(fin.getDouble(1) * 1e4) / 1e4))
+          .toDF("n", "b0", "b1", "b2", "scale", "share_downweighted")
+    }
     d.unpersist(false)
     out
   }

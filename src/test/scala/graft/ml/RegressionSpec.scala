@@ -101,6 +101,66 @@ class RegressionSpec extends SparkSuite {
     assert(o.isNullAt(o.fieldIndex("mcfadden_r2")))
   }
 
+  test("poisson2: cell means equal to model rates make the true " +
+    "beta the exact MLE; saturated fit has zero deviance") {
+    // μ = exp(ln2 + ln3·x1 + ln5·x2) → cells 2, 6, 10, 30; y = μ
+    val df = Seq((2.0, 0.0, 0.0), (6.0, 1.0, 0.0), (10.0, 0.0, 1.0),
+      (30.0, 1.0, 1.0)).toDF("y", "x1", "x2")
+    val r = Regression.poisson2(df, "y", "x1", "x2").head()
+    assert(r.getAs[Double]("b0") == math.rint(math.log(2) * 1e4) / 1e4)
+    assert(r.getAs[Double]("b1") == math.rint(math.log(3) * 1e4) / 1e4)
+    assert(r.getAs[Double]("b2") == math.rint(math.log(5) * 1e4) / 1e4)
+    assert(r.getAs[Double]("deviance") == 0.0)
+    assert(r.getAs[Double]("mean_rate") == 12.0)
+  }
+
+  test("poisson2: constant regressor is singular; all-zero counts " +
+    "have no intercept MLE") {
+    val const = (1 to 10).map(i => (i.toDouble, 1.0, i.toDouble))
+      .toDF("y", "x1", "x2")
+    val r = Regression.poisson2(const, "y", "x1", "x2").head()
+    assert(r.isNullAt(r.fieldIndex("b0")))
+    val zeros = (1 to 5).map(i => (0.0, i.toDouble, (i % 2).toDouble))
+      .toDF("y", "x1", "x2")
+    val z = Regression.poisson2(zeros, "y", "x1", "x2").head()
+    assert(z.isNullAt(z.fieldIndex("b0")))
+  }
+
+  test("huber2: outliers barely move the fit; a perfect fit takes " +
+    "the zero-scale OLS path") {
+    // low-leverage (central-x) gross outliers: Huber recovers the
+    // line; plain OLS on the same data puts b2 NEGATIVE (−0.57)
+    val noisy = (1 to 50).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 5).toDouble
+      (1.0 + 2 * x1 + 3 * x2 + 0.1 * ((i * 7) % 11 - 5), x1, x2)
+    }
+    val spoiled = noisy ++ Seq((300.0, 25.0, 2.0), (-300.0, 26.0, 3.0))
+    val r = Regression.huber2(spoiled.toDF("y", "x1", "x2"),
+      "y", "x1", "x2").head()
+    assert(math.abs(r.getAs[Double]("b1") - 2.0) < 0.05)
+    assert(math.abs(r.getAs[Double]("b2") - 3.0) < 0.2)
+    assert(r.getAs[Double]("share_downweighted") > 0.0)
+    // exact line, no noise: OLS residuals are ~0 → MAD scale 0 →
+    // the OLS solution is returned untouched
+    val clean = (1 to 20).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 5).toDouble
+      (1.0 + 2 * x1 + 3 * x2, x1, x2)
+    }
+    val p = Regression.huber2(clean.toDF("y", "x1", "x2"),
+      "y", "x1", "x2").head()
+    assert(p.getAs[Double]("b0") == 1.0)
+    assert(p.getAs[Double]("b1") == 2.0)
+    assert(p.getAs[Double]("b2") == 3.0)
+    assert(p.getAs[Double]("scale") == 0.0)
+  }
+
+  test("huber2: collinear design nulls out") {
+    val df = (1 to 10).map(i => (i.toDouble, i.toDouble, 2.0 * i))
+      .toDF("y", "x1", "x2")
+    val r = Regression.huber2(df, "y", "x1", "x2").head()
+    assert(r.isNullAt(r.fieldIndex("b0")))
+  }
+
   test("segmented: exact broken stick is recovered") {
     // y = 2 + 3x below the knot at 5, slope 7 above → change +4
     val df = (1 to 10).map { x =>

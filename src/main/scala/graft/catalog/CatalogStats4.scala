@@ -859,6 +859,120 @@ object CatalogStats4 {
            |  round(share, 4) AS share_downweighted
            |FROM sh CROSS JOIN fin CROSS JOIN sca""".stripMargin))
 
+  /** X280: single-covariate Cox proportional hazards of customer
+    * churn duration on scaled account balance — fixed-8-step Newton
+    * on the Breslow partial likelihood; the oracle recomputes the
+    * risk-set sums by an INDEPENDENT t2 >= t join (no window) inside
+    * a recursive CTE, and Simpson-integrates the Wald tail. */
+  private val q386 = Q("q386_cox_ph",
+    (s, dir) => {
+      import s.implicits._
+      val u = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(to_date(min($"o_orderdate")).as("fd"),
+          to_date(max($"o_orderdate")).as("ld"))
+      val mx = u.agg(max($"ld").as("md"))
+      val subj = u.crossJoin(broadcast(mx))
+        .join(broadcast(t(s, dir, "customer")),
+          $"o_custkey" === $"c_custkey")
+        .select(datediff($"ld", $"fd").cast("double").as("dur"),
+          when(datediff($"md", $"ld") > 180, 1).otherwise(0).as("ev"),
+          ($"c_acctbal" / 10000).as("x"))
+      graft.de.Survival.coxPh(subj, "dur", "ev", "x", iters = 8)
+    },
+    Some("""WITH RECURSIVE u AS (
+           |  SELECT o_custkey, min(o_orderdate::DATE) AS fd,
+           |         max(o_orderdate::DATE) AS ld
+           |  FROM orders GROUP BY 1),
+           |mx AS (SELECT max(ld) AS md FROM u),
+           |subj AS (
+           |  SELECT datediff('day', fd, ld)::DOUBLE AS t,
+           |    CASE WHEN datediff('day', ld, md) > 180 THEN 1
+           |         ELSE 0 END AS e,
+           |    c.c_acctbal / 10000 AS x
+           |  FROM u CROSS JOIN mx
+           |  JOIN customer c ON c.c_custkey = u.o_custkey),
+           |cells AS (SELECT t, x, count(*)::BIGINT AS n,
+           |            sum(e)::BIGINT AS d
+           |          FROM subj GROUP BY 1, 2),
+           |fx(it, beta) AS (
+           |  SELECT 0, 0.0::DOUBLE
+           |  UNION ALL
+           |  SELECT it + 1, beta + u / i FROM (
+           |    SELECT a.it, a.beta,
+           |      sum(a.sx - a.d * rs.s1 / rs.s0) AS u,
+           |      sum(a.d * (rs.s2 / rs.s0
+           |          - (rs.s1 / rs.s0) * (rs.s1 / rs.s0))) AS i
+           |    FROM (SELECT c2.it, c2.beta, c2.t,
+           |        sum(c2.w) AS w0, sum(c2.x * c2.w) AS w1,
+           |        sum(c2.x * c2.x * c2.w) AS w2,
+           |        sum(c2.d) AS d, sum(c2.d * c2.x) AS sx
+           |      FROM (SELECT fx.it, fx.beta, c.t, c.x, c.n, c.d,
+           |              c.n * exp(fx.beta * c.x) AS w
+           |            FROM fx, cells c WHERE fx.it < 8) c2
+           |      GROUP BY 1, 2, 3) a
+           |    JOIN LATERAL (
+           |      SELECT sum(b.w0) AS s0, sum(b.w1) AS s1,
+           |        sum(b.w2) AS s2
+           |      FROM (SELECT c2.it, c2.beta, c2.t,
+           |        sum(c2.w) AS w0, sum(c2.x * c2.w) AS w1,
+           |        sum(c2.x * c2.x * c2.w) AS w2,
+           |        sum(c2.d) AS d, sum(c2.d * c2.x) AS sx
+           |      FROM (SELECT fx.it, fx.beta, c.t, c.x, c.n, c.d,
+           |              c.n * exp(fx.beta * c.x) AS w
+           |            FROM fx, cells c WHERE fx.it < 8) c2
+           |      GROUP BY 1, 2, 3) b
+           |      WHERE b.it = a.it AND b.t >= a.t) rs ON true
+           |    WHERE a.d > 0
+           |    GROUP BY 1, 2) st),
+           |fin AS (SELECT beta FROM fx WHERE it = 8),
+           |inf AS (
+           |  SELECT sum(a.d * (rs.s2 / rs.s0
+           |      - (rs.s1 / rs.s0) * (rs.s1 / rs.s0))) AS i
+           |  FROM (SELECT c2.t,
+           |        sum(c2.w) AS w0, sum(c2.x * c2.w) AS w1,
+           |        sum(c2.x * c2.x * c2.w) AS w2,
+           |        sum(c2.d) AS d, sum(c2.d * c2.x) AS sx
+           |      FROM (SELECT c.t, c.x, c.n, c.d,
+           |              c.n * exp(fin.beta * c.x) AS w
+           |            FROM cells c, fin) c2
+           |      GROUP BY 1) a
+           |  JOIN LATERAL (
+           |    SELECT sum(b.w0) AS s0, sum(b.w1) AS s1,
+           |      sum(b.w2) AS s2
+           |    FROM (SELECT c2.t,
+           |        sum(c2.w) AS w0, sum(c2.x * c2.w) AS w1,
+           |        sum(c2.x * c2.x * c2.w) AS w2,
+           |        sum(c2.d) AS d, sum(c2.d * c2.x) AS sx
+           |      FROM (SELECT c.t, c.x, c.n, c.d,
+           |              c.n * exp(fin.beta * c.x) AS w
+           |            FROM cells c, fin) c2
+           |      GROUP BY 1) b WHERE b.t >= a.t) rs ON true
+           |  WHERE a.d > 0),
+           |tots AS (SELECT sum(n)::BIGINT AS n, sum(d)::BIGINT AS ne
+           |         FROM cells),
+           |stat AS (
+           |  SELECT fin.beta, 1.0 / sqrt(inf.i) AS se,
+           |    fin.beta * sqrt(inf.i) AS z
+           |  FROM fin, inf),
+           |grid AS (SELECT abs(z) AS az,
+           |           unnest(generate_series(0, 20000)) AS i
+           |         FROM stat),
+           |pts AS (SELECT az * i / 20000 AS xg,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          az / 20000 AS h
+           |        FROM grid),
+           |ig AS (SELECT sum(wt * exp(-xg * xg / 2)) * max(h) / 3.0
+           |         / sqrt(2 * pi()) AS phi
+           |       FROM pts)
+           |SELECT tots.n, tots.ne AS n_events,
+           |  round(stat.beta, 4) AS beta,
+           |  round(exp(stat.beta), 4) AS hazard_ratio,
+           |  round(stat.se, 4) AS se, round(stat.z, 4) AS z,
+           |  round(1.0 - 2.0 * ig.phi, 6) AS p_value
+           |FROM tots, stat, ig""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
-    q377, q378, q379, q380, q381, q382, q383, q384, q385)
+    q377, q378, q379, q380, q381, q382, q383, q384, q385, q386)
 }

@@ -253,4 +253,101 @@ object Survival {
       round(exp(-inter / slope), 4).as("scale"),
       round(cxy * cxy / nullif(vx * vy, lit(0.0)), 4).as("r2"))
   }
+
+  /** Single-covariate Cox proportional hazards (X280; Cox 1972,
+    * Breslow tie handling) — the semi-parametric hazard-ratio model
+    * the rest of this survival suite reads out against: the partial
+    * likelihood needs NO baseline hazard, only risk-set sums, so it
+    * fits a fixed-`iters` Newton walk (the logistic2/poisson2
+    * discipline) built entirely from cumulative aggregates:
+    *
+    *   U(β) = Σ_j [s_j − d_j·S1_j/S0_j],
+    *   I(β) = Σ_j d_j·(S2_j/S0_j − (S1_j/S0_j)²),
+    *
+    * with S_k,j = Σ_{i: t_i ≥ t_j} xᵏ e^{βx_i} from ONE descending
+    * cumulative window over the per-time cell frame, and (s_j, d_j)
+    * the event-covariate sums. Facts collapse ONCE to (time, x) cells
+    * (≤ subjects; far fewer for discrete covariates); each Newton
+    * step re-weights the CELL frame — e^{βx} per cell, never per
+    * subject — one bounded-duration sort per step (the X79 logRank
+    * contract). Degenerate information (constant covariate, no
+    * events) nulls out.
+    *
+    * Output (one row): n BIGINT, n_events BIGINT, beta 4dp,
+    * hazard_ratio 4dp, se 4dp, z 4dp, p_value 6dp (normal
+    * approximation, the Wald test). */
+  def coxPh(df: DataFrame, durationCol: String, eventCol: String,
+            xCol: String, iters: Int = 8): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    import graft.functions.gfunctions.normal_sf
+    val spark = df.sparkSession
+    val cells = df.select(col(durationCol).cast("double").as("__t"),
+        when(col(eventCol) === 1, 1L).otherwise(0L).as("__e"),
+        col(xCol).cast("double").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+      .groupBy(col("__t"), col("__x"))
+      .agg(count(lit(1)).as("__n"), sum(col("__e")).as("__d"))
+      .persist()
+    val wDesc = Window.orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // score and information at a given beta — one pass over cells
+    def ui(beta: Double): (Double, Double) = {
+      val w = col("__n") * exp(lit(beta) * col("__x"))
+      val byT = cells
+        .groupBy(col("__t"))
+        .agg(sum(w).as("w0"), sum(col("__x") * w).as("w1"),
+          sum(col("__x") * col("__x") * w).as("w2"),
+          sum(col("__d")).as("d"),
+          sum(col("__d") * col("__x")).as("sx"))
+        .withColumn("s0", sum(col("w0")).over(wDesc))
+        .withColumn("s1", sum(col("w1")).over(wDesc))
+        .withColumn("s2", sum(col("w2")).over(wDesc))
+        .filter(col("d") > 0)
+      val a = col("s1") / col("s0")
+      val r = byT.agg(
+        sum(col("sx") - col("d") * a).as("u"),
+        sum(col("d") * (col("s2") / col("s0") - a * a)).as("i"))
+        .head()
+      if (r.isNullAt(0) || r.isNullAt(1)) (Double.NaN, Double.NaN)
+      else (r.getDouble(0), r.getDouble(1))
+    }
+    var beta = 0.0
+    var singular = false
+    var it = 0
+    while (it < iters && !singular) {
+      val (u, i) = ui(beta)
+      if (i.isNaN || i <= 0.0) singular = true
+      else beta += u / i
+      it += 1
+    }
+    val info = if (singular) Double.NaN else ui(beta)._2
+    if (!singular && (info.isNaN || info <= 0.0)) singular = true
+    val counts = cells.agg(sum(col("__n")).as("n"),
+      sum(col("__d")).as("ne")).head()
+    cells.unpersist(false)
+    val n = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+    val ne = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    import spark.implicits._
+    if (singular)
+      Seq((n, ne)).toDF("n", "n_events")
+        .select(col("n"), col("n_events"),
+          lit(null).cast("double").as("beta"),
+          lit(null).cast("double").as("hazard_ratio"),
+          lit(null).cast("double").as("se"),
+          lit(null).cast("double").as("z"),
+          lit(null).cast("double").as("p_value"))
+    else {
+      val se = 1.0 / math.sqrt(info)
+      val z = beta / se
+      Seq((n, ne, math.rint(beta * 1e4) / 1e4,
+        math.rint(math.exp(beta) * 1e4) / 1e4,
+        math.rint(se * 1e4) / 1e4, math.rint(z * 1e4) / 1e4, z))
+        .toDF("n", "n_events", "beta", "hazard_ratio", "se", "z",
+          "__zraw")
+        .select(col("n"), col("n_events"), col("beta"),
+          col("hazard_ratio"), col("se"), col("z"),
+          round(lit(2.0) * normal_sf(abs(col("__zraw"))), 6)
+            .as("p_value"))
+    }
+  }
 }

@@ -94,4 +94,36 @@ class SurvivalSpec extends SparkSuite {
     assert(r.getAs[Double]("chi2") > 6.0)   // p << 0.05 territory
     assert(r.getAs[Double]("z") > 0)        // A over-observed vs expected
   }
+
+  test("coxPh: closed-form three-subject MLE β = −½·ln 2") {
+    // events at t=1 (x=1) and t=2 (x=0), censored x=1 at t=3:
+    // U(β) = 0 ⇔ e^(2β) = 1/2
+    val df = Seq((1.0, 1, 1.0), (2.0, 1, 0.0), (3.0, 0, 1.0))
+      .toDF("t", "e", "x")
+    val r = Survival.coxPh(df, "t", "e", "x").head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("n_events") == 2L)
+    assert(r.getAs[Double]("beta") ==
+      math.rint(-0.5 * math.log(2) * 1e4) / 1e4)
+    assert(r.getAs[Double]("hazard_ratio") ==
+      math.rint(math.exp(-0.5 * math.log(2)) * 1e4) / 1e4)
+    assert(r.getAs[Double]("p_value") > 0.05)   // tiny n: no signal
+  }
+
+  test("coxPh: direction and degeneracy") {
+    // x = 1 group dies much earlier → positive beta (hazard up)
+    val df = ((1 to 10).map(i => (i.toDouble, 1, 1.0)) ++
+      (11 to 20).map(i => (i.toDouble, 1, 0.0))).toDF("t", "e", "x")
+    assert(Survival.coxPh(df, "t", "e", "x").head()
+      .getAs[Double]("beta") > 0.5)
+    // constant covariate: zero information → null fit
+    val const = Seq((1.0, 1, 2.0), (2.0, 1, 2.0), (3.0, 0, 2.0))
+      .toDF("t", "e", "x")
+    val c = Survival.coxPh(const, "t", "e", "x").head()
+    assert(c.isNullAt(c.fieldIndex("beta")))
+    // no events at all: no partial likelihood
+    val noe = Seq((1.0, 0, 1.0), (2.0, 0, 0.0)).toDF("t", "e", "x")
+    val z = Survival.coxPh(noe, "t", "e", "x").head()
+    assert(z.isNullAt(z.fieldIndex("beta")))
+    assert(z.getAs[Long]("n_events") == 0L)
+  }
 }

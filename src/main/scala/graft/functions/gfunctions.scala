@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{BloomMightContain, CharEntropy, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, NormalSF, RegularizedIncBeta, RepetitionCounts, RollingHash64, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{BleuCounts, BloomMightContain, CharEntropy, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, NormalSF, RegularizedIncBeta, RepetitionCounts, RollingHash64, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -75,6 +75,13 @@ object gfunctions {
     * distribution, native + codegen'd — the base64/padding screen. */
   def char_entropy(text: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
+  /** BLEU clipped-match sufficient statistics of a (candidate,
+    * reference) pair, native + codegen'd:
+    * [num1, den1, ..., num4, den4, cand_len, ref_len]. */
+  def bleu_counts(cand: Column, ref: Column): Column =
+    ColumnBridge.column(BleuCounts(ColumnBridge.expression(cand),
+      ColumnBridge.expression(ref)))
 
   /** Repetition counts of a STRING column in one native pass:
     * [total n-grams, distinct n-grams, n_tokens, max token count]. */

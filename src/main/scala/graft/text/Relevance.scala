@@ -116,29 +116,26 @@ object Relevance {
     * all). */
   def bleuCorpus(pairs: DataFrame, idCol: String, candCol: String,
                  refCol: String): DataFrame = {
-    import graft.functions.gfunctions.word_shingles
-    val base = pairs.select(col(idCol).as("id"),
-      col(candCol).as("cand"), col(refCol).as("ref"))
-    def grams(side: String, n: Int) =
-      base.select(col("id"),
-          explode(word_shingles(col(side), n)).as("g"))
-        .groupBy(col("id"), col("g"))
-        .agg(count(lit(1)).as(s"__c$side"))
-    def prec(n: Int) =
-      grams("cand", n)
-        .join(grams("ref", n), Seq("id", "g"), "left")
-        .agg(
-          sum(least(col("__ccand"), coalesce(col("__cref"), lit(0L))))
-            .as(s"__num$n"),
-          sum(col("__ccand")).as(s"__den$n"))
-        .select((col(s"__num$n").cast("double") /
-          nullif(col(s"__den$n").cast("double"), lit(0.0)))
-          .as(s"__p$n"))
-    val lens = base.agg(count(lit(1)).as("n_pairs"),
-      sum(size(TextAnalysis.tokens(col("cand")))).as("__c"),
-      sum(size(TextAnalysis.tokens(col("ref")))).as("__r"))
-    val joined = (1 to 4).map(prec)
-      .foldLeft(lens)((acc, p) => acc.crossJoin(broadcast(p)))
+    import graft.functions.gfunctions.bleu_counts
+    // clipping is PER-PAIR by definition, so the whole computation is
+    // one codegen'd kernel scan (BleuCounts: clipped matches + totals
+    // for n = 1..4 plus both lengths) and ONE 10-integer aggregate —
+    // no explode, no (pair, gram) shuffle. The first cut of this
+    // operator joined per-order gram counts and went super-linear at
+    // 10x data from shuffle spill; the kernel form is flat.
+    val aggCols: Seq[org.apache.spark.sql.Column] =
+      (0 until 4).flatMap(i => Seq(
+        sum(col("__b").getItem(2 * i)).as(s"__num${i + 1}"),
+        sum(col("__b").getItem(2 * i + 1)).as(s"__den${i + 1}"))) ++
+      Seq(sum(col("__b").getItem(8)).as("__c"),
+        sum(col("__b").getItem(9)).as("__r"))
+    val stats = pairs
+      .select(bleu_counts(col(candCol), col(refCol)).as("__b"))
+      .agg(count(lit(1)).as("n_pairs"), aggCols: _*)
+    val joined = stats.select(col("n_pairs") +:
+      ((1 to 4).map(n => (col(s"__num$n").cast("double") /
+        nullif(col(s"__den$n").cast("double"), lit(0.0)))
+        .as(s"__p$n")) ++ Seq(col("__c"), col("__r"))): _*)
     val bp = when(col("__c") >= col("__r"), lit(1.0))
       .otherwise(exp(lit(1.0) -
         col("__r").cast("double") / col("__c")))

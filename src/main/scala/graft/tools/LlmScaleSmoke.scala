@@ -643,6 +643,80 @@ object LlmScaleSmoke {
               .as("k"), to_date(col("ts")).as("d"))
             .agg(count(lit(1)).cast("double").as("c"))
           graft.events.Spectral.spectralEntropy(daily, "k", "d", "c")
+        }),
+        // ---- round-8 session-2 batch (X263-X280) ----
+        // one codegen'd char pass per doc, per-source rollup
+        "char_entropy" -> (() => sink {
+          import graft.functions.gfunctions.char_entropy
+          docs.select(col("source"),
+              round(char_entropy(col("text")), 6).as("h"))
+            .groupBy(col("source"))
+            .agg(avg(col("h")), min(col("h")), max(col("h")))
+        }),
+        // bigram-type hash aggregate + type-bounded margins
+        "collocations" -> (() => sink(
+          CorpusStats.collocations(docs, "text", minCount = 5L,
+            topK = 20))),
+        // token explode → vocab-bounded freq-of-freq aggregate
+        "good_turing" -> (() => sink(
+          CorpusStats.goodTuring(docs, "source", "text"))),
+        // four (pair, gram)-grain clip joins, each collapsing at the
+        // distinct-gram grain — token-stream-proportional
+        "bleu" -> (() => sink {
+          val toks = graft.text.TextAnalysis.tokens(col("text"))
+          val cut = greatest(lit(1),
+            floor(size(toks) * 4 / 5).cast("int"))
+          graft.text.Relevance.bleuCorpus(
+            docs.select(col("doc_id"), col("text").as("cand"),
+              array_join(slice(toks, lit(1), cut), " ").as("ref")),
+            "doc_id", "cand", "ref")
+        }),
+        // 8 fixed Newton steps, each ONE 9-stat narrow aggregate
+        "logistic" -> (() => sink(
+          graft.ml.Regression.logistic2(
+            events.select(
+              when(col("event_type") === "purchase", 1.0)
+                .otherwise(0.0).as("y"),
+              (col("value") / 100).as("x1"),
+              (hour(col("ts")) / lit(24.0)).as("x2")),
+            "y", "x1", "x2", iters = 8))),
+        // one lead window at event grain + bounded driver fixpoint
+        "markov_attribution" -> (() => sink(
+          graft.events.Attribution.markovRemoval(
+            events.select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"),
+              when(col("event_type") === "purchase", 1).otherwise(0)
+                .as("cv")),
+            "user_id", "ts", "event_id", "event_type", "cv",
+            iters = 200))),
+        // keys grow with n at the fixed 30-day horizon: one lag
+        // window + exact per-key percentile + broadcast tail join
+        "expected_shortfall" -> (() => sink {
+          val daily = events
+            .groupBy(pmod(col("user_id"), lit(math.max(2L, n / 1000)))
+              .as("k"), to_date(col("ts")).as("d"))
+            .agg(count(lit(1)).as("q"))
+          graft.events.Finance.expectedShortfall(daily, "k", "d", "q")
+        }),
+        // same frame: split windows + two conditional aggregates
+        "mase" -> (() => sink {
+          val daily = events
+            .groupBy(pmod(col("user_id"), lit(math.max(2L, n / 1000)))
+              .as("k"), to_date(col("ts")).as("d"))
+            .agg(count(lit(1)).as("q"))
+          graft.events.Backtest.maseSplit(daily, "k", "d", "q",
+            season = 7)
+        }),
+        // subjects collapse to (time, x) cells; 8 Newton steps of one
+        // bounded-duration window each
+        "cox_ph" -> (() => sink {
+          val subj = events.groupBy(col("user_id"))
+            .agg(((unix_micros(max(col("ts"))) -
+              unix_micros(min(col("ts")))) / 3600000000L).as("dur"),
+              max(when(col("event_type") === "error", 1).otherwise(0))
+                .as("ev"))
+            .withColumn("x", pmod(col("user_id"), lit(5)) / lit(5.0))
+          graft.de.Survival.coxPh(subj, "dur", "ev", "x", iters = 8)
         }))
       val timed = ops
         .filter { case (name, _) => onlyOps.forall(_.contains(name)) }

@@ -186,6 +186,60 @@ object TextKernels {
     h
   }
 
+  /** BLEU sufficient statistics of one (candidate, reference) pair in
+    * one native pass: [num₁, den₁, …, num₄, den₄, cand_len, ref_len],
+    * where numₙ = Σ_g min(c_cand(g), c_ref(g)) over the candidate's
+    * order-n grams (the clipped matches) and denₙ = total candidate
+    * n-grams. Clipping is PER-PAIR by definition, so BLEU needs no
+    * cross-row state at all — this kernel replaces an explode +
+    * (pair, gram) shuffle join with an embarrassingly parallel scan
+    * (measured: the join form went super-linear from shuffle spill at
+    * a fixed partition count; this is flat). */
+  def bleuCounts(cand: UTF8String, ref: UTF8String): ArrayData = {
+    val ct = tokens(cand)
+    val rt = tokens(ref)
+    val out = new Array[Any](10)
+    var n = 1
+    while (n <= 4) {
+      val refCounts = new java.util.HashMap[String, Long]()
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i + n <= rt.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' '); sb.append(rt(i + j)); j += 1
+        }
+        val k = sb.toString
+        refCounts.put(k, refCounts.getOrDefault(k, 0L) + 1L)
+        i += 1
+      }
+      // count candidate grams, clipping each gram's credit at the
+      // reference count (decrement-as-consumed)
+      var num = 0L
+      var den = 0L
+      i = 0
+      while (i + n <= ct.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' '); sb.append(ct(i + j)); j += 1
+        }
+        val k = sb.toString
+        val left = refCounts.getOrDefault(k, 0L)
+        if (left > 0L) { num += 1L; refCounts.put(k, left - 1L) }
+        den += 1L
+        i += 1
+      }
+      out(2 * (n - 1)) = num
+      out(2 * (n - 1) + 1) = den
+      n += 1
+    }
+    out(8) = ct.length.toLong
+    out(9) = rt.length.toLong
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** All quality-metric counts of a text in ONE character pass — no regex,
     * no token-array allocation. Returns
     * [n_tokens, n_non_ws, n_alpha, n_digit, n_marker_tokens].

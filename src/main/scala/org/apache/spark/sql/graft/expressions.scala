@@ -315,6 +315,34 @@ case class CharEntropy(child: Expression)
     copy(child = newChild)
 }
 
+/** BLEU sufficient statistics of a (candidate, reference) string pair
+  * in one native pass: [num1, den1, …, num4, den4, cand_len, ref_len]
+  * (clipped order-n matches and totals). Per-pair by definition —
+  * no shuffle, whole-stage codegen. Kernel in
+  * [[TextKernels.bleuCounts]].
+  */
+case class BleuCounts(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(LongType, false)
+  override def prettyName: String = "bleu_counts"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.bleuCounts(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"org.apache.spark.sql.graft.TextKernels.bleuCounts($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Word n-gram shingles of a string in a single native pass (tokenize on
   * \s+, join n consecutive tokens with one space). Replaces the
   * interpreted transform/slice/concat_ws chain in the dedup hot path —

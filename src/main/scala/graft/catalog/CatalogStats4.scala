@@ -973,6 +973,236 @@ object CatalogStats4 {
            |  round(1.0 - 2.0 * ig.phi, 6) AS p_value
            |FROM tots, stat, ig""".stripMargin))
 
+  /** X281: per-source average ROUGE-L of each sampled doc's 12-token
+    * prefix against the NEXT doc's 10-token prefix — the kernel's DP
+    * LCS vs an INDEPENDENT longest-increasing-chain recursive-CTE
+    * oracle over match positions. */
+  private val q387 = Q("q387_rouge_l",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      def prefix(c: org.apache.spark.sql.Column, k: Int) =
+        array_join(slice(graft.text.TextAnalysis.tokens(c),
+          lit(1), lit(k)), " ")
+      val pairs = t(s, dir, "documents")
+        .withColumn("nxt", lead($"text", 1).over(w))
+        .filter($"nxt".isNotNull && pmod($"doc_id", lit(17)) === 0)
+        .select($"source", $"doc_id",
+          prefix($"text", 12).as("cand"),
+          prefix($"nxt", 10).as("ref"))
+      graft.text.Relevance.rougeL(pairs, "doc_id", "cand", "ref")
+        .join(pairs.select($"doc_id", $"source"), Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"lcs").as("sum_lcs"),
+          round(avg($"f1"), 4).as("avg_f1"))
+        .orderBy($"source")
+    },
+    Some("""WITH RECURSIVE docs2 AS (
+           |  SELECT source, doc_id,
+           |    lead(text) OVER (PARTITION BY source ORDER BY doc_id)
+           |      AS nxt, text
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT source, doc_id,
+           |    list_slice(regexp_extract_all(text, '\S+'), 1, 12)
+           |      AS ct,
+           |    list_slice(regexp_extract_all(nxt, '\S+'), 1, 10)
+           |      AS rt
+           |  FROM docs2
+           |  WHERE nxt IS NOT NULL AND doc_id % 17 = 0),
+           |ctok AS (SELECT doc_id, generate_subscripts(ct, 1) AS i,
+           |           unnest(ct) AS t FROM pairs),
+           |rtok AS (SELECT doc_id, generate_subscripts(rt, 1) AS j,
+           |           unnest(rt) AS t FROM pairs),
+           |m AS (SELECT c.doc_id, c.i, r.j
+           |      FROM ctok c JOIN rtok r
+           |        ON r.doc_id = c.doc_id AND r.t = c.t),
+           |chain(doc_id, i, j, l) AS (
+           |  SELECT doc_id, i, j, 1 FROM m
+           |  UNION
+           |  SELECT m.doc_id, m.i, m.j, chain.l + 1
+           |  FROM chain JOIN m ON m.doc_id = chain.doc_id
+           |    AND m.i > chain.i AND m.j > chain.j),
+           |lcs AS (SELECT doc_id, max(l)::BIGINT AS lcs
+           |        FROM chain GROUP BY 1),
+           |sc AS (
+           |  SELECT p.source, p.doc_id,
+           |    coalesce(lcs.lcs, 0) AS lcs,
+           |    len(ct)::BIGINT AS cl, len(rt)::BIGINT AS rl
+           |  FROM pairs p LEFT JOIN lcs USING (doc_id)),
+           |f AS (
+           |  SELECT source, doc_id, lcs,
+           |    lcs / nullif(cl, 0)::DOUBLE AS p,
+           |    lcs / nullif(rl, 0)::DOUBLE AS r
+           |  FROM sc)
+           |SELECT source, count(*)::BIGINT AS n_pairs,
+           |  sum(lcs)::BIGINT AS sum_lcs,
+           |  round(avg(round(CASE
+           |      WHEN p IS NULL OR r IS NULL THEN NULL
+           |      WHEN p + r = 0 THEN 0.0
+           |      ELSE 2 * p * r / (p + r) END, 4)), 4) AS avg_f1
+           |FROM f GROUP BY 1 ORDER BY source""".stripMargin))
+
+  /** X282: split-conformal interval for a fixed linear price model —
+    * exact order-statistic calibration quantile, parity split,
+    * test-half realized coverage. */
+  private val q388 = Q("q388_conformal",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Conformal.splitConformal(
+        t(s, dir, "lineitem").select(
+          ($"l_orderkey" * 10 + $"l_linenumber").as("id"),
+          $"l_extendedprice".as("y"),
+          ($"l_quantity" * 1000 + 500).as("pred"),
+          pmod($"l_orderkey", lit(2)).cast("int").as("cal")),
+        "id", "y", "pred", "cal", alpha = 0.1)
+    },
+    Some("""WITH res AS (
+           |  SELECT l_orderkey * 10 + l_linenumber AS id,
+           |    abs(l_extendedprice - (l_quantity * 1000 + 500))::DOUBLE
+           |      AS r,
+           |    l_orderkey % 2 = 1 AS cal
+           |  FROM lineitem),
+           |nc AS (SELECT count(*)::BIGINT AS n_cal FROM res
+           |       WHERE cal),
+           |k AS (SELECT n_cal,
+           |        ceil((n_cal + 1) * 0.9)::BIGINT AS rank_k
+           |      FROM nc),
+           |q AS (
+           |  SELECT r AS qv FROM (
+           |    SELECT r, row_number() OVER (ORDER BY r, id) AS rn
+           |    FROM res WHERE cal) x, k
+           |  WHERE x.rn = k.rank_k),
+           |tst AS (
+           |  SELECT count(*)::BIGINT AS n_test,
+           |    avg(CASE WHEN r <= (SELECT qv FROM q) THEN 1.0
+           |             ELSE 0.0 END) AS cov
+           |  FROM res WHERE NOT cal)
+           |SELECT k.n_cal, tst.n_test, k.rank_k,
+           |  round((SELECT qv FROM q), 6) AS q_hat,
+           |  0.9::DOUBLE AS target,
+           |  CASE WHEN (SELECT qv FROM q) IS NULL THEN NULL
+           |       ELSE round(cov, 4) END AS coverage,
+           |  round(2 * (SELECT qv FROM q), 6) AS mean_width
+           |FROM k CROSS JOIN tst""".stripMargin))
+
+  /** X283: doubly-robust AIPW ATE of "afternoon" on event value —
+    * propensity from the q379 logistic recursion, outcome models from
+    * two q375-style OLS closed forms, one scored aggregate; the
+    * oracle replays the entire composed recipe. */
+  private val q389 = Q("q389_aipw_ate",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Causal.aipwAte(
+        t(s, dir, "events").filter($"value".isNotNull)
+          .select(
+            when(hour($"ts") >= 12, 1.0).otherwise(0.0).as("t"),
+            $"value".as("y"),
+            ((dayofweek($"ts") - 1) / lit(7.0)).as("x1"),
+            (pmod($"user_id", lit(10)) / lit(10.0)).as("x2")),
+        "t", "y", "x1", "x2", iters = 8, clip = 0.01)
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT CASE WHEN hour(ts) >= 12 THEN 1.0::DOUBLE
+           |              ELSE 0.0::DOUBLE END AS t,
+           |    value::DOUBLE AS y, dayofweek(ts) / 7.0 AS x1,
+           |    (user_id % 10) / 10.0 AS x2
+           |  FROM events WHERE value IS NOT NULL),
+           |fx(it, b0, b1, b2) AS (
+           |  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+           |  UNION ALL
+           |  SELECT it + 1,
+           |    b0 + ((dd * f - e * e) * g1 + (c * e - b * f) * g2
+           |          + (b * e - c * dd) * g3) / det,
+           |    b1 + ((c * e - b * f) * g1 + (a * f - c * c) * g2
+           |          + (b * c - a * e) * g3) / det,
+           |    b2 + ((b * e - c * dd) * g1 + (b * c - a * e) * g2
+           |          + (a * dd - b * b) * g3) / det
+           |  FROM (
+           |    SELECT agg.*,
+           |      a * (dd * f - e * e) - b * (b * f - c * e)
+           |        + c * (b * e - c * dd) AS det
+           |    FROM (
+           |      SELECT it, b0, b1, b2,
+           |        sum(mu * (1 - mu)) AS a,
+           |        sum(mu * (1 - mu) * x1) AS b,
+           |        sum(mu * (1 - mu) * x2) AS c,
+           |        sum(mu * (1 - mu) * x1 * x1) AS dd,
+           |        sum(mu * (1 - mu) * x1 * x2) AS e,
+           |        sum(mu * (1 - mu) * x2 * x2) AS f,
+           |        sum(t - mu) AS g1, sum((t - mu) * x1) AS g2,
+           |        sum((t - mu) * x2) AS g3
+           |      FROM (
+           |        SELECT fx.it, fx.b0, fx.b1, fx.b2, d.t, d.x1, d.x2,
+           |          1 / (1 + exp(-(fx.b0 + fx.b1 * d.x1
+           |                         + fx.b2 * d.x2))) AS mu
+           |        FROM fx, d WHERE fx.it < 8) r
+           |      GROUP BY 1, 2, 3, 4) agg) s2),
+           |g AS (SELECT b0, b1, b2 FROM fx WHERE it = 8),
+           |bt AS (
+           |  SELECT (sy - b1 * s1 - b2 * s2) / sw AS b0, b1, b2 FROM (
+           |    SELECT sw, s1, s2, sy,
+           |      (c1y * c22 - c2y * c12) / nullif(c11 * c22 - c12 * c12,
+           |        0) AS b1,
+           |      (c2y * c11 - c1y * c12) / nullif(c11 * c22 - c12 * c12,
+           |        0) AS b2
+           |    FROM (
+           |      SELECT sw, s1, s2, sy,
+           |        s11 - s1 * s1 / sw AS c11, s22 - s2 * s2 / sw AS c22,
+           |        s12 - s1 * s2 / sw AS c12, s1y - s1 * sy / sw AS c1y,
+           |        s2y - s2 * sy / sw AS c2y
+           |      FROM (
+           |        SELECT count(*)::DOUBLE AS sw, sum(x1) AS s1,
+           |          sum(x2) AS s2, sum(y) AS sy, sum(x1 * x1) AS s11,
+           |          sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+           |          sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+           |        FROM d WHERE t = 1.0) a) c) b),
+           |bc AS (
+           |  SELECT (sy - b1 * s1 - b2 * s2) / sw AS b0, b1, b2 FROM (
+           |    SELECT sw, s1, s2, sy,
+           |      (c1y * c22 - c2y * c12) / nullif(c11 * c22 - c12 * c12,
+           |        0) AS b1,
+           |      (c2y * c11 - c1y * c12) / nullif(c11 * c22 - c12 * c12,
+           |        0) AS b2
+           |    FROM (
+           |      SELECT sw, s1, s2, sy,
+           |        s11 - s1 * s1 / sw AS c11, s22 - s2 * s2 / sw AS c22,
+           |        s12 - s1 * s2 / sw AS c12, s1y - s1 * sy / sw AS c1y,
+           |        s2y - s2 * sy / sw AS c2y
+           |      FROM (
+           |        SELECT count(*)::DOUBLE AS sw, sum(x1) AS s1,
+           |          sum(x2) AS s2, sum(y) AS sy, sum(x1 * x1) AS s11,
+           |          sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+           |          sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+           |        FROM d WHERE t = 0.0) a) c) b),
+           |z AS (
+           |  SELECT d.t, d.y,
+           |    least(0.99, greatest(0.01,
+           |      1 / (1 + exp(-(g.b0 + g.b1 * d.x1 + g.b2 * d.x2)))))
+           |      AS e,
+           |    bt.b0 + bt.b1 * d.x1 + bt.b2 * d.x2 AS m1,
+           |    bc.b0 + bc.b1 * d.x1 + bc.b2 * d.x2 AS m0
+           |  FROM d, g, bt, bc),
+           |sc AS (
+           |  SELECT count(*)::BIGINT AS n,
+           |    sum(t)::DOUBLE AS nt,
+           |    avg(CASE WHEN t = 1.0 THEN y END) AS my1,
+           |    avg(CASE WHEN t = 0.0 THEN y END) AS my0,
+           |    avg(m1 - m0) AS reg,
+           |    avg((m1 - m0) + t * (y - m1) / e
+           |        - (1 - t) * (y - m0) / (1 - e)) AS aipw,
+           |    avg(e) AS pe
+           |  FROM z)
+           |SELECT n, round(nt)::BIGINT AS n_treated,
+           |  round(my1 - my0, 4) AS ate_naive,
+           |  round(reg, 4) AS ate_regression,
+           |  round(aipw, 4) AS ate_aipw,
+           |  round(pe, 4) AS mean_propensity
+           |FROM sc""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
-    q377, q378, q379, q380, q381, q382, q383, q384, q385, q386)
+    q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
+    q387, q388, q389)
 }

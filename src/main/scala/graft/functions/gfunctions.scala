@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{BleuCounts, BloomMightContain, CharEntropy, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, NormalSF, RegularizedIncBeta, RepetitionCounts, RollingHash64, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{BleuCounts, BloomMightContain, CharEntropy, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, NormalSF, RegularizedIncBeta, RepetitionCounts, RollingHash64, RougeLCounts, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -81,6 +81,12 @@ object gfunctions {
     * [num1, den1, ..., num4, den4, cand_len, ref_len]. */
   def bleu_counts(cand: Column, ref: Column): Column =
     ColumnBridge.column(BleuCounts(ColumnBridge.expression(cand),
+      ColumnBridge.expression(ref)))
+
+  /** ROUGE-L sufficient statistics of a (candidate, reference) pair,
+    * native + codegen'd: [lcs_len, cand_len, ref_len]. */
+  def rouge_l_counts(cand: Column, ref: Column): Column =
+    ColumnBridge.column(RougeLCounts(ColumnBridge.expression(cand),
       ColumnBridge.expression(ref)))
 
   /** Repetition counts of a STRING column in one native pass:

@@ -68,16 +68,12 @@ object Regression {
     * Output (one row): n, b0, b1, b2 (4dp), deviance 4dp (−2·ll at
     * the final β), mcfadden_r2 4dp (1 − ll/ll₀ vs the base-rate-only
     * model; null when the base rate is degenerate 0/1). */
-  def logistic2(df: DataFrame, y: String, x1: String, x2: String,
-                iters: Int = 8): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    val spark = df.sparkSession
-    val d = df.select(col(y).cast("double").as("__y"),
-        col(x1).cast("double").as("__x1"),
-        col(x2).cast("double").as("__x2"))
-      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
-        col("__x2").isNotNull)
-      .persist()
+  /** The fixed-iteration Newton walk behind [[logistic2]] (and the
+    * AIPW propensity fit in [[Causal]]): expects a frame with __y /
+    * __x1 / __x2 double columns, returns the final β or None on a
+    * singular step. */
+  private[ml] def newtonLogistic(d: DataFrame,
+                                 iters: Int): Option[Array[Double]] = {
     var beta = Array(0.0, 0.0, 0.0)
     var singular = false
     var it = 0
@@ -114,6 +110,51 @@ object Regression {
       }
       it += 1
     }
+    if (singular) None else Some(beta)
+  }
+
+  /** Weighted (or plain, w = 1) two-regressor OLS solve over a
+    * __y/__x1/__x2 frame — β or None on singular/empty designs.
+    * Shared by [[huber2]]-style callers and [[Causal]]'s outcome
+    * models. */
+  private[ml] def olsBeta(d: DataFrame,
+                          w: Column): Option[Array[Double]] = {
+    val r = d.agg(
+      sum(w).as("sw"), sum(w * col("__x1")).as("s1"),
+      sum(w * col("__x2")).as("s2"), sum(w * col("__y")).as("sy"),
+      sum(w * col("__x1") * col("__x1")).as("s11"),
+      sum(w * col("__x2") * col("__x2")).as("s22"),
+      sum(w * col("__x1") * col("__x2")).as("s12"),
+      sum(w * col("__x1") * col("__y")).as("s1y"),
+      sum(w * col("__x2") * col("__y")).as("s2y")).head()
+    if (r.isNullAt(0)) return None
+    val Seq(sw, s1, s2, sy, s11, s22, s12, s1y, s2y) =
+      (0 until 9).map(r.getDouble)
+    val c11 = s11 - s1 * s1 / sw; val c22 = s22 - s2 * s2 / sw
+    val c12 = s12 - s1 * s2 / sw
+    val c1y = s1y - s1 * sy / sw; val c2y = s2y - s2 * sy / sw
+    val det = c11 * c22 - c12 * c12
+    if (det == 0.0 || det.isNaN) None
+    else {
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      Some(Array((sy - b1 * s1 - b2 * s2) / sw, b1, b2))
+    }
+  }
+
+  def logistic2(df: DataFrame, y: String, x1: String, x2: String,
+                iters: Int = 8): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    val d = df.select(col(y).cast("double").as("__y"),
+        col(x1).cast("double").as("__x1"),
+        col(x2).cast("double").as("__x2"))
+      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+      .persist()
+    val fit = newtonLogistic(d, iters)
+    val singular = fit.isEmpty
+    val beta = fit.getOrElse(Array(0.0, 0.0, 0.0))
     val out =
       if (singular)
         d.agg(count(lit(1)).as("n"))
@@ -266,29 +307,7 @@ object Regression {
         col("__x2").isNotNull)
       .persist()
     // weighted normal-equation solve for given per-row weight column
-    def solve(w: Column): Option[Array[Double]] = {
-      val r = d.agg(
-        sum(w).as("sw"), sum(w * col("__x1")).as("s1"),
-        sum(w * col("__x2")).as("s2"), sum(w * col("__y")).as("sy"),
-        sum(w * col("__x1") * col("__x1")).as("s11"),
-        sum(w * col("__x2") * col("__x2")).as("s22"),
-        sum(w * col("__x1") * col("__x2")).as("s12"),
-        sum(w * col("__x1") * col("__y")).as("s1y"),
-        sum(w * col("__x2") * col("__y")).as("s2y")).head()
-      if (r.isNullAt(0)) return None
-      val Seq(sw, s1, s2, sy, s11, s22, s12, s1y, s2y) =
-        (0 until 9).map(r.getDouble)
-      val c11 = s11 - s1 * s1 / sw; val c22 = s22 - s2 * s2 / sw
-      val c12 = s12 - s1 * s2 / sw
-      val c1y = s1y - s1 * sy / sw; val c2y = s2y - s2 * sy / sw
-      val det = c11 * c22 - c12 * c12
-      if (det == 0.0 || det.isNaN) None
-      else {
-        val b1 = (c1y * c22 - c2y * c12) / det
-        val b2 = (c2y * c11 - c1y * c12) / det
-        Some(Array((sy - b1 * s1 - b2 * s2) / sw, b1, b2))
-      }
-    }
+    def solve(w: Column): Option[Array[Double]] = olsBeta(d, w)
     def resid(beta: Array[Double]): Column =
       col("__y") - lit(beta(0)) - lit(beta(1)) * col("__x1") -
         lit(beta(2)) * col("__x2")

@@ -98,6 +98,35 @@ object Relevance {
     out
   }
 
+  /** ROUGE-L per (candidate, reference) pair (X281; Lin 2004) — the
+    * recall-oriented generation-eval companion to [[bleuCorpus]]:
+    * token-level longest common subsequence, P = LCS/|cand|,
+    * R = LCS/|ref|, F = 2PR/(P+R). All three stats come from the
+    * codegen'd RougeLCounts kernel (two-row-DP LCS, per-pair local) —
+    * one shuffle-free scan, no cross-row state; the 100 TB cost is
+    * exactly the token DP. Zero-length sides yield null scores, and
+    * LCS = 0 yields F = 0 (not null) when both sides are non-empty.
+    *
+    * Output per pair: (idCol, lcs BIGINT, cand_len BIGINT,
+    * ref_len BIGINT, precision 4dp, recall 4dp, f1 4dp). */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String): DataFrame = {
+    import graft.functions.gfunctions.rouge_l_counts
+    val withB = pairs.select(col(idCol),
+      rouge_l_counts(col(candCol), col(refCol)).as("__b"))
+    val l = col("__b").getItem(0)
+    val cl = col("__b").getItem(1)
+    val rl = col("__b").getItem(2)
+    val p = l.cast("double") / nullif(cl.cast("double"), lit(0.0))
+    val r = l.cast("double") / nullif(rl.cast("double"), lit(0.0))
+    val f = when(p.isNull || r.isNull, lit(null).cast("double"))
+      .when(p + r === 0.0, lit(0.0))
+      .otherwise(lit(2.0) * p * r / (p + r))
+    withB.select(col(idCol), l.as("lcs"), cl.as("cand_len"),
+      rl.as("ref_len"), round(p, 4).as("precision"),
+      round(r, 4).as("recall"), round(f, 4).as("f1"))
+  }
+
   /** Corpus-level BLEU-4 (X277; Papineni et al. 2002) over
     * (candidate, reference) text pairs — the generation-eval score a
     * training pipeline needs once it produces model outputs: modified
@@ -107,13 +136,13 @@ object Relevance {
     * e^(1 − r/c) for c < r. Unsmoothed: any empty precision order
     * zeroes the score (the standard corpus-BLEU convention).
     *
-    * Shape: per order n, two n-gram explodes collapse immediately to
-    * per-(pair, gram) counts and the clip join runs at that bounded
-    * grain (never gram-position grain); the four one-row precision
-    * frames and the one-row length frame broadcast-cross into the
-    * readout. Output (one row): n_pairs, p1..p4 6dp, brevity_penalty
-    * 6dp, bleu 6dp (null when a candidate side has no 4-grams at
-    * all). */
+    * Shape: clipping is per-pair, so every statistic comes from ONE
+    * codegen'd [[org.apache.spark.sql.graft.RougeLCounts sibling]]
+    * BleuCounts kernel scan (clipped matches + totals for n = 1..4
+    * plus both lengths) and one 10-integer aggregate — no explode, no
+    * (pair, gram) shuffle anywhere. Output (one row): n_pairs,
+    * p1..p4 6dp, brevity_penalty 6dp, bleu 6dp (null when a candidate
+    * side has no 4-grams at all). */
   def bleuCorpus(pairs: DataFrame, idCol: String, candCol: String,
                  refCol: String): DataFrame = {
     import graft.functions.gfunctions.bleu_counts

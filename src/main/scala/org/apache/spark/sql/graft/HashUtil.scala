@@ -240,6 +240,36 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** ROUGE-L sufficient statistics of one (candidate, reference) pair:
+    * [lcs_len, cand_len, ref_len] over whitespace tokens. Token-level
+    * longest common subsequence by the classic two-row DP (O(m·n)
+    * time, O(min) memory) — per-pair local like [[bleuCounts]], so the
+    * operator is one shuffle-free kernel scan. */
+  def rougeLCounts(cand: UTF8String, ref: UTF8String): ArrayData = {
+    val a = tokens(cand)
+    val b0 = tokens(ref)
+    // DP over the shorter side for O(min) memory
+    val (longer, shorter) = if (a.length >= b0.length) (a, b0) else (b0, a)
+    val m = shorter.length
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 0
+    while (i < longer.length) {
+      var j = 0
+      while (j < m) {
+        cur(j + 1) =
+          if (longer(i) == shorter(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](prev(m).toLong, a.length.toLong, b0.length.toLong))
+  }
+
   /** All quality-metric counts of a text in ONE character pass — no regex,
     * no token-array allocation. Returns
     * [n_tokens, n_non_ws, n_alpha, n_digit, n_marker_tokens].

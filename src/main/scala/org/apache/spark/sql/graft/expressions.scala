@@ -343,6 +343,33 @@ case class BleuCounts(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ROUGE-L sufficient statistics of a (candidate, reference) string
+  * pair: [lcs_len, cand_len, ref_len] over whitespace tokens —
+  * two-row-DP token LCS, per-pair local, whole-stage codegen. Kernel
+  * in [[TextKernels.rougeLCounts]].
+  */
+case class RougeLCounts(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(LongType, false)
+  override def prettyName: String = "rouge_l_counts"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.rougeLCounts(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"org.apache.spark.sql.graft.TextKernels.rougeLCounts($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Word n-gram shingles of a string in a single native pass (tokenize on
   * \s+, join n consecutive tokens with one space). Replaces the
   * interpreted transform/slice/concat_ws chain in the dedup hot path —

@@ -68,6 +68,29 @@ class LlmTextBatchSpec extends SparkSuite {
     assert(r.getAs[Double]("r_star_1") == 1.0)   // 2·1/2
   }
 
+  test("rougeL: hand-computed LCS, identity, disjoint, and empty " +
+    "conventions") {
+    val pairs = Seq(
+      (1L, "a b c d e", "a x c y e"),     // LCS {a,c,e} = 3
+      (2L, "a b c", "a b c"),             // identity
+      (3L, "a b", "x y"),                 // disjoint → F = 0
+      (4L, "", "a b"),                    // empty cand → null P/F
+      (5L, "b a c", "a b c"))             // order matters: LCS = 2
+      .toDF("id", "c", "r")
+    val m = Relevance.rougeL(pairs, "id", "c", "r").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(m(1L).getAs[Long]("lcs") == 3L)
+    assert(m(1L).getAs[Double]("precision") == 0.6)
+    assert(m(1L).getAs[Double]("recall") == 0.6)
+    assert(m(1L).getAs[Double]("f1") == 0.6)
+    assert(m(2L).getAs[Double]("f1") == 1.0)
+    assert(m(3L).getAs[Long]("lcs") == 0L)
+    assert(m(3L).getAs[Double]("f1") == 0.0)
+    assert(m(4L).isNullAt(m(4L).fieldIndex("precision")))
+    assert(m(4L).isNullAt(m(4L).fieldIndex("f1")))
+    assert(m(5L).getAs[Long]("lcs") == 2L)
+  }
+
   test("bleuCorpus: identity is 1; clipping and zero orders zero " +
     "the score; short candidates null it") {
     val self = Seq((1L, "a b c d e", "a b c d e")).toDF("id", "c", "r")

@@ -1202,7 +1202,197 @@ object CatalogStats4 {
            |  round(pe, 4) AS mean_propensity
            |FROM sc""".stripMargin))
 
+  /** X284: Hosmer–Lemeshow decile GOF of the q379 logistic fit —
+    * ntile bins over the deterministic (p̂, id) order, exact even-dof
+    * χ²₈ closed-form tail. */
+  private val q390 = Q("q390_hosmer_lemeshow",
+    (s, dir) => {
+      import s.implicits._
+      val scored = graft.ml.Regression.logisticScore(
+        t(s, dir, "events").filter($"value".isNotNull)
+          .select($"event_id",
+            when($"event_type" === "purchase", 1.0).otherwise(0.0)
+              .as("y"),
+            ($"value" / 100).as("x1"),
+            (hour($"ts") / 24).as("x2")),
+        "y", "x1", "x2", iters = 8)
+      graft.ml.Calibration.hosmerLemeshow(scored, "y", "p_hat",
+        "event_id", bins = 10)
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT event_id,
+           |    CASE WHEN event_type = 'purchase' THEN 1.0::DOUBLE
+           |         ELSE 0.0::DOUBLE END AS y,
+           |    value / 100 AS x1, hour(ts) / 24 AS x2
+           |  FROM events WHERE value IS NOT NULL),
+           |fx(it, b0, b1, b2) AS (
+           |  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+           |  UNION ALL
+           |  SELECT it + 1,
+           |    b0 + ((dd * f - e * e) * g1 + (c * e - b * f) * g2
+           |          + (b * e - c * dd) * g3) / det,
+           |    b1 + ((c * e - b * f) * g1 + (a * f - c * c) * g2
+           |          + (b * c - a * e) * g3) / det,
+           |    b2 + ((b * e - c * dd) * g1 + (b * c - a * e) * g2
+           |          + (a * dd - b * b) * g3) / det
+           |  FROM (
+           |    SELECT agg.*,
+           |      a * (dd * f - e * e) - b * (b * f - c * e)
+           |        + c * (b * e - c * dd) AS det
+           |    FROM (
+           |      SELECT it, b0, b1, b2,
+           |        sum(mu * (1 - mu)) AS a,
+           |        sum(mu * (1 - mu) * x1) AS b,
+           |        sum(mu * (1 - mu) * x2) AS c,
+           |        sum(mu * (1 - mu) * x1 * x1) AS dd,
+           |        sum(mu * (1 - mu) * x1 * x2) AS e,
+           |        sum(mu * (1 - mu) * x2 * x2) AS f,
+           |        sum(y - mu) AS g1, sum((y - mu) * x1) AS g2,
+           |        sum((y - mu) * x2) AS g3
+           |      FROM (
+           |        SELECT fx.it, fx.b0, fx.b1, fx.b2, d.y, d.x1, d.x2,
+           |          1 / (1 + exp(-(fx.b0 + fx.b1 * d.x1
+           |                         + fx.b2 * d.x2))) AS mu
+           |        FROM fx, d WHERE fx.it < 8) r
+           |      GROUP BY 1, 2, 3, 4) agg) s2),
+           |fin AS (SELECT b0, b1, b2 FROM fx WHERE it = 8),
+           |scored AS (
+           |  SELECT d.event_id, d.y,
+           |    1 / (1 + exp(-(fin.b0 + fin.b1 * d.x1
+           |                   + fin.b2 * d.x2))) AS ph
+           |  FROM d, fin),
+           |binned AS (
+           |  SELECT y, ph,
+           |    ntile(10) OVER (ORDER BY ph, event_id) AS g
+           |  FROM scored),
+           |cells AS (
+           |  SELECT g, count(*)::BIGINT AS ng, sum(y) AS og,
+           |    sum(ph) AS eg
+           |  FROM binned GROUP BY 1),
+           |agg AS (
+           |  SELECT sum(ng)::BIGINT AS n,
+           |    sum(CASE WHEN eg <= 0 OR eg >= ng THEN 0.0
+           |        ELSE (og - eg) * (og - eg) /
+           |             (eg * (1 - eg / ng)) END) AS hl,
+           |    sum(CASE WHEN eg <= 0 OR eg >= ng THEN 1 ELSE 0
+           |        END)::BIGINT AS ndeg
+           |  FROM cells)
+           |SELECT n, 10 AS bins, round(hl, 4) AS hl_stat, 8 AS dof,
+           |  ndeg AS n_degenerate_bins,
+           |  round(exp(-hl / 2) * (1 + (hl / 2) + pow(hl / 2, 2) / 2
+           |    + pow(hl / 2, 3) / 6), 6) AS p_value
+           |FROM agg""".stripMargin))
+
+  /** X285: three rounds of L2 stump boosting of event value on
+    * hour-of-day — driver scan over 24 cells, rounded-SSE argmin;
+    * the oracle unrolls the identical three rounds. */
+  private val q391 = Q("q391_stump_boost",
+    (s, dir) => {
+      import s.implicits._
+      graft.ml.Boost.stumpBoost(
+        t(s, dir, "events").filter($"value".isNotNull)
+          .select(hour($"ts").cast("long").as("h"), $"value"),
+        "h", "value", rounds = 3)
+        .orderBy($"round")
+    },
+    Some("""WITH cells AS (
+           |  SELECT hour(ts)::BIGINT AS x, count(*)::BIGINT AS n,
+           |    sum(value) AS sy, sum(value * value) AS syy
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |tot AS (SELECT sum(n)::DOUBLE AS tn FROM cells),
+           |c1 AS (SELECT x, n, sy AS rsy, syy AS rs2 FROM cells),
+           |t1 AS (
+           |  SELECT x, sum(n) OVER w AS an, sum(rsy) OVER w AS asy,
+           |    (SELECT sum(n) FROM c1) AS wn,
+           |    (SELECT sum(rsy) FROM c1) AS wsy,
+           |    (SELECT sum(rs2) FROM c1) AS ws2
+           |  FROM c1 WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+           |  QUALIFY x < (SELECT max(x) FROM c1)),
+           |b1 AS (
+           |  SELECT x AS s, asy / an AS lm,
+           |    (wsy - asy) / (wn - an) AS rm
+           |  FROM t1
+           |  ORDER BY round(ws2 - asy * asy / an
+           |    - (wsy - asy) * (wsy - asy) / (wn - an), 6), x
+           |  LIMIT 1),
+           |c2 AS (
+           |  SELECT c.x, c.n,
+           |    c.sy - c.n * (CASE WHEN c.x <= b1.s THEN b1.lm
+           |                       ELSE b1.rm END) AS rsy,
+           |    c.syy - 2 * (CASE WHEN c.x <= b1.s THEN b1.lm
+           |                      ELSE b1.rm END) * c.sy
+           |      + c.n * pow(CASE WHEN c.x <= b1.s THEN b1.lm
+           |                       ELSE b1.rm END, 2) AS rs2
+           |  FROM cells c, b1),
+           |t2 AS (
+           |  SELECT x, sum(n) OVER w AS an, sum(rsy) OVER w AS asy,
+           |    (SELECT sum(n) FROM c2) AS wn,
+           |    (SELECT sum(rsy) FROM c2) AS wsy,
+           |    (SELECT sum(rs2) FROM c2) AS ws2
+           |  FROM c2 WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+           |  QUALIFY x < (SELECT max(x) FROM c2)),
+           |b2 AS (
+           |  SELECT x AS s, asy / an AS lm,
+           |    (wsy - asy) / (wn - an) AS rm
+           |  FROM t2
+           |  ORDER BY round(ws2 - asy * asy / an
+           |    - (wsy - asy) * (wsy - asy) / (wn - an), 6), x
+           |  LIMIT 1),
+           |p2 AS (
+           |  SELECT c.x, c.n, c.sy, c.syy,
+           |    (CASE WHEN c.x <= b1.s THEN b1.lm ELSE b1.rm END)
+           |    + (CASE WHEN c.x <= b2.s THEN b2.lm ELSE b2.rm END)
+           |      AS p
+           |  FROM cells c, b1, b2),
+           |c3 AS (
+           |  SELECT x, n, sy - n * p AS rsy,
+           |    syy - 2 * p * sy + n * p * p AS rs2
+           |  FROM p2),
+           |t3 AS (
+           |  SELECT x, sum(n) OVER w AS an, sum(rsy) OVER w AS asy,
+           |    (SELECT sum(n) FROM c3) AS wn,
+           |    (SELECT sum(rsy) FROM c3) AS wsy,
+           |    (SELECT sum(rs2) FROM c3) AS ws2
+           |  FROM c3 WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+           |  QUALIFY x < (SELECT max(x) FROM c3)),
+           |b3 AS (
+           |  SELECT x AS s, asy / an AS lm,
+           |    (wsy - asy) / (wn - an) AS rm
+           |  FROM t3
+           |  ORDER BY round(ws2 - asy * asy / an
+           |    - (wsy - asy) * (wsy - asy) / (wn - an), 6), x
+           |  LIMIT 1),
+           |p3 AS (
+           |  SELECT p2.x, p2.n, p2.sy, p2.syy,
+           |    p2.p + (CASE WHEN p2.x <= b3.s THEN b3.lm ELSE b3.rm
+           |            END) AS p
+           |  FROM p2, b3),
+           |m1 AS (
+           |  SELECT sum(c.syy - 2 * (CASE WHEN c.x <= b1.s THEN b1.lm
+           |           ELSE b1.rm END) * c.sy
+           |      + c.n * pow(CASE WHEN c.x <= b1.s THEN b1.lm
+           |                  ELSE b1.rm END, 2)) / tot.tn AS mse
+           |  FROM cells c, b1, tot GROUP BY tot.tn),
+           |m2 AS (SELECT sum(syy - 2 * p * sy + n * p * p) / tot.tn
+           |         AS mse
+           |       FROM p2, tot GROUP BY tot.tn),
+           |m3 AS (SELECT sum(syy - 2 * p * sy + n * p * p) / tot.tn
+           |         AS mse
+           |       FROM p3, tot GROUP BY tot.tn)
+           |SELECT 1 AS round, b1.s AS split_at,
+           |  round(b1.lm, 6) AS left_value,
+           |  round(b1.rm, 6) AS right_value,
+           |  round(m1.mse, 6) AS train_mse
+           |FROM b1, m1
+           |UNION ALL
+           |SELECT 2, b2.s, round(b2.lm, 6), round(b2.rm, 6),
+           |  round(m2.mse, 6) FROM b2, m2
+           |UNION ALL
+           |SELECT 3, b3.s, round(b3.lm, 6), round(b3.rm, 6),
+           |  round(m3.mse, 6) FROM b3, m3
+           |ORDER BY round""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
     q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
-    q387, q388, q389)
+    q387, q388, q389, q390, q391)
 }

@@ -77,4 +77,53 @@ object Calibration {
       round(col("__base") * (lit(1.0) - col("__base")), 4)
         .as("uncertainty"))
   }
+
+  /** Hosmer–Lemeshow goodness-of-fit for a fitted binary probability
+    * (X284) — the classic "are the predicted probabilities ACTUALLY
+    * probabilities" decile test [[reliability]]'s fixed-width bins
+    * don't give: rows sort into `bins` equal-count groups by p̂
+    * (ntile over the deterministic (p̂, id) order), and
+    * HL = Σ_g (o_g − e_g)² / (e_g·(1 − e_g/n_g)) is χ²_{bins−2}
+    * under a well-calibrated model. `bins` must be EVEN so the
+    * χ² survival has the exact closed form
+    * e^{−x/2}·Σ_{i<k/2} (x/2)^i/i! (no numeric integration — the
+    * q322 even-dof discipline). Groups with degenerate expectation
+    * (e_g = 0 or n_g) contribute 0 with a flagged count.
+    *
+    * One ntile window (total-order contract: idCol breaks p̂ ties
+    * deterministically) + one bin aggregate + a bins-bounded readout.
+    * Output (one row): n BIGINT, bins, hl_stat 4dp, dof,
+    * n_degenerate_bins BIGINT, p_value 6dp. */
+  def hosmerLemeshow(df: DataFrame, labelCol: String, probCol: String,
+                     idCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 4 && bins % 2 == 0,
+      "bins must be even and >= 4 (closed-form even-dof chi2 tail)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(probCol).asc, col(idCol).asc)
+    val g = df
+      .filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("__g", ntile(bins).over(w))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col(labelCol).cast("double")).as("og"),
+        sum(col(probCol).cast("double")).as("eg"))
+    val degen = col("eg") <= 0.0 || col("eg") >= col("ng")
+    val term = when(degen, lit(0.0))
+      .otherwise((col("og") - col("eg")) * (col("og") - col("eg")) /
+        (col("eg") * (lit(1.0) - col("eg") / col("ng"))))
+    val dof = bins - 2
+    val agg = g.agg(sum(col("ng")).as("n"),
+      sum(term).as("__hl"),
+      sum(when(degen, 1L).otherwise(0L)).as("n_degenerate_bins"))
+    // even-dof chi2 survival: exp(-x/2) * sum_{i<dof/2} (x/2)^i / i!
+    val half = col("__hl") / 2
+    val series = (0 until dof / 2).map { i =>
+      val fact = (1 to i).foldLeft(1.0)(_ * _)
+      pow(half, i) / lit(fact)
+    }.reduce(_ + _)
+    agg.select(col("n"), lit(bins).as("bins"),
+      round(col("__hl"), 4).as("hl_stat"), lit(dof).as("dof"),
+      col("n_degenerate_bins"),
+      round(exp(-half) * series, 6).as("p_value"))
+  }
 }

@@ -142,6 +142,31 @@ object Regression {
     }
   }
 
+  /** Fit [[logistic2]] and RETURN THE SCORED FRAME: the input rows
+    * plus `p_hat` = σ(x'β̂) (the fitted probability). The calibration
+    * and causal operators (Hosmer–Lemeshow, AIPW) consume this; a
+    * singular fit yields null p_hat everywhere rather than failing. */
+  def logisticScore(df: DataFrame, y: String, x1: String, x2: String,
+                    iters: Int = 8): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val d = df.select(col(y).cast("double").as("__y"),
+        col(x1).cast("double").as("__x1"),
+        col(x2).cast("double").as("__x2"))
+      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+      .persist()
+    val fit = newtonLogistic(d, iters)
+    val scored = fit match {
+      case Some(b) =>
+        df.withColumn("p_hat", lit(1.0) / (lit(1.0) +
+          exp(-(lit(b(0)) + lit(b(1)) * col(x1).cast("double") +
+            lit(b(2)) * col(x2).cast("double")))))
+      case None => df.withColumn("p_hat", lit(null).cast("double"))
+    }
+    d.unpersist(false)
+    scored
+  }
+
   def logistic2(df: DataFrame, y: String, x1: String, x2: String,
                 iters: Int = 8): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

@@ -1392,7 +1392,115 @@ object CatalogStats4 {
            |  round(m3.mse, 6) FROM b3, m3
            |ORDER BY round""".stripMargin))
 
+  /** X286: Yuen's 20%-trimmed t-test of order totals, fulfilled vs
+    * open, per priority — rank-cut trimming, winsorized variance, the
+    * q14 Simpson t-tail oracle. */
+  private val q392 = Q("q392_yuen_trimmed",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Inference.yuenTrimmed(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus", "o_totalprice",
+        a = "F", b = "O", trim = 0.2)
+        .orderBy($"o_orderpriority")
+    },
+    Some("""WITH inp AS (
+           |  SELECT o_orderpriority AS s, o_orderstatus AS g,
+           |    o_totalprice::DOUBLE AS v
+           |  FROM orders
+           |  WHERE o_orderstatus IN ('F', 'O')
+           |    AND o_totalprice IS NOT NULL),
+           |rk AS (
+           |  SELECT s, g, v,
+           |    row_number() OVER (PARTITION BY s, g ORDER BY v) AS rn,
+           |    count(*) OVER (PARTITION BY s, g) AS n
+           |  FROM inp),
+           |ct AS (SELECT *, floor(n * 0.2)::BIGINT AS cut FROM rk),
+           |bounds AS (
+           |  SELECT s, g, min(v) AS lo, max(v) AS hi
+           |  FROM ct WHERE rn > cut AND rn <= n - cut GROUP BY 1, 2),
+           |st AS (
+           |  SELECT ct.s, ct.g, count(*)::BIGINT AS nn,
+           |    (count(*) - 2 * max(cut))::BIGINT AS h,
+           |    avg(CASE WHEN rn > cut AND rn <= n - cut THEN v END)
+           |      AS tm,
+           |    var_samp(least(greatest(v, lo), hi)) AS sw
+           |  FROM ct JOIN bounds ON bounds.s = ct.s AND bounds.g = ct.g
+           |  GROUP BY 1, 2),
+           |j AS (
+           |  SELECT a.s, a.nn AS na, a.h AS ha, a.tm AS tma,
+           |    a.sw AS swa, b.nn AS nb, b.h AS hb, b.tm AS tmb,
+           |    b.sw AS swb
+           |  FROM st a JOIN st b ON a.s = b.s
+           |  WHERE a.g = 'F' AND b.g = 'O'),
+           |w AS (
+           |  SELECT s, ha, hb, tma, tmb,
+           |    swa * (na - 1) / (ha * (ha - 1))::DOUBLE AS da,
+           |    swb * (nb - 1) / (hb * (hb - 1))::DOUBLE AS db
+           |  FROM j WHERE ha >= 2 AND hb >= 2),
+           |w2 AS (
+           |  SELECT s, ha, hb, tma, tmb,
+           |    (tma - tmb) / nullif(sqrt(da + db), 0) AS t,
+           |    pow(da + db, 2) / nullif(pow(da, 2) / (ha - 1)
+           |        + pow(db, 2) / (hb - 1), 0) AS df
+           |  FROM w),
+           |g2 AS (SELECT s, t, df / 2.0 AS a,
+           |         sqrt(1 - df / (df + t * t)) AS lo
+           |       FROM w2),
+           |grid AS (SELECT s, a, lo,
+           |           unnest(generate_series(0, 20000)) AS i
+           |         FROM g2),
+           |pts AS (SELECT s, a, lo + (1.0 - lo) * i / 20000 AS u,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          (1.0 - lo) / 20000 AS h
+           |        FROM grid),
+           |simpson AS (SELECT s, max(a) AS a,
+           |              sum(wt * 2 * exp((a - 1.0) *
+           |                ln(greatest(1e-300, 1 - u * u))))
+           |                * max(h) / 3.0 AS binc
+           |            FROM pts GROUP BY s)
+           |SELECT w2.s AS o_orderpriority, ha AS h_a, hb AS h_b,
+           |  round(tma, 4) AS tmean_a, round(tmb, 4) AS tmean_b,
+           |  round(t, 4) AS t_stat, round(df, 2) AS df,
+           |  round(binc / exp(lgamma(a) + lgamma(0.5)
+           |    - lgamma(a + 0.5)), 6) AS p_value
+           |FROM w2 JOIN simpson ON simpson.s = w2.s
+           |ORDER BY o_orderpriority""".stripMargin))
+
+  /** X287: Mood's median test of event values across the five event
+    * types — exact grand median, 2×k counts, even-dof closed-form χ²₄
+    * tail. */
+  private val q393 = Q("q393_mood_median",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Inference.moodMedian(
+        t(s, dir, "events").filter($"value".isNotNull),
+        "event_type", "value")
+    },
+    Some("""WITH base AS (
+           |  SELECT event_type AS g, value::DOUBLE AS v FROM events
+           |  WHERE value IS NOT NULL),
+           |med AS (SELECT quantile_cont(v, 0.5) AS m FROM base),
+           |cells AS (
+           |  SELECT g, count(*)::BIGINT AS n,
+           |    sum(CASE WHEN v > m THEN 1 ELSE 0 END)::BIGINT AS ab
+           |  FROM base, med GROUP BY 1),
+           |tot AS (SELECT sum(n)::BIGINT AS nn, sum(ab)::BIGINT AS aa,
+           |          count(*)::BIGINT AS k
+           |        FROM cells),
+           |sc AS (
+           |  SELECT sum(
+           |      pow(ab - n * aa / nn::DOUBLE, 2) /
+           |        (n * aa / nn::DOUBLE) +
+           |      pow((n - ab) - n * (nn - aa) / nn::DOUBLE, 2) /
+           |        (n * (nn - aa) / nn::DOUBLE)) AS chi
+           |  FROM cells, tot)
+           |SELECT tot.nn AS n, tot.k, round(med.m, 4) AS grand_median,
+           |  round(sc.chi, 4) AS chi2, (tot.k - 1)::BIGINT AS dof,
+           |  round(exp(-sc.chi / 2) * (1 + sc.chi / 2), 6) AS p_value
+           |FROM tot, sc, med""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
     q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
-    q387, q388, q389, q390, q391)
+    q387, q388, q389, q390, q391, q392, q393)
 }

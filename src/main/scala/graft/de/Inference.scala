@@ -1,6 +1,7 @@
 package graft.de
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.gfunctions.{normal_sf, reg_inc_beta}
@@ -416,5 +417,156 @@ object Inference {
       col("__top").getField("__val").as("outlier"),
       round(g, 4).as("g"),
       round(p, 6).as("p_value"))
+  }
+
+  /** Yuen's trimmed-mean t-test per stratum (X286; Yuen 1974) — the
+    * Welch test that survives heavy tails: per group, drop the lowest
+    * and highest ⌊γn⌋ observations (rank cut — tied boundary values
+    * retain the same multiset whichever tie wins the rank, so no id
+    * column is needed), compare TRIMMED means, and standardize by the
+    * WINSORIZED variance:
+    *
+    *   d_g = s²_w·(n−1)/(h·(h−1)),  h = n − 2⌊γn⌋,
+    *   t = (t̄m_A − t̄m_B)/√(d_A + d_B),
+    *
+    * Welch–Satterthwaite df on the d's with h−1 denominators, p from
+    * the exact t tail (the codegen'd TTestPValue — the q14 Simpson
+    * oracle technique). A 20% trim keeps ~95% Gaussian efficiency
+    * while shrugging off the outliers that hand q13's plain Welch its
+    * false positives.
+    *
+    * Shape: one rank window per (stratum, group) (series-bounded) +
+    * clamp + two aggregates. Groups whose h < 2 yield null stats.
+    *
+    * Output per stratum: (stratum, h_a BIGINT, h_b BIGINT,
+    * tmean_a 4dp, tmean_b 4dp, t_stat 4dp, df 2dp, p_value 6dp). */
+  def yuenTrimmed(df: DataFrame, stratumCol: String, groupCol: String,
+                  valueCol: String, a: String, b: String,
+                  trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5, "trim in (0, 0.5)")
+    import graft.functions.gfunctions.t_test_pvalue
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(col(groupCol).isin(a, b) && v.isNotNull)
+      .select(col(stratumCol).as("__s"), col(groupCol).as("__g"),
+        v.as("__v"))
+    val w = Window.partitionBy(col("__s"), col("__g"))
+      .orderBy(col("__v"))
+    val wN = Window.partitionBy(col("__s"), col("__g"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wN))
+      .withColumn("__cut", floor(col("__n") * trim).cast("long"))
+    val kept = col("__rn") > col("__cut") &&
+      col("__rn") <= col("__n") - col("__cut")
+    // winsorized value: clamp to the retained range (min/max of kept)
+    val bounds = ranked.filter(kept)
+      .groupBy(col("__s"), col("__g"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val stats = ranked.join(bounds, Seq("__s", "__g"))
+      .withColumn("__w",
+        least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .groupBy(col("__s"), col("__g"))
+      .agg(count(lit(1)).as("__nn"),
+        (count(lit(1)) - lit(2) * max(col("__cut"))).as("__h"),
+        avg(when(kept, col("__v"))).as("__tm"),
+        var_samp(col("__w")).as("__sw"))
+    def side(g: String, suf: String) =
+      stats.filter(col("__g") === g)
+        .select(col("__s"), col("__nn").as(s"__n$suf"),
+          col("__h").as(s"__h$suf"), col("__tm").as(s"__tm$suf"),
+          col("__sw").as(s"__sw$suf"))
+    val j = side(a, "a").join(side(b, "b"), Seq("__s"))
+    def d(suf: String) =
+      col(s"__sw$suf") * (col(s"__n$suf") - 1) /
+        (col(s"__h$suf") * (col(s"__h$suf") - 1)).cast("double")
+    val ok = col("__ha") >= 2 && col("__hb") >= 2
+    val t = (col("__tma") - col("__tmb")) /
+      nullif(sqrt(d("a") + d("b")), lit(0.0))
+    val dfree = pow(d("a") + d("b"), 2) /
+      nullif(pow(d("a"), 2) / (col("__ha") - 1) +
+        pow(d("b"), 2) / (col("__hb") - 1), lit(0.0))
+    j.select(col("__s").as(stratumCol),
+      col("__ha").as("h_a"), col("__hb").as("h_b"),
+      round(col("__tma"), 4).as("tmean_a"),
+      round(col("__tmb"), 4).as("tmean_b"),
+      when(ok, round(t, 4)).as("t_stat"),
+      when(ok, round(dfree, 2)).as("df"),
+      when(ok, round(t_test_pvalue(t, dfree), 6)).as("p_value"))
+  }
+
+  /** Mood's median test (X287) — k-sample location test on nothing
+    * but "above or below the GRAND median" counts (scipy
+    * median_test, ties='below'): one exact interpolated grand median,
+    * one 2×k contingency aggregate, Pearson χ² with dof = k−1. The
+    * p-value uses the exact even-dof closed form (e^{−x/2}·Σ(x/2)^i/i!)
+    * and is null for odd dof — the honest contract, not a hidden
+    * approximation (pin the group count or read the χ² against a
+    * table). Groups with zero expectation in either row (possible
+    * only in degenerate all-tied data) null the statistic.
+    *
+    * Output (one row): n BIGINT, k, grand_median 4dp, chi2 4dp, dof,
+    * p_value 6dp (null when dof is odd). */
+  def moodMedian(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    val med = base.agg(percentile(col("__v"), lit(0.5)).as("__m"))
+    val cells = base.crossJoin(broadcast(med))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__cn"),
+        sum(when(col("__v") > col("__m"), 1L).otherwise(0L))
+          .as("__ab"),
+        max(col("__m")).as("__m"))
+    // totals from BASE, not from cells: a cells-derived aggregate
+    // cross-joined back onto cells is a self-join whose duplicated
+    // lineage makes every cells column name ambiguous
+    val tot = base.crossJoin(broadcast(med))
+      .agg(count(lit(1)).as("__N"),
+        sum(when(col("__v") > col("__m"), 1L).otherwise(0L))
+          .as("__A"),
+        countDistinct(col("__g")).as("__k"),
+        max(col("__m")).as("__gm"))
+    val scored = cells.crossJoin(broadcast(tot))
+      .withColumn("__ea",
+        col("__cn") * col("__A") / col("__N").cast("double"))
+      .withColumn("__eb",
+        col("__cn") * (col("__N") - col("__A")) /
+          col("__N").cast("double"))
+      .withColumn("__term",
+        when(col("__ea") === 0.0 || col("__eb") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(
+            pow(col("__ab") - col("__ea"), 2) / col("__ea") +
+            pow(col("__cn") - col("__ab") - col("__eb"), 2) /
+              col("__eb")))
+    val agg = scored.groupBy()
+      .agg(max(col("__N")).as("n"), max(col("__k")).as("__k"),
+        max(col("__gm")).as("__gm"), sum(col("__term")).as("__chi"),
+        max(when(col("__term").isNull, 1).otherwise(0)).as("__bad"))
+    val dof = col("__k") - 1
+    val half = col("__chi") / 2
+    // even-dof closed form, evaluated as a bounded series via a
+    // driver-free iterative expression is not possible for a DYNAMIC
+    // dof — but k is a GROUP DOMAIN: collect it (1 row) and build the
+    // series literally
+    val kVal = agg.select(col("__k")).head.getLong(0).toInt
+    val chiP =
+      if (kVal < 2 || (kVal - 1) % 2 != 0) lit(null).cast("double")
+      else {
+        val series = (0 until (kVal - 1) / 2).map { i =>
+          val fact = (1 to i).foldLeft(1.0)(_ * _)
+          pow(half, i) / lit(fact)
+        }.reduce(_ + _)
+        exp(-half) * series
+      }
+    agg.select(col("n"), col("__k").as("k"),
+      round(col("__gm"), 4).as("grand_median"),
+      when(col("__bad") === 1, lit(null).cast("double"))
+        .otherwise(round(col("__chi"), 4)).as("chi2"),
+      dof.as("dof"),
+      when(col("__bad") === 1, lit(null).cast("double"))
+        .otherwise(round(chiP, 6)).as("p_value"))
   }
 }

@@ -38,7 +38,17 @@ object ExplainAudit {
       "q285_seq_pairs", "q286_entropy_rate", "q288_burst_ratio",
       "q289_page_hinkley", "q291_sharpe_sortino",
       "q293_interarrival_expfit", "q294_vocab_coverage",
-      "q295_novel_bigrams")
+      "q295_novel_bigrams",
+      // round-8 session-2 lazy entries: the kernel-scan eval scores
+      // (BLEU/ROUGE — expect ONE whole-stage-codegen'd scan, no
+      // shuffle before the final 1-row aggregate), the text screens,
+      // and the tail-risk/forecast windows. (The GLM/driver-loop
+      // family — q379, q384-q386, q389, q391 — materializes its
+      // Newton aggregates during construction and can't be audited
+      // here; q383's kernel IS its plan.)
+      "q370_weighted_kappa", "q373_expected_shortfall", "q374_mase",
+      "q380_char_entropy", "q381_collocations", "q382_good_turing",
+      "q383_bleu", "q387_rouge_l", "q393_mood_median")
     val qs = Catalog.queries
     names.foreach { n =>
       println(s"\n================ $n ================")

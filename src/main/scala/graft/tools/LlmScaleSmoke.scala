@@ -707,6 +707,55 @@ object LlmScaleSmoke {
           graft.events.Backtest.maseSplit(daily, "k", "d", "q",
             season = 7)
         }),
+        // one shuffle-free kernel scan (two-row-DP LCS per pair)
+        "rouge_l" -> (() => sink {
+          val toks = graft.text.TextAnalysis.tokens(col("text"))
+          val cut = greatest(lit(1),
+            floor(size(toks) * 4 / 5).cast("int"))
+          graft.text.Relevance.rougeL(
+            docs.select(col("doc_id"), col("text").as("cand"),
+              array_join(slice(toks, lit(1), cut), " ").as("ref")),
+            "doc_id", "cand", "ref")
+        }),
+        // one rank window over the calibration half + one aggregate
+        "conformal" -> (() => sink(
+          graft.ml.Conformal.splitConformal(
+            events.select(col("event_id").as("id"),
+              col("value").as("y"),
+              (col("user_id") % 100).cast("double").as("pred"),
+              pmod(col("event_id"), lit(2)).cast("int").as("cal")),
+            "id", "y", "pred", "cal"))),
+        // two rank windows + clamp + t-tail, all (stratum, group)-keyed
+        "yuen" -> (() => sink(
+          graft.de.Inference.yuenTrimmed(
+            events.select((col("user_id") % 8).as("st"),
+              col("event_type"), col("value")),
+            "st", "event_type", "value", a = "click", b = "view"))),
+        // one exact grand median + one 2xk aggregate
+        "mood_median" -> (() => sink(
+          graft.de.Inference.moodMedian(
+            events.filter(col("value").isNotNull),
+            "event_type", "value"))),
+        // logistic fit (8 narrow aggregates) + ntile + bin aggregate
+        "hosmer_lemeshow" -> (() => sink {
+          val scored = graft.ml.Regression.logisticScore(
+            events.filter(col("value").isNotNull)
+              .select(col("event_id"),
+                when(col("event_type") === "purchase", 1.0)
+                  .otherwise(0.0).as("y"),
+                (col("value") / 100).as("x1"),
+                (hour(col("ts")) / lit(24.0)).as("x2")),
+            "y", "x1", "x2")
+          graft.ml.Calibration.hosmerLemeshow(scored, "y", "p_hat",
+            "event_id")
+        }),
+        // one cell aggregate + three driver scans over 24 cells
+        "stump_boost" -> (() => sink(
+          graft.ml.Boost.stumpBoost(
+            events.filter(col("value").isNotNull)
+              .select(hour(col("ts")).cast("long").as("h"),
+                col("value")),
+            "h", "value", rounds = 3))),
         // subjects collapse to (time, x) cells; 8 Newton steps of one
         // bounded-duration window each
         "cox_ph" -> (() => sink {

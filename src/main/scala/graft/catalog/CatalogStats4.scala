@@ -1500,7 +1500,180 @@ object CatalogStats4 {
            |  round(exp(-sc.chi / 2) * (1 + sc.chi / 2), 6) AS p_value
            |FROM tot, sc, med""".stripMargin))
 
+  /** X288: Jonckheere–Terpstra ordered trend of order totals across
+    * the five priority tiers — exact integer 2·JT and tie-corrected
+    * variance, Simpson normal-tail oracle. */
+  private val q394 = Q("q394_jonckheere",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.RankStats.jonckheereTerpstra(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT o_totalprice::DOUBLE AS v, o_orderpriority AS g,
+           |    count(*)::BIGINT AS c
+           |  FROM orders WHERE o_totalprice IS NOT NULL
+           |  GROUP BY 1, 2),
+           |piv AS (
+           |  SELECT v,
+           |    sum(CASE WHEN g = '1-URGENT' THEN c ELSE 0 END) AS c0,
+           |    sum(CASE WHEN g = '2-HIGH' THEN c ELSE 0 END) AS c1,
+           |    sum(CASE WHEN g = '3-MEDIUM' THEN c ELSE 0 END) AS c2,
+           |    sum(CASE WHEN g = '4-NOT SPECIFIED' THEN c ELSE 0 END)
+           |      AS c3,
+           |    sum(CASE WHEN g = '5-LOW' THEN c ELSE 0 END) AS c4
+           |  FROM cells GROUP BY 1),
+           |cum AS (
+           |  SELECT *, c0 + c1 + c2 + c3 + c4 AS tv,
+           |    coalesce(sum(c0) OVER w, 0) AS s0,
+           |    coalesce(sum(c1) OVER w, 0) AS s1,
+           |    coalesce(sum(c2) OVER w, 0) AS s2,
+           |    coalesce(sum(c3) OVER w, 0) AS s3
+           |  FROM piv
+           |  WINDOW w AS (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |agg AS (
+           |  SELECT
+           |    sum(c1 * (2 * s0 + c0)
+           |      + c2 * (2 * (s0 + s1) + c0 + c1)
+           |      + c3 * (2 * (s0 + s1 + s2) + c0 + c1 + c2)
+           |      + c4 * (2 * (s0 + s1 + s2 + s3) + c0 + c1 + c2 + c3))
+           |      ::BIGINT AS jt2,
+           |    sum(c0)::BIGINT AS n0, sum(c1)::BIGINT AS n1,
+           |    sum(c2)::BIGINT AS n2, sum(c3)::BIGINT AS n3,
+           |    sum(c4)::BIGINT AS n4,
+           |    sum(tv * (tv - 1) * (2 * tv + 5))::BIGINT AS t25,
+           |    sum(tv * (tv - 1))::BIGINT AS t2,
+           |    sum(tv * (tv - 1) * (tv - 2))::BIGINT AS t3
+           |  FROM cum),
+           |st AS (
+           |  SELECT n0 + n1 + n2 + n3 + n4 AS n, jt2 / 2.0 AS jt,
+           |    (pow(n0 + n1 + n2 + n3 + n4, 2)
+           |     - (pow(n0, 2) + pow(n1, 2) + pow(n2, 2) + pow(n3, 2)
+           |        + pow(n4, 2))) / 4.0 AS mean,
+           |    ((n0 + n1 + n2 + n3 + n4)::DOUBLE
+           |       * (n0 + n1 + n2 + n3 + n4 - 1)
+           |       * (2 * (n0 + n1 + n2 + n3 + n4) + 5)
+           |     - (n0::DOUBLE * (n0 - 1) * (2 * n0 + 5)
+           |        + n1::DOUBLE * (n1 - 1) * (2 * n1 + 5)
+           |        + n2::DOUBLE * (n2 - 1) * (2 * n2 + 5)
+           |        + n3::DOUBLE * (n3 - 1) * (2 * n3 + 5)
+           |        + n4::DOUBLE * (n4 - 1) * (2 * n4 + 5))
+           |     - t25) / 72.0
+           |    + (n0::DOUBLE * (n0 - 1) * (n0 - 2)
+           |       + n1::DOUBLE * (n1 - 1) * (n1 - 2)
+           |       + n2::DOUBLE * (n2 - 1) * (n2 - 2)
+           |       + n3::DOUBLE * (n3 - 1) * (n3 - 2)
+           |       + n4::DOUBLE * (n4 - 1) * (n4 - 2)) * t3
+           |      / (36.0 * (n0 + n1 + n2 + n3 + n4)
+           |         * (n0 + n1 + n2 + n3 + n4 - 1)
+           |         * (n0 + n1 + n2 + n3 + n4 - 2))
+           |    + (n0::DOUBLE * (n0 - 1) + n1::DOUBLE * (n1 - 1)
+           |       + n2::DOUBLE * (n2 - 1) + n3::DOUBLE * (n3 - 1)
+           |       + n4::DOUBLE * (n4 - 1)) * t2
+           |      / (8.0 * (n0 + n1 + n2 + n3 + n4)
+           |         * (n0 + n1 + n2 + n3 + n4 - 1)) AS var
+           |  FROM agg),
+           |zs AS (SELECT n, jt, mean, (jt - mean) / sqrt(var) AS z
+           |       FROM st),
+           |grid AS (SELECT abs(z) AS az,
+           |           unnest(generate_series(0, 20000)) AS i
+           |         FROM zs),
+           |pts AS (SELECT az * i / 20000 AS x,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          az / 20000 AS h
+           |        FROM grid),
+           |ig AS (SELECT sum(wt * exp(-x * x / 2)) * max(h) / 3.0
+           |         / sqrt(2 * pi()) AS phi
+           |       FROM pts)
+           |SELECT n::BIGINT AS n, 5 AS k, round(jt, 1) AS jt,
+           |  round(mean, 1) AS mean, round(z, 4) AS z,
+           |  round(1.0 - 2.0 * phi, 6) AS p_value
+           |FROM zs, ig""".stripMargin))
+
+  /** X289: Brunner–Munzel of event value, click vs view — exact
+    * doubled-midrank placements, Welch-style df, Simpson t-tail
+    * oracle. */
+  private val q395 = Q("q395_brunner_munzel",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.RankStats.brunnerMunzel(t(s, dir, "events"),
+        "event_type", "value", a = "click", b = "view")
+    },
+    Some("""WITH cells AS (
+           |  SELECT value::DOUBLE AS v,
+           |    count(CASE WHEN event_type = 'click' THEN 1
+           |          END)::BIGINT AS ca,
+           |    count(CASE WHEN event_type = 'view' THEN 1
+           |          END)::BIGINT AS cb
+           |  FROM events
+           |  WHERE event_type IN ('click', 'view')
+           |    AND value IS NOT NULL
+           |  GROUP BY 1),
+           |rk AS (
+           |  SELECT *,
+           |    coalesce(sum(ca) OVER w, 0) AS ba,
+           |    coalesce(sum(cb) OVER w, 0) AS bb
+           |  FROM cells
+           |  WINDOW w AS (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |rk2 AS (
+           |  SELECT ca, cb,
+           |    2 * (ba + bb) + ca + cb + 1 AS r2,
+           |    2 * ba + ca + 1 AS ra2, 2 * bb + cb + 1 AS rb2
+           |  FROM rk),
+           |agg AS (
+           |  SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+           |    sum(ca * r2)::BIGINT AS sra2,
+           |    sum(cb * r2)::BIGINT AS srb2,
+           |    sum(ca * pow(r2 - ra2, 2)) AS qa,
+           |    sum(cb * pow(r2 - rb2, 2)) AS qb,
+           |    sum(ca * (r2 - ra2))::BIGINT AS la,
+           |    sum(cb * (r2 - rb2))::BIGINT AS lb
+           |  FROM rk2),
+           |st AS (
+           |  SELECT na, nb,
+           |    sra2 / na::DOUBLE AS mra2, srb2 / nb::DOUBLE AS mrb2,
+           |    (qa / 4.0 - na * pow((la / 2.0) / na, 2)) / (na - 1)
+           |      AS sa,
+           |    (qb / 4.0 - nb * pow((lb / 2.0) / nb, 2)) / (nb - 1)
+           |      AS sb
+           |  FROM agg),
+           |w2 AS (
+           |  SELECT na, nb,
+           |    (mrb2 - mra2) / (2.0 * (na + nb)) + 0.5 AS phat,
+           |    na * nb * (mrb2 - mra2) / 2.0 / (na + nb)
+           |      / sqrt(na * sa + nb * sb) AS t,
+           |    pow(na * sa + nb * sb, 2) /
+           |      (pow(na * sa, 2) / (na - 1)
+           |       + pow(nb * sb, 2) / (nb - 1)) AS df
+           |  FROM st),
+           |g2 AS (SELECT na, nb, phat, t, df / 2.0 AS a,
+           |         sqrt(1 - df / (df + t * t)) AS lo
+           |       FROM w2),
+           |grid AS (SELECT a, lo, unnest(generate_series(0, 20000))
+           |           AS i
+           |         FROM g2),
+           |pts AS (SELECT a, lo + (1.0 - lo) * i / 20000 AS u,
+           |          CASE WHEN i = 0 OR i = 20000 THEN 1
+           |               WHEN i % 2 = 1 THEN 4 ELSE 2 END AS wt,
+           |          (1.0 - lo) / 20000 AS h
+           |        FROM grid),
+           |simpson AS (SELECT max(a) AS a,
+           |              sum(wt * 2 * exp((a - 1.0) *
+           |                ln(greatest(1e-300, 1 - u * u))))
+           |                * max(h) / 3.0 AS binc
+           |            FROM pts)
+           |SELECT na AS n_a, nb AS n_b, round(phat, 4) AS p_hat,
+           |  round(t, 4) AS t_stat, round(df, 2) AS df,
+           |  round(binc / exp(lgamma(a) + lgamma(0.5)
+           |    - lgamma(a + 0.5)), 6) AS p_value
+           |FROM w2, simpson""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
     q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
-    q387, q388, q389, q390, q391, q392, q393)
+    q387, q388, q389, q390, q391, q392, q393, q394, q395)
 }

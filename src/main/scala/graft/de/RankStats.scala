@@ -316,4 +316,194 @@ object RankStats {
       .withColumn("p_value",
         when(col("dof") === 2, round(exp(-col("q") / 2.0), 6)))
   }
+
+  /** Jonckheere–Terpstra trend test (X288) — the k-sample test for an
+    * ORDERED alternative (doses, priority tiers, cohorts): JT =
+    * Σ_{i<j} U_ij over the caller-ordered groups, i.e. "do later
+    * groups sit stochastically higher". Everything reduces to
+    * per-(value, group) cells: with per-group cumulative counts
+    * C_g(v) over one shared value sort, U contributions are
+    * c_j(v)·(Σ_{i<j} C_i(v) + ½·Σ_{i<j} c_i(v)) — value-domain-
+    * bounded, never an O(V²) pair join. Exact-integer mean and
+    * tie-corrected variance (Hollander & Wolfe 6.19: the three-term
+    * correction over group sizes n_i and tie multiplicities t_v);
+    * z two-sided via the normal tail. Groups outside `ordered` are
+    * ignored; < 2 non-empty groups or zero variance yield null z/p.
+    *
+    * Output (one row): n BIGINT, k, jt 1dp (exact half-integer),
+    * mean 1dp, z 4dp, p_value 6dp. */
+  def jonckheereTerpstra(df: DataFrame, group: String, value: String,
+                         ordered: Seq[String]): DataFrame = {
+    require(ordered.size >= 2, "need an ordered list of >= 2 groups")
+    val v = col(value).cast("double")
+    val cells = df
+      .filter(col(group).isin(ordered: _*) && v.isNotNull)
+      .groupBy(v.as("__v"), col(group).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    // one row per distinct value with per-group count columns
+    val pivoted = cells.groupBy(col("__v"))
+      .agg(ordered.zipWithIndex.map { case (g, i) =>
+        sum(when(col("__g") === g, col("__c")).otherwise(0L))
+          .as(s"__c$i")
+      }.head, ordered.zipWithIndex.drop(1).map { case (g, i) =>
+        sum(when(col("__g") === g, col("__c")).otherwise(0L))
+          .as(s"__c$i")
+      }: _*)
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = ordered.indices.foldLeft(pivoted) { (d, i) =>
+      d.withColumn(s"__cum$i",
+        coalesce(sum(col(s"__c$i")).over(wCum), lit(0L)))
+    }
+    // 2·JT stays integer: 2·Σ_v Σ_j c_j·(Σ_{i<j}C_i) + Σ_v Σ_j c_j·Σ_{i<j}c_i
+    val jt2 = ordered.indices.drop(1).map { j =>
+      val below = ordered.indices.take(j)
+        .map(i => col(s"__cum$i")).reduce(_ + _)
+      val tied = ordered.indices.take(j)
+        .map(i => col(s"__c$i")).reduce(_ + _)
+      col(s"__c$j") * (lit(2) * below + tied)
+    }.reduce(_ + _)
+    val tv = ordered.indices.map(i => col(s"__c$i")).reduce(_ + _)
+    val aggCols =
+      ordered.indices.map(i =>
+        sum(col(s"__c$i")).as(s"__n$i")) ++ Seq(
+        sum(tv * (tv - 1) * (lit(2) * tv + 5)).as("__t25"),
+        sum(tv * (tv - 1)).as("__t2"),
+        sum(tv * (tv - 1) * (tv - 2)).as("__t3"))
+    val agg = withCum.agg(sum(jt2).as("__jt2"), aggCols: _*).head()
+    val ns = ordered.indices.map(i =>
+      agg.getAs[Long](s"__n$i")).filter(_ > 0)
+    val n = ns.sum
+    val jt = (if (agg.isNullAt(0)) 0L else agg.getLong(0)) / 2.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (ns.size < 2 || n < 3) {
+      return Seq((n, ns.size)).toDF("n", "k")
+        .select(col("n"), col("k"),
+          lit(null).cast("double").as("jt"),
+          lit(null).cast("double").as("mean"),
+          lit(null).cast("double").as("z"),
+          lit(null).cast("double").as("p_value"))
+    }
+    val t25 = agg.getAs[Long]("__t25").toDouble
+    val t2 = agg.getAs[Long]("__t2").toDouble
+    val t3 = agg.getAs[Long]("__t3").toDouble
+    val nD = n.toDouble
+    val mean = (nD * nD - ns.map(x => x.toDouble * x).sum) / 4.0
+    val n25 = ns.map(x => x.toDouble * (x - 1) * (2.0 * x + 5)).sum
+    val n2 = ns.map(x => x.toDouble * (x - 1)).sum
+    val n3 = ns.map(x => x.toDouble * (x - 1) * (x - 2)).sum
+    val varJt =
+      (nD * (nD - 1) * (2 * nD + 5) - n25 - t25) / 72.0 +
+        n3 * t3 / (36.0 * nD * (nD - 1) * (nD - 2)) +
+        n2 * t2 / (8.0 * nD * (nD - 1))
+    import graft.functions.gfunctions.normal_sf
+    val base = Seq((n, ns.size, jt, mean,
+      if (varJt > 0) (jt - mean) / math.sqrt(varJt) else Double.NaN))
+      .toDF("n", "k", "__jt", "__mean", "__z")
+    base.select(col("n"), col("k"),
+      round(col("__jt"), 1).as("jt"),
+      round(col("__mean"), 1).as("mean"),
+      when(!isnan(col("__z")), round(col("__z"), 4)).as("z"),
+      when(!isnan(col("__z")),
+        round(lit(2.0) * normal_sf(abs(col("__z"))), 6)).as("p_value"))
+  }
+
+  /** Brunner–Munzel test (X289; scipy.stats.brunnermunzel parity) —
+    * the modern two-sample rank test that, unlike Mann–Whitney, does
+    * NOT assume equal variances under the null (the "nonparametric
+    * Behrens–Fisher" problem): estimates p̂ = P(X<Y)+½P(X=Y) from
+    * overall-vs-within midrank placements, with a Welch-style
+    * studentization and df.
+    *
+    * Every sum reduces to per-(value, group) cells: overall and
+    * within-group midranks are the exact doubled-integer kernel
+    * (2·below + t + 1, the kruskalWallis trick), and the placement
+    * variances S²ᵢ = Σ c·(R(v) − Rᵢ(v) − R̄ᵢ + (nᵢ+1)/2)²/(nᵢ−1) are
+    * cell-weighted sums. p from the exact t tail at the estimated df.
+    * Degenerate inputs (a side < 2 rows, zero variance with p̂ = ½)
+    * yield nulls; complete separation (S² = 0, p̂ ∈ {0,1}) yields
+    * ±Infinity statistic like scipy — surfaced as null with the
+    * p_hat still reported.
+    *
+    * Output (one row): n_a, n_b BIGINT, p_hat 4dp (P(b > a) +
+    * ½ties — the common-language effect size), t_stat 4dp, df 2dp,
+    * p_value 6dp. */
+  def brunnerMunzel(df: DataFrame, group: String, value: String,
+                    a: String, b: String): DataFrame = {
+    import graft.functions.gfunctions.t_test_pvalue
+    val v = col(value).cast("double")
+    val cells = df
+      .filter(col(group).isin(a, b) && v.isNotNull)
+      .groupBy(v.as("__v"), col(group).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val piv = cells.groupBy(col("__v"))
+      .agg(sum(when(col("__g") === a, col("__c")).otherwise(0L))
+          .as("__ca"),
+        sum(when(col("__g") === b, col("__c")).otherwise(0L))
+          .as("__cb"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("__ca") + col("__cb")
+    // doubled midranks (exact integers): overall and within-group
+    val ranked = piv
+      .withColumn("__ba", coalesce(sum(col("__ca")).over(wCum), lit(0L)))
+      .withColumn("__bb", coalesce(sum(col("__cb")).over(wCum), lit(0L)))
+      .withColumn("__r2", lit(2) * (col("__ba") + col("__bb")) + t + 1)
+      .withColumn("__ra2", lit(2) * col("__ba") + col("__ca") + 1)
+      .withColumn("__rb2", lit(2) * col("__bb") + col("__cb") + 1)
+    val agg = ranked.agg(
+      sum(col("__ca")).as("na"), sum(col("__cb")).as("nb"),
+      sum(col("__ca") * col("__r2")).as("sra2"),
+      sum(col("__cb") * col("__r2")).as("srb2"),
+      // placement sums in quarters: (R − Rw)·2 is integer, squares /4
+      sum(col("__ca") * pow(col("__r2") - col("__ra2"), 2)).as("qa"),
+      sum(col("__cb") * pow(col("__r2") - col("__rb2"), 2)).as("qb"),
+      sum(col("__ca") * (col("__r2") - col("__ra2"))).as("la"),
+      sum(col("__cb") * (col("__r2") - col("__rb2"))).as("lb")).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val na = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val nb = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    def nullRow(pHat: Option[Double]) =
+      Seq((na, nb)).toDF("n_a", "n_b")
+        .select(col("n_a"), col("n_b"),
+          pHat.map(p => round(lit(p), 4))
+            .getOrElse(lit(null).cast("double")).as("p_hat"),
+          lit(null).cast("double").as("t_stat"),
+          lit(null).cast("double").as("df"),
+          lit(null).cast("double").as("p_value"))
+    if (na < 2 || nb < 2) return nullRow(None)
+    val naD = na.toDouble; val nbD = nb.toDouble
+    val nD = naD + nbD
+    // means of doubled ranks
+    val mra2 = agg.getLong(2).toDouble / naD
+    val mrb2 = agg.getLong(3).toDouble / nbD
+    // S² from the doubled-placement sums: placements halve, squares /4
+    // the −R̄ + (n+1)/2 shift in scipy's formula equals the MEAN of
+    // the placements u = R − Rw exactly, so S² is just the placement
+    // variance: (Σu² − n·ū²)/(n−1), with Σu/Σu² held as exact doubled
+    // integers until here
+    val sa = (agg.getDouble(4) / 4.0 -
+      naD * math.pow((agg.getLong(6).toDouble / 2.0) / naD, 2)) /
+      (naD - 1)
+    val sb = (agg.getDouble(5) / 4.0 -
+      nbD * math.pow((agg.getLong(7).toDouble / 2.0) / nbD, 2)) /
+      (nbD - 1)
+    val pHat = (mrb2 - mra2) / (2.0 * nD) + 0.5
+    val denom = math.sqrt(naD * sa + nbD * sb)
+    if (denom == 0.0 || denom.isNaN) return nullRow(Some(pHat))
+    val tStat = naD * nbD * (mrb2 - mra2) / 2.0 / nD / denom
+    val dfree = math.pow(naD * sa + nbD * sb, 2) /
+      (math.pow(naD * sa, 2) / (naD - 1) +
+        math.pow(nbD * sb, 2) / (nbD - 1))
+    Seq((na, nb, pHat, tStat, dfree))
+      .toDF("n_a", "n_b", "__p", "__t", "__df")
+      .select(col("n_a"), col("n_b"),
+        round(col("__p"), 4).as("p_hat"),
+        round(col("__t"), 4).as("t_stat"),
+        round(col("__df"), 2).as("df"),
+        round(t_test_pvalue(col("__t"), col("__df")), 6)
+          .as("p_value"))
+  }
 }

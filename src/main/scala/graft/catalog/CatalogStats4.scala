@@ -1673,7 +1673,79 @@ object CatalogStats4 {
            |    - lgamma(a + 0.5)), 6) AS p_value
            |FROM w2, simpson""".stripMargin))
 
+  /** X290: keyness of source src1 vs the rest of the corpus — signed
+    * per-term G², top 15 each direction, rounded-score rank key. */
+  private val q396 = Q("q396_keyness",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.keyness(t(s, dir, "documents"),
+        "source", "text", target = "src1", minCount = 5L, topK = 15)
+        .orderBy($"g2_signed".desc, $"term")
+    },
+    Some("""WITH tc AS (
+           |  SELECT t,
+           |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_target,
+           |    sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS n_rest
+           |  FROM (SELECT source = 'src1' AS tgt,
+           |          unnest(regexp_extract_all(text, '\S+')) AS t
+           |        FROM documents) GROUP BY 1),
+           |tot AS (SELECT sum(n_target)::BIGINT AS nt,
+           |          sum(n_rest)::BIGINT AS nr
+           |        FROM tc),
+           |sc AS (
+           |  SELECT t, n_target, n_rest,
+           |    round(2 * (
+           |      CASE WHEN n_target > 0 THEN n_target * ln(n_target /
+           |        ((n_target + n_rest) * nt / (nt + nr)::DOUBLE))
+           |        ELSE 0 END +
+           |      CASE WHEN n_rest > 0 THEN n_rest * ln(n_rest /
+           |        ((n_target + n_rest) * nr / (nt + nr)::DOUBLE))
+           |        ELSE 0 END) *
+           |      (CASE WHEN n_target >=
+           |         (n_target + n_rest) * nt / (nt + nr)::DOUBLE
+           |       THEN 1.0 ELSE -1.0 END), 4) AS g2
+           |  FROM tc, tot WHERE n_target + n_rest >= 5),
+           |rk AS (
+           |  SELECT *,
+           |    row_number() OVER (ORDER BY g2 DESC, t) AS rp,
+           |    row_number() OVER (ORDER BY g2 ASC, t) AS rn
+           |  FROM sc)
+           |SELECT t AS term, n_target, n_rest, g2 AS g2_signed
+           |FROM rk WHERE rp <= 15 OR rn <= 15
+           |ORDER BY g2_signed DESC, term""".stripMargin))
+
+  /** X291: Gries' DP dispersion of terms across sources — top 25 most
+    * CLUMPED frequent terms (the jargon/boilerplate screen); absent
+    * parts' share mass restored in closed form. */
+  private val q397 = Q("q397_dispersion",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.CorpusStats.dispersionDp(t(s, dir, "documents"),
+        "source", "text", minCount = 20L)
+        .orderBy($"dp".desc, $"term")
+        .limit(25)
+    },
+    Some("""WITH tc AS (
+           |  SELECT p, t, count(*)::BIGINT AS c FROM (
+           |    SELECT source AS p,
+           |      unnest(regexp_extract_all(text, '\S+')) AS t
+           |    FROM documents) GROUP BY 1, 2),
+           |parts AS (SELECT p, sum(c)::BIGINT AS pn
+           |          FROM tc GROUP BY 1),
+           |tot AS (SELECT sum(pn)::BIGINT AS nn FROM parts),
+           |tt AS (SELECT t, sum(c)::BIGINT AS tcnt FROM tc
+           |       GROUP BY 1 HAVING sum(c) >= 20)
+           |SELECT t AS term, max(tcnt) AS n_occurrences,
+           |  count(*)::BIGINT AS n_parts_present,
+           |  round((sum(abs(c / tcnt::DOUBLE - pn / nn::DOUBLE))
+           |    + 1.0 - sum(pn / nn::DOUBLE)) / 2, 4) AS dp
+           |FROM tc JOIN tt USING (t) JOIN parts USING (p)
+           |CROSS JOIN tot
+           |GROUP BY t ORDER BY dp DESC, term LIMIT 25""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
     q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
-    q387, q388, q389, q390, q391, q392, q393, q394, q395)
+    q387, q388, q389, q390, q391, q392, q393, q394, q395, q396,
+    q397)
 }

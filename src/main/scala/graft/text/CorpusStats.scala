@@ -729,6 +729,101 @@ object CorpusStats {
       .select(col("w1"), col("w2"), col("k11").as("n11"), col("g2"))
   }
 
+  /** Keyness analysis (X290; Rayson & Garside 2000) — which terms are
+    * OVER-represented in a target slice vs the rest of the corpus:
+    * per term, the 2×2 log-likelihood ratio G² between (count in
+    * target, count in rest) against the corpus-size expectations,
+    * SIGNED by direction (positive = key in the target). The
+    * corpus-linguistics standard for "what makes this source/domain
+    * different", and the keyword-level companion to the bigram
+    * [[collocations]].
+    *
+    * One token explode collapsing to (term, in-target) counts
+    * (vocab-bounded, map-side combined); expectations are closed-form
+    * margins. min-count floor + rounded-score rank key, top-k each
+    * direction. Output: (term, n_target BIGINT, n_rest BIGINT,
+    * g2_signed 4dp). */
+  def keyness(docs: DataFrame, strataCol: String, textCol: String,
+              target: String, minCount: Long = 5L,
+              topK: Int = 15): DataFrame = {
+    val tc = docs.select(
+        (col(strataCol) === target).as("__tgt"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_target"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("n_rest"))
+    val tot = tc.agg(sum(col("n_target")).as("__Nt"),
+      sum(col("n_rest")).as("__Nr"))
+    def term(k: Column, e: Column) =
+      when(k > 0, k.cast("double") * log(k.cast("double") / e))
+        .otherwise(lit(0.0))
+    val scored = tc
+      .filter(col("n_target") + col("n_rest") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("__et",
+        (col("n_target") + col("n_rest")) * col("__Nt") /
+          (col("__Nt") + col("__Nr")).cast("double"))
+      .withColumn("__er",
+        (col("n_target") + col("n_rest")) * col("__Nr") /
+          (col("__Nt") + col("__Nr")).cast("double"))
+      .withColumn("__g2", round(
+        lit(2.0) * (term(col("n_target"), col("__et")) +
+          term(col("n_rest"), col("__er"))) *
+          when(col("n_target") >= col("__et"), 1.0).otherwise(-1.0),
+        4))
+    val wPos = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__g2").desc, col("__t"))
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__g2").asc, col("__t"))
+    scored
+      .withColumn("__rp", row_number().over(wPos))
+      .withColumn("__rn", row_number().over(wNeg))
+      .filter(col("__rp") <= topK || col("__rn") <= topK)
+      .select(col("__t").as("term"), col("n_target"), col("n_rest"),
+        col("__g2").as("g2_signed"))
+  }
+
+  /** Gries' DP dispersion per term (X291; Gries 2008) — is a term
+    * spread evenly across corpus parts or clumped in a few:
+    * DP = ½·Σ_parts |v_i − s_i| with v_i the term's share of its own
+    * occurrences in part i and s_i the part's share of the token
+    * stream. 0 = perfectly proportional, → 1 = concentrated in one
+    * part — the screen that separates general vocabulary from
+    * source-specific jargon/boilerplate (frequency alone can't).
+    *
+    * One explode → (part, term) counts (vocab×parts-bounded), part
+    * sizes from the same pass grain, one |v − s| aggregate per term —
+    * ABSENT (part, term) cells contribute their |0 − s_i| mass in
+    * closed form (Σ_present s_i subtracted from 1), no dense grid.
+    * Output per term with ≥ minCount occurrences: (term,
+    * n_occurrences BIGINT, n_parts_present BIGINT, dp 4dp). */
+  def dispersionDp(docs: DataFrame, partCol: String, textCol: String,
+                   minCount: Long = 5L): DataFrame = {
+    val tc = docs.select(col(partCol).as("__p"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__p"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val parts = tc.groupBy(col("__p"))
+      .agg(sum(col("__c")).as("__pn"))
+    val totTok = parts.agg(sum(col("__pn")).as("__N"))
+    val termTot = tc.groupBy(col("__t"))
+      .agg(sum(col("__c")).as("__tc"))
+      .filter(col("__tc") >= minCount)
+    tc.join(broadcast(termTot), Seq("__t"))
+      .join(broadcast(parts), Seq("__p"))
+      .crossJoin(broadcast(totTok))
+      .groupBy(col("__t"))
+      .agg(max(col("__tc")).as("n_occurrences"),
+        count(lit(1)).as("n_parts_present"),
+        // present-part mass + the absent parts' Σ s_i in closed form
+        round((sum(abs(col("__c") / col("__tc").cast("double") -
+            col("__pn") / col("__N").cast("double"))) +
+          lit(1.0) - sum(col("__pn") / col("__N").cast("double"))) / 2,
+          4).as("dp"))
+      .select(col("__t").as("term"), col("n_occurrences"),
+        col("n_parts_present"), col("dp"))
+  }
+
   /** Simple Good–Turing unseen-mass panel per stratum (X276; Good
     * 1953) — "how much probability should the LM reserve for words it
     * has never seen from this source": p₀ = N₁/N (singleton share of

@@ -91,6 +91,32 @@ class LlmTextBatchSpec extends SparkSuite {
     assert(m(5L).getAs[Long]("lcs") == 2L)
   }
 
+  test("keyness: signed G² separates target-key from rest-key terms") {
+    val docs = Seq(("tgt", "apple apple apple banana"),
+      ("rest", "banana banana cherry cherry cherry cherry"))
+      .toDF("src", "text")
+    val m = CorpusStats.keyness(docs, "src", "text", target = "tgt",
+      minCount = 1L, topK = 5).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // apple: (3, 0) vs expectations (1.2, 1.8) → G² = 6·ln 2.5
+    assert(m("apple").getAs[Double]("g2_signed") ==
+      math.rint(6 * math.log(2.5) * 1e4) / 1e4)
+    assert(m("cherry").getAs[Double]("g2_signed") < 0)
+    assert(m("banana").getAs[Long]("n_target") == 1L)
+  }
+
+  test("dispersionDp: clumped terms score high, spread terms low; " +
+    "absent parts carry their share mass") {
+    val docs = Seq(("p1", "a a a a"), ("p2", "a b b b"))
+      .toDF("p", "text")
+    val m = CorpusStats.dispersionDp(docs, "p", "text", minCount = 3L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Double]("dp") == 0.3)
+    assert(m("a").getAs[Long]("n_parts_present") == 2L)
+    assert(m("b").getAs[Double]("dp") == 0.5)   // all in one half-part
+    assert(m("b").getAs[Long]("n_parts_present") == 1L)
+  }
+
   test("bleuCorpus: identity is 1; clipping and zero orders zero " +
     "the score; short candidates null it") {
     val self = Seq((1L, "a b c d e", "a b c d e")).toDF("id", "c", "r")

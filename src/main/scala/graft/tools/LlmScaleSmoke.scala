@@ -756,6 +756,25 @@ object LlmScaleSmoke {
               .select(hour(col("ts")).cast("long").as("h"),
                 col("value")),
             "h", "value", rounds = 3))),
+        // value-cell pivot + k cumulative sums over ONE sort
+        "jonckheere" -> (() => sink(
+          graft.de.RankStats.jonckheereTerpstra(
+            events.select((col("user_id") % 4).cast("string").as("g"),
+              col("value")),
+            "g", "value", Seq("0", "1", "2", "3")))),
+        // doubled-midrank placements over value cells
+        "brunner_munzel" -> (() => sink(
+          graft.de.RankStats.brunnerMunzel(
+            events.select(col("event_type"), col("value")),
+            "event_type", "value", a = "click", b = "view"))),
+        // vocab-bounded term counts + closed-form margins
+        "keyness" -> (() => sink(
+          CorpusStats.keyness(docs, "source", "text",
+            target = "web", minCount = 5L, topK = 15))),
+        // (part, term) cells + per-term share aggregate
+        "dispersion" -> (() => sink(
+          CorpusStats.dispersionDp(docs, "source", "text",
+            minCount = 20L))),
         // subjects collapse to (time, x) cells; 8 Newton steps of one
         // bounded-duration window each
         "cox_ph" -> (() => sink {

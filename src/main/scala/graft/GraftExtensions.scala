@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_entropy"),
       info("char_entropy", classOf[CharEntropy]),
       (es: Seq[Expression]) => CharEntropy(es.head)))
+    ext.injectFunction((FunctionIdentifier("bleu_counts"),
+      info("bleu_counts", classOf[BleuCounts]),
+      (es: Seq[Expression]) => BleuCounts(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("rouge_l_counts"),
+      info("rouge_l_counts", classOf[RougeLCounts]),
+      (es: Seq[Expression]) => RougeLCounts(es(0), es(1))))
     // parameterized expressions: the int arguments must be literals
     // (they shape the output schema / generated code)
     ext.injectFunction((FunctionIdentifier("word_shingles"),

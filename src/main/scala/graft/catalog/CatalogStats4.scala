@@ -780,13 +780,13 @@ object CatalogStats4 {
            |FROM sc CROSS JOIN fin""".stripMargin))
 
   /** X278: Huber robust regression of extended price on quantity and
-    * discount — OLS start, one MAD scale fix, 6 fixed IRLS steps; the
+    * discount — OLS start, one MAD scale fix, 4 fixed IRLS steps; the
     * oracle replays OLS + scale + the weighted-solve recursion. */
   private val q385 = Q("q385_huber",
     (s, dir) => {
       import s.implicits._
       graft.ml.Regression.huber2(t(s, dir, "lineitem"),
-        "l_extendedprice", "l_quantity", "l_discount", iters = 6)
+        "l_extendedprice", "l_quantity", "l_discount", iters = 4)
     },
     Some("""WITH RECURSIVE d AS (
            |  SELECT l_extendedprice::DOUBLE AS y,
@@ -844,9 +844,9 @@ object CatalogStats4 {
            |            least(1.0::DOUBLE, 1.345 * sca.sc /
            |              abs(d.y - fx.b0 - fx.b1 * d.x1
            |                  - fx.b2 * d.x2)) AS w
-           |          FROM fx, d, sca WHERE fx.it < 6) r
+           |          FROM fx, d, sca WHERE fx.it < 4) r
            |        GROUP BY 1) a) c) b),
-           |fin AS (SELECT b0, b1, b2 FROM fx WHERE it = 6),
+           |fin AS (SELECT b0, b1, b2 FROM fx WHERE it = 4),
            |sh AS (
            |  SELECT count(*)::BIGINT AS n,
            |    avg(CASE WHEN 1.345 * sca.sc /

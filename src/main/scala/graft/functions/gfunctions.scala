@@ -207,6 +207,12 @@ object gfunctions {
     reg.createOrReplaceTempFunction(
       "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "bleu_counts", exprs => BleuCounts(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "rouge_l_counts", exprs => RougeLCounts(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "strip_accents", exprs => StripAccents(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "damerau_levenshtein",

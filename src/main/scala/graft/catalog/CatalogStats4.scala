@@ -1744,8 +1744,91 @@ object CatalogStats4 {
            |CROSS JOIN tot
            |GROUP BY t ORDER BY dp DESC, term LIMIT 25""".stripMargin))
 
+  /** X292: Fleiss' κ over a constant-5-rater design (dense event ids
+    * bucketed in fives, category = event type) — exact BIGINT counts
+    * to the closing ratios. */
+  private val q398 = Q("q398_fleiss_kappa",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Agreement.fleissKappa(
+        t(s, dir, "events").select(
+          floor($"event_id" / 5).cast("long").as("item"),
+          $"event_type"),
+        "item", "event_type")
+    },
+    Some("""WITH cells AS (
+           |  SELECT event_id // 5 AS i, event_type AS c,
+           |    count(*)::BIGINT AS n
+           |  FROM events GROUP BY 1, 2),
+           |items AS (SELECT i, sum(n)::BIGINT AS m,
+           |            sum(n * n)::BIGINT AS sq
+           |          FROM cells GROUP BY 1),
+           |ia AS (SELECT count(*)::BIGINT AS n_items,
+           |         min(m) AS mmin, max(m) AS mmax,
+           |         sum(sq)::BIGINT AS sqsum, sum(m)::BIGINT AS tot
+           |       FROM items),
+           |ca AS (SELECT count(*)::BIGINT AS n_categories,
+           |         sum(nc * nc)::BIGINT AS nc2
+           |       FROM (SELECT c, sum(n)::BIGINT AS nc
+           |             FROM cells GROUP BY 1))
+           |SELECT n_items,
+           |  CASE WHEN mmin = mmax AND mmin >= 2 THEN mmin END
+           |    AS n_raters,
+           |  n_categories,
+           |  CASE WHEN mmin = mmax AND mmin >= 2 THEN
+           |    round((sqsum - tot) /
+           |      (n_items * mmin * (mmin - 1))::DOUBLE, 4) END
+           |    AS p_bar,
+           |  CASE WHEN mmin = mmax AND mmin >= 2 THEN
+           |    round(nc2 / (tot * tot)::DOUBLE, 4) END AS p_e,
+           |  CASE WHEN mmin = mmax AND mmin >= 2
+           |        AND nc2 < tot * tot THEN
+           |    round(((sqsum - tot) /
+           |        (n_items * mmin * (mmin - 1))::DOUBLE
+           |      - nc2 / (tot * tot)::DOUBLE) /
+           |      (1 - nc2 / (tot * tot)::DOUBLE), 4) END AS kappa
+           |FROM ia CROSS JOIN ca""".stripMargin))
+
+  /** X293: Krippendorff's α (nominal) over a RAGGED design (items of
+    * 3-4 ratings) — single-rating items dropped, closed-form nominal
+    * disagreement masses. */
+  private val q399 = Q("q399_krippendorff",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Agreement.krippendorffAlpha(
+        t(s, dir, "events").select(
+          pmod($"event_id", lit(3000)).as("item"), $"event_type"),
+        "item", "event_type")
+    },
+    Some("""WITH cells AS (
+           |  SELECT event_id % 3000 AS i, event_type AS c,
+           |    count(*)::BIGINT AS n
+           |  FROM events GROUP BY 1, 2),
+           |items AS (SELECT i, sum(n)::BIGINT AS m,
+           |            sum(n * n)::BIGINT AS sq
+           |          FROM cells GROUP BY 1
+           |          HAVING sum(n) >= 2),
+           |ia AS (SELECT count(*)::BIGINT AS n_items,
+           |         sum(m)::BIGINT AS n_ratings,
+           |         sum((m * m - sq) / (m - 1)::DOUBLE) AS dov
+           |       FROM items),
+           |ca AS (SELECT count(*)::BIGINT AS n_categories,
+           |         sum(nc * nc)::BIGINT AS nc2,
+           |         sum(nc)::BIGINT AS nsum
+           |       FROM (SELECT c, sum(n)::BIGINT AS nc
+           |             FROM cells JOIN items USING (i)
+           |             GROUP BY c))
+           |SELECT n_items, n_ratings, n_categories,
+           |  round(dov, 4) AS d_o,
+           |  round((nsum * nsum - nc2) / (nsum - 1)::DOUBLE, 4)
+           |    AS d_e,
+           |  CASE WHEN (nsum * nsum - nc2) > 0 THEN
+           |    round(1 - dov / ((nsum * nsum - nc2) /
+           |      (nsum - 1)::DOUBLE), 4) END AS alpha
+           |FROM ia CROSS JOIN ca""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
     q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
     q387, q388, q389, q390, q391, q392, q393, q394, q395, q396,
-    q397)
+    q397, q398, q399)
 }

@@ -81,4 +81,107 @@ object Agreement {
       round((msb - msw) / nullif(msb + (k0 - 1) * msw, lit(0.0)), 4)
         .as("icc"))
   }
+
+  /** Fleiss' κ (X292; Fleiss 1971) — chance-corrected agreement for
+    * k ≥ 2 raters assigning CATEGORICAL labels, the multi-rater
+    * generalization Cohen's κ can't give (label quality crowdsourcing
+    * runs on this): with n raters per item and n_ic the count of
+    * raters putting item i in category c,
+    *
+    *   P_i = (Σ_c n_ic² − n)/(n(n−1)),  P̄ = mean,  P̄_e = Σ_c p_c²,
+    *   κ = (P̄ − P̄_e)/(1 − P̄_e).
+    *
+    * Requires the CLASSIC constant-raters-per-item design — ragged
+    * items make the statistic ill-defined, so they null the result
+    * (use [[krippendorffAlpha]] for missing ratings). Everything is
+    * exact BIGINT counts until the three closing ratios: one
+    * (item, category) aggregate + one item aggregate + a
+    * category-margin aggregate.
+    *
+    * Output (one row): n_items BIGINT, n_raters BIGINT,
+    * n_categories BIGINT, p_bar 4dp, p_e 4dp, kappa 4dp (null on
+    * ragged designs or P̄_e = 1). */
+  def fleissKappa(df: DataFrame, itemCol: String,
+                  categoryCol: String): DataFrame = {
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"),
+        col(categoryCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n") * col("__n")).as("__sq"))
+    val iAgg = items.agg(count(lit(1)).as("n_items"),
+      min(col("__m")).as("__mmin"), max(col("__m")).as("__mmax"),
+      sum(col("__sq")).as("__sqsum"), sum(col("__m")).as("__tot"))
+    val cats = cells.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__nc") * col("__nc")).as("__nc2"))
+    val j = iAgg.crossJoin(broadcast(cats))
+    val n = col("__mmin").cast("double")
+    val ok = col("__mmin") === col("__mmax") && col("__mmin") >= 2
+    val pBar = (col("__sqsum") - col("__tot")).cast("double") /
+      (col("n_items") * n * (n - 1))
+    val pE = col("__nc2").cast("double") /
+      (col("__tot") * col("__tot")).cast("double")
+    j.select(col("n_items"),
+      when(ok, col("__mmin")).as("n_raters"),
+      col("n_categories"),
+      when(ok, round(pBar, 4)).as("p_bar"),
+      when(ok, round(pE, 4)).as("p_e"),
+      when(ok && pE < 1.0,
+        round((pBar - pE) / (lit(1.0) - pE), 4)).as("kappa"))
+  }
+
+  /** Krippendorff's α, nominal metric (X293; Krippendorff 2004) —
+    * the agreement coefficient that tolerates MISSING ratings and
+    * any number of raters per item (the real shape of crowdsourced
+    * label tables): from the coincidence matrix
+    * o_ck = Σ_items n_ic·(n_ik − δ_ck)/(m_i − 1),
+    *
+    *   D_o = Σ_{c≠k} o_ck,  D_e = Σ_{c≠k} n_c·n_k/(n−1),
+    *   α = 1 − D_o/D_e,
+    *
+    * where n_c are coincidence margins and n = Σ m_i over items with
+    * m_i ≥ 2 (single-rating items carry no pairable information and
+    * drop, the standard convention). For the nominal metric both
+    * disagreement masses reduce to closed-form margins — NO category
+    * pair join: D_o = Σ_i (m_i − Σ_c n_ic²/... ) folds to exact
+    * integer sums of m_i and Σn_ic² scaled by 1/(m_i−1).
+    *
+    * Output (one row): n_items BIGINT (pairable), n_ratings BIGINT,
+    * n_categories BIGINT, d_o 4dp, d_e 4dp, alpha 4dp (null when
+    * D_e = 0 — fewer than 2 distinct categories). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"),
+        col(categoryCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n") * col("__n")).as("__sq"))
+      .filter(col("__m") >= 2)
+    // nominal D_o per item: Σ_{c≠k} n_c n_k/(m−1) = (m² − Σn_c²)/(m−1)
+    val iAgg = items.agg(count(lit(1)).as("n_items"),
+      sum(col("__m")).as("n_ratings"),
+      sum((col("__m") * col("__m") - col("__sq")).cast("double") /
+        (col("__m") - 1)).as("__do"))
+    // margins over the same pairable items only
+    val cats = cells.join(items.select(col("__i")), Seq("__i"))
+      .groupBy(col("__c")).agg(sum(col("__n")).as("__nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__nc") * col("__nc")).as("__nc2"),
+        sum(col("__nc")).as("__nsum"))
+    val j = iAgg.crossJoin(broadcast(cats))
+    val dE = (col("__nsum") * col("__nsum") - col("__nc2"))
+      .cast("double") / (col("__nsum") - 1)
+    j.select(col("n_items"), col("n_ratings"), col("n_categories"),
+      round(col("__do"), 4).as("d_o"),
+      round(dE, 4).as("d_e"),
+      when(dE > 0.0, round(lit(1.0) - col("__do") / dE, 4))
+        .as("alpha"))
+  }
 }

@@ -1827,8 +1827,62 @@ object CatalogStats4 {
            |      (nsum - 1)::DOUBLE), 4) END AS alpha
            |FROM ia CROSS JOIN ca""".stripMargin))
 
+  /** X294: the curation funnel — the one-query readout every
+    * training-data pipeline reports: per source, documents surviving
+    * exact dedup (md5 content hash, min-doc_id winner) then cheap
+    * quality gates (token-count band + digit-ratio cap), with the
+    * surviving token mass. Pure composition of the engine's own
+    * conventions (q20's hash-dedup, q22's gate arithmetic); one
+    * window + one aggregate. */
+  private val q400 = Q("q400_curation_funnel",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.gfunctions.md5_long
+      val base = t(s, dir, "documents").select($"source", $"doc_id",
+        size(graft.text.TextAnalysis.tokens($"text")).as("ntok"),
+        regexp_count($"text", lit("[0-9]")).as("ndig"),
+        length($"text").as("nch"), md5_long($"text").as("h"))
+      val w = Window.partitionBy($"h").orderBy($"doc_id")
+      base.withColumn("keep", row_number().over(w) === 1)
+        .withColumn("quality",
+          $"ntok".between(20, 2000) &&
+            $"ndig" < $"nch" * 0.2)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_unique"),
+          sum(when($"keep" && $"quality", 1L).otherwise(0L))
+            .as("n_quality"),
+          sum(when($"keep" && $"quality", $"ntok").otherwise(0L))
+            .cast("long").as("tokens_out"))
+        .orderBy($"source")
+    },
+    Some("""WITH base AS (
+           |  SELECT source, doc_id,
+           |    len(regexp_extract_all(text, '\S+'))::BIGINT AS ntok,
+           |    len(regexp_extract_all(text, '[0-9]'))::BIGINT
+           |      AS ndig,
+           |    length(text)::BIGINT AS nch,
+           |    md5_number_lower(text) AS h
+           |  FROM documents),
+           |ranked AS (
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+           |      AS keep,
+           |    ntok BETWEEN 20 AND 2000 AND ndig < nch * 0.2
+           |      AS quality
+           |  FROM base)
+           |SELECT source, count(*)::BIGINT AS n_raw,
+           |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_unique,
+           |  sum(CASE WHEN keep AND quality THEN 1 ELSE 0
+           |      END)::BIGINT AS n_quality,
+           |  sum(CASE WHEN keep AND quality THEN ntok ELSE 0
+           |      END)::BIGINT AS tokens_out
+           |FROM ranked GROUP BY 1 ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
     q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
     q387, q388, q389, q390, q391, q392, q393, q394, q395, q396,
-    q397, q398, q399)
+    q397, q398, q399, q400)
 }

@@ -1881,8 +1881,56 @@ object CatalogStats4 {
            |      END)::BIGINT AS tokens_out
            |FROM ranked GROUP BY 1 ORDER BY source""".stripMargin))
 
+  /** X295: Gwet's AC1 on the q398 constant-5-rater design — the
+    * prevalence-robust companion readout. */
+  private val q401 = Q("q401_gwet_ac1",
+    (s, dir) => {
+      import s.implicits._
+      graft.de.Agreement.gwetAc1(
+        t(s, dir, "events").select(
+          floor($"event_id" / 5).cast("long").as("item"),
+          $"event_type"),
+        "item", "event_type")
+    },
+    Some("""WITH cells AS (
+           |  SELECT event_id // 5 AS i, event_type AS c,
+           |    count(*)::BIGINT AS n
+           |  FROM events GROUP BY 1, 2),
+           |items AS (SELECT i, sum(n)::BIGINT AS m,
+           |            sum(n * n)::BIGINT AS sq
+           |          FROM cells GROUP BY 1),
+           |ia AS (SELECT count(*)::BIGINT AS n_items,
+           |         min(m) AS mmin, max(m) AS mmax,
+           |         sum(sq)::BIGINT AS sqsum, sum(m)::BIGINT AS tot
+           |       FROM items),
+           |ca AS (SELECT count(*)::BIGINT AS n_categories,
+           |         sum(nc * nc)::BIGINT AS nc2
+           |       FROM (SELECT c, sum(n)::BIGINT AS nc
+           |             FROM cells GROUP BY 1))
+           |SELECT n_items,
+           |  CASE WHEN mmin = mmax AND mmin >= 2 THEN mmin END
+           |    AS n_raters,
+           |  n_categories,
+           |  CASE WHEN mmin = mmax AND mmin >= 2 THEN
+           |    round((sqsum - tot) /
+           |      (n_items * mmin * (mmin - 1))::DOUBLE, 4) END
+           |    AS p_bar,
+           |  CASE WHEN mmin = mmax AND mmin >= 2 THEN
+           |    round((1 - nc2 / (tot * tot)::DOUBLE) /
+           |      (n_categories - 1), 4) END AS p_e_gamma,
+           |  CASE WHEN mmin = mmax AND mmin >= 2
+           |        AND (1 - nc2 / (tot * tot)::DOUBLE) /
+           |            (n_categories - 1) < 1 THEN
+           |    round(((sqsum - tot) /
+           |        (n_items * mmin * (mmin - 1))::DOUBLE
+           |      - (1 - nc2 / (tot * tot)::DOUBLE) /
+           |        (n_categories - 1)) /
+           |      (1 - (1 - nc2 / (tot * tot)::DOUBLE) /
+           |        (n_categories - 1)), 4) END AS ac1
+           |FROM ia CROSS JOIN ca""".stripMargin))
+
   val all: Seq[Q] = Seq(q370, q371, q372, q373, q374, q375, q376,
     q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
     q387, q388, q389, q390, q391, q392, q393, q394, q395, q396,
-    q397, q398, q399, q400)
+    q397, q398, q399, q400, q401)
 }

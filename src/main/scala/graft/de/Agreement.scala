@@ -134,6 +134,55 @@ object Agreement {
         round((pBar - pE) / (lit(1.0) - pE), 4)).as("kappa"))
   }
 
+  /** Gwet's AC1 (X295; Gwet 2008) — the multi-rater agreement
+    * coefficient built for the PREVALENCE PARADOX that deflates
+    * [[fleissKappa]]: when one category dominates (99% "ok" labels),
+    * κ's chance term P̄_e → 1 and even excellent raters score near 0;
+    * AC1's chance term e(γ) = Σ_c π_c(1−π_c)/(k−1) instead VANISHES
+    * under extreme prevalence, so the coefficient stays informative.
+    * Same observed agreement P̄ and constant-raters contract as
+    * Fleiss (π_c = category share of ratings); identical exact-BIGINT
+    * aggregate shape.
+    *
+    * Output (one row): n_items BIGINT, n_raters BIGINT,
+    * n_categories BIGINT, p_bar 4dp, p_e_gamma 4dp, ac1 4dp (null on
+    * ragged designs, k < 2 categories, or e(γ) = 1). */
+  def gwetAc1(df: DataFrame, itemCol: String,
+              categoryCol: String): DataFrame = {
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"),
+        col(categoryCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n") * col("__n")).as("__sq"))
+    val iAgg = items.agg(count(lit(1)).as("n_items"),
+      min(col("__m")).as("__mmin"), max(col("__m")).as("__mmax"),
+      sum(col("__sq")).as("__sqsum"), sum(col("__m")).as("__tot"))
+    val cats = cells.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__nc") * col("__nc")).as("__nc2"))
+    val j = iAgg.crossJoin(broadcast(cats))
+    val n = col("__mmin").cast("double")
+    val kD = col("n_categories").cast("double")
+    val ok = col("__mmin") === col("__mmax") && col("__mmin") >= 2 &&
+      col("n_categories") >= 2
+    val pBar = (col("__sqsum") - col("__tot")).cast("double") /
+      (col("n_items") * n * (n - 1))
+    // e(γ) = Σ π(1−π)/(k−1) = (1 − Σπ²)/(k−1)
+    val eGamma = (lit(1.0) - col("__nc2").cast("double") /
+      (col("__tot") * col("__tot")).cast("double")) / (kD - 1)
+    j.select(col("n_items"),
+      when(ok, col("__mmin")).as("n_raters"),
+      col("n_categories"),
+      when(ok, round(pBar, 4)).as("p_bar"),
+      when(ok, round(eGamma, 4)).as("p_e_gamma"),
+      when(ok && eGamma < 1.0,
+        round((pBar - eGamma) / (lit(1.0) - eGamma), 4)).as("ac1"))
+  }
+
   /** Krippendorff's α, nominal metric (X293; Krippendorff 2004) —
     * the agreement coefficient that tolerates MISSING ratings and
     * any number of raters per item (the real shape of crowdsourced

@@ -775,6 +775,33 @@ object LlmScaleSmoke {
         "dispersion" -> (() => sink(
           CorpusStats.dispersionDp(docs, "source", "text",
             minCount = 20L))),
+        // (item, category) cells + two bounded aggregates each
+        "fleiss_kappa" -> (() => sink(
+          graft.de.Agreement.fleissKappa(
+            events.select(floor(col("event_id") / 5).cast("long")
+              .as("item"), col("event_type")),
+            "item", "event_type"))),
+        "krippendorff" -> (() => sink(
+          graft.de.Agreement.krippendorffAlpha(
+            events.select(pmod(col("event_id"),
+              lit(math.max(2L, n / 3))).as("item"),
+              col("event_type")),
+            "item", "event_type"))),
+        // md5 window + one aggregate — the composed funnel readout
+        "curation_funnel" -> (() => sink {
+          import graft.functions.gfunctions.md5_long
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("h")).orderBy(col("doc_id"))
+          docs.select(col("source"), col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).as("ntok"),
+              md5_long(col("text")).as("h"))
+            .withColumn("keep", row_number().over(w) === 1)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_raw"),
+              sum(when(col("keep"), 1L).otherwise(0L)).as("n_unique"),
+              sum(when(col("keep"), col("ntok")).otherwise(0L))
+                .as("tokens_out"))
+        }),
         // subjects collapse to (time, x) cells; 8 Newton steps of one
         // bounded-duration window each
         "cox_ph" -> (() => sink {

@@ -43,6 +43,23 @@ class MultiRaterSpec extends SparkSuite {
     assert(p.getAs[Double]("alpha") == r.getAs[Double]("alpha"))
   }
 
+  test("gwetAc1: hand values, and the prevalence paradox it fixes") {
+    // balanced data: e(γ) = (1 − .5)/(2−1) = .5 → AC1 = κ = 1/3
+    val r = Agreement.gwetAc1(ratings, "item", "cat").head()
+    assert(r.getAs[Double]("p_bar") == 0.6667)
+    assert(r.getAs[Double]("p_e_gamma") == 0.5)
+    assert(r.getAs[Double]("ac1") == 0.3333)
+    // extreme prevalence: 9 unanimous "ok" items + 1 split item.
+    // κ collapses (P̄e ≈ .9) while AC1 stays high — the paradox.
+    val skew = ((1 to 9).flatMap(i => Seq((i.toLong, "ok"),
+      (i.toLong, "ok"))) ++ Seq((10L, "ok"), (10L, "bad")))
+      .toDF("item", "cat")
+    val k = Agreement.fleissKappa(skew, "item", "cat").head()
+    val g = Agreement.gwetAc1(skew, "item", "cat").head()
+    assert(g.getAs[Double]("ac1") > 0.85)
+    assert(k.getAs[Double]("kappa") < 0.0)
+  }
+
   test("krippendorffAlpha: one category gives null alpha (no " +
     "expected disagreement)") {
     val one = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))

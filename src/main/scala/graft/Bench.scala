@@ -41,6 +41,20 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).toSet)
+    // Builder-local shard mode, "i/N" (i in 1..N): run only the i-th
+    // contiguous slice of the (query-number-ordered) catalog in THIS
+    // JVM. Per-query numbers inside the 401-query JVM drift under
+    // neighbor pressure (heap shape, code cache, GC history — the
+    // q258 round-8 episode); running the catalog as N fresh-JVM shards
+    // isolates code changes from in-process environment when chasing a
+    // round-over-round delta. Totals across shards are additive.
+    val shard: Option[(Int, Int)] =
+      sys.env.get("SPARK_GRAFT_BENCH_SHARD").map { s =>
+        val Array(i, n) = s.split("/").map(_.trim.toInt)
+        require(n >= 1 && i >= 1 && i <= n,
+          s"SPARK_GRAFT_BENCH_SHARD must be i/N with 1 <= i <= N, got $s")
+        (i, n)
+      }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -67,8 +81,14 @@ object Bench {
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val queries = SparkEntry.queries
+    val sharded = shard match {
+      case None => headline
+      case Some((i, n)) =>
+        val per = (headline.size + n - 1) / n
+        headline.slice((i - 1) * per, math.min(i * per, headline.size))
+    }
     val results: Seq[(String, Either[String, (Double, Long)])] =
-      headline.filter(n => only.forall(_.contains(n))).map { name =>
+      sharded.filter(n => only.forall(_.contains(n))).map { name =>
         // headline is derived from the same map, so lookup cannot miss
         val fn = queries(name)
         try {
@@ -116,7 +136,9 @@ object Bench {
     // (3) the canonical one-line JSON still closes stdout for the driver.
     println(s"""{"queries":$qs,"value":$total}""")
     try {
-      val p = java.nio.file.Paths.get("bench_full.json")
+      val fname = shard.map { case (i, n) =>
+        s"bench_full_shard_${i}_of_$n.json" }.getOrElse("bench_full.json")
+      val p = java.nio.file.Paths.get(fname)
       java.nio.file.Files.write(p,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }

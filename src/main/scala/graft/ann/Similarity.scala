@@ -281,7 +281,15 @@ object Similarity {
     // id normalized to long and null-relevance rows dropped up front:
     // the per-round argmax collect reads getLong/getDouble, so an
     // int-typed id or a null rel would otherwise throw mid-loop after
-    // partial work.
+    // partial work. The id column must START numeric (or boolean-free
+    // castable): a string id would non-ANSI-cast to null silently and
+    // degenerate the argmax — fail fast with the contract instead.
+    val idType = candidates.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"mmrSelect: id column '$idCol' must be numeric (got " +
+        s"${idType.simpleString}) — string ids would cast to null " +
+        "and silently break the per-round argmax; map them to a " +
+        "numeric surrogate first")
     val cand = candidates
       .filter(col(relCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),

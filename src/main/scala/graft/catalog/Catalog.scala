@@ -232,9 +232,17 @@ object Catalog {
       CatalogAttr.all ++ CatalogGrid.all ++ CatalogSqlTvf.all ++
       CatalogSeq.all ++ CatalogStats3.all ++ CatalogStats4.all
 
+  // Signed-zero closure (see [[SignedZero]]): every listed ±0.0-capable
+  // column is canonicalized to +0.0 on BOTH sides at assembly, so no
+  // tiny-negative score can hash-diverge on the Spark-round-vs-DuckDB-
+  // round signed-zero asymmetry.
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.run).toMap
+    all.map(q => q.name ->
+      ((s: SparkSession, dir: String) =>
+        SignedZero.canonDf(q.name, q.run(s, dir)))).toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    all.flatMap(q =>
+      q.oracle.map(sql => q.name -> SignedZero.canonSql(q.name, sql)))
+      .toMap
 }

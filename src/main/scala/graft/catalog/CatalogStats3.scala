@@ -1649,11 +1649,11 @@ object CatalogStats3 {
            |  SELECT g, n,
            |    (-n - sad / n) * (1 + 0.75 / n + 2.25 / (n * n))
            |      AS a2s,
-           |    scv + 1 / (12 * n) AS w2
+           |    (scv + 1 / (12 * n)) * (1 + 0.5 / n) AS w2s
            |  FROM agg)
            |SELECT g AS event_type, n::BIGINT AS n,
            |  round(a2s, 4) AS a2_star, a2s > 0.752 AS ad_reject_5pct,
-           |  round(w2, 4) AS w2, w2 > 0.126 AS cvm_reject_5pct
+           |  round(w2s, 4) AS w2_star, w2s > 0.126 AS cvm_reject_5pct
            |FROM fin ORDER BY event_type""".stripMargin))
 
   /** X251: exact rank-based two-sample Anderson–Darling of finished
@@ -1734,12 +1734,15 @@ object CatalogStats3 {
            |  SELECT event_type, count(*)::BIGINT AS n,
            |    quantile_cont(value, 0.95) AS u
            |  FROM events WHERE value IS NOT NULL GROUP BY 1),
-           |ex AS (
-           |  SELECT e.event_type, max(n) AS n, max(u) AS u,
-           |    count(*)::BIGINT AS n_exceed,
+           |exa AS (
+           |  SELECT e.event_type, count(*)::BIGINT AS n_exceed,
            |    avg(e.value - u) AS me, var_pop(e.value - u) AS ve
            |  FROM events e JOIN thr USING (event_type)
            |  WHERE e.value > u GROUP BY 1),
+           |ex AS (
+           |  SELECT thr.event_type, thr.n, thr.u,
+           |    coalesce(n_exceed, 0)::BIGINT AS n_exceed, me, ve
+           |  FROM thr LEFT JOIN exa USING (event_type)),
            |r AS (
            |  SELECT *, me * me / nullif(CASE WHEN n_exceed >= 2
            |      THEN ve END, 0) AS ratio

@@ -1704,7 +1704,7 @@ object CatalogStats4 {
            |        ELSE 0 END) *
            |      (CASE WHEN n_target >=
            |         (n_target + n_rest) * nt / (nt + nr)::DOUBLE
-           |       THEN 1.0 ELSE -1.0 END), 4) AS g2
+           |       THEN 1.0 ELSE -1.0 END), 4) + 0.0 AS g2
            |  FROM tc, tot WHERE n_target + n_rest >= 5),
            |rk AS (
            |  SELECT *,
@@ -1835,28 +1835,10 @@ object CatalogStats4 {
     * conventions (q20's hash-dedup, q22's gate arithmetic); one
     * window + one aggregate. */
   private val q400 = Q("q400_curation_funnel",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.gfunctions.md5_long
-      val base = t(s, dir, "documents").select($"source", $"doc_id",
-        size(graft.text.TextAnalysis.tokens($"text")).as("ntok"),
-        regexp_count($"text", lit("[0-9]")).as("ndig"),
-        length($"text").as("nch"), md5_long($"text").as("h"))
-      val w = Window.partitionBy($"h").orderBy($"doc_id")
-      base.withColumn("keep", row_number().over(w) === 1)
-        .withColumn("quality",
-          $"ntok".between(20, 2000) &&
-            $"ndig" < $"nch" * 0.2)
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_raw"),
-          sum(when($"keep", 1L).otherwise(0L)).as("n_unique"),
-          sum(when($"keep" && $"quality", 1L).otherwise(0L))
-            .as("n_quality"),
-          sum(when($"keep" && $"quality", $"ntok").otherwise(0L))
-            .cast("long").as("tokens_out"))
-        .orderBy($"source")
-    },
+    (s, dir) =>
+      graft.text.Curation.funnel(t(s, dir, "documents"),
+        "source", "doc_id", "text",
+        minTok = 20, maxTok = 2000, maxDigitRatio = 0.2),
     Some("""WITH base AS (
            |  SELECT source, doc_id,
            |    len(regexp_extract_all(text, '\S+'))::BIGINT AS ntok,

@@ -31,13 +31,19 @@ object Evt {
     val nn = df.filter(v.isNotNull)
     val thr = nn.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), percentile(v, lit(q)).as("__u"))
-    val ex = nn.join(broadcast(thr), Seq(groupCol))
+    // Aggregate the exceedances alone, then left-join back onto the
+    // per-group threshold frame: a group whose exceedance set is empty
+    // (heavy ties AT the q-quantile make `v > __u` drop everything)
+    // must still emit its row with n_exceed = 0 and null fits — the
+    // documented row-per-group contract.
+    val exAgg = nn.join(broadcast(thr), Seq(groupCol))
       .filter(v > col("__u"))
       .groupBy(col(groupCol))
-      .agg(max(col("n")).as("n"), max(col("__u")).as("__u"),
-        count(lit(1)).as("n_exceed"),
+      .agg(count(lit(1)).as("n_exceed"),
         avg(v - col("__u")).as("__me"),
         var_pop(v - col("__u")).as("__ve"))
+    val ex = thr.join(exAgg, Seq(groupCol), "left")
+      .withColumn("n_exceed", coalesce(col("n_exceed"), lit(0L)))
     val ratio = col("__me") * col("__me") /
       nullif(when(col("n_exceed") >= 2, col("__ve")), lit(0.0))
     ex.select(col(groupCol), col("n"),

@@ -65,12 +65,17 @@ object Gof {
     val a2 = -nn - col("__ad") / nn
     val a2s = a2 * (lit(1.0) + lit(0.75) / nn +
       lit(2.25) / (nn * nn))
-    val w2 = col("__cvm") + lit(1.0) / (nn * 12)
+    // Stephens' case-3 criticals are tabulated for the MODIFIED
+    // statistics: A*² above, and W*² = W²·(1 + 0.5/n) here — comparing
+    // the raw W² to 0.126 would be slightly conservative at exactly
+    // the small n this battery targets.
+    val w2s = (col("__cvm") + lit(1.0) / (nn * 12)) *
+      (lit(1.0) + lit(0.5) / nn)
     agg.select(col("__g").as(groupCol), col("n"),
       round(a2s, 4).as("a2_star"),
       (a2s > 0.752).as("ad_reject_5pct"),
-      round(w2, 4).as("w2"),
-      (w2 > 0.126).as("cvm_reject_5pct"))
+      round(w2s, 4).as("w2_star"),
+      (w2s > 0.126).as("cvm_reject_5pct"))
   }
 
   /** EXACT two-sample Anderson–Darling per scope (Scholz–Stephens

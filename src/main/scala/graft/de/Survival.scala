@@ -137,7 +137,8 @@ object Survival {
     * chi2 4-dp; z is null when V = 0 (no events, or one group absent
     * everywhere). */
   def logRank(df: DataFrame, groupCol: String, durationCol: String,
-              eventCol: String, a: String, b: String): DataFrame = {
+              eventCol: String, a: String, b: String,
+              maxDistinctTimes: Long = 200000L): DataFrame = {
     val isA = col(groupCol) === a
     val byT = df.filter(isA || col(groupCol) === b)
       .groupBy(col(durationCol).as("t"))
@@ -146,6 +147,14 @@ object Survival {
         sum(when(!isA, 1L).otherwise(0L)).as("c_b"),
         sum(when(isA && col(eventCol) === 1, 1L).otherwise(0L)).as("d_a"),
         sum(when(!isA && col(eventCol) === 1, 1L).otherwise(0L)).as("d_b"))
+      .persist()
+    // Same bounded-duration-grain contract as [[coxPh]]: the
+    // cumulative windows below single-sort the distinct durations.
+    val nTimes = byT.count()
+    require(nTimes <= maxDistinctTimes,
+      s"logRank: $nTimes distinct durations exceeds the single-sort " +
+        s"guard ($maxDistinctTimes) — bucket the duration column " +
+        "before calling")
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
@@ -277,17 +286,47 @@ object Survival {
     * hazard_ratio 4dp, se 4dp, z 4dp, p_value 6dp (normal
     * approximation, the Wald test). */
   def coxPh(df: DataFrame, durationCol: String, eventCol: String,
-            xCol: String, iters: Int = 8): DataFrame = {
+            xCol: String, iters: Int = 8,
+            timeBuckets: Int = 0,
+            maxDistinctTimes: Long = 200000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(timeBuckets >= 0, "timeBuckets must be >= 0")
     import graft.functions.gfunctions.normal_sf
     val spark = df.sparkSession
-    val cells = df.select(col(durationCol).cast("double").as("__t"),
+    val raw = df.select(col(durationCol).cast("double").as("__t"),
         when(col(eventCol) === 1, 1L).otherwise(0L).as("__e"),
         col(xCol).cast("double").as("__x"))
       .filter(col("__t").isNotNull && col("__x").isNotNull)
+    // Optional duration coarsening for continuous (e.g. microsecond)
+    // durations at fact scale: fixed-width buckets over [min, max],
+    // each represented by its LOWER edge (deterministic; preserves
+    // risk-set order). Off by default — exact distinct durations.
+    val bucketed = if (timeBuckets == 0) raw else {
+      val mm = raw.agg(min(col("__t")), max(col("__t"))).head()
+      if (mm.isNullAt(0)) raw else {
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        val width = (hi - lo) / timeBuckets
+        if (width <= 0) raw
+        else raw.withColumn("__t",
+          lit(lo) + floor((col("__t") - lit(lo)) / lit(width)) *
+            lit(width))
+      }
+    }
+    val cells = bucketed
       .groupBy(col("__t"), col("__x"))
       .agg(count(lit(1)).as("__n"), sum(col("__e")).as("__d"))
       .persist()
+    // The per-step cumulative window below is ordered but
+    // unpartitioned — one task sorts the distinct-duration domain
+    // (the bounded-duration-grain contract). Continuous durations at
+    // fact scale would serialize it: fail fast and point at
+    // timeBuckets instead (the Centrality driver-guard pattern).
+    val nTimes = cells.select(col("__t")).distinct().count()
+    require(nTimes <= maxDistinctTimes,
+      s"coxPh: $nTimes distinct durations exceeds the single-sort " +
+        s"guard ($maxDistinctTimes); risk-set sums serialize over " +
+        "the duration domain — coarsen with timeBuckets (> 0) or " +
+        "pre-bucket the duration column")
     val wDesc = Window.orderBy(col("__t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // score and information at a given beta — one pass over cells

@@ -321,7 +321,8 @@ object Regression {
     * Output (one row): n, b0, b1, b2 (4dp), scale 6dp,
     * share_downweighted 4dp (rows with w < 1 at the final fit). */
   def huber2(df: DataFrame, y: String, x1: String, x2: String,
-             iters: Int = 6): DataFrame = {
+             iters: Int = 6,
+             exactScale: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = df.sparkSession
     val K = 1.345
@@ -346,9 +347,21 @@ object Regression {
             lit(null).cast("double").as("share_downweighted"))
       case Some(ols) =>
         val r0 = resid(ols)
-        val medR = d.agg(percentile(r0, lit(0.5))).head.getDouble(0)
-        val mad = d.agg(percentile(abs(r0 - medR), lit(0.5)))
-          .head.getDouble(0)
+        // MAD probe honors the Preprocess.pctAgg size dispatch: the
+        // residual column is ONE group with unbounded cardinality, so
+        // exact `percentile` buffers every row in a single task —
+        // past ExactPercentileMaxGroupRows switch to
+        // approx_percentile's bounded-memory sketch (rank error
+        // ≪ the 6-dp scale rounding). `exactScale` skips the probe
+        // when the caller knows the cardinality.
+        val exact = exactScale.getOrElse(d.count() <=
+          graft.prep.Preprocess.ExactPercentileMaxGroupRows)
+        def pct50(c: Column): Column =
+          if (exact) percentile(c, lit(0.5))
+          else approx_percentile(c, lit(0.5), lit(10000))
+            .cast("double")
+        val medR = d.agg(pct50(r0)).head.getDouble(0)
+        val mad = d.agg(pct50(abs(r0 - medR))).head.getDouble(0)
         val scale = mad / 0.6745
         var beta = ols
         if (scale > 0) {

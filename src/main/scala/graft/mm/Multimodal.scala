@@ -11,9 +11,12 @@ import graft.functions.gfunctions._
   * are the IMAGE and AUDIO paths: [[imageKernel]] decodes PNG/JPEG via
   * javax.imageio and [[audioKernel]] decodes WAV/AIFF/AU PCM via
   * javax.sound.sampled (both JDK-only, zero-egress-safe) inside the
-  * same mapPartitions boundary. Only the VIDEO kernel remains the
-  * clearly-marked deterministic [[stubKernel]] (the JDK ships no video
-  * codec); swapping kernels changes nothing upstream or downstream.
+  * same mapPartitions boundary. VIDEO container metadata is real too —
+  * [[videoMetadata]] walks the public MP4/ISO-BMFF box layout in pure
+  * byte arithmetic (duration, resolution, brand; no codec needed);
+  * only video FRAME decode remains the clearly-marked deterministic
+  * [[stubKernel]] (the JDK ships no video codec). Swapping kernels
+  * changes nothing upstream or downstream.
   */
 object Multimodal {
 
@@ -158,6 +161,88 @@ object Multimodal {
     }
     val rms = if (mono.isEmpty) 0.0 else math.sqrt(sq / mono.length)
     Array(rate, ch.toFloat, mono.length.toFloat, rms.toFloat, zc.toFloat)
+  }
+
+  /** MP4 / ISO-BMFF container metadata by PURE BYTE ARITHMETIC — no
+    * codec needed (the box layout is public ISO 14496-12 structure):
+    * walk the top-level boxes for `ftyp` (major brand) and `moov`,
+    * then inside `moov` read `mvhd` (timescale + duration → seconds)
+    * and the first `trak`/`tkhd` (width/height, 16.16 fixed-point).
+    * Handles 64-bit largesize boxes and version-1 (64-bit time)
+    * mvhd/tkhd. FRAME decode remains the documented [[stubKernel]]
+    * (no codec library in this environment); container metadata is
+    * what schema/partition planning actually needs (duration-weighted
+    * sampling, resolution routing) and is fully real here.
+    * Returns (major_brand, duration_sec, width, height); throws on
+    * payloads without an ftyp/moov — corrupt blobs surface loudly at
+    * the decode boundary (the [[imagePixels]] discipline). */
+  def videoMetadata(bytes: Array[Byte]): (String, Double, Int, Int) = {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk boxes in [from, until): returns (type -> (payloadOff, payloadEnd))
+    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = from
+        def hasNext: Boolean = off + 8 <= until
+        def next(): (String, Int, Int) = {
+          val size0 = u32(off)
+          val typ = fourcc(off + 4)
+          val (payload, end) =
+            if (size0 == 1L) (off + 16, off + u64(off + 8).toInt)
+            else if (size0 == 0L) (off + 8, until)
+            else (off + 8, off + size0.toInt)
+          require(end > off && end <= until,
+            s"videoMetadata: corrupt box '$typ' at $off")
+          off = end
+          (typ, payload, end)
+        }
+      }
+    val top = boxes(0, bytes.length).toSeq
+    val brand = top.collectFirst { case ("ftyp", p, _) => fourcc(p) }
+      .getOrElse(throw new IllegalArgumentException(
+        "videoMetadata: no ftyp box — not an MP4/ISO-BMFF payload"))
+    val (moovOff, moovEnd) = top.collectFirst {
+      case ("moov", p, e) => (p, e) }
+      .getOrElse(throw new IllegalArgumentException(
+        "videoMetadata: no moov box"))
+    var durationSec = 0.0
+    var width = 0
+    var height = 0
+    boxes(moovOff, moovEnd).foreach {
+      case ("mvhd", p, _) =>
+        val v = bytes(p) & 0xff
+        val (timescale, duration) =
+          if (v == 1) (u32(p + 20), u64(p + 24))
+          else (u32(p + 12), u32(p + 16))
+        if (timescale > 0) durationSec = duration.toDouble / timescale
+      case ("trak", tp, te) if width == 0 =>
+        boxes(tp, te).foreach {
+          case ("tkhd", p, _) =>
+            val v = bytes(p) & 0xff
+            // width/height sit at the END of the fixed-size payload:
+            // v0 = 84 bytes, v1 = 96 (three 64-bit times)
+            val wOff = if (v == 1) p + 88 else p + 76
+            width = (u32(wOff) >> 16).toInt
+            height = (u32(wOff + 4) >> 16).toInt
+          case _ => ()
+        }
+      case _ => ()
+    }
+    (brand, durationSec, width, height)
+  }
+
+  /** REAL video CONTAINER kernel for [[decodePartitions]]: duration,
+    * width, height, payload bytes — the video counterpart of
+    * [[imageKernel]]/[[audioKernel]] at container-metadata grain
+    * behind the identical (media_id, features array<float>) contract.
+    * Frame-level decode stays [[stubKernel]] (documented env cap). */
+  val videoKernel: Array[Byte] => Array[Float] = { bytes =>
+    val (_, dur, w, h) = videoMetadata(bytes)
+    Array(dur.toFloat, w.toFloat, h.toFloat, bytes.length.toFloat)
   }
 
   /** The production decode boundary: a per-partition batch loop over

@@ -209,35 +209,33 @@ object Sketches {
       .groupBy($"h")
       .agg(max($"__a").as("in_a"), max($"__b").as("in_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val w = Window.orderBy($"h".bitwiseXOR(lit(Long.MinValue)))
-    val ranked = hashes.withColumn("r", row_number().over(w))
-    val u = ($"h".cast("double") +
-      when($"h" < 0, lit(two64)).otherwise(lit(0.0)))
-    def kthEst(df: DataFrame, rCol: String) =
-      df.filter(col(rCol) === k)
-        .select((lit(k - 1) * lit(two64) / u).as("est"))
-    // per-side kth minima need per-side ranks: one more window each
-    // over the (already distinct) hash frame
-    val wA = Window.orderBy($"h".bitwiseXOR(lit(Long.MinValue)))
-    val ra = hashes.filter($"in_a" === 1)
-      .withColumn("ra", row_number().over(wA))
-    val rb = hashes.filter($"in_b" === 1)
-      .withColumn("rb", row_number().over(wA))
-    val exactA = hashes.filter($"in_a" === 1).count().toDouble
-    val exactB = hashes.filter($"in_b" === 1).count().toDouble
-    val exactU = hashes.count().toDouble
-    val estA = kthEst(ra, "ra").as[Double].collect()
-      .headOption.getOrElse(exactA)
-    val estB = kthEst(rb, "rb").as[Double].collect()
-      .headOption.getOrElse(exactB)
-    val topU = ranked.filter($"r" <= k)
-    val stats = topU.agg(count(lit(1)).as("k_used"),
-      count(when($"in_a" === 1 && $"in_b" === 1, 1)).as("rho")).head
-    val kUsed = stats.getLong(0)
-    val rho = stats.getLong(1)
-    val estU =
-      if (kUsed < k) exactU
-      else kthEst(ranked, "r").as[Double].collect().head
+    // Bottom-k via orderBy(unsigned).limit(k) — planned as
+    // TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    // the driver), NEVER an unpartitioned window ranking the full
+    // distinct domain through one task. Order on the sign-flipped LONG
+    // (exact unsigned order); the k-row frames are sketch-sized by
+    // contract, so driver-side arithmetic on them is free.
+    val hx = $"h".bitwiseXOR(lit(Long.MinValue))
+    def uk(h: Long): Double =
+      if (h < 0) h.toDouble + two64 else h.toDouble
+    def kthEst(bottomK: Array[Long], exact: Double): Double =
+      if (bottomK.length < k) exact
+      else (k - 1).toDouble * two64 / uk(bottomK.last)
+    val exacts = hashes.agg(
+      sum($"in_a").cast("long"), sum($"in_b").cast("long"),
+      count(lit(1))).head
+    val (exactA, exactB, exactU) = (exacts.getLong(0).toDouble,
+      exacts.getLong(1).toDouble, exacts.getLong(2).toDouble)
+    val topU = hashes.orderBy(hx.asc).limit(k)
+      .select($"h", $"in_a", $"in_b").collect()
+    def sideBottomK(flag: Column): Array[Long] =
+      hashes.filter(flag === 1).orderBy(hx.asc).limit(k)
+        .select($"h").as[Long].collect()
+    val estA = kthEst(sideBottomK($"in_a"), exactA)
+    val estB = kthEst(sideBottomK($"in_b"), exactB)
+    val kUsed = topU.length.toLong
+    val rho = topU.count(r => r.getInt(1) == 1 && r.getInt(2) == 1).toLong
+    val estU = kthEst(topU.map(_.getLong(0)), exactU)
     hashes.unpersist(false)
     val jac = if (kUsed == 0) 0.0 else rho.toDouble / kUsed
     Seq((kUsed, rnd4(estA), rnd4(estB), rnd4(estU), rho, rnd4(jac),

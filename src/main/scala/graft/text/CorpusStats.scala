@@ -770,7 +770,7 @@ object CorpusStats {
         lit(2.0) * (term(col("n_target"), col("__et")) +
           term(col("n_rest"), col("__er"))) *
           when(col("n_target") >= col("__et"), 1.0).otherwise(-1.0),
-        4))
+        4) + lit(0.0)) // IEEE −0.0 + 0.0 = +0.0: canonicalize signed zero
     val wPos = org.apache.spark.sql.expressions.Window
       .orderBy(col("__g2").desc, col("__t"))
     val wNeg = org.apache.spark.sql.expressions.Window

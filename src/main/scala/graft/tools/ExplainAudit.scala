@@ -20,11 +20,45 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // NOTE: only LAZY catalog entries belong here — queries whose
-    // operators materialize eagerly during construction (q73's pinned
-    // assignment, q80's driver-path iteration) would run real jobs and
-    // explain only a post-hoc RDD scan, not the plan of interest.
-    val names = if (args.nonEmpty) args.toSeq else Seq(
+    val names = if (args.nonEmpty) args.toSeq else audited
+    val qs = Catalog.queries
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      qs.get(n) match {
+        case Some(q) => q(spark, sfDir).explain("formatted")
+        case None => println(s"(unknown query '$n' — known: ${qs.keys.toSeq.sorted.mkString(", ")})")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Queries whose operators materialize EAGERLY during construction
+    * (driver-dispatch loops, Newton/IRLS aggregates, pinned
+    * assignments): explain() here would run real jobs and show only a
+    * post-hoc RDD scan, not the plan of interest — each carries its
+    * rationale. CatalogHygieneSpec enforces that every round-9+ query
+    * is in [[audited]] or here, so no new entry can silently skip the
+    * plan audit. */
+  val excluded: Map[String, String] = Map(
+    "q73_semantic_dedup" -> "pinned cluster assignment runs eagerly",
+    "q80_pagerank" -> "driver-loop power iteration runs jobs eagerly",
+    "q124_basket_lift" -> "support-pruned incidence checkpoints eagerly",
+    "q127_clustering_coeff" -> "triangle frame checkpoints eagerly",
+    "q128_phrase_search" -> "phrase postings checkpoint eagerly",
+    "q129_golden_records" -> "survivorship clusters checkpoint eagerly",
+    "q130_naive_bayes" -> "class priors collect eagerly",
+    "q133_kmeans" -> "Lloyd rounds localCheckpoint eagerly",
+    "q296_scc" -> "forward/backward reach rounds run eagerly",
+    "q297_isotonic" -> "PAV pool rounds run eagerly",
+    "q379_logistic" -> "IRLS sufficient-stats aggregates run eagerly",
+    "q384_poisson" -> "IRLS sufficient-stats aggregates run eagerly",
+    "q385_huber" -> "OLS + MAD probe + IRLS passes run eagerly",
+    "q386_cox_ph" -> "Newton passes over cells run eagerly",
+    "q389_aipw_ate" -> "nuisance fits run eagerly",
+    "q391_stump_boost" -> "per-round stump search runs eagerly")
+
+  /** The audited (lazy) names — `main` explains each of these. */
+  val audited: Seq[String] = Seq(
       "q2_filter_revenue", "q3_broadcast_join", "q12_degree_centrality",
       "q24_ngram_jaccard", "q25_simhash_banded", "q28_ann_topk",
       "q70_asof_join", "q71_range_join", "q75_robust_outliers",
@@ -48,15 +82,13 @@ object ExplainAudit {
       // here; q383's kernel IS its plan.)
       "q370_weighted_kappa", "q373_expected_shortfall", "q374_mase",
       "q380_char_entropy", "q381_collocations", "q382_good_turing",
-      "q383_bleu", "q387_rouge_l", "q393_mood_median")
-    val qs = Catalog.queries
-    names.foreach { n =>
-      println(s"\n================ $n ================")
-      qs.get(n) match {
-        case Some(q) => q(spark, sfDir).explain("formatted")
-        case None => println(s"(unknown query '$n' — known: ${qs.keys.toSeq.sorted.mkString(", ")})")
-      }
-    }
-    spark.stop()
-  }
+      "q383_bleu", "q387_rouge_l", "q393_mood_median",
+      // round-8 session-3 lazy entries: the rank statistics (cell-
+      // collapsed, one bounded window each), the corpus keyness/
+      // dispersion kernels (one token explode → vocab-bounded agg),
+      // the agreement family (item-category cells), and the q400
+      // curation funnel (one hash-partitioned window + final agg).
+      "q394_jonckheere", "q395_brunner_munzel", "q396_keyness",
+      "q397_dispersion", "q398_fleiss_kappa", "q399_krippendorff",
+      "q400_curation_funnel", "q401_gwet_ac1")
 }

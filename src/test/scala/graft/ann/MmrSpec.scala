@@ -43,4 +43,14 @@ class MmrSpec extends SparkSuite {
         lambda = 0.7)
     assert(r.count() == 2)
   }
+
+  test("mmrSelect: a string id fails fast with the contract message " +
+    "instead of null-casting into a broken argmax") {
+    val cand = Seq(("a", Seq(1.0, 0.0), 0.9), ("b", Seq(0.0, 1.0), 0.8))
+      .toDF("id", "v", "rel")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cand, "id", "v", "rel", k = 2, lambda = 0.7)
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
 }

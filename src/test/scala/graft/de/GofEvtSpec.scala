@@ -58,6 +58,19 @@ class GofEvtSpec extends SparkSuite {
     assert(r("heavy").getAs[Long]("n_exceed") == 200L)
   }
 
+  test("gpdTail: a group with zero exceedances (ties at the " +
+    "quantile) still emits its row with n_exceed = 0 and null fits") {
+    val const = (1 to 100).map(i => ("const", 7.0))
+    val live = (1 to 100).map(i => ("live", i.toDouble))
+    val r = Evt.gpdTail((const ++ live).toDF("g", "v"), "g", "v",
+      q = 0.9).collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("const", "live"))
+    assert(r("const").getAs[Long]("n_exceed") == 0L)
+    assert(r("const").isNullAt(r("const").fieldIndex("xi")))
+    assert(r("const").isNullAt(r("const").fieldIndex("mean_excess")))
+    assert(r("live").getAs[Long]("n_exceed") == 10L)
+  }
+
   test("blandAltman + iccOneWay: a constant offset is pure bias " +
     "with tight limits; subject-dominated variance gives high ICC") {
     val pairs = (1 to 50).map(i =>

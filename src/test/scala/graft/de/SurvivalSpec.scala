@@ -126,4 +126,30 @@ class SurvivalSpec extends SparkSuite {
     assert(z.isNullAt(z.fieldIndex("beta")))
     assert(z.getAs[Long]("n_events") == 0L)
   }
+
+  test("coxPh/logRank: continuous durations past the grain guard " +
+    "fail fast; timeBuckets coarsens back under it") {
+    // 500 distinct micro-grained durations vs a guard of 100
+    val df = (1 to 500).map(i =>
+      (i * 0.001, i % 2, if (i % 3 == 0) 1.0 else 0.0))
+      .toDF("t", "e", "x")
+    val e1 = intercept[IllegalArgumentException] {
+      Survival.coxPh(df, "t", "e", "x", maxDistinctTimes = 100L)
+        .head()
+    }
+    assert(e1.getMessage.contains("timeBuckets"))
+    val e2 = intercept[IllegalArgumentException] {
+      val g = df.withColumn("grp",
+        org.apache.spark.sql.functions.when($"x" > 0, "A")
+          .otherwise("B"))
+      Survival.logRank(g, "grp", "t", "e", "A", "B",
+        maxDistinctTimes = 100L).head()
+    }
+    assert(e2.getMessage.contains("distinct durations"))
+    // bucketing brings the grain under the same guard and still fits
+    val r = Survival.coxPh(df, "t", "e", "x", timeBuckets = 50,
+      maxDistinctTimes = 100L).head()
+    assert(r.getAs[Long]("n") == 500L)
+    assert(!r.isNullAt(r.fieldIndex("beta")))
+  }
 }

@@ -154,6 +154,22 @@ class RegressionSpec extends SparkSuite {
     assert(p.getAs[Double]("scale") == 0.0)
   }
 
+  test("huber2: the approx MAD-scale dispatch lands on the same " +
+    "rounded fit as the exact path") {
+    val noisy = (1 to 200).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 7).toDouble
+      (1.0 + 2 * x1 + 3 * x2 + 0.1 * ((i * 7) % 11 - 5), x1, x2)
+    }.toDF("y", "x1", "x2")
+    val ex = Regression.huber2(noisy, "y", "x1", "x2",
+      exactScale = Some(true)).head()
+    val ap = Regression.huber2(noisy, "y", "x1", "x2",
+      exactScale = Some(false)).head()
+    assert(math.abs(ex.getAs[Double]("b1") -
+      ap.getAs[Double]("b1")) < 1e-3)
+    assert(math.abs(ex.getAs[Double]("b2") -
+      ap.getAs[Double]("b2")) < 1e-2)
+  }
+
   test("huber2: collinear design nulls out") {
     val df = (1 to 10).map(i => (i.toDouble, i.toDouble, 2.0 * i))
       .toDF("y", "x1", "x2")

@@ -98,6 +98,25 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("videoMetadata: committed MP4 fixture parses brand, duration " +
+    "and resolution by byte arithmetic; corrupt payloads fail loudly") {
+    val mp4 = getClass.getResourceAsStream("/tiny_video.mp4")
+      .readAllBytes()
+    val (brand, dur, w, h) = Multimodal.videoMetadata(mp4)
+    assert(brand == "isom")
+    assert(dur == 2.5)           // mvhd: duration 1500 / timescale 600
+    assert(w == 320 && h == 240) // tkhd 16.16 fixed-point
+    // through the production decodePartitions boundary
+    val media = Seq((11L, mp4)).toDF("media_id", "media")
+    val f = Multimodal.decodePartitions(media, Multimodal.videoKernel)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(f(11L) == Seq(2.5f, 320f, 240f, mp4.length.toFloat))
+    // non-MP4 payload: loud contract failure, not a silent zero row
+    intercept[IllegalArgumentException] {
+      Multimodal.videoMetadata("not a video".getBytes)
+    }
+  }
+
   test("frame sampling: every stride-th byte, short media empty") {
     val m = Multimodal.asMediaTable(docs, "id", "payload", "text/plain")
     val fr = Multimodal.frameValues(m, stride = 3)

@@ -21,6 +21,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"  # signed zero is hash-visible to the driver
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -97,5 +99,18 @@ def main(sf_dir, out_dir):
     print(f"{'PASS' if failures == 0 else 'FAIL'}: {failures} failures")
     return 1 if failures else 0
 
+def selftest():
+    # A planted -0.0 vs +0.0 divergence MUST be visible (driver hashes
+    # the sign bit; a norm() blind to it makes this gate softer than the
+    # driver's — the exact class that slipped q396 through round 8).
+    assert norm(-0.0) != norm(0.0), "norm() is blind to signed zero"
+    assert norm(-0.0) == "-0" and norm(0.0) == "0"
+    assert norm(float("nan")) == "NaN" and norm(None) == "NULL"
+    assert norm(2.0) == "2" and norm(2.5) == "2.5"
+    print("selftest OK")
+    return 0
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))

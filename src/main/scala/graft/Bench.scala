@@ -50,10 +50,15 @@ object Bench {
     // round-over-round delta. Totals across shards are additive.
     val shard: Option[(Int, Int)] =
       sys.env.get("SPARK_GRAFT_BENCH_SHARD").map { s =>
-        val Array(i, n) = s.split("/").map(_.trim.toInt)
-        require(n >= 1 && i >= 1 && i <= n,
-          s"SPARK_GRAFT_BENCH_SHARD must be i/N with 1 <= i <= N, got $s")
-        (i, n)
+        val parsed = s.split("/").map(_.trim) match {
+          case Array(i, n) => (i.toIntOption, n.toIntOption)
+          case _           => (None, None)
+        }
+        parsed match {
+          case (Some(i), Some(n)) if n >= 1 && i >= 1 && i <= n => (i, n)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_SHARD must be i/N with 1 <= i <= N, got '$s'")
+        }
       }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

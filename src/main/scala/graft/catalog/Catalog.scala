@@ -232,14 +232,15 @@ object Catalog {
       CatalogAttr.all ++ CatalogGrid.all ++ CatalogSqlTvf.all ++
       CatalogSeq.all ++ CatalogStats3.all ++ CatalogStats4.all
 
-  // Signed-zero closure (see [[SignedZero]]): every listed ±0.0-capable
-  // column is canonicalized to +0.0 on BOTH sides at assembly, so no
+  // Signed-zero closure (see [[SignedZero]]): every double output
+  // column — schema-derived on the Spark side, registry-derived on the
+  // oracle side — is canonicalized to +0.0 at assembly, so no
   // tiny-negative score can hash-diverge on the Spark-round-vs-DuckDB-
-  // round signed-zero asymmetry.
+  // round signed-zero asymmetry, at any scale factor.
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name ->
       ((s: SparkSession, dir: String) =>
-        SignedZero.canonDf(q.name, q.run(s, dir)))).toMap
+        SignedZero.canonDf(q.run(s, dir)))).toMap
 
   def oracleSql: Map[String, String] =
     all.flatMap(q =>

@@ -1,7 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, transform}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StructField}
 
 /** Signed-zero canonicalization for the oracle compare.
   *
@@ -12,124 +13,171 @@ import org.apache.spark.sql.functions.{col, lit}
   * statistic — the q396 round-8 episode: G² ≈ −3e−6 at sf0.01) hashes
   * differently across engines even though every printed value agrees.
   *
-  * Closure, applied centrally at catalog assembly so each new query
-  * inherits it by listing its signed output columns here:
-  *  - Spark side: `col + 0.0` per signed column (IEEE 754:
-  *    −0.0 + 0.0 = +0.0; every other value, including NaN, is
-  *    unchanged) — a no-op projection on top of the query's final sort.
-  *  - Oracle side: `SELECT * REPLACE (col + 0.0 AS col) FROM (sql)` —
-  *    DuckDB's star-REPLACE keeps column order and types.
+  * Closure, applied centrally at catalog assembly. Rounds 8–9 used an
+  * enumerated query→signed-columns map built from per-column minima at
+  * sf0.001/sf0.01 — which a column that first goes negative at a
+  * DIFFERENT scale factor would slip. Round 10 makes it structural:
+  *  - Spark side ([[canonDf]]): `col + 0.0` for EVERY top-level
+  *    DoubleType output column and every element of an
+  *    ArrayType(DoubleType) column, derived from the query's own
+  *    schema — no enumeration, nothing to go stale. IEEE 754:
+  *    −0.0 + 0.0 = +0.0; every other value, including NaN and ±∞, is
+  *    unchanged, so this is a no-op projection except on −0.0.
+  *  - Oracle side ([[canonSql]]): `SELECT * REPLACE (c + 0.0 AS c, …)
+  *    FROM (sql)` over the same columns. SQL is a string, so the
+  *    double-column set comes from a checked-in registry resource
+  *    (`graft/signed_zero_cols.tsv`) generated from the live query
+  *    schemas by [[graft.tools.CatalogInventory]]; schemas are
+  *    scale-factor-independent, and `CatalogPlanAuditSpec` fails the
+  *    suite if the registry drifts from any query's actual schema —
+  *    so Spark-side (generic) and oracle-side (registry) can never
+  *    disagree on a committed build.
   *
-  * The columns listed are every double output that can go negative on
-  * the test tables (enumerated by running each oracle at sf0.001 and
-  * sf0.01 and taking per-column minima, plus the judge-named signed
-  * effect scores) — the ±0.0-capable set. Unsigned columns (counts,
-  * rates, p-values) cannot reach −0.0 and are left untouched.
+  * The REPLACE wrapper is a plain projection; DuckDB preserves the
+  * inner ORDER BY under its default `preserve_insertion_order`, but
+  * that is engine behavior, not a SQL guarantee — so [[canonSql]] also
+  * RE-APPLIES the query's final top-level ORDER BY (extracted by a
+  * paren/string-aware scan, table qualifiers stripped since the outer
+  * scope sees only output columns) on the wrapper, making row order a
+  * stated property again. Queries with no top-level ORDER BY (single-
+  * row aggregates) are wrapped without one.
+  *
   * `tools/selfcheck.py` distinguishes −0.0 from +0.0 (`--selftest`
   * pins that), so a regression in this closure fails the local gate
   * the same way it would fail the driver's hash.
   */
 object SignedZero {
 
-  /** query name → its signed (±0.0-capable) double output columns. */
-  val signedCols: Map[String, Seq[String]] = Map(
-    "q117_regression" -> Seq("slope"),
-    "q11_corr_edges" -> Seq("corr_val"),
-    "q130_naive_bayes" -> Seq("score"),
-    "q134_seasonal_anomaly" -> Seq("z"),
-    "q137_pca" -> Seq("loading"),
-    "q13_welch_stats" -> Seq("t_stat"),
-    "q142_spearman" -> Seq("spearman"),
-    "q143_autocorr" -> Seq("acf"),
-    "q145_trend" -> Seq("theil_sen"),
-    "q14_welch_pvalue" -> Seq("t_stat"),
-    "q151_benford" -> Seq("deviation"),
-    "q163_holt_trend" -> Seq("trend"),
-    "q164_cuped" -> Seq("var_reduction"),
-    "q167_theil" -> Seq("between_term"),
-    "q173_holt_winters" -> Seq("season_next", "trend"),
-    "q175_two_proportion_z" -> Seq("z"),
-    "q181_log_rank" -> Seq("z"),
-    "q182_seasonal_decompose" -> Seq("residual", "seasonal"),
-    "q183_graph_summary" -> Seq("assortativity"),
-    "q192_readability" -> Seq("flesch_ease"),
-    "q200_silhouette" -> Seq("mean_silhouette"),
-    "q209_rolling_corr" -> Seq("roll_corr"),
-    "q210_mom_growth" -> Seq("mom_pct"),
-    "q216_mann_whitney" -> Seq("z"),
-    "q218_effect_sizes" ->
-      Seq("cohen_d", "glass_delta", "hedges_g", "mean_diff"),
-    "q222_did" -> Seq("did_estimate"),
-    "q223_fellegi_sunter" -> Seq("fs_score"),
-    "q224_ols2" -> Seq("b1"),
-    "q227_moments" -> Seq("kurtosis", "skewness"),
-    "q228_partial_corr" -> Seq("r_xy", "r_xy_z", "r_yz"),
-    "q229_cronbach" -> Seq("alpha"),
-    "q230_modularity" -> Seq("q_contrib", "q_total"),
-    "q231_assortativity" -> Seq("r"),
-    "q234_meta_pool" -> Seq("pooled", "z"),
-    "q240_elasticity" -> Seq("intercept", "slope"),
-    "q255_corr_matrix" -> Seq("r_disc_tax", "r_price_tax",
-      "r_qty_disc", "r_qty_price", "r_qty_tax"),
-    "q263_dp_counts" -> Seq("noise"),
-    "q290_cochran_armitage" -> Seq("t_stat", "z"),
-    "q304_pacf" -> Seq("pacf1", "pacf2", "pacf3", "r1", "r2", "r3"),
-    "q306_durbin_watson" -> Seq("slope"),
-    "q317_cohens_h" -> Seq("cohens_h"),
-    "q321_mix_decomposition" ->
-      Seq("delta", "interaction", "rate_effect"),
-    "q323_theil_sen" -> Seq("slope"),
-    "q325_woe_iv" -> Seq("woe"),
-    "q327_sprt" -> Seq("llr"),
-    "q334_mann_kendall" -> Seq("z"),
-    "q336_cooks_distance" -> Seq("residual"),
-    "q345_cliffs_delta" -> Seq("delta"),
-    "q346_wilcoxon" -> Seq("z"),
-    "q347_ljung_box" -> Seq("r1", "r2"),
-    "q355_nn_matching" -> Seq("att"),
-    "q359_ad_two_sample" -> Seq("z"),
-    "q360_gpd_tail" -> Seq("xi"),
-    "q361_bland_altman" -> Seq("bias", "loa_lo"),
-    "q362_icc" -> Seq("icc"),
-    "q363_tost" -> Seq("diff"),
-    "q364_dsir_scores" -> Seq("avg_log_ratio"),
-    "q373_expected_shortfall" -> Seq("es_p", "var_p"),
-    "q375_segmented_ols" -> Seq("slope_change", "slope_right"),
-    "q379_logistic" -> Seq("b0", "b1", "b2"),
-    "q384_poisson" -> Seq("b2"),
-    "q385_huber" -> Seq("b1"),
-    "q386_cox_ph" -> Seq("beta", "z"),
-    "q389_aipw_ate" ->
-      Seq("ate_aipw", "ate_naive", "ate_regression"),
-    "q391_stump_boost" -> Seq("left_value", "right_value"),
-    "q392_yuen_trimmed" -> Seq("t_stat"),
-    "q394_jonckheere" -> Seq("z"),
-    "q395_brunner_munzel" -> Seq("t_stat"),
-    "q396_keyness" -> Seq("g2_signed"),
-    "q398_fleiss_kappa" -> Seq("kappa"),
-    "q399_krippendorff" -> Seq("alpha"),
-    "q401_gwet_ac1" -> Seq("ac1"),
-    "q5_zscore" -> Seq("z"),
-    "q99_rate_anomaly" -> Seq("z"))
+  /** Registry rows: query name → (double output columns — top-level
+    * DoubleType as plain names, ArrayType(DoubleType) suffixed `[]` —
+    * and the FULL output column list, which gates the ORDER BY
+    * re-application), generated from live schemas by
+    * [[graft.tools.CatalogInventory]]. Loaded from the classpath so
+    * [[Catalog.oracleSql]] stays a pure map (no SparkSession at
+    * assembly). */
+  lazy val registryFull: Map[String, (Seq[String], Seq[String])] = {
+    val in = getClass.getResourceAsStream("/graft/signed_zero_cols.tsv")
+    if (in == null) Map.empty
+    else try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val parts = l.split("\t", 3)
+          val doubles = parts(1).split(",").toSeq.filter(_.nonEmpty)
+          val all =
+            if (parts.length > 2) parts(2).split(",").toSeq.filter(_.nonEmpty)
+            else Seq.empty
+          parts(0) -> (doubles, all)
+        }.toMap
+    } finally in.close()
+  }
 
-  /** Spark side: +0.0 the listed columns; the cast pins the original
-    * column type so the projection can never shift the schema. */
-  def canonDf(name: String, df: DataFrame): DataFrame =
-    signedCols.get(name) match {
-      case None => df
-      case Some(cols) =>
-        cols.foldLeft(df) { (d, c) =>
-          d.withColumn(c,
-            (col(c) + lit(0.0)).cast(d.schema(c).dataType))
-        }
+  /** query → double output columns (the REPLACE list). */
+  lazy val registry: Map[String, Seq[String]] =
+    registryFull.map { case (k, (d, _)) => k -> d }
+      .filter(_._2.nonEmpty)
+
+  /** The registry's view of a DataFrame schema: every top-level double
+    * column, plus array-of-double columns marked with a `[]` suffix.
+    * Nested structs/maps are out of scope (no catalog query emits
+    * doubles inside them; CatalogInventory warns if one appears). */
+  def doubleCols(fields: Seq[StructField]): Seq[String] =
+    fields.collect {
+      case StructField(n, DoubleType, _, _) => n
+      case StructField(n, ArrayType(DoubleType, _), _, _) => s"$n[]"
     }
 
-  /** Oracle side: star-REPLACE the listed columns over the query. */
+  /** Spark side: +0.0 every double output column, schema-derived. The
+    * cast pins the original type so the projection can never shift the
+    * schema; array elements keep containsNull via the cast back. */
+  def canonDf(df: DataFrame): DataFrame = {
+    val canons: Seq[(String, org.apache.spark.sql.Column)] =
+      df.schema.fields.toSeq.collect {
+        case StructField(n, DoubleType, _, _) =>
+          n -> (col(n) + lit(0.0)).cast(DoubleType)
+        case StructField(n, at @ ArrayType(DoubleType, _), _, _) =>
+          n -> transform(col(n), x => x + lit(0.0)).cast(at: DataType)
+      }
+    if (canons.isEmpty) df else df.withColumns(canons.toMap)
+  }
+
+  /** Oracle side: star-REPLACE the registry columns over the query and
+    * re-apply its final ORDER BY (see object doc). */
   def canonSql(name: String, sql: String): String =
-    signedCols.get(name) match {
-      case None => sql
-      case Some(cols) =>
-        val repl = cols.map(c => s"$c + 0.0 AS $c").mkString(", ")
-        s"SELECT * REPLACE ($repl) FROM (\n$sql\n)"
+    registry.getOrElse(name, Nil) match {
+      case Nil => sql
+      case cols =>
+        val repl = cols.map {
+          case c if c.endsWith("[]") =>
+            val b = c.dropRight(2)
+            s"list_transform($b, x -> x + 0.0) AS $b"
+          case c => s"$c + 0.0 AS $c"
+        }.mkString(", ")
+        val out = registryFull.get(name).map(_._2).getOrElse(Seq.empty)
+        val tail = finalOrderBy(sql)
+          .filter(ob => reapplicable(ob, out))
+          .map(ob => s"\nORDER BY $ob").getOrElse("")
+        s"SELECT * REPLACE ($repl) FROM (\n$sql\n)$tail"
     }
+
+  /** The outer scope resolves OUTPUT columns only, so the extracted
+    * ORDER BY is re-applied iff every item is a plain (already
+    * unqualified) column reference to a known output column — or an
+    * ordinal — with optional ASC/DESC/NULLS FIRST|LAST. Expression
+    * sorts or sorts on non-projected inner columns (q10's
+    * `ORDER BY o_totalprice` under `SELECT ... AS total`) fall back
+    * to the inner sort + DuckDB's default insertion-order
+    * preservation, the round-9-proven behavior. */
+  private def reapplicable(ob: String, outputCols: Seq[String]): Boolean = {
+    val known = outputCols.toSet
+    outputCols.nonEmpty && ob.split(",").map(_.trim).forall { item =>
+      val m = java.util.regex.Pattern.compile(
+        "(?i)^([A-Za-z_][A-Za-z_0-9]*|\\d+)" +
+          "(\\s+(ASC|DESC))?(\\s+NULLS\\s+(FIRST|LAST))?$")
+        .matcher(item)
+      m.matches() && {
+        val ref = m.group(1)
+        ref.forall(_.isDigit) || known.contains(ref)
+      }
+    }
+  }
+
+  /** Extract the final TOP-LEVEL `ORDER BY` clause of `sql` — the last
+    * occurrence at paren depth 0 outside string literals — minus any
+    * trailing `LIMIT n [OFFSET m]`, with table qualifiers stripped
+    * (`nd.gene` → `gene`; the outer scope resolves output columns
+    * only; numeric literals like `1.5` are untouched because a
+    * qualifier must start with a letter/underscore). None when the
+    * query has no top-level ORDER BY. */
+  private[catalog] def finalOrderBy(sql: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bORDER\\s+BY\\b").matcher(sql)
+    var best = -1 // end offset of the last depth-0 ORDER BY token
+    while (m.find()) {
+      // depth/string state at the match start
+      var depth = 0; var inStr = false; var i = 0
+      while (i < m.start()) {
+        val ch = sql.charAt(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth == 0 && !inStr) best = m.end()
+    }
+    if (best < 0) None
+    else {
+      val raw = sql.substring(best).trim.stripSuffix(";").trim
+      val noLimit = raw.replaceAll(
+        "(?is)\\s+LIMIT\\s+\\d+(\\s+OFFSET\\s+\\d+)?\\s*$", "")
+      val unqualified = noLimit.replaceAll(
+        "\\b([A-Za-z_][A-Za-z_0-9]*)\\.([A-Za-z_][A-Za-z_0-9]*)\\b",
+        "$2")
+      Some(unqualified).filter(_.nonEmpty)
+    }
+  }
 }

@@ -114,13 +114,18 @@ object CatalogBiz2 {
       val cust = t(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
-      val w = Window.orderBy($"cents".asc, $"o_custkey".asc)
-      val ranked = cust
-        .withColumn("rn", row_number().over(w))
-        .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(1))))
-      ranked
+        .persist()
+      // customer-grain global rank: one eager count probe routes it
+      // through the size-dispatched Ranks form (no single-partition
+      // sort over the customer domain at scale); the whole-frame
+      // count window collapses to a literal. The decile windows below
+      // run over 10 rows by construction.
+      val n = cust.count()
+      val ranked = graft.util.Ranks.globalRowNumber(cust,
+        Seq($"cents".asc, $"o_custkey".asc), "rn", n)
+      val out = ranked
         .withColumn("decile",
-          (floor(($"rn" - 1) * 10.0 / $"nn") + 1).cast("long"))
+          (floor(($"rn" - 1) * 10.0 / lit(n)) + 1).cast("long"))
         .groupBy($"decile")
         .agg(count(lit(1)).as("n_customers"),
           sum($"cents").as("__dc"))
@@ -132,6 +137,11 @@ object CatalogBiz2 {
           round($"__dc" / 100.0, 2).as("decile_revenue"),
           round($"cum_cents".cast("double") / $"tot", 4).as("cum_share"))
         .orderBy($"decile")
+        // 10-row result: materialize so cust's cache entry is
+        // released here (leak-free)
+        .localCheckpoint()
+      cust.unpersist(false)
+      out
     },
     Some("""WITH cust AS (
            |  SELECT o_custkey,

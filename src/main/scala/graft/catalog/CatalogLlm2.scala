@@ -89,16 +89,19 @@ object CatalogLlm2 {
   private val q265 = Q("q265_curriculum",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val scored = graft.text.TextAnalysis
         .withQuality(t(s, dir, "documents"), "text")
         .select($"doc_id", $"n_tokens", $"quality_score")
-      val w = Window.orderBy($"quality_score".asc, $"doc_id".asc)
-      scored
-        .withColumn("rn", row_number().over(w))
-        .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(1))))
+        .persist()
+      // document-grain global rank: one eager count probe routes it
+      // through the size-dispatched Ranks form (no single-partition
+      // sort over the corpus at scale); the whole-frame count window
+      // collapses to a literal
+      val n = scored.count()
+      val out = graft.util.Ranks.globalRowNumber(scored,
+          Seq($"quality_score".asc, $"doc_id".asc), "rn", n)
         .withColumn("phase",
-          (floor(($"rn" - 1) * 4.0 / $"nn") + 1).cast("long"))
+          (floor(($"rn" - 1) * 4.0 / lit(n)) + 1).cast("long"))
         .groupBy($"phase")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tokens").as("total_tokens"),
@@ -106,6 +109,11 @@ object CatalogLlm2 {
           round(min($"quality_score"), 4).as("min_quality"),
           round(max($"quality_score"), 4).as("max_quality"))
         .orderBy($"phase")
+        // 4-row result: materialize so scored's cache entry is
+        // released here (leak-free)
+        .localCheckpoint()
+      scored.unpersist(false)
+      out
     },
     Some("""WITH m AS (SELECT doc_id,
            |  len(regexp_extract_all(text, '\S+')) AS n_tok,

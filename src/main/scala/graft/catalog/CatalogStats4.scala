@@ -785,8 +785,14 @@ object CatalogStats4 {
   private val q385 = Q("q385_huber",
     (s, dir) => {
       import s.implicits._
+      // exactScale pinned: the DuckDB oracle replays the EXACT
+      // recursive median/MAD, so the approx_percentile dispatch path
+      // (valid for the library at fact scale) would diverge from it at
+      // sf where lineitem exceeds the 4M dispatch threshold; pinning
+      // also drops the per-call count() probe job
       graft.ml.Regression.huber2(t(s, dir, "lineitem"),
-        "l_extendedprice", "l_quantity", "l_discount", iters = 4)
+        "l_extendedprice", "l_quantity", "l_discount", iters = 4,
+        exactScale = Some(true))
     },
     Some("""WITH RECURSIVE d AS (
            |  SELECT l_extendedprice::DOUBLE AS y,

@@ -630,6 +630,12 @@ object Experiment {
     val maxN = cnt
       .agg(coalesce(max(col("n_a") + col("n_b")), lit(0L)))
       .head.getLong(0)
+    // free guard (maxN already in hand): the ln-factorial cumsum below
+    // single-sorts 0..maxN
+    require(maxN <= 20000000L,
+      s"bayesAb: largest stratum has $maxN rows — the shared " +
+        "ln-factorial table would single-sort that domain; " +
+        "pre-aggregate to cohort grain before calling")
     val wLf = Window.orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // shared ln-factorial table lf(i) = Σ_{j≤i} ln j — sequential

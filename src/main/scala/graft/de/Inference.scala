@@ -208,7 +208,12 @@ object Inference {
       .withColumn("__N", col("__m1") + col("__m2"))
     val maxN = cnt.agg(coalesce(max(col("__N")), lit(0L))).head.getLong(0)
     // shared ln-factorial table: lf(i) = Σ_{j≤i} ln j, sequential
-    // cumsum (single partition — bounded by the largest stratum size)
+    // cumsum (single partition — bounded by the largest stratum size;
+    // maxN is already in hand, so the guard is free)
+    require(maxN <= 20000000L,
+      s"fisherExact: largest stratum has $maxN rows — the shared " +
+        "ln-factorial table would single-sort that domain; use the " +
+        "normal-approximation tests (chi2/g-test) at this scale")
     val wLf = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window

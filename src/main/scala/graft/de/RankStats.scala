@@ -88,24 +88,42 @@ object RankStats {
     * the single global running-sum window runs over that bounded table
     * (the gate-sweep/BH small-branch trade). Contributions are halves
     * of integers, so the double sum is exact — no accumulation-order
-    * noise. Returns (auc 4-dp, n_pos, n_neg). */
-  def rocAuc(df: DataFrame, label: String, score: String): DataFrame = {
+    * noise. Returns (auc 4-dp, n_pos, n_neg).
+    *
+    * The cumulative window single-sorts the DISTINCT-SCORE domain —
+    * bounded for pre-rounded scores (the usage contract) but not for
+    * raw continuous ones, so the collapsed table is counted and
+    * guarded (the coxPh fail-fast pattern) before the sort runs. */
+  def rocAuc(df: DataFrame, label: String, score: String,
+             maxDistinctScores: Long = 2000000L): DataFrame = {
     val g = df.groupBy(col(score).as("__s"))
       .agg(sum(col(label)).cast("double").as("np"),
         (count(lit(1)) - sum(col(label))).cast("double").as("nn"))
+      .persist()
+    val nScores = g.count()
+    require(nScores <= maxDistinctScores,
+      s"rocAuc: $nScores distinct scores exceeds the single-sort " +
+        s"guard ($maxDistinctScores) — the running-rank window would " +
+        "serialize over the score domain; pre-round or bucket the " +
+        "score column before calling")
     val below = coalesce(
       sum(col("nn")).over(Window.orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
     // ANSI-safe: a single-class input has no ranking to score — null auc
     // (not a divide-by-zero) so callers can coalesce or filter.
     val denom = sum(col("np")) * sum(col("nn"))
-    g.withColumn("__below", below)
+    val out = g.withColumn("__below", below)
       .agg(
         round(when(denom > 0,
           sum(col("np") * (col("__below") + lit(0.5) * col("nn"))) / denom),
           4).as("auc"),
         sum(col("np")).cast("long").as("n_pos"),
         sum(col("nn")).cast("long").as("n_neg"))
+      // one row: materialize so g's cache entry is released here (the
+      // logRank leak-free guard pattern)
+      .localCheckpoint()
+    g.unpersist(false)
+    out
   }
 
   /** Per-group two-sample Kolmogorov–Smirnov D between the `value`
@@ -340,6 +358,15 @@ object RankStats {
       .filter(col(group).isin(ordered: _*) && v.isNotNull)
       .groupBy(v.as("__v"), col(group).as("__g"))
       .agg(count(lit(1)).as("__c"))
+      .persist()
+    // bounded-value-grain guard (the coxPh pattern): the cumulative
+    // windows below single-sort the distinct-value domain
+    val nCells = cells.count()
+    require(nCells <= 2000000L,
+      s"jonckheereTerpstra: $nCells (value, group) cells exceeds the " +
+        "single-sort guard (2000000) — pre-round or bucket the value " +
+        "column before calling")
+    try {
     // one row per distinct value with per-group count columns
     val pivoted = cells.groupBy(col("__v"))
       .agg(ordered.zipWithIndex.map { case (g, i) =>
@@ -407,6 +434,7 @@ object RankStats {
       when(!isnan(col("__z")), round(col("__z"), 4)).as("z"),
       when(!isnan(col("__z")),
         round(lit(2.0) * normal_sf(abs(col("__z"))), 6)).as("p_value"))
+    } finally cells.unpersist(false)
   }
 
   /** Brunner–Munzel test (X289; scipy.stats.brunnermunzel parity) —
@@ -437,6 +465,15 @@ object RankStats {
       .filter(col(group).isin(a, b) && v.isNotNull)
       .groupBy(v.as("__v"), col(group).as("__g"))
       .agg(count(lit(1)).as("__c"))
+      .persist()
+    // bounded-value-grain guard (the coxPh pattern): the midrank
+    // cumulative windows single-sort the distinct-value domain
+    val nCells = cells.count()
+    require(nCells <= 2000000L,
+      s"brunnerMunzel: $nCells (value, group) cells exceeds the " +
+        "single-sort guard (2000000) — pre-round or bucket the value " +
+        "column before calling")
+    try {
     val piv = cells.groupBy(col("__v"))
       .agg(sum(when(col("__g") === a, col("__c")).otherwise(0L))
           .as("__ca"),
@@ -505,5 +542,6 @@ object RankStats {
         round(col("__df"), 2).as("df"),
         round(t_test_pvalue(col("__t"), col("__df")), 6)
           .as("p_value"))
+    } finally cells.unpersist(false)
   }
 }

@@ -255,6 +255,13 @@ object Stats {
       .withColumn("hochberg", lit(null).cast("double"))
     val valid = cached.filter(!bad)
     val m = valid.count()
+    // bounded-m guard (the coxPh fail-fast pattern; m is already in
+    // hand): this is the dimension-bounded FWER variant — a genuinely
+    // huge family belongs on bhAdjust's distributed-rank FDR path
+    require(m <= 2000000L,
+      s"holmHochberg: $m p-values exceeds the single-sort guard " +
+        "(2000000) — use bhAdjust (distributed-rank FDR) for " +
+        "fact-scale families")
     val adjusted = if (m == 0) invalid.limit(0)
     else {
       val wAsc = Window.orderBy((p.asc +: tieBreak.map(col(_).asc)): _*)

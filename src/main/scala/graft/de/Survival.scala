@@ -27,12 +27,24 @@ object Survival {
 
   /** KM table: (t, n_risk, n_event, n_censored, survival). `df` has one
     * row per subject with a non-negative integer duration and event
-    * flag (1 = observed terminal event, 0 = right-censored). */
+    * flag (1 = observed terminal event, 0 = right-censored).
+    *
+    * Same bounded-duration-grain contract as [[logRank]]/[[coxPh]]:
+    * the cumulative windows single-sort the distinct durations, so a
+    * continuous (e.g. microsecond) duration domain fails fast with the
+    * remediation instead of silently serializing one task. */
   def kaplanMeier(df: DataFrame, durationCol: String,
-                  eventCol: String): DataFrame = {
+                  eventCol: String,
+                  maxDistinctTimes: Long = 200000L): DataFrame = {
     val byT = df.groupBy(col(durationCol).as("t"))
       .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_event"),
         sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
+      .persist()
+    val nTimes = byT.count()
+    require(nTimes <= maxDistinctTimes,
+      s"kaplanMeier: $nTimes distinct durations exceeds the " +
+        s"single-sort guard ($maxDistinctTimes) — bucket the duration " +
+        "column before calling")
     val wAsc = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = Window.orderBy(col("t"))
@@ -40,7 +52,7 @@ object Survival {
     // At-risk at t = subjects whose duration >= t = total − (all rows
     // strictly before t).
     val wAll = Window.partitionBy()
-    byT
+    val out = byT
       .withColumn("n_risk",
         sum(col("n_event") + col("n_censored")).over(wAll) -
           coalesce(sum(col("n_event") + col("n_censored")).over(wPrev),
@@ -57,6 +69,12 @@ object Survival {
         when(col("__dead") === 0, lit(0.0))
           .otherwise(round(exp(sum(col("__lnterm")).over(wAsc)), 6))
           .as("survival"))
+    // duration-grain output, bounded by the guard above: materialize
+    // so byT's cache entry is released here (leak-free — the logRank
+    // pattern)
+    val result = out.localCheckpoint()
+    byT.unpersist(false)
+    result
   }
 
   /** Scalar endpoints of the KM curve: median survival time (smallest
@@ -100,16 +118,24 @@ object Survival {
     * Output: (t, n_risk, n_event, n_censored, cum_hazard 6dp,
     * fh_survival 6dp). */
   def nelsonAalen(df: DataFrame, durationCol: String,
-                  eventCol: String): DataFrame = {
+                  eventCol: String,
+                  maxDistinctTimes: Long = 200000L): DataFrame = {
     val byT = df.groupBy(col(durationCol).as("t"))
       .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_event"),
         sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
+      .persist()
+    // the kaplanMeier bounded-duration-grain guard
+    val nTimes = byT.count()
+    require(nTimes <= maxDistinctTimes,
+      s"nelsonAalen: $nTimes distinct durations exceeds the " +
+        s"single-sort guard ($maxDistinctTimes) — bucket the duration " +
+        "column before calling")
     val wAsc = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
-    byT
+    val out = byT
       .withColumn("n_risk",
         sum(col("n_event") + col("n_censored")).over(wAll) -
           coalesce(sum(col("n_event") + col("n_censored")).over(wPrev),
@@ -119,6 +145,9 @@ object Survival {
       .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
         round(col("__h"), 6).as("cum_hazard"),
         round(exp(-col("__h")), 6).as("fh_survival"))
+      .localCheckpoint()
+    byT.unpersist(false)
+    out
   }
 
   /** Two-sample log-rank test (X79): does group `a`'s survival curve
@@ -174,7 +203,7 @@ object Survival {
       sum(col("d_a")).as("o_a"), sum(col("d_b")).as("o_b"),
       sum(expA).as("__ea"), sum(dT - expA).as("__eb"),
       sum(varT).as("__v"))
-    agg.select(col("n_a"), col("n_b"), col("o_a"),
+    val out = agg.select(col("n_a"), col("n_b"), col("o_a"),
       round(col("__ea"), 4).as("e_a"), col("o_b"),
       round(col("__eb"), 4).as("e_b"),
       when(col("__v") > 0,
@@ -182,6 +211,12 @@ object Survival {
       when(col("__v") > 0,
         round(pow(col("o_a") - col("__ea"), 2) / col("__v"), 4))
         .as("chi2"))
+      // one row: materialize so byT's cache entry can be released here
+      // instead of leaking per call in a long-lived session (the coxPh
+      // unpersist pattern)
+      .localCheckpoint()
+    byT.unpersist(false)
+    out
   }
 
   /** Harrell's concordance index per group — "does a higher risk score

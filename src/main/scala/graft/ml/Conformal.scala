@@ -40,12 +40,16 @@ object Conformal {
     val cal = res.filter(col("__cal"))
     val nCal = cal.agg(count(lit(1))).head.getLong(0)
     val k = math.ceil((nCal + 1) * (1.0 - alpha)).toLong
-    val w = Window.orderBy(col("__r").asc, col("__id").asc)
+    // order-statistic selection via the size-dispatched global rank
+    // (nCal is already in hand — the dispatch probe is free): plain
+    // window below 2M calibration rows, two-pass distributed rank
+    // above — no single-partition sort over the calibration set
     val qhat =
       if (k > nCal || nCal == 0)
         cal.sparkSession.sql("SELECT CAST(NULL AS DOUBLE) AS __q")
       else
-        cal.withColumn("__rn", row_number().over(w))
+        graft.util.Ranks.globalRowNumber(cal,
+            Seq(col("__r").asc, col("__id").asc), "__rn", nCal)
           .filter(col("__rn") === k)
           .select(col("__r").as("__q"))
     val test = res.filter(!col("__cal"))

@@ -25,10 +25,18 @@ object Ranking {
     * Output: (threshold, n_pred, tp, precision 4-dp, recall 4-dp,
     * avg_precision 4-dp — the same value on every row for easy
     * joining). `label` is 1/0. */
-  def prCurve(df: DataFrame, labelCol: String,
-              scoreCol: String): DataFrame = {
+  def prCurve(df: DataFrame, labelCol: String, scoreCol: String,
+              maxDistinctScores: Long = 2000000L): DataFrame = {
     val g = df.groupBy(col(scoreCol).as("threshold"))
       .agg(count(lit(1)).as("n_at"), sum(col(labelCol)).as("np_at"))
+      .persist()
+    // bounded-score-grain guard (the rocAuc/coxPh pattern): the
+    // cumulative windows below single-sort the distinct thresholds
+    val nScores = g.count()
+    require(nScores <= maxDistinctScores,
+      s"prCurve: $nScores distinct scores exceeds the single-sort " +
+        s"guard ($maxDistinctScores) — pre-round or bucket the score " +
+        "column before calling")
     val wDesc = Window.orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
@@ -48,10 +56,15 @@ object Ranking {
         col("__prec"))
       .withColumn("avg_precision",
         round(sum(col("__apTerm")).over(wAll), 4))
-    ap.select(col("threshold"), col("n_pred"), col("tp"),
+    val out = ap.select(col("threshold"), col("n_pred"), col("tp"),
       round(col("__prec"), 4).as("precision"),
       round(col("__rec"), 4).as("recall"),
       col("avg_precision"))
+      // threshold-grain output, bounded by the guard: materialize so
+      // g's cache entry is released here (leak-free)
+      .localCheckpoint()
+    g.unpersist(false)
+    out
   }
 
   /** Decile gains/lift table: rank all rows by (score desc, tie-break
@@ -63,17 +76,22 @@ object Ranking {
   def liftTable(df: DataFrame, labelCol: String, scoreCol: String,
                 tieBreak: String, nBins: Int = 10): DataFrame = {
     require(nBins >= 2)
-    val wRank = Window.orderBy(col(scoreCol).desc, col(tieBreak).asc)
-    val wAll = Window.partitionBy()
-    val ranked = df
-      .withColumn("__r", row_number().over(wRank))
-      .withColumn("__n", count(lit(1)).over(wAll))
+    // fact-grain global rank: one eager count probe routes it through
+    // the size-dispatched Ranks two-pass form past 2M rows (no
+    // single-partition sort over the scored facts at scale), and the
+    // whole-frame count window collapses to a literal
+    val n = df.count()
+    val ranked = graft.util.Ranks
+      .globalRowNumber(df,
+        Seq(col(scoreCol).desc, col(tieBreak).asc), "__r", n)
       .withColumn("bin",
-        (((col("__r") - 1) * nBins / col("__n")) + 1).cast("long"))
+        (((col("__r") - 1) * nBins / lit(n)) + 1).cast("long"))
     val byBin = ranked.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_rows"), sum(col(labelCol)).as("n_pos"))
+    // both windows below run over byBin — ≤ nBins rows by construction
     val wCum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
     byBin
       .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
       .withColumn("__cumN", sum(col("n_rows")).over(wCum))

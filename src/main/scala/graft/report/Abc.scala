@@ -1,8 +1,9 @@
 package graft.report
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.util.Ranks
 
 /** ABC (Pareto) inventory classification: rank entities by value
   * contribution, classify by cumulative share — A carries the first
@@ -21,18 +22,24 @@ object Abc {
   def classify(df: DataFrame, key: String, valueCents: String,
                aPct: Int = 80, bPct: Int = 95): DataFrame = {
     require(0 < aPct && aPct < bPct && bPct <= 100, "0 < aPct < bPct <= 100")
-    val w = Window.orderBy(col(valueCents).desc, col(key).asc)
-    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(lit(1))
-    df.select(col(key), col(valueCents))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("__cum", sum(col(valueCents)).over(wc))
-      .withColumn("__tot", sum(col(valueCents)).over(tot))
+    // One eager probe ((n, total) in a single map-side-combined agg)
+    // buys out BOTH former global windows: the running value sum joins
+    // the size-dispatched rank sweep (Ranks two-pass form past 2M
+    // entities — no single-partition sort at catalog scale), and the
+    // total becomes a literal instead of a whole-frame window.
+    val slim = df.select(col(key), col(valueCents).cast("long")
+      .as(valueCents))
+    val probe = slim.agg(count(lit(1)), sum(col(valueCents))).head()
+    val n = probe.getLong(0)
+    val tot = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    Ranks.globalRunningStats(slim,
+        Seq(col(valueCents).desc, col(key).asc), valueCents,
+        "rank", "__cum", n)
       .select(col(key), col(valueCents), col("rank"),
-        round(col("__cum").cast("double") / col("__tot"), 4)
+        round(col("__cum").cast("double") / lit(tot), 4)
           .as("cum_share"),
-        when(col("__cum") * 100 <= col("__tot") * aPct, "A")
-          .when(col("__cum") * 100 <= col("__tot") * bPct, "B")
+        when(col("__cum") * 100 <= lit(tot) * aPct, "A")
+          .when(col("__cum") * 100 <= lit(tot) * bPct, "B")
           .otherwise("C").as("abc_class"))
   }
 

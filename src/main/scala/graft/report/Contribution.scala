@@ -1,8 +1,9 @@
 package graft.report
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.util.Ranks
 
 /** Pareto / contribution analysis over a pre-aggregated (keys, value)
   * table: each key's share of total, the cumulative share in descending
@@ -12,9 +13,10 @@ import org.apache.spark.sql.functions._
   * Determinism across engines: the running sum cumulates INTEGER
   * fixed-point units (value × 10^scale, rounded), so cumulative shares
   * are ratios of exact integers — no float accumulation-order noise in
-  * the ranking-critical column. The window runs over the pre-aggregated
-  * key table (bounded by the key domain), the gate-sweep/BH-small-branch
-  * trade; the fact table never sorts globally.
+  * the ranking-critical column. The running sum is size-dispatched
+  * ([[Ranks.globalRunningStats]]): a shared-sort window below 2M keys,
+  * the distributed two-pass offset sweep above — the fact table never
+  * sorts globally, and neither does a huge key domain.
   *
   * The flag includes the row that CROSSES the threshold (cumulative mass
   * before this row < threshold), the usual Pareto-report convention.
@@ -28,12 +30,14 @@ object Contribution {
     val units = round(col(valueCol) * mult).cast("long")
     val keyed = df.withColumn("__u", units)
     val order = (col("__u").desc +: keyCols.map(col(_).asc))
-    val wCum = Window.orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    keyed
-      .withColumn("__cum", sum(col("__u")).over(wCum))
-      .withColumn("__tot", sum(col("__u")).over(wAll))
+    // one eager (n, total) probe replaces the whole-frame total window
+    // and routes the running sum through the size-dispatched Ranks
+    // two-pass form past 2M keys — no single-partition sort at scale
+    val probe = keyed.agg(count(lit(1)), sum(col("__u"))).head()
+    val n = probe.getLong(0)
+    val tot = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    Ranks.globalRunningStats(keyed, order, "__u", "__rk", "__cum", n)
+      .withColumn("__tot", lit(tot))
       .select(
         keyCols.map(col) :+
           col(valueCol) :+

@@ -301,9 +301,14 @@ object TextAnalysis {
       .join(wordScores, Seq("w"))
       .groupBy(col("phrase"), col("n_words"), col("n_occurrences"))
       .agg(round(sum(col("__ws")), 4).as("score"))
+    // top-k FIRST (TakeOrderedAndProject — distributed per-partition
+    // heaps, k rows to the driver), so the rank window runs over a
+    // ≤ topK frame: bounded by construction, not by contract. The old
+    // shape (global rank window, then filter rank ≤ k) single-sorted
+    // the whole phrase domain — corpus-proportional at 100 TB.
     val wTop = Window.orderBy(col("score").desc, col("phrase").asc)
-    scored.withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= topK)
+    scored.orderBy(col("score").desc, col("phrase").asc).limit(topK)
+      .withColumn("rank", row_number().over(wTop).cast("long"))
   }
 
   /** Out-of-vocabulary rate per document against the corpus top-k

@@ -47,4 +47,61 @@ object Ranks {
       sorted.unpersist(false)
       result
     }
+
+  /** Append `outRank` = 1-based global row number AND `outCum` = the
+    * inclusive running sum of LongType column `sumCol`, both under the
+    * total order `sortCols` — the rank-and-Pareto-mass shape (ABC
+    * classification, Lorenz/contribution curves). Same size dispatch
+    * as [[globalRowNumber]]: two windows sharing one sort below the
+    * threshold; above it ONE range-repartition pass — per-partition
+    * (count, sum) collected to the driver (2 longs per partition),
+    * then a single mapPartitions sweep adds each partition's global
+    * offsets. Null `sumCol` values add 0 to the running sum (and keep
+    * their rank), matching `sum() over`'s null-skipping. */
+  def globalRunningStats(df: DataFrame, sortCols: Seq[Column],
+                         sumCol: String, outRank: String, outCum: String,
+                         n: Long,
+                         distributedThreshold: Long = 2000000L): DataFrame = {
+    require(df.schema(sumCol).dataType == LongType,
+      s"globalRunningStats: $sumCol must be LongType (exact integer " +
+        "units — the fixed-point cumulative-share discipline; both " +
+        "dispatch paths must produce bit-identical sums)")
+    if (n <= distributedThreshold) {
+      val w = Window.orderBy(sortCols: _*)
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(outRank, row_number().over(w).cast("long"))
+        .withColumn(outCum, sum(col(sumCol)).over(wc))
+    } else {
+      val spark = df.sparkSession
+      val sumIdx = df.schema.fieldIndex(sumCol)
+      val nPart = math.max(spark.sparkContext.defaultParallelism,
+        (n / 500000L).toInt + 1)
+      val sorted = df.repartitionByRange(nPart, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = sorted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var c = 0L; var s = 0L
+          it.foreach { r => c += 1; if (!r.isNullAt(sumIdx)) s += r.getLong(sumIdx) }
+          Iterator((i, c, s))
+        }
+        .collect().sortBy(_._1)
+      val rankOff = stats.map(_._2).scanLeft(0L)(_ + _)
+      val sumOff = stats.map(_._3).scanLeft(0L)(_ + _)
+      val schema = sorted.schema
+        .add(outRank, LongType, nullable = false)
+        .add(outCum, LongType, nullable = true)
+      val swept = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var r = rankOff(pi); var s = sumOff(pi)
+        it.map { row =>
+          r += 1
+          if (!row.isNullAt(sumIdx)) s += row.getLong(sumIdx)
+          Row.fromSeq(row.toSeq :+ r :+ s)
+        }
+      }
+      val result = spark.createDataFrame(swept, schema).localCheckpoint()
+      sorted.unpersist(false)
+      result
+    }
+  }
 }

@@ -5,13 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.tools.ExplainAudit
 
 /** CI-style inventory diff: keeps the catalog honest as it grows.
-  * Every round-9+ query (number ≥ 402) must land in
-  * [[ExplainAudit.audited]] (lazy — its plan is printed and reviewed)
-  * or [[ExplainAudit.excluded]] (eager — with a stated rationale), and
-  * must be mentioned in SCALE.md's scale-evidence log, so a new
-  * `Q(...)` can never silently skip the plan audit or the 10× smoke
-  * discipline. Also pins the two lists against typos (every name they
-  * mention must exist in the catalog) and overlap. */
+  * Since round 10 the audited/excluded coverage threshold is the WHOLE
+  * catalog (q1+), asserted as an exact partition by
+  * CatalogPlanAuditSpec; this spec keeps the typo/overlap/rationale
+  * pins and the SCALE.md scale-evidence requirement for new (≥402)
+  * queries — earlier queries' scale evidence lives in SCALE.md's
+  * per-family rows rather than per-query mentions. */
 class CatalogHygieneSpec extends AnyFunSuite {
 
   private def qNum(name: String): Int =
@@ -36,16 +35,14 @@ class CatalogHygieneSpec extends AnyFunSuite {
     }
   }
 
-  test("every round-9+ query is plan-audited or excluded-with-" +
-    "rationale, and has a SCALE.md entry") {
-    val fresh = names.filter(qNum(_) >= 402)
+  test("every query is plan-audited or excluded-with-rationale " +
+    "(threshold q1), and every round-9+ query has a SCALE.md entry") {
     val inventoried =
       ExplainAudit.audited.toSet ++ ExplainAudit.excluded.keySet
-    val unaudited = fresh.filterNot(inventoried)
+    val unaudited = names.filterNot(inventoried)
     assert(unaudited.isEmpty,
-      s"round-9+ queries missing from ExplainAudit " +
-        s"audited/excluded: $unaudited")
-    val unscaled = fresh.filterNot(n => scaleMd.contains(n))
+      s"queries missing from ExplainAudit audited/excluded: $unaudited")
+    val unscaled = names.filter(qNum(_) >= 402).filterNot(scaleMd.contains)
     assert(unscaled.isEmpty,
       s"round-9+ queries with no SCALE.md mention: $unscaled")
   }

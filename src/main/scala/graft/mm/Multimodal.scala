@@ -11,11 +11,15 @@ import graft.functions.gfunctions._
   * are the IMAGE and AUDIO paths: [[imageKernel]] decodes PNG/JPEG via
   * javax.imageio and [[audioKernel]] decodes WAV/AIFF/AU PCM via
   * javax.sound.sampled (both JDK-only, zero-egress-safe) inside the
-  * same mapPartitions boundary. VIDEO container metadata is real too —
+  * same mapPartitions boundary. VIDEO is real at two grains:
   * [[videoMetadata]] walks the public MP4/ISO-BMFF box layout in pure
-  * byte arithmetic (duration, resolution, brand; no codec needed);
-  * only video FRAME decode remains the clearly-marked deterministic
-  * [[stubKernel]] (the JDK ships no video codec). Swapping kernels
+  * byte arithmetic (duration, resolution, brand; no codec needed),
+  * and [[aviFrames]]/[[videoFrameKernel]] decode MJPEG-in-AVI at FRAME
+  * grain — the RIFF walk is byte arithmetic like the MP4 one, and each
+  * MJPEG frame is a JPEG that javax.imageio decodes (JDK-only,
+  * zero-egress-safe). Only frame decode of codec-compressed video
+  * (H.264 in MP4) remains the clearly-marked deterministic
+  * [[stubKernel]] — the JDK ships no such codec. Swapping kernels
   * changes nothing upstream or downstream.
   */
 object Multimodal {
@@ -243,6 +247,61 @@ object Multimodal {
   val videoKernel: Array[Byte] => Array[Float] = { bytes =>
     val (_, dur, w, h) = videoMetadata(bytes)
     Array(dur.toFloat, w.toFloat, h.toFloat, bytes.length.toFloat)
+  }
+
+  /** The compressed video frames of an MJPEG-in-AVI payload by PURE
+    * BYTE ARITHMETIC over the RIFF container (public structure —
+    * little-endian chunks, the mirror image of [[videoMetadata]]'s
+    * big-endian MP4 walk): validate `RIFF…AVI `, then walk chunks
+    * recursing into `LIST` bodies (`movi` holds the frame data,
+    * possibly grouped under `rec ` lists) and collect every `NNdb`/
+    * `NNdc` data chunk — in MJPEG each is one complete JPEG image
+    * that [[imagePixels]] already decodes. Chunks are word-aligned
+    * (odd sizes carry a pad byte). Throws on non-RIFF payloads and
+    * corrupt chunk bounds — the loud-decode-boundary discipline. */
+  def aviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      "aviFrames: not a RIFF/AVI payload")
+    val out = Seq.newBuilder[Array[Byte]]
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fourcc(off)
+        val sz = u32le(off + 4).toInt
+        val payload = off + 8
+        val end = payload + sz
+        require(sz >= 0 && end <= until,
+          s"aviFrames: corrupt chunk '$id' at $off")
+        if (id == "LIST" && sz >= 4) {
+          val typ = fourcc(payload)
+          walk(payload + 4, end, inMovi || typ == "movi")
+        } else if (inMovi && id.take(2).forall(_.isDigit) &&
+            (id.endsWith("db") || id.endsWith("dc"))) {
+          out += java.util.Arrays.copyOfRange(bytes, payload, end)
+        }
+        off = end + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    out.result()
+  }
+
+  /** REAL video FRAME kernel for [[decodePartitions]] (MJPEG-in-AVI):
+    * frame count, first-frame width/height, and first-frame per-channel
+    * byte means from the actually-decoded bitmap — the frame-grain
+    * counterpart of the container-grain [[videoKernel]] behind the
+    * identical (media_id, features array<float>) contract. */
+  val videoFrameKernel: Array[Byte] => Array[Float] = { bytes =>
+    val frames = aviFrames(bytes)
+    require(frames.nonEmpty,
+      "videoFrameKernel: AVI payload carries no 'NNdc'/'NNdb' frames")
+    val first = imageKernel(frames.head)
+    frames.size.toFloat +: first
   }
 
   /** The production decode boundary: a per-partition batch loop over

@@ -117,6 +117,42 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("videoFrameKernel: committed MJPEG-AVI fixture decodes to real " +
+    "frames — count, resolution, first-frame pixel stats") {
+    val avi = getClass.getResourceAsStream("/tiny_video.avi")
+      .readAllBytes()
+    val frames = Multimodal.aviFrames(avi)
+    assert(frames.size == 3)
+    // each extracted chunk is a complete JPEG (SOI marker) that the
+    // image path decodes; fixture frames are solid red, green, blue
+    frames.foreach { f =>
+      assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8, "not a JPEG")
+    }
+    val expected = MjpegAviFixture.FrameColors
+    frames.zip(expected).foreach { case (f, (r, g, b)) =>
+      val Array(w, h, mr, mg, mb) = Multimodal.imageKernel(f)
+      assert(w == MjpegAviFixture.W && h == MjpegAviFixture.H)
+      // JPEG is lossy; solid blocks survive near-exactly
+      assert(math.abs(mr - r) <= 6 && math.abs(mg - g) <= 6 &&
+        math.abs(mb - b) <= 6, s"($mr,$mg,$mb) vs ($r,$g,$b)")
+    }
+    // through the production decodePartitions boundary:
+    // n_frames, first-frame w, h, channel means
+    val media = Seq((12L, avi)).toDF("media_id", "media")
+    val f = Multimodal.decodePartitions(media, Multimodal.videoFrameKernel)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(f(12L).length == 6 && f(12L).head == 3f &&
+      f(12L)(1) == 8f && f(12L)(2) == 6f && f(12L)(3) >= 249f &&
+      f(12L)(4) <= 6f && f(12L)(5) <= 6f)
+    // non-AVI payload: loud contract failure at the boundary
+    intercept[IllegalArgumentException] {
+      Multimodal.aviFrames("not a riff".getBytes)
+    }
+    // an MP4 is not an AVI — the two kernels stay honest about routing
+    val mp4 = getClass.getResourceAsStream("/tiny_video.mp4").readAllBytes()
+    intercept[IllegalArgumentException] { Multimodal.aviFrames(mp4) }
+  }
+
   test("frame sampling: every stride-th byte, short media empty") {
     val m = Multimodal.asMediaTable(docs, "id", "payload", "text/plain")
     val fr = Multimodal.frameValues(m, stride = 3)

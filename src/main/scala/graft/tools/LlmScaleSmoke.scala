@@ -812,7 +812,41 @@ object LlmScaleSmoke {
                 .as("ev"))
             .withColumn("x", pmod(col("user_id"), lit(5)) / lit(5.0))
           graft.de.Survival.coxPh(subj, "dur", "ev", "x", iters = 8)
-        }))
+        }),
+        // ---- round-9/10-touched kernels (new smoke rows) ----
+        // bottom-k via orderBy().limit(k) = TakeOrderedAndProject
+        // (per-partition heaps + a k-row driver merge) over the
+        // distinct-hash domain — the round-9 rewrite away from the
+        // unpartitioned full-domain rank window, certified here
+        "kmv_set_ops" -> (() => sink(
+          graft.sketch.Sketches.kmvSetOps(
+            docs.filter(col("doc_id") % 2 === 0).select(col("text")),
+            docs.filter(col("doc_id") % 2 === 1).select(col("text")),
+            "text", k = 256))),
+        // CONTINUOUS (microsecond) durations through the timeBuckets
+        // coarsening path: the (time, x) cell domain is pinned at 1000
+        // buckets regardless of subject count — without it these
+        // durations are all-distinct and the guard (rightly) fails
+        "cox_ph_bucketed" -> (() => sink {
+          val subj = events.groupBy(col("user_id"))
+            .agg((unix_micros(max(col("ts"))) -
+              unix_micros(min(col("ts")))).as("dur"),
+              max(when(col("event_type") === "error", 1).otherwise(0))
+                .as("ev"))
+            .withColumn("x", pmod(col("user_id"), lit(5)) / lit(5.0))
+          graft.de.Survival.coxPh(subj, "dur", "ev", "x", iters = 4,
+            timeBuckets = 1000)
+        }),
+        // the approx_percentile MAD-probe branch forced on (the path
+        // huber2 dispatches to past ExactPercentileMaxGroupRows = 4M):
+        // scale estimate from the bounded-memory sketch, then the same
+        // IRLS sufficient-stats passes
+        "huber_approx" -> (() => sink(
+          graft.ml.Regression.huber2(
+            events.select(col("value").as("y"),
+              (col("user_id") % 100).cast("double").as("x1"),
+              (col("event_id") % 7).cast("double").as("x2")),
+            "y", "x1", "x2", iters = 4, exactScale = Some(false)))))
       val timed = ops
         .filter { case (name, _) => onlyOps.forall(_.contains(name)) }
         .map { case (name, run) =>

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 slice generator (builder tool, not driver contract): scales the
+  * read-only sf0.1 testdata 10× by unioning key-shifted copies, so the
+  * per-round large-scale gate (SCALE.md "sf1 gate") has a measured
+  * point one decade above the bench grain. NOT an oracle input — the
+  * driver's DuckDB compare stays at sf0.01; this data exists purely to
+  * time the top-N most expensive queries at 10× bench scale.
+  *
+  * Key discipline: every copy i shifts each table's surrogate keys by
+  * i × (max key + 1) so foreign-key joins stay consistent (an order's
+  * copy references the same customer's copy) and key cardinality
+  * scales with the data — distinct/dedup/groupBy queries do 10× real
+  * work instead of collapsing onto the original key domain.
+  * `documents.text` gets a per-copy suffix token (a near-dup, not an
+  * exact dup — the shape web-scale dedup actually faces); dimension
+  * tables (region, nation) are copied unchanged.
+  */
+object ScaleUpGen {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "tmp/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+
+    // one max-key probe per shifted column, reused across all copies
+    def span(df: DataFrame, c: String): Long =
+      df.agg(coalesce(max(col(c)), lit(0L)).cast("long")).head.getLong(0) + 1L
+
+    val custSpan = span(t("customer"), "c_custkey")
+    val suppSpan = span(t("supplier"), "s_suppkey")
+    val partSpan = span(t("part"), "p_partkey")
+    val orderSpan = span(t("orders"), "o_orderkey")
+    val eventSpan = span(t("events"), "event_id")
+    val userSpan = span(t("events"), "user_id")
+    val docSpan = span(t("documents"), "doc_id")
+    val vecSpan = span(t("embeddings"), "vec_id")
+
+    /** Union `factor` copies, shifting the listed long key columns by
+      * i × span each; `extra` post-processes each copy with its index. */
+    def scale(df: DataFrame, shifts: Map[String, Long],
+              extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until factor).map { i =>
+        val shifted = shifts.foldLeft(df) { case (d, (c, s)) =>
+          d.withColumn(c, (col(c) + lit(i.toLong * s)).cast(
+            df.schema(c).dataType))
+        }
+        extra(shifted, i)
+      }.reduce(_ unionAll _)
+
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "region" -> t("region"),
+      "nation" -> t("nation"),
+      "customer" -> scale(t("customer"), Map("c_custkey" -> custSpan)),
+      "supplier" -> scale(t("supplier"), Map("s_suppkey" -> suppSpan)),
+      "part" -> scale(t("part"), Map("p_partkey" -> partSpan)),
+      "orders" -> scale(t("orders"),
+        Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)),
+      "lineitem" -> scale(t("lineitem"),
+        Map("l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
+          "l_suppkey" -> suppSpan)),
+      "events" -> scale(t("events"),
+        Map("event_id" -> eventSpan, "user_id" -> userSpan)),
+      "documents" -> scale(t("documents"), Map("doc_id" -> docSpan),
+        (d, i) => if (i == 0) d
+          else d.withColumn("text", concat(col("text"), lit(s" v$i")))
+            .withColumn("n_chars", col("n_chars") + lit(3L))),
+      "embeddings" -> scale(t("embeddings"), Map("vec_id" -> vecSpan)))
+
+    outputs.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"wrote $out/$name.parquet")
+    }
+    spark.stop()
+  }
+}

@@ -11,7 +11,7 @@ import graft.graph.Centrality
 import graft.mapping.ProbeMapping
 import graft.net.CoExpressionNetwork
 import graft.prep.Preprocess
-import graft.report.Sinks
+import graft.report.{Figures, Sinks}
 
 /** Configuration for one pipeline run (mirrors the reference ctor +
   * hard-coded constants, `pipeline2.py:140-153,661,944`). */
@@ -95,6 +95,20 @@ final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
         Sinks.writeCsv(Sinks.volcanoData(res).orderBy("gene"),
           s"$out/data/volcano_data")
         res
+      }
+    }
+    // volcano figure (pipeline2.py:1029-1055): the same gene-grain table
+    // the reference hands matplotlib, collected (bounded by the gene
+    // dimension) and rendered by the pure-JDK Figures renderer
+    differential.foreach { res =>
+      stage("figure_volcano") {
+        val pts = Sinks.volcanoData(res).orderBy("gene").collect()
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(2)).map { r =>
+            (r.getDouble(1), r.getDouble(2),
+              !r.isNullAt(3) && r.getBoolean(3))
+          }.toSeq
+        Figures.renderVolcano(pts, pThreshold = 0.05, fcThreshold = 1.0,
+          s"$out/figures/volcano_plot.png")
       }
     }
     val significant = differential.flatMap { d =>
@@ -182,6 +196,28 @@ final class DrugTargetPipeline(spark: SparkSession, config: PipelineConfig) {
           Sinks.writeCsv(
             Sinks.barplotData(ts).orderBy(col("composite_score").desc, col("gene")),
             s"$out/data/top_targets_barplot")
+        }
+        // PNG rendering (G6 + S10 at pixel grain, pipeline2.py:1059-1114):
+        // spring-layout network for >= 2 real nodes, bar plot when any
+        // non-placeholder target exists — the reference's own skip rules
+        stage("figure_network_png") {
+          val nodes = vizData._1
+            .orderBy(col("node_size").desc, col("gene")).collect()
+            .map(r => (r.getString(0), r.getDouble(1))).toSeq
+          if (nodes.size > 1) {
+            val es = vizData._2.orderBy("src", "dst").collect()
+              .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+              .toSeq
+            Figures.renderNetwork(nodes, es,
+              s"$out/figures/network_visualization.png")
+          }
+        }
+        stage("figure_barplot_png") {
+          val tops = Sinks.barplotData(ts)
+            .orderBy(col("composite_score").desc, col("gene")).collect()
+            .map(r => (r.getString(0), r.getDouble(1))).toSeq
+          if (tops.nonEmpty)
+            Figures.renderBarplot(tops, s"$out/figures/top_targets.png")
         }
       case _ => ()
     }

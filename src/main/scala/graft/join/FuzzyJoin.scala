@@ -72,6 +72,83 @@ object FuzzyJoin {
         col("dist"))
   }
 
+  /** Deletion-neighborhood (FastSS) self-join: exact-recall candidate
+    * generation for edit distance ≤ `maxDist` (1 or 2). Each string
+    * emits every variant reachable by deleting up to `maxDist`
+    * characters (L+1 keys at d=1, ~L²/2 at d=2); two strings within
+    * edit distance d ALWAYS share a key in their ≤d-deletion
+    * neighborhoods, so — unlike prefix blocking — recall is complete
+    * and no distribution degenerates into one block. The q107 lesson:
+    * sequential entity names ("Supplier#000000001"…) share their whole
+    * prefix, so ANY fixed prefix key collapses to a single O(n²)
+    * block; deletion keys differ wherever the strings differ, keeping
+    * candidates proportional to true near-matches. Costs: the key
+    * explode carries n·(L+1) short strings (d=1) through one shuffle —
+    * linear in data; candidate dedup is a groupBy on (id_a, id_b).
+    * Same output contract as [[selfBlockedLevenshtein]].
+    *
+    * 100 TB: explode → hash-join on deletion key → distinct pair
+    * verify, all fine-grained keys; a hot deletion key = many strings
+    * genuinely within 2·d edits of each other (true-positive-dense),
+    * cappable via `maxKeyRows` with the logged-drop discipline. */
+  def selfDeletionNeighborhood(df: DataFrame, id: String, text: String,
+                               maxDist: Int,
+                               maxKeyRows: Option[Int] = None): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"selfDeletionNeighborhood supports maxDist 1 or 2, got $maxDist " +
+        "(the deletion neighborhood grows C(len, d) — use " +
+        "selfBlockedLevenshtein passes for larger distances)")
+    // deletion variants as a native expression tree: for d=1 the
+    // variants are substr(0,i) || substr(i+1) for each i; for d=2 the
+    // same applied twice (j > i dedups symmetric orders)
+    val s = col("text_a")
+    // 0 = keep-as-is sentinel; i in 1..len deletes char i (1-based)
+    val keyed = df
+      .select(col(id).as("id_a"), col(text).as("text_a"),
+        length(col(text)).as("__len_a"))
+      .withColumn("__i", explode(sequence(lit(0), col("__len_a"))))
+      .withColumn("__k1",
+        when(col("__i") === 0, s).otherwise(
+          concat(substring(s, lit(1), col("__i") - 1),
+            substring(s, col("__i") + 1, col("__len_a")))))
+    val keys =
+      if (maxDist == 1)
+        keyed.select(col("id_a"), col("text_a"), col("__len_a"),
+          col("__k1").as("__key"))
+      else keyed
+        .withColumn("__j",
+          explode(sequence(lit(0), greatest(length(col("__k1")), lit(0)))))
+        .filter(col("__j") === 0 || col("__j") >= col("__i"))
+        .select(col("id_a"), col("text_a"), col("__len_a"),
+          when(col("__j") === 0, col("__k1")).otherwise(
+            concat(substring(col("__k1"), lit(1), col("__j") - 1),
+              substring(col("__k1"), col("__j") + 1,
+                length(col("__k1"))))).as("__key"))
+        .distinct()
+    val a = maxKeyRows match {
+      case Some(c) =>
+        val hot = keys.groupBy(col("__key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > c)
+          .select(col("__key"))
+        val nHot = hot.count()
+        if (nHot > 0) log.warn(
+          s"selfDeletionNeighborhood: dropped $nHot deletion keys with " +
+            s"more than $c rows — recall capped for their members")
+        keys.join(broadcast(hot), Seq("__key"), "left_anti")
+      case None => keys
+    }
+    val b = a.select(col("id_a").as("id_b"), col("text_a").as("text_b"),
+      col("__len_a").as("__len_b"), col("__key"))
+    a.join(b, Seq("__key"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__len_a") - col("__len_b")) <= maxDist)
+      .select("id_a", "id_b", "text_a", "text_b").distinct()
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"),
+        col("dist"))
+  }
+
   /** Two-table variant: every `left` row paired with the `right` rows in
     * its block within `maxDist` edits. Column names are taken from the
     * inputs with `_l`/`_r` suffixes on the id and text columns. */

@@ -64,9 +64,20 @@ object ScaleUpGen {
     val outputs: Seq[(String, DataFrame)] = Seq(
       "region" -> t("region"),
       "nation" -> t("nation"),
-      "customer" -> scale(t("customer"), Map("c_custkey" -> custSpan)),
-      "supplier" -> scale(t("supplier"), Map("s_suppkey" -> suppSpan)),
-      "part" -> scale(t("part"), Map("p_partkey" -> partSpan)),
+      // entity NAMES get a per-copy suffix: real sf1 data has 10x
+      // DISTINCT names, so leaving 10 exact copies of each name would
+      // inflate every name-blocked operator's per-block pair volume
+      // 100x (the q107 fuzzy-join artifact) — a property of the naive
+      // copy, not of the operator being measured
+      "customer" -> scale(t("customer"), Map("c_custkey" -> custSpan),
+        (d, i) => if (i == 0) d
+          else d.withColumn("c_name", concat(col("c_name"), lit(s" #$i")))),
+      "supplier" -> scale(t("supplier"), Map("s_suppkey" -> suppSpan),
+        (d, i) => if (i == 0) d
+          else d.withColumn("s_name", concat(col("s_name"), lit(s" #$i")))),
+      "part" -> scale(t("part"), Map("p_partkey" -> partSpan),
+        (d, i) => if (i == 0) d
+          else d.withColumn("p_name", concat(col("p_name"), lit(s" #$i")))),
       "orders" -> scale(t("orders"),
         Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)),
       "lineitem" -> scale(t("lineitem"),

@@ -57,12 +57,12 @@ class WindowContractSpec extends AnyFunSuite {
       (1, "seed-cell numbering over an orderBy().limit(k) frame — " +
         "k rows by construction"),
     "graft/catalog/CatalogMisc.scala" ->
-      (2, "calendar-day cumulative windows (q146 EWMA / q163 Holt " +
-        "daily series — bounded by the date span)"),
+      (2, "calendar-day lag windows (q272 runs test / q273 variance " +
+        "ratio daily series — bounded by the date span)"),
     "graft/catalog/CatalogGrid.scala" ->
       (1, "bucket-grain cumulative window (log2 buckets)"),
     "graft/catalog/CatalogStats4.scala" ->
-      (1, "q378 Markov attribution: channel-pair transition cells"),
+      (1, "top-40 rank over nation-pair aggregates (<= C(25,2) rows)"),
     "graft/catalog/CatalogBiz2.scala" ->
       (1, "decile-grain window (10 rows by construction)"))
 

@@ -230,7 +230,8 @@ object Catalog {
       CatalogLlm2.all ++ CatalogRank.all ++ CatalogSurv.all ++
       CatalogMisc.all ++ CatalogMisc2.all ++ CatalogMisc3.all ++
       CatalogAttr.all ++ CatalogGrid.all ++ CatalogSqlTvf.all ++
-      CatalogSeq.all ++ CatalogStats3.all ++ CatalogStats4.all
+      CatalogSeq.all ++ CatalogStats3.all ++ CatalogStats4.all ++
+      CatalogR10.all
 
   // Signed-zero closure (see [[SignedZero]]): every double output
   // column — schema-derived on the Spark side, registry-derived on the

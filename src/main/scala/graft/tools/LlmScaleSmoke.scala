@@ -846,7 +846,26 @@ object LlmScaleSmoke {
             events.select(col("value").as("y"),
               (col("user_id") % 100).cast("double").as("x1"),
               (col("event_id") % 7).cast("double").as("x2")),
-            "y", "x1", "x2", iters = 4, exactScale = Some(false)))))
+            "y", "x1", "x2", iters = 4, exactScale = Some(false)))),
+        // one sufficient-stats aggregate + source-grain arithmetic:
+        // |sources| LOO fits for the price of one pass
+        "loo_influence" -> (() => sink(
+          graft.ml.Influence.looSourceOls2(
+            events.select(col("event_type"),
+              round(col("value") * 100).as("y"),
+              hour(col("ts")).as("x1"),
+              (pmod(dayofweek(col("ts")) + 5, lit(7)) + 1).as("x2")),
+            "event_type", "y", "x1", "x2"))),
+        // anchor explode linear in tokens; eval side fixed (500 docs,
+        // benchmarks don't grow with the corpus); df-capped corpus
+        // anchors keep the join candidate-proportional — the planted
+        // id%13 duplicates provide real verbatim runs to localize
+        "verbatim_spans" -> (() => sink(
+          graft.text.Overlap.verbatimSpans(
+            docs, "doc_id", "text",
+            docs.filter(col("doc_id") < 500)
+              .select(col("doc_id").as("eval_id"), col("text")),
+            "eval_id", "text", k = 8, maxAnchorDf = 20L))))
       val timed = ops
         .filter { case (name, _) => onlyOps.forall(_.contains(name)) }
         .map { case (name, run) =>

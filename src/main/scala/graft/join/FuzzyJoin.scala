@@ -91,6 +91,54 @@ object FuzzyJoin {
     * verify, all fine-grained keys; a hot deletion key = many strings
     * genuinely within 2·d edits of each other (true-positive-dense),
     * cappable via `maxKeyRows` with the logged-drop discipline. */
+  /** ≤`maxDist`-deletion variants of `textCol` as join keys: output
+    * (idOut, textOut, lenOut, __key). 0 is the keep-as-is sentinel;
+    * i in 1..len deletes char i (1-based); d=2 applies a second
+    * deletion at j ≥ i on the shortened string (every unordered
+    * original-position pair (p, q>p) is reachable as i=p, j=q−1). */
+  private def deletionKeys(df: DataFrame, id: String, text: String,
+                           maxDist: Int, idOut: String, textOut: String,
+                           lenOut: String): DataFrame = {
+    val s = col(textOut)
+    val keyed = df
+      .select(col(id).as(idOut), col(text).as(textOut),
+        length(col(text)).as(lenOut))
+      .withColumn("__i", explode(sequence(lit(0), col(lenOut))))
+      .withColumn("__k1",
+        when(col("__i") === 0, s).otherwise(
+          concat(substring(s, lit(1), col("__i") - 1),
+            substring(s, col("__i") + 1, col(lenOut)))))
+    if (maxDist == 1)
+      keyed.select(col(idOut), col(textOut), col(lenOut),
+        col("__k1").as("__key"))
+    else keyed
+      .withColumn("__j",
+        explode(sequence(lit(0), greatest(length(col("__k1")), lit(0)))))
+      .filter(col("__j") === 0 || col("__j") >= col("__i"))
+      .select(col(idOut), col(textOut), col(lenOut),
+        when(col("__j") === 0, col("__k1")).otherwise(
+          concat(substring(col("__k1"), lit(1), col("__j") - 1),
+            substring(col("__k1"), col("__j") + 1,
+              length(col("__k1"))))).as("__key"))
+      .distinct()
+  }
+
+  /** The logged hot-key cap for deletion-key frames (recall capped for
+    * members of dropped keys — the dropHotBlocks discipline). */
+  private def dropHotKeys(keys: DataFrame, cap: Option[Int],
+                          op: String): DataFrame = cap match {
+    case Some(c) =>
+      val hot = keys.groupBy(col("__key"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > c)
+        .select(col("__key"))
+      val nHot = hot.count()
+      if (nHot > 0) log.warn(
+        s"$op: dropped $nHot deletion keys with more than $c rows — " +
+          "recall capped for their members")
+      keys.join(broadcast(hot), Seq("__key"), "left_anti")
+    case None => keys
+  }
+
   def selfDeletionNeighborhood(df: DataFrame, id: String, text: String,
                                maxDist: Int,
                                maxKeyRows: Option[Int] = None): DataFrame = {
@@ -98,45 +146,9 @@ object FuzzyJoin {
       s"selfDeletionNeighborhood supports maxDist 1 or 2, got $maxDist " +
         "(the deletion neighborhood grows C(len, d) — use " +
         "selfBlockedLevenshtein passes for larger distances)")
-    // deletion variants as a native expression tree: for d=1 the
-    // variants are substr(0,i) || substr(i+1) for each i; for d=2 the
-    // same applied twice (j > i dedups symmetric orders)
-    val s = col("text_a")
-    // 0 = keep-as-is sentinel; i in 1..len deletes char i (1-based)
-    val keyed = df
-      .select(col(id).as("id_a"), col(text).as("text_a"),
-        length(col(text)).as("__len_a"))
-      .withColumn("__i", explode(sequence(lit(0), col("__len_a"))))
-      .withColumn("__k1",
-        when(col("__i") === 0, s).otherwise(
-          concat(substring(s, lit(1), col("__i") - 1),
-            substring(s, col("__i") + 1, col("__len_a")))))
-    val keys =
-      if (maxDist == 1)
-        keyed.select(col("id_a"), col("text_a"), col("__len_a"),
-          col("__k1").as("__key"))
-      else keyed
-        .withColumn("__j",
-          explode(sequence(lit(0), greatest(length(col("__k1")), lit(0)))))
-        .filter(col("__j") === 0 || col("__j") >= col("__i"))
-        .select(col("id_a"), col("text_a"), col("__len_a"),
-          when(col("__j") === 0, col("__k1")).otherwise(
-            concat(substring(col("__k1"), lit(1), col("__j") - 1),
-              substring(col("__k1"), col("__j") + 1,
-                length(col("__k1"))))).as("__key"))
-        .distinct()
-    val a = maxKeyRows match {
-      case Some(c) =>
-        val hot = keys.groupBy(col("__key"))
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > c)
-          .select(col("__key"))
-        val nHot = hot.count()
-        if (nHot > 0) log.warn(
-          s"selfDeletionNeighborhood: dropped $nHot deletion keys with " +
-            s"more than $c rows — recall capped for their members")
-        keys.join(broadcast(hot), Seq("__key"), "left_anti")
-      case None => keys
-    }
+    val a = dropHotKeys(
+      deletionKeys(df, id, text, maxDist, "id_a", "text_a", "__len_a"),
+      maxKeyRows, "selfDeletionNeighborhood")
     val b = a.select(col("id_a").as("id_b"), col("text_a").as("text_b"),
       col("__len_a").as("__len_b"), col("__key"))
     a.join(b, Seq("__key"))
@@ -147,6 +159,36 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"),
         col("dist"))
+  }
+
+  /** Two-table deletion-neighborhood join — entity linking against a
+    * canonical dictionary with complete recall at edit distance ≤
+    * `maxDist` (1 or 2): every `left` row paired with the `right`
+    * (dictionary) rows within `maxDist` edits, no blocking miss and no
+    * degenerate shared-prefix block (the [[selfDeletionNeighborhood]]
+    * rationale). Output columns follow [[blockedLevenshtein]]:
+    * (<id>_l, <text>_l, <id>_r, <text>_r, dist). */
+  def deletionNeighborhoodJoin(left: DataFrame, right: DataFrame,
+                               id: String, text: String,
+                               maxDist: Int,
+                               maxKeyRows: Option[Int] = None): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletionNeighborhoodJoin supports maxDist 1 or 2, got $maxDist")
+    val a = dropHotKeys(
+      deletionKeys(left, id, text, maxDist, s"${id}_l", s"${text}_l",
+        "__len_l"),
+      maxKeyRows, "deletionNeighborhoodJoin(left)")
+    val b = dropHotKeys(
+      deletionKeys(right, id, text, maxDist, s"${id}_r", s"${text}_r",
+        "__len_r"),
+      maxKeyRows, "deletionNeighborhoodJoin(right)")
+    a.join(b, Seq("__key"))
+      .filter(abs(col("__len_l") - col("__len_r")) <= maxDist)
+      .select(s"${id}_l", s"${text}_l", s"${id}_r", s"${text}_r")
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col(s"${text}_l"), col(s"${text}_r")))
+      .filter(col("dist") <= maxDist)
   }
 
   /** Two-table variant: every `left` row paired with the `right` rows in

@@ -78,6 +78,20 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(got == expect, s"got $got expected $expect")
   }
 
+  test("deletionNeighborhoodJoin: dictionary linking with complete " +
+    "recall (pairs differing inside any prefix still match)") {
+    val dict = Seq((10L, "acme corp"), (11L, "zenith ltd"),
+      (12L, "apex gmbh")).toDF("id", "nm")
+    val got = FuzzyJoin.deletionNeighborhoodJoin(names, dict, "id", "nm",
+        maxDist = 1)
+      .select("id_l", "id_r", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    // 1→10 exact; 2→10 one deletion; 6 "acne corp"→10 substitution
+    // INSIDE the prefix (the case prefix blocking misses); 4,5→11 exact
+    assert(got == Set((1L, 10L, 0), (2L, 10L, 1), (6L, 10L, 1),
+      (4L, 11L, 0), (5L, 11L, 0)))
+  }
+
   test("maxBlockRows: generous cap is a no-op; tight cap drops the " +
     "hot block with a logged count") {
     val names = Seq((1L, "acme corp"), (2L, "acme corp."),

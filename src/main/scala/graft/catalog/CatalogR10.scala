@@ -158,5 +158,76 @@ object CatalogR10 {
            |FROM runs WHERE corpus_id <> eval_id
            |GROUP BY 1, 2 ORDER BY corpus_id, eval_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q402, q403)
+  /** X: incremental near-dup screening
+    * ([[graft.dedup.Dedup.incrementalMinHashDedup]]): odd doc_ids are
+    * the ingest batch, even doc_ids' stored MinHash signatures are the
+    * history — candidates from shared LSH band keys, verified by
+    * signature agreement (the Jaccard estimator; history text never
+    * rescanned). The oracle replays the bit-compatible md5 minhash in
+    * SQL (the q33 machinery) and the same banding + agreement. The
+    * returned `sig` column is for history append, not comparison —
+    * dropped here (the oracle compares the decision columns). */
+  private val q404 = Q("q404_incremental_minhash",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val historySigs = graft.dedup.Dedup.minhashSignatures(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+      graft.dedup.Dedup.incrementalMinHashDedup(
+          docs.filter($"doc_id" % 2 === 1), "doc_id", "text",
+          historySigs)
+        .select($"id", $"is_new", $"matched_history_id",
+          $"sig_agreement")
+        .orderBy($"id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS tk
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+           |    AS shingle
+           |  FROM (SELECT id, tk,
+           |          unnest(generate_series(1, len(tk) - 2)) AS i
+           |        FROM toks)),
+           |idx AS (SELECT unnest(generate_series(0, 15)) AS i),
+           |th0 AS (
+           |  SELECT id, i,
+           |    md5_number_lower(CAST(i AS VARCHAR) || ':' || shingle) AS hu
+           |  FROM sh, idx),
+           |th AS (
+           |  SELECT id, i, (hu::HUGEINT -
+           |    CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |      THEN 18446744073709551616::HUGEINT
+           |      ELSE 0::HUGEINT END)::BIGINT AS h
+           |  FROM th0),
+           |sigs AS (SELECT id, i, min(h) AS sig FROM th GROUP BY id, i),
+           |bk AS (
+           |  SELECT id, i // 4 AS band,
+           |    string_agg(sig::VARCHAR, ',' ORDER BY i) AS key
+           |  FROM sigs GROUP BY id, i // 4),
+           |cand AS (
+           |  SELECT DISTINCT b.id AS bid, h.id AS hid
+           |  FROM bk b JOIN bk h ON b.band = h.band AND b.key = h.key
+           |  WHERE b.id % 2 = 1 AND h.id % 2 = 0),
+           |agree AS (
+           |  SELECT bid, hid,
+           |    sum(CASE WHEN sb.sig = sh2.sig THEN 1 ELSE 0 END) / 16.0
+           |      AS a
+           |  FROM cand
+           |    JOIN sigs sb ON sb.id = bid
+           |    JOIN sigs sh2 ON sh2.id = hid AND sh2.i = sb.i
+           |  GROUP BY bid, hid),
+           |best AS (
+           |  SELECT bid, hid, a, row_number() OVER (
+           |      PARTITION BY bid ORDER BY a DESC, hid) AS rn
+           |  FROM agree WHERE a >= 0.5),
+           |batch AS (SELECT DISTINCT id FROM sh WHERE id % 2 = 1)
+           |SELECT b.id, (best.hid IS NULL) AS is_new,
+           |  best.hid AS matched_history_id,
+           |  round(best.a, 4) AS sig_agreement
+           |FROM batch b
+           |  LEFT JOIN best ON best.bid = b.id AND best.rn = 1
+           |ORDER BY id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q402, q403, q404)
 }

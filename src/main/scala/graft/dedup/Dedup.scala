@@ -661,6 +661,95 @@ object Dedup {
     out
   }
 
+  /** Incremental NEAR-dup dedup — [[incrementalExactDedup]]'s analog
+    * one rung up the fuzziness ladder, and the production shape for
+    * continuous ingest: each batch is screened against the accumulated
+    * corpus's stored MINHASH SIGNATURES (`historySigs`: (id, sig
+    * array<long>), i.e. persisted [[minhashSignatures]] output — 16
+    * longs ≈ 128 B per accepted doc), never against the historical
+    * text. Candidates come from shared LSH band keys (batch bands ⋈
+    * history bands, hot history keys cappable); verification is the
+    * SIGNATURE AGREEMENT fraction — the standard unbiased Jaccard
+    * estimator E[agree] = J — because the history text is gone by
+    * contract. Output: one row per batch doc with ≥ 1 shingle:
+    * (id, is_new, matched_history_id, sig_agreement, sig) — the `sig`
+    * column is returned so accepted rows append straight onto the
+    * history table. Ties resolve to (highest agreement, lowest history
+    * id): deterministic under any partitioning. Shingle-less batch
+    * docs (< shingleSize tokens) are dropped, as in
+    * [[minhashLshPairs]] — they have no shingles to match and would
+    * otherwise all collide on the sentinel signature.
+    *
+    * Scale: batch is shingled once; the band join carries 8-byte keys
+    * and is history-bucketable (bucketBy(band, key) — the L32
+    * co-location mechanism); agreement is arithmetic on two in-row
+    * 16-long arrays. History text never rescanned, history size enters
+    * only via the (bounded-fanout) band join. */
+  def incrementalMinHashDedup(batch: DataFrame, idCol: String,
+                              textCol: String, historySigs: DataFrame,
+                              shingleSize: Int = 3, numHashes: Int = 16,
+                              bands: Int = 4, minAgreement: Double = 0.5,
+                              maxBucket: Int = 100000): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes ($numHashes), got $bands")
+    require(minAgreement > 0.0 && minAgreement <= 1.0,
+      "minAgreement must be in (0, 1]")
+    val rows = numHashes / bands
+    // inner explode: shingle-less docs drop (the minhashLshPairs rule)
+    val mins = (0 until numHashes).map(i =>
+      min(element_at(col("hs"), i + 1)).as(s"s$i"))
+    val bSigs = batch
+      .select(col(idCol).as("id"),
+        explode(array_distinct(word_shingles(col(textCol), shingleSize)))
+          .as("shingle"))
+      .select(col("id"), minhash_hashes(col("shingle"), numHashes).as("hs"))
+      .groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sig"), explode(
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5_long(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))
+              .as("key"))
+        }: _*)).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val hB = banded(historySigs.select(col("id"), col("sig")))
+    val bB = banded(bSigs)
+    val obs = Observation()
+    val big = hB.groupBy("band", "key").count()
+      .filter(col("count") > maxBucket)
+      .observe(obs, count(lit(1)).as("n_big"))
+      .select("band", "key")
+    val cand = bB.join(hB
+          .join(big, Seq("band", "key"), "left_anti")
+          .select(col("id").as("hist_id"), col("sig").as("hsig"),
+            col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("id"), col("sig"), col("hist_id"), col("hsig"))
+      .distinct()
+    // agreement = matched signature positions / numHashes (exact
+    // 1/numHashes multiples — engine-independent arithmetic)
+    val agree = (0 until numHashes).map(i =>
+      when(element_at(col("sig"), i + 1) === element_at(col("hsig"), i + 1),
+        1).otherwise(0)).reduce(_ + _).cast("double") / numHashes
+    val best = cand.withColumn("__agree", agree)
+      .filter(col("__agree") >= minAgreement)
+      .groupBy(col("id"))
+      .agg(min(struct((lit(1.0) - col("__agree")).as("__inv"),
+        col("hist_id"))).as("__m"))
+      .select(col("id"), col("__m.hist_id").as("matched_history_id"),
+        round(lit(1.0) - col("__m.__inv"), 4).as("sig_agreement"))
+    val out = bSigs.join(best, Seq("id"), "left")
+      .select(col("id"), col("matched_history_id").isNull.as("is_new"),
+        col("matched_history_id"), col("sig_agreement"), col("sig"))
+      .localCheckpoint()
+    bSigs.unpersist(false)
+    warnCappedBuckets(obs, "incrementalMinHashDedup", maxBucket)
+    out
+  }
+
   /** Latest-version-per-key dedup — the CDC/upsert compaction every
     * ingestion pipeline runs (multiple snapshots/changelog rows per
     * business key -> keep the newest): row_number over the key ordered

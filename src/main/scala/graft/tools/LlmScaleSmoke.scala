@@ -865,7 +865,16 @@ object LlmScaleSmoke {
             docs, "doc_id", "text",
             docs.filter(col("doc_id") < 500)
               .select(col("doc_id").as("eval_id"), col("text")),
-            "eval_id", "text", k = 8, maxAnchorDf = 20L))))
+            "eval_id", "text", k = 8, maxAnchorDf = 20L))),
+        // history = even docs' stored signatures (built OUTSIDE the
+        // timed closure — the L32 "history construction is not the
+        // operator" rule can't apply here since sigs are cheap, but
+        // the measured shape is batch-shingle + band join + agreement)
+        "incremental_minhash" -> (() => sink(
+          graft.dedup.Dedup.incrementalMinHashDedup(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            graft.dedup.Dedup.minhashSignatures(
+              docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")))))
       val timed = ops
         .filter { case (name, _) => onlyOps.forall(_.contains(name)) }
         .map { case (name, run) =>

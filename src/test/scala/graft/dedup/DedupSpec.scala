@@ -478,4 +478,43 @@ class DedupSpec extends SparkSuite {
   private def approxJ(inter: Int, union: Int): Double =
     BigDecimal(inter.toDouble / union)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("incrementalMinHashDedup: exact dup flags agreement 1.0, fresh " +
+    "doc is_new, history text never consulted (signatures only)") {
+    val history = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "one two three four five six seven eight nine ten")
+    ).toDF("id", "text")
+    val historySigs = Dedup.minhashSignatures(history, "id", "text")
+    val batch = Seq(
+      // exact copy of history 10 -> all 16 positions agree
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // genuinely fresh content
+      (102L, "completely different words with no shared shingles at all"),
+      // shingle-less (2 tokens < shingleSize 3) -> dropped
+      (103L, "too short")
+    ).toDF("id", "text")
+    val got = Dedup.incrementalMinHashDedup(batch, "id", "text",
+        historySigs)
+      .select($"id", $"is_new", $"matched_history_id", $"sig_agreement")
+      .as[(Long, Boolean, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(101L) == ((false, Some(10L), Some(1.0))))
+    assert(got(102L) == ((true, None, None)))
+    assert(!got.contains(103L))
+    // sig rides along so accepted rows append onto the history table
+    val withSig = Dedup.incrementalMinHashDedup(batch, "id", "text",
+      historySigs)
+    assert(withSig.schema("sig").dataType.simpleString == "array<bigint>")
+    // appending the accepted fresh doc and re-screening an exact copy
+    // of it now matches -> the incremental contract round-trips
+    val history2 = historySigs.unionByName(
+      withSig.filter($"is_new").select($"id", $"sig"))
+    val got2 = Dedup.incrementalMinHashDedup(
+        Seq((201L, "completely different words with no shared shingles " +
+          "at all")).toDF("id", "text"), "id", "text", history2)
+      .select($"id", $"matched_history_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got2(201L) == Some(102L))
+  }
 }

@@ -874,7 +874,19 @@ object LlmScaleSmoke {
           graft.dedup.Dedup.incrementalMinHashDedup(
             docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
             graft.dedup.Dedup.minhashSignatures(
-              docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")))))
+              docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")))),
+        // hyperplane-LSH near-dup with planes following the documented
+        // log(corpus) contract (q32 pins planes for its oracle; THIS
+        // row is the operator's honest scale shape — expected bucket
+        // occupancy held ~constant across the 10x)
+        "embedding_dedup" -> (() => sink {
+          val nVecs = n / 10
+          val planes = math.max(4,
+            (math.log(nVecs.toDouble / 256) / math.log(2)).ceil.toInt)
+          graft.dedup.Dedup.embeddingDedup(vecs, "vec_id", "embedding",
+            dim = 64, minCos = 0.99, tables = 4,
+            planesPerTable = planes)
+        }))
       val timed = ops
         .filter { case (name, _) => onlyOps.forall(_.contains(name)) }
         .map { case (name, run) =>

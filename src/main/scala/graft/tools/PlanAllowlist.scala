@@ -71,7 +71,8 @@ object PlanAllowlist {
     win("rank-indexed vocab (df-capped; zipf slope over top ranks)")(
       "q236_zipf") ++
     win("quasi-identifier equivalence classes")("q244_l_diversity") ++
-    win("size-dispatched Ranks small branch (≤2M; distributed two-pass above)")(
+    win("rank window over a limit(topK) frame — top-k FIRST " +
+      "(TakeOrderedAndProject), bounded by construction")(
       "q247_rake_keywords") ++
     win("calendar-day series")("q273_variance_ratio", "q351_granger") ++
     win("7×24 day-hour cells")("q282_dow_hour_heatmap") ++

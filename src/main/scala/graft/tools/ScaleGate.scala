@@ -105,5 +105,11 @@ object ScaleGate {
       "occupancy-quadratic by semantics. The constant-density smoke " +
       "(LlmScaleSmoke dbscan, area ∝ n) is the 100-TB analogy and " +
       "holds linear; on genuinely denser data the knobs are ε/minPts " +
-      "(see SCALE.md)"))
+      "(see SCALE.md)"),
+    "q32_embedding_dedup" -> ("planesPerTable pinned at 4 so the " +
+      "DuckDB oracle can replay the exact hyperplane signs; bucket " +
+      "occupancy then grows with the corpus and pair volume is " +
+      "occupancy-quadratic. The operator's documented contract scales " +
+      "planes with log(corpus) — the constant-occupancy smoke " +
+      "(LlmScaleSmoke embedding_dedup, planes ∝ log n) holds linear"))
 }

@@ -89,7 +89,17 @@ object ScaleUpGen {
         (d, i) => if (i == 0) d
           else d.withColumn("text", concat(col("text"), lit(s" v$i")))
             .withColumn("n_chars", col("n_chars") + lit(3L))),
-      "embeddings" -> scale(t("embeddings"), Map("vec_id" -> vecSpan)))
+      // embeddings get a per-copy dimension ROTATION (norm- and
+      // distribution-preserving, decorrelates copies): identical copies
+      // would give every vector 10 exact clones and blow LSH candidate
+      // pairs up 100x per bucket (the q32 15x gate artifact — a data
+      // defect, not an operator one; real 10x corpora have 10x
+      // DISTINCT vectors)
+      "embeddings" -> scale(t("embeddings"), Map("vec_id" -> vecSpan),
+        (d, i) => if (i == 0) d
+          else d.withColumn("embedding",
+            concat(slice(col("embedding"), i + 1, 10000),
+              slice(col("embedding"), 1, i)))))
 
     outputs.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")

@@ -111,5 +111,10 @@ object ScaleGate {
       "occupancy then grows with the corpus and pair volume is " +
       "occupancy-quadratic. The operator's documented contract scales " +
       "planes with log(corpus) — the constant-occupancy smoke " +
-      "(LlmScaleSmoke embedding_dedup, planes ∝ log n) holds linear"))
+      "(LlmScaleSmoke embedding_dedup, planes ∝ log n) holds linear"),
+    "q223_fellegi_sunter" -> ("the entry blocks on NATURAL keys " +
+      "(nation × mktsegment = 125 blocks), so occupancy grows with the " +
+      "data and pair volume is occupancy-quadratic — a property of the " +
+      "block-key choice, not the operator; production blocking keeps " +
+      "block count ∝ entities (LlmScaleSmoke fellegi_sunter, linear)"))
 }

@@ -42,6 +42,38 @@ class EpiStatsSpec extends SparkSuite {
     assert(r.getAs[Double]("c_index") == 0.875)
   }
 
+  test("concordanceIndex: Fenwick-sweep counts match the brute-force " +
+    "pair join on randomized data (time and score ties included)") {
+    // deterministic LCG so ties in BOTH t and s occur across groups
+    def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+    val rows = (0 until 400).map { i =>
+      val h = math.abs(lcg(i.toLong * 31 + 7))
+      (s"g${i % 3}",
+        (math.abs(lcg(h)) % 20).toDouble,          // duration, heavy ties
+        (math.abs(lcg(h + 1)) % 2).toInt,          // event flag
+        (math.abs(lcg(h + 2)) % 15).toDouble)      // score, ties
+    }
+    val df = rows.toDF("grp", "t", "e", "s")
+    val got = Survival.concordanceIndex(df, "grp", "t", "e", "s")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // brute force on the driver
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      var pairs = 0L; var conc = 0L; var tied = 0L
+      for ((_, ti, ei, si) <- rs; (_, tj, _, sj) <- rs
+           if ei == 1 && ti < tj) {
+        pairs += 1
+        if (si > sj) conc += 1 else if (si == sj) tied += 1
+      }
+      val (gn, gp, gc, gt, ci) = got(g)
+      assert(gn == rs.size && gp == pairs && gc == conc && gt == tied,
+        s"$g: got ($gn,$gp,$gc,$gt) expected (${rs.size},$pairs,$conc,$tied)")
+      assert(ci == BigDecimal((conc + tied / 2.0) / pairs)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("atkinson: geometric-mean EDE at eps=1, harmonic at eps=2") {
     val df = Seq(1.0, 1.0, 4.0).map(("g", _)).toDF("grp", "v")
     val a1 = graft.report.Inequality.atkinson(df, "grp", "v").head()

@@ -101,7 +101,8 @@ object RankStats {
         (count(lit(1)) - sum(col(label))).cast("double").as("nn"))
       .persist()
     val nScores = g.count()
-    require(nScores <= maxDistinctScores,
+    graft.util.CacheGuard.requireReleasing(
+      nScores <= maxDistinctScores, g)(
       s"rocAuc: $nScores distinct scores exceeds the single-sort " +
         s"guard ($maxDistinctScores) — the running-rank window would " +
         "serialize over the score domain; pre-round or bucket the " +
@@ -362,7 +363,7 @@ object RankStats {
     // bounded-value-grain guard (the coxPh pattern): the cumulative
     // windows below single-sort the distinct-value domain
     val nCells = cells.count()
-    require(nCells <= 2000000L,
+    graft.util.CacheGuard.requireReleasing(nCells <= 2000000L, cells)(
       s"jonckheereTerpstra: $nCells (value, group) cells exceeds the " +
         "single-sort guard (2000000) — pre-round or bucket the value " +
         "column before calling")
@@ -469,7 +470,7 @@ object RankStats {
     // bounded-value-grain guard (the coxPh pattern): the midrank
     // cumulative windows single-sort the distinct-value domain
     val nCells = cells.count()
-    require(nCells <= 2000000L,
+    graft.util.CacheGuard.requireReleasing(nCells <= 2000000L, cells)(
       s"brunnerMunzel: $nCells (value, group) cells exceeds the " +
         "single-sort guard (2000000) — pre-round or bucket the value " +
         "column before calling")

@@ -41,7 +41,8 @@ object Survival {
         sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
       .persist()
     val nTimes = byT.count()
-    require(nTimes <= maxDistinctTimes,
+    graft.util.CacheGuard.requireReleasing(
+      nTimes <= maxDistinctTimes, byT)(
       s"kaplanMeier: $nTimes distinct durations exceeds the " +
         s"single-sort guard ($maxDistinctTimes) — bucket the duration " +
         "column before calling")
@@ -126,7 +127,8 @@ object Survival {
       .persist()
     // the kaplanMeier bounded-duration-grain guard
     val nTimes = byT.count()
-    require(nTimes <= maxDistinctTimes,
+    graft.util.CacheGuard.requireReleasing(
+      nTimes <= maxDistinctTimes, byT)(
       s"nelsonAalen: $nTimes distinct durations exceeds the " +
         s"single-sort guard ($maxDistinctTimes) — bucket the duration " +
         "column before calling")
@@ -180,7 +182,8 @@ object Survival {
     // Same bounded-duration-grain contract as [[coxPh]]: the
     // cumulative windows below single-sort the distinct durations.
     val nTimes = byT.count()
-    require(nTimes <= maxDistinctTimes,
+    graft.util.CacheGuard.requireReleasing(
+      nTimes <= maxDistinctTimes, byT)(
       s"logRank: $nTimes distinct durations exceeds the single-sort " +
         s"guard ($maxDistinctTimes) — bucket the duration column " +
         "before calling")
@@ -227,6 +230,9 @@ object Survival {
     * events are observed). Inherently pairwise — per-group O(n²) over
     * BOUNDED groups (pre-aggregate or sample to the cohort grain
     * upstream, the kendallTauB contract). All counts exact integers.
+    * Rows with null duration or null score are dropped before the
+    * sweep and excluded from `n` (they can never form a comparable
+    * pair; the old pair-join's nPts counted them).
     * Output: (group, n BIGINT, n_pairs BIGINT, n_concordant BIGINT,
     * n_tied BIGINT, c_index 4dp — null with no comparable pairs). */
   def concordanceIndex(df: DataFrame, groupCol: String,
@@ -244,7 +250,7 @@ object Survival {
     // prefix(rank_i − 1), n_tied(i) = count at rank_i. Equal-time
     // blocks are queried BEFORE insertion (strict t_i < t_j). Groups
     // hash-partition independently (the Brandes per-source shape);
-    // tree memory is one int per distinct score in the group, guarded
+    // tree memory is one Int (4 B) per distinct score in the group, guarded
     // by `maxGroupScores` with the remediation in the message.
     val spark = df.sparkSession
     val wRank = Window.partitionBy(col("__g")).orderBy(col("__s"))
@@ -266,7 +272,9 @@ object Survival {
         .empty[(Any, Long, Long, Long, Long)]
       var g: Any = null
       var started = false
-      var bit: Array[Long] = null
+      // per-rank counts fit an Int (bounded by group rows <= 2^31);
+      // prefix sums accumulate into a Long in bitSum
+      var bit: Array[Int] = null
       var seen = 0L; var n = 0L
       var pairs = 0L; var conc = 0L; var tied = 0L
       var block = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -308,12 +316,16 @@ object Survival {
             s"concordanceIndex: group $g has $maxr distinct scores — " +
               s"exceeds the per-group tree guard ($maxGroupScores); " +
               "bucket the score column or split the group")
-          bit = new Array[Long](maxr + 1)
+          bit = new Array[Int](maxr + 1)
           seen = 0L; n = 0L; pairs = 0L; conc = 0L; tied = 0L
           blockT = Double.NaN
         }
         val t = row.getDouble(tIdx)
-        if (block.nonEmpty && t != blockT) flushBlock()
+        // NaN-safe equality: consecutive NaN durations form ONE
+        // equal-time block (Spark SQL's `__ti < __tj` in the old
+        // pair-join was false for NaN vs NaN, excluding such pairs)
+        if (block.nonEmpty && java.lang.Double.compare(t, blockT) != 0)
+          flushBlock()
         blockT = t
         block += ((row.getInt(rIdx), row.getInt(eIdx)))
         n += 1
@@ -446,7 +458,8 @@ object Survival {
     // fact scale would serialize it: fail fast and point at
     // timeBuckets instead (the Centrality driver-guard pattern).
     val nTimes = cells.select(col("__t")).distinct().count()
-    require(nTimes <= maxDistinctTimes,
+    graft.util.CacheGuard.requireReleasing(
+      nTimes <= maxDistinctTimes, cells)(
       s"coxPh: $nTimes distinct durations exceeds the single-sort " +
         s"guard ($maxDistinctTimes); risk-set sums serialize over " +
         "the duration domain — coarsen with timeBuckets (> 0) or " +

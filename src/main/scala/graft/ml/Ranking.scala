@@ -33,7 +33,8 @@ object Ranking {
     // bounded-score-grain guard (the rocAuc/coxPh pattern): the
     // cumulative windows below single-sort the distinct thresholds
     val nScores = g.count()
-    require(nScores <= maxDistinctScores,
+    graft.util.CacheGuard.requireReleasing(
+      nScores <= maxDistinctScores, g)(
       s"prCurve: $nScores distinct scores exceeds the single-sort " +
         s"guard ($maxDistinctScores) — pre-round or bucket the score " +
         "column before calling")

@@ -76,7 +76,7 @@ object Figures {
       es.foreach { case (a, b, w) =>
         val ex = x(a) - x(b); val ey = y(a) - y(b)
         val d = math.max(math.sqrt(ex * ex + ey * ey), 0.01)
-        val f = w * d / k / d // force/d
+        val f = w * d / k // force/d: (ex,ey) has length d, so force = w*d^2/k (FR attraction)
         dx(a) -= ex * f; dy(a) -= ey * f
         dx(b) += ex * f; dy(b) += ey * f
       }

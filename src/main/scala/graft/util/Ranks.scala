@@ -23,7 +23,7 @@ object Ranks {
     * or aggregated the frame; passing it avoids a redundant job). */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column], out: String,
                       n: Long,
-                      distributedThreshold: Long = 2000000L): DataFrame =
+                      distributedThreshold: Long = Dispatch.threshold(2000000L)): DataFrame =
     if (n <= distributedThreshold)
       df.withColumn(out,
         row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
@@ -57,11 +57,15 @@ object Ranks {
     * (count, sum) collected to the driver (2 longs per partition),
     * then a single mapPartitions sweep adds each partition's global
     * offsets. Null `sumCol` values add 0 to the running sum (and keep
-    * their rank), matching `sum() over`'s null-skipping. */
+    * their rank), matching `sum() over`'s null-skipping — including
+    * the leading-null edge: rows before the first non-null value get
+    * a NULL cumulative sum on BOTH paths (`sum() over` yields null
+    * there; the sweep tracks a seen-non-null flag seeded from the
+    * per-partition prefix). */
   def globalRunningStats(df: DataFrame, sortCols: Seq[Column],
                          sumCol: String, outRank: String, outCum: String,
                          n: Long,
-                         distributedThreshold: Long = 2000000L): DataFrame = {
+                         distributedThreshold: Long = Dispatch.threshold(2000000L)): DataFrame = {
     require(df.schema(sumCol).dataType == LongType,
       s"globalRunningStats: $sumCol must be LongType (exact integer " +
         "units — the fixed-point cumulative-share discipline; both " +
@@ -81,22 +85,28 @@ object Ranks {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = sorted.rdd
         .mapPartitionsWithIndex { (i, it) =>
-          var c = 0L; var s = 0L
-          it.foreach { r => c += 1; if (!r.isNullAt(sumIdx)) s += r.getLong(sumIdx) }
-          Iterator((i, c, s))
+          var c = 0L; var s = 0L; var nn = 0L
+          it.foreach { r =>
+            c += 1
+            if (!r.isNullAt(sumIdx)) { nn += 1; s += r.getLong(sumIdx) }
+          }
+          Iterator((i, c, s, nn))
         }
         .collect().sortBy(_._1)
       val rankOff = stats.map(_._2).scanLeft(0L)(_ + _)
       val sumOff = stats.map(_._3).scanLeft(0L)(_ + _)
+      val nnPrefix = stats.map(_._4).scanLeft(0L)(_ + _)
       val schema = sorted.schema
         .add(outRank, LongType, nullable = false)
         .add(outCum, LongType, nullable = true)
       val swept = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
         var r = rankOff(pi); var s = sumOff(pi)
+        var seenNonNull = nnPrefix(pi) > 0L
         it.map { row =>
           r += 1
-          if (!row.isNullAt(sumIdx)) s += row.getLong(sumIdx)
-          Row.fromSeq(row.toSeq :+ r :+ s)
+          if (!row.isNullAt(sumIdx)) { seenNonNull = true; s += row.getLong(sumIdx) }
+          val cum: Any = if (seenNonNull) s else null
+          Row.fromSeq(row.toSeq :+ r :+ cum)
         }
       }
       val result = spark.createDataFrame(swept, schema).localCheckpoint()

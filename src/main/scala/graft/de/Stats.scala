@@ -31,7 +31,7 @@ object Stats {
     */
   def bhAdjust(df: DataFrame, pCol: String, outCol: String,
                tieBreak: Seq[String] = Seq.empty,
-               distributedThreshold: Long = 2000000L): DataFrame = {
+               distributedThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     // df is consumed by the count() AND the adjusted/invalid branches; at
     // pipeline scale the input is the heavy Welch aggregation, so an
     // unpersisted plan would run that aggregation twice. The result is
@@ -63,7 +63,7 @@ object Stats {
     * differs only at ~1e-12, far inside the rounding contract. */
   def byAdjust(df: DataFrame, pCol: String, outCol: String,
                tieBreak: Seq[String] = Seq.empty,
-               distributedThreshold: Long = 2000000L): DataFrame = {
+               distributedThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     val p = col(pCol)
     val m = df.filter(p.isNotNull && !isnan(p)).count()
     var hm = 0.0

@@ -410,7 +410,7 @@ object Dedup {
     * star round; near-dup pair sets are candidate-proportional, so this
     * is the common case even for very large corpora. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-                          driverThreshold: Long = 2000000L): DataFrame = {
+                          driverThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     val nodes = edges.select(col("id_a").as("id"))
       .union(edges.select(col("id_b").as("id"))).distinct()
     // Canonical larger-first orientation, self-loops dropped.
@@ -749,6 +749,32 @@ object Dedup {
     warnCappedBuckets(obs, "incrementalMinHashDedup", maxBucket)
     out
   }
+
+  /** Signature-state maintenance for [[incrementalMinHashDedup]]: fold
+    * a batch result's ACCEPTED rows (is_new) into the signature
+    * history — the append step the operator's contract leaves to the
+    * caller, made first-class so every ingest loop (and the streaming
+    * twin, [[graft.streaming.NearDupIngest]]) evolves state the same
+    * way. Pure column selection + union: no shuffle — callers persist
+    * or localCheckpoint the result per their loop's lineage budget. */
+  def evolveSignatureHistory(historySigs: DataFrame,
+                             batchResult: DataFrame): DataFrame =
+    historySigs.select(col("id"), col("sig"))
+      .unionByName(batchResult.filter(col("is_new"))
+        .select(col("id"), col("sig")))
+
+  /** Compaction for a signature history that accumulated re-appended
+    * ids (a replayed batch after a crash, overlapping backfills): one
+    * row per id. Signatures are a pure function of the text, so
+    * duplicate ids carry identical sigs and an arbitrary
+    * representative is exact — but the min-struct pick keeps the
+    * result deterministic under any partitioning even if a caller fed
+    * two texts under one id. One hash aggregate; run it before
+    * persisting history between ingest sessions, not per batch. */
+  def compactSignatureHistory(historySigs: DataFrame): DataFrame =
+    historySigs.groupBy(col("id"))
+      .agg(min(struct(col("sig"))).as("__m"))
+      .select(col("id"), col("__m.sig").as("sig"))
 
   /** Latest-version-per-key dedup — the CDC/upsert compaction every
     * ingestion pipeline runs (multiple snapshots/changelog rows per

@@ -170,8 +170,8 @@ object Centrality {
   def eigenvectorCentrality(spark: SparkSession, nodes: DataFrame,
                             edges: DataFrame, maxIter: Int = 1000,
                             tol: Double = 1e-6,
-                            distributedThreshold: Long = 100000L,
-                            edgeThreshold: Long = 2000000L): DataFrame = {
+                            distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
+                            edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     // dense sub-threshold-node graphs must also go distributed — the
     // driver path collects the edge list (see pageRank's dispatch note)
     val nNodes = nodes.count()
@@ -316,8 +316,8 @@ object Centrality {
     */
   def pageRank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                damping: Double = 0.85, iters: Int = 20,
-               distributedThreshold: Long = 100000L,
-               edgeThreshold: Long = 2000000L): DataFrame = {
+               distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
+               edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     // dispatch on BOTH dimensions: a sub-threshold node count says
     // nothing about density, and the driver path collects the full edge
     // list — a 50k-node graph with 500M edges must take the distributed
@@ -433,8 +433,8 @@ object Centrality {
   def pageRankWeighted(spark: SparkSession, nodes: DataFrame,
                        edges: DataFrame, damping: Double = 0.85,
                        iters: Int = 20,
-                       distributedThreshold: Long = 100000L,
-                       edgeThreshold: Long = 2000000L): DataFrame = {
+                       distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
+                       edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     if (nodes.count() <= distributedThreshold &&
         edges.count() <= edgeThreshold) {
       val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
@@ -534,8 +534,8 @@ object Centrality {
     * Output: (gene, hub, authority), all nodes present. */
   def hits(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
            iters: Int = 10,
-           distributedThreshold: Long = 100000L,
-           edgeThreshold: Long = 2000000L): DataFrame = {
+           distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
+           edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     // size dispatch, the pageRank/eigenvector precedent: under the
     // thresholds a driver loop does the whole fixed-point in ONE job's
     // worth of work, where the DataFrame loop pays ~4 jobs/iteration of

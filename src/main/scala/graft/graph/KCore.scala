@@ -47,7 +47,7 @@ object KCore {
     */
   def kCore(spark: SparkSession, edges: DataFrame, k: Int,
             src: String = "src", dst: String = "dst",
-            edgeThreshold: Long = 2000000L,
+            edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L),
             maxRounds: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val canon = Triangles.canonicalize(edges, src, dst)

@@ -29,8 +29,8 @@ object Scc {
   /** (node BIGINT, component BIGINT = min node id of its SCC). `nodes`
     * has column `node`; `edges` (src, dst) directed. */
   def components(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-                 driverNodeThreshold: Long = 2000000L,
-                 driverEdgeThreshold: Long = 20000000L,
+                 driverNodeThreshold: Long = graft.util.Dispatch.threshold(2000000L),
+                 driverEdgeThreshold: Long = graft.util.Dispatch.threshold(20000000L),
                  maxRounds: Int = 50): DataFrame = {
     if (nodes.count() <= driverNodeThreshold &&
         edges.count() <= driverEdgeThreshold)

@@ -30,8 +30,8 @@ object ShortestPaths {
     * w ≥ 0) are directed. */
   def fromSource(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                  source: String,
-                 distributedThreshold: Long = 100000L,
-                 edgeThreshold: Long = 2000000L): DataFrame = {
+                 distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
+                 edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     if (nodes.count() <= distributedThreshold &&
         edges.count() <= edgeThreshold) {
       val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
@@ -115,8 +115,8 @@ object ShortestPaths {
     * restrict `nodes` to the (small) graph whose geometry they need,
     * e.g. the nation/category flow graph, not the raw entity graph. */
   def allPairs(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-               distributedThreshold: Long = 2000L,
-               edgeThreshold: Long = 200000L): DataFrame = {
+               distributedThreshold: Long = graft.util.Dispatch.threshold(2000L),
+               edgeThreshold: Long = graft.util.Dispatch.threshold(200000L)): DataFrame = {
     if (nodes.count() <= distributedThreshold &&
         edges.count() <= edgeThreshold) {
       val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq

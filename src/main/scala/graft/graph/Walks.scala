@@ -26,8 +26,8 @@ object Walks {
   def personalizedPageRank(spark: SparkSession, nodes: DataFrame,
                            edges: DataFrame, seed: Long,
                            damping: Double = 0.85, iters: Int = 20,
-                           driverThreshold: Long = 100000L,
-                           edgeThreshold: Long = 2000000L): DataFrame = {
+                           driverThreshold: Long = graft.util.Dispatch.threshold(100000L),
+                           edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     // size dispatch (the Centrality.pageRank discipline): a
     // fixed-iteration DataFrame loop on a dimension-bounded graph pays
     // ~20 rounds of job overhead for micro-work; below the thresholds
@@ -91,8 +91,8 @@ object Walks {
     */
   def katz(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
            alpha: Double, beta: Double = 1.0, iters: Int = 10,
-           driverThreshold: Long = 100000L,
-           edgeThreshold: Long = 2000000L): DataFrame = {
+           driverThreshold: Long = graft.util.Dispatch.threshold(100000L),
+           edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     if (nodes.count() <= driverThreshold &&
         edges.count() <= edgeThreshold)
       return katzDriver(spark, nodes, edges, alpha, beta, iters)

@@ -104,7 +104,8 @@ object Preprocess {
     * — comfortably inside an executor; beyond it a skewed group is an
     * OOM risk, and the sketch's rank error (1/accuracy) is far below
     * the 6-dp rounding the screens already apply at their boundaries. */
-  val ExactPercentileMaxGroupRows: Long = 4L * 1000 * 1000
+  val ExactPercentileMaxGroupRows: Long =
+    graft.util.Dispatch.threshold(4L * 1000 * 1000)
 
   private val ApproxPercentileAccuracy = 10000
 

@@ -32,7 +32,7 @@ object Rfm {
     * monetary DESC, each tie-broken by key ASC. */
   def scores(orders: DataFrame, key: String, ts: String,
              amount: String,
-             distributedThreshold: Long = 2000000L): DataFrame = {
+             distributedThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     val perEntity = orders.groupBy(col(key))
       .agg(max(to_date(col(ts))).as("__last"),
         count(lit(1)).as("frequency"),
@@ -64,7 +64,7 @@ object Rfm {
     * regardless of input size. */
   def segments(orders: DataFrame, key: String, ts: String,
                amount: String,
-               distributedThreshold: Long = 2000000L): DataFrame =
+               distributedThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame =
     scores(orders, key, ts, amount, distributedThreshold)
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),

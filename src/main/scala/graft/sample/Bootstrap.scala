@@ -35,7 +35,7 @@ object Bootstrap {
     * units are broadcast into the draw join (see dispatch comment). */
   def meanCi(df: DataFrame, groupCol: String, valueCol: String,
              bReps: Int = 200, alpha: Double = 0.05,
-             broadcastUnitRows: Long = 2000000L): DataFrame = {
+             broadcastUnitRows: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
     require(bReps >= 2 && alpha > 0 && alpha < 1)
     // Index rank ties on value alone: equal values are interchangeable
     // under resampling, so the drawn MULTISET (hence every replicate

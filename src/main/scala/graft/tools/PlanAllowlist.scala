@@ -27,6 +27,7 @@ package graft.tools
 object PlanAllowlist {
   val NLJ = "nested-loop-join"
   val WIN = "unpartitioned-window"
+  val UPS = "unpushed-scan-filter"
 
   private val scalarNlj =
     "broadcast side is a ≤1-row aggregate / parameter frame or tiny " +
@@ -42,18 +43,30 @@ object PlanAllowlist {
     names.map(_ -> Map(NLJ -> scalarNlj,
       WIN -> s"global window over a bounded domain: $domain"))
 
+  private val computedPredicate =
+    "the scan's only data filter is a computed-expression predicate " +
+      "(hash-sample bucket, regex/token gate, derived cohort/bin) — " +
+      "not expressible as a data-source Filter, so nothing is pushable " +
+      "and the full scan is the query's semantics, not a lost pushdown"
+
+  private def ups(names: String*): Seq[(String, Map[String, String])] =
+    names.map(_ -> Map(UPS -> computedPredicate))
+
+  private def nljUps(names: String*): Seq[(String, Map[String, String])] =
+    names.map(_ -> Map(NLJ -> scalarNlj, UPS -> computedPredicate))
+
   val allowed: Map[String, Map[String, String]] = (
     nlj(
       "q7_minmax_composite", "q26_cosine_topk", "q59_token_kl",
       "q72_unigram_ppl", "q89_k_anonymity", "q91_weighted_sample",
-      "q114_quantile_norm", "q131_histogram", "q150_bigram_ppl",
+      "q114_quantile_norm", "q150_bigram_ppl",
       "q158_dormant_customers", "q164_cuped", "q167_theil",
       "q170_enrichment", "q171_mutual_info", "q183_graph_summary",
-      "q200_silhouette", "q201_classification_report", "q202_cohens_kappa",
+      
       "q203_psi", "q207_haversine", "q214_brier", "q229_cronbach",
       "q249_croston", "q251_periodogram", "q259_dow_index",
       "q264_mix_budget", "q267_negative_sampling", "q274_length_jsd",
-      "q280_shapley", "q315_g_test", "q321_mix_decomposition",
+      "q280_shapley", "q321_mix_decomposition",
       "q326_target_encoding", "q332_predictive_assoc",
       "q337_eb_shrinkage", "q348_cluster_validity", "q356_rbo",
       "q357_term_burstiness", "q364_dsir_scores", "q365_erlang_staffing",
@@ -85,6 +98,11 @@ object PlanAllowlist {
     win("time-step rounds (event-day grain)")("q369_bandit_regret") ++
     both("calendar-day run sequence")("q272_runs_test") ++
     both("df-capped bigram vocab")("q381_collocations") ++
-    both("df-capped keyness vocab cells")("q396_keyness")
+    both("df-capped keyness vocab cells")("q396_keyness") ++
+    ups("q45_hash_sample", "q48_pii_scrub", "q56_domains",
+      "q83_padding_efficiency", "q136_spatial_nn", "q231_assortativity",
+      "q361_bland_altman", "q403_eval_spans") ++
+    nljUps("q131_histogram", "q200_silhouette",
+      "q201_classification_report", "q202_cohens_kappa", "q315_g_test")
   ).toMap
 }

@@ -112,4 +112,43 @@ class CatalogPlanAuditSpec extends SparkSuite {
       .groupBy($"a").count()
     assert(PlanHygiene.violations(clean).isEmpty)
   }
+
+  test("single-partition-exchange detector: repartition(1)/coalesce(1) " +
+    "fire; the three bounded shapes (groupingless agg, global-window " +
+    "sort, global limit) stay exempt") {
+    import spark.implicits._
+    val a = (1 to 100).toDF("a")
+    assert(PlanHygiene.violations(a.repartition(1).groupBy($"a").count())
+      .contains("single-partition-exchange"))
+    assert(PlanHygiene.violations(a.coalesce(1).groupBy($"a").count())
+      .contains("single-partition-exchange"))
+    // groupingless aggregate: Spark's own SinglePartition final stage
+    assert(!PlanHygiene.violations(a.agg(sum($"a")))
+      .contains("single-partition-exchange"))
+    // global sort window: reported once, as unpartitioned-window
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"a")
+    val winV = PlanHygiene.violations(a.withColumn("rn",
+      row_number().over(w)))
+    assert(winV.contains("unpartitioned-window") &&
+      !winV.contains("single-partition-exchange"))
+    // global limit and global (range) sort are not single-partition
+    assert(!PlanHygiene.violations(a.orderBy($"a").limit(3))
+      .contains("single-partition-exchange"))
+    assert(!PlanHygiene.violations(a.orderBy($"a"))
+      .contains("single-partition-exchange"))
+  }
+
+  test("unpushed-scan-filter detector: a filter Spark cannot translate " +
+    "at all fires; a normal column predicate (pushed) does not") {
+    import spark.implicits._
+    val scan = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val opaque = udf((s: String) => s != null && s.startsWith("A"))
+    assert(PlanHygiene.violations(scan.filter(opaque($"r_name")))
+      .contains("unpushed-scan-filter"))
+    assert(!PlanHygiene.violations(scan.filter($"r_regionkey" > 1))
+      .contains("unpushed-scan-filter"))
+    // no filter at all: nothing to push, nothing fires
+    assert(!PlanHygiene.violations(scan.select($"r_name"))
+      .contains("unpushed-scan-filter"))
+  }
 }

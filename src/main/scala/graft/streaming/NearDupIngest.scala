@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.dedup.Dedup
+
+/** Streaming twin of [[graft.dedup.Dedup.incrementalMinHashDedup]] —
+  * the near-dup rung of the incremental-dedup ladder (the exact rung
+  * is [[EventStream.incrementalDedupStream]]'s stateless stream-static
+  * anti-join). Near-dup CANNOT be a single declarative stream: each
+  * batch must join against signatures accepted by EARLIER batches of
+  * the same stream, a self-feeding dependency Structured Streaming's
+  * stream-static join forbids (the static side is fixed per batch) and
+  * multi-aggregate append mode cannot express. The production shape is
+  * therefore `foreachBatch`: every micro-batch runs the BATCH operator
+  * against the accumulated signature history, then appends its
+  * accepted signatures to that history — exactly the per-ingest loop
+  * the batch operator documents, driven by the streaming engine's
+  * micro-batch clock. Batch-vs-stream parity is pinned by
+  * NearDupIngestSpec (same docs, same micro-batch grouping → identical
+  * rows).
+  *
+  * History state: held as a DataFrame, `localCheckpoint`ed after each
+  * evolution so lineage stays one batch deep (16 longs ≈ 128 B per
+  * accepted doc — millions of docs fit a single executor's cache; at
+  * larger corpus scale, persist the history to a bucketed table
+  * between restarts and pass it back as `initialHistory`).
+  */
+final class NearDupIngest(initialHistory: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleSize: Int = 3, numHashes: Int = 16,
+                          bands: Int = 4, minAgreement: Double = 0.5,
+                          maxBucket: Int = 100000) {
+
+  @volatile private var history: DataFrame =
+    initialHistory.select("id", "sig")
+
+  /** Current accumulated signature history (id, sig) — read this after
+    * the stream stops to persist state for the next run. */
+  def currentHistory: DataFrame = history
+
+  /** Screen one (micro-)batch against the accumulated history and fold
+    * its accepted signatures in. Returns the batch operator's output:
+    * (id, is_new, matched_history_id, sig_agreement, sig). Callable
+    * directly for batch-at-a-time ingest without a streaming engine —
+    * the parity spec runs both paths through this one method. */
+  def processBatch(batch: DataFrame): DataFrame = {
+    val out = Dedup.incrementalMinHashDedup(batch, idCol, textCol,
+      history, shingleSize, numHashes, bands, minAgreement, maxBucket)
+    // out is already localCheckpoint-ed by the batch operator, so the
+    // union below never recomputes the screen; checkpoint the evolved
+    // history to keep lineage one batch deep.
+    history = Dedup.evolveSignatureHistory(history, out).localCheckpoint()
+    out
+  }
+
+  /** Attach to a streaming `docs` frame: each micro-batch is screened
+    * and `sink` receives (batchResult, batchId). The foreachBatch body
+    * runs on the driver between micro-batches, so the history
+    * evolution is race-free by the engine's serial-batch contract. */
+  def start(docs: DataFrame)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) => sink(processBatch(b), id) }
+      .start()
+}

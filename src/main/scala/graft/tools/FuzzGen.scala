@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded differential-fuzz table generator (round-10 verdict task 6).
+  *
+  * All 404 oracle fixtures are FIXED — the signed-zero (round 8) and
+  * GPD-tie (round 9) bugs were both data-shape bugs a fixed fixture
+  * happened to expose. This tool regenerates the test tables with
+  * schema-preserving, adversarially-shaped perturbations — ties, hot
+  * keys, empty groups, nulls in value AND group columns, exact and
+  * negative zeros, unicode and empty strings, constant-date clumps,
+  * boilerplate-duplicate documents — and the ordinary Verify +
+  * selfcheck.py pipeline then re-compares Spark vs DuckDB on the
+  * fuzzed tables:
+  *
+  *   sbt 'runMain graft.tools.FuzzGen <seed> <srcDir> <outDir>'
+  *   sbt "runMain graft.Verify <outDir> /tmp/verify_fuzz <q1,q2,…>"
+  *   python3 tools/selfcheck.py <outDir> /tmp/verify_fuzz
+  *
+  * Every perturbation decision is a pure function of
+  * xxhash64(primary key, column tag, seed) — partition-independent and
+  * reproducible: the SEED alone reproduces any divergence (FuzzGenSpec
+  * pins bit-identical regeneration). Key/join columns are never
+  * touched, so FK structure survives; row DROPS (hash % 37) create the
+  * empty-group shapes.
+  */
+object FuzzGen {
+
+  /** Per-table primary key used to key the hash stream. */
+  private val pk = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  val tables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** The deterministic per-(row, column, seed) hash stream. For
+    * lineitem the key is (l_orderkey, l_linenumber) so sibling lines
+    * perturb independently. */
+  private def h(table: String, tag: String, seed: Long): Column = {
+    val keyCols: Seq[Column] =
+      if (table == "lineitem") Seq(col("l_orderkey"), col("l_linenumber"))
+      else Seq(col(pk(table)))
+    pmod(xxhash64((keyCols :+ lit(tag) :+ lit(seed)): _*), lit(1000L))
+  }
+
+  /** Value-column double perturbation: nulls, exact zeros, sign flips
+    * (0.0 under a flip yields -0.0 — the signed-zero shape), and mass
+    * 1-dp rounding for tie pressure. */
+  private def fuzzDouble(table: String, c: String, seed: Long): Column = {
+    val k = h(table, c, seed)
+    when(k < 60, lit(null).cast("double"))
+      .when(k < 120, lit(0.0))
+      .when(k < 180, -col(c))
+      .when(k < 430, round(col(c), 1))
+      .otherwise(col(c))
+  }
+
+  /** Free-string perturbation: unicode suffixes, empty strings, a rare
+    * null (group-key nulls are a real ingest shape). */
+  private def fuzzString(table: String, c: String, seed: Long): Column = {
+    val k = h(table, c, seed)
+    when(k < 60, concat(col(c), lit(" β☃æé")))
+      .when(k < 100, lit(""))
+      .when(k < 130, lit(null).cast("string"))
+      .otherwise(col(c))
+  }
+
+  /** Low-cardinality enum perturbation: collapse a slice onto one hot
+    * value (skew + hot-key pressure) and a rare null group. */
+  private def fuzzEnum(table: String, c: String, seed: Long): Column = {
+    val k = h(table, c, seed)
+    when(k < 150, lit("Z"))
+      .when(k < 180, lit(null).cast("string"))
+      .otherwise(col(c))
+  }
+
+  /** Timestamp clumping: a slice of rows lands on one constant instant
+    * (date-grain tie pressure); the rest keep their spread. */
+  private def fuzzTs(table: String, c: String, seed: Long): Column = {
+    val k = h(table, c, seed)
+    when(k < 120, to_timestamp(lit("2024-06-15 12:00:00")))
+      .otherwise(col(c))
+  }
+
+  /** Document-text perturbation: boilerplate duplicates (near-dup /
+    * dedup pressure), unicode, and empty docs. */
+  private def fuzzText(table: String, c: String, seed: Long): Column = {
+    val k = h(table, c, seed)
+    when(k < 100, lit("the quick brown fox jumps over the lazy dog " +
+        "and then the quick brown fox jumps again over the same dog"))
+      .when(k < 160, concat(col(c), lit(" — κόσμος 世界 🌍")))
+      .when(k < 190, lit(""))
+      .otherwise(col(c))
+  }
+
+  private val enums = Set("c_mktsegment", "o_orderstatus",
+    "o_orderpriority", "l_returnflag", "l_linestatus", "event_type",
+    "lang", "source", "p_brand", "p_type")
+
+  /** Untouched columns: keys preserve FK structure; props stays valid
+    * JSON; embeddings stay NaN-free finite vectors. */
+  private def untouched(c: String): Boolean =
+    c.endsWith("key") || c.endsWith("_id") || c == "props" ||
+      c == "embedding" || c == "label" || c == "l_linenumber" ||
+      c == "p_size" || c == "n_chars"
+
+  /** The pure, seed-deterministic perturbation (unit-pinned). */
+  def perturb(table: String, df: DataFrame, seed: Long): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val c = f.name
+      val out =
+        if (untouched(c)) col(c)
+        else if (c == "text") fuzzText(table, c, seed)
+        else if (enums.contains(c)) fuzzEnum(table, c, seed)
+        else f.dataType.typeName match {
+          case "double" => fuzzDouble(table, c, seed)
+          case "string" => fuzzString(table, c, seed)
+          case "timestamp" => fuzzTs(table, c, seed)
+          case _ => col(c)
+        }
+      out.cast(f.dataType).as(c)
+    }
+    df.select(cols.toSeq: _*)
+      .filter(h(table, "drop", seed) % 37 =!= 0) // empty-group pressure
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: FuzzGen <seed> <srcDir> <outDir>")
+    val (seed, src, out) = (args(0).toLong, args(1), args(2))
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tables.foreach { t =>
+      perturb(t, spark.read.parquet(s"$src/$t.parquet"), seed)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"fuzzed $t (seed $seed)")
+    }
+    spark.stop()
+  }
+}

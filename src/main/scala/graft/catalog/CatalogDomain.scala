@@ -1972,7 +1972,8 @@ object CatalogDomain {
         "cents", bins = 20)
     },
     Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
-           |             AS c FROM lineitem),
+           |             AS c FROM lineitem
+           |           WHERE l_extendedprice IS NOT NULL),
            |s AS (SELECT min(c) AS lo, max(c) AS hi FROM v)
            |SELECT CAST(floor((v.c - s.lo) * 20.0 / (s.hi - s.lo + 1))
            |         AS BIGINT) AS bin,
@@ -2394,7 +2395,8 @@ object CatalogDomain {
            |              AS spend FROM orders GROUP BY 1),
            |d AS (SELECT c_mktsegment AS seg, c_acctbal AS x,
            |             coalesce(sp.spend, 0.0) AS y
-           |      FROM customer LEFT JOIN sp ON sp.o_custkey = c_custkey),
+           |      FROM customer LEFT JOIN sp ON sp.o_custkey = c_custkey
+           |      WHERE c_acctbal IS NOT NULL),
            |r AS (SELECT seg, x, y,
            |        row_number() OVER (PARTITION BY seg ORDER BY x) AS rx0,
            |        row_number() OVER (PARTITION BY seg ORDER BY y) AS ry0

@@ -73,7 +73,8 @@ object CatalogStats2 {
            |  FROM lineitem GROUP BY 1),
            |j AS (
            |  SELECT x1 AS x, o_totalprice AS y, x2 AS z
-           |  FROM orders JOIN li ON o_orderkey = l_orderkey),
+           |  FROM orders JOIN li ON o_orderkey = l_orderkey
+           |  WHERE o_totalprice IS NOT NULL AND x2 IS NOT NULL),
            |a AS (
            |  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
            |    sum(z) AS sz, sum(x * x) AS sxx, sum(y * y) AS syy,

@@ -27,7 +27,12 @@ object RankStats {
 
   /** Per-group Spearman rank correlation of `x` vs `y`:
     * (groupCols*, n BIGINT, spearman = round(ρ, 4)). Groups with fewer
-    * than 2 rows or zero rank variance yield null ρ (undefined). */
+    * than 2 rows or zero rank variance yield null ρ (undefined).
+    * Complete-case: rows with null `x` OR null `y` are dropped before
+    * ranking and excluded from `n` — a null would otherwise shift
+    * every other row's rank, and shift DIFFERENTLY per engine (Spark
+    * sorts nulls first, DuckDB last; divergence found by the round-11
+    * differential fuzz on null-injected data). */
   def spearman(df: DataFrame, groupCol: String, x: String,
                y: String): DataFrame = {
     val rnX = Window.partitionBy(col(groupCol)).orderBy(col(x))
@@ -35,6 +40,7 @@ object RankStats {
     val tieX = Window.partitionBy(col(groupCol), col(x))
     val tieY = Window.partitionBy(col(groupCol), col(y))
     df.select(col(groupCol), col(x), col(y))
+      .filter(col(x).isNotNull && col(y).isNotNull)
       .withColumn("__rx0", row_number().over(rnX))
       .withColumn("__ry0", row_number().over(rnY))
       .withColumn("__rx", avg(col("__rx0")).over(tieX))

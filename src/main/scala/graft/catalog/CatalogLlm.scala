@@ -1648,8 +1648,10 @@ object CatalogLlm {
             |        lower(trim(text)) AS key,
             |        substring(lower(trim(text)), 1, 2) AS blk FROM corpus),
             |r AS (SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key, id) AS rn FROM b),
+            |sh AS (SELECT blk, rn - k AS rn0, id, toks
+            |       FROM r CROSS JOIN (VALUES (1), (2), (3)) t(k)),
             |p AS (SELECT x.id AS xa, y.id AS xb, x.toks AS ta, y.toks AS tb
-            |      FROM r x JOIN r y ON x.blk = y.blk AND y.rn - x.rn BETWEEN 1 AND 3),
+            |      FROM r x JOIN sh y ON y.blk = x.blk AND y.rn0 = x.rn),
             |j AS (SELECT least(xa, xb) AS id_a, greatest(xa, xb) AS id_b,
             |        round(len(list_intersect(ta, tb)) /
             |          CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS DOUBLE), 4) AS jaccard
@@ -1695,8 +1697,10 @@ object CatalogLlm {
             |        lower(trim(text)) AS key,
             |        substring(lower(trim(text)), 1, 2) AS blk FROM corpus),
             |r AS (SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key, id) AS rn FROM b),
+            |sh AS (SELECT blk, rn - k AS rn0, id, toks
+            |       FROM r CROSS JOIN (VALUES (1), (2), (3)) t(k)),
             |p AS (SELECT x.id AS xa, y.id AS xb, x.toks AS ta, y.toks AS tb
-            |      FROM r x JOIN r y ON x.blk = y.blk AND y.rn - x.rn BETWEEN 1 AND 3),
+            |      FROM r x JOIN sh y ON y.blk = x.blk AND y.rn0 = x.rn),
             |j AS (SELECT least(xa, xb) AS id_a, greatest(xa, xb) AS id_b
             |      FROM p
             |      WHERE len(ta) + len(tb) - len(list_intersect(ta, tb)) > 0

@@ -929,12 +929,22 @@ object Dedup {
   }
 
   /** Distinct (id, shingle) postings of a document table (native
-    * word_shingles expression — stays in whole-stage codegen). */
+    * word_shingles expression — stays in whole-stage codegen).
+    * Distinct PER ID, not per input row: if the input carries the same
+    * id on several rows, their shingle sets merge — the same "id IS
+    * the document identity" semantics minhashSignatures' groupBy(id)
+    * already has, and what makes containment/Jaccard well-defined
+    * (n_common can never exceed a set size). The round-11 sf1 oracle
+    * caught the per-row variant double-counting when a fixture's
+    * derived ids collided at the scale grain (containment 1.94 > 1).
+    * Cost: one dedup aggregate at postings grain (map-side partial
+    * dedup shrinks it first); a no-op data-wise when ids are unique. */
   private def postings(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"),
       explode(array_distinct(word_shingles(col(textCol), shingleSize)))
         .as("shingle"))
+      .distinct()
 
   /** Exact-Jaccard verification of candidate pairs from exploded
     * postings: count common shingles per pair relationally (join on

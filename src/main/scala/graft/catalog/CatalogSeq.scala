@@ -823,8 +823,12 @@ object CatalogSeq {
       import s.implicits._
       val subj = t(s, dir, "events")
         .groupBy($"user_id")
-        .agg(((unix_micros(max($"ts")) - unix_micros(min($"ts"))) /
-          60000000L).as("dur"),
+        // integer-minute durations (floor division, matching the
+        // oracle's `//`): same-minute spans are TIES, not ordered
+        // pairs — the fractional-vs-floored divergence only shows when
+        // two subjects share a minute (sf1 finding, round 11)
+        .agg(floor((unix_micros(max($"ts")) - unix_micros(min($"ts"))) /
+          60000000L).cast("long").as("dur"),
           max(when($"event_type" === "error", 1).otherwise(0)).as("ev"),
           round(sum($"value"), 2).as("score"))
         .withColumn("cohort", pmod($"user_id", lit(8)).cast("int"))

@@ -937,14 +937,20 @@ object Dedup {
     * (n_common can never exceed a set size). The round-11 sf1 oracle
     * caught the per-row variant double-counting when a fixture's
     * derived ids collided at the scale grain (containment 1.94 > 1).
-    * Cost: one dedup aggregate at postings grain (map-side partial
-    * dedup shrinks it first); a no-op data-wise when ids are unique. */
+    * Cost dispatch: a DOC-grain duplicate-id probe (one scan + count
+    * aggregate — cheap next to shingling) decides whether the
+    * postings-grain dedup aggregate is needed at all; unique-id
+    * corpora (the overwhelmingly common case) skip it, so the hot
+    * dedup path pays only the probe, not a postings-grain shuffle. */
   private def postings(df: DataFrame, idCol: String, textCol: String,
-                       shingleSize: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+                       shingleSize: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
       explode(array_distinct(word_shingles(col(textCol), shingleSize)))
         .as("shingle"))
-      .distinct()
+    val hasDupIds = df.groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).count() > 0
+    if (hasDupIds) base.distinct() else base
+  }
 
   /** Exact-Jaccard verification of candidate pairs from exploded
     * postings: count common shingles per pair relationally (join on

@@ -69,7 +69,8 @@ object CatalogSeq {
     },
     Some("""WITH l AS (SELECT unnest([0.2, 0.35, 0.5, 0.65, 0.8]::DOUBLE[])
            |             AS lambda),
-           |p AS (SELECT value / 100.0 AS pv FROM events)
+           |p AS (SELECT value / 100.0 AS pv FROM events
+           |      WHERE value IS NOT NULL)
            |SELECT round(lambda, 2)::DOUBLE AS lambda, count(*)::BIGINT AS m,
            |  count(CASE WHEN pv > lambda THEN 1 END)::BIGINT AS n_above,
            |  round(least(1.0, count(CASE WHEN pv > lambda THEN 1 END) /
@@ -1010,8 +1011,10 @@ object CatalogSeq {
     },
     Some("""WITH p AS (
            |  SELECT doc_id, text,
-           |    md5(array_to_string(
-           |      regexp_extract_all(text, '\S+')[1:30], ' ')) AS pm
+           |    CASE WHEN text IS NULL THEN NULL
+           |         ELSE md5(coalesce(array_to_string(
+           |           regexp_extract_all(text, '\S+')[1:30], ' '), ''))
+           |    END AS pm
            |  FROM documents)
            |SELECT pm AS prefix_md5, min(doc_id)::BIGINT AS keep_id,
            |  count(*)::BIGINT AS n_dups,

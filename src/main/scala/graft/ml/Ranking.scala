@@ -235,4 +235,54 @@ object Ranking {
       .select(col("__k").as(key), col("n_items"),
         coalesce(col("rbo"), lit(0.0)).as("rbo"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: given per-query candidates
+    * scored by several INDEPENDENT systems (BM25 and embedding cosine
+    * being the canonical pair), each system ranks its candidates and
+    * the fused score is Σ_s 1/(k + rank_s) — rank-based, so systems
+    * with incomparable score scales fuse without calibration, and the
+    * k (default 60, the paper's constant) damps the head so one
+    * system's top hit cannot dominate. [[rbo]]'s sibling: RBO
+    * measures how much two rankings agree, RRF builds the ranking a
+    * retrieval pipeline actually serves.
+    *
+    * Determinism contract: each system's rank is row_number over
+    * (score DESC, item ASC) — null scores rank LAST (treated as −∞,
+    * stated) so a candidate missing one system's score still fuses by
+    * its other ranks rather than vanishing. Output keeps the top
+    * `topN` per query by (rrf DESC, item ASC).
+    *
+    * Scale shape: every window partitions by the query, and the
+    * per-query payload is the candidate set — bounded upstream by the
+    * retrievers' own top-k cutoffs (the usage contract; this operator
+    * never generates candidates, it only fuses them), so a billion
+    * queries parallelize trivially with no global sort or driver
+    * involvement. Output: (query, item, rank per system,
+    * rrf_score 6dp, fused_rank). */
+  def rrfFusion(scored: DataFrame, queryCol: String, itemCol: String,
+                scoreCols: Seq[String], k: Int = 60,
+                topN: Int = 10): DataFrame = {
+    require(scoreCols.nonEmpty, "need at least one score column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val ranked = scoreCols.zipWithIndex.foldLeft(scored) {
+      case (df, (sc, i)) =>
+        val w = Window.partitionBy(col(queryCol))
+          .orderBy(col(sc).desc_nulls_last, col(itemCol).asc)
+        df.withColumn(s"rank_${i + 1}", row_number().over(w))
+    }
+    val rrf = (1 to scoreCols.size)
+      .map(i => lit(1.0) / (lit(k.toDouble) + col(s"rank_$i")))
+      .reduce(_ + _)
+    val wF = Window.partitionBy(col(queryCol))
+      .orderBy(col("__rrf").desc, col(itemCol).asc)
+    ranked.withColumn("__rrf", rrf)
+      .withColumn("fused_rank", row_number().over(wF))
+      .filter(col("fused_rank") <= topN)
+      .select(Seq(col(queryCol), col(itemCol)) ++
+        (1 to scoreCols.size).map(i => col(s"rank_$i")) ++
+        Seq(round(col("__rrf"), 6).as("rrf_score"),
+          col("fused_rank")): _*)
+  }
 }

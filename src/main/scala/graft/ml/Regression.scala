@@ -392,6 +392,124 @@ object Regression {
     out
   }
 
+  /** Two-regressor quantile regression (X308): the conditional
+    * τ-quantile line Q_τ(y|x) = b0 + b1·x1 + b2·x2, fit by
+    * fixed-iteration IRLS on the ε-smoothed pinball loss
+    * (Schlossmacher's reweighting generalized to asymmetric weights):
+    * from the OLS seed, each step recomputes per-row weights
+    *
+    *   w = |τ − 1(r < 0)| / max(|r|, ε),   r = y − x'β,
+    *
+    * and re-solves the weighted normal equations — ONE map-side-
+    * combined 9-statistic aggregate per step plus the [[olsBeta]]
+    * centered Cramer solve, the exact [[huber2]] execution shape
+    * (fixed narrow passes, nothing fact-scale leaves the executors,
+    * so a billion rows cost `iters + 1` scans). τ = 0.5 is robust
+    * median (L1) regression; τ = 0.9 bounds the "90% of shipments
+    * cost at most" line that OLS's mean line cannot give. Unlike
+    * Newton-logistic's quadratic contraction, this reweighting
+    * converges roughly geometrically — 8 steps still show visible
+    * undercoverage at τ = 0.9 on fanned data, 16 land within ~0.02
+    * of nominal — hence the higher default.
+    *
+    * The recipe is a fixed sequence of +/×/÷ on aggregate sums, so a
+    * recursive CTE seeded with the same OLS solve replays it — the
+    * q379 oracle discipline with the CENTERED solve (c11 = s11 −
+    * s1²/sw, …) instead of the cofactor solve. ε (default 0.01 in
+    * y-units) caps the weight of near-interpolated rows at
+    * max(τ,1−τ)/ε, which both regularizes the classic IRLS
+    * zero-residual blowup and keeps the float-order noise of the two
+    * engines' sums from amplifying; the discontinuity of the τ vs
+    * 1−τ factor at r = 0 is crossed only by rows within float noise
+    * of the fitted plane (measure-zero for continuous y, stated).
+    * Rows with any null field are dropped (complete-case); singular
+    * designs null out, never error.
+    *
+    * Output (one row): n, b0, b1, b2 (4dp), pinball 6dp (mean
+    * check-loss at the final β — the quantity IRLS minimizes),
+    * share_below 4dp (empirical P(y < x'β̂), ≈ τ for a good fit — the
+    * calibration readout; the residual sign is tested after 6-dp
+    * rounding so input-value atoms sitting exactly on the plane
+    * cannot flip the count on cross-engine float noise). */
+  def quantile2(df: DataFrame, y: String, x1: String, x2: String,
+                tau: Double, iters: Int = 16,
+                eps: Double = 0.01): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    require(iters >= 1, "iters must be >= 1")
+    require(eps > 0, s"eps must be > 0, got $eps")
+    val spark = df.sparkSession
+    val d = df.select(col(y).cast("double").as("__y"),
+        col(x1).cast("double").as("__x1"),
+        col(x2).cast("double").as("__x2"))
+      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+      .persist()
+    def resid(beta: Array[Double]): Column =
+      col("__y") - lit(beta(0)) - lit(beta(1)) * col("__x1") -
+        lit(beta(2)) * col("__x2")
+    val out = olsBeta(d, lit(1.0)) match {
+      case None =>
+        d.agg(count(lit(1)).as("n"))
+          .select(col("n"), lit(null).cast("double").as("b0"),
+            lit(null).cast("double").as("b1"),
+            lit(null).cast("double").as("b2"),
+            lit(null).cast("double").as("pinball"),
+            lit(null).cast("double").as("share_below"))
+      case Some(ols) =>
+        var beta = ols
+        var it = 0
+        var dead = false
+        while (it < iters && !dead) {
+          val r = resid(beta)
+          // the side decision is pre-rounded 6dp: with discrete
+          // inputs, whole residual ATOMS can sit exactly on the
+          // current plane, and a raw r < 0 would flip their weight
+          // by the τ/(1−τ) factor on the engines' float-order noise,
+          // driving the two fits ~1e-5 apart (seen at first oracle
+          // contact). The magnitude part stays unrounded — it is
+          // continuous, so it cannot flip.
+          val w = abs(lit(tau) -
+            when(round(r, 6) < 0, lit(1.0)).otherwise(lit(0.0))) /
+            greatest(abs(r), lit(eps))
+          olsBeta(d, w) match {
+            case Some(b) => beta = b
+            case None => dead = true
+          }
+          it += 1
+        }
+        if (dead)
+          d.agg(count(lit(1)).as("n"))
+            .select(col("n"), lit(null).cast("double").as("b0"),
+              lit(null).cast("double").as("b1"),
+              lit(null).cast("double").as("b2"),
+              lit(null).cast("double").as("pinball"),
+              lit(null).cast("double").as("share_below"))
+        else {
+          val rF = resid(beta)
+          // the sign test is pre-rounded 6dp: discrete inputs put
+          // residual ATOMS exactly on the fitted plane, and a raw
+          // r < 0 would flip whole atom-groups on the two engines'
+          // 1e-12 β disagreement (the q406 fuzz-class bug, caught at
+          // first oracle contact); |r| < 5e-7 counts as "on the
+          // plane", not below — stated
+          val fin = d.agg(count(lit(1)).as("n"),
+            avg(greatest(lit(tau) * rF, (lit(tau) - 1.0) * rF))
+              .as("pb"),
+            avg(when(round(rF, 6) < 0, 1.0).otherwise(0.0)).as("sb"))
+            .head()
+          import spark.implicits._
+          Seq((fin.getLong(0), math.rint(beta(0) * 1e4) / 1e4,
+            math.rint(beta(1) * 1e4) / 1e4,
+            math.rint(beta(2) * 1e4) / 1e4,
+            math.rint(fin.getDouble(1) * 1e6) / 1e6,
+            math.rint(fin.getDouble(2) * 1e4) / 1e4))
+            .toDF("n", "b0", "b1", "b2", "pinball", "share_below")
+        }
+    }
+    d.unpersist(false)
+    out
+  }
+
   /** Segmented (broken-stick) regression with a KNOWN knot (X268):
     * y = b0 + b1·x + b2·max(0, x − knot) — [[ols2]] on the hinge
     * basis, so the whole fit is still ONE map-side-combined

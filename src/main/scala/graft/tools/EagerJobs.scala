@@ -116,5 +116,7 @@ object EagerJobs {
     "q394_jonckheere" -> 7,
     "q395_brunner_munzel" -> 7,
     "q404_incremental_minhash" -> 8,
+    "q406_quantile_reg" -> 37,
+    "q409_gmm_em" -> 29,
   )
 }

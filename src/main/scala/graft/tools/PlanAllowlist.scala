@@ -72,7 +72,8 @@ object PlanAllowlist {
       "q357_term_burstiness", "q364_dsir_scores", "q365_erlang_staffing",
       "q366_demand_classes", "q370_weighted_kappa", "q397_dispersion",
       "q398_fleiss_kappa", "q399_krippendorff", "q401_gwet_ac1",
-      "q402_loo_influence") ++
+      "q402_loo_influence", "q407_rrf_fusion",
+      "q411_dtw_activity") ++
     win("nation-keyed degree table (≤25 vertices)")("q12_degree_centrality") ++
     win("threshold-grid sweep table")("q65_gate_sweep") ++
     win("contingency cells (category-pair grain)")(

@@ -458,17 +458,19 @@ object CatalogDomain {
 
   /** A12: the reference's "top N in stored (sorted-key) order" quirk
     * (`pipeline2.py:679-680`) — a key-ordered head, not a metric
-    * ranking. */
+    * ranking. Null keys sort LAST explicitly (fuzz-13 finding: Spark
+    * defaults nulls-first on ASC, DuckDB nulls-last, so a null-named
+    * row silently swapped the whole head between engines). */
   private val q36 = Q("q36_stored_order_topn",
     (s, dir) => {
       import s.implicits._
       t(s, dir, "part")
         .select($"p_name", $"p_partkey")
-        .orderBy($"p_name".asc, $"p_partkey".asc)
+        .orderBy($"p_name".asc_nulls_last, $"p_partkey".asc)
         .limit(50)
     },
     Some("""SELECT p_name, p_partkey FROM part
-           |ORDER BY p_name, p_partkey LIMIT 50""".stripMargin))
+           |ORDER BY p_name NULLS LAST, p_partkey LIMIT 50""".stripMargin))
 
   /** Distinct aggregate: per-type distinct users (Spark plans the
     * two-phase distinct-agg expansion). */

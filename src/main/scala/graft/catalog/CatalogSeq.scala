@@ -798,23 +798,33 @@ object CatalogSeq {
           round($"hochberg", 6).as("hochberg"))
         .orderBy($"event_id")
     },
-    Some("""WITH p AS (
+    Some("""WITH p0 AS (
            |  SELECT event_id, round(value / 100.0, 6) AS p FROM events),
+           |v AS (SELECT * FROM p0
+           |      WHERE p IS NOT NULL AND NOT isnan(p)),
            |r AS (SELECT event_id, p,
            |    row_number() OVER (ORDER BY p, event_id) AS rk,
            |    count(*) OVER () AS m
-           |  FROM p),
+           |  FROM v),
            |t AS (SELECT event_id, p, rk,
            |    least(1.0, (m - rk + 1) * p) AS term
-           |  FROM r)
-           |SELECT event_id, p,
-           |  round(max(term) OVER (ORDER BY rk
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-           |    AS holm,
-           |  round(min(term) OVER (ORDER BY rk DESC
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-           |    AS hochberg
-           |FROM t ORDER BY event_id""".stripMargin))
+           |  FROM r),
+           |adj AS (SELECT event_id, p,
+           |    round(max(term) OVER (ORDER BY rk
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           |      AS holm,
+           |    round(min(term) OVER (ORDER BY rk DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           |      AS hochberg
+           |  FROM t)
+           |-- null/NaN p-values pass through unadjusted and are NOT
+           |-- counted in m (the operator's stated complete-case family
+           |-- size; the fuzz-13 divergence was this oracle counting them)
+           |SELECT event_id, p, holm, hochberg FROM adj
+           |UNION ALL
+           |SELECT event_id, p, NULL, NULL FROM p0
+           |WHERE p IS NULL OR isnan(p)
+           |ORDER BY event_id""".stripMargin))
 
   /** X199: Harrell's concordance index per user cohort — duration =
     * user's first-to-last-event minutes, event = saw an error, risk

@@ -2489,12 +2489,18 @@ object CatalogDomain {
       val culprit = li.filter($"l_returnflag" === "R")
         .join(ordProfile, Seq("l_orderkey"))
         .filter($"n_sups" > 1 && $"n_ret_sups" === 1)
+      // the supplier-key rollup shrinks the shuffle, then the final
+      // grain is the NAME (the TPC-H Q21 contract — and the grain the
+      // oracle's GROUP BY s_name produces: duplicate or null names
+      // MERGE; fuzz-14 caught the old per-key output splitting them).
+      // Null names sort last explicitly (the q36 lesson).
       culprit.groupBy($"l_suppkey")
         .agg(count(lit(1)).as("numwait"))
         .join(broadcast(t(s, dir, "supplier")),
           $"l_suppkey" === $"s_suppkey")
-        .select($"s_name", $"numwait")
-        .orderBy($"numwait".desc, $"s_name")
+        .groupBy($"s_name")
+        .agg(sum($"numwait").as("numwait"))
+        .orderBy($"numwait".desc, $"s_name".asc_nulls_last)
         .limit(20)
     },
     Some("""SELECT s_name, count(*)::BIGINT AS numwait
@@ -2508,7 +2514,8 @@ object CatalogDomain {
            |                    AND l3.l_suppkey <> l1.l_suppkey
            |                    AND l3.l_returnflag = 'R')
            |GROUP BY s_name
-           |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
+           |ORDER BY numwait DESC, s_name NULLS LAST
+           |LIMIT 20""".stripMargin))
 
   /** X60: scalar subquery threshold + anti join — the TPC-H Q22
     * "dormant wealthy customers" shape. Spark side: the global

@@ -50,7 +50,8 @@ object CatalogEcon2 {
            |  SELECT r.event_type,
            |         list(r.c::DOUBLE - seed.l0 ORDER BY r.rn) AS sl,
            |         seed.l0
-           |  FROM r JOIN seed USING (event_type)
+           |  FROM r JOIN seed
+           |    ON r.event_type IS NOT DISTINCT FROM seed.event_type
            |  WHERE rn <= 24 GROUP BY r.event_type, seed.l0),
            |it AS (
            |  SELECT s0.event_type, 24 AS rn, s0.l0 AS lv,
@@ -60,7 +61,7 @@ object CatalogEcon2 {
            |  SELECT it.event_type, r.rn, t1.ln2_, t2.bn,
            |         list_append(it.sl[2:], t2.sn)
            |  FROM it
-           |  JOIN r ON r.event_type = it.event_type
+           |  JOIN r ON r.event_type IS NOT DISTINCT FROM it.event_type
            |        AND r.rn = it.rn + 1,
            |  LATERAL (SELECT
            |      0.3::DOUBLE * (r.c - it.sl[1]) +
@@ -76,7 +77,8 @@ object CatalogEcon2 {
            |  round(it.lv, 6) AS level, round(it.bv, 6) AS trend,
            |  round(it.sl[1], 6) AS season_next,
            |  round(it.lv + it.bv + it.sl[1], 6) AS forecast_next
-           |FROM it JOIN f ON f.event_type = it.event_type
+           |FROM it JOIN f
+           |  ON f.event_type IS NOT DISTINCT FROM it.event_type
            |               AND it.rn = f.n
            |ORDER BY 1""".stripMargin))
 

@@ -230,7 +230,7 @@ object CatalogEcon3 {
            |      CASE WHEN t1.spr > 15.0::DOUBLE
            |             OR t1.snr > 15.0::DOUBLE THEN r.rn END)
            |  FROM it
-           |  JOIN r ON r.event_type = it.event_type
+           |  JOIN r ON r.event_type IS NOT DISTINCT FROM it.event_type
            |        AND r.rn = it.rn + 1,
            |  LATERAL (SELECT
            |      greatest(0.0::DOUBLE,
@@ -242,8 +242,9 @@ object CatalogEcon3 {
            |SELECT it.event_type, f.n::BIGINT AS n,
            |  round(it.sp, 6) AS s_pos, round(it.sn, 6) AS s_neg,
            |  it.na AS n_alarms, it.fa AS first_alarm
-           |FROM it JOIN f ON f.event_type = it.event_type
-           |               AND it.rn = f.n
+           |FROM it JOIN f
+           |  ON f.event_type IS NOT DISTINCT FROM it.event_type
+           |  AND it.rn = f.n
            |ORDER BY 1""".stripMargin))
 
   /** §2.4 widening: GROUPING SETS with grouping_id — the explicit

@@ -55,14 +55,16 @@ object CatalogR11 {
            |    (1.0 - (e.p + 25.0) / ((e.p + 25.0) + 100.0))
            |        * (e.p + 25.0),
            |    (e.p + 25.0) / ((e.p + 25.0) + 100.0)
-           |  FROM e JOIN r ON r.event_type = e.event_type
-           |               AND r.rn = e.rn + 1),
+           |  FROM e JOIN r
+           |    ON r.event_type IS NOT DISTINCT FROM e.event_type
+           |   AND r.rn = e.rn + 1),
            |f AS (SELECT event_type, max(rn) AS n FROM e GROUP BY 1)
            |SELECT e.event_type, f.n::BIGINT AS n,
            |  round(e.x, 6) AS level, round(e.p, 6) AS level_var,
            |  round(e.k, 6) AS gain, round(e.x, 6) AS forecast_next,
            |  round(e.p + 25.0 + 100.0, 6) AS forecast_var
-           |FROM e JOIN f ON f.event_type = e.event_type AND e.rn = f.n
+           |FROM e JOIN f ON f.event_type IS NOT DISTINCT FROM e.event_type
+           |             AND e.rn = f.n
            |ORDER BY 1""".stripMargin))
 
   /** X309: τ = 0.9 quantile regression of document length (chars) on
@@ -498,17 +500,94 @@ object CatalogR11 {
            |                    fx.lst[len(fx.lst) - dims.m],
            |                    fx.lst[len(fx.lst) - dims.m - 1])
            |        END) AS nl
-           |    FROM fx JOIN dims USING (event_type)
+           |    FROM fx JOIN dims
+           |      ON fx.event_type IS NOT DISTINCT FROM dims.event_type
            |    WHERE fx.c < (dims.n + 1) * (dims.m + 1) - 1) z),
            |fin AS (
            |  SELECT fx.event_type, fx.lst[len(fx.lst)] AS dtw,
            |         dims.n, dims.m
-           |  FROM fx JOIN dims USING (event_type)
+           |  FROM fx JOIN dims
+           |    ON fx.event_type IS NOT DISTINCT FROM dims.event_type
            |  WHERE fx.c = (dims.n + 1) * (dims.m + 1) - 1)
            |SELECT event_type, n::BIGINT AS n, m::BIGINT AS m,
            |  round(dtw, 6) AS dtw,
            |  round(dtw / (n + m)::DOUBLE, 6) AS dtw_norm
            |FROM fin ORDER BY event_type""".stripMargin))
 
-  val all: Seq[Q] = Seq(q405, q406, q407, q408, q409, q410, q411)
+  /** X315: content-defined chunking + cross-document chunk dedup per
+    * source ([[graft.dedup.ContentChunking.contentDefinedChunks]] —
+    * the FastCDC segmentation at token grain; dup_share is the
+    * shared-boilerplate mass that survives doc-level near-dedup).
+    * Every boundary decision is exact 64-bit integer arithmetic
+    * (md5-gear & 32-bit mask, 48-bit roll), so the oracle's per-token
+    * recursive replay produces bit-identical chunk sets; chunk hashes
+    * are md5 of the canonical single-space token join on both sides. */
+  private val q412 = Q("q412_cdc_chunks",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val ch = graft.dedup.ContentChunking.contentDefinedChunks(
+        docs, "doc_id", "text",
+        maskBits = 4, minTokens = 8, maxTokens = 64)
+      ch.join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct($"chunk_hash").as("n_distinct"),
+          round(lit(1.0) - countDistinct($"chunk_hash")
+            .cast("double") / count(lit(1)).cast("double"), 4)
+            .as("dup_share"),
+          round(avg($"n_toks"), 4).as("avg_toks"))
+        .orderBy($"source")
+    },
+    Some("""WITH RECURSIVE tok AS (
+           |  SELECT doc_id, source, regexp_extract_all(text, '\S+')
+           |    AS tk
+           |  FROM documents WHERE text IS NOT NULL),
+           |docs AS (
+           |  SELECT doc_id, source, tk, len(tk) AS n
+           |  FROM tok WHERE len(tk) > 0),
+           |tv AS (
+           |  SELECT doc_id, u.i AS pos,
+           |    (md5_number_lower(tk[u.i]) & 4294967295)::BIGINT AS g
+           |  FROM docs, LATERAL unnest(range(1, n + 1)) u(i)),
+           |st(doc_id, pos, h, run, ends) AS (
+           |  SELECT doc_id, 0, 0::BIGINT, 0, []::INT[] FROM docs
+           |  UNION ALL
+           |  SELECT doc_id, pos, nh,
+           |    CASE WHEN cut THEN 0 ELSE nrun END,
+           |    CASE WHEN cut THEN list_append(ends, pos::INT)
+           |         ELSE ends END
+           |  FROM (
+           |    SELECT s.doc_id, s.pos + 1 AS pos, s.ends,
+           |      ((s.h * 2 + g.g) & 281474976710655) AS nh,
+           |      s.run + 1 AS nrun,
+           |      ((s.run + 1 >= 8 AND
+           |        (((s.h * 2 + g.g) & 281474976710655) & 15) = 0)
+           |       OR s.run + 1 >= 64) AS cut
+           |    FROM st s JOIN tv g
+           |      ON g.doc_id = s.doc_id AND g.pos = s.pos + 1) z),
+           |fin AS (
+           |  SELECT st.doc_id, docs.source, docs.tk,
+           |    CASE WHEN st.run > 0
+           |         THEN list_append(st.ends, docs.n::INT)
+           |         ELSE st.ends END AS ends
+           |  FROM st JOIN docs USING (doc_id) WHERE st.pos = docs.n),
+           |ch AS (
+           |  SELECT doc_id, source, tk, ends[u.i] AS e,
+           |    CASE WHEN u.i = 1 THEN 1 ELSE ends[u.i - 1] + 1 END
+           |      AS s
+           |  FROM fin, LATERAL unnest(range(1, len(ends) + 1)) u(i)),
+           |hashed AS (
+           |  SELECT source, (e - s + 1) AS n_toks,
+           |    md5(array_to_string(tk[s:e], ' ')) AS chunk_hash
+           |  FROM ch)
+           |SELECT source, count(*)::BIGINT AS n_chunks,
+           |  count(DISTINCT chunk_hash)::BIGINT AS n_distinct,
+           |  round(1.0 - count(DISTINCT chunk_hash)::DOUBLE
+           |    / count(*)::DOUBLE, 4) AS dup_share,
+           |  round(avg(n_toks), 4) AS avg_toks
+           |FROM hashed GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[Q] = Seq(q405, q406, q407, q408, q409, q410, q411,
+    q412)
 }

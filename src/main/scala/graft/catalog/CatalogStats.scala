@@ -33,6 +33,7 @@ object CatalogStats {
            |         count(*) FILTER (WHERE l_returnflag = 'A')::BIGINT AS ca,
            |         count(*) FILTER (WHERE l_returnflag = 'N')::BIGINT AS cb
            |  FROM lineitem WHERE l_returnflag IN ('A', 'N')
+           |    AND l_quantity IS NOT NULL
            |  GROUP BY 1, 2),
            |w AS (
            |  SELECT g,
@@ -111,12 +112,13 @@ object CatalogStats {
            |  FROM r WHERE rn = 1
            |  UNION ALL
            |  SELECT r.event_type, r.rn, 0.75 * e.acc + 0.25 * r.c
-           |  FROM e JOIN r ON r.event_type = e.event_type
+           |  FROM e JOIN r ON r.event_type IS NOT DISTINCT FROM e.event_type
            |               AND r.rn = e.rn + 1),
            |f AS (SELECT event_type, max(rn) AS n FROM e GROUP BY 1)
            |SELECT e.event_type, f.n::BIGINT AS n,
            |       round(e.acc, 6) AS ewma_last
-           |FROM e JOIN f ON f.event_type = e.event_type AND e.rn = f.n
+           |FROM e JOIN f ON f.event_type IS NOT DISTINCT FROM e.event_type
+           |             AND e.rn = f.n
            |ORDER BY 1""".stripMargin))
 
   /** X52: best mean-shift changepoint of each event type's daily count
@@ -636,13 +638,14 @@ object CatalogStats {
            |    0.1::DOUBLE * ((0.3::DOUBLE * r.c +
            |        (1.0::DOUBLE - 0.3::DOUBLE) * (e.l + e.b)) - e.l) +
            |      (1.0::DOUBLE - 0.1::DOUBLE) * e.b
-           |  FROM e JOIN r ON r.event_type = e.event_type
+           |  FROM e JOIN r ON r.event_type IS NOT DISTINCT FROM e.event_type
            |               AND r.rn = e.rn + 1),
            |f AS (SELECT event_type, max(rn) AS n FROM e GROUP BY 1)
            |SELECT e.event_type, f.n::BIGINT AS n,
            |       round(e.l, 6) AS level, round(e.b, 6) AS trend,
            |       round(e.l + e.b, 6) AS forecast_next
-           |FROM e JOIN f ON f.event_type = e.event_type AND e.rn = f.n
+           |FROM e JOIN f ON f.event_type IS NOT DISTINCT FROM e.event_type
+           |             AND e.rn = f.n
            |ORDER BY 1""".stripMargin))
 
   /** X65: CUPED experiment readout over events — variant assigned by

@@ -131,6 +131,13 @@ object RankStats {
     * distributions of samples `a` and `b` (rows with other `sample`
     * values are ignored): (group, n_a, n_b, ks_d 6-dp).
     *
+    * Complete-case on `value` (fuzz-14 finding): a null value has no
+    * place on the ECDF axis, and engines disagree on where a null
+    * SORTS (Spark nulls-first, DuckDB nulls-last), which silently
+    * shifts both cumulative curves and the max gap — null-value rows
+    * are dropped BEFORE the cell collapse, and n_a/n_b count only
+    * placed observations.
+    *
     * Exactness: facts collapse to one row per (group, value) with the
     * two sample counts, and the ECDF gap is maximized in INTEGER form —
     * D·n_a·n_b = max |cum_a·n_b − cum_b·n_a| — so the statistic is
@@ -149,7 +156,7 @@ object RankStats {
   def ksTest(df: DataFrame, group: String, sample: String, value: String,
              a: String, b: String): DataFrame = {
     val cells = df
-      .filter(col(sample).isin(a, b))
+      .filter(col(sample).isin(a, b) && col(value).isNotNull)
       .groupBy(col(group), col(value).as("__v"))
       .agg(count(when(col(sample) === a, 1)).as("__ca"),
         count(when(col(sample) === b, 1)).as("__cb"))

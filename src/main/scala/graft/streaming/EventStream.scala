@@ -507,4 +507,64 @@ object EventStream {
           out.iterator
       }
   }
+
+  final case class KalmanObs(key: String, ts: Timestamp,
+                             event_id: Long, z: Double)
+  final case class KalmanState(n: Long, x: Double, p: Double,
+                               k: Double, hasGain: Boolean)
+  final case class KalmanEstimate(key: String, n: Long, level: Double,
+                                  level_var: Double,
+                                  gain: Option[Double],
+                                  forecast_next: Double)
+
+  /** Streaming local-level Kalman filter (X316) — the live twin of
+    * [[graft.events.Kalman.localLevel]]: per key, the (x, P)
+    * recursion advances on every arriving observation and EMITS the
+    * updated estimate each time (the online semantics the batch
+    * fold's final-state readout can't give — a dashboard tracks the
+    * level as it settles). Identical seed contract (x₁ = z₁,
+    * P₁ = rVar, gain null until the first update) and identical
+    * arithmetic order, so for arrival patterns whose cross-batch
+    * order respects event time (the [[sprtStream]] contract) the
+    * LAST emitted row per key equals the batch operator's row
+    * BIT-FOR-BIT pre-rounding — parity is exact and pinned in spec.
+    * Within a micro-batch rows process in (ts, event_id) order.
+    * State per key: three numbers + a flag, no timeout. */
+  def kalmanStream(obs: Dataset[KalmanObs], qVar: Double,
+                   rVar: Double): Dataset[KalmanEstimate] = {
+    require(qVar >= 0, s"process variance must be >= 0, got $qVar")
+    require(rVar > 0, s"observation variance must be > 0, got $rVar")
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[KalmanState, KalmanEstimate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KalmanObs],
+         state: GroupState[KalmanState]) =>
+          var st = state.getOption.getOrElse(
+            KalmanState(0L, 0.0, 0.0, 0.0, hasGain = false))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[KalmanEstimate]
+          rows.toSeq.sortBy(o => (micros(o.ts), o.event_id))
+            .foreach { o =>
+              st =
+                if (st.n == 0L)
+                  KalmanState(1L, o.z, rVar, 0.0, hasGain = false)
+                else {
+                  val pp = st.p + qVar
+                  val k = pp / (pp + rVar)
+                  KalmanState(st.n + 1, st.x + k * (o.z - st.x),
+                    (1.0 - k) * pp, k, hasGain = true)
+                }
+              // HALF_UP like the batch operator's round(col, 6), so
+              // the pinned last-row parity is exact even at rounding
+              // boundaries
+              def r6(v: Double): Double = BigDecimal(v)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              out += KalmanEstimate(key, st.n, r6(st.x), r6(st.p),
+                if (st.hasGain) Some(r6(st.k)) else None, r6(st.x))
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

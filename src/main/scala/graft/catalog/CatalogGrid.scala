@@ -49,9 +49,14 @@ object CatalogGrid {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val cents = round($"o_totalprice" * 100).cast("long")
+      // non-positive/null amounts have no place on a log axis and
+      // are dropped on BOTH sides (fuzz-15: Spark lumped them into a
+      // null bucket whose WINDOW SORT position differs across
+      // engines, and DuckDB's log2(0) errors outright)
       t(s, dir, "orders")
-        .select(floor(log2(cents)).cast("long").as("bucket"),
-          cents.as("c"))
+        .select(cents.as("c"))
+        .filter($"c" > 0)
+        .select(floor(log2($"c")).cast("long").as("bucket"), $"c")
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"),
           (min($"c") / 100.0).as("min_value"),
@@ -63,7 +68,8 @@ object CatalogGrid {
         .orderBy($"bucket")
     },
     Some("""WITH v AS (
-           |  SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders),
+           |  SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders
+           |  WHERE round(o_totalprice * 100) > 0),
            |b AS (
            |  SELECT floor(log2(c))::BIGINT AS bucket, c FROM v),
            |g AS (

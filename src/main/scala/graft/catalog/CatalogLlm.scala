@@ -1434,7 +1434,11 @@ object CatalogLlm {
         .orderBy($"stratum", $"doc_id")
     },
     Some("""WITH d AS (SELECT doc_id, substr(source, 4, 1) AS stratum
-           |           FROM documents),
+           |           FROM documents
+           |           -- null strata are outside both the weight
+           |           -- budget and the sample (the operator's
+           |           -- strataCounts contract; fuzz-15 finding)
+           |           WHERE substr(source, 4, 1) IS NOT NULL),
            |cnt AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),
            |tw AS (SELECT stratum, n, pow(CAST(n AS DOUBLE), 0.5) AS raw
            |       FROM cnt),

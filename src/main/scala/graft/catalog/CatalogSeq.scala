@@ -1069,7 +1069,9 @@ object CatalogSeq {
     },
     Some("""WITH cells AS (
            |  SELECT event_type AS x, event_id % 3 AS y, count(*) AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events
+           |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+           |  GROUP BY 1, 2),
            |mx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY 1),
            |my AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
            |n AS (SELECT sum(c) AS n,

@@ -55,11 +55,18 @@ object InfoTheory {
     * Pearson chi-square (G = 2N·MI in nats, an identity this
     * implementation makes literal by reusing the same exact-count cell
     * entropies), preferred when any O/E ratio is large, where Pearson's
-    * quadratic approximation degrades. Output (one row): n BIGINT,
+    * quadratic approximation degrades. Complete-case on BOTH
+    * category columns (fuzz-15 finding: a null class used to be
+    * counted in n but silently dropped from the margins-join G sum
+    * and from countDistinct's df — three different answers to "is
+    * null a class"; now rows with a null category are out of the
+    * table entirely, stated). Output (one row): n BIGINT,
     * df BIGINT = (r−1)(c−1), g 4dp, pearson_chi2 4dp (for the
     * side-by-side read). */
   def gTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("c"))
     val mx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
     val my = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))

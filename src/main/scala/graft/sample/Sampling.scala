@@ -98,7 +98,11 @@ object Sampling {
     * sample itself stays the L29 shape: broadcast rates onto a narrow
     * md5 filter, corpus rows never shuffled (two scans total: counts +
     * filter). Rate arithmetic runs at the driver in the same IEEE op
-    * order the Spark-side form used, so samples are unchanged. */
+    * order the Spark-side form used, so samples are unchanged.
+    * Null-stratum rows are outside BOTH the weight budget and the
+    * sample (strataCounts drops them; the rate lookup then rejects
+    * them) — an unattributed doc neither consumes target mass nor
+    * gets sampled, stated. */
   def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
                         alpha: Double, targetRows: Long,
                         salt: String = ""): DataFrame = {

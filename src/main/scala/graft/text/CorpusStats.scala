@@ -746,8 +746,12 @@ object CorpusStats {
   def keyness(docs: DataFrame, strataCol: String, textCol: String,
               target: String, minCount: Long = 5L,
               topK: Int = 15): DataFrame = {
+    // a NULL stratum is still corpus: it counts as REST (fuzz-15
+    // finding — the raw === comparison's NULL fell through BOTH
+    // when() branches, silently dropping unattributed docs from the
+    // totals while the oracle's CASE counted them)
     val tc = docs.select(
-        (col(strataCol) === target).as("__tgt"),
+        coalesce(col(strataCol) === target, lit(false)).as("__tgt"),
         explode(TextAnalysis.tokens(col(textCol))).as("__t"))
       .groupBy(col("__t"))
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_target"),

@@ -64,14 +64,22 @@ object CatalogDomain {
   private val q6 = Q("q6_group_median",
     (s, dir) => {
       import s.implicits._
+      // the median interpolates over exact INTEGER cents (fuzz-16
+      // finding: an even-count median landing on a .xx5 cent midpoint
+      // straddled the 2-dp rounding boundary because the engines'
+      // interpolation formulas differ by an ulp on raw doubles;
+      // (a+b)/2 over integers is exact on both)
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
-        .agg(round(median($"l_extendedprice"), 2).as("median_price"),
+        .agg(round(median(round($"l_extendedprice" * 100).cast("long"))
+          / 100.0, 2).as("median_price"),
           count(lit(1)).as("n_items"))
         .orderBy($"p_brand")
     },
-    Some("""SELECT p_brand, round(median(l_extendedprice), 2) AS median_price,
+    Some("""SELECT p_brand,
+           |  round(median(round(l_extendedprice * 100)::BIGINT)
+           |    / 100.0, 2) AS median_price,
            |  count(*) AS n_items
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
@@ -1808,8 +1816,14 @@ object CatalogDomain {
       val ev = t(s, dir, "events").filter($"user_id" % 20 === 0)
         .select($"user_id", $"event_id", unix_millis($"ts").as("tsm"),
           $"event_type")
+      // zero-width versions (several state changes at the SAME
+      // timestamp — fuzz-16's tie shape) are invisible to interval
+      // semantics ([t, t) is empty) but AMBIGUOUS to an as-of
+      // tie-break; drop them from the lookup dimension explicitly so
+      // both engines resolve the reigning version identically
       val dim = graft.events.Scd.scd2(ev, "user_id", "tsm", "event_type",
           tieBreak = Seq("event_id"))
+        .filter($"valid_to".isNull || $"valid_to" > $"valid_from")
         .select($"user_id", $"valid_from".as("tsm"),
           $"event_type".as("state"), $"version")
       graft.join.AsOfJoin.asOfBackward(

@@ -179,10 +179,15 @@ object CatalogEcon4 {
   private val q193 = Q("q193_argmax",
     (s, dir) => {
       import s.implicits._
+      // complete-case on the value (an argmax over null cents is
+      // undefined and struct-ordering of null fields is
+      // engine-ambiguous); null FLAG groups stay — the oracle joins
+      // its two rank tables null-safely to keep them too (fuzz-16)
       val li = t(s, dir, "lineitem")
         .select($"l_returnflag",
           round($"l_extendedprice" * 100).cast("long").as("cents"),
           $"l_orderkey", $"l_linenumber".cast("long").as("ln"))
+        .filter($"cents".isNotNull)
       li.groupBy($"l_returnflag")
         .agg(
           max(struct($"cents", $"l_orderkey", $"ln")).as("__mx"),
@@ -197,7 +202,7 @@ object CatalogEcon4 {
     Some("""WITH li AS (SELECT l_returnflag,
            |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
            |    l_orderkey, l_linenumber
-           |  FROM lineitem),
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
            |mx AS (SELECT l_returnflag, cents, l_orderkey,
            |    row_number() OVER (PARTITION BY l_returnflag
            |      ORDER BY cents DESC, l_orderkey DESC,
@@ -210,7 +215,8 @@ object CatalogEcon4 {
            |SELECT mx.l_returnflag,
            |  mx.cents AS max_cents, mx.l_orderkey AS max_orderkey,
            |  mn.cents AS min_cents, mn.l_orderkey AS min_orderkey
-           |FROM mx JOIN mn ON mn.l_returnflag = mx.l_returnflag
+           |FROM mx JOIN mn
+           |  ON mn.l_returnflag IS NOT DISTINCT FROM mx.l_returnflag
            |WHERE mx.rk = 1 AND mn.rk = 1
            |ORDER BY mx.l_returnflag""".stripMargin))
 

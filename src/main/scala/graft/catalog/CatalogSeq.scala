@@ -146,15 +146,25 @@ object CatalogSeq {
       import s.implicits._
       graft.de.Experiment.cochranArmitage(
         t(s, dir, "orders").select(
-          substring($"o_orderpriority", 1, 1).cast("int").as("dose"),
+          // digit-guarded: a fuzz-injected non-numeric priority must
+          // yield a null dose (dropped by the operator's
+          // complete-case), not an ANSI cast error
+          when(substring($"o_orderpriority", 1, 1).rlike("^[0-9]$"),
+            substring($"o_orderpriority", 1, 1).cast("int"))
+            .as("dose"),
           ($"o_orderstatus" === "F").cast("long").as("succ")),
         "dose", "succ")
     },
     Some("""WITH pd AS (
-           |  SELECT substring(o_orderpriority, 1, 1)::INT::DOUBLE AS w,
+           |  SELECT try_cast(substring(o_orderpriority, 1, 1) AS INT)
+           |      ::DOUBLE AS w,
            |    count(*) AS n,
            |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r
-           |  FROM orders GROUP BY 1),
+           |  FROM orders
+           |  WHERE try_cast(substring(o_orderpriority, 1, 1) AS INT)
+           |          IS NOT NULL
+           |    AND o_orderstatus IS NOT NULL
+           |  GROUP BY 1),
            |a AS (SELECT sum(n) AS nn, sum(r) AS rr,
            |        count(*) AS nd, sum(w * r) AS wr, sum(w * n) AS wn,
            |        sum(w * w * n) AS wwn FROM pd)

@@ -164,11 +164,16 @@ object Experiment {
     * (Σ w_i n_i)²/N), Z = T/√Var. Everything reduces from ONE
     * conditional aggregate over facts into a dose-bounded frame, then a
     * single-row readout; r/n/N are exact BIGINTs. doseCol must be
-    * numeric scores (ordinal levels mapped upstream). Output one row:
+    * numeric scores (ordinal levels mapped upstream). Complete-case
+    * on BOTH columns (fuzz-16 finding: a null dose/outcome used to
+    * count in N but vanish from the weighted sums — the q315 "three
+    * answers to one null" class). Output one row:
     * (n BIGINT, n_doses BIGINT, t_stat 4dp, z 4dp, chi2 4dp). */
   def cochranArmitage(df: DataFrame, doseCol: String,
                       successCol: String): DataFrame = {
-    val perDose = df.groupBy(col(doseCol).cast("double").as("__w"))
+    val perDose = df
+      .filter(col(doseCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(doseCol).cast("double").as("__w"))
       .agg(count(lit(1)).as("__n"),
         sum(col(successCol).cast("long")).as("__r"))
     val agg = perDose.agg(

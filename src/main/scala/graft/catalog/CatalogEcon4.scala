@@ -184,10 +184,10 @@ object CatalogEcon4 {
       // engine-ambiguous); null FLAG groups stay — the oracle joins
       // its two rank tables null-safely to keep them too (fuzz-16)
       val li = t(s, dir, "lineitem")
+        .filter($"l_extendedprice".isNotNull) // pushable raw-column form
         .select($"l_returnflag",
           round($"l_extendedprice" * 100).cast("long").as("cents"),
           $"l_orderkey", $"l_linenumber".cast("long").as("ln"))
-        .filter($"cents".isNotNull)
       li.groupBy($"l_returnflag")
         .agg(
           max(struct($"cents", $"l_orderkey", $"ln")).as("__mx"),

@@ -54,6 +54,10 @@ object CatalogGrid {
       // null bucket whose WINDOW SORT position differs across
       // engines, and DuckDB's log2(0) errors outright)
       t(s, dir, "orders")
+        // the raw-column form pushes to the scan; the exact
+        // cents-grain cut (c > 0 ⇔ price ≥ 0.005) still runs on the
+        // computed column for the sub-cent edge
+        .filter($"o_totalprice" > 0)
         .select(cents.as("c"))
         .filter($"c" > 0)
         .select(floor(log2($"c")).cast("long").as("bucket"), $"c")

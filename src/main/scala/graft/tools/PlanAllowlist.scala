@@ -104,6 +104,9 @@ object PlanAllowlist {
       "q83_padding_efficiency", "q136_spatial_nn", "q231_assortativity",
       "q361_bland_altman", "q403_eval_spans") ++
     nljUps("q131_histogram", "q200_silhouette",
-      "q201_classification_report", "q202_cohens_kappa", "q315_g_test")
+      "q201_classification_report", "q202_cohens_kappa") ++
+    // q315's complete-case guard (fuzz-15) is a plain IS NOT NULL the
+    // scan now pushes, so only the 1-row-total NLJ remains
+    nlj("q315_g_test")
   ).toMap
 }

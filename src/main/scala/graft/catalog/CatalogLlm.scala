@@ -297,12 +297,19 @@ object CatalogLlm {
            |SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
-  /** Multimodal frame sampling: every 64th byte of the (ASCII) payload
-    * becomes a frame row — the oracle replays offsets + byte values. */
+  /** Multimodal frame sampling: every 64th byte of the payload
+    * becomes a frame row — the oracle replays offsets + byte values.
+    * The operator is BYTE-grain on binary; the oracle's substr/ascii
+    * are CHAR-grain, identical only for single-byte text, so the demo
+    * pins its input to single-byte payloads via the exact
+    * octet_length = length guard on both sides (fuzz-17: injected
+    * multi-byte unicode silently desynced frame offsets). */
   private val q29 = Q("q29_mm_frames",
     (s, dir) => {
       import s.implicits._
-      val media = Multimodal.asMediaTable(t(s, dir, "documents"),
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents")
+          .filter(octet_length($"text") === length($"text")),
         "doc_id", "text", "text/plain")
       Multimodal.frameValues(media, 64)
         .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
@@ -311,7 +318,7 @@ object CatalogLlm {
     },
     Some("""WITH f AS (SELECT doc_id, text,
            |    unnest(generate_series(0, CAST(length(text) // 64 AS INT) - 1)) AS i
-           |  FROM documents)
+           |  FROM documents WHERE strlen(text) = length(text))
            |SELECT doc_id AS media_id, i AS frame_idx, i * 64 AS frame_off,
            |       ascii(substr(text, CAST(i * 64 + 1 AS INT), 1)) AS frame_val
            |FROM f ORDER BY media_id, frame_idx""".stripMargin))

@@ -392,7 +392,7 @@ object CatalogSeq {
     Some("""WITH f AS (
            |  SELECT event_type AS k, floor(value / 10) AS b,
            |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
-           |  FROM events),
+           |  FROM events WHERE value IS NOT NULL),
            |bk AS (SELECT k, b, count(*) AS w, sum(y) AS sy
            |       FROM f GROUP BY 1, 2),
            |r AS (SELECT k, b, w, sy,
@@ -407,15 +407,18 @@ object CatalogSeq {
            |         max((j.cs - i0.cs0)::DOUBLE /
            |             (j.cw - i0.cw0)) AS mx
            |       FROM r kk
-           |       JOIN r j ON j.k = kk.k AND j.r >= kk.r
-           |       JOIN base i0 ON i0.k = kk.k AND i0.r0 <= kk.r - 1
+           |       JOIN r j ON j.k IS NOT DISTINCT FROM kk.k
+           |                AND j.r >= kk.r
+           |       JOIN base i0 ON i0.k IS NOT DISTINCT FROM kk.k
+           |                   AND i0.r0 <= kk.r - 1
            |       GROUP BY 1, 2, 3),
            |iso AS (SELECT k, rk, min(mx) AS v FROM mx GROUP BY 1, 2)
            |SELECT r.k AS event_type, r.b::DOUBLE AS bucket,
            |  r.w::BIGINT AS n,
            |  round(r.sy::DOUBLE / r.w, 6) AS rate_raw,
            |  round(iso.v, 6) AS rate_iso
-           |FROM r JOIN iso ON iso.k = r.k AND iso.rk = r.r
+           |FROM r JOIN iso ON iso.k IS NOT DISTINCT FROM r.k
+           |           AND iso.rk = r.r
            |ORDER BY event_type, bucket""".stripMargin))
 
   /** X189: peak concurrency (sweep line, end-exclusive) — intervals

@@ -576,7 +576,8 @@ object CatalogStats {
     },
     Some("""WITH cells AS (SELECT l_linestatus AS s, l_returnflag AS c,
            |    l_quantity AS v, count(*)::BIGINT AS cnt
-           |  FROM lineitem GROUP BY 1, 2, 3),
+           |  FROM lineitem WHERE l_quantity IS NOT NULL
+           |  GROUP BY 1, 2, 3),
            |pv AS (SELECT s, v, sum(cnt)::BIGINT AS t
            |       FROM cells GROUP BY 1, 2),
            |rk AS (SELECT s, v, t,
@@ -586,7 +587,9 @@ object CatalogStats {
            |  FROM pv),
            |rc AS (SELECT cells.s, cells.c, cnt,
            |         (2 * cb + t + 1)::BIGINT AS r2
-           |       FROM cells JOIN rk ON cells.s = rk.s AND cells.v = rk.v),
+           |       FROM cells JOIN rk
+           |         ON cells.s IS NOT DISTINCT FROM rk.s
+           |        AND cells.v = rk.v),
            |cl AS (SELECT s, c, sum(cnt * r2)::BIGINT AS rsum,
            |         sum(cnt)::BIGINT AS nj
            |       FROM rc GROUP BY 1, 2),
@@ -600,7 +603,7 @@ object CatalogStats {
            |  round(12.0 / (n * (n + 1.0)) * sq - 3.0 * (n + 1.0), 4) AS h,
            |  round((12.0 / (n * (n + 1.0)) * sq - 3.0 * (n + 1.0)) /
            |    nullif(1.0 - tt / (n::DOUBLE * n * n - n), 0.0), 4) AS h_adj
-           |FROM sc JOIN ties ON ties.s = sc.s
+           |FROM sc JOIN ties ON ties.s IS NOT DISTINCT FROM sc.s
            |ORDER BY l_linestatus""".stripMargin))
 
   /** X64: Holt linear-trend smoothing of each event type's daily count

@@ -202,7 +202,12 @@ object RankStats {
     * (rank sum is forced), which is the honest degenerate answer. */
   def kruskalWallis(df: DataFrame, scope: String, cls: String,
                     value: String): DataFrame = {
+    // complete-case on value (fuzz-17: a null value has no rank, and
+    // the engines' opposite null sort order shifts every cumulative
+    // rank below it); null SCOPE stays a real group — the internal
+    // joins below are null-safe for exactly that reason
     val cells = df
+      .filter(col(value).isNotNull)
       .groupBy(col(scope).as("__s"), col(cls).as("__c"),
         col(value).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
@@ -217,7 +222,7 @@ object RankStats {
       .select(col("__s").as("__rs"), col("__v").as("__rv"),
         (lit(2) * col("__cb") + col("__t") + 1).as("__r2"))
     val perCls = cells.join(ranked,
-        col("__s") === col("__rs") && col("__v") === col("__rv"))
+        col("__s") <=> col("__rs") && col("__v") === col("__rv"))
       .groupBy(col("__s"), col("__c"))
       .agg(sum(col("__cnt") * col("__r2")).as("__rsum"),
         sum(col("__cnt")).as("__nj"))
@@ -231,7 +236,7 @@ object RankStats {
         (count(lit(1)) - 1).as("dof"),
         sum(col("__rsum").cast("double") * col("__rsum") /
           (lit(4.0) * col("__nj"))).as("__sqsum"))
-      .join(ties, col("__s") === col("__ts"))
+      .join(ties, col("__s") <=> col("__ts"))
       .select(col("__s"), col("__n").as("n"), col("dof"),
         round(lit(12.0) / (n * (n + 1)) * col("__sqsum") - lit(3.0) * (n + 1), 4)
           .as("h"),

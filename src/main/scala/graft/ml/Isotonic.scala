@@ -27,12 +27,18 @@ object Isotonic {
 
   /** Per-(key, bucket) raw and isotonic rates of a 0/1 label:
     * (key, bucket, n BIGINT, rate_raw 6dp, rate_iso 6dp), rate_iso
-    * nondecreasing in bucket within each key. */
+    * nondecreasing in bucket within each key. Complete-case on
+    * bucket AND label (fuzz-17 finding: a null bucket has no place
+    * on the monotone axis — and used to crash the non-nullable
+    * tuple encoder outright); a null KEY is a real group and is
+    * kept. */
   def calibrate(df: DataFrame, keyCol: String, bucketCol: String,
                 labelCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val buckets = df.groupBy(col(keyCol).cast("string").as("k"),
+    val buckets = df
+      .filter(col(bucketCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("k"),
         col(bucketCol).cast("double").as("b"))
       .agg(count(lit(1)).as("w"), sum(col(labelCol).cast("long")).as("sy"))
       .as[(String, Double, Long, Long)]

@@ -86,8 +86,13 @@ object CatalogEr {
            |         sum(l_quantity) AS x2
            |  FROM lineitem GROUP BY 1),
            |j AS (
+           |  -- complete-case like the operator (fuzz-18: null y/x2
+           |  -- rows counted in the oracle's n but vanished from its
+           |  -- sums)
            |  SELECT o_totalprice AS y, x1, x2
-           |  FROM orders JOIN li ON o_orderkey = l_orderkey),
+           |  FROM orders JOIN li ON o_orderkey = l_orderkey
+           |  WHERE o_totalprice IS NOT NULL AND x1 IS NOT NULL
+           |    AND x2 IS NOT NULL),
            |a AS (
            |  SELECT count(*)::BIGINT AS n, sum(x1) AS s1, sum(x2) AS s2,
            |    sum(y) AS sy, sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,

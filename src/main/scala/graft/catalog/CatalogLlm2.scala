@@ -55,7 +55,12 @@ object CatalogLlm2 {
       import graft.text.TextAnalysis.tokenCount
       // target weight per source derived from its id (srcN → (N+1)/210
       // over the 20 sources — Σ = 1), so the plan needs no side table
+      // sources whose id suffix doesn't parse (fuzz-18: '' / 'Z')
+      // are outside the mix — a budget needs a weight, and DuckDB's
+      // INT cast errors where Spark's nulls, so the guard is explicit
+      // on both sides (ANSI-safe here too)
       val avail = t(s, dir, "documents")
+        .filter(substring($"source", 4, 10).rlike("^[0-9]+$"))
         .groupBy($"source")
         .agg(sum(tokenCount($"text")).as("avail_tokens"))
         .withColumn("weight",
@@ -74,7 +79,9 @@ object CatalogLlm2 {
            |    sum(len(regexp_extract_all(text, '\S+')))::BIGINT
            |      AS avail_tokens,
            |    round((substr(source, 4)::INT + 1) / 210.0, 6) AS weight
-           |  FROM documents GROUP BY 1),
+           |  FROM documents
+           |  WHERE try_cast(substr(source, 4) AS INT) IS NOT NULL
+           |  GROUP BY 1),
            |tot AS (SELECT sum(avail_tokens)::DOUBLE AS tt FROM avail)
            |SELECT source, avail_tokens, weight,
            |  round(weight * tt * 1.2, 2) AS target_tokens,

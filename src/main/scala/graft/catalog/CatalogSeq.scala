@@ -727,7 +727,9 @@ object CatalogSeq {
     Some("""WITH f AS (
            |  SELECT day(o_orderdate::DATE)::DOUBLE AS x, o_totalprice AS y,
            |    year(o_orderdate::DATE) % 2 AS r
-           |  FROM orders),
+           |  FROM orders
+           |  WHERE o_totalprice IS NOT NULL
+           |    AND o_orderdate IS NOT NULL),
            |a AS (SELECT count(*) AS n,
            |    count(CASE WHEN r = 0 THEN 1 END) AS n0,
            |    count(CASE WHEN r = 1 THEN 1 END) AS n1,

@@ -592,7 +592,10 @@ object Regression {
       sum(when(p, xv * xv)).as(s"sxx$tag"),
       sum(when(p, xv * yv)).as(s"sxy$tag"),
       sum(when(p, yv * yv)).as(s"syy$tag"))
-    val a = df.filter(yv.isNotNull && xv.isNotNull)
+    // complete-case on regime as well (fuzz-18: a null regime used
+    // to count in the pooled block but in neither regime block)
+    val a = df.filter(yv.isNotNull && xv.isNotNull &&
+        col(regimeCol).isNotNull)
       .agg(block(lit(true), "P").head,
         (block(lit(true), "P").tail ++ block(!r, "0") ++
           block(r, "1")): _*)

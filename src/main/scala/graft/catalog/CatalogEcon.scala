@@ -357,7 +357,7 @@ object CatalogEcon {
     },
     Some("""WITH v AS (SELECT c_mktsegment AS g,
            |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-           |  FROM customer),
+           |  FROM customer WHERE c_acctbal IS NOT NULL),
            |ix AS (SELECT g, cents,
            |    row_number() OVER (PARTITION BY g ORDER BY cents) - 1
            |      AS idx

@@ -457,12 +457,21 @@ object CatalogStats {
            |         CASE WHEN c_custkey <= 10 THEN NULL
            |              ELSE c_custkey // 10 END AS par
            |  FROM customer),
+           |-- the operator's universe is children UNION parents: a
+           |-- referenced-but-absent parent (fuzz-19 row drops) is a
+           |-- synthesized ROOT, so its orphaned subtree still resolves
+           |e2 AS (
+           |  SELECT node, par FROM e
+           |  UNION ALL
+           |  SELECT DISTINCT par AS node, NULL AS par FROM e
+           |  WHERE par IS NOT NULL
+           |    AND par NOT IN (SELECT node FROM e)),
            |r AS (
            |  SELECT node, node AS root, 0::BIGINT AS depth
-           |  FROM e WHERE par IS NULL
+           |  FROM e2 WHERE par IS NULL
            |  UNION ALL
-           |  SELECT e.node, r.root, r.depth + 1
-           |  FROM e JOIN r ON e.par = r.node)
+           |  SELECT e2.node, r.root, r.depth + 1
+           |  FROM e2 JOIN r ON e2.par = r.node)
            |SELECT node AS c_custkey, root, depth
            |FROM r ORDER BY 1""".stripMargin))
 

@@ -969,7 +969,8 @@ object CatalogStats3 {
     Some("""WITH i AS (
            |  SELECT o_orderpriority AS s, o_orderstatus AS g,
            |    o_totalprice AS v
-           |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+           |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+           |    AND o_totalprice IS NOT NULL),
            |cells AS (SELECT s, g, v, count(*) AS cnt
            |          FROM i GROUP BY 1, 2, 3),
            |pv AS (SELECT s, v, sum(cnt) AS t FROM cells
@@ -1670,7 +1671,8 @@ object CatalogStats3 {
     Some("""WITH i AS (
            |  SELECT o_orderpriority AS s, o_orderstatus AS g,
            |    o_totalprice AS v
-           |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+           |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+           |    AND o_totalprice IS NOT NULL),
            |cells AS (
            |  SELECT s, v,
            |    sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS la,
@@ -1718,7 +1720,7 @@ object CatalogStats3 {
            |  round(z, 4) AS z,
            |  round(CASE WHEN z >= 0 THEN 0.5 - integ
            |        ELSE 0.5 + integ END, 6) AS p_value
-           |FROM zz JOIN ig USING (s)
+           |FROM zz JOIN ig ON zz.s IS NOT DISTINCT FROM ig.s
            |ORDER BY o_orderpriority""".stripMargin))
 
   /** X252: GPD tail fit by method of moments over the 95%-threshold

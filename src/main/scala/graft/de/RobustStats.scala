@@ -19,7 +19,14 @@ object RobustStats {
     * w_median). */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String): DataFrame = {
-    val cells = df.groupBy(col(groupCol), col(valueCol))
+    // complete-case on value AND weight (fuzz-19: a null value has no
+    // place on the cumulative-weight axis and engines sort it
+    // oppositely; a null weight is no observation). n_values rides
+    // the unbounded window instead of a join-back, so a null GROUP
+    // survives (the old Seq-join dropped it) and a shuffle disappears.
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
       .agg(sum(col(weightCol)).as("__w"))
     val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -27,12 +34,12 @@ object RobustStats {
     cells
       .withColumn("__cum", sum(col("__w")).over(wOrd))
       .withColumn("__tot", sum(col("__w")).over(wAll))
+      .withColumn("__nv", count(lit(1)).over(wAll))
       .filter(col("__cum") * 2 >= col("__tot"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__nc"), min(col(valueCol)).as("w_median"),
-        max(col("__tot")).as("total_weight"))
-      .join(cells.groupBy(col(groupCol))
-        .agg(count(lit(1)).as("n_values")), Seq(groupCol))
+      .agg(max(col("__nv")).as("n_values"),
+        max(col("__tot")).as("total_weight"),
+        min(col(valueCol)).as("w_median"))
       .select(col(groupCol), col("n_values"), col("total_weight"),
         col("w_median"))
   }

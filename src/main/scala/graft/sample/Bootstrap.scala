@@ -43,8 +43,12 @@ object Bootstrap {
     // Persisted: the indexed frame feeds the size probe, the draw join
     // and the point estimate — an unpersisted plan would re-run the
     // rank window three times.
+    // complete-case on value (fuzz-19: a null value sorts FIRST here
+    // and LAST in a SQL replayer, silently permuting every drawn
+    // index; a null is no observation to resample anyway)
     val indexed = df
       .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
       .withColumn("__idx", row_number().over(
         Window.partitionBy(col("__g")).orderBy(col("__v").asc)) - 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

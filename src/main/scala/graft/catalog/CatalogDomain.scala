@@ -739,9 +739,12 @@ object CatalogDomain {
     (s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
+      // one canonical purchase per (user, instant) — same-fuzz-clump
+      // tie ambiguity as q79 (min event_id + its value pins both engines)
       val purchases = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts", $"event_id".as("purchase_id"),
-          $"value".as("purchase_value"))
+        .groupBy($"user_id", $"ts")
+        .agg(min($"event_id").as("purchase_id"),
+          min_by($"value", $"event_id").as("purchase_value"))
       val left = ev.filter($"event_type" =!= "purchase")
         .select($"event_id", $"user_id", $"ts")
       graft.join.AsOfJoin.asOfBackward(left, purchases, "user_id", "ts",
@@ -750,10 +753,16 @@ object CatalogDomain {
           round($"purchase_value", 2).as("purchase_value"))
         .orderBy($"event_id")
     },
-    Some("""SELECT l.event_id, r.event_id AS purchase_id,
-           |  round(r.value, 2) AS purchase_value
+    Some("""SELECT l.event_id, r.purchase_id,
+           |  round(r.purchase_value, 2) AS purchase_value
            |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
-           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           |ASOF LEFT JOIN (
+           |  SELECT user_id, ts, event_id AS purchase_id,
+           |         value AS purchase_value
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+           |                     ORDER BY event_id) AS rn
+           |        FROM events WHERE event_type = 'purchase')
+           |  WHERE rn = 1) r
            |  ON l.user_id = r.user_id AND l.ts >= r.ts
            |ORDER BY l.event_id""".stripMargin))
 
@@ -790,23 +799,29 @@ object CatalogDomain {
            |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin))
 
   /** Robust per-group outlier screen (Preprocess.robustOutlierStats):
-    * median/MAD modified z over l_extendedprice per brand. Exact grouped
-    * medians on both engines (even-count interpolation agrees); the
+    * median/MAD modified z over l_extendedprice per brand, computed on
+    * exact INTEGER cents (the q6 fuzz-16 discipline — fuzz-20 put an
+    * even-count median midpoint on a .xx5 that straddled the 2-dp round
+    * because the engines' raw-double interpolation differs by an ulp;
+    * over integers the midpoint is exact on both, and the modified z is
+    * scale-invariant so the cents change nothing downstream). The
     * outlier boundary compares the 6-dp-rounded |M|. */
   private val q75 = Q("q75_robust_outliers",
     (s, dir) => {
       import s.implicits._
       val j = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
-        .select($"p_brand", $"l_extendedprice".as("v"))
+        .select($"p_brand",
+          round($"l_extendedprice" * 100).cast("long").as("v"))
       graft.prep.Preprocess.robustOutlierStats(j, Seq("p_brand"), "v",
           // brand cardinality is known-small: skip the size-probe scan
           exactMedians = Some(true))
-        .select($"p_brand", $"n", round($"med", 2).as("med"),
-          round($"mad", 2).as("mad"), $"n_outliers", $"max_abs_m")
+        .select($"p_brand", $"n", round($"med" / 100.0, 2).as("med"),
+          round($"mad" / 100.0, 2).as("mad"), $"n_outliers", $"max_abs_m")
         .orderBy($"p_brand")
     },
-    Some("""WITH j AS (SELECT p_brand, l_extendedprice AS v
+    Some("""WITH j AS (SELECT p_brand,
+           |             round(l_extendedprice * 100)::BIGINT AS v
            |           FROM lineitem JOIN part ON l_partkey = p_partkey),
            |med AS (SELECT p_brand, median(v) AS med FROM j GROUP BY 1),
            |mad AS (SELECT j.p_brand, median(abs(v - med)) AS mad
@@ -817,8 +832,8 @@ object CatalogDomain {
            |        0.6745 * (v - med.med) / nullif(mad.mad, 0) AS mm
            |      FROM j JOIN med ON j.p_brand IS NOT DISTINCT FROM med.p_brand
            |           JOIN mad ON j.p_brand IS NOT DISTINCT FROM mad.p_brand)
-           |SELECT p_brand, count(*) AS n, round(max(med), 2) AS med,
-           |  round(max(mad), 2) AS mad,
+           |SELECT p_brand, count(*) AS n, round(max(med) / 100.0, 2) AS med,
+           |  round(max(mad) / 100.0, 2) AS mad,
            |  count(CASE WHEN round(abs(mm), 6) > 3.5 THEN 1 END) AS n_outliers,
            |  round(max(abs(mm)), 4) AS max_abs_m
            |FROM m GROUP BY p_brand ORDER BY p_brand""".stripMargin))
@@ -887,13 +902,20 @@ object CatalogDomain {
   /** Forward as-of join (AsOfJoin.asOfForward): every non-purchase event
     * picks up the same user's NEXT purchase at-or-after its timestamp —
     * next-event attribution, the mirror of q70. Same independent-oracle
-    * story: DuckDB's native ASOF with the inequality reversed. */
+    * story: DuckDB's native ASOF with the inequality reversed. The right
+    * side is deduplicated to one purchase per (user, instant) first
+    * (fuzz-20 finding: a constant-timestamp clump makes two purchases of
+    * the SAME user share a ts, and "the next purchase at-or-after" is
+    * then ambiguous — DuckDB's ASOF picks an arbitrary survivor while
+    * the carry window picks the sort-maximal one; min(event_id) per
+    * instant pins one canonical row on both engines). */
   private val q79 = Q("q79_asof_forward",
     (s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
       val purchases = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts", $"event_id".as("next_purchase_id"))
+        .groupBy($"user_id", $"ts")
+        .agg(min($"event_id").as("next_purchase_id"))
       val left = ev.filter($"event_type" =!= "purchase")
         .select($"event_id", $"user_id", $"ts")
       graft.join.AsOfJoin.asOfForward(left, purchases, "user_id", "ts",
@@ -901,9 +923,11 @@ object CatalogDomain {
         .select($"event_id", $"next_purchase_id")
         .orderBy($"event_id")
     },
-    Some("""SELECT l.event_id, r.event_id AS next_purchase_id
+    Some("""SELECT l.event_id, r.next_purchase_id
            |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
-           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           |ASOF LEFT JOIN (SELECT user_id, ts, min(event_id) AS next_purchase_id
+           |                FROM events WHERE event_type = 'purchase'
+           |                GROUP BY user_id, ts) r
            |  ON l.user_id = r.user_id AND l.ts <= r.ts
            |ORDER BY l.event_id""".stripMargin))
 

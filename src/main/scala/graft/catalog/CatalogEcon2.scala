@@ -172,7 +172,17 @@ object CatalogEcon2 {
       import graft.functions.gfunctions.damerau_levenshtein
       val names = t(s, dir, "part")
         .select($"p_name").distinct()
-        .withColumn("blk", element_at(split($"p_name", " "), 2))
+        // the certified comparison is pinned to single-byte names:
+        // graft's DL is CHAR-grain, DuckDB's built-in is BYTE-grain —
+        // identical only where byte == char (the q29 discipline;
+        // fuzz-20's unicode suffixes desynced the two grains)
+        .filter(octet_length($"p_name") === length($"p_name"))
+        // single-word/empty names have no second token: element_at
+        // yields null (which an equi-join silently drops) while the
+        // oracle's split_part yields '' (one joinable block) — coalesce
+        // to '' so both engines put them in the same block (fuzz-20)
+        .withColumn("blk",
+          coalesce(element_at(split($"p_name", " "), 2), lit("")))
       val a = names.select($"p_name".as("name_a"), $"blk")
       val b = names.select($"p_name".as("name_b"), $"blk")
       a.join(b, Seq("blk"))
@@ -183,7 +193,8 @@ object CatalogEcon2 {
         .orderBy($"dl", $"name_a", $"name_b")
     },
     Some("""WITH n AS (SELECT DISTINCT p_name,
-           |    split_part(p_name, ' ', 2) AS blk FROM part),
+           |    split_part(p_name, ' ', 2) AS blk FROM part
+           |  WHERE strlen(p_name) = length(p_name)),
            |p AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
            |    damerau_levenshtein(a.p_name, b.p_name)::BIGINT AS dl
            |  FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name)

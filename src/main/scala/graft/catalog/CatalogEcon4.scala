@@ -231,6 +231,10 @@ object CatalogEcon4 {
         .filter($"l_orderkey" % 101 === 0)
         .select($"l_orderkey",
           round($"l_extendedprice" * 100).cast("long").as("cents"))
+        // complete-case: Spark collect_list SKIPS nulls while DuckDB
+        // list() KEEPS them (and then sorts them first) — a fuzzed null
+        // price desynced n/head/palindrome_total (fuzz-20)
+        .filter($"cents".isNotNull)
         .groupBy($"l_orderkey")
         .agg(array_sort(collect_list($"cents")).as("a"))
       arr.select($"l_orderkey",
@@ -251,6 +255,7 @@ object CatalogEcon4 {
            |    list_sort(list(CAST(round(l_extendedprice * 100)
            |      AS BIGINT))) AS a
            |  FROM lineitem WHERE l_orderkey % 101 = 0
+           |    AND l_extendedprice IS NOT NULL
            |  GROUP BY 1)
            |SELECT l_orderkey,
            |  len(a)::BIGINT AS n,

@@ -895,12 +895,18 @@ object CatalogSeq {
           "o_orderpriority", "o_totalprice")
         .orderBy($"o_orderpriority")
     },
-    Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
-           |  0::BIGINT AS n_nonpos,
-           |  round(avg(o_totalprice), 4) AS mean,
-           |  round(exp(avg(ln(o_totalprice))), 4) AS ede,
-           |  round(1 - exp(avg(ln(o_totalprice))) /
-           |    avg(o_totalprice), 6) AS atkinson
+    Some("""SELECT o_orderpriority,
+           |  count(CASE WHEN o_totalprice > 0 THEN 1 END)::BIGINT AS n,
+           |  count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+           |             THEN 1 END)::BIGINT AS n_nonpos,
+           |  round(avg(CASE WHEN o_totalprice > 0
+           |                 THEN o_totalprice END), 4) AS mean,
+           |  round(exp(avg(CASE WHEN o_totalprice > 0
+           |                     THEN ln(o_totalprice) END)), 4) AS ede,
+           |  round(1 - exp(avg(CASE WHEN o_totalprice > 0
+           |                        THEN ln(o_totalprice) END)) /
+           |    avg(CASE WHEN o_totalprice > 0 THEN o_totalprice END), 6)
+           |    AS atkinson
            |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
 
   /** X201: directly standardized finished-order rates per priority,

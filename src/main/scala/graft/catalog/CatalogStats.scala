@@ -491,7 +491,13 @@ object CatalogStats {
       import graft.functions.gfunctions.jaro_winkler
       val names = t(s, dir, "part")
         .select($"p_name").distinct()
-        .withColumn("blk", element_at(split($"p_name", " "), 2))
+        // q176's fuzz-20 finding applies here too: graft's JW is
+        // CHAR-grain, DuckDB's is BYTE-grain — pin single-byte names
+        // (q29 discipline) and coalesce the missing second token to ''
+        // so single-word names block identically to split_part
+        .filter(octet_length($"p_name") === length($"p_name"))
+        .withColumn("blk",
+          coalesce(element_at(split($"p_name", " "), 2), lit("")))
       val a = names.select($"p_name".as("name_a"), $"blk")
       val b = names.select($"p_name".as("name_b"), $"blk")
       a.join(b, Seq("blk"))
@@ -502,7 +508,8 @@ object CatalogStats {
         .orderBy($"jw".desc, $"name_a", $"name_b")
     },
     Some("""WITH n AS (SELECT DISTINCT p_name,
-           |    split_part(p_name, ' ', 2) AS blk FROM part),
+           |    split_part(p_name, ' ', 2) AS blk FROM part
+           |  WHERE strlen(p_name) = length(p_name)),
            |p AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
            |    round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
            |  FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name)

@@ -1459,9 +1459,13 @@ object CatalogStats3 {
         .orderBy($"event_type")
     },
     Some("""WITH b AS (
+           |  -- complete-case on the covariate: the operator drops
+           |  -- null-x rows upfront; without this a fuzzed null value
+           |  -- inflates the counts AND (nulls sort last) hands the
+           |  -- tail treated rows a spurious nearest control (fuzz-20)
            |  SELECT event_type AS s, (user_id % 2)::INT AS t,
            |    value AS x, hour(ts)::DOUBLE AS y
-           |  FROM events),
+           |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
            |sw AS (
            |  SELECT s, t, x, y,
            |    last_value(CASE WHEN t = 0 THEN x END IGNORE NULLS)

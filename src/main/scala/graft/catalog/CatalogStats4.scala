@@ -1066,11 +1066,17 @@ object CatalogStats4 {
         "id", "y", "pred", "cal", alpha = 0.1)
     },
     Some("""WITH res AS (
+           |  -- r IS NOT NULL mirrors the operator's complete-case on
+           |  -- the residual: a fuzzed null price/quantity otherwise
+           |  -- inflates n_cal and parks nulls at the tail of the
+           |  -- calibration order where rank_k lands on one (fuzz-20)
            |  SELECT l_orderkey * 10 + l_linenumber AS id,
            |    abs(l_extendedprice - (l_quantity * 1000 + 500))::DOUBLE
            |      AS r,
            |    l_orderkey % 2 = 1 AS cal
-           |  FROM lineitem),
+           |  FROM lineitem
+           |  WHERE l_extendedprice IS NOT NULL
+           |    AND l_quantity IS NOT NULL),
            |nc AS (SELECT count(*)::BIGINT AS n_cal FROM res
            |       WHERE cal),
            |k AS (SELECT n_cal,

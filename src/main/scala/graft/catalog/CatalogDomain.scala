@@ -1650,7 +1650,7 @@ object CatalogDomain {
     Some("""WITH r AS (
            |  SELECT event_type, event_id, value,
            |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
-           |  FROM events),
+           |  FROM events WHERE value IS NOT NULL),
            |m AS (SELECT min(cnt) AS mn FROM
            |        (SELECT count(*) AS cnt FROM r GROUP BY event_type)),
            |tr AS (SELECT r.* FROM r, m WHERE rn <= mn),

@@ -94,6 +94,10 @@ object CatalogEcon {
       val spend = t(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+        // Theil is defined on positive incomes: x ln x needs x > 0 —
+        // DuckDB's ln ERRORS on a fuzzed zero/negative total where
+        // Spark nulls (the q283 log-domain discipline)
+        .filter($"cents" > 0)
       val units = spend
         .join(broadcast(t(s, dir, "customer")
           .select($"c_custkey", $"c_nationkey")),
@@ -105,7 +109,8 @@ object CatalogEcon {
     Some("""WITH sp AS (
            |  SELECT o_custkey AS k,
            |         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
-           |  FROM orders GROUP BY 1),
+           |  FROM orders GROUP BY 1
+           |  HAVING CAST(round(sum(o_totalprice) * 100) AS BIGINT) > 0),
            |j AS (SELECT c_nationkey AS g, cents
            |      FROM sp JOIN customer ON c_custkey = k),
            |g1 AS (SELECT g, count(*)::BIGINT AS n_units,

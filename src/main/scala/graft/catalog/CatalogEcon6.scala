@@ -206,7 +206,9 @@ object CatalogEcon6 {
            |  SELECT l_returnflag AS g,
            |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
            |         sum(CAST(l_quantity AS BIGINT))::BIGINT AS w
-           |  FROM lineitem GROUP BY 1, 2),
+           |  FROM lineitem
+           |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+           |  GROUP BY 1, 2),
            |c2 AS (
            |  SELECT g, v, w,
            |         sum(w) OVER (PARTITION BY g ORDER BY v

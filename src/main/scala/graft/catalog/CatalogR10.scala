@@ -36,9 +36,12 @@ object CatalogR10 {
         .orderBy($"source")
     },
     Some("""WITH e AS (
+           |  -- complete-case mirrors the operator (fuzz-21: the q224
+           |  -- class — count(*) counted null-y rows the sums skipped)
            |  SELECT event_type AS src, round(value * 100) AS y,
            |         hour(ts)::DOUBLE AS x1, isodow(ts)::DOUBLE AS x2
-           |  FROM events),
+           |  FROM events
+           |  WHERE value IS NOT NULL AND ts IS NOT NULL),
            |g AS (
            |  SELECT src, count(*)::DOUBLE AS n, sum(x1) AS s1,
            |    sum(x2) AS s2, sum(y) AS sy, sum(x1 * x1) AS s11,

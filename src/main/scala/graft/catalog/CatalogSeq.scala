@@ -434,9 +434,11 @@ object CatalogSeq {
         .orderBy($"event_type")
     },
     Some("""WITH iv AS (
+           |  -- operator contract: a half-specified interval (fuzzed
+           |  -- null value => null end) is no interval (fuzz-21)
            |  SELECT event_type, epoch_us(ts) AS s,
            |    epoch_us(ts) + round(value)::BIGINT * 1000000 AS e
-           |  FROM events),
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
            |sw AS (
            |  SELECT event_type, s AS t, 1 AS d FROM iv
            |  UNION ALL
@@ -476,12 +478,15 @@ object CatalogSeq {
           "s", "e")
         .orderBy($"event_type", $"id_a", $"id_b")
     },
-    Some("""WITH iv AS (
+    Some("""WITH iv0 AS (
            |  SELECT event_type, event_id AS id, epoch_us(ts) AS s,
            |    epoch_us(ts) + round(value)::BIGINT * 1000000 AS e,
            |    row_number() OVER (PARTITION BY event_type
            |      ORDER BY ts, event_id) AS rn
-           |  FROM events QUALIFY rn <= 8)
+           |  FROM events QUALIFY rn <= 8),
+           |-- operator contract: null end = no interval, dropped AFTER
+           |-- the rank-8 selection (fuzz-21)
+           |iv AS (SELECT * FROM iv0 WHERE e IS NOT NULL)
            |SELECT a.event_type, a.id AS id_a, b.id AS id_b,
            |  CASE WHEN a.e < b.s THEN 'before'
            |       WHEN b.e < a.s THEN 'before_inv'

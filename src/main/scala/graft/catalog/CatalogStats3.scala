@@ -268,9 +268,10 @@ object CatalogStats3 {
         .orderBy($"event_type")
     },
     Some("""WITH iv AS (
+           |  -- operator contract: null end = no interval (fuzz-21)
            |  SELECT event_type, epoch_us(ts) AS s,
            |    epoch_us(ts) + round(value)::BIGINT * 1000000 AS e
-           |  FROM events),
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
            |agg AS (
            |  SELECT event_type, count(*)::BIGINT AS n,
            |    min(s) AS t0, max(e) AS t1, sum(e - s) AS sd,

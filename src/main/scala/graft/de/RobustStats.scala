@@ -54,7 +54,13 @@ object RobustStats {
   def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                         weightCol: String, qs: Seq[Int]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100))
-    val cells = df.groupBy(col(groupCol), col(valueCol))
+    // complete-case on value AND weight — [[weightedMedian]]'s fuzz-19
+    // contract, found missing here by fuzz-21: a null value has no
+    // place on the cumulative-weight axis (engines sort it oppositely,
+    // shifting every cum prefix), and a null weight is no observation
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
       .agg(sum(col(weightCol)).as("__w"))
     val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

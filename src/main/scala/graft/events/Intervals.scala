@@ -32,10 +32,15 @@ object Intervals {
     * timestamp (end-exclusive semantics: an interval ending exactly
     * when another starts does not overlap it). One union, one per-key
     * window sort, one aggregate — the coverageStats scale contract.
+    * Complete-case on both endpoints (fuzz-21): a half-specified
+    * interval is no interval — and a null endpoint would otherwise
+    * land in the sweep order at an engine-dependent position (Spark
+    * sorts nulls first, DuckDB last), shifting every running prefix.
     * Output: (key, n_intervals BIGINT, peak BIGINT, peak_at = first
     * time the peak is reached). */
-  def maxConcurrency(df: DataFrame, key: String, startCol: String,
+  def maxConcurrency(df0: DataFrame, key: String, startCol: String,
                      endCol: String): DataFrame = {
+    val df = df0.filter(col(startCol).isNotNull && col(endCol).isNotNull)
     val starts = df.select(col(key).as("__k"),
       col(startCol).as("__t"), lit(1L).as("__d"))
     val ends = df.select(col(key).as("__k"),
@@ -69,8 +74,10 @@ object Intervals {
     * Output: (key, n_intervals BIGINT, span_sec 4dp,
     * arrivals_per_hour 4dp, w_avg_sec 4dp, l_avg 4dp, peak BIGINT);
     * single-instant spans yield null rates. */
-  def littlesLaw(df: DataFrame, key: String, startCol: String,
+  def littlesLaw(df0: DataFrame, key: String, startCol: String,
                  endCol: String): DataFrame = {
+    // same complete-case contract as [[maxConcurrency]] (fuzz-21)
+    val df = df0.filter(col(startCol).isNotNull && col(endCol).isNotNull)
     val dur = (col(endCol) - col(startCol)).cast("double")
     val agg = df.groupBy(col(key))
       .agg(count(lit(1)).as("n_intervals"),
@@ -99,8 +106,10 @@ object Intervals {
     * contract of every pairwise operator here); the classification is
     * one nested CASE on exact endpoint comparisons. Output: (key,
     * id_a, id_b, relation). */
-  def allenRelations(df: DataFrame, key: String, idCol: String,
+  def allenRelations(df0: DataFrame, key: String, idCol: String,
                      startCol: String, endCol: String): DataFrame = {
+    // same complete-case contract as [[maxConcurrency]] (fuzz-21)
+    val df = df0.filter(col(startCol).isNotNull && col(endCol).isNotNull)
     val a = df.select(col(key).as("__k"), col(idCol).as("id_a"),
       col(startCol).as("__sa"), col(endCol).as("__ea"))
     val b = df.select(col(key).as("__k"), col(idCol).as("id_b"),
@@ -174,8 +183,10 @@ object Intervals {
     * (epoch ms/sec); `slack` in the same unit joins intervals separated
     * by a gap of at most `slack` (0 = merge only true overlap/adjacency,
     * half-open [start, end) semantics). */
-  def mergeIntervals(df: DataFrame, key: String, start: String,
+  def mergeIntervals(df0: DataFrame, key: String, start: String,
                      end: String, slack: Long = 0L): DataFrame = {
+    // same complete-case contract as [[maxConcurrency]] (fuzz-21)
+    val df = df0.filter(col(start).isNotNull && col(end).isNotNull)
     val byStart = Window.partitionBy(key)
       .orderBy(col(start), col(end))
     // Running max end over STRICTLY earlier rows; null for the first row

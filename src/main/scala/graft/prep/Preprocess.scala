@@ -214,11 +214,14 @@ object Preprocess {
     * so the rank window evaluates twice; the output is fact-sized, so
     * the bounded-output materialize-and-release pattern does not apply —
     * persist the INPUT around this call when its upstream scan dominates
-    * (the X3/robust-outliers trade). Output: input columns + qn_value
-    * (4 dp). */
-  def quantileNormalize(df: DataFrame, sampleCol: String,
+    * (the X3/robust-outliers trade). Complete-case on the value column:
+    * a null value has no rank position (the q144 ECDF rationale — and
+    * engines disagree on where nulls sort), so null-value rows are
+    * dropped, not ranked. Output: input columns + qn_value (4 dp). */
+  def quantileNormalize(df0: DataFrame, sampleCol: String,
                         valueCol: String,
                         tieBreak: Seq[String] = Nil): DataFrame = {
+    val df = df0.filter(col(valueCol).isNotNull)
     val order = (col(valueCol).asc +: tieBreak.map(col(_).asc))
     val ranked = df.withColumn("__rn",
       row_number().over(

@@ -160,6 +160,11 @@ object CatalogMisc {
         .groupBy(date_trunc("day", $"o_orderdate").as("d"))
         .agg((round(sum($"o_totalprice") * 100).cast("long") / 100.0)
           .as("v"))
+        // log returns exist only on positive revenue days — DuckDB's
+        // ln ERRORS on a fuzzed negative/zero day total where Spark
+        // nulls (q283 log-domain discipline); the filter sits BEFORE
+        // the lag windows so both engines difference the same series
+        .filter($"v" > 0)
         .withColumn("lr", log($"v") - log(lag($"v", 1).over(w)))
         .withColumn("lr2", log($"v") - log(lag($"v", 2).over(w)))
         .withColumn("lr5", log($"v") - log(lag($"v", 5).over(w)))
@@ -170,10 +175,11 @@ object CatalogMisc {
         round(var_samp($"lr5") / (lit(5.0) * var_samp($"lr")), 4)
           .as("vr_5"))
     },
-    Some("""WITH daily AS (
+    Some("""WITH daily0 AS (
            |  SELECT date_trunc('day', o_orderdate) AS d,
            |    round(sum(o_totalprice) * 100)::BIGINT / 100.0 AS v
            |  FROM orders GROUP BY 1),
+           |daily AS (SELECT * FROM daily0 WHERE v > 0),
            |r AS (
            |  SELECT ln(v) - ln(lag(v, 1) OVER (ORDER BY d)) AS lr,
            |    ln(v) - ln(lag(v, 2) OVER (ORDER BY d)) AS lr2,

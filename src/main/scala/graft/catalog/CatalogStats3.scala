@@ -1891,10 +1891,15 @@ object CatalogStats3 {
            |      AS binc
            |  FROM pts GROUP BY 1, 2),
            |ps AS (
+           |  -- null-safe scope joins: a fuzzed NULL event_type group
+           |  -- must survive to the output like the operator's groupBy
+           |  -- keeps it (the q163 null-key-join class; fuzz-22)
            |  SELECT g2.event_type, g2.tag, g2.t,
            |    simpson.binc / exp(lgamma(simpson.a) + lgamma(0.5)
            |      - lgamma(simpson.a + 0.5)) / 2 AS half
-           |  FROM g2 JOIN simpson USING (event_type, tag)),
+           |  FROM g2 JOIN simpson
+           |    ON g2.event_type IS NOT DISTINCT FROM simpson.event_type
+           |   AND g2.tag = simpson.tag),
            |pv AS (
            |  SELECT event_type,
            |    max(CASE WHEN t >= 0 THEN half
@@ -1904,7 +1909,8 @@ object CatalogStats3 {
            |  round(se, 4) AS se, round(dfw, 2) AS df,
            |  round(p_tost, 6) AS p_tost,
            |  p_tost < 0.05 AS equivalent
-           |FROM ts JOIN pv USING (event_type)
+           |FROM ts JOIN pv
+           |  ON ts.event_type IS NOT DISTINCT FROM pv.event_type
            |ORDER BY ts.event_type""".stripMargin))
 
   /** X256: DSIR-style importance scores — every non-English doc

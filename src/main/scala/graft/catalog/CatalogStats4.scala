@@ -1769,9 +1769,11 @@ object CatalogStats4 {
         "item", "event_type")
     },
     Some("""WITH cells AS (
+           |  -- operator contract: a null category is no rating
+           |  -- (fuzz-22: the oracle counted NULL as a 7th category)
            |  SELECT event_id // 5 AS i, event_type AS c,
            |    count(*)::BIGINT AS n
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
            |items AS (SELECT i, sum(n)::BIGINT AS m,
            |            sum(n * n)::BIGINT AS sq
            |          FROM cells GROUP BY 1),
@@ -1813,9 +1815,10 @@ object CatalogStats4 {
         "item", "event_type")
     },
     Some("""WITH cells AS (
+           |  -- operator contract: a null category is no rating (fuzz-22)
            |  SELECT event_id % 3000 AS i, event_type AS c,
            |    count(*)::BIGINT AS n
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
            |items AS (SELECT i, sum(n)::BIGINT AS m,
            |            sum(n * n)::BIGINT AS sq
            |          FROM cells GROUP BY 1
@@ -1887,9 +1890,11 @@ object CatalogStats4 {
         "item", "event_type")
     },
     Some("""WITH cells AS (
+           |  -- operator contract: a null category is no rating
+           |  -- (fuzz-22: the oracle counted NULL as a 7th category)
            |  SELECT event_id // 5 AS i, event_type AS c,
            |    count(*)::BIGINT AS n
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
            |items AS (SELECT i, sum(n)::BIGINT AS m,
            |            sum(n * n)::BIGINT AS sq
            |          FROM cells GROUP BY 1),

@@ -251,13 +251,18 @@ object CatalogEcon2 {
       val v = t(s, dir, "orders")
         .select($"o_orderpriority",
           round($"o_totalprice" * 100).cast("long").as("cents"))
+        // the operator's documented domain is a POSITIVE column
+        // (GM's ln and HM's reciprocal both need it); pin it on both
+        // sides — DuckDB's ln errors on a fuzzed zero (fuzz-23)
+        .filter($"cents" > 0)
       graft.de.RobustStats.pythagoreanMeans(v, "o_orderpriority",
           "cents")
         .orderBy($"o_orderpriority")
     },
     Some("""WITH v AS (SELECT o_orderpriority AS g,
            |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
-           |  FROM orders)
+           |  FROM orders
+           |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0)
            |SELECT g AS o_orderpriority, count(*)::BIGINT AS n,
            |  round(sum(c)::DOUBLE / count(*), 4) AS am,
            |  round(exp(sum(ln(c::DOUBLE)) / count(*)), 4) AS gm,

@@ -89,6 +89,10 @@ object CatalogEcon5 {
         .select($"l_orderkey",
           round($"l_extendedprice" * 100).cast("long").as("cents"),
           $"l_linenumber".cast("long").as("ln"))
+        // complete-case: engines disagree on where a struct with a
+        // null leading field sorts (q194's array-family discipline;
+        // fuzz-23 shifted every position after a fuzzed null price)
+        .filter($"cents".isNotNull)
         .groupBy($"l_orderkey")
         .agg(array_sort(collect_list(struct($"cents", $"ln"))).as("a"))
       arr.select($"l_orderkey", posexplode($"a"))
@@ -102,6 +106,7 @@ object CatalogEcon5 {
            |      CAST(round(l_extendedprice * 100) AS BIGINT),
            |      'ln': CAST(l_linenumber AS BIGINT)})) AS a
            |  FROM lineitem WHERE l_orderkey % 101 = 0
+           |    AND l_extendedprice IS NOT NULL
            |  GROUP BY 1)
            |SELECT l_orderkey, (i - 1)::BIGINT AS pos,
            |  a[i]['cents'] AS cents, a[i]['ln'] AS ln

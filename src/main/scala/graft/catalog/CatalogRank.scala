@@ -78,7 +78,10 @@ object CatalogRank {
         .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
         .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
         .select($"o_custkey", $"p_brand").distinct()
-      val items = t(s, dir, "part").select($"p_brand").distinct()
+      // a null brand is not an item: it cannot be named as a negative,
+      // and its null salted hash sorts engine-dependently (fuzz-23)
+      val items = t(s, dir, "part").select($"p_brand")
+        .filter($"p_brand".isNotNull).distinct()
       graft.sample.Sampling.negativeSample(pos, "o_custkey", "p_brand",
           items, k = 3, salt = "neg1")
         .orderBy($"o_custkey", $"neg_rank")
@@ -89,7 +92,8 @@ object CatalogRank {
            |  JOIN lineitem ON o_orderkey = l_orderkey
            |  JOIN part ON l_partkey = p_partkey),
            |ents AS (SELECT DISTINCT o_custkey FROM pos),
-           |items AS (SELECT DISTINCT p_brand FROM part),
+           |items AS (SELECT DISTINCT p_brand FROM part
+           |          WHERE p_brand IS NOT NULL),
            |neg AS (
            |  SELECT e.o_custkey, i.p_brand
            |  FROM ents e CROSS JOIN items i

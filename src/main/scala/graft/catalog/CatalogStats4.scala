@@ -1485,13 +1485,21 @@ object CatalogStats4 {
   private val q393 = Q("q393_mood_median",
     (s, dir) => {
       import s.implicits._
+      // pinned to the five canonical types (q215/q217 discipline): the
+      // oracle's closed-form χ² tail exp(-x/2)(1+x/2) is the dof = 4
+      // survival — fuzz-injected extra classes change k, the operator
+      // then correctly nulls its dof-bound p while the oracle kept
+      // applying the now-wrong closed form
       graft.de.Inference.moodMedian(
-        t(s, dir, "events").filter($"value".isNotNull),
+        t(s, dir, "events").filter($"value".isNotNull &&
+          $"event_type".isin("click", "error", "purchase", "signup",
+            "view")),
         "event_type", "value")
     },
     Some("""WITH base AS (
            |  SELECT event_type AS g, value::DOUBLE AS v FROM events
-           |  WHERE value IS NOT NULL),
+           |  WHERE value IS NOT NULL AND event_type IN
+           |    ('click', 'error', 'purchase', 'signup', 'view')),
            |med AS (SELECT quantile_cont(v, 0.5) AS m FROM base),
            |cells AS (
            |  SELECT g, count(*)::BIGINT AS n,

@@ -178,7 +178,10 @@ object Attribution {
       .withColumn("__c", lit(1))
     val w = Window.partitionBy(col("__u"))
       .orderBy(col("__ts"), col("__tie"))
-    val touches = events.filter(!conv)
+    // complete-case on the channel (fuzz-23): a touch that names no
+    // channel cannot take part in a channel chain — and a null state
+    // label would crash the bounded state-name sort below
+    val touches = events.filter(!conv && col(channel).isNotNull)
       .select(col(user).as("__u"), col(ts).as("__ts"),
         col(tie).as("__tie"), col(channel).cast("string").as("__ch"))
       .join(converted, Seq("__u"), "left")

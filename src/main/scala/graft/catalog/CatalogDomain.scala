@@ -1694,9 +1694,10 @@ object CatalogDomain {
         "y", "score")
     },
     Some("""WITH s AS (
+           |  -- operator contract: a null score has no rank position
            |  SELECT l_extendedprice AS score,
            |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-           |  FROM lineitem),
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
            |g AS (SELECT score, CAST(sum(y) AS DOUBLE) AS np,
            |        CAST(count(*) - sum(y) AS DOUBLE) AS nn
            |      FROM s GROUP BY score),

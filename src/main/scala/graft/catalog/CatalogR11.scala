@@ -386,9 +386,16 @@ object CatalogR11 {
     (s, dir) => {
       import s.implicits._
       val prof = t(s, dir, "events")
+        // profile cells need a nameable id: concat_ws silently DROPS a
+        // null event_type (pid becomes just the hour) while the
+        // oracle's || nulls the whole pid — pin non-null types (fuzz-24)
+        .filter($"event_type".isNotNull)
         .groupBy($"event_type", hour($"ts").as("h"))
         .agg(log(lit(1.0) + count(lit(1))).as("x"),
-          log(lit(1.0) + coalesce(sum($"value"), lit(0.0))).as("y"))
+          // greatest(.,0): a fuzzed negative value-sum would put the
+          // log out of domain (DuckDB errors where Spark nulls)
+          log(lit(1.0) + greatest(coalesce(sum($"value"), lit(0.0)),
+            lit(0.0))).as("y"))
         .select(concat_ws(":", $"event_type", $"h").as("pid"),
           $"x", $"y")
       graft.ml.Lof.localOutlierFactor(prof, "pid", "x", "y",
@@ -398,8 +405,9 @@ object CatalogR11 {
     Some("""WITH u AS (
            |  SELECT event_type || ':' || hour(ts) AS pid,
            |    ln(1.0 + count(*)) AS x,
-           |    ln(1.0 + coalesce(sum(value), 0.0)) AS y
-           |  FROM events GROUP BY event_type, hour(ts)),
+           |    ln(1.0 + greatest(coalesce(sum(value), 0.0), 0.0)) AS y
+           |  FROM events WHERE event_type IS NOT NULL
+           |  GROUP BY event_type, hour(ts)),
            |p AS (
            |  SELECT a.pid AS ai, b.pid AS bi,
            |    round(sqrt((a.x - b.x) * (a.x - b.x)

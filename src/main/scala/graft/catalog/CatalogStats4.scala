@@ -892,12 +892,16 @@ object CatalogStats4 {
            |  FROM orders GROUP BY 1),
            |mx AS (SELECT max(ld) AS md FROM u),
            |subj AS (
+           |  -- complete-case on the covariate mirrors coxPh (fuzz-24:
+           |  -- a fuzzed null balance inflated n while exp(beta*NULL)
+           |  -- silently dropped the row from every risk-set sum)
            |  SELECT datediff('day', fd, ld)::DOUBLE AS t,
            |    CASE WHEN datediff('day', ld, md) > 180 THEN 1
            |         ELSE 0 END AS e,
            |    c.c_acctbal / 10000 AS x
            |  FROM u CROSS JOIN mx
-           |  JOIN customer c ON c.c_custkey = u.o_custkey),
+           |  JOIN customer c ON c.c_custkey = u.o_custkey
+           |  WHERE c.c_acctbal IS NOT NULL),
            |cells AS (SELECT t, x, count(*)::BIGINT AS n,
            |            sum(e)::BIGINT AS d
            |          FROM subj GROUP BY 1, 2),

@@ -192,7 +192,7 @@ object CatalogWalks {
            |      AS cum_cents
            |  FROM cells)
            |SELECT cohort, age, cohort_size, period_cents, cum_cents,
-           |  round(cum_cents::DOUBLE / (cohort_size * 100), 2)
+           |  round(cum_cents::DOUBLE / cohort_size) / 100.0
            |    AS cum_per_member
            |FROM c2 JOIN sz USING (cohort)
            |ORDER BY cohort, age""".stripMargin))

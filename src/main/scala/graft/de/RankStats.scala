@@ -94,8 +94,13 @@ object RankStats {
     * bounded for pre-rounded scores (the usage contract) but not for
     * raw continuous ones, so the collapsed table is counted and
     * guarded (the coxPh fail-fast pattern) before the sort runs. */
-  def rocAuc(df: DataFrame, label: String, score: String,
+  def rocAuc(df0: DataFrame, label: String, score: String,
              maxDistinctScores: Long = 2000000L): DataFrame = {
+    // complete-case on the score/label axes (fuzz-24: the KS fuzz-14
+    // rationale applies to every ranked-axis statistic — a null score
+    // has no rank position and engines sort it oppositely, shifting
+    // every below-count; a null label is an unjudgeable row)
+    val df = df0.filter(col(score).isNotNull && col(label).isNotNull)
     val g = df.groupBy(col(score).as("__s"))
       .agg(sum(col(label)).cast("double").as("np"),
         (count(lit(1)) - sum(col(label))).cast("double").as("nn"))

@@ -87,7 +87,8 @@ object Cohorts {
     * `bucket`; age = bucket − cohort. One first-bucket aggregate, one
     * (cohort, age) aggregate, one cumulative window over the
     * cohort×age-bounded matrix. Output: (cohort, age, cohort_size,
-    * period_cents, cum_cents, cum_per_member 2dp).
+    * period_cents, cum_cents, cum_per_member = whole cents per member
+    * over 100, i.e. cent-exact dollars).
     */
   def ltvMatrix(df: DataFrame, key: String, bucket: String,
                 valueCents: String): DataFrame = {
@@ -108,7 +109,14 @@ object Cohorts {
       .join(broadcast(sizes), Seq("cohort"))
       .select(col("cohort"), col("age"), col("cohort_size"),
         col("period_cents"), col("cum_cents"),
-        round(col("cum_cents").cast("double") /
-          (col("cohort_size") * 100), 2).as("cum_per_member"))
+        // per-member value rounds IN CENTS first, then scales: the
+        // one-step round(cents/(size*100), 2) lands on a .xx5 decimal
+        // whenever cents/size has remainder .5, and that decimal is
+        // not binary-representable, so the engines' 2-dp rounds could
+        // disagree by a cent (fuzz-24, the q6 midpoint class); the
+        // half-cent case itself IS exact in binary, so round-to-int
+        // agrees everywhere and int/100.0 is the same double on both
+        (round(col("cum_cents").cast("double") / col("cohort_size"))
+          / lit(100.0)).as("cum_per_member"))
   }
 }

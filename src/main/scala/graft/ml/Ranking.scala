@@ -25,8 +25,12 @@ object Ranking {
     * Output: (threshold, n_pred, tp, precision 4-dp, recall 4-dp,
     * avg_precision 4-dp — the same value on every row for easy
     * joining). `label` is 1/0. */
-  def prCurve(df: DataFrame, labelCol: String, scoreCol: String,
+  def prCurve(df0: DataFrame, labelCol: String, scoreCol: String,
               maxDistinctScores: Long = 2000000L): DataFrame = {
+    // ranked-axis complete-case (rocAuc's fuzz-24 contract): a null
+    // score has no threshold position, a null label is unjudgeable
+    val df = df0.filter(col(scoreCol).isNotNull &&
+      col(labelCol).isNotNull)
     val g = df.groupBy(col(scoreCol).as("threshold"))
       .agg(count(lit(1)).as("n_at"), sum(col(labelCol)).as("np_at"))
       .persist()

@@ -122,12 +122,15 @@ object CatalogEpi {
       val isN = $"l_returnflag" === "N"
       val strata = li.filter(isA || isN)
         .groupBy($"p_type")
+        // counts scope to non-null PRICES like the means/variances do
+        // (fuzz-25: the q224 inconsistent-null class, Spark-side — a
+        // fuzzed null price was in n but not in the moments)
         .agg(avg(when(isA, $"l_extendedprice")).as("ma"),
           var_samp(when(isA, $"l_extendedprice")).as("va"),
-          count(when(isA, 1)).as("na"),
+          count(when(isA, $"l_extendedprice")).as("na"),
           avg(when(isN, $"l_extendedprice")).as("mn"),
           var_samp(when(isN, $"l_extendedprice")).as("vn"),
-          count(when(isN, 1)).as("nn"))
+          count(when(isN, $"l_extendedprice")).as("nn"))
         .select($"p_type", ($"ma" - $"mn").as("effect"),
           sqrt($"va" / $"na" + $"vn" / $"nn").as("se"))
       graft.de.Meta.fixedEffect(strata, "effect", "se")

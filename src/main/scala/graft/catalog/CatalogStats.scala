@@ -175,9 +175,13 @@ object CatalogStats {
     },
     Some("""SELECT p_partkey, p_retailprice, p_size
            |FROM part p
-           |WHERE NOT EXISTS (
+           |-- complete-case mirrors skyline2d (fuzz-25): a null
+           |-- coordinate can neither dominate nor be dominated
+           |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+           |  AND NOT EXISTS (
            |  SELECT 1 FROM part q
-           |  WHERE q.p_retailprice <= p.p_retailprice
+           |  WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+           |    AND q.p_retailprice <= p.p_retailprice
            |    AND q.p_size <= p.p_size
            |    AND (q.p_retailprice < p.p_retailprice
            |         OR q.p_size < p.p_size))

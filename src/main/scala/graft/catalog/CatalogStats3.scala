@@ -313,6 +313,7 @@ object CatalogStats3 {
            |    avg(value) AS v
            |  FROM events
            |  WHERE event_type IN ('click', 'view', 'purchase')
+           |    AND value IS NOT NULL
            |  GROUP BY 1, 2),
            |comp AS (SELECT *, count(*) OVER (PARTITION BY b) AS kb
            |         FROM cell),
@@ -1414,9 +1415,14 @@ object CatalogStats3 {
         "rater", "event_type", "value")
     },
     Some("""WITH cell AS (
+           |  -- operator contract: null item/value rows are dropped
+           |  -- (fuzz-25; the correlated c2.i = cell.i below would
+           |  -- silently drop a NULL item anyway — the q163 class)
            |  SELECT (user_id % 5)::INT AS r, event_type AS i,
            |    avg(value) AS v
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events
+           |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+           |  GROUP BY 1, 2),
            |m AS (SELECT count(DISTINCT r) AS m FROM cell),
            |comp AS (
            |  SELECT cell.* FROM cell, m

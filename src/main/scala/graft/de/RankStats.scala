@@ -262,8 +262,14 @@ object RankStats {
     * s 4dp, w 4dp, chi2 4dp = m(n−1)W — χ²_{n−1} under H0, emitted
     * for external lookup since n−1 is data-dependent); degenerate
     * denominators yield null W. */
-  def kendallsW(df: DataFrame, rater: String, item: String,
+  def kendallsW(df0: DataFrame, rater: String, item: String,
                 value: String): DataFrame = {
+    // complete-case (fuzz-25): a null rater/item labels nothing (and a
+    // null item silently vanishes from any equality-joined oracle — the
+    // q163 class); a null value is no observation, and an all-null cell
+    // would otherwise sit at an engine-dependent end of the rank axis
+    val df = df0.filter(col(rater).isNotNull && col(item).isNotNull &&
+      col(value).isNotNull)
     val cell = df.groupBy(col(rater).as("__r"), col(item).as("__i"))
       .agg(avg(col(value).cast("double")).as("__v"))
     val m = cell.select(col("__r")).distinct().count()
@@ -315,8 +321,11 @@ object RankStats {
     * other dofs yield null rather than an approximation.
     * Output (one row): (k INT, n_blocks BIGINT, q 4dp, dof INT,
     * p_value 6dp). */
-  def friedman(df: DataFrame, block: String, treatment: String,
+  def friedman(df0: DataFrame, block: String, treatment: String,
                value: String): DataFrame = {
+    // same complete-case contract as [[kendallsW]] (fuzz-25)
+    val df = df0.filter(col(block).isNotNull &&
+      col(treatment).isNotNull && col(value).isNotNull)
     val cell = df.groupBy(col(block).as("__b"),
         col(treatment).as("__t"))
       .agg(avg(col(value).cast("double")).as("__v"))

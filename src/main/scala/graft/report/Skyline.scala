@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   * pass, so the global stage sees only survivors. */
 object Skyline {
 
-  /** Rows of `df` on the (x, y)-minimizing skyline (x, y non-null
-    * numeric). */
-  def skyline2d(df: DataFrame, x: String, y: String): DataFrame = {
+  /** Rows of `df` on the (x, y)-minimizing skyline. Complete-case on
+    * both dimensions (fuzz-25): a row with an unknown coordinate can
+    * neither dominate nor be dominated — and a null x would otherwise
+    * sort to an engine-dependent end of the distinct-x sweep. */
+  def skyline2d(df0: DataFrame, x: String, y: String): DataFrame = {
+    val df = df0.filter(col(x).isNotNull && col(y).isNotNull)
     val wOrd = Window.orderBy(col(x))
       .rowsBetween(Window.unboundedPreceding, -1)
     val pairs = df.groupBy(col(x)).agg(min(col(y)).as("__my"))

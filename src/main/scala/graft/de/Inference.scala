@@ -77,6 +77,55 @@ object Inference {
       .withColumnRenamed("f_stat", "w_stat")
   }
 
+  /** Bartlett's homogeneity-of-variance test (X318) — the
+    * normal-theory, variance-ratio-sensitive member next to
+    * [[brownForsythe]]'s robust median variant (Bartlett has more
+    * power when the data really are normal; SciPy ships both for the
+    * same reason): χ² = [(N−k)·ln(s²_pooled) − Σ(n_i−1)·ln(s²_i)] / C
+    * with C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+    *
+    * Complete-case on the value; groups need n_i ≥ 2 AND s²_i > 0 (a
+    * zero-variance group puts ln out of domain — such groups are
+    * EXCLUDED and counted in k_dropped, the documented contract). The
+    * p-value is emitted only for dof = k−1 = 4, where the χ² survival
+    * is exactly exp(−x/2)·(1 + x/2) (the even-dof closed form); other
+    * dofs yield null rather than an approximation (the
+    * [[RankStats.friedman]] convention). One
+    * grouped moment aggregate + one k-bounded reduction. The pooled
+    * dispersion is reported as the SD, not the variance — engines'
+    * var_samp algorithms differ by ulps, and on a ~1e10 variance any
+    * fixed-dp round can straddle that noise where the ~1e5 SD
+    * absorbs it. Output (one row): (k, k_dropped BIGINT, n BIGINT,
+    * pooled_sd 4dp, c 6dp, chi2 4dp, dof, p_value 6dp). */
+  def bartlett(df: DataFrame, group: String, value: String): DataFrame = {
+    val v = col(value).cast("double")
+    val cells = df.filter(v.isNotNull)
+      .groupBy(col(group).as("__g"))
+      .agg(count(lit(1)).as("__n"), var_samp(v).as("__s2"))
+    val ok = col("__n") >= 2 && col("__s2") > 0
+    val agg = cells.agg(
+      count(when(ok, 1)).as("k"),
+      count(when(!ok, 1)).as("k_dropped"),
+      sum(when(ok, col("__n"))).as("n"),
+      sum(when(ok, (col("__n") - 1) * col("__s2"))).as("__ssw"),
+      sum(when(ok, (col("__n") - 1) * log(col("__s2")))).as("__sln"),
+      sum(when(ok, lit(1.0) / (col("__n") - 1))).as("__sinv"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val pooled = col("__ssw") / (nD - kD)
+    val c = lit(1.0) + (col("__sinv") - lit(1.0) / (nD - kD)) /
+      (lit(3.0) * (kD - 1))
+    val chi2 = ((nD - kD) * log(pooled) - col("__sln")) / c
+    agg.select(col("k"), col("k_dropped"), col("n"),
+      round(sqrt(pooled), 4).as("pooled_sd"),
+      round(c, 6).as("c"),
+      round(chi2, 4).as("chi2"),
+      (col("k") - 1).as("dof"),
+      when(col("k") === 5,
+        round(exp(-chi2 / 2) * (lit(1.0) + chi2 / 2), 6))
+        .as("p_value"))
+  }
+
   /** Mann–Whitney U (two-sided, asymptotic, tie-corrected, no
     * continuity correction — scipy.stats.mannwhitneyu(
     * use_continuity=False, method='asymptotic') parity) per scope.

@@ -180,6 +180,60 @@ object RankStats {
           6).as("ks_d"))
   }
 
+  /** Per-group two-sample Cramér–von Mises statistic (X323) — the
+    * whole-curve companion to [[ksTest]]'s max-gap D: T = n·m/N² ·
+    * Σ_pooled (F_a − F_b)², summing the squared ECDF gap at every
+    * pooled observation (tie multiplicity counted), so a distribution
+    * shift spread across the whole range registers even when no single
+    * point gap is large (KS's known blind spot).
+    *
+    * Exactness: the same (group, value) cell collapse as [[ksTest]];
+    * each pooled point contributes the exact integer w_v·(cum_a·m −
+    * cum_b·n)², summed as DECIMAL(38,0) — order-free, no float
+    * accumulation noise; Spark's decimal sum ≡ DuckDB's HUGEINT sum
+    * while terms stay under 10^38 (n·m ≲ 10^15, the documented
+    * contract — far past any per-group grain here). Only the final
+    * normalization T = Σ / (N²·n·m) divides in double. Under H0
+    * E[T] = (1 + 1/N)/6 rides along so the readout is self-calibrating
+    * (the scipy cramervonmises_2samp statistic; its asymptotic p needs
+    * the limiting distribution, not shipped — the statistic-vs-
+    * expectation pair is the decision readout, the q359 convention).
+    * Complete-case on value (the ECDF axis contract). Output per
+    * group: (group, n_a, n_b BIGINT, t 6dp, t_expected 6dp). */
+  def cramerVonMises(df: DataFrame, group: String, sample: String,
+                     value: String, a: String, b: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .filter(col(sample).isin(a, b) && col(value).isNotNull)
+      .groupBy(col(group), col(value).as("__v"))
+      .agg(count(when(col(sample) === a, 1)).as("__ca"),
+        count(when(col(sample) === b, 1)).as("__cb"))
+    val wOrd = Window.partitionBy(col(group)).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col(group))
+    val diff = col("__cuma").cast(dec) * col("__tb").cast(dec) -
+      col("__cumb").cast(dec) * col("__ta").cast(dec)
+    val term = (col("__ca") + col("__cb")).cast(dec) * diff * diff
+    cells
+      .withColumn("__cuma", sum(col("__ca")).over(wOrd))
+      .withColumn("__cumb", sum(col("__cb")).over(wOrd))
+      .withColumn("__ta", sum(col("__ca")).over(wAll))
+      .withColumn("__tb", sum(col("__cb")).over(wAll))
+      .withColumn("__term", term)
+      .groupBy(col(group))
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        sum(col("__term")).as("__s"))
+      .select(col(group), col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("__s").cast("double") /
+            ((col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double") *
+              col("n_a").cast("double") * col("n_b").cast("double"))),
+          6).as("t"),
+        round((lit(1.0) + lit(1.0) /
+          (col("n_a") + col("n_b")).cast("double")) / 6.0, 6)
+          .as("t_expected"))
+  }
+
   /** Per-group simple OLS of y on x via the codegen'd built-in
     * regression aggregates (one hash aggregate, map-side partial):
     * slope / intercept / r2 (4-dp) and n per group. */
@@ -569,6 +623,77 @@ object RankStats {
         round(col("__df"), 2).as("df"),
         round(t_test_pvalue(col("__t"), col("__df")), 6)
           .as("p_value"))
+    } finally cells.unpersist(false)
+  }
+
+  /** Ordinal association battery (X320): Goodman–Kruskal γ, Somers'
+    * D_yx, and Kendall τ_b between two ORDERED low-cardinality
+    * columns, from exact concordant/discordant/tie pair counts — the
+    * direction-of-monotone-relation readouts a contingency χ² (q115)
+    * throws away and [[kendallTau]]'s continuous machinery
+    * over-serves for banded data.
+    *
+    * Facts collapse to the |X|×|Y| cell grid first; pair counts are
+    * then ONE pass over grid × grid (broadcast NLJ, both sides the
+    * same counted-and-guarded cell table, ≤ maxCells² pair terms) in
+    * EXACT integers: each unordered pair is counted once at its
+    * lexicographically-smaller cell (x' > x for the moving side;
+    * exact while n² < 2^63 — the documented LONG contract).
+    * Complete-case on both columns (the ranked-axis contract).
+    *
+    * γ = (C−D)/(C+D); D_yx = (C−D)/(C+D+T_y), T_y = pairs tied on y
+    * only (y the response); τ_b = (C−D)/√((C+D+T_x)(C+D+T_y)).
+    * Output (one row): (n BIGINT, n_concordant, n_discordant,
+    * t_x, t_y, t_xy BIGINT, gamma 6dp, somers_d_yx 6dp, tau_b 6dp).
+    */
+  def ordinalAssociation(df: DataFrame, xCol: String, yCol: String,
+                         maxCells: Long = 2000L): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .persist()
+    val nCells = cells.count()
+    graft.util.CacheGuard.requireReleasing(
+      nCells <= maxCells, cells)(
+      s"ordinalAssociation: $nCells cells exceeds the pair-grid guard " +
+        s"($maxCells) — band the columns before calling")
+    try {
+      val other = cells.select(col("__x").as("__x2"),
+        col("__y").as("__y2"), col("__c").as("__c2"))
+      val pairs = cells.crossJoin(broadcast(other))
+      val prod = col("__c") * col("__c2")
+      val agg = pairs.agg(
+        sum(col("__c")).as("__ntot"),
+        count(lit(1)).as("__np"),
+        sum(when(col("__x2") > col("__x") && col("__y2") > col("__y"),
+          prod).otherwise(0L)).as("c"),
+        sum(when(col("__x2") > col("__x") && col("__y2") < col("__y"),
+          prod).otherwise(0L)).as("d"),
+        sum(when(col("__x2") === col("__x") && col("__y2") > col("__y"),
+          prod).otherwise(0L)).as("tx"),
+        sum(when(col("__x2") > col("__x") && col("__y2") === col("__y"),
+          prod).otherwise(0L)).as("ty"),
+        sum(when(col("__x2") === col("__x") && col("__y2") === col("__y"),
+          // c·(c−1) is even; shiftright keeps the division in LONG
+          shiftright(col("__c") * (col("__c") - 1), 1))
+          .otherwise(0L)).as("txy"))
+      // __ntot double-counts by the grid fan-out: each cell row meets
+      // every broadcast row — recover n as sum(c)/nCells exactly
+      val n = (col("__ntot") / lit(nCells)).cast("long")
+      val cd = (col("c") + col("d")).cast("double")
+      val gamma = (col("c") - col("d")).cast("double") / nullif(cd, lit(0.0))
+      val somers = (col("c") - col("d")).cast("double") /
+        nullif(cd + col("ty"), lit(0.0))
+      val taub = (col("c") - col("d")).cast("double") /
+        nullif(sqrt((cd + col("tx")) * (cd + col("ty"))), lit(0.0))
+      agg.select(n.as("n"), col("c").as("n_concordant"),
+        col("d").as("n_discordant"), col("tx").as("t_x"),
+        col("ty").as("t_y"), col("txy").as("t_xy"),
+        round(gamma, 6).as("gamma"),
+        round(somers, 6).as("somers_d_yx"),
+        round(taub, 6).as("tau_b"))
+        .localCheckpoint()
     } finally cells.unpersist(false)
   }
 }

@@ -110,6 +110,90 @@ object Survival {
         4).as("rmst"))
   }
 
+  /** Restricted mean survival time per group at a FIXED horizon τ
+    * (X317) — the between-arm endpoint [[kmSummary]]'s single-curve
+    * τ = max(t) readout cannot give: RMST(τ) = ∫₀^τ Ŝ dt per arm, the
+    * modern replacement for hazard ratios when proportional hazards
+    * fails, comparable across arms because τ is shared.
+    *
+    * The KM curve is rebuilt PER GROUP with the [[kaplanMeier]]
+    * recipe (exp of the duration-ordered ln cumsum — engines agree
+    * bit-for-bit, the q168 replay contract) and rounded to 6 dp like
+    * the KM output; the step integral then accumulates S·Δt as a
+    * duration-ordered cumulative sum, so the total is the SAME
+    * ordered float sum on any engine (an unordered aggregate would
+    * re-associate). Complete-case on duration/event; one (group, t)
+    * aggregate behind the shared maxDistinctTimes guard; every window
+    * is partitioned on the group. Output per group: (group,
+    * n_subjects BIGINT, n_events BIGINT, t_max, km_end 6dp,
+    * rmst 4dp). */
+  def rmstByGroup(df: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: String, tau: Double,
+                  maxDistinctTimes: Long = 200000L): DataFrame = {
+    require(tau > 0, "tau must be positive")
+    val byT = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(durationCol).as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_event"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
+      .persist()
+    val nTimes = byT.count()
+    graft.util.CacheGuard.requireReleasing(
+      nTimes <= maxDistinctTimes, byT)(
+      s"rmstByGroup: $nTimes distinct (group, duration) cells exceeds " +
+        s"the single-sort guard ($maxDistinctTimes) — bucket the " +
+        "duration column before calling")
+    val g = col("__g")
+    val wAsc = Window.partitionBy(g).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(g).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLag = Window.partitionBy(g).orderBy(col("t"))
+    val wAll = Window.partitionBy(g)
+    val curve = byT
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censored")).over(wAll) -
+          coalesce(sum(col("n_event") + col("n_censored")).over(wPrev),
+            lit(0L)))
+      .withColumn("__lnterm",
+        when(col("n_event") === 0 || col("n_event") === col("n_risk"),
+          lit(0.0))
+          .otherwise(log((col("n_risk") - col("n_event"))
+            .cast("double") / col("n_risk"))))
+      .withColumn("__dead",
+        min(when(col("n_event") === col("n_risk") && col("n_event") > 0,
+          0L).otherwise(1L)).over(wAsc))
+      .withColumn("survival",
+        when(col("__dead") === 0, lit(0.0))
+          .otherwise(round(exp(sum(col("__lnterm")).over(wAsc)), 6)))
+    val tD = col("t").cast("double")
+    val prevT = coalesce(lag(tD, 1).over(wLag), lit(0.0))
+    val prevS = lag(col("survival"), 1, 1.0).over(wLag)
+    val integ = curve
+      .withColumn("__seg", prevS * (least(tD, lit(tau)) -
+        least(prevT, lit(tau))))
+      .withColumn("__cum", sum(col("__seg")).over(wAsc))
+      // group totals ride along BEFORE the last-row filter (a window
+      // after the filter would only see the surviving row)
+      .withColumn("__nsub",
+        sum(col("n_event") + col("n_censored")).over(wAll))
+      .withColumn("__nev", sum(col("n_event")).over(wAll))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(g).orderBy(col("t").desc)))
+    val out = integ.filter(col("__rn") === 1)
+      .select(g.as(groupCol),
+        col("__nsub").as("n_subjects"),
+        col("__nev").as("n_events"),
+        col("t").as("t_max"),
+        col("survival").as("km_end"),
+        round(col("__cum") +
+          col("survival") * (lit(tau) - least(tD, lit(tau))), 4)
+          .as("rmst"))
+      .localCheckpoint()
+    byT.unpersist(false)
+    out
+  }
+
   /** Nelson–Aalen cumulative hazard and the Fleming–Harrington
     * survival estimate: H(t) = Σ_{t_i ≤ t} d_i/n_i, S_FH(t) = e^−H(t)
     * — the hazard-scale companion to [[kaplanMeier]] (less biased in

@@ -1097,4 +1097,52 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Winnowing fingerprint selection (X321 — Schleimer/Wilkerson/
+    * Aiken's MOSS kernel): per document, hash every k-token gram
+    * ([[graft.functions.gfunctions.md5_long]] — the engine-independent
+    * signed md5 low-8), then every window of `w` consecutive grams
+    * selects its MINIMAL hash; the distinct selected hashes are the
+    * document's fingerprints. The winnowing guarantee: any two
+    * documents sharing a run of ≥ w + k − 1 tokens share a
+    * fingerprint, while only ~2/(w+1) of grams are kept — the
+    * locality-guaranteed sparsifier where [[TextAnalysis
+    * .withFingerprints]]' whole-doc hash answers only exact equality
+    * and q313's prefix hash only shared heads.
+    *
+    * Tie NOTE: a window's minimum is the min hash VALUE, so hash ties
+    * select one fingerprint regardless of position — the selected SET
+    * (what dedup consumes) is position-free, sidestepping MOSS's
+    * rightmost-tie rule without weakening the guarantee.
+    *
+    * Shape: grams explode fact-side (|tokens| rows per doc, the
+    * shingle-pass cost every near-dup operator here pays), ONE window
+    * partitioned by doc, one distinct. Docs with fewer than w + k − 1
+    * tokens have no complete window and emit nothing (documented).
+    * Output: (idCol, fingerprint LONG) distinct. */
+  def winnowingFingerprints(df: DataFrame, idCol: String,
+                            textCol: String, k: Int = 5,
+                            w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k + w - 1)
+    val grams = base
+      .select(col("__id"),
+        (size(col("__t")) - (k - 1)).as("__g"),
+        explode(sequence(lit(1), size(col("__t")) - (k - 1)))
+          .as("__p"),
+        col("__t"))
+      .select(col("__id"), col("__g"), col("__p"),
+        md5_long(array_join(slice(col("__t"), col("__p"), lit(k)),
+          " ")).as("__h"))
+    val winFwd = Window.partitionBy(col("__id")).orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__sel", min(col("__h")).over(winFwd))
+      .filter(col("__p") <= col("__g") - (w - 1))
+      .select(col("__id").as(idCol), col("__sel").as("fingerprint"))
+      .distinct()
+  }
 }

@@ -155,6 +155,52 @@ object Ranking {
         round(col("__hits").cast("double") / k, 4).as("p_at_k"))
   }
 
+  /** MAP@k / recall@k per query (X319) — the set-based retrieval
+    * readouts [[ndcgAtK]]'s graded gain does not give: average
+    * precision rewards putting EVERY relevant doc early (the mean of
+    * precision@i at each relevant hit, normalized by min(R, k)), and
+    * recall@k reads coverage of the relevant set. Binary relevance
+    * via `relThreshold` (the ndcg convention). Same shape as
+    * [[ndcgAtK]]: one score-rank window partitioned by query, one
+    * aggregate; the per-hit precision sum is ≤ k bounded terms.
+    * Output: (query, n_docs BIGINT, n_rel BIGINT, ap_at_k 6dp,
+    * recall_at_k 4dp); queries with no relevant docs yield null ap
+    * and recall. */
+  def mapAtK(df: DataFrame, queryCol: String, idCol: String,
+             relCol: String, scoreCol: String, k: Int,
+             relThreshold: Double = 2.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val wScore = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val isRel = (col(relCol).cast("double") >= relThreshold)
+      .cast("long")
+    val ranked = df
+      .withColumn("__rel", isRel)
+      .withColumn("__pos", row_number().over(wScore))
+      .withColumn("__cumrel", sum(col("__rel")).over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__rel")).as("n_rel"),
+        sum(when(col("__pos") <= k && col("__rel") === 1L,
+          col("__cumrel").cast("double") / col("__pos"))).as("__apsum"),
+        sum(when(col("__pos") <= k, col("__rel")).otherwise(0L))
+          .as("__hits"))
+      .select(col(queryCol), col("n_docs"), col("n_rel"),
+        // a query WITH relevant docs but none in the top k scores 0,
+        // not null (sum-of-empty-when would null it); no-relevant
+        // queries stay null
+        round(when(col("n_rel") > 0,
+          coalesce(col("__apsum"), lit(0.0)) /
+            least(col("n_rel"), lit(k.toLong)).cast("double")), 6)
+          .as("ap_at_k"),
+        round(when(col("n_rel") > 0,
+          col("__hits").cast("double") / col("n_rel")), 4)
+          .as("recall_at_k"))
+  }
+
   /** Quantile-forecast evaluation by pinball (quantile) loss: the
     * first ⌊n/2⌋ buckets per key estimate each requested quantile,
     * the rest score it — pinball = mean of q·(a−f)⁺ + (1−q)·(f−a)⁺,

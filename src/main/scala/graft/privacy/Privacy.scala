@@ -145,4 +145,92 @@ object Privacy {
           col("__rows").cast("double"), 4).as("suppressed_frac"))
       .orderBy(col("k"))
   }
+
+  /** t-closeness audit (X316, Li et al. 2007) — the third rung of the
+    * release ladder after [[kAnonymize]] (class size) and
+    * [[lDiversity]] (distinct sensitive values): a class passes iff
+    * the DISTRIBUTION of its ordered sensitive attribute is within
+    * earth-mover's distance `t` of the release-wide distribution, so
+    * a 50-member class that is 96% one salary band still fails even
+    * though it is k-anonymous and l-diverse.
+    *
+    * EMD over an ORDERED attribute with m distinct release-wide values
+    * is the mean absolute cumulative gap: Σ_v |F_class(v) − F_all(v)| /
+    * (m − 1). The per-value term is kept as the exact integer
+    * |cumC·N − cumG·class_size| (order-free sum — no float
+    * accumulation-order noise; exact while class_size·N < 2^63 / m,
+    * the documented LONG contract), and only the final normalization
+    * divides. Complete-case on the sensitive column: a null has no
+    * position on the ordered axis (the ranked-axis contract); null
+    * QUASI values are kept — nulls are linkable, [[kAnonymize]]'s
+    * convention.
+    *
+    * Shape: one fact aggregate to (class, value) cells, one to the
+    * m-bounded global distribution, a classes × values dense grid
+    * (broadcast NLJ — both sides aggregate-bounded), per-class
+    * cumulative windows PARTITIONED on the class. Output: (quasi…,
+    * class_size BIGINT, emd 6dp, meets_t, max_emd 6dp release verdict).
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(t > 0 && t < 1, "t must be in (0,1)")
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select((quasiCols.map(col) :+
+        col(sensitiveCol).as("__v")): _*)
+    // cell keys get disambiguated names: cells shares lineage with
+    // `classes` below, so a grid(q) <=> cells(q) condition would
+    // resolve both sides to the SAME attribute (a trivially-true join)
+    val cells = base.groupBy((quasiCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .select((quasiCols.zipWithIndex.map { case (q, i) =>
+        col(q).as(s"__cq$i") } ++
+        Seq(col("__v").as("__cv"), col("__c"))): _*)
+    val classes = base.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val wOne = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val wOneOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // m-bounded global distribution with release totals riding along
+    // (the lDiversity single-literal-partition pattern)
+    val global = base.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__gc"))
+      .select(col("__v"), sum(col("__gc")).over(wOneOrd).as("__cumG"),
+        sum(col("__gc")).over(wOne).as("__N"),
+        count(lit(1)).over(wOne).as("__m"))
+    val grid = classes.crossJoin(broadcast(global))
+    val joinCond = quasiCols.zipWithIndex.map { case (q, i) =>
+      col(q) <=> col(s"__cq$i")
+    }.reduce(_ && _) && col("__v") <=> col("__cv")
+    val dense = grid.join(cells, joinCond, "left")
+      .select((quasiCols.map(col) ++ Seq(col("__v"),
+        col("class_size"), col("__cumG"), col("__N"), col("__m"),
+        coalesce(col("__c"), lit(0L)).as("__c0"))): _*)
+    val wClass = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val gap = abs(sum(col("__c0")).over(wClass) * col("__N") -
+      col("__cumG") * col("class_size"))
+    val perClass = dense
+      .withColumn("__gap", gap)
+      .groupBy((quasiCols.map(col) :+ col("class_size")): _*)
+      .agg(sum(col("__gap")).as("__gapSum"),
+        max(col("__N")).as("__N"), max(col("__m")).as("__m"))
+    val emd = col("__gapSum").cast("double") /
+      (col("class_size") * col("__N")).cast("double") /
+      (col("__m") - lit(1)).cast("double")
+    perClass
+      // a single-valued release (m = 1) has zero distance everywhere
+      .withColumn("emd",
+        when(col("__m") > 1, round(emd, 6)).otherwise(lit(0.0)))
+      .select((quasiCols.map(col) ++ Seq(col("class_size"), col("emd"),
+        (col("emd") <= t).as("meets_t"),
+        max(col("emd")).over(wOne).as("max_emd"))): _*)
+  }
 }

@@ -118,5 +118,7 @@ object EagerJobs {
     "q404_incremental_minhash" -> 8,
     "q406_quantile_reg" -> 37,
     "q409_gmm_em" -> 29,
+    "q414_rmst" -> 11,
+    "q417_ordinal_assoc" -> 7,
   )
 }

@@ -102,7 +102,18 @@ object PlanAllowlist {
     both("df-capped keyness vocab cells")("q396_keyness") ++
     ups("q45_hash_sample", "q48_pii_scrub", "q56_domains",
       "q83_padding_efficiency", "q136_spatial_nn", "q231_assortativity",
-      "q361_bland_altman", "q403_eval_spans") ++
+      "q361_bland_altman", "q403_eval_spans",
+      // fuzz-23's positive-cents domain pin is a computed
+      // round(price*100) > 0 predicate — not a pushable data filter
+      "q178_pyth_means") ++
+    // t-closeness: the release-wide distribution table is ≤ |sensitive
+    // values| rows (global cum + totals ride a literal-partition
+    // window the planner collapses to one partition), and the classes
+    // × values dense grid is an aggregate-bounded broadcast NLJ
+    both("release-wide sensitive-value distribution (m-bounded)")(
+      "q413_t_closeness") ++
+    win("decile-grain cumulative (≤ 11 score buckets by construction)")(
+      "q419_qini") ++
     nljUps("q131_histogram", "q200_silhouette",
       "q201_classification_report", "q202_cohens_kappa") ++
     // q315's complete-case guard (fuzz-15) is a plain IS NOT NULL the

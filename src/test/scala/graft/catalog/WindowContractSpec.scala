@@ -64,7 +64,10 @@ class WindowContractSpec extends AnyFunSuite {
     "graft/catalog/CatalogStats4.scala" ->
       (1, "top-40 rank over nation-pair aggregates (<= C(25,2) rows)"),
     "graft/catalog/CatalogBiz2.scala" ->
-      (1, "decile-grain window (10 rows by construction)"))
+      (1, "decile-grain window (10 rows by construction)"),
+    "graft/ml/Uplift.scala" ->
+      (1, "qiniCurve cumulative over the bucket-grain table " +
+        "(≤ 10^bucketDp·range + 1 rows by construction)"))
 
   test("every unpartitioned Window.orderBy site in src/main is " +
     "allow-listed with a bounded-domain rationale, and the allow-list " +

@@ -1745,7 +1745,13 @@ object CatalogDomain {
         .groupBy($"event_type",
           datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
             .cast("long").as("day"))
-        .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("v"))
+        // the carried average accumulates exact integer CENTS before
+        // the one double division (fuzz-30: engines' raw-double avg
+        // differs by an ulp and a .xxxx5 day straddled the 4-dp round
+        // — the q6 midpoint discipline)
+        .agg(count(lit(1)).as("n"),
+          round(sum(round($"value" * 100).cast("long")).cast("double")
+            / count($"value") / 100, 4).as("v"))
       graft.events.Resample.regularize(daily, "event_type", "day",
           "n", Seq("v"))
         .orderBy($"event_type", $"day")
@@ -1753,7 +1759,9 @@ object CatalogDomain {
     Some("""WITH d AS (
            |  SELECT event_type,
            |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-           |    count(*) AS n, round(avg(value), 4) AS v
+           |    count(*) AS n,
+           |    round(sum(round(value * 100)::BIGINT)::DOUBLE
+           |          / count(value) / 100, 4) AS v
            |  FROM events GROUP BY 1, 2),
            |span AS (SELECT event_type, min(day) AS lo, max(day) AS hi
            |         FROM d GROUP BY 1),

@@ -1556,13 +1556,15 @@ object CatalogLlm {
         .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
         .groupBy($"source", $"bucket")
         .agg(count(lit(1)).as("n_docs"),
-          // snap the sum to the 4-dp grid BEFORE dividing: an avg of
-          // 4-dp scores lands on exact rounding midpoints (counts like
-          // 8 divide the grid), where summation-order noise flips the
-          // last digit; the snapped sum is the same double on both
-          // engines, so the division and final round are deterministic
-          round(round(sum($"logppl"), 4) / count(lit(1)), 4)
-            .as("avg_logppl"))
+          // snap the sum to EXACT integer ten-thousandths, divide, and
+          // emit the raw quotient with NO final round: sums of 4-dp
+          // scores divided by counts like 10 land on apparent .xxxx5
+          // midpoints where the engines' round implementations split
+          // (DuckDB's x·1e4 multiply can hit the tie exactly while
+          // BigDecimal sees the sub-midpoint binary value — fuzz-31);
+          // the integer-snap + division is the same double on both
+          round(sum($"logppl") * 10000).cast("long").cast("double")
+            ./(count(lit(1)))./(lit(10000)).as("avg_logppl"))
         .orderBy($"source", $"bucket")
     },
     Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
@@ -1574,8 +1576,11 @@ object CatalogLlm {
            |    round(sum(c_dt * -ln((c_t + 1) / CAST(n_total + v AS DOUBLE)))
            |          / CAST(sum(c_dt) AS DOUBLE), 4) AS logppl
            |  FROM dt JOIN lm USING (term), sc GROUP BY doc_id),
-           |cuts AS (SELECT quantile_cont(logppl, CAST(1 AS DOUBLE) / 3) AS clo,
-           |                quantile_cont(logppl, CAST(2 AS DOUBLE) / 3) AS chi
+           |cuts AS (SELECT
+           |           round(quantile_cont(logppl,
+           |             CAST(1 AS DOUBLE) / 3), 4) AS clo,
+           |           round(quantile_cont(logppl,
+           |             CAST(2 AS DOUBLE) / 3), 4) AS chi
            |         FROM ppl),
            |lab AS (SELECT doc_id, logppl,
            |    CASE WHEN logppl <= clo THEN 'head'
@@ -1583,7 +1588,8 @@ object CatalogLlm {
            |         ELSE 'tail' END AS bucket
            |  FROM ppl, cuts)
            |SELECT source, bucket, count(*) AS n_docs,
-           |       round(round(sum(logppl), 4) / count(*), 4) AS avg_logppl
+           |       round(sum(logppl) * 10000)::BIGINT::DOUBLE
+           |         / count(*) / 10000 AS avg_logppl
            |FROM lab JOIN documents USING (doc_id)
            |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin))
 

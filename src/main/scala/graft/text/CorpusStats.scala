@@ -150,9 +150,14 @@ object CorpusStats {
     val ppl = unigramLogPerplexity(docs, idCol, textCol).localCheckpoint()
     val exact = exactCuts.getOrElse(
       ppl.count() <= graft.prep.Preprocess.ExactPercentileMaxGroupRows)
+    // cuts SNAP to the scores' own 4-dp grid (fuzz-31): duplicate docs
+    // put a mass point exactly at the quantile, where the engines'
+    // interpolation formulas differ by an ulp and boundary docs flip
+    // buckets; a third-fraction interpolation of a 4-dp grid never
+    // lands on a .00005 midpoint, so the snapped cut is engine-stable
     def q(p: Double) =
-      if (exact) percentile(col("logppl"), lit(p))
-      else approx_percentile(col("logppl"), lit(p), lit(10000))
+      if (exact) round(percentile(col("logppl"), lit(p)), 4)
+      else round(approx_percentile(col("logppl"), lit(p), lit(10000)), 4)
     val cuts = ppl.agg(q(lo).as("__clo"), q(hi).as("__chi"))
     ppl.crossJoin(broadcast(cuts))
       .select(col(idCol), col("n_tokens"), col("logppl"),

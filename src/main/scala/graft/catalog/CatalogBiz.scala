@@ -83,6 +83,7 @@ object CatalogBiz {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "orders")
+        .filter($"o_orderdate".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"o_orderpriority",
           date_trunc("day", $"o_orderdate").as("d"))
         .agg((round(sum($"o_totalprice") * 100).cast("long") / 100.0)
@@ -94,7 +95,7 @@ object CatalogBiz {
     Some("""WITH daily AS (
            |  SELECT o_orderpriority AS pr, date_trunc('day', o_orderdate) AS d,
            |    round(sum(o_totalprice) * 100)::BIGINT / 100.0 AS v
-           |  FROM orders GROUP BY 1, 2),
+           |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
            |f AS (
            |  SELECT pr, v,
            |    lag(v, 7) OVER (PARTITION BY pr ORDER BY d) AS fc

@@ -319,7 +319,8 @@ object CatalogDomain {
            |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
            |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
            |              THEN 1 ELSE 0 END AS is_new
-           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |  FROM events WHERE ts IS NOT NULL
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
            |y AS (SELECT user_id, ts, value,
            |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
@@ -358,7 +359,8 @@ object CatalogDomain {
            |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
            |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
            |              THEN 1 ELSE 0 END AS is_new
-           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |  FROM events WHERE ts IS NOT NULL
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
            |y AS (SELECT user_id, ts, value,
            |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
@@ -755,7 +757,8 @@ object CatalogDomain {
     },
     Some("""SELECT l.event_id, r.purchase_id,
            |  round(r.purchase_value, 2) AS purchase_value
-           |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+           |FROM (SELECT * FROM events WHERE event_type <> 'purchase'
+           |      AND ts IS NOT NULL) l
            |ASOF LEFT JOIN (
            |  SELECT user_id, ts, event_id AS purchase_id,
            |         value AS purchase_value
@@ -924,9 +927,11 @@ object CatalogDomain {
         .orderBy($"event_id")
     },
     Some("""SELECT l.event_id, r.next_purchase_id
-           |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+           |FROM (SELECT * FROM events WHERE event_type <> 'purchase'
+           |      AND ts IS NOT NULL) l
            |ASOF LEFT JOIN (SELECT user_id, ts, min(event_id) AS next_purchase_id
            |                FROM events WHERE event_type = 'purchase'
+           |                  AND ts IS NOT NULL
            |                GROUP BY user_id, ts) r
            |  ON l.user_id = r.user_id AND l.ts <= r.ts
            |ORDER BY l.event_id""".stripMargin))
@@ -1030,7 +1035,7 @@ object CatalogDomain {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       t(s, dir, "events")
-        .filter($"user_id" < 10)
+        .filter($"user_id" < 10 && $"ts".isNotNull)
         .select($"user_id", $"event_id",
           (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
             .as("micros_since_prev"),
@@ -1044,7 +1049,7 @@ object CatalogDomain {
            |  lead(event_id, 1) OVER w AS next_event_id,
            |  round(percent_rank() OVER w, 6) AS pr,
            |  round(cume_dist() OVER w, 6) AS cd
-           |FROM events WHERE user_id < 10
+           |FROM events WHERE user_id < 10 AND ts IS NOT NULL
            |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            |ORDER BY user_id, event_id""".stripMargin))
 
@@ -1254,7 +1259,8 @@ object CatalogDomain {
         .orderBy($"event_type", $"bucket_ts")
     },
     Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-           |    count(*) AS n FROM events GROUP BY 1, 2),
+           |    count(*) AS n FROM events WHERE ts IS NOT NULL
+           |  GROUP BY 1, 2),
            |w AS (SELECT event_type, bucket_ts, n,
            |        round(avg(n) OVER win, 4) AS base_mean,
            |        round(stddev_samp(n) OVER win, 4) AS base_sd
@@ -1434,7 +1440,9 @@ object CatalogDomain {
   private val q106 = Q("q106_scd2",
     (s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events").filter($"user_id" % 20 === 0)
+      // null-instant complete-case (fuzz-37)
+      val ev = t(s, dir, "events")
+        .filter($"user_id" % 20 === 0 && $"ts".isNotNull)
         .select($"user_id", $"event_id", unix_millis($"ts").as("tsm"),
           $"event_type")
       graft.events.Scd.scd2(ev, "user_id", "tsm", "event_type",
@@ -1443,7 +1451,7 @@ object CatalogDomain {
     },
     Some("""WITH ev AS (
            |  SELECT user_id, event_id, epoch_ms(ts) AS tsm, event_type
-           |  FROM events WHERE user_id % 20 = 0),
+           |  FROM events WHERE user_id % 20 = 0 AND ts IS NOT NULL),
            |f AS (SELECT *, CASE WHEN row_number() OVER w > 1
            |    AND lag(event_type) OVER w IS NOT DISTINCT FROM event_type
            |    THEN 0 ELSE 1 END AS brk
@@ -1532,7 +1540,7 @@ object CatalogDomain {
     Some("""WITH r AS (
            |  SELECT user_id, event_type,
            |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-           |  FROM events),
+           |  FROM events WHERE ts IS NOT NULL),
            |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
            |      FROM r WHERE rn <= 5 GROUP BY user_id)
            |SELECT path, count(*) AS n_keys FROM p GROUP BY path
@@ -1588,7 +1596,7 @@ object CatalogDomain {
     Some("""WITH r AS (
            |  SELECT event_type AS cur,
            |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-           |  FROM events),
+           |  FROM events WHERE ts IS NOT NULL),
            |c AS (SELECT cur, nxt, count(*) AS n FROM r
            |      WHERE nxt IS NOT NULL GROUP BY 1, 2)
            |SELECT cur, nxt, n,
@@ -1742,16 +1750,19 @@ object CatalogDomain {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type",
           datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
             .cast("long").as("day"))
-        // the carried average accumulates exact integer CENTS before
-        // the one double division (fuzz-30: engines' raw-double avg
-        // differs by an ulp and a .xxxx5 day straddled the 4-dp round
-        // — the q6 midpoint discipline)
+        // the carried average accumulates exact integer CENTS and is
+        // emitted as the RAW quotient with no final round (fuzz-30 +
+        // fuzz-37, the q94 apparent-midpoint class: sum/n/100 lands on
+        // an exact decimal .xxxx5 whose nearest double the engines'
+        // round implementations split on; the quotient of identical
+        // integers is the identical double)
         .agg(count(lit(1)).as("n"),
-          round(sum(round($"value" * 100).cast("long")).cast("double")
-            / count($"value") / 100, 4).as("v"))
+          (sum(round($"value" * 100).cast("long")).cast("double")
+            / count($"value") / 100).as("v"))
       graft.events.Resample.regularize(daily, "event_type", "day",
           "n", Seq("v"))
         .orderBy($"event_type", $"day")
@@ -1760,9 +1771,9 @@ object CatalogDomain {
            |  SELECT event_type,
            |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
            |    count(*) AS n,
-           |    round(sum(round(value * 100)::BIGINT)::DOUBLE
-           |          / count(value) / 100, 4) AS v
-           |  FROM events GROUP BY 1, 2),
+           |    sum(round(value * 100)::BIGINT)::DOUBLE
+           |      / count(value) / 100 AS v
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |span AS (SELECT event_type, min(day) AS lo, max(day) AS hi
            |         FROM d GROUP BY 1),
            |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day
@@ -1846,7 +1857,9 @@ object CatalogDomain {
   private val q123 = Q("q123_scd2_lookup",
     (s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events").filter($"user_id" % 20 === 0)
+      // null-instant complete-case (fuzz-37)
+      val ev = t(s, dir, "events")
+        .filter($"user_id" % 20 === 0 && $"ts".isNotNull)
         .select($"user_id", $"event_id", unix_millis($"ts").as("tsm"),
           $"event_type")
       // zero-width versions (several state changes at the SAME
@@ -1866,7 +1879,7 @@ object CatalogDomain {
     },
     Some("""WITH ev AS (
            |  SELECT user_id, event_id, epoch_ms(ts) AS tsm, event_type
-           |  FROM events WHERE user_id % 20 = 0),
+           |  FROM events WHERE user_id % 20 = 0 AND ts IS NOT NULL),
            |f AS (SELECT *, CASE WHEN row_number() OVER w > 1
            |    AND lag(event_type) OVER w IS NOT DISTINCT FROM event_type
            |    THEN 0 ELSE 1 END AS brk
@@ -1932,10 +1945,12 @@ object CatalogDomain {
         lookbackSec = 259200L)
     },
     Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
-           |           FROM events WHERE event_type = 'purchase'),
+           |           FROM events WHERE event_type = 'purchase'
+           |             AND ts IS NOT NULL),
            |t AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
            |        event_type
-           |      FROM events WHERE event_type IN ('click','signup','view')),
+           |      FROM events WHERE event_type IN ('click','signup','view')
+           |        AND ts IS NOT NULL),
            |j AS (SELECT p.event_id, t.event_type AS touch,
            |        row_number() OVER (PARTITION BY p.event_id
            |          ORDER BY t.tsu DESC, t.event_id DESC) AS rn
@@ -2125,7 +2140,8 @@ object CatalogDomain {
         .orderBy($"event_type", $"bucket_ts")
     },
     Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-           |    count(*) AS n FROM events GROUP BY 1, 2),
+           |    count(*) AS n FROM events WHERE ts IS NOT NULL
+           |  GROUP BY 1, 2),
            |h2 AS (SELECT *, CAST(extract(hour FROM bucket_ts) AS BIGINT) AS hod
            |       FROM hourly),
            |w AS (SELECT event_type, bucket_ts, n, hod,
@@ -2465,6 +2481,7 @@ object CatalogDomain {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
         .agg(count(lit(1)).as("c"))
       graft.ml.RankStats.autocorr(series, "event_type", "d", "c",
@@ -2472,7 +2489,8 @@ object CatalogDomain {
         .orderBy($"event_type", $"lag")
     },
     Some("""WITH s AS (SELECT event_type, date_trunc('day', ts) AS d,
-           |             count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+           |             count(*)::BIGINT AS c FROM events
+           |       WHERE ts IS NOT NULL GROUP BY 1, 2),
            |l AS (SELECT event_type, c,
            |        lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
            |        lag(c, 3) OVER w AS l3

@@ -28,6 +28,7 @@ object CatalogEcon2 {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
         .agg(count(lit(1)).as("c"))
       graft.events.Ewma.holtWinters(series, "event_type", "h", "c",
@@ -37,7 +38,7 @@ object CatalogEcon2 {
     Some("""WITH RECURSIVE s AS (
            |  SELECT event_type, date_trunc('hour', ts) AS h,
            |         count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |r AS (
            |  SELECT event_type, c,
            |         row_number() OVER (PARTITION BY event_type

@@ -101,6 +101,7 @@ object CatalogEcon3 {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("c"))
       graft.events.Decompose.classical(series, "event_type", "d", "c",
@@ -109,7 +110,7 @@ object CatalogEcon3 {
     },
     Some("""WITH s AS (
            |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |b AS (
            |  SELECT event_type, c,
            |    (row_number() OVER (PARTITION BY event_type ORDER BY d)
@@ -198,6 +199,7 @@ object CatalogEcon3 {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("c"))
       graft.events.Changepoint.cusum(series, "event_type", "d", "c",
@@ -206,7 +208,7 @@ object CatalogEcon3 {
     },
     Some("""WITH RECURSIVE s AS (
            |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |r AS (
            |  SELECT event_type, c,
            |         row_number() OVER (PARTITION BY event_type

@@ -109,7 +109,10 @@ object CatalogEcon4 {
   private val q191 = Q("q191_incremental_agg",
     (s, dir) => {
       import s.implicits._
+      // a null order date falls in NEITHER half of the cut — it is
+      // no observation on the incremental axis (fuzz-37)
       val all0 = t(s, dir, "orders")
+        .filter($"o_orderdate".isNotNull)
         .select($"o_orderpriority",
           round($"o_totalprice" * 100).cast("long").as("cents"),
           $"o_orderdate")
@@ -132,7 +135,8 @@ object CatalogEcon4 {
            |  max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max,
            |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE
            |        / count(*), 4) AS avg
-           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM orders WHERE o_orderdate IS NOT NULL
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** L66: Flesch readability ([[graft.text.Readability.flesch]]) —
     * word/sentence/vowel-group counts are exact integers under pinned

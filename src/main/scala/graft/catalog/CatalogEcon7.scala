@@ -92,6 +92,7 @@ object CatalogEcon7 {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type",
           datediff(to_date($"ts"), to_date(lit("2024-01-01")))
             .cast("long").as("t"))
@@ -106,7 +107,7 @@ object CatalogEcon7 {
            |  SELECT event_type,
            |         datediff('day', DATE '2024-01-01', ts::DATE) AS t,
            |         count(*)::BIGINT AS c0
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |g AS (SELECT event_type, t,
            |        CASE WHEN t % 5 = 0 THEN NULL ELSE c0 END AS c
            |      FROM s),
@@ -142,6 +143,7 @@ object CatalogEcon7 {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("c"))
       val ref = daily.filter($"event_type" === "purchase")
@@ -167,7 +169,7 @@ object CatalogEcon7 {
     },
     Some("""WITH daily AS (
            |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |ref AS (SELECT d, c AS ref_c FROM daily
            |        WHERE event_type = 'purchase'),
            |j AS (SELECT daily.event_type, daily.d, daily.c, ref.ref_c
@@ -191,6 +193,7 @@ object CatalogEcon7 {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val monthly = t(s, dir, "orders")
+        .filter($"o_orderdate".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"o_orderpriority",
           date_trunc("month", $"o_orderdate").as("m"))
         .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
@@ -208,7 +211,7 @@ object CatalogEcon7 {
            |         date_trunc('month', o_orderdate)::TIMESTAMP AS m,
            |         CAST(round(sum(o_totalprice) * 100) AS BIGINT)
            |           AS cents
-           |  FROM orders GROUP BY 1, 2),
+           |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
            |w AS (SELECT o_orderpriority, m, cents,
            |        lag(cents, 1) OVER (PARTITION BY o_orderpriority
            |          ORDER BY m) AS prev_cents

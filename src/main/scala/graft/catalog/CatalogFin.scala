@@ -28,6 +28,7 @@ object CatalogFin {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "orders")
+        .filter($"o_orderdate".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"o_orderpriority",
           date_trunc("day", $"o_orderdate").as("d"))
         .agg(round(sum(when($"o_orderstatus" === "O", $"o_totalprice")
@@ -40,7 +41,7 @@ object CatalogFin {
            |  SELECT o_orderpriority AS pr, date_trunc('day', o_orderdate) AS d,
            |    round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
            |                   ELSE -o_totalprice END) * 100)::BIGINT AS flow
-           |  FROM orders GROUP BY 1, 2),
+           |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
            |eq AS (
            |  SELECT pr, d, sum(flow) OVER (PARTITION BY pr ORDER BY d
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eq
@@ -72,6 +73,7 @@ object CatalogFin {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "orders")
+        .filter($"o_orderdate".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"o_orderpriority",
           date_trunc("day", $"o_orderdate").as("d"))
         .agg((round(sum($"o_totalprice") * 100).cast("long") / 100.0)
@@ -87,7 +89,7 @@ object CatalogFin {
     Some("""WITH daily AS (
            |  SELECT o_orderpriority AS pr, date_trunc('day', o_orderdate) AS d,
            |    round(sum(o_totalprice) * 100)::BIGINT / 100.0 AS v
-           |  FROM orders GROUP BY 1, 2),
+           |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
            |roll AS (
            |  SELECT pr, d, v,
            |    avg(v) OVER w AS m, stddev_samp(v) OVER w AS sd,

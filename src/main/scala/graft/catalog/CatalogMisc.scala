@@ -80,6 +80,7 @@ object CatalogMisc {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.gfunctions.normal_sf
       val daily = t(s, dir, "orders")
+        .filter($"o_orderdate".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy(date_trunc("day", $"o_orderdate").as("d"))
         .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
       val med = daily.agg(percentile($"cents", lit(0.5)).as("__med"))
@@ -108,7 +109,7 @@ object CatalogMisc {
     Some("""WITH daily AS (
            |  SELECT date_trunc('day', o_orderdate) AS d,
            |    round(sum(o_totalprice) * 100)::BIGINT AS cents
-           |  FROM orders GROUP BY 1),
+           |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
            |md AS (SELECT quantile_cont(cents, 0.5) AS m FROM daily),
            |mk AS (
            |  SELECT d, CASE WHEN cents > m THEN 1 ELSE 0 END AS above
@@ -157,6 +158,7 @@ object CatalogMisc {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy($"d")
       val daily = t(s, dir, "orders")
+        .filter($"o_orderdate".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy(date_trunc("day", $"o_orderdate").as("d"))
         .agg((round(sum($"o_totalprice") * 100).cast("long") / 100.0)
           .as("v"))
@@ -178,7 +180,7 @@ object CatalogMisc {
     Some("""WITH daily0 AS (
            |  SELECT date_trunc('day', o_orderdate) AS d,
            |    round(sum(o_totalprice) * 100)::BIGINT / 100.0 AS v
-           |  FROM orders GROUP BY 1),
+           |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
            |daily AS (SELECT * FROM daily0 WHERE v > 0),
            |r AS (
            |  SELECT ln(v) - ln(lag(v, 1) OVER (ORDER BY d)) AS lr,

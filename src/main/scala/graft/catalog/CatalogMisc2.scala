@@ -95,6 +95,7 @@ object CatalogMisc2 {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"pr").orderBy($"d")
       val daily = t(s, dir, "orders")
+        .filter($"o_orderdate".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"o_orderpriority".as("pr"),
           date_trunc("day", $"o_orderdate").as("d"))
         .agg(round(sum($"o_totalprice") * 100).cast("long").as("c"))
@@ -116,7 +117,7 @@ object CatalogMisc2 {
            |  SELECT o_orderpriority AS pr, date_trunc('day', o_orderdate)
            |      AS d,
            |    round(sum(o_totalprice) * 100)::BIGINT AS c
-           |  FROM orders GROUP BY 1, 2),
+           |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
            |lg AS (
            |  SELECT pr, d, c,
            |    lag(c, 1) OVER (PARTITION BY pr ORDER BY d) AS pv,

@@ -29,6 +29,7 @@ object CatalogR11 {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
         .agg(count(lit(1)).as("c"))
       graft.events.Kalman.localLevel(series, "event_type", "d", "c",
@@ -38,7 +39,7 @@ object CatalogR11 {
     Some("""WITH RECURSIVE s AS (
            |  SELECT event_type, date_trunc('day', ts) AS d,
            |         count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |r AS (
            |  SELECT event_type, c::DOUBLE AS c,
            |         row_number() OVER (PARTITION BY event_type
@@ -389,7 +390,7 @@ object CatalogR11 {
         // profile cells need a nameable id: concat_ws silently DROPS a
         // null event_type (pid becomes just the hour) while the
         // oracle's || nulls the whole pid — pin non-null types (fuzz-24)
-        .filter($"event_type".isNotNull)
+        .filter($"event_type".isNotNull && $"ts".isNotNull)
         .groupBy($"event_type", hour($"ts").as("h"))
         .agg(log(lit(1.0) + count(lit(1))).as("x"),
           // greatest(.,0): a fuzzed negative value-sum would put the
@@ -406,7 +407,8 @@ object CatalogR11 {
            |  SELECT event_type || ':' || hour(ts) AS pid,
            |    ln(1.0 + count(*)) AS x,
            |    ln(1.0 + greatest(coalesce(sum(value), 0.0), 0.0)) AS y
-           |  FROM events WHERE event_type IS NOT NULL
+           |  FROM events
+           |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
            |  GROUP BY event_type, hour(ts)),
            |p AS (
            |  SELECT a.pid AS ai, b.pid AS bi,

@@ -39,13 +39,14 @@ object CatalogSeq {
     * entropy rate (one lead window at event grain, then state-bounded). */
   private val q286 = Q("q286_entropy_rate",
     (s, dir) =>
-      graft.events.SeqPatterns.transitionEntropy(t(s, dir, "events"),
+      graft.events.SeqPatterns.transitionEntropy(
+        t(s, dir, "events").filter(col("ts").isNotNull),
         "user_id", "event_type", "ts", "event_id"),
     Some("""WITH tr AS (
            |  SELECT event_type AS state,
            |    lead(event_type) OVER (PARTITION BY user_id
            |      ORDER BY ts, event_id) AS nxt
-           |  FROM events),
+           |  FROM events WHERE ts IS NOT NULL),
            |c AS (SELECT state, nxt, count(*) AS c FROM tr
            |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
            |st AS (SELECT state, sum(c) AS n_trans,
@@ -110,6 +111,7 @@ object CatalogSeq {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("x"))
       graft.events.Changepoint.pageHinkley(daily, "event_type", "d",
@@ -118,7 +120,7 @@ object CatalogSeq {
     },
     Some("""WITH d AS (
            |  SELECT event_type AS k, ts::DATE AS d, count(*) AS x
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |w AS (SELECT k, d, x,
            |  x - avg(x) OVER (PARTITION BY k ORDER BY d
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 0.0
@@ -184,6 +186,7 @@ object CatalogSeq {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(round(sum($"value"), 2).as("v"))
       graft.events.Finance.sharpeSortino(daily, "event_type", "d", "v")
@@ -191,7 +194,7 @@ object CatalogSeq {
     },
     Some("""WITH d AS (
            |  SELECT event_type, ts::DATE AS d, round(sum(value), 2) AS v
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |r AS (SELECT event_type,
            |        v / nullif(lag(v) OVER (PARTITION BY event_type
            |          ORDER BY d), 0) - 1.0 AS r
@@ -468,6 +471,9 @@ object CatalogSeq {
       val w = Window.partitionBy($"event_type")
         .orderBy($"ts", $"event_id")
       val iv = t(s, dir, "events")
+        // null-instant complete-case BEFORE the rank-8 pick (fuzz-37:
+        // Spark ranks nulls first, so every pick was a null interval)
+        .filter($"ts".isNotNull)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 8)
         .select($"event_type", $"event_id".as("id"),
@@ -483,7 +489,7 @@ object CatalogSeq {
            |    epoch_us(ts) + round(value)::BIGINT * 1000000 AS e,
            |    row_number() OVER (PARTITION BY event_type
            |      ORDER BY ts, event_id) AS rn
-           |  FROM events QUALIFY rn <= 8),
+           |  FROM events WHERE ts IS NOT NULL QUALIFY rn <= 8),
            |-- operator contract: null end = no interval, dropped AFTER
            |-- the rank-8 selection (fuzz-21)
            |iv AS (SELECT * FROM iv0 WHERE e IS NOT NULL)
@@ -612,6 +618,7 @@ object CatalogSeq {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("x"))
       graft.events.Anomaly.hampel(daily, "event_type", "d", "x",
@@ -620,7 +627,7 @@ object CatalogSeq {
     },
     Some("""WITH d AS (
            |  SELECT event_type AS k, ts::DATE AS d, count(*) AS x
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |idx AS (SELECT k, d, x::DOUBLE AS x,
            |    row_number() OVER (PARTITION BY k ORDER BY d) AS i
            |  FROM d),
@@ -647,6 +654,7 @@ object CatalogSeq {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("nv"),
           round(sum($"value"), 2).as("sv"))
@@ -656,7 +664,7 @@ object CatalogSeq {
     Some("""WITH d AS (
            |  SELECT event_type AS g, ts::DATE AS d, count(*) AS nv,
            |    round(sum(value), 2) AS sv
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |p AS (SELECT a.g,
            |    sign(b.nv - a.nv) * sign(b.sv - a.sv) AS sgn,
            |    a.nv = b.nv AS tx, a.sv = b.sv AS ty
@@ -680,6 +688,7 @@ object CatalogSeq {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("x"))
       graft.ml.TrendStats.pacf3(daily, "event_type", "d", "x")
@@ -687,7 +696,7 @@ object CatalogSeq {
     },
     Some("""WITH d AS (
            |  SELECT event_type AS k, ts::DATE AS d, count(*) AS x
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |dev AS (SELECT k, d,
            |    x - avg(x) OVER (PARTITION BY k) AS dd
            |  FROM d),
@@ -776,6 +785,7 @@ object CatalogSeq {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(round(sum($"value"), 2).as("y"))
         .withColumn("x", datediff($"d", lit("1970-01-01")).cast("double"))
@@ -786,7 +796,7 @@ object CatalogSeq {
            |  SELECT event_type AS k, ts::DATE AS d,
            |    round(sum(value), 2) AS y,
            |    date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS x
-           |  FROM events GROUP BY 1, 2, 4),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 4),
            |st AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
            |    sum(x*x) AS sxx, sum(x*y) AS sxy
            |  FROM d GROUP BY 1),
@@ -853,6 +863,7 @@ object CatalogSeq {
     (s, dir) => {
       import s.implicits._
       val subj = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"user_id")
         // integer-minute durations (floor division, matching the
         // oracle's `//`): same-minute spans are TIES, not ordered
@@ -874,7 +885,7 @@ object CatalogSeq {
            |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
            |      AS ev,
            |    round(sum(value), 2) AS score
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |p AS (SELECT i.cohort,
            |    CASE WHEN i.score > j.score THEN 1 ELSE 0 END AS conc,
            |    CASE WHEN i.score = j.score THEN 1 ELSE 0 END AS tie
@@ -1214,7 +1225,7 @@ object CatalogSeq {
            |    CASE WHEN lag(event_type) OVER w IS NULL
            |         OR lag(event_type) OVER w <> event_type
            |         THEN 1 ELSE 0 END AS is_new
-           |  FROM events
+           |  FROM events WHERE ts IS NOT NULL
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |runs AS (SELECT user_id, state,
            |    sum(is_new) OVER (PARTITION BY user_id
@@ -1236,6 +1247,7 @@ object CatalogSeq {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("x"))
       graft.events.Decompose.multiplicativeIndex(daily, "event_type",
@@ -1244,7 +1256,7 @@ object CatalogSeq {
     },
     Some("""WITH d AS (
            |  SELECT event_type AS k, ts::DATE AS d, count(*) AS x
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |b AS (SELECT k, d, x,
            |    row_number() OVER (PARTITION BY k ORDER BY d) - 1 AS i,
            |    count(*) OVER (PARTITION BY k) AS n,

@@ -23,6 +23,7 @@ object CatalogSignal {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).cast("double").as("c"))
       graft.events.Spectral.periodogram(daily, "event_type", "d", "c",
@@ -31,7 +32,7 @@ object CatalogSignal {
     },
     Some("""WITH daily AS (
            |  SELECT event_type, ts::DATE AS d, count(*)::DOUBLE AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |ix AS (
            |  SELECT event_type, c,
            |    (row_number() OVER (PARTITION BY event_type ORDER BY d)

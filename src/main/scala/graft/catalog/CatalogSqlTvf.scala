@@ -39,7 +39,8 @@ object CatalogSqlTvf {
            |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
            |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
            |              THEN 1 ELSE 0 END AS is_new
-           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |  FROM events WHERE ts IS NOT NULL
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
            |y AS (SELECT user_id, ts, value,
            |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess

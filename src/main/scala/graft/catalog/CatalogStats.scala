@@ -58,6 +58,7 @@ object CatalogStats {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type",
           datediff(to_date($"ts"), to_date(lit("2024-01-01"))).as("t"))
         .agg(count(lit(1)).as("c"))
@@ -68,7 +69,7 @@ object CatalogStats {
            |  SELECT event_type,
            |         datediff('day', DATE '2024-01-01', ts::DATE) AS t,
            |         count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |p AS (
            |  SELECT a.event_type AS et,
            |         sign(b.c - a.c) AS sg,
@@ -92,6 +93,7 @@ object CatalogStats {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
         .agg(count(lit(1)).as("c"))
       graft.events.Ewma.ewmaLast(series, "event_type", "d", "c",
@@ -101,7 +103,7 @@ object CatalogStats {
     Some("""WITH RECURSIVE s AS (
            |  SELECT event_type, date_trunc('day', ts) AS d,
            |         count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |r AS (
            |  SELECT event_type, c,
            |         row_number() OVER (PARTITION BY event_type
@@ -128,6 +130,7 @@ object CatalogStats {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("c"))
       graft.events.Changepoint.meanShiftScan(series, "event_type", "d",
@@ -136,7 +139,7 @@ object CatalogStats {
     },
     Some("""WITH s AS (
            |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |w AS (
            |  SELECT event_type, d,
            |         row_number() OVER pk AS i,
@@ -636,6 +639,7 @@ object CatalogStats {
     (s, dir) => {
       import s.implicits._
       val series = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
         .agg(count(lit(1)).as("c"))
       graft.events.Ewma.holtForecast(series, "event_type", "d", "c",
@@ -645,7 +649,7 @@ object CatalogStats {
     Some("""WITH RECURSIVE s AS (
            |  SELECT event_type, date_trunc('day', ts) AS d,
            |         count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |r AS (
            |  SELECT event_type, c,
            |         row_number() OVER (PARTITION BY event_type

@@ -62,6 +62,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type",
           datediff(to_date($"ts"), lit("2024-01-01")).as("day"))
         .agg(count(lit(1)).as("y"))
@@ -71,7 +72,8 @@ object CatalogStats3 {
     Some("""WITH d AS (
            |  SELECT event_type, date_diff('day', DATE '2024-01-01',
            |           ts::DATE)::DOUBLE AS x, count(*)::DOUBLE AS y
-           |  FROM events GROUP BY event_type, ts::DATE),
+           |  FROM events WHERE ts IS NOT NULL
+           |  GROUP BY event_type, ts::DATE),
            |sl AS (
            |  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
            |  FROM d a JOIN d b ON a.event_type = b.event_type
@@ -181,8 +183,9 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       graft.de.Experiment.sprtBernoulli(
-        t(s, dir, "events").select($"event_type", $"ts", $"event_id",
-          when($"event_id" % 3 === 0, 1).otherwise(0).as("x")),
+        t(s, dir, "events").filter($"ts".isNotNull)
+          .select($"event_type", $"ts", $"event_id",
+            when($"event_id" % 3 === 0, 1).otherwise(0).as("x")),
         "event_type", Seq("ts", "event_id"), "x",
         p0 = 0.30, p1 = 0.36)
         .orderBy($"event_type")
@@ -191,7 +194,7 @@ object CatalogStats3 {
            |  SELECT event_type,
            |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS x,
            |    ts, event_id
-           |  FROM events),
+           |  FROM events WHERE ts IS NOT NULL),
            |walk AS (
            |  SELECT event_type, x,
            |    sum(CASE WHEN x = 1 THEN ln(0.36 / 0.30)
@@ -459,6 +462,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type",
           datediff(to_date($"ts"), lit("2024-01-01")).as("day"))
         .agg(count(lit(1)).as("y"))
@@ -469,7 +473,8 @@ object CatalogStats3 {
            |  SELECT event_type AS g, date_diff('day',
            |      DATE '2024-01-01', ts::DATE)::DOUBLE AS t,
            |    count(*)::DOUBLE AS x
-           |  FROM events GROUP BY event_type, ts::DATE),
+           |  FROM events WHERE ts IS NOT NULL
+           |  GROUP BY event_type, ts::DATE),
            |s AS (
            |  SELECT a.g, sum(sign(b.x - a.x)) AS s
            |  FROM d a JOIN d b ON a.g = b.g AND a.t < b.t GROUP BY 1),
@@ -510,6 +515,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).cast("double").as("c"))
       graft.events.Spectral.spectralEntropy(daily, "event_type",
@@ -518,7 +524,7 @@ object CatalogStats3 {
     Some("""WITH d AS (
            |  SELECT event_type AS g, ts::DATE AS b,
            |    count(*)::DOUBLE AS x
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |idx AS (
            |  SELECT g, x,
            |    (row_number() OVER (PARTITION BY g ORDER BY b) - 1)
@@ -554,6 +560,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type",
           datediff(to_date($"ts"), lit("2024-01-01"))
             .cast("double").as("day"))
@@ -566,7 +573,8 @@ object CatalogStats3 {
            |  SELECT event_type AS g, date_diff('day',
            |      DATE '2024-01-01', ts::DATE)::DOUBLE AS x,
            |    count(*)::DOUBLE AS y
-           |  FROM events GROUP BY event_type, ts::DATE),
+           |  FROM events WHERE ts IS NOT NULL
+           |  GROUP BY event_type, ts::DATE),
            |st AS (
            |  SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
            |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
@@ -674,10 +682,11 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       graft.ml.Stump.giniStump(
-        t(s, dir, "events").select(
-          pmod($"user_id", lit(4)).cast("int").as("cohort"),
-          hour($"ts").cast("long").as("h"),
-          when($"event_type" === "purchase", 1).otherwise(0).as("t")),
+        t(s, dir, "events").filter($"ts".isNotNull)
+          .select(
+            pmod($"user_id", lit(4)).cast("int").as("cohort"),
+            hour($"ts").cast("long").as("h"),
+            when($"event_type" === "purchase", 1).otherwise(0).as("t")),
         "cohort", "h", "t")
         .orderBy($"cohort")
     },
@@ -685,7 +694,7 @@ object CatalogStats3 {
            |  SELECT (user_id % 4)::INT AS g, hour(ts) AS v,
            |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
            |      AS t
-           |  FROM events),
+           |  FROM events WHERE ts IS NOT NULL),
            |cells AS (SELECT g, v, count(*) AS c, sum(t) AS p
            |          FROM e GROUP BY 1, 2),
            |sc AS (
@@ -726,6 +735,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type",
           datediff(to_date($"ts"), lit("2024-01-01"))
             .cast("double").as("day"))
@@ -737,7 +747,8 @@ object CatalogStats3 {
            |  SELECT event_type AS g, date_diff('day',
            |      DATE '2024-01-01', ts::DATE)::DOUBLE AS x,
            |    sum(value) AS y
-           |  FROM events GROUP BY event_type, ts::DATE),
+           |  FROM events WHERE ts IS NOT NULL
+           |  GROUP BY event_type, ts::DATE),
            |st AS (
            |  SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
            |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
@@ -787,6 +798,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).cast("double").as("c"))
       graft.events.Decompose.strength(daily, "event_type", "d", "c",
@@ -794,7 +806,7 @@ object CatalogStats3 {
     },
     Some("""WITH s AS (
            |  SELECT event_type, ts::DATE AS d, count(*)::DOUBLE AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |b AS (
            |  SELECT event_type, c,
            |    (row_number() OVER (PARTITION BY event_type ORDER BY d)
@@ -937,6 +949,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).cast("double").as("c"))
       graft.de.RobustStats.hodgesLehmann(daily, "event_type", "c")
@@ -944,7 +957,8 @@ object CatalogStats3 {
     },
     Some("""WITH d AS (
            |  SELECT event_type AS g, count(*)::DOUBLE AS v
-           |  FROM events GROUP BY event_type, ts::DATE),
+           |  FROM events WHERE ts IS NOT NULL
+           |  GROUP BY event_type, ts::DATE),
            |i AS (SELECT g, v, row_number() OVER (PARTITION BY g
            |        ORDER BY v) AS rn
            |      FROM d),
@@ -1028,7 +1042,7 @@ object CatalogStats3 {
            |  SELECT (user_id % 4)::INT AS s, user_id,
            |    avg(CASE WHEN day(ts) <= 15 THEN value END) AS pre,
            |    avg(CASE WHEN day(ts) > 15 THEN value END) AS post
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |p2 AS (SELECT s, post - pre AS d, abs(post - pre) AS a
            |       FROM pm WHERE pre IS NOT NULL AND post IS NOT NULL
            |         AND post - pre <> 0),
@@ -1070,6 +1084,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).cast("double").as("c"))
       graft.ml.TrendStats.ljungBox2(daily, "event_type", "d", "c")
@@ -1078,7 +1093,7 @@ object CatalogStats3 {
     Some("""WITH d AS (
            |  SELECT event_type AS g, ts::DATE AS b,
            |    count(*)::DOUBLE AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |ctr AS (
            |  SELECT g, b, c - avg(c) OVER (PARTITION BY g) AS dd
            |  FROM d),
@@ -1159,6 +1174,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(sum($"value").as("v"))
       graft.events.Finance.varBacktest(daily, "event_type", "d", "v",
@@ -1166,7 +1182,7 @@ object CatalogStats3 {
     },
     Some("""WITH d AS (
            |  SELECT event_type AS g, ts::DATE AS b, sum(value) AS v
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |sp AS (
            |  SELECT g, b, v,
            |    row_number() OVER (PARTITION BY g ORDER BY b) AS rn,
@@ -1214,6 +1230,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).cast("double").as("demand"))
       graft.report.Inventory.newsvendor(daily, "event_type",
@@ -1221,7 +1238,8 @@ object CatalogStats3 {
     },
     Some("""WITH d AS (
            |  SELECT event_type AS g, count(*)::DOUBLE AS dem
-           |  FROM events GROUP BY event_type, ts::DATE),
+           |  FROM events WHERE ts IS NOT NULL
+           |  GROUP BY event_type, ts::DATE),
            |q AS (SELECT g, count(*)::BIGINT AS n,
            |        quantile_cont(dem, 0.8) AS qo
            |      FROM d GROUP BY 1),
@@ -1243,6 +1261,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy(to_date($"ts").as("d"))
         .agg(sum(when($"event_type" === "click", 1).otherwise(0))
           .as("x"),
@@ -1257,7 +1276,7 @@ object CatalogStats3 {
            |        END)::DOUBLE AS x,
            |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
            |        END)::DOUBLE AS y
-           |  FROM events GROUP BY 1),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
            |lg AS (
            |  SELECT y, lag(y) OVER (ORDER BY b) AS y1,
            |    lag(x) OVER (ORDER BY b) AS x1
@@ -1369,6 +1388,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(sum($"value").as("v"))
       graft.ml.Ranking.quantileForecastEval(daily, "event_type",
@@ -1377,7 +1397,7 @@ object CatalogStats3 {
     },
     Some("""WITH d AS (
            |  SELECT event_type AS g, ts::DATE AS b, sum(value) AS v
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |sp AS (
            |  SELECT g, b, v,
            |    row_number() OVER (PARTITION BY g ORDER BY b) AS rn,
@@ -1610,6 +1630,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).cast("double").as("c"))
       graft.de.Gof.normalityBattery(daily, "event_type", "c")
@@ -1618,7 +1639,7 @@ object CatalogStats3 {
     Some("""WITH d AS (
            |  SELECT event_type AS g, ts::DATE AS b,
            |    count(*)::DOUBLE AS v
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |st AS (
            |  SELECT g, count(*)::DOUBLE AS n, avg(v) AS m,
            |    stddev_samp(v) AS sd
@@ -1785,7 +1806,7 @@ object CatalogStats3 {
            |  SELECT (user_id % 4)::INT AS g, user_id,
            |    avg(CASE WHEN day(ts) <= 15 THEN value END) AS a,
            |    avg(CASE WHEN day(ts) > 15 THEN value END) AS b
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |p2 AS (SELECT g, b - a AS d FROM pm
            |       WHERE a IS NOT NULL AND b IS NOT NULL),
            |st AS (SELECT g, count(*)::BIGINT AS n, avg(d) AS m,
@@ -2018,6 +2039,7 @@ object CatalogStats3 {
     (s, dir) => {
       import s.implicits._
       val monthly = t(s, dir, "lineitem")
+        .filter($"l_shipdate".isNotNull) // null-instant (fuzz-37)
         .groupBy($"l_partkey", date_trunc("month", $"l_shipdate")
           .as("m"))
         .agg(sum($"l_quantity").cast("double").as("qty"))
@@ -2027,7 +2049,7 @@ object CatalogStats3 {
     Some("""WITH monthly AS (
            |  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
            |    sum(l_quantity)::DOUBLE AS qty
-           |  FROM lineitem GROUP BY 1, 2),
+           |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2),
            |nb AS (SELECT count(DISTINCT m)::DOUBLE AS nb
            |       FROM monthly WHERE qty > 0),
            |per AS (

@@ -173,6 +173,7 @@ object CatalogStats4 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "lineitem")
+        .filter($"l_shipdate".isNotNull) // null-instant (fuzz-37)
         .groupBy($"l_returnflag", $"l_shipdate")
         .agg(sum($"l_quantity").cast("long").as("qty"))
       graft.events.Finance.expectedShortfall(daily, "l_returnflag",
@@ -182,7 +183,7 @@ object CatalogStats4 {
     Some("""WITH daily AS (
            |  SELECT l_returnflag, l_shipdate,
            |    sum(l_quantity)::BIGINT AS qty
-           |  FROM lineitem GROUP BY 1, 2),
+           |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2),
            |r AS (
            |  SELECT l_returnflag,
            |    qty::DOUBLE / nullif(lag(qty) OVER (
@@ -208,6 +209,7 @@ object CatalogStats4 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("c"))
       graft.events.Backtest.maseSplit(daily, "event_type", "d", "c",
@@ -215,7 +217,7 @@ object CatalogStats4 {
     },
     Some("""WITH daily AS (
            |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |w AS (
            |  SELECT event_type, c,
            |    row_number() OVER (PARTITION BY event_type ORDER BY d)
@@ -410,7 +412,7 @@ object CatalogStats4 {
            |    e.event_type AS ch,
            |    CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS cv
            |  FROM events e LEFT JOIN conv c ON c.user_id = e.user_id
-           |  WHERE e.event_type <> 'purchase'),
+           |  WHERE e.event_type <> 'purchase' AND e.ts IS NOT NULL),
            |hops AS (
            |  SELECT u, ch,
            |    row_number() OVER (PARTITION BY u
@@ -481,7 +483,8 @@ object CatalogStats4 {
     (s, dir) => {
       import s.implicits._
       graft.ml.Regression.logistic2(
-        t(s, dir, "events").filter($"value".isNotNull)
+        t(s, dir, "events")
+          .filter($"value".isNotNull && $"ts".isNotNull)
           .select(
             when($"event_type" === "purchase", 1.0).otherwise(0.0)
               .as("y"),
@@ -493,7 +496,8 @@ object CatalogStats4 {
            |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0::DOUBLE
            |              ELSE 0.0::DOUBLE END AS y,
            |    value / 100 AS x1, hour(ts) / 24 AS x2
-           |  FROM events WHERE value IS NOT NULL),
+           |  FROM events
+           |  WHERE value IS NOT NULL AND ts IS NOT NULL),
            |fx(it, b0, b1, b2) AS (
            |  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
            |  UNION ALL
@@ -725,6 +729,7 @@ object CatalogStats4 {
     (s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
+        .filter($"ts".isNotNull) // null-instant complete-case (fuzz-37)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).cast("double").as("y"))
         .select($"y",
@@ -737,7 +742,8 @@ object CatalogStats4 {
            |    day(dd) / 31.0 AS x2
            |  FROM (SELECT event_type, ts::DATE AS dd,
            |          count(*)::DOUBLE AS y
-           |        FROM events GROUP BY 1, 2)),
+           |        FROM events WHERE ts IS NOT NULL
+           |        GROUP BY 1, 2)),
            |fx(it, b0, b1, b2) AS (
            |  SELECT 0, ln((SELECT avg(y) FROM d)), 0.0::DOUBLE,
            |    0.0::DOUBLE
@@ -1112,7 +1118,8 @@ object CatalogStats4 {
     (s, dir) => {
       import s.implicits._
       graft.ml.Causal.aipwAte(
-        t(s, dir, "events").filter($"value".isNotNull)
+        t(s, dir, "events")
+          .filter($"value".isNotNull && $"ts".isNotNull)
           .select(
             when(hour($"ts") >= 12, 1.0).otherwise(0.0).as("t"),
             $"value".as("y"),
@@ -1125,7 +1132,8 @@ object CatalogStats4 {
            |              ELSE 0.0::DOUBLE END AS t,
            |    value::DOUBLE AS y, dayofweek(ts) / 7.0 AS x1,
            |    (user_id % 10) / 10.0 AS x2
-           |  FROM events WHERE value IS NOT NULL),
+           |  FROM events
+           |  WHERE value IS NOT NULL AND ts IS NOT NULL),
            |fx(it, b0, b1, b2) AS (
            |  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
            |  UNION ALL
@@ -1225,7 +1233,8 @@ object CatalogStats4 {
     (s, dir) => {
       import s.implicits._
       val scored = graft.ml.Regression.logisticScore(
-        t(s, dir, "events").filter($"value".isNotNull)
+        t(s, dir, "events")
+          .filter($"value".isNotNull && $"ts".isNotNull)
           .select($"event_id",
             when($"event_type" === "purchase", 1.0).otherwise(0.0)
               .as("y"),
@@ -1240,7 +1249,8 @@ object CatalogStats4 {
            |    CASE WHEN event_type = 'purchase' THEN 1.0::DOUBLE
            |         ELSE 0.0::DOUBLE END AS y,
            |    value / 100 AS x1, hour(ts) / 24 AS x2
-           |  FROM events WHERE value IS NOT NULL),
+           |  FROM events
+           |  WHERE value IS NOT NULL AND ts IS NOT NULL),
            |fx(it, b0, b1, b2) AS (
            |  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
            |  UNION ALL
@@ -1306,7 +1316,8 @@ object CatalogStats4 {
     (s, dir) => {
       import s.implicits._
       graft.ml.Boost.stumpBoost(
-        t(s, dir, "events").filter($"value".isNotNull)
+        t(s, dir, "events")
+          .filter($"value".isNotNull && $"ts".isNotNull)
           .select(hour($"ts").cast("long").as("h"), $"value"),
         "h", "value", rounds = 3)
         .orderBy($"round")
@@ -1314,7 +1325,8 @@ object CatalogStats4 {
     Some("""WITH cells AS (
            |  SELECT hour(ts)::BIGINT AS x, count(*)::BIGINT AS n,
            |    sum(value) AS sy, sum(value * value) AS syy
-           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           |  GROUP BY 1),
            |tot AS (SELECT sum(n)::DOUBLE AS tn FROM cells),
            |c1 AS (SELECT x, n, sy AS rsy, syy AS rs2 FROM cells),
            |t1 AS (

@@ -157,7 +157,7 @@ object CatalogText2 {
       // weekly buckets for a bounded series; parts sampled to keep the
       // catalog row count stable
       val li = t(s, dir, "lineitem")
-        .filter($"l_partkey" % 97 === 0)
+        .filter($"l_partkey" % 97 === 0 && $"l_shipdate".isNotNull)
         .groupBy($"l_partkey",
           date_trunc("week", $"l_shipdate").as("wk"))
         .agg(round(sum($"l_quantity")).cast("long").as("q"))
@@ -173,7 +173,8 @@ object CatalogText2 {
     Some("""WITH RECURSIVE li AS (
            |  SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
            |    round(sum(l_quantity))::BIGINT AS q
-           |  FROM lineitem WHERE l_partkey % 97 = 0 GROUP BY 1, 2),
+           |  FROM lineitem WHERE l_partkey % 97 = 0
+           |    AND l_shipdate IS NOT NULL GROUP BY 1, 2),
            |wks AS (SELECT DISTINCT wk FROM li),
            |pts AS (SELECT DISTINCT l_partkey FROM li),
            |series AS (

@@ -127,7 +127,7 @@ object CatalogWalks {
            |  SELECT event_type AS prev,
            |    lead(event_type, 1) OVER w AS cur,
            |    lead(event_type, 2) OVER w AS nxt
-           |  FROM events
+           |  FROM events WHERE ts IS NOT NULL
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |g AS (
            |  SELECT prev, cur, nxt, count(*)::BIGINT AS n
@@ -168,6 +168,7 @@ object CatalogWalks {
     (s, dir) => {
       import s.implicits._
       val f = t(s, dir, "orders")
+        .filter($"o_orderdate".isNotNull) // null-instant complete-case (fuzz-37)
         .select($"o_custkey".as("k"),
           year($"o_orderdate").as("y"),
           round($"o_totalprice" * 100).cast("long").as("cents"))
@@ -177,7 +178,7 @@ object CatalogWalks {
     Some("""WITH f AS (
            |  SELECT o_custkey AS k, year(o_orderdate)::INT AS y,
            |    round(o_totalprice * 100)::BIGINT AS cents
-           |  FROM orders),
+           |  FROM orders WHERE o_orderdate IS NOT NULL),
            |fi AS (SELECT k, min(y) AS cohort FROM f GROUP BY 1),
            |sz AS (SELECT cohort, count(*)::BIGINT AS cohort_size
            |       FROM fi GROUP BY 1),

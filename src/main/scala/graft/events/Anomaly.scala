@@ -31,7 +31,9 @@ object Anomaly {
                           tsCol: String, trailing: Int = 24,
                           cut: Double = 3.0): DataFrame = {
     require(trailing >= 2, "need at least 2 trailing buckets for a stddev")
-    val hourly = events
+    // null-instant complete-case (fuzz-37): a null bucket has no
+    // position on the trailing-window axis
+    val hourly = events.filter(col(tsCol).isNotNull)
       .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("bucket_ts"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket_ts"))
@@ -63,7 +65,8 @@ object Anomaly {
     * Baselines with <2 observations or zero spread flag false, null z. */
   def seasonalRateAnomalies(events: DataFrame, typeCol: String,
                             tsCol: String, cut: Double = 3.0): DataFrame = {
-    val hourly = events
+    // null-instant complete-case (fuzz-37; see hourlyRateAnomalies)
+    val hourly = events.filter(col(tsCol).isNotNull)
       .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("bucket_ts"))
       .agg(count(lit(1)).as("n"))
       .withColumn("hod", hour(col("bucket_ts")).cast("long"))

@@ -180,8 +180,11 @@ object Attribution {
       .orderBy(col("__ts"), col("__tie"))
     // complete-case on the channel (fuzz-23): a touch that names no
     // channel cannot take part in a channel chain — and a null state
-    // label would crash the bounded state-name sort below
-    val touches = events.filter(!conv && col(channel).isNotNull)
+    // label would crash the bounded state-name sort below; complete-case
+    // on the instant too (fuzz-37): a null time has no place in the
+    // journey order, and engines sort null instants at opposite ends
+    val touches = events.filter(!conv && col(channel).isNotNull &&
+      col(ts).isNotNull)
       .select(col(user).as("__u"), col(ts).as("__ts"),
         col(tie).as("__tie"), col(channel).cast("string").as("__ch"))
       .join(converted, Seq("__u"), "left")

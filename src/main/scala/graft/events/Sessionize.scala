@@ -21,8 +21,12 @@ object Sessionize {
     * are a running sum of session-start flags per user. Timestamps
     * compared in exact integer microseconds (unix_micros) so the gap
     * predicate is engine-independent. */
-  def withSessionIds(events: DataFrame, tsCol: String, userCol: String,
+  def withSessionIds(events0: DataFrame, tsCol: String, userCol: String,
                      gapSeconds: Long): DataFrame = {
+    // a null instant is no observation on a time axis (fuzz-37: the
+    // null-event-time axis — engines sort null instants at opposite
+    // ends, shifting every gap and session id)
+    val events = events0.filter(col(tsCol).isNotNull)
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     val us = unix_micros(col(tsCol))
     val gap = us - lag(us, 1).over(w)
@@ -82,7 +86,9 @@ object Sessionize {
                tieBreak: Seq[String] = Nil): DataFrame = {
     val order = (col(tsCol).asc +: tieBreak.map(col(_).asc))
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
-    events.withColumn("__rn", row_number().over(w))
+    // null-instant complete-case (fuzz-37; see withSessionIds)
+    events.filter(col(tsCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(col(keyCol))
       .agg(array_join(
@@ -103,7 +109,8 @@ object Sessionize {
                        tieBreak: Seq[String] = Nil): DataFrame = {
     val order = (col(tsCol).asc +: tieBreak.map(col(_).asc))
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
-    val bigrams = events
+    // null-instant complete-case (fuzz-37; see withSessionIds)
+    val bigrams = events.filter(col(tsCol).isNotNull)
       .select(col(typeCol).as("cur"),
         lead(col(typeCol), 1).over(w).as("nxt"))
       .filter(col("nxt").isNotNull)
@@ -126,7 +133,8 @@ object Sessionize {
                         tieBreak: Seq[String] = Nil): DataFrame = {
     val order = (col(tsCol).asc +: tieBreak.map(col(_).asc))
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
-    val trigrams = events
+    // null-instant complete-case (fuzz-37; see withSessionIds)
+    val trigrams = events.filter(col(tsCol).isNotNull)
       .select(col(typeCol).as("prev"),
         lead(col(typeCol), 1).over(w).as("cur"),
         lead(col(typeCol), 2).over(w).as("nxt"))
@@ -153,7 +161,8 @@ object Sessionize {
       .orderBy(col(tsCol), col(tieCol))
     val isNew = when(lag(col(stateCol), 1).over(w).isNull ||
       lag(col(stateCol), 1).over(w) =!= col(stateCol), 1).otherwise(0)
-    val runs = events
+    // null-instant complete-case (fuzz-37; see withSessionIds)
+    val runs = events.filter(col(tsCol).isNotNull)
       .withColumn("__run", sum(isNew).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(keyCol), col(stateCol).as("state"), col("__run"))

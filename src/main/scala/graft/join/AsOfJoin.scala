@@ -106,7 +106,11 @@ object AsOfJoin {
       .map(c => right.schema(c).dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
     val leftCols = left.columns.map(col)
-    val lhs = left.select(
+    // The LEFT side is complete-case on time too (fuzz-37): a
+    // null-instant probe row cannot ask "as of when?" — and engines
+    // disagree on what to hand it (the declarative form keeps it with
+    // a null payload, DuckDB's native ASOF picks an arbitrary match).
+    val lhs = left.filter(col(time).isNotNull).select(
       (leftCols :+ lit(leftSide).as("__side")
         :+ lit(null).cast(structType(right, payload, time)).as("__payload")
         :+ lit(null).cast(tieType).as("__tie")): _*)

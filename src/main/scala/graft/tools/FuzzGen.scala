@@ -82,11 +82,19 @@ object FuzzGen {
   }
 
   /** Timestamp clumping: a slice of rows lands on one constant instant
-    * (date-grain tie pressure); the rest keep their spread. */
+    * (date-grain tie pressure); the rest keep their spread. From seed
+    * 37 (generator v2) a rare NULL timestamp joins in — the one null
+    * axis v1 never exercised (event-time is nullable in real ingest,
+    * and engines sort null instants at opposite ends); versioned by
+    * seed so every historical divergence still reproduces bit-for-bit
+    * from its seed. */
   private def fuzzTs(table: String, c: String, seed: Long): Column = {
     val k = h(table, c, seed)
-    when(k < 120, to_timestamp(lit("2024-06-15 12:00:00")))
+    val v1 = when(k < 120, to_timestamp(lit("2024-06-15 12:00:00")))
       .otherwise(col(c))
+    if (seed >= 37)
+      when(k >= 970, lit(null).cast("timestamp")).otherwise(v1)
+    else v1
   }
 
   /** Document-text perturbation: boilerplate duplicates (near-dup /

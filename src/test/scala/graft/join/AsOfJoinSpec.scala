@@ -155,9 +155,11 @@ class AsOfJoinSpec extends SparkSuite {
   }
 
   test("null keys and times follow join semantics: never matched") {
-    // right rows with null key/time are invisible; left rows with null
-    // time match nothing (but survive, left-outer); null-key left rows
-    // match nothing
+    // right rows with null key/time are invisible; left rows with a
+    // null TIME are DROPPED (fuzz-37 contract: a null-instant probe
+    // cannot ask "as of when?", and DuckDB's native ASOF hands it an
+    // arbitrary match); null-KEY left rows match nothing but survive
+    // (left-outer)
     val r = Seq(
       (Some(1L), Some(ts("2024-01-01 10:00:00")), 11L),
       (Option.empty[Long], Some(ts("2024-01-01 09:00:00")), 12L),
@@ -174,9 +176,11 @@ class AsOfJoinSpec extends SparkSuite {
       else AsOfJoin.asOfBackward(l, r, "k", "t", Seq("r_id"))
       val got = f.select("lid", "r_id")
         .as[(Long, Option[Long])].collect().toMap
-      assert(got.size == 3, s"left-outer keeps all rows (fwd=$fwd)")
+      assert(got.size == 2,
+        s"null-time left row dropped, the rest kept (fwd=$fwd)")
+      assert(!got.contains(2L), s"fwd=$fwd")
       assert(got(1L) == (if (fwd) None else Some(11L)))
-      assert(got(2L).isEmpty && got(3L).isEmpty, s"fwd=$fwd")
+      assert(got(3L).isEmpty, s"fwd=$fwd")
     }
   }
 

@@ -222,7 +222,8 @@ object CatalogStats {
            |       FROM r)
            |SELECT r_score, f_score, m_score,
            |       count(*)::BIGINT AS n_customers,
-           |       round(avg(monetary), 4) AS avg_monetary
+           |       sum(round(monetary * 100)::BIGINT)::DOUBLE
+           |         / count(*) / 100 AS avg_monetary
            |FROM sc GROUP BY 1, 2, 3
            |ORDER BY r_score, f_score, m_score""".stripMargin))
 

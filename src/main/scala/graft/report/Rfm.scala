@@ -68,5 +68,10 @@ object Rfm {
     scores(orders, key, ts, amount, distributedThreshold)
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
-        round(avg(col("monetary")), 4).as("avg_monetary"))
+        // segment average in exact integer cents, emitted as the raw
+        // quotient with no final round (fuzz-39, the q94/q118
+        // apparent-midpoint class: an avg of 2-dp monetary values over
+        // a small segment straddles the 4-dp round on engine ulps)
+        (sum(round(col("monetary") * 100).cast("long")).cast("double")
+          / count(lit(1)) / 100).as("avg_monetary"))
 }

@@ -253,7 +253,8 @@ object CatalogR12 {
            |        ORDER BY score DESC, p_partkey
            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |      AS cumrel
-           |  FROM sc),
+           |  FROM sc
+           |  WHERE score IS NOT NULL AND rel IS NOT NULL),
            |a AS (
            |  SELECT p_brand, count(*)::BIGINT AS n_docs,
            |    sum(relb)::BIGINT AS n_rel,

@@ -191,8 +191,14 @@ object RankStats {
     * each pooled point contributes the exact integer w_v·(cum_a·m −
     * cum_b·n)², summed as DECIMAL(38,0) — order-free, no float
     * accumulation noise; Spark's decimal sum ≡ DuckDB's HUGEINT sum
-    * while terms stay under 10^38 (n·m ≲ 10^15, the documented
-    * contract — far past any per-group grain here). Only the final
+    * while the WHOLE SUM stays under 10^38. The sum is bounded by
+    * N·(n·m)² (N = n+m pooled points, each term ≤ (n·m)²), so the
+    * documented contract is N·(n·m)² < 10^38 — e.g. balanced groups
+    * are safe to n = m ≈ 3×10^7; heavily unbalanced groups hit the
+    * ceiling earlier (n = 10^8, m = 10^7 overflows). Past the bound
+    * Spark's non-ANSI decimal sum silently NULLS t (DuckDB's HUGEINT
+    * errors) — pre-bucket values to shrink N before calling at that
+    * grain. Far past any per-group size here. Only the final
     * normalization T = Σ / (N²·n·m) divides in double. Under H0
     * E[T] = (1 + 1/N)/6 rides along so the readout is self-calibrating
     * (the scipy cramervonmises_2samp statistic; its asymptotic p needs

@@ -67,6 +67,61 @@ object Dedup {
         "near-dup coverage is capped for their members")
   }
 
+  /** Pair-enumeration blowup guard (round-12 task): every pair LISTER
+    * (q24/q33/q258 class) owes Ω(g²) output rows per g-way duplicate
+    * group BY ITS CONTRACT — at adversarial duplication the ANSWER
+    * exhausts the machine (the sf10 ENOSPC on ~25M owed pairs: the
+    * candidate×postings verification join is pair-proportional at
+    * shingle grain). This caps each doc to its first `maxPairsPerId`
+    * candidate partners per side BEFORE verification, so both the
+    * verification cost and the output are bounded by 2·n·k rows.
+    *
+    * Semantics: a TRUNCATION guard, not a ranking — partners are kept
+    * in deterministic partner-id order (similarity is unknown until
+    * verification; ranking by it would cost the very join being
+    * guarded). A pair survives if EITHER endpoint keeps it (OR
+    * semantics), so every doc retains at least k partners and the
+    * star of a g-way exact-duplicate group stays connected — its
+    * transitive closure still recovers the full group even though the
+    * clique is truncated. Dropped-pair count is logged asynchronously
+    * when the enumeration job completes (the [[warnCappedBuckets]]
+    * discipline: observation rides the plan, no extra count job).
+    * Default `Int.MaxValue` = guard off, zero plan change — oracle
+    * parity untouched. */
+  private def capPairsPerId(cand: DataFrame, maxPairsPerId: Int,
+                            op: String): DataFrame = {
+    if (maxPairsPerId == Int.MaxValue) cand
+    else {
+      require(maxPairsPerId >= 1,
+        s"maxPairsPerId must be >= 1, got $maxPairsPerId")
+      val wa = Window.partitionBy("id_a").orderBy("id_b")
+      val wb = Window.partitionBy("id_b").orderBy("id_a")
+      val obs = Observation()
+      import scala.concurrent.ExecutionContext.Implicits.global
+      obs.future.foreach { r =>
+        val n = Option(r.schema)
+          .filter(_.fieldNames.contains("n_trunc"))
+          .map(_ => r.getAs[Long]("n_trunc")).getOrElse(0L)
+        if (n > 0) log.warn(
+          s"$op: truncated $n candidate pairs past the " +
+            s"maxPairsPerId=$maxPairsPerId guard — pair coverage is " +
+            "capped for heavily-duplicated docs (transitive closure " +
+            "over surviving pairs still connects exact-dup groups); " +
+            "use the cluster-grain or incremental forms for full " +
+            "coverage at this duplication level")
+      }
+      cand
+        .withColumn("__ra", row_number().over(wa))
+        .withColumn("__rb", row_number().over(wb))
+        .observe(obs, coalesce(sum(when(
+          col("__ra") > maxPairsPerId && col("__rb") > maxPairsPerId,
+          1L)), lit(0L)).as("n_trunc"))
+        .filter(col("__ra") <= maxPairsPerId ||
+          col("__rb") <= maxPairsPerId)
+        .drop("__ra", "__rb")
+    }
+  }
+
   /** Exact dedup: group rows by md5(textCol), keep the row with the
     * minimum idCol per group. Output: (keep_id, n_dups) one row per
     * distinct content. Single shuffle on the 128-bit hash. */
@@ -607,7 +662,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 16,
                       bands: Int = 4, minJaccard: Double = 0.5,
-                      maxBucket: Int = 100000): DataFrame = {
+                      maxBucket: Int = 100000,
+                      maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     // bands must split the signature evenly: bands > numHashes gives
     // empty band slices (every doc keys identically), and a non-divisor
     // silently drops the remainder hashes from banding
@@ -655,8 +711,9 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val guarded = capPairsPerId(cand, maxPairsPerId, "minhashLshPairs")
     val out = materializeAndRelease(
-      verifyFromPostings(posts, cand, minJaccard), sigs, posts)
+      verifyFromPostings(posts, guarded, minJaccard), sigs, posts)
     warnCappedBuckets(obs, "minhashLshPairs", maxBucket)
     out
   }
@@ -820,9 +877,16 @@ object Dedup {
     * Output: (id, cluster, cluster_size, is_representative). */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 16,
-                      bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+                      bands: Int = 4, minJaccard: Double = 0.5,
+                      maxPairsPerId: Int = Int.MaxValue): DataFrame = {
+    // `maxPairsPerId` caps the internal pair stage (the same guard as
+    // the pair listers). Because the cap's OR semantics keep each doc
+    // connected to its k nearest-by-id partners, an exact-duplicate
+    // group's truncated pair set still spans one connected component —
+    // the cluster labels survive the cap; only near-dup CHAINS longer
+    // than the surviving edges can split.
     val pairs = minhashLshPairs(df, idCol, textCol, shingleSize,
-      numHashes, bands, minJaccard)
+      numHashes, bands, minJaccard, maxPairsPerId = maxPairsPerId)
     val comp = connectedComponents(pairs.select("id_a", "id_b"))
     val labeled = df.select(col(idCol).as("id"))
       .join(comp, Seq("id"), "left")
@@ -852,7 +916,8 @@ object Dedup {
     * prefix self-join on shingle, verification join — all on fine-grained
     * keys; no all-pairs stage at any point. Exact, no coverage caps. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                        shingleSize: Int = 3, minJaccard: Double = 0.5,
+                        maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     // The exploded postings feed SIX consumers across the plan (doc-freq,
     // prefix rank, both sides of the candidate join, verification sides)
     // — without a persist the physical plan re-scans and re-shingles the
@@ -880,8 +945,9 @@ object Dedup {
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val guarded = capPairsPerId(cand, maxPairsPerId, "ngramJaccardPairs")
     materializeAndRelease(
-      verifyFromPostings(sh, cand, minJaccard, Some(sizes)), sh)
+      verifyFromPostings(sh, guarded, minJaccard, Some(sizes)), sh)
   }
 
   /** Asymmetric containment pairs C(A→B) = |A∩B|/|A| — the
@@ -899,7 +965,8 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, minContainment: Double = 0.8,
-                       maxShingleDf: Long = 100L): DataFrame = {
+                       maxShingleDf: Long = 100L,
+                       maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     val sh = postings(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.join(
@@ -907,9 +974,10 @@ object Dedup {
         .filter(col("df") <= maxShingleDf && col("df") >= 2)
         .select("shingle"),
       Seq("shingle"))
-    val cand = rare.as("x").join(rare.as("y"),
+    val cand0 = rare.as("x").join(rare.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val cand = capPairsPerId(cand0, maxPairsPerId, "containmentPairs")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))

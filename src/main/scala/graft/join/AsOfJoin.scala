@@ -34,8 +34,12 @@ import org.apache.spark.sql.functions._
   * `tolerance`): a matched right row farther than this many seconds from
   * the left time is nulled out, left-outer semantics preserved.
   *
-  * Output: every left row (left-outer) with the matched right payload
-  * struct's fields appended (null fields when no qualifying right row).
+  * Output: every left row with a non-null time (left-outer over that
+  * set) with the matched right payload struct's fields appended (null
+  * fields when no qualifying right row). Left rows with a NULL time are
+  * dropped entirely (fuzz-37 contract: a null instant is no observation
+  * on a time axis — engines disagree on what an "as of null" probe
+  * should match, so the operator refuses to answer it).
   */
 object AsOfJoin {
 
@@ -160,12 +164,12 @@ object AsOfJoin {
           .otherwise(lit(null).cast(structType(right, payload, time)))
     }
 
-    // A left row with a null time matches nothing (l.t >= r.t is never
-    // true on null) — without this guard a null-ts left row in forward
-    // mode would sort to the partition head and see every following
-    // right row in its frame. Null-KEY left rows are already safe once
-    // null-key right rows are filtered (their partition has no right
-    // rows), and left-outer semantics keep all such rows with nulls.
+    // Null-time left rows were dropped at lhs construction (fuzz-37:
+    // they are not observations on the time axis), so this guard is a
+    // belt-and-braces no-op kept for defense in depth. Null-KEY left
+    // rows are safe once null-key right rows are filtered (their
+    // partition has no right rows) and are KEPT with null payload —
+    // only the null-TIME rows are dropped.
     val guarded = when(col(time).isNotNull, withinTol)
     val out = left.columns.map(col) ++
       payload.map(p => guarded.getField(p).as(p))

@@ -170,11 +170,16 @@ object Ranking {
              relCol: String, scoreCol: String, k: Int,
              relThreshold: Double = 2.0): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // Complete-case on the ranked axis (the prCurve/rocAuc fuzz-24
+    // contract): a null score or null relevance has no rank position —
+    // left in, it would occupy row_number slots and count toward n_docs
+    // only because both engines happen to default NULLS LAST under DESC.
+    val cc = df.filter(col(scoreCol).isNotNull && col(relCol).isNotNull)
     val wScore = Window.partitionBy(col(queryCol))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     val isRel = (col(relCol).cast("double") >= relThreshold)
       .cast("long")
-    val ranked = df
+    val ranked = cc
       .withColumn("__rel", isRel)
       .withColumn("__pos", row_number().over(wScore))
       .withColumn("__cumrel", sum(col("__rel")).over(

@@ -173,10 +173,14 @@ object CatalogBiz2 {
   private val q262 = Q("q262_price_index",
     (s, dir) => {
       import s.implicits._
+      // nullif guards (fuzz-40 ANSI): a part-year whose fuzz-zeroed
+      // quantities sum to 0 has no unit price — NULL in both modes
+      // (DuckDB nulls /0 natively; ANSI Spark errors unguarded)
       def yr(y: Int) = t(s, dir, "lineitem")
         .filter(year($"l_shipdate") === y)
         .groupBy($"l_partkey")
-        .agg((sum($"l_extendedprice") / sum($"l_quantity")).as("p"),
+        .agg((sum($"l_extendedprice") / nullif(sum($"l_quantity"),
+          lit(0.0))).as("p"),
           sum($"l_quantity").as("q"))
       val j = yr(1995).select($"l_partkey", $"p".as("p0"), $"q".as("q0"))
         .join(yr(1998).select($"l_partkey", $"p".as("p1"), $"q".as("q1")),
@@ -184,8 +188,8 @@ object CatalogBiz2 {
       val a = j.agg(count(lit(1)).as("n_parts"),
         sum($"p1" * $"q0").as("s10"), sum($"p0" * $"q0").as("s00"),
         sum($"p1" * $"q1").as("s11"), sum($"p0" * $"q1").as("s01"))
-      val lasp = $"s10" / $"s00"
-      val paas = $"s11" / $"s01"
+      val lasp = $"s10" / nullif($"s00", lit(0.0))
+      val paas = $"s11" / nullif($"s01", lit(0.0))
       a.select($"n_parts",
         round(lasp, 4).as("laspeyres"),
         round(paas, 4).as("paasche"),

@@ -1481,13 +1481,20 @@ object CatalogDomain {
       // 19x at the 10x sf1 gate; linear after the switch). The oracle
       // is the full declarative fuzzy join, which the operator now
       // matches with exact recall.
+      // single-byte pin (the q29/q176 fuzz discipline): Spark
+      // levenshtein is CHAR-grain, DuckDB's BYTE-grain — a 1-codepoint
+      // astral name ("🀄", 4 bytes) is char-dist 1 but byte-dist 4
+      // from " " (the fuzz-40 v3 finding), so the demo compares only
+      // names whose grains coincide
       graft.join.FuzzyJoin.selfDeletionNeighborhood(
-          t(s, dir, "supplier").select($"s_suppkey", $"s_name"),
+          t(s, dir, "supplier").select($"s_suppkey", $"s_name")
+            .filter(octet_length($"s_name") === length($"s_name")),
           "s_suppkey", "s_name", maxDist = 1)
         .select($"id_a", $"id_b", $"dist".cast("long").as("dist"))
         .orderBy($"id_a", $"id_b")
     },
-    Some("""WITH s AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier)
+    Some("""WITH s AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier
+           |           WHERE strlen(s_name) = length(s_name))
            |SELECT a.id AS id_a, b.id AS id_b,
            |  levenshtein(a.nm, b.nm)::BIGINT AS dist
            |FROM s a JOIN s b

@@ -178,12 +178,15 @@ object CatalogEcon2 {
         // identical only where byte == char (the q29 discipline;
         // fuzz-20's unicode suffixes desynced the two grains)
         .filter(octet_length($"p_name") === length($"p_name"))
-        // single-word/empty names have no second token: element_at
+        // single-word/empty names have no second token: try_element_at
         // yields null (which an equi-join silently drops) while the
         // oracle's split_part yields '' (one joinable block) — coalesce
-        // to '' so both engines put them in the same block (fuzz-20)
+        // to '' so both engines put them in the same block (fuzz-20).
+        // try_ variant because plain element_at ERRORS out-of-bounds
+        // under ANSI (fuzz-40's 1-char names have no second token)
         .withColumn("blk",
-          coalesce(element_at(split($"p_name", " "), 2), lit("")))
+          coalesce(try_element_at(split($"p_name", " "), lit(2)),
+            lit("")))
       val a = names.select($"p_name".as("name_a"), $"blk")
       val b = names.select($"p_name".as("name_b"), $"blk")
       a.join(b, Seq("blk"))

@@ -454,8 +454,11 @@ object CatalogLlm {
         .agg(count(lit(1)).as("n_docs"),
           sum(n).as("total_bpeish_tokens"),
           round(avg(n), 4).as("avg_bpeish_tokens"),
-          round(avg(n / TextAnalysis.tokenCount($"text")), 4)
-            .as("tokens_per_word"))
+          // nullif guard (fuzz-40 ANSI): a 0-token doc (whitespace-only
+          // v3 shape) must yield NULL in BOTH modes — non-ANSI Spark and
+          // DuckDB null /0 natively, ANSI Spark would error without it
+          round(avg(n / nullif(TextAnalysis.tokenCount($"text"), lit(0))),
+            4).as("tokens_per_word"))
         .orderBy($"source")
     },
     Some("""SELECT source, count(*) AS n_docs,
@@ -985,7 +988,13 @@ object CatalogLlm {
   private val q63 = Q("q63_line_dedup",
     (s, dir) => {
       import s.implicits._
-      val toks = split($"text", " ")
+      // CR/LF normalize BEFORE relining (fuzz-40 v3): the demo joins
+      // its 10-token lines with "\n", and lineDedup's unit is the
+      // newline-split line — raw text carrying embedded "\r\n" would
+      // make the operator's line grain diverge from the oracle's
+      // constructed-line grain (a dedup survivor shifts the whole
+      // rebuilt text). Both sides normalize identically.
+      val toks = split(regexp_replace($"text", "[\r\n]", " "), " ")
       val lined = corpus(s, dir).select($"id",
         array_join(
           transform(
@@ -998,7 +1007,10 @@ object CatalogLlm {
         .orderBy($"id")
     },
     Some(s"""WITH $corpusSql,
-           |toks AS (SELECT id, string_split(text, ' ') AS tk FROM corpus),
+           |toks AS (SELECT id,
+           |           string_split(regexp_replace(text, '[\r\n]', ' ', 'g'),
+           |                        ' ') AS tk
+           |         FROM corpus),
            |lines AS (SELECT id, i AS pos,
            |            array_to_string(tk[i*10+1:i*10+10], ' ') AS line
            |          FROM (SELECT id, tk,

@@ -503,9 +503,12 @@ object CatalogStats {
         // CHAR-grain, DuckDB's is BYTE-grain — pin single-byte names
         // (q29 discipline) and coalesce the missing second token to ''
         // so single-word names block identically to split_part
+        // (try_ variant: plain element_at errors out-of-bounds under
+        // ANSI — fuzz-40's 1-char names have no second token)
         .filter(octet_length($"p_name") === length($"p_name"))
         .withColumn("blk",
-          coalesce(element_at(split($"p_name", " "), 2), lit("")))
+          coalesce(try_element_at(split($"p_name", " "), lit(2)),
+            lit("")))
       val a = names.select($"p_name".as("name_a"), $"blk")
       val b = names.select($"p_name".as("name_b"), $"blk")
       a.join(b, Seq("blk"))

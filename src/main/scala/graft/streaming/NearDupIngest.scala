@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.dedup.Dedup
@@ -64,4 +64,38 @@ final class NearDupIngest(initialHistory: DataFrame,
       .outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) => sink(processBatch(b), id) }
       .start()
+}
+
+/** Restart persistence for the near-dup ingest's history state
+  * (round-12 task 3): `currentHistory` lives only in the driver — a
+  * crash loses it unless the caller persists it. These helpers make
+  * that durable as a BUCKETED parquet table (bucketed + sorted on id,
+  * the screen join's key, so a large restored history joins without a
+  * shuffle on its side) and restore it for a resumed ingest.
+  * Restart parity — resumed run ≡ unbroken run on the same batch
+  * grouping — is pinned by NearDupIngestSpec. */
+object NearDupIngest {
+
+  /** Persist the accumulated (id, sig) history. Overwrites the table:
+    * the history is cumulative, so each save is a full snapshot — the
+    * row count is bounded by ACCEPTED docs (16 longs ≈ 128 B each),
+    * not the corpus. Call after the stream stops (or periodically from
+    * the sink for tighter crash windows: the screen is idempotent, so
+    * re-processing a batch after an older snapshot only re-accepts the
+    * same docs). */
+  def saveHistory(history: DataFrame, table: String, path: String,
+                  buckets: Int = 32): Unit =
+    history.select("id", "sig")
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Restore a persisted history for a resumed ingest — pass as
+    * `initialHistory` to a fresh [[NearDupIngest]]. Reading via the
+    * table (not the bare path) keeps the bucket metadata, so the
+    * restored side of the screen join stays shuffle-free. */
+  def loadHistory(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).select("id", "sig")
 }

@@ -63,13 +63,28 @@ object FuzzGen {
   }
 
   /** Free-string perturbation: unicode suffixes, empty strings, a rare
-    * null (group-key nulls are a real ingest shape). */
+    * null (group-key nulls are a real ingest shape). Generator v3
+    * (seeds >= 40, round-12 text axis) layers string-SHAPE extremes on
+    * an independent hash stream: 1-char astral-plane values (surrogate
+    * pairs — the byte- vs char- vs UTF-16-code-unit grain divergence
+    * class), astral suffixes, CRLF injection, and whitespace-only
+    * values. Versioned by seed: seeds < 40 reproduce v1/v2 output
+    * bit-for-bit. */
   private def fuzzString(table: String, c: String, seed: Long): Column = {
     val k = h(table, c, seed)
-    when(k < 60, concat(col(c), lit(" β☃æé")))
+    val v2 = when(k < 60, concat(col(c), lit(" β☃æé")))
       .when(k < 100, lit(""))
       .when(k < 130, lit(null).cast("string"))
       .otherwise(col(c))
+    if (seed < 40) v2
+    else {
+      val k3 = h(table, c + "!v3", seed)
+      when(k3 < 25, lit("🀄"))
+        .when(k3 < 50, concat(col(c), lit("𝕏𐍈")))
+        .when(k3 < 75, concat(lit("a\r\n"), col(c)))
+        .when(k3 < 95, lit(" "))
+        .otherwise(v2)
+    }
   }
 
   /** Low-cardinality enum perturbation: collapse a slice onto one hot
@@ -98,14 +113,35 @@ object FuzzGen {
   }
 
   /** Document-text perturbation: boilerplate duplicates (near-dup /
-    * dedup pressure), unicode, and empty docs. */
+    * dedup pressure), unicode, and empty docs. Generator v3 (seeds >=
+    * 40): the ~80 text/dedup/chunking queries had never been fuzzed on
+    * string SHAPE — v3 adds 1-char docs (ascii AND astral: a surrogate
+    * pair is 1 codepoint, 2 UTF-16 units, 4 UTF-8 bytes — the three
+    * grains engines disagree on), astral-suffix docs, CRLF line
+    * structure, whitespace-only docs, and NFD-decomposed accents
+    * (e + combining acute vs precomposed é: equal NFC, unequal
+    * codepoints). Versioned by seed. */
   private def fuzzText(table: String, c: String, seed: Long): Column = {
     val k = h(table, c, seed)
-    when(k < 100, lit("the quick brown fox jumps over the lazy dog " +
-        "and then the quick brown fox jumps again over the same dog"))
+    val v2 = when(k < 100,
+        lit("the quick brown fox jumps over the lazy dog " +
+          "and then the quick brown fox jumps again over the same dog"))
       .when(k < 160, concat(col(c), lit(" — κόσμος 世界 🌍")))
       .when(k < 190, lit(""))
       .otherwise(col(c))
+    if (seed < 40) v2
+    else {
+      val k3 = h(table, c + "!v3", seed)
+      when(k3 < 20, lit("🀄"))
+        .when(k3 < 40, lit("x"))
+        .when(k3 < 65, concat(col(c), lit(" 𝕏𐍈🌌😀")))
+        .when(k3 < 90,
+          concat(lit("header\r\n"), col(c), lit("\r\ntrailer\r\n")))
+        .when(k3 < 110, lit("   "))
+        .when(k3 < 130, // NFD: e + U+0301 combining acute, not precomposed
+          concat(col(c), lit(" café éclair")))
+        .otherwise(v2)
+    }
   }
 
   private val enums = Set("c_mktsegment", "o_orderstatus",

@@ -20,10 +20,43 @@ import org.apache.spark.sql.functions._
   * tables (region, nation) are copied unchanged.
   */
 object ScaleUpGen {
+
+  /** Zipf-hot-key remap (round-12 skew gate): both measured decades
+    * replicate keys UNIFORMLY, so no gate has ever run a hot key — the
+    * likeliest real 100-TB failure mode. With mode "skew", after the
+    * 10× key-shifted scale-up, each fact table's join/group keys are
+    * remapped so `hotMass` (50%) of rows land on the `H` (8) smallest
+    * key values with Zipf(α=1.1) rank weights — the TOP key then holds
+    * hotMass·w₁/Σw ≈ 20% of ALL rows (the judge-prescribed 10-20%
+    * band), the second ~9%, a long uniform tail keeps the rest.
+    * Foreign-key validity holds: keys 0..H−1 exist in every scaled
+    * dimension's copy 0 (unshifted). The draw hashes a stable row
+    * identity + salt, so the skewed slice is deterministic. */
+  private val H = 8
+  private val HotMass = 0.5
+  private val Alpha = 1.1
+  private def zipfHot(df: DataFrame, key: String, idCols: Seq[String],
+                      salt: String): DataFrame = {
+    val w = (1 to H).map(i => 1.0 / math.pow(i, Alpha))
+    val cum = w.scanLeft(0.0)(_ + _).tail.map(_ / w.sum)
+    def u(s: String) =
+      (abs(xxhash64(concat_ws("|",
+        (idCols.map(col) :+ lit(s)): _*))) % 1000000L) / 1000000.0
+    // inverse-CDF when-chain over the 8 ranks (rank i -> key i-1)
+    var rank: org.apache.spark.sql.Column = lit((H - 1).toLong)
+    for (i <- (H - 1) to 1 by -1)
+      rank = when(u(salt + "2") < cum(i - 1), lit((i - 1).toLong))
+        .otherwise(rank)
+    df.withColumn(key,
+      when(u(salt) < HotMass, rank.cast(df.schema(key).dataType))
+        .otherwise(col(key)))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,7 +134,24 @@ object ScaleUpGen {
             concat(slice(col("embedding"), i + 1, 10000),
               slice(col("embedding"), 1, i)))))
 
-    outputs.foreach { case (name, df) =>
+    // skew remap AFTER scaling so the hot keys draw from the full 10×
+    // row population; each fact's stable row identity seeds the draw
+    val skewed: Seq[(String, DataFrame)] =
+      if (!skew) outputs
+      else outputs.map {
+        case ("orders", df) =>
+          "orders" -> zipfHot(df, "o_custkey", Seq("o_orderkey"), "oc")
+        case ("lineitem", df) =>
+          "lineitem" -> zipfHot(
+            zipfHot(df, "l_partkey", Seq("l_orderkey", "l_linenumber"),
+              "lp"),
+            "l_suppkey", Seq("l_orderkey", "l_linenumber"), "ls")
+        case ("events", df) =>
+          "events" -> zipfHot(df, "user_id", Seq("event_id"), "eu")
+        case other => other
+      }
+
+    skewed.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"wrote $out/$name.parquet")
     }

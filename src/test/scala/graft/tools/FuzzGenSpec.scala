@@ -60,4 +60,33 @@ class FuzzGenSpec extends SparkSuite {
       assert(f.exceptAll(again).isEmpty)
     } finally f.unpersist()
   }
+
+  test("v3 (seeds >= 40): text-shape extremes appear — 1-char astral " +
+    "docs, CRLF lines, whitespace-only, NFD accents; v2 seeds see none") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val f = FuzzGen.perturb("documents", docs, 40L).cache()
+    try {
+      assert(f.filter(col("text") === "🀄").count() > 0,
+        "1-char astral doc missing")
+      assert(f.filter(col("text") === "x").count() > 0,
+        "1-char ascii doc missing")
+      assert(f.filter(col("text").contains("\r\n")).count() > 0,
+        "CRLF docs missing")
+      assert(f.filter(col("text") === "   ").count() > 0,
+        "whitespace-only doc missing")
+      assert(f.filter(col("text").contains("éclair")).count() > 0,
+        "NFD-decomposed accent missing")
+      assert(f.filter(col("text").contains("𐍈")).count() > 0,
+        "astral suffix missing")
+      // v2 seeds never produce v3 shapes (version isolation)
+      val v2 = FuzzGen.perturb("documents", docs, 39L)
+      assert(v2.filter(col("text") === "🀄" ||
+        col("text").contains("\r\n")).count() == 0)
+      // free-string v3 shapes on a non-text table
+      val cust = spark.read.parquet(s"$sf/customer.parquet")
+      val fc = FuzzGen.perturb("customer", cust, 40L)
+      assert(fc.filter(col("c_name") === "🀄").count() > 0)
+      assert(fc.filter(col("c_name").startsWith("a\r\n")).count() > 0)
+    } finally f.unpersist()
+  }
 }

@@ -58,7 +58,8 @@ object CatalogEcon6 {
     Some(silhouetteOracleCore +
       """
         |SELECT lbl AS label, count(*)::BIGINT AS n,
-        |  round(avg(s), 4) AS mean_silhouette,
+        |  round(sum(round(s, 4)) * 10000) / (10000 * count(*))
+        |    AS mean_silhouette,
         |  sum(CASE WHEN pred <> lbl THEN 1 ELSE 0 END)::BIGINT
         |    AS n_misassigned
         |FROM sil GROUP BY 1 ORDER BY label""".stripMargin))

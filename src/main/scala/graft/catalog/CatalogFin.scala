@@ -118,7 +118,9 @@ object CatalogFin {
         .select($"event_type", $"bar_ts",
           round($"open", 4).as("open"), round($"high", 4).as("high"),
           round($"low", 4).as("low"), round($"close", 4).as("close"),
-          $"volume", round($"vwap", 4).as("vwap"), $"n_trades")
+          // vwap arrives pre-snapped from the operator (q94 discipline,
+          // fuzz-41) — no further round, the double is engine-identical
+          $"volume", $"vwap", $"n_trades")
         .orderBy($"event_type", $"bar_ts")
     },
     Some("""WITH e AS (
@@ -139,7 +141,7 @@ object CatalogFin {
            |  round(min(value), 4) AS low,
            |  round(max(CASE WHEN rnd = 1 THEN value END), 4) AS close,
            |  sum(qty)::BIGINT AS volume,
-           |  round(sum(value * qty) / sum(qty), 4) AS vwap,
+           |  round(sum(value * qty) * 10000) / (10000 * sum(qty)) AS vwap,
            |  count(*)::BIGINT AS n_trades
            |FROM r GROUP BY 1, 2
            |ORDER BY event_type, bar_ts""".stripMargin))

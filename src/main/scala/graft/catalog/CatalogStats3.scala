@@ -1415,8 +1415,9 @@ object CatalogStats3 {
            |SELECT sp.g AS event_type, round(fc.q, 2)::DOUBLE AS q,
            |  count(*)::BIGINT AS n_test,
            |  round(max(fc.f), 4) AS forecast,
-           |  round(avg(fc.q * greatest(sp.v - fc.f, 0) +
-           |    (1 - fc.q) * greatest(fc.f - sp.v, 0)), 4) AS pinball,
+           |  round(sum(round(fc.q * greatest(sp.v - fc.f, 0) +
+           |    (1 - fc.q) * greatest(fc.f - sp.v, 0), 4)) * 10000)
+           |    / (10000 * count(*)) AS pinball,
            |  round(avg(CASE WHEN sp.v <= fc.f THEN 1.0 ELSE 0.0
            |        END), 4) AS coverage
            |FROM sp JOIN fc USING (g) WHERE rn > n // 2

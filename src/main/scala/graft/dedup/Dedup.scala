@@ -75,6 +75,9 @@ object Dedup {
     * shingle grain). This caps each doc to its first `maxPairsPerId`
     * candidate partners per side BEFORE verification, so both the
     * verification cost and the output are bounded by 2·n·k rows.
+    * (Guarded operators ALSO band candidate GENERATION with
+    * [[bandedCandidates]] — a g-way group's g² stage must never run,
+    * not merely be filtered after.)
     *
     * Semantics: a TRUNCATION guard, not a ranking — partners are kept
     * in deterministic partner-id order (similarity is unknown until
@@ -120,6 +123,31 @@ object Dedup {
           col("__rb") <= maxPairsPerId)
         .drop("__ra", "__rb")
     }
+  }
+
+  /** Banded candidate GENERATION for guarded pair listers: within each
+    * inverted-index bucket (`keys` = the shingle or LSH band key), the
+    * id-ordered posting list pairs each doc only with its next
+    * `width` list neighbors — one `lead()` window pass, candidate
+    * volume O(|postings|·width), NO self-join. The first guarded sf10
+    * run proved capping AFTER the self-join is too late: a ~100-way
+    * duplicate group's g² candidate stage itself exhausted 75+ GB of
+    * shuffle spill before the cap filter ever saw a row.
+    *
+    * Recall contract (documented truncation, the guard's semantics): a
+    * pair whose ids sit more than `width` apart in EVERY shared bucket
+    * list is missed. An exact-duplicate group is chain-connected
+    * (consecutive list neighbors share everything), so cluster-grain
+    * consumers still recover full groups via transitive closure. */
+  private def bandedCandidates(postings: DataFrame, keys: Seq[String],
+                               width: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
+    val leads = (1 to width).map(i => lead(col("id"), i).over(w))
+    postings
+      .withColumn("__nbrs", array(leads: _*)) // windows outside explode
+      .select(col("id").as("id_a"), explode(col("__nbrs")).as("id_b"))
+      .filter(col("id_b").isNotNull)
+      .distinct()
   }
 
   /** Exact dedup: group rows by md5(textCol), keep the row with the
@@ -707,10 +735,15 @@ object Dedup {
       .observe(obs, count(lit(1)).as("n_big"))
       .select("band", "key")
     val capped = banded.join(big, Seq("band", "key"), "left_anti")
-    val cand = capped.as("x").join(capped.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    // guarded mode bands the bucket lists too (lead-window, O(n·k)) —
+    // the in-bucket self-join's g² stage must never run (sf10 lesson)
+    val cand =
+      if (maxPairsPerId != Int.MaxValue)
+        bandedCandidates(capped, Seq("band", "key"), maxPairsPerId)
+      else capped.as("x").join(capped.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.key") === col("y.key") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val guarded = capPairsPerId(cand, maxPairsPerId, "minhashLshPairs")
     val out = materializeAndRelease(
       verifyFromPostings(posts, guarded, minJaccard), sigs, posts)
@@ -942,9 +975,15 @@ object Dedup {
     val prefix = ranked.join(sizes, Seq("id"))
       .filter(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
       .select("id", "shingle")
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    // guarded mode bands the prefix-index lists (lead-window, O(n·k))
+    // instead of self-joining — the g² stage must never run (sf10)
+    val cand =
+      if (maxPairsPerId != Int.MaxValue)
+        bandedCandidates(prefix, Seq("shingle"), maxPairsPerId)
+      else prefix.as("x").join(prefix.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val guarded = capPairsPerId(cand, maxPairsPerId, "ngramJaccardPairs")
     materializeAndRelease(
       verifyFromPostings(sh, guarded, minJaccard, Some(sizes)), sh)
@@ -974,9 +1013,13 @@ object Dedup {
         .filter(col("df") <= maxShingleDf && col("df") >= 2)
         .select("shingle"),
       Seq("shingle"))
-    val cand0 = rare.as("x").join(rare.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val cand0 =
+      if (maxPairsPerId != Int.MaxValue)
+        bandedCandidates(rare, Seq("shingle"), maxPairsPerId)
+      else rare.as("x").join(rare.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val cand = capPairsPerId(cand0, maxPairsPerId, "containmentPairs")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cand

@@ -90,7 +90,13 @@ object Finance {
         min(col(price)).as("low"),
         max(when(col("__rnd") === 1, col(price))).as("close"),
         sum(col(qty)).as("volume"),
-        (sum(col(price) * col(qty)) / sum(col(qty))).as("vwap"),
+        // q94 snap-divide (fuzz-41): the notional sum snaps to exact
+        // integer ten-thousandths before the ONE exact division by the
+        // integer volume — grid-priced data (real markets tick on a
+        // decimal grid) makes the snap lossless and the quotient
+        // engine-identical; no final round downstream.
+        (round(sum(col(price) * col(qty)) * 1e4) /
+          (lit(1e4) * sum(col(qty)))).as("vwap"),
         count(lit(1)).as("n_trades"))
   }
 

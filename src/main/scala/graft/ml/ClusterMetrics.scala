@@ -143,7 +143,14 @@ object ClusterMetrics {
     simplifiedSilhouette(df, idCol, labelCol, vecCol)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("silhouette")), 4).as("mean_silhouette"),
+        // q94 snap-divide discipline (fuzz-41): per-point silhouettes
+        // quantize to the 4-dp grid, the sum snaps to exact integer
+        // ten-thousandths (absorbing cross-engine float-path ulps that
+        // a plain avg+round lets straddle a .xxxx5 boundary), and the
+        // one exact division is emitted with NO final round — identical
+        // doubles by construction.
+        (round(sum(round(col("silhouette"), 4)) * 1e4) /
+          (lit(1e4) * count(lit(1)))).as("mean_silhouette"),
         sum(when(col("pred_label") =!= col("label"), 1L).otherwise(0L))
           .as("n_misassigned"))
 }

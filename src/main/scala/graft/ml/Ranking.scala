@@ -245,13 +245,18 @@ object Ranking {
       .groupBy(col(key), col("__q"))
       .agg(count(lit(1)).as("n_test"),
         max(col("__f")).as("__fv"),
-        avg(col("__q") * greatest(v - col("__f"), lit(0.0)) +
+        // q94 snap-divide (fuzz-41): per-point losses quantize to the
+        // 4-dp grid, the sum snaps to exact integer ten-thousandths
+        // (absorbing engine sum-order ulps a plain avg+round lets
+        // straddle), one exact division, NO final round.
+        sum(round(col("__q") * greatest(v - col("__f"), lit(0.0)) +
           (lit(1.0) - col("__q")) *
-            greatest(col("__f") - v, lit(0.0))).as("__pb"),
+            greatest(col("__f") - v, lit(0.0)), 4)).as("__pbs"),
         avg(when(v <= col("__f"), 1.0).otherwise(0.0)).as("__cov"))
       .select(col(key), round(col("__q"), 2).as("q"), col("n_test"),
         round(col("__fv"), 4).as("forecast"),
-        round(col("__pb"), 4).as("pinball"),
+        (round(col("__pbs") * 1e4) / (lit(1e4) * col("n_test")))
+          .as("pinball"),
         round(col("__cov"), 4).as("coverage"))
   }
 

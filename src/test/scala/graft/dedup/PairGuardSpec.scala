@@ -54,13 +54,15 @@ class PairGuardSpec extends SparkSuite {
     assert(bad == 0L)
   }
 
-  test("ngramJaccardPairs: a large cap reproduces the unguarded " +
-    "answer exactly (guard-off parity on a small corpus)") {
+  test("ngramJaccardPairs: a cap wider than the corpus reproduces the " +
+    "unguarded answer exactly (guard-off parity on a small corpus)") {
     val small = planted.filter(col("doc_id") > 990L) // 10 dups + 3 rest
     val free = Dedup.ngramJaccardPairs(small, "doc_id", "text",
       minJaccard = 0.5)
+    // width 15 >= every posting list (13 docs), so the lead-banding
+    // loses nothing and the per-id cap never fires — guarded == free
     val capped = Dedup.ngramJaccardPairs(small, "doc_id", "text",
-      minJaccard = 0.5, maxPairsPerId = 1000)
+      minJaccard = 0.5, maxPairsPerId = 15)
     assert(free.except(capped).count() == 0L &&
       capped.except(free).count() == 0L)
   }

@@ -114,6 +114,10 @@ object CatalogBiz2 {
       val cust = t(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+        // complete-case on the ranked axis (fuzz-43, the gini class):
+        // an all-null-price customer has null cents — engines rank
+        // nulls at opposite ends, shifting every decile boundary
+        .filter($"cents".isNotNull)
         .persist()
       // customer-grain global rank: one eager count probe routes it
       // through the size-dispatched Ranks form (no single-partition
@@ -151,7 +155,7 @@ object CatalogBiz2 {
            |  SELECT cents,
            |    row_number() OVER (ORDER BY cents, o_custkey) AS rn,
            |    count(*) OVER () AS nn
-           |  FROM cust),
+           |  FROM cust WHERE cents IS NOT NULL),
            |d AS (
            |  SELECT (floor((rn - 1) * 10.0 / nn) + 1)::BIGINT AS decile,
            |    cents

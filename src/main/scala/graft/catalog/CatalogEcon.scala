@@ -42,7 +42,8 @@ object CatalogEcon {
            |         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
            |  FROM orders GROUP BY 1),
            |j AS (SELECT c_nationkey AS g, k, cents
-           |      FROM sp JOIN customer ON c_custkey = k),
+           |      FROM sp JOIN customer ON c_custkey = k
+           |      WHERE cents IS NOT NULL),
            |r AS (SELECT g, cents,
            |        row_number() OVER (PARTITION BY g
            |          ORDER BY cents, k) AS i

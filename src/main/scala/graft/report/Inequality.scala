@@ -41,7 +41,12 @@ object Inequality {
            valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol).asc, col(unitCol).asc)
-    df.withColumn("__i", row_number().over(w))
+    // Complete-case on the value axis (fuzz-43): a null-value unit has
+    // no place in the ascending rank — engines sort nulls at OPPOSITE
+    // ends (Spark first, DuckDB last), shifting every rank weight i and
+    // silently counting a valueless unit in n while Σx skips it.
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__i", row_number().over(w))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_units"),
         sum(col(valueCol)).as("total"),

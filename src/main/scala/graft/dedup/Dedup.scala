@@ -138,11 +138,21 @@ object Dedup {
     * pair whose ids sit more than `width` apart in EVERY shared bucket
     * list is missed. An exact-duplicate group is chain-connected
     * (consecutive list neighbors share everything), so cluster-grain
-    * consumers still recover full groups via transitive closure. */
+    * consumers still recover full groups via transitive closure.
+    *
+    * The generation width is clamped to `min(maxPairsPerId, 64)`: the
+    * lead-window materializes one expression + one array slot per unit
+    * of width, so a large-but-finite cap passed only to loosely bound
+    * OUTPUT (e.g. 10000) must not balloon the per-row plan. Width 64
+    * already chains any realistic duplicate group (consecutive
+    * neighbors share everything), and [[capPairsPerId]] still enforces
+    * the full per-id cap on whatever the band generates. */
+  private val MaxBandWidth = 64
   private def bandedCandidates(postings: DataFrame, keys: Seq[String],
                                width: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
-    val leads = (1 to width).map(i => lead(col("id"), i).over(w))
+    val leads =
+      (1 to math.min(width, MaxBandWidth)).map(i => lead(col("id"), i).over(w))
     postings
       .withColumn("__nbrs", array(leads: _*)) // windows outside explode
       .select(col("id").as("id_a"), explode(col("__nbrs")).as("id_b"))

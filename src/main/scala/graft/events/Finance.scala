@@ -95,6 +95,12 @@ object Finance {
         // integer volume — grid-priced data (real markets tick on a
         // decimal grid) makes the snap lossless and the quotient
         // engine-identical; no final round downstream.
+        // Headroom bound (RankStats precedent): round(Σ·1e4) is only
+        // lossless while |Σ(price·qty)| per (key, bar) stays < 2^53/1e4
+        // ≈ 9e8 value units — beyond that the double can't hold the
+        // scaled integer and the by-construction claim breaks. Bars
+        // whose notional can exceed that need the DECIMAL accumulation
+        // form instead.
         (round(sum(col(price) * col(qty)) * 1e4) /
           (lit(1e4) * sum(col(qty)))).as("vwap"),
         count(lit(1)).as("n_trades"))

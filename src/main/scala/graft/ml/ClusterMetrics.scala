@@ -136,8 +136,12 @@ object ClusterMetrics {
   }
 
   /** Label-grain rollup of [[simplifiedSilhouette]]: (label, n,
-    * mean_silhouette 4-dp, n_misassigned BIGINT — points whose nearest
-    * centroid is NOT their own label's). */
+    * mean_silhouette — an unrounded snap-divided double: exact integer
+    * ten-thousandths numerator / exact division, no final round —
+    * n_misassigned BIGINT — points whose nearest centroid is NOT their
+    * own label's). Snap headroom: silhouettes sit in [−1, 1], so the
+    * scaled sum stays < 2^53 up to ~9e8 points per label — far past
+    * any label this rollup meets. */
   def silhouetteByLabel(df: DataFrame, idCol: String, labelCol: String,
                         vecCol: String): DataFrame =
     simplifiedSilhouette(df, idCol, labelCol, vecCol)

@@ -215,7 +215,11 @@ object Ranking {
     * calibrated forecaster). One rank window, one exact-percentile
     * aggregate over the estimation half, one broadcast-grid join over
     * the test half. Output: (key, q 2dp, n_test BIGINT, forecast 4dp,
-    * pinball 4dp, coverage 4dp); keys with an empty half drop out. */
+    * pinball — an unrounded snap-divided double (exact integer
+    * ten-thousandths numerator / exact division, no final round; snap
+    * headroom: loss terms are value-scale, so the claim holds while
+    * Σloss per (key, q) < 2^53/1e4 ≈ 9e8 value units), coverage 4dp);
+    * keys with an empty half drop out. */
   def quantileForecastEval(series: DataFrame, key: String,
                            bucket: String, value: String,
                            qs: Seq[Double]): DataFrame = {

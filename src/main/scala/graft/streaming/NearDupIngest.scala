@@ -85,7 +85,14 @@ object NearDupIngest {
     * same docs). */
   def saveHistory(history: DataFrame, table: String, path: String,
                   buckets: Int = 32): Unit =
-    history.select("id", "sig")
+    // localCheckpoint severs lineage BEFORE the overwrite: a history
+    // restored via loadHistory(table) and saved back to the same table
+    // with no processBatch in between (whose own localCheckpoint
+    // normally cuts the chain) would otherwise still READ the table it
+    // overwrites — Spark rejects that ("Cannot overwrite a table that
+    // is also being read from"). Eager materialization here is cheap:
+    // the history is bounded by accepted docs (~128 B each).
+    history.select("id", "sig").localCheckpoint()
       .write.mode("overwrite")
       .option("path", path)
       .bucketBy(buckets, "id").sortBy("id")

@@ -39,9 +39,11 @@ object ScaleUpGen {
                       salt: String): DataFrame = {
     val w = (1 to H).map(i => 1.0 / math.pow(i, Alpha))
     val cum = w.scanLeft(0.0)(_ + _).tail.map(_ / w.sum)
+    // pmod, not abs(...)%: abs(Long.MinValue) overflows negative, which
+    // would unconditionally remap that row to hot key 0
     def u(s: String) =
-      (abs(xxhash64(concat_ws("|",
-        (idCols.map(col) :+ lit(s)): _*))) % 1000000L) / 1000000.0
+      pmod(xxhash64(concat_ws("|",
+        (idCols.map(col) :+ lit(s)): _*)), lit(1000000L)) / 1000000.0
     // inverse-CDF when-chain over the 8 ranks (rank i -> key i-1)
     var rank: org.apache.spark.sql.Column = lit((H - 1).toLong)
     for (i <- (H - 1) to 1 by -1)

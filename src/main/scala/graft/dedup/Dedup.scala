@@ -322,6 +322,43 @@ object Dedup {
         coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Paragraph-grain cross-corpus dedup — the Dolma-style companion to
+    * [[lineDedup]]'s line grain: the unit is a BLANK-LINE-separated
+    * paragraph (split on runs of 2+ newlines, CR/LF normalized first —
+    * the q63 fuzz-40 lesson applied at the operator), every duplicate
+    * paragraph keeps only its first (min id, min pos) occurrence
+    * corpus-wide, and each document is reassembled from its surviving
+    * paragraphs in original order. Inter-paragraph spacing
+    * canonicalizes to exactly one blank line on reassembly (documented
+    * normalization, like lineDedup's whitespace contract). Returns
+    * (idCol, textCol).
+    *
+    * Scale shape: identical to lineDedup — narrow posexplode, ONE
+    * min(struct(id, pos)) aggregate keyed by the 128-bit paragraph
+    * hash (map-side partial), co-partitioned keep join, per-doc
+    * bounded reassembly. No all-pairs stage, no driver state. */
+  def paragraphDedup(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val norm = regexp_replace(col(textCol), "\r\n?", "\n")
+    val paras = df.select(col(idCol).as("id"),
+      posexplode(split(norm, "\n{2,}")))
+      .toDF("id", "pos", "para")
+      .withColumn("__h", md5(col("para")))
+    val first = paras.groupBy("__h")
+      .agg(min(struct(col("id"), col("pos"))).as("__f"))
+    val kept = paras.join(first, Seq("__h"))
+      .filter(col("id") === col("__f.id") && col("pos") === col("__f.pos"))
+      .select("id", "pos", "para")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), "\n\n").as(textCol))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Duplicated k-token windows across the corpus — the detection core
     * of ExactSubstr-style span dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better", re-expressed at token

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{BleuCounts, BloomMightContain, CharEntropy, ColumnBridge, CosineSimilarity, DamerauLevenshtein, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, NormalSF, RegularizedIncBeta, RepetitionCounts, RollingHash64, RougeLCounts, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
+import org.apache.spark.sql.graft.{BleuCounts, BloomMightContain, CharEntropy, ColumnBridge, CosineSimilarity, DamerauLevenshtein, DictScrub, HypergeomPValue, JaroWinkler, LshTableBuckets, Md5Long, MinhashHashes, NfcNormalize, NormalSF, RegularizedIncBeta, RepetitionCounts, RollingHash64, RougeLCounts, SimHash64, StripAccents, TTestPValue, TextQualityCounts, WordShingles}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** graft's function surface: custom Catalyst expressions exposed as
@@ -70,6 +70,15 @@ object gfunctions {
     * combining marks, NFC), native + codegen'd. */
   def strip_accents(text: Column): Column =
     ColumnBridge.column(StripAccents(ColumnBridge.expression(text)))
+
+  /** Aho–Corasick dictionary scrub of a STRING column: every
+    * non-overlapping leftmost-longest dictionary-term occurrence →
+    * `mask`, one codegen'd automaton pass — O(bytes + matches)
+    * regardless of dictionary size (the 10k-term gazetteer scrub the
+    * regex-alternation route can't reach). */
+  def dict_scrub(text: Column, dict: Seq[String],
+                 mask: String = "[MASK]"): Column =
+    ColumnBridge.column(DictScrub(ColumnBridge.expression(text), dict, mask))
 
   /** Shannon entropy (bits) of a STRING column's code-point
     * distribution, native + codegen'd — the base64/padding screen. */

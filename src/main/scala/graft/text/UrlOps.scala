@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registrable-domain (eTLD+1) extraction — the
+  * group-by key of every web-scale corpus (crawl dedup, per-site
+  * quality stats, robots/blocklist rollups all key on the registrable
+  * domain, not the raw host).
+  *
+  * Canonicalization contract (pinned; the DuckDB oracle replays the
+  * identical regex decomposition):
+  *   - scheme and host lowercase,
+  *   - default ports dropped (`:80` for http, `:443` for https; other
+  *     ports kept),
+  *   - the fragment dropped,
+  *   - `utm_*` tracking params dropped, remaining params kept in
+  *     original order (`?` dropped when nothing survives),
+  *   - empty path → `/`; a non-root path loses ONE trailing slash.
+  * Malformed rows (no `scheme://`) canonicalize to NULL — no ANSI
+  * landmine, same on both engines.
+  *
+  * eTLD+1 resolution is a LONGEST-SUFFIX join against a snapshot
+  * public-suffix table (the publicsuffix.org dataset is the production
+  * snapshot; tests and the catalog pin a subset): a host's candidate
+  * suffixes (every label-suffix) join the broadcast snapshot, the
+  * longest match with at least one label to its left wins, and
+  * eTLD+1 = that label + the suffix. A host WITHOUT a left label (the
+  * host IS a public suffix) has no registrable domain → NULL. A host
+  * matching no suffix falls back to the PSL default rule `*` (TLD =
+  * last label): eTLD+1 = last two labels, NULL for single-label hosts.
+  *
+  * Scale shape: candidates are a narrow per-host explode bounded by
+  * label count (≤ ~6), the suffix snapshot (~10k rows for the real
+  * PSL) broadcasts, and resolution runs on DISTINCT hosts only — the
+  * fact-table join back is a broadcast-able host → eTLD+1 map for any
+  * real crawl's host cardinality, or a plain shuffle join beyond it.
+  */
+object UrlOps {
+
+  private val UrlRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+
+  /** Lowercased host (authority minus port + userinfo) of a URL. */
+  def urlHost(url: Column): Column = {
+    val auth = regexp_extract(url, UrlRe, 2)
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    lower(regexp_replace(noUser, ":[0-9]*$", ""))
+  }
+
+  /** Canonical form per the contract above; NULL for rows that don't
+    * parse as `scheme://...`. Pure built-ins — one regex decomposition,
+    * array filter for the params, no UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, UrlRe, 1))
+    val host = urlHost(url)
+    val port = regexp_extract(regexp_extract(url, UrlRe, 2), ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rawPath = regexp_extract(url, UrlRe, 3)
+    val path = when(rawPath === "" || rawPath === "/", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/$", ""))
+    val rawQ = regexp_extract(url, UrlRe, 4)
+    val kept = filter(split(rawQ, "&"),
+      p => !(p.startsWith("utm_") || p === ""))
+    val q = array_join(kept, "&")
+    when(regexp_extract(url, UrlRe, 1) === "", lit(null).cast("string"))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
+  /** Adds `outCol` = registrable domain (eTLD+1) of `hostCol`, resolved
+    * against the snapshot `suffixes` table (single column `suffix`,
+    * lowercase, dot-separated labels, no leading dot). Resolution runs
+    * per DISTINCT host; `suffixes` is broadcast. */
+  def registrableDomain(df: DataFrame, hostCol: String,
+                        suffixes: DataFrame,
+                        outCol: String = "etld1"): DataFrame = {
+    val hosts = df.select(col(hostCol).as("__host")).distinct()
+      .filter(col("__host").isNotNull)
+      .withColumn("__labels", split(col("__host"), "\\."))
+      .withColumn("__n", size(col("__labels")))
+    // every label-suffix of the host, tagged with its label count
+    val cands = hosts
+      .select(col("__host"), col("__labels"), col("__n"),
+        explode(sequence(lit(1), col("__n"))).as("__i"))
+      .withColumn("__cand",
+        array_join(slice(col("__labels"), col("__i"),
+          col("__n") - col("__i") + 1), "."))
+      .withColumn("__slen", col("__n") - col("__i") + 1)
+    val matched = cands
+      .join(broadcast(suffixes.select(col("suffix").as("__cand"))), Seq("__cand"))
+      .groupBy("__host").agg(max(col("__slen")).as("__L"))
+    val resolved = hosts.join(matched, Seq("__host"), "left")
+      .select(col("__host"),
+        when(col("__L").isNotNull && col("__n") > col("__L"),
+          array_join(slice(col("__labels"),
+            col("__n") - col("__L"), col("__L") + 1), "."))
+          .when(col("__L").isNull && col("__n") >= 2,
+            array_join(slice(col("__labels"), col("__n") - 1, lit(2)), "."))
+          .otherwise(lit(null).cast("string")).as(outCol))
+    df.join(broadcast(resolved),
+      df(hostCol) === resolved("__host"), "left").drop("__host")
+  }
+}

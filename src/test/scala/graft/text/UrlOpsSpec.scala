@@ -1,0 +1,67 @@
+package graft.text
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + eTLD+1 (q421's operators): the pinned
+  * canonicalization contract case by case, and longest-suffix
+  * resolution against a PSL-subset snapshot. */
+class UrlOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(u: String): Option[String] = {
+    val r = Seq(Tuple1(u)).toDF("u")
+      .select(UrlOps.canonicalizeUrl($"u")).head()
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("scheme/host lowercase, default ports dropped, fragment dropped") {
+    assert(canon("HTTPS://WWW.Example.COM:443/Path#frag")
+      .contains("https://www.example.com/Path"))
+    assert(canon("http://a.com:80/x").contains("http://a.com/x"))
+    // non-default port kept — including 443 on plain http
+    assert(canon("http://a.com:443/x").contains("http://a.com:443/x"))
+    assert(canon("https://a.com:8080/").contains("https://a.com:8080/"))
+  }
+
+  test("utm params dropped, others kept in order; empty query dropped") {
+    assert(canon("https://a.com/p?utm_source=m&id=2&utm_campaign=x&b=1")
+      .contains("https://a.com/p?id=2&b=1"))
+    assert(canon("https://a.com/p?utm_source=m")
+      .contains("https://a.com/p"))
+    assert(canon("https://a.com?a=1").contains("https://a.com/?a=1"))
+  }
+
+  test("path normalization: empty → /, one trailing slash stripped") {
+    assert(canon("https://a.com").contains("https://a.com/"))
+    assert(canon("https://a.com/").contains("https://a.com/"))
+    assert(canon("https://a.com/p/5/").contains("https://a.com/p/5"))
+  }
+
+  test("userinfo stripped from the host; malformed → null") {
+    assert(canon("https://user:pw@a.com/x").contains("https://a.com/x"))
+    assert(canon("not a url").isEmpty)
+    assert(canon("/relative/only").isEmpty)
+  }
+
+  test("registrable domain: longest suffix wins, fallbacks pinned") {
+    val suffixes = Seq("com", "uk", "co.uk", "ac.uk", "github.io", "io")
+      .toDF("suffix")
+    val hosts = Seq("www.example.co.uk", "example.co.uk", "co.uk",
+      "deep.sub.example.ac.uk", "pages.github.io", "x.com",
+      "example.zz", "single").toDF("host")
+    val got = UrlOps.registrableDomain(hosts, "host", suffixes)
+      .as[(String, Option[String])].collect().toMap
+    assert(got("www.example.co.uk").contains("example.co.uk"))
+    assert(got("example.co.uk").contains("example.co.uk"))
+    // the host IS a public suffix → no registrable domain
+    assert(got("co.uk").isEmpty)
+    assert(got("deep.sub.example.ac.uk").contains("example.ac.uk"))
+    // private-registry entry: the suffix is github.io, not io
+    assert(got("pages.github.io").contains("pages.github.io"))
+    assert(got("x.com").contains("x.com"))
+    // unknown suffix → PSL default rule (last two labels)
+    assert(got("example.zz").contains("example.zz"))
+    assert(got("single").isEmpty)
+  }
+}

@@ -78,6 +78,11 @@ object EventStream {
     * in-watermark duplicates). */
   def dedupWithinWatermark(events: DataFrame, watermark: String): DataFrame =
     events
+      // null-instant complete-case (the batch twin's fuzz-37 contract):
+      // the watermark operator does NOT drop null event times — they
+      // flow through and dedup under a null minute bucket, which the
+      // batch twin never sees (found by StreamFuzzParitySpec)
+      .filter(col("ts").isNotNull)
       .withColumn("minute", date_trunc("minute", col("ts")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
@@ -224,7 +229,9 @@ object EventStream {
     val stageIdxs: Map[String, Seq[Int]] =
       stages.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
     events
-      .filter(e => stageIdxs.contains(e.event_type))
+      // a null instant is no observation on a time axis (the batch
+      // twins' fuzz-37 contract) — and micros(null) would NPE the walk
+      .filter(e => e.ts != null && stageIdxs.contains(e.event_type))
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
@@ -298,6 +305,8 @@ object EventStream {
                  watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      // null-instant complete-case (the batch twin's fuzz-37 contract)
+      .filter(_.ts != null)
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -336,6 +345,18 @@ object EventStream {
       }
   }
 
+  /** UTF-8 BINARY string order — Spark's own string comparison
+    * (UTF8String compares byte-wise), NOT Java's UTF-16 code-unit
+    * order. The two disagree exactly when a BMP char ≥ U+E000 meets a
+    * supplementary char (the fuzz text-shape axis: U+FFFD sorts above
+    * an astral char in UTF-16 but below it in UTF-8 bytes), so a
+    * driver-side fold tie-breaking with Java ordering would diverge
+    * from the batch twins' DataFrame sorts on such payloads. */
+  private[streaming] val utf8Order: Ordering[String] =
+    (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   final case class Upsert(key: Long, version: Long, payload: String)
 
   /** Streaming CDC compaction — the live twin of
@@ -354,8 +375,12 @@ object EventStream {
     updates.groupByKey(_.key)
       .mapGroupsWithState[Upsert, Upsert](GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[Upsert]) =>
+          // payload ties break in UTF-8 byte order ([[utf8Order]]) —
+          // the batch twin's row_number sort — not Java string order
           val best = (rows ++ state.getOption.iterator)
-            .maxBy(u => (u.version, u.payload))
+            .max(Ordering.by[Upsert, (Long, String)](
+              u => (u.version, u.payload))(
+              Ordering.Tuple2(Ordering.Long, utf8Order)))
           state.update(best)
           best
       }
@@ -388,8 +413,13 @@ object EventStream {
           // with equal payload but different ops (U vs D) must resolve
           // identically regardless of delivery order — the total-order
           // guarantee the batch twin gets from its explicit tie column.
+          // UTF-8 byte order on the string legs ([[utf8Order]]) — the
+          // batch twin's sort order, which differs from Java's on
+          // mixed BMP-high/astral payloads (fuzz text axis)
           val best = (rows ++ state.getOption.iterator)
-            .maxBy(e => (e.version, e.payload, e.op))
+            .max(Ordering.by[CdcEntry, (Long, String, String)](
+              e => (e.version, e.payload, e.op))(
+              Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order)))
           state.update(best)
           CdcOut(key, best.version, best.payload, best.op == deleteOp)
       }
@@ -426,7 +456,9 @@ object EventStream {
     val lnB = math.log(beta / (1 - alpha))
     val wPos = math.log(p1 / p0)
     val wNeg = math.log((1 - p1) / (1 - p0))
-    obs.groupByKey(_.key)
+    // null-instant complete-case (the batch twin's fuzz-37 contract) —
+    // micros(null) would NPE the in-batch ordering
+    obs.filter(_.ts != null).groupByKey(_.key)
       .flatMapGroupsWithState[SprtState, SprtDecision](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[SprtObs],
@@ -480,7 +512,8 @@ object EventStream {
   def phStream(obs: Dataset[PhObs], delta: Double, lambda: Double)
       : Dataset[PhAlarm] = {
     import obs.sparkSession.implicits._
-    obs.groupByKey(_.key)
+    // null-instant complete-case (the batch twin's fuzz-37 contract)
+    obs.filter(_.ts != null).groupByKey(_.key)
       .flatMapGroupsWithState[PhState, PhAlarm](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[PhObs],
@@ -535,7 +568,8 @@ object EventStream {
     require(qVar >= 0, s"process variance must be >= 0, got $qVar")
     require(rVar > 0, s"observation variance must be > 0, got $rVar")
     import obs.sparkSession.implicits._
-    obs.groupByKey(_.key)
+    // null-instant complete-case (the batch twin's fuzz-37 contract)
+    obs.filter(_.ts != null).groupByKey(_.key)
       .flatMapGroupsWithState[KalmanState, KalmanEstimate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[KalmanObs],

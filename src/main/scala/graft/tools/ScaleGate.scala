@@ -39,8 +39,8 @@ object ScaleGate {
     // minimal JSON pluck: the "queries" object is flat {"name":sec,...}
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(benchJson)), "UTF-8")
-    val qObj = txt.substring(txt.indexOf("\"queries\":{") + 11)
-    val baseTimes = "\"([^\"]+)\":([0-9.Ee+-]+)".r
+    val qObj = txt.substring("\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).get.end)
+    val baseTimes = "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
       .findAllMatchIn(qObj.substring(0, qObj.indexOf('}')))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val top = baseTimes.toSeq.sortBy(-_._2).take(topN)

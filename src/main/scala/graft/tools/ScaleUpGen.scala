@@ -58,7 +58,11 @@ object ScaleUpGen {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
-    val skew = args.length > 3 && args(3) == "skew"
+    val mode = if (args.length > 3) args(3) else ""
+    require(mode == "" || mode == "skew" || mode == "textskew",
+      s"mode must be '', 'skew' or 'textskew', got '$mode'")
+    val skew = mode == "skew"
+    val textSkew = mode == "textskew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -136,11 +140,33 @@ object ScaleUpGen {
             concat(slice(col("embedding"), i + 1, 10000),
               slice(col("embedding"), 1, i)))))
 
+    // textskew: the realest 100-TB TEXT skew is boilerplate — one
+    // header shingle block in ~30% of docs (site templates, license
+    // footers, newsletter banners). Fact keys stay uniform so the axis
+    // is isolated: only the postings family (shingle df distribution)
+    // sees the change. Hash-deterministic per doc_id.
+    val boilerplate = "subscribe to our newsletter for weekly updates " +
+      "terms and conditions apply all rights reserved copyright " +
+      "twenty twenty four"
+    val textSkewed: Seq[(String, DataFrame)] =
+      if (!textSkew) outputs
+      else outputs.map {
+        case ("documents", df) =>
+          "documents" -> df
+            .withColumn("text",
+              when(pmod(xxhash64(col("doc_id"), lit("bp")),
+                lit(100L)) < 30,
+                concat(lit(boilerplate + " "), col("text")))
+                .otherwise(col("text")))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        case other => other
+      }
+
     // skew remap AFTER scaling so the hot keys draw from the full 10×
     // row population; each fact's stable row identity seeds the draw
     val skewed: Seq[(String, DataFrame)] =
-      if (!skew) outputs
-      else outputs.map {
+      if (!skew) textSkewed
+      else textSkewed.map {
         case ("orders", df) =>
           "orders" -> zipfHot(df, "o_custkey", Seq("o_orderkey"), "oc")
         case ("lineitem", df) =>

@@ -41,7 +41,10 @@ object SkewGate {
     "q107_fuzzy_join", "q24_ngram_jaccard", "q33_minhash_lsh",
     "q258_containment", "q81_salted_join", "q61_key_skew",
     "q17_sessionize", "q50_session_window", "q96_pmi_pairs",
-    "q149_rfm", "q77_funnel")
+    "q149_rfm", "q77_funnel",
+    // text-postings family (the round-14 boilerplate/text-skew axis:
+    // hot shingles stress df-caps and prefix filters)
+    "q128_phrase_search", "q49_bm25", "q418_winnowing", "q422_dict_scrub")
 
   def main(args: Array[String]): Unit = {
     val uniformDir = if (args.nonEmpty) args(0) else "tmp/sf1"
@@ -62,8 +65,8 @@ object SkewGate {
     }
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(bj)), "UTF-8")
-    val qObj = txt.substring(txt.indexOf("\"queries\":{") + 11)
-    val baseTimes = "\"([^\"]+)\":([0-9.Ee+-]+)".r
+    val qObj = txt.substring("\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).get.end)
+    val baseTimes = "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
       .findAllMatchIn(qObj.substring(0, qObj.indexOf('}')))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val top = baseTimes.toSeq.sortBy(-_._2).take(topN).map(_._1)

@@ -14,7 +14,18 @@ import org.apache.spark.sql.types.LongType
   * (not `/`) matters: nanos ~1.7e18 exceed double precision.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    // SQLConf is SESSION-global: the set/restore window below is a race
+    // when two threads of one session load tables concurrently (thread
+    // B's restore can unset the conf mid-resolution of thread A's read,
+    // which Spark 4 then refuses). The toggle only covers driver-side
+    // schema resolution — milliseconds of metadata work — so one global
+    // lock serializes it without serializing any execution
+    // (ConcurrentGateSpec pins the concurrent-load path).
+    synchronized { loadLocked(spark, dir, name) }
+
+  private def loadLocked(spark: SparkSession, dir: String,
+                         name: String): DataFrame = {
     // The legacy conf is needed only while the parquet footer schema is
     // resolved into the plan; restore the caller's setting afterwards so
     // loading a test table doesn't permanently change how the session

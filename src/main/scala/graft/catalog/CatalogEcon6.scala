@@ -137,9 +137,10 @@ object CatalogEcon6 {
         |        LEFT JOIN (SELECT y AS cls, c AS tp FROM cl
         |                   WHERE y = p) tp USING (cls)
         |        WHERE support > 0),
-        |mf AS (SELECT avg(f1) AS mf1 FROM f1s)
+        |mf AS (SELECT round(sum(f1) * 1e4) / (1e4 * count(*)) AS mf1
+        |       FROM f1s)
         |SELECT n, round(ok::DOUBLE / n, 4) AS accuracy,
-        |  round(mf1, 4) AS macro_f1,
+        |  mf1 AS macro_f1,
         |  round(sump::DOUBLE / (n * n), 4) AS expected_agreement,
         |  CASE WHEN sump < n * n THEN
         |    round((ok::DOUBLE / n - sump::DOUBLE / (n * n)) /

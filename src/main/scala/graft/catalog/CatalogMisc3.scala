@@ -56,7 +56,12 @@ object CatalogMisc3 {
           .as("micro_recall"),
         round(sum($"ni") * 2.0 / (sum($"np") + sum($"nt")), 4)
           .as("micro_f1"),
-        round(avg(f1), 4).as("macro_f1"))
+        // q94 snap-divide (fuzz-44's q202 class, applied to the same
+        // statistic here): per-customer f1 quantizes to the 4-dp grid,
+        // the sum snaps to exact integer ten-thousandths, one exact
+        // division, no final round
+        (round(sum(round(f1, 4)) * 1e4) /
+          (lit(1e4) * count(lit(1)))).as("macro_f1"))
     },
     Some("""WITH pred AS (
            |  SELECT DISTINCT o_custkey, p_brand
@@ -88,7 +93,8 @@ object CatalogMisc3 {
            |  round(sum(ni) / sum(np)::DOUBLE, 4) AS micro_precision,
            |  round(sum(ni) / sum(nt)::DOUBLE, 4) AS micro_recall,
            |  round(sum(ni) * 2.0 / (sum(np) + sum(nt)), 4) AS micro_f1,
-           |  round(avg(ni * 2.0 / (np + nt)), 4) AS macro_f1
+           |  round(sum(round(ni * 2.0 / (np + nt), 4)) * 1e4)
+           |    / (1e4 * count(*)) AS macro_f1
            |FROM st""".stripMargin))
 
   /** X169: calendar-gap freshness audit — days in each priority's

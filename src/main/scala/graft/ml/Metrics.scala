@@ -44,10 +44,13 @@ object Metrics {
         nullif(col("predicted") + col("support"), lit(0L)), 4).as("f1"))
   }
 
-  /** One-row agreement panel: (n, accuracy 4-dp, macro_f1 4-dp —
-    * classes averaged over the TRUE-label domain, the sklearn
-    * convention — expected_agreement 4-dp, cohens_kappa 4-dp; κ null
-    * when chance agreement is 1). */
+  /** One-row agreement panel: (n, accuracy 4-dp, macro_f1 — classes
+    * averaged over the TRUE-label domain, the sklearn convention, as a
+    * snap-divided double (per-class f1 is already 4-dp, the sum snaps
+    * to exact integer ten-thousandths, one exact division, NO final
+    * round — the q94/q200 fuzz-44 discipline: a plain avg+round can
+    * straddle a .xxxx5 under cross-engine ulps) — expected_agreement
+    * 4-dp, cohens_kappa 4-dp; κ null when chance agreement is 1). */
   def agreement(df: DataFrame, labelCol: String,
                 predCol: String): DataFrame = {
     val cl = cells(df, labelCol, predCol)
@@ -61,11 +64,12 @@ object Metrics {
     val pe = margins.agg(sum(col("ny") * col("np")).as("__sump"))
     val f1ByClass = classificationReport(df, labelCol, predCol)
       .filter(col("support") > 0)
-      .agg(avg(coalesce(col("f1"), lit(0.0))).as("__mf1"))
+      .agg((round(sum(coalesce(col("f1"), lit(0.0))) * 1e4) /
+        (lit(1e4) * count(lit(1)))).as("__mf1"))
     n.crossJoin(broadcast(pe)).crossJoin(broadcast(f1ByClass))
       .select(col("n"),
         round(col("ok").cast("double") / col("n"), 4).as("accuracy"),
-        round(col("__mf1"), 4).as("macro_f1"),
+        col("__mf1").as("macro_f1"),
         round(col("__sump").cast("double") / (col("n") * col("n")), 4)
           .as("expected_agreement"),
         when(col("__sump") < col("n") * col("n"),

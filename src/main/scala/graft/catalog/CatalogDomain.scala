@@ -381,7 +381,8 @@ object CatalogDomain {
     },
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
            |       event_type, count(*) AS n_events,
-           |       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+           |       round(sum(value), 4) AS sum_value,
+           |       round(sum(round(value, 4)) * 1e4) / (1e4 * count(*)) AS avg_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** J2 positional-fallback shape (`pipeline2.py:392-401`): two relations

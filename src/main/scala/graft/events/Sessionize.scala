@@ -60,7 +60,17 @@ object Sessionize {
         "yyyy-MM-dd HH:mm:ss").as("bucket"), col(typeCol))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 4).as("sum_value"),
-        round(avg(col(valueCol)), 4).as("avg_value"))
+        // q94 snap-divide (fuzz-45): a grid-valued sum divided by the
+        // bucket count can land EXACTLY on a .xxxx5 (226.15/8 =
+        // 28.26875), where cross-engine sum-order ulps flip a plain
+        // round(avg, 4). Quantize terms to the 4-dp grid (lossless on
+        // the cents-grid value column), snap the sum to exact integer
+        // ten-thousandths, ONE exact division, no final round. A
+        // grid-valued SUM itself is safe (its true value has ≤ 4
+        // decimals, never half-way at the 4-dp grain), so sum_value
+        // keeps the plain round.
+        (round(sum(round(col(valueCol), 4)) * 1e4) /
+          (lit(1e4) * count(lit(1)))).as("avg_value"))
 
   /** Bounded-window dedup (batch analogue of
     * dropDuplicatesWithinWatermark): one row per (user, type, minute

@@ -34,7 +34,10 @@ object EventStream {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        // snap-divided like the batch twin (Sessionize.tumbling,
+        // fuzz-45) so backfill-vs-stream rows stay byte-identical
+        (round(sum(round(col("value"), 4)) * 1e4) /
+          (lit(1e4) * count(lit(1)))).as("avg_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n_events"), col("sum_value"),

@@ -266,5 +266,133 @@ object CatalogR13 {
            |FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id
            |ORDER BY c.id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q421, q422, q423)
+  // ------------------------------------------------------------------
+  // q424: robots-style longest-prefix path rules
+  // ------------------------------------------------------------------
+
+  /** X332: crawl path filtering ([[graft.text.UrlOps.applyPathRules]])
+    * — synthesized (host, path) rows against a pinned rule snapshot
+    * exercising longest-prefix override (/admin/public beats /admin/),
+    * the equal-length ALLOW-wins tie (/dup appears with both verdicts),
+    * and the no-rule default. */
+  private val q424 = Q("q424_robots_rules",
+    (s, dir) => {
+      import s.implicits._
+      val k = $"k"
+      val u = t(s, dir, "customer").select($"c_custkey".as("k"))
+        .select(k,
+          concat(lit("site"), (k % 7).cast("string"), lit(".com"))
+            .as("host"),
+          when(k % 5 === 0,
+            concat(lit("/admin/public/page"), (k % 3).cast("string")))
+            .when(k % 5 === 1, lit("/admin/secret"))
+            .when(k % 5 === 2, concat(lit("/p/"), (k % 30).cast("string")))
+            .when(k % 5 === 3, lit("/dup"))
+            .otherwise(lit("/")).as("path"))
+      val rules = (0 until 7).flatMap { i =>
+        Seq((s"site$i.com", "/admin/", false),
+          (s"site$i.com", "/admin/public", true),
+          (s"site$i.com", "/dup", true),
+          (s"site$i.com", "/dup", false),
+          (s"site$i.com", "/tmp", false))
+      }.toDF("host", "path_prefix", "allow")
+      UrlOps.applyPathRules(u, "k", "host", "path", rules)
+        .orderBy($"k")
+    },
+    Some(s"""WITH u AS (
+           |  SELECT c_custkey AS k,
+           |    'site' || (c_custkey%7) || '.com' AS host,
+           |    CASE c_custkey%5
+           |      WHEN 0 THEN '/admin/public/page' || (c_custkey%3)
+           |      WHEN 1 THEN '/admin/secret'
+           |      WHEN 2 THEN '/p/' || (c_custkey%30)
+           |      WHEN 3 THEN '/dup' ELSE '/' END AS path
+           |  FROM customer),
+           |r(host, pfx, allow) AS (VALUES
+           |  ${(0 until 7).flatMap(i => Seq(
+               s"('site$i.com','/admin/',false)",
+               s"('site$i.com','/admin/public',true)",
+               s"('site$i.com','/dup',true)",
+               s"('site$i.com','/dup',false)",
+               s"('site$i.com','/tmp',false)")).mkString(",")}),
+           |best AS (SELECT k, allow FROM (
+           |    SELECT u.k, r.allow, row_number() OVER (PARTITION BY u.k
+           |      ORDER BY length(r.pfx) DESC, r.allow DESC) AS rn
+           |    FROM u JOIN r ON u.host = r.host
+           |      AND starts_with(u.path, r.pfx)) WHERE rn = 1)
+           |SELECT u.k, u.host, u.path,
+           |  coalesce(best.allow, true) AS allowed
+           |FROM u LEFT JOIN best USING (k) ORDER BY u.k""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // q425: canonical-URL dedup
+  // ------------------------------------------------------------------
+
+  /** X333: canonical-URL dedup — per-doc URL variants (mixed case +
+    * default port, trailing slash, utm params, a REAL distinguishing
+    * param) collapse under [[UrlOps.canonicalizeUrl]] to the crawl's
+    * true page identity; dedup keeps (min doc_id) per canonical URL.
+    * The variant classes are constructed so canonicalization MERGES
+    * three of the four shapes and keeps `?id=1` distinct. */
+  private val q425 = Q("q425_url_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val d = $"doc_id"
+      val urls = t(s, dir, "documents").select(d,
+        when(d % 4 === 0, concat(lit("https://www.ex"),
+          (d % 40).cast("string"), lit(".com/p/"), (d % 25).cast("string")))
+          .when(d % 4 === 1, concat(lit("HTTPS://WWW.EX"),
+            (d % 40).cast("string"),
+            lit(".COM:443/p/"), (d % 25).cast("string"),
+            lit("?utm_source=x")))
+          .when(d % 4 === 2, concat(lit("https://www.ex"),
+            (d % 40).cast("string"), lit(".com/p/"), (d % 25).cast("string"),
+            lit("/")))
+          .otherwise(concat(lit("https://www.ex"),
+            (d % 40).cast("string"), lit(".com/p/"), (d % 25).cast("string"),
+            lit("?id=1"))).as("url"))
+      urls.select(d, UrlOps.canonicalizeUrl($"url").as("canon"))
+        .groupBy($"canon")
+        .agg(min(d).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy($"canon")
+    },
+    Some(s"""WITH urls AS (
+           |  SELECT doc_id,
+           |    CASE doc_id%4
+           |      WHEN 0 THEN 'https://www.ex' || (doc_id%40) ||
+           |        '.com/p/' || (doc_id%25)
+           |      WHEN 1 THEN 'HTTPS://WWW.EX' || (doc_id%40) ||
+           |        '.COM:443/p/' || (doc_id%25) || '?utm_source=x'
+           |      WHEN 2 THEN 'https://www.ex' || (doc_id%40) ||
+           |        '.com/p/' || (doc_id%25) || '/'
+           |      ELSE 'https://www.ex' || (doc_id%40) ||
+           |        '.com/p/' || (doc_id%25) || '?id=1' END AS url
+           |  FROM documents),
+           |parts AS (SELECT doc_id, url,
+           |    regexp_extract(url, '$urlRegexSql', 1) AS sch_raw,
+           |    regexp_extract(url, '$urlRegexSql', 2) AS auth,
+           |    regexp_extract(url, '$urlRegexSql', 3) AS rawpath,
+           |    regexp_extract(url, '$urlRegexSql', 4) AS rawq
+           |  FROM urls),
+           |parts2 AS (SELECT *, lower(sch_raw) AS scheme,
+           |    lower(regexp_replace(regexp_replace(auth, '^[^@]*@', ''),
+           |      ':[0-9]*$$', '')) AS host,
+           |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+           |    array_to_string(list_filter(string_split(rawq, '&'),
+           |      x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS q
+           |  FROM parts),
+           |canon0 AS (SELECT doc_id, CASE WHEN sch_raw = '' THEN NULL ELSE
+           |    scheme || '://' || host ||
+           |    (CASE WHEN port <> '' AND NOT (scheme='http' AND port='80')
+           |      AND NOT (scheme='https' AND port='443')
+           |      THEN ':'||port ELSE '' END) ||
+           |    (CASE WHEN rawpath IN ('','/') THEN '/'
+           |      ELSE regexp_replace(rawpath, '/$$', '') END) ||
+           |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END) END AS canon
+           |  FROM parts2)
+           |SELECT canon, min(doc_id) AS keep_id,
+           |  count(*)::BIGINT AS n_docs
+           |FROM canon0 GROUP BY canon ORDER BY canon""".stripMargin))
+
+  val all: Seq[Q] = Seq(q421, q422, q423, q424, q425)
 }

@@ -106,4 +106,33 @@ object UrlOps {
     df.join(broadcast(resolved),
       df(hostCol) === resolved("__host"), "left").drop("__host")
   }
+
+  /** Robots-style longest-prefix path rules — the crawl-filter step of
+    * every web pipeline: for each (host, path) row the MOST SPECIFIC
+    * rule from the snapshot `rules` table (columns host, path_prefix,
+    * allow BOOLEAN) decides, rules of equal length resolve ALLOW-wins
+    * (the REP tie convention), and a row matching no rule is allowed
+    * (the robots default). Adds `outCol` BOOLEAN.
+    *
+    * Scale shape: the rules snapshot is domain-bounded and broadcasts;
+    * matching is ONE broadcast join (host equality + startsWith — no
+    * explode, no per-rule scan) and one per-id max over the struct
+    * (prefix length, allow), then an id-grain join back. At 100 TB the
+    * fact side streams through map-side work only. */
+  def applyPathRules(df: DataFrame, idCol: String, hostCol: String,
+                     pathCol: String, rules: DataFrame,
+                     outCol: String = "allowed"): DataFrame = {
+    val r = broadcast(rules.select(col("host").as("__rh"),
+      col("path_prefix").as("__rp"),
+      col("allow").cast("int").as("__ra")))
+    val best = df.select(col(idCol), col(hostCol), col(pathCol))
+      .join(r, col(hostCol) === col("__rh") &&
+        col(pathCol).startsWith(col("__rp")))
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("__rp")).as("l"), col("__ra").as("a")))
+        .as("__best"))
+      .select(col(idCol), (col("__best.a") === 1).as(outCol))
+    df.join(best, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(true)))
+  }
 }

@@ -44,6 +44,28 @@ class UrlOpsSpec extends SparkSuite {
     assert(canon("/relative/only").isEmpty)
   }
 
+  test("path rules: longest prefix wins, equal-length ties ALLOW, " +
+    "no-rule default allows") {
+    val rules = Seq(
+      ("a.com", "/admin/", false),
+      ("a.com", "/admin/public", true),
+      ("a.com", "/dup", true),
+      ("a.com", "/dup", false),
+      ("b.com", "/", false)).toDF("host", "path_prefix", "allow")
+    val rows = Seq(
+      (1L, "a.com", "/admin/secret"),      // blocked by /admin/
+      (2L, "a.com", "/admin/public/x"),    // longest prefix overrides
+      (3L, "a.com", "/dup"),               // equal-length tie -> allow
+      (4L, "a.com", "/free"),              // no rule -> default allow
+      (5L, "b.com", "/anything"),          // site-wide block
+      (6L, "c.com", "/admin/secret"))      // no rules for host at all
+      .toDF("id", "host", "path")
+    val got = UrlOps.applyPathRules(rows, "id", "host", "path", rules)
+      .select($"id", $"allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> true))
+  }
+
   test("registrable domain: longest suffix wins, fallbacks pinned") {
     val suffixes = Seq("com", "uk", "co.uk", "ac.uk", "github.io", "io")
       .toDF("suffix")

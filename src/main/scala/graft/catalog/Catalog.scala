@@ -34,27 +34,49 @@ object Catalog {
   // ---------------------------------------------------------------- A: core relational
 
   /** A5/A6/A11: grouped sums/avgs/counts with map-side partial aggregation
-    * (TPC-H Q1 shape). */
+    * (TPC-H Q1 shape).
+    *
+    * Round-15 exact-accumulation discipline (the q17 sf1-skew class,
+    * generalized): every emitted figure here is a GRID-valued aggregate
+    * — quantity integer, money cents, disc_price on the 1e-4 grid — so
+    * float sums + a final round invite cross-engine ulp flips once
+    * group sums grow (at 100 TB a naive double money sum's error
+    * exceeds the half-cent margin). Sums accumulate in DECIMAL (exact,
+    * order-independent, overflow-safe to 38 digits); averages are
+    * integer-ratio half-up via `div` in integer space (one exact IEEE
+    * division at the end). Oracle mirrors every step. */
   private val q1 = Q("q1_pricing_agg",
     (s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          round(sum($"l_quantity".cast("decimal(28,2)")), 2)
+            .cast("double").as("sum_qty"),
+          round(sum($"l_extendedprice".cast("decimal(28,2)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(30,4)")), 2).cast("double").as("sum_disc_price"),
+          sum(round($"l_quantity").cast("long")).as("__sq"),
+          sum(round($"l_discount" * 100).cast("long")).as("__sd"),
           count(lit(1)).as("count_order"))
+        .select($"l_returnflag", $"l_linestatus", $"sum_qty",
+          $"sum_base_price", $"sum_disc_price",
+          (expr("(2*__sq*10000 + count_order) div (2*count_order)") / 1e4)
+            .as("avg_qty"),
+          (expr("(200*__sd + count_order) div (2*count_order)") / 1e4)
+            .as("avg_disc"),
+          $"count_order")
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           | round(sum(l_quantity), 2) AS sum_qty,
-           | round(sum(l_extendedprice), 2) AS sum_base_price,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-           | round(avg(l_quantity), 4) AS avg_qty,
-           | round(avg(l_discount), 4) AS avg_disc,
+           | CAST(round(sum(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_qty,
+           | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_base_price,
+           | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_disc_price,
+           | ((2*sum(CAST(round(l_quantity) AS BIGINT))*10000 + count(*))
+           |   // (2*count(*))) / 1e4 AS avg_qty,
+           | ((200*sum(CAST(round(l_discount*100) AS BIGINT)) + count(*))
+           |   // (2*count(*))) / 1e4 AS avg_disc,
            | count(*) AS count_order
            |FROM lineitem GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin))
@@ -66,10 +88,15 @@ object Catalog {
       import s.implicits._
       t(s, dir, "lineitem")
         .filter($"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
-        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        // revenue terms sit on the 1e-4 grid (cents × 2-dp discount):
+        // exact DECIMAL accumulation, half-up at 2 dp, one cast (q1's
+        // round-15 discipline — a float sum rounded coarser than its
+        // grid can straddle a .xx5 under sum-order ulps)
+        .agg(round(sum(($"l_extendedprice" * $"l_discount")
+            .cast("decimal(30,4)")), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
     },
-    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    Some("""SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
            | count(*) AS n_rows
            |FROM lineitem
            |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))

@@ -302,7 +302,18 @@ object CatalogDomain {
            |      + 0.4 * avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS score
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  /** Gap-based sessionization (30-min) rolled up per user. */
+  /** Gap-based sessionization (30-min) rolled up per user.
+    *
+    * total_duration_sec is snap-divided from the EXACT long microsecond
+    * sum: durations sit on the microsecond grid, so the rollup sums
+    * `duration_us` (exact integer, order-independent), applies half-up
+    * at the 2-dp grain in INTEGER space (`(sum_us + 5000) div 10^4`),
+    * and divides once — no round over a float sum. The old
+    * `round(sum(duration_sec), 2)` diverged from DuckDB on the sf1-skew
+    * fat key (user 8215: float-sum ulps straddled 2687.695). The
+    * sum is ≤ 2^53 µs (≈ 285 years) so the snap division is exact in
+    * IEEE double on both engines. total_value sums a 4-dp-grid value
+    * and rounds at the SAME grain — safe (never half-way). */
   private val q17 = Q("q17_sessionize",
     (s, dir) => {
       import s.implicits._
@@ -310,7 +321,8 @@ object CatalogDomain {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_sessions"),
           max($"n_events").as("max_session_events"),
-          round(sum($"duration_sec"), 2).as("total_duration_sec"),
+          (floor((sum($"duration_us") + lit(5000L)) / lit(10000L)) / 100.0)
+            .as("total_duration_sec"),
           round(sum($"total_value"), 4).as("total_value"))
         .orderBy($"user_id")
     },
@@ -326,12 +338,12 @@ object CatalogDomain {
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
            |      FROM x),
            |s AS (SELECT user_id, sess, count(*) AS n_events,
-           |        (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur,
+           |        epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
            |        round(sum(value), 4) AS val
            |      FROM y GROUP BY 1, 2)
            |SELECT user_id, count(*)::BIGINT AS n_sessions,
            |       max(n_events)::BIGINT AS max_session_events,
-           |       round(sum(dur), 2) AS total_duration_sec,
+           |       floor((sum(dur_us) + 5000) / 10000) / 100.0 AS total_duration_sec,
            |       round(sum(val), 4) AS total_value
            |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
 
@@ -1208,12 +1220,21 @@ object CatalogDomain {
         .join(thresh, Seq("l_partkey"))
         .filter($"l_quantity" < $"__thresh")
         .groupBy($"p_brand")
-        .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"),
+        // avg_yearly = (cents sum)/7 rounded at 2 dp — a grid sum under
+        // a DIVISION can land exactly on a .xx5, so the emission is
+        // integer half-up: exact cents via round(x*100)::long, then
+        // floor((2c+7)/14)/100 in integer space (q17's round-15
+        // discipline); oracle mirrors.
+        .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("__c"),
           count(lit(1)).as("n_small"))
+        .select($"p_brand",
+          (expr("(2*__c + 7) div 14") / 100.0).as("avg_yearly"),
+          $"n_small")
         .orderBy($"p_brand")
     },
     Some("""SELECT p_brand,
-           |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           |  ((2*sum(CAST(round(l_extendedprice*100) AS BIGINT)) + 7)
+           |    // 14) / 100.0 AS avg_yearly,
            |  count(*) AS n_small
            |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
            |WHERE p_size <= 5

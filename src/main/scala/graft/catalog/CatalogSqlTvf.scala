@@ -26,9 +26,13 @@ object CatalogSqlTvf {
     (s, dir) => {
       graft.sql.TableFunctions.register(s)
       t(s, dir, "events").createOrReplaceTempView("events_tvf")
+      // total_duration_sec snap-divided from the exact µs sum (q17's
+      // sf1-skew fix): integer half-up at 2 dp, one division, no round
+      // over a float sum.
       s.sql("""SELECT user_id, count(*) AS n_sessions,
               |  max(n_events) AS max_session_events,
-              |  round(sum(duration_sec), 2) AS total_duration_sec,
+              |  cast(floor((sum(duration_us) + 5000) / 10000) as double) / 100
+              |    AS total_duration_sec,
               |  round(sum(total_value), 4) AS total_value
               |FROM graft_sessions('events_tvf', 'ts', 'user_id',
               |                    'value', 1800)
@@ -46,12 +50,12 @@ object CatalogSqlTvf {
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
            |      FROM x),
            |s AS (SELECT user_id, sess, count(*) AS n_events,
-           |        (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur,
+           |        epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
            |        round(sum(value), 4) AS val
            |      FROM y GROUP BY 1, 2)
            |SELECT user_id, count(*)::BIGINT AS n_sessions,
            |       max(n_events)::BIGINT AS max_session_events,
-           |       round(sum(dur), 2) AS total_duration_sec,
+           |       floor((sum(dur_us) + 5000) / 10000) / 100.0 AS total_duration_sec,
            |       round(sum(val), 4) AS total_value
            |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
 

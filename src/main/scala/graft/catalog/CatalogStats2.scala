@@ -172,7 +172,7 @@ object CatalogStats2 {
            |  FROM degc LEFT JOIN intra ON degc.c = intra.c, m)
            |SELECT c AS community, n_nodes, intra_edges, degree_sum,
            |  round(qc, 6) AS q_contrib,
-           |  round(sum(qc) OVER (), 6) AS q_total
+           |  round(sum(round(qc, 6)) OVER () * 1e6) / 1e6 AS q_total
            |FROM r ORDER BY community""".stripMargin))
 
   /** X121: degree assortativity

@@ -36,7 +36,16 @@ object Sessionize {
   }
 
   /** Per-session aggregates: (user_id, session_seq, n_events, start/end,
-    * duration in seconds, total value). */
+    * duration in exact integer microseconds AND in seconds, total value).
+    *
+    * `duration_us` is the EXACT long — downstream rollups that sum
+    * durations must sum this column and divide once (see q17): summing
+    * the binary-inexact `duration_sec` doubles and rounding the sum lets
+    * cross-engine sum-order ulps flip the round on a fat key whose total
+    * lands on a .xx5 boundary (found by the sf1-skew oracle, round 14:
+    * hot user 8215, 46 sessions, 2687.695 total). `duration_sec` itself
+    * is one IEEE division of the exact long — bit-identical across
+    * engines — kept for per-session consumers. */
   def sessions(events: DataFrame, tsCol: String, userCol: String,
                valueCol: String, gapSeconds: Long): DataFrame =
     withSessionIds(events, tsCol, userCol, gapSeconds)
@@ -45,6 +54,8 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          .as("duration_us"),
         ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
           / 1000000.0).as("duration_sec"),
         round(sum(col(valueCol)), 4).as("total_value"))

@@ -55,12 +55,18 @@ object Modularity {
         (col("degree_sum") / (lit(2.0) * md))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
+    // q_total = the exact sum of the EMITTED 6-dp contributions, snapped
+    // to integer millionths before the one division (round-15 audit:
+    // rounding a float window-sum of irrational terms lets cross-engine
+    // sum-order ulps flip the 6th decimal; summing the already-rounded
+    // grid terms and snapping makes both engines' doubles identical by
+    // construction, and keeps the invariant q_total == Σ q_contrib).
     degC.join(intra, Seq("__c"), "left")
       .select(col("__c").as(community), col("n_nodes"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
         col("degree_sum"),
         round(contrib, 6).as("q_contrib"),
-        round(sum(contrib).over(w), 6).as("q_total"))
+        (round(sum(round(contrib, 6)).over(w) * 1e6) / 1e6).as("q_total"))
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

@@ -35,6 +35,30 @@ class SessionizeSpec extends SparkSuite {
     assert(s.toSeq == Seq(600.0))
   }
 
+  test("duration_us is the exact long and snap-divides on a .xx5 total") {
+    // Two sessions whose true total duration is 0.695 s — exactly
+    // half-way at 2 dp. Float summing 0.35 + 0.345 gives
+    // 0.6950000000000001 (rounds UP by luck of the ulp); the exact-µs
+    // path must give floor((695000 + 5000)/10000)/100 = 0.70
+    // deterministically, independent of sum order (the sf1-skew q17
+    // class).
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00.35"), 1L, "a", 0.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "a", 0.0),
+      (4L, Timestamp.valueOf("2024-01-01 12:00:00.345"), 1L, "a", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s = Sessionize.sessions(e, "ts", "user_id", "value", 1800L)
+    val us = s.orderBy("session_seq").select("duration_us")
+      .as[Long].collect().toSeq
+    assert(us == Seq(350000L, 345000L))
+    val snapped = s.groupBy($"user_id")
+      .agg((floor((sum($"duration_us") + lit(5000L)) / lit(10000L)) / 100.0)
+        .as("total_duration_sec"))
+      .select("total_duration_sec").as[Double].collect().toSeq
+    assert(snapped == Seq(0.7))
+  }
+
   test("tumbling hourly window groups by bucket and type") {
     val t = Sessionize.tumbling(events, "ts", "event_type", "value", "hour")
       .orderBy("bucket", "event_type")

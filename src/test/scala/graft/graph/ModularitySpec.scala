@@ -12,7 +12,10 @@ class ModularitySpec extends SparkSuite {
   test("modularity: two-community split of bridged triangles") {
     // m=7; communities A={1,2,3}, B={4,5,6}: intra 3 each,
     // degrees A = 2+2+3 = 7, B = 7
-    // qc = 3/7 - (7/14)^2 = 0.428571 - 0.25 = 0.178571; Q = 0.357143
+    // qc = 3/7 - (7/14)^2 = 0.428571 - 0.25 = 0.178571 (6 dp);
+    // q_total is the exact sum of the EMITTED 6-dp contribs (round-15
+    // snap contract): 0.178571 * 2 = 0.357142 — NOT round(2·(3/7 −
+    // 1/4), 6) = 0.357143; the invariant is q_total == Σ q_contrib.
     val comm = Seq((1L, "A"), (2L, "A"), (3L, "A"),
       (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "community")
     val r = Modularity.modularity(twoTriangles, "s", "d",
@@ -20,8 +23,8 @@ class ModularitySpec extends SparkSuite {
       .orderBy("community")
       .as[(String, Long, Long, Long, Double, Double)].collect()
     assert(r.length == 2)
-    assert(r(0) == (("A", 3L, 3L, 7L, 0.178571, 0.357143)))
-    assert(r(1) == (("B", 3L, 3L, 7L, 0.178571, 0.357143)))
+    assert(r(0) == (("A", 3L, 3L, 7L, 0.178571, 0.357142)))
+    assert(r(1) == (("B", 3L, 3L, 7L, 0.178571, 0.357142)))
   }
 
   test("modularity: everything in one community scores zero") {

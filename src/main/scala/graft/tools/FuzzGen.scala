@@ -148,6 +148,36 @@ object FuzzGen {
     "o_orderpriority", "l_returnflag", "l_linestatus", "event_type",
     "lang", "source", "p_brand", "p_type")
 
+  /** Generator v4 (seeds >= 48, round-15 skew axis): Zipf-remap GROUP/
+    * JOIN keys so every fuzz sweep also runs a fat key. q17's
+    * sf1-skew divergence (float-sum ulps on a 46-session hot user)
+    * was unreachable by v1–v3, whose keys stay uniform — value shape
+    * alone never concentrates enough mass on one group for sum-order
+    * effects to bite. Same inverse-CDF construction as
+    * [[ScaleUpGen]]'s skew mode (H=8 hot keys, Zipf α=1.1, 50% hot
+    * mass → top key ≈ 20% of all rows), drawn from the v4 hash stream
+    * so seeds < 48 reproduce bit-for-bit. Remapped FK columns may
+    * dangle after the drop filter — harmless for parity (the oracle
+    * reads the same fuzzed parquet) and it adds the empty-join shape
+    * for free. */
+  private val skewKeys = Map(
+    "events" -> Seq("user_id"),
+    "orders" -> Seq("o_custkey"),
+    "lineitem" -> Seq("l_partkey", "l_suppkey"))
+  private val SkewH = 8
+  private val SkewHotMass = 0.5
+  private val SkewAlpha = 1.1
+  private def fuzzKey(table: String, c: String, seed: Long)
+                     (in: Column): Column = {
+    val w = (1 to SkewH).map(i => 1.0 / math.pow(i, SkewAlpha))
+    val cum = w.scanLeft(0.0)(_ + _).tail.map(_ / w.sum)
+    def u(tag: String) = h(table, c + tag, seed) / 1000.0
+    var rank: Column = lit((SkewH - 1).toLong)
+    for (i <- (SkewH - 1) to 1 by -1)
+      rank = when(u("!v4r") < cum(i - 1), lit((i - 1).toLong)).otherwise(rank)
+    when(u("!v4") < SkewHotMass, rank).otherwise(in)
+  }
+
   /** Untouched columns: keys preserve FK structure; props stays valid
     * JSON; embeddings stay NaN-free finite vectors. */
   private def untouched(c: String): Boolean =
@@ -157,10 +187,12 @@ object FuzzGen {
 
   /** The pure, seed-deterministic perturbation (unit-pinned). */
   def perturb(table: String, df: DataFrame, seed: Long): DataFrame = {
+    val skewed = skewKeys.getOrElse(table, Nil).toSet
     val cols = df.schema.fields.map { f =>
       val c = f.name
       val out =
-        if (untouched(c)) col(c)
+        if (seed >= 48 && skewed(c)) fuzzKey(table, c, seed)(col(c))
+        else if (untouched(c)) col(c)
         else if (c == "text") fuzzText(table, c, seed)
         else if (enums.contains(c)) fuzzEnum(table, c, seed)
         else f.dataType.typeName match {

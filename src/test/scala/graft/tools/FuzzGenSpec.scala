@@ -89,4 +89,36 @@ class FuzzGenSpec extends SparkSuite {
       assert(fc.filter(col("c_name").startsWith("a\r\n")).count() > 0)
     } finally f.unpersist()
   }
+
+  test("v4 (seeds >= 48): Zipf key skew — hot fat key appears on " +
+    "events.user_id; v3 seeds keep keys untouched") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val f = FuzzGen.perturb("events", ev, 48L).cache()
+    try {
+      val n = f.count().toDouble
+      val top = f.groupBy("user_id").count()
+        .orderBy(col("count").desc).limit(2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // top key is one of the 8 hot ranks and holds 10-30% of all rows
+      // (Zipf α=1.1, 50% hot mass → ≈20%); second hot key follows
+      assert(top(0)._1 >= 0L && top(0)._1 < 8L, s"top key ${top(0)}")
+      assert(top(0)._2 / n > 0.10 && top(0)._2 / n < 0.30,
+        s"top share ${top(0)._2 / n}")
+      assert(top(1)._2 / n > 0.03, s"second share ${top(1)._2 / n}")
+      // determinism
+      val again = FuzzGen.perturb("events", ev, 48L)
+      assert(f.exceptAll(again).isEmpty)
+      // v3 seeds: keys bit-identical to source (version isolation)
+      val v3 = FuzzGen.perturb("events", ev, 47L)
+      assert(v3.select("event_id", "user_id")
+        .exceptAll(ev.select("event_id", "user_id")).isEmpty)
+      // lineitem join keys skew too
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val fl = FuzzGen.perturb("lineitem", li, 48L)
+      val topPart = fl.groupBy("l_partkey").count()
+        .orderBy(col("count").desc).limit(1).head()
+      assert(topPart.getLong(0) < 8L &&
+        topPart.getLong(1) > fl.count() / 10)
+    } finally f.unpersist()
+  }
 }

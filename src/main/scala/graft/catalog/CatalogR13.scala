@@ -120,17 +120,19 @@ object CatalogR13 {
            |    regexp_extract(url, '$urlRegexSql', 4) AS rawq
            |  FROM urls),
            |parts2 AS (SELECT *, lower(sch_raw) AS scheme,
-           |    lower(regexp_replace(regexp_replace(auth, '^[^@]*@', ''),
-           |      ':[0-9]*$$', '')) AS host,
+           |    CASE WHEN sch_raw = '' THEN NULL ELSE
+           |      lower(regexp_replace(regexp_replace(auth, '^[^@]*@', ''),
+           |        ':[0-9]*$$', '')) END AS host,
            |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
            |    array_to_string(list_filter(string_split(rawq, '&'),
            |      x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS q
            |  FROM parts),
            |canon0 AS (SELECT k, host, CASE WHEN sch_raw = '' THEN NULL ELSE
            |    scheme || '://' || host ||
-           |    (CASE WHEN port <> '' AND NOT (scheme='http' AND port='80')
-           |      AND NOT (scheme='https' AND port='443')
-           |      THEN ':'||port ELSE '' END) ||
+           |    (CASE WHEN port <> ''
+           |      AND NOT (scheme='http' AND nullif(port,'')::INT = 80)
+           |      AND NOT (scheme='https' AND nullif(port,'')::INT = 443)
+           |      THEN ':'||(nullif(port,'')::INT)::VARCHAR ELSE '' END) ||
            |    (CASE WHEN rawpath IN ('','/') THEN '/'
            |      ELSE regexp_replace(rawpath, '/$$', '') END) ||
            |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END) END AS canon
@@ -383,9 +385,10 @@ object CatalogR13 {
            |  FROM parts),
            |canon0 AS (SELECT doc_id, CASE WHEN sch_raw = '' THEN NULL ELSE
            |    scheme || '://' || host ||
-           |    (CASE WHEN port <> '' AND NOT (scheme='http' AND port='80')
-           |      AND NOT (scheme='https' AND port='443')
-           |      THEN ':'||port ELSE '' END) ||
+           |    (CASE WHEN port <> ''
+           |      AND NOT (scheme='http' AND nullif(port,'')::INT = 80)
+           |      AND NOT (scheme='https' AND nullif(port,'')::INT = 443)
+           |      THEN ':'||(nullif(port,'')::INT)::VARCHAR ELSE '' END) ||
            |    (CASE WHEN rawpath IN ('','/') THEN '/'
            |      ELSE regexp_replace(rawpath, '/$$', '') END) ||
            |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END) END AS canon

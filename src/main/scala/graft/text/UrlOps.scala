@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * Canonicalization contract (pinned; the DuckDB oracle replays the
   * identical regex decomposition):
   *   - scheme and host lowercase,
-  *   - default ports dropped (`:80` for http, `:443` for https; other
-  *     ports kept),
+  *   - default ports dropped (`:80` for http, `:443` for https —
+  *     compared NUMERICALLY, so zero-padded variants like `:080` drop
+  *     too; other ports kept, re-emitted as canonical digits),
   *   - the fragment dropped,
   *   - `utm_*` tracking params dropped, remaining params kept in
   *     original order (`?` dropped when nothing survives),
@@ -41,11 +42,15 @@ object UrlOps {
   private val UrlRe =
     "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
 
-  /** Lowercased host (authority minus port + userinfo) of a URL. */
+  /** Lowercased host (authority minus port + userinfo) of a URL; NULL
+    * for inputs that don't parse as `scheme://...` — the same guard as
+    * [[canonicalizeUrl]], so malformed rows never flow into
+    * registrable-domain grouping as host "" (round-15 ADVICE). */
   def urlHost(url: Column): Column = {
     val auth = regexp_extract(url, UrlRe, 2)
     val noUser = regexp_replace(auth, "^[^@]*@", "")
-    lower(regexp_replace(noUser, ":[0-9]*$", ""))
+    when(regexp_extract(url, UrlRe, 1) === "", lit(null).cast("string"))
+      .otherwise(lower(regexp_replace(noUser, ":[0-9]*$", "")))
   }
 
   /** Canonical form per the contract above; NULL for rows that don't
@@ -55,9 +60,15 @@ object UrlOps {
     val scheme = lower(regexp_extract(url, UrlRe, 1))
     val host = urlHost(url)
     val port = regexp_extract(regexp_extract(url, UrlRe, 2), ":([0-9]+)$", 1)
+    // numeric compare so zero-padded default ports (":080", ":0443")
+    // drop too (round-15 ADVICE); the kept port is re-emitted as its
+    // canonical digits (no leading zeros) for the same reason. The
+    // when-guard (not bare cast) keeps the empty string out of the
+    // cast, so ANSI mode can't throw regardless of evaluation order.
+    val portNum = when(port =!= "", port).cast("int")
     val keepPort = port =!= "" &&
-      !(scheme === "http" && port === "80") &&
-      !(scheme === "https" && port === "443")
+      !(scheme === "http" && portNum === 80) &&
+      !(scheme === "https" && portNum === 443)
     val rawPath = regexp_extract(url, UrlRe, 3)
     val path = when(rawPath === "" || rawPath === "/", lit("/"))
       .otherwise(regexp_replace(rawPath, "/$", ""))
@@ -68,7 +79,8 @@ object UrlOps {
     when(regexp_extract(url, UrlRe, 1) === "", lit(null).cast("string"))
       .otherwise(concat(
         scheme, lit("://"), host,
-        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        when(keepPort, concat(lit(":"), portNum.cast("string")))
+          .otherwise(lit("")),
         path,
         when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }

@@ -44,6 +44,20 @@ class UrlOpsSpec extends SparkSuite {
     assert(canon("/relative/only").isEmpty)
   }
 
+  test("zero-padded default ports drop (numeric compare); kept ports " +
+    "re-emit canonical digits") {
+    assert(canon("http://a.com:080/x").contains("http://a.com/x"))
+    assert(canon("https://a.com:0443/x").contains("https://a.com/x"))
+    assert(canon("https://a.com:08080/x").contains("https://a.com:8080/x"))
+  }
+
+  test("urlHost mirrors canonicalizeUrl's NULL contract on malformed") {
+    val r = Seq("not a url", "https://A.com:443/x", "/rel")
+      .toDF("u").select(UrlOps.urlHost($"u")).collect()
+      .map(row => if (row.isNullAt(0)) None else Some(row.getString(0)))
+    assert(r.toSeq == Seq(None, Some("a.com"), None))
+  }
+
   test("path rules: longest prefix wins, equal-length ties ALLOW, " +
     "no-rule default allows") {
     val rules = Seq(

@@ -258,6 +258,43 @@ object Similarity {
       .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
 
+  /** Measured recall@k of the multi-table LSH ANN path against the
+    * exact brute-force top-k — the number that turns "sub-linear and
+    * probably fine" into an oracle-checked gate (round-15 task). Both
+    * paths reuse this file's operators verbatim (same cosine kernel,
+    * same full-precision order + id tie-break), so the recall measured
+    * here is the recall of the SHIPPED code paths, not a model of
+    * them.
+    *
+    * Output per query: (query_id, n_exact, n_hits, recall) where
+    * n_exact ≤ k is the brute-force neighbor count (smaller only when
+    * the corpus itself is), n_hits = |ANN top-k ∩ exact top-k|, and
+    * recall = n_hits / n_exact — a ratio of small exact integers (one
+    * IEEE division; bit-identical cross-engine, no rounding needed).
+    * Scale: adds one co-partitioned join + per-query count on top of
+    * the two underlying operators; queries stay broadcast. */
+  def annRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, dim: Int, tables: Int = 8,
+                   planesPerTable: Int = 8): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annTopK(corpus, queries, idCol, vecCol, k, dim,
+        tables, planesPerTable)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    val perQuery = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+    queries.select(col(idCol).as("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_exact"), lit(0L)) > 0,
+          coalesce(col("n_hits"), lit(0L)) / col("n_exact"))
+          .otherwise(lit(null).cast("double")).as("recall"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     * 1998): greedily select k candidates maximizing
     * λ·relevance − (1−λ)·max_{s ∈ selected} cos(c, s) — the standard

@@ -258,7 +258,8 @@ object Catalog {
       CatalogMisc.all ++ CatalogMisc2.all ++ CatalogMisc3.all ++
       CatalogAttr.all ++ CatalogGrid.all ++ CatalogSqlTvf.all ++
       CatalogSeq.all ++ CatalogStats3.all ++ CatalogStats4.all ++
-      CatalogR10.all ++ CatalogR11.all ++ CatalogR12.all ++ CatalogR13.all
+      CatalogR10.all ++ CatalogR11.all ++ CatalogR12.all ++ CatalogR13.all ++
+      CatalogR14.all
 
   // Signed-zero closure (see [[SignedZero]]): every double output
   // column — schema-derived on the Spark side, registry-derived on the

@@ -88,10 +88,22 @@ object UrlOps {
   /** Adds `outCol` = registrable domain (eTLD+1) of `hostCol`, resolved
     * against the snapshot `suffixes` table (single column `suffix`,
     * lowercase, dot-separated labels, no leading dot). Resolution runs
-    * per DISTINCT host; `suffixes` is broadcast. */
+    * per DISTINCT host; `suffixes` is always broadcast (~10k rows for
+    * the real PSL).
+    *
+    * The host → eTLD+1 join BACK is a size dispatch (round-15: the
+    * scaladoc promised shuffle degrade but the hint was unconditional):
+    * up to `broadcastHostThreshold` distinct hosts the resolved map
+    * broadcasts (one count on the distinct-host relation — the same
+    * eager-dispatch pattern as Rfm/eigenvector); beyond it the join is
+    * a plain shuffle on the host key. ~10M hosts ≈ 500 MB map is the
+    * practical broadcast ceiling on a large-executor cluster; a full
+    * crawl's 100M+ host table must shuffle. */
   def registrableDomain(df: DataFrame, hostCol: String,
                         suffixes: DataFrame,
-                        outCol: String = "etld1"): DataFrame = {
+                        outCol: String = "etld1",
+                        broadcastHostThreshold: Long =
+                          graft.util.Dispatch.threshold(10000000L)): DataFrame = {
     val hosts = df.select(col(hostCol).as("__host")).distinct()
       .filter(col("__host").isNotNull)
       .withColumn("__labels", split(col("__host"), "\\."))
@@ -115,8 +127,10 @@ object UrlOps {
           .when(col("__L").isNull && col("__n") >= 2,
             array_join(slice(col("__labels"), col("__n") - 1, lit(2)), "."))
           .otherwise(lit(null).cast("string")).as(outCol))
-    df.join(broadcast(resolved),
-      df(hostCol) === resolved("__host"), "left").drop("__host")
+    val nHosts = hosts.count()
+    val right =
+      if (nHosts <= broadcastHostThreshold) broadcast(resolved) else resolved
+    df.join(right, df(hostCol) === resolved("__host"), "left").drop("__host")
   }
 
   /** Robots-style longest-prefix path rules — the crawl-filter step of
@@ -130,7 +144,14 @@ object UrlOps {
     * matching is ONE broadcast join (host equality + startsWith — no
     * explode, no per-rule scan) and one per-id max over the struct
     * (prefix length, allow), then an id-grain join back. At 100 TB the
-    * fact side streams through map-side work only. */
+    * fact side streams through map-side work only.
+    *
+    * Contract: `idCol` must uniquely identify rows of `df` — the
+    * winning rule aggregates PER ID, so two rows sharing an id would
+    * have their rule matches merged into one verdict applied to both
+    * (round-15 ADVICE). URL-grain frames keyed by canonical URL or a
+    * row id satisfy it; every caller in this repo keys on a primary
+    * key (q424/q428: c_custkey). */
   def applyPathRules(df: DataFrame, idCol: String, hostCol: String,
                      pathCol: String, rules: DataFrame,
                      outCol: String = "allowed"): DataFrame = {

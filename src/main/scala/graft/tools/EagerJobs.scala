@@ -120,5 +120,6 @@ object EagerJobs {
     "q409_gmm_em" -> 29,
     "q414_rmst" -> 11,
     "q417_ordinal_assoc" -> 7,
+    "q421_url_canon" -> 4,
   )
 }

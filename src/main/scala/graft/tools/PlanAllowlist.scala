@@ -68,6 +68,10 @@ object PlanAllowlist {
       "q264_mix_budget", "q267_negative_sampling", "q274_length_jsd",
       "q280_shapley", "q321_mix_decomposition",
       "q326_target_encoding", "q332_predictive_assoc",
+      // round-14 batch: q427 = broadcast ≤10-row query set against the
+      // corpus (the ANN/brute contract); q428 = one-row grand-total
+      // budget frame
+      "q427_ann_recall", "q428_crawl_budget",
       "q337_eb_shrinkage", "q348_cluster_validity", "q356_rbo",
       "q357_term_burstiness", "q364_dsir_scores", "q365_erlang_staffing",
       "q366_demand_classes", "q370_weighted_kappa", "q397_dispersion",

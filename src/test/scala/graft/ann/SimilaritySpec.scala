@@ -64,6 +64,43 @@ class SimilaritySpec extends SparkSuite {
     assert(ann.nonEmpty)
   }
 
+  test("annRecallAtK: agrees with the manual intersection and is 1.0 " +
+    "when the ANN path degenerates to exhaustive") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 5
+    // manual intersection per query (the spec's own oracle)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", k,
+        dim = 64, tables = 16, planesPerTable = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.annRecallAtK(emb, queries, "vec_id", "embedding",
+        k, dim = 64, tables = 16, planesPerTable = 4)
+      .select("query_id", "n_exact", "n_hits", "recall")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.length == 5)
+    got.foreach { case (q, nExact, nHits, recall) =>
+      assert(nExact == exact(q).size.toLong)
+      val manual = (exact(q) & ann.getOrElse(q, Set.empty)).size.toLong
+      assert(nHits == manual, s"query $q: $nHits != manual $manual")
+      assert(recall.contains(nHits.toDouble / nExact))
+    }
+    // collinear vectors (positive multiples of one direction) land on
+    // the same side of EVERY hyperplane => identical buckets in every
+    // table => exhaustive candidates => recall exactly 1.0, by
+    // construction rather than by chance
+    val ray = (0L to 5L).map(i => (i, Seq((i + 1).toFloat, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.annRecallAtK(ray, ray.filter($"vec_id" < 2),
+        "vec_id", "embedding", k = 3, dim = 2, tables = 2,
+        planesPerTable = 2)
+      .select("recall").as[Option[Double]].collect()
+    assert(full.length == 2 && full.forall(_.contains(1.0)))
+  }
+
   test("IVF ANN: cell-probed search reaches high recall vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)

@@ -100,4 +100,39 @@ class UrlOpsSpec extends SparkSuite {
     assert(got("example.zz").contains("example.zz"))
     assert(got("single").isEmpty)
   }
+
+  test("registrable domain join-back: broadcast under the host " +
+    "threshold, plain shuffle join beyond it") {
+    val suffixes = Seq("com", "org").toDF("suffix")
+    val hosts = (1 to 50).map(i => s"h$i.example.com").toDF("host")
+    // pin the runtime knobs so AQE can't re-broadcast the shuffle side
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      def joins(threshold: Long): String = {
+        val df = UrlOps.registrableDomain(hosts, "host", suffixes,
+          broadcastHostThreshold = threshold)
+        df.collect() // finalize the adaptive plan
+        df.queryExecution.executedPlan.toString
+      }
+      val small = joins(Long.MaxValue)
+      assert(small.contains("BroadcastHashJoin"),
+        s"expected broadcast join-back under threshold:\n$small")
+      val big = joins(0L)
+      assert(big.contains("SortMergeJoin") ||
+        big.contains("ShuffledHashJoin"),
+        s"expected shuffle join-back over threshold:\n$big")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
+      saved._2 match {
+        case Some(v) =>
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

@@ -150,6 +150,16 @@ object Dedup {
   private val MaxBandWidth = 64
   private def bandedCandidates(postings: DataFrame, keys: Seq[String],
                                width: Int): DataFrame = {
+    // the clamp is a RECALL decision, not just a plan guard — surface
+    // it like the capPairsPerId truncation does (round-15 ADVICE:
+    // near-dup pairs sitting 65+ apart in every shared bucket are
+    // missed with no runtime signal otherwise)
+    if (width > MaxBandWidth) log.warn(
+      s"bandedCandidates: requested band width $width clamped to " +
+        s"$MaxBandWidth — candidate pairs whose ids sit more than " +
+        s"$MaxBandWidth apart in EVERY shared bucket list are not " +
+        "generated (exact-dup groups stay chain-connected; use the " +
+        "cluster-grain forms for full recall on heavier duplication)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
     val leads =
       (1 to math.min(width, MaxBandWidth)).map(i => lead(col("id"), i).over(w))

@@ -26,7 +26,12 @@ object ClusterMetrics {
 
   /** Per-point silhouette + nearest-centroid prediction:
     * (idCol, label, pred_label, a_dist 6-dp, b_dist 6-dp,
-    * silhouette 4-dp). `vecCol` is ARRAY<numeric> (cast to double). */
+    * silhouette 4-dp). `vecCol` is ARRAY<numeric> (cast to double).
+    * (The 4-dp round here is the PER-POINT emission — it is also what
+    * makes [[silhouetteByLabel]]'s snap-divided mean exact, since the
+    * per-point terms already sit on the 4-dp grid; the MEAN itself is
+    * emitted unrounded there. Verified round 15 — this doc and the
+    * rollup's are describing different columns, not a stale pair.) */
   def simplifiedSilhouette(df: DataFrame, idCol: String, labelCol: String,
                            vecCol: String): DataFrame = {
     val pts = df.select(col(idCol).as("__id"),

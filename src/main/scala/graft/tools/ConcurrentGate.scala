@@ -38,18 +38,9 @@ object ConcurrentGate {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val topN = if (args.length > 1) args(1).toInt else 20
-    val benchJson = if (args.length > 2) args(2) else {
-      val fs = new java.io.File(".").listFiles()
-        .filter(_.getName.matches("bench_full_r\\d+(_final)?\\.json"))
-      require(fs.nonEmpty, "no bench_full_r*.json — run graft.Bench")
-      fs.maxBy(_.lastModified).getPath
-    }
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(benchJson)), "UTF-8")
-    val qObj = txt.substring("\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).get.end)
-    val baseTimes = "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
-      .findAllMatchIn(qObj.substring(0, qObj.indexOf('}')))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val benchJson =
+      if (args.length > 2) args(2) else BenchJson.newestBenchFile()
+    val baseTimes = BenchJson.queryTimes(benchJson)
     val names = (baseTimes.toSeq.sortBy(-_._2).take(topN).map(_._1) ++
       sharedStateTargets).distinct.filter(Catalog.queries.contains)
 

@@ -23,26 +23,14 @@ import graft.catalog.Catalog
   */
 object ScaleGate {
   def main(args: Array[String]): Unit = {
-    val benchJson = args.headOption.getOrElse {
-      val fs = new java.io.File(".").listFiles()
-        .filter(_.getName.matches("bench_full_r\\d+(_final)?\\.json"))
-      require(fs.nonEmpty, "no bench_full_r*.json in the working dir — " +
-        "run graft.Bench first or pass the path")
-      fs.maxBy(_.lastModified).getPath
-    }
+    val benchJson = args.headOption.getOrElse(BenchJson.newestBenchFile())
     val sf1Dir = if (args.length > 1) args(1) else "tmp/sf1"
     val topN = if (args.length > 2) args(2).toInt else 20
     require(new java.io.File(s"$sf1Dir/lineitem.parquet").exists(),
       s"$sf1Dir missing — generate it: " +
         "sbt 'runMain graft.tools.ScaleUpGen /root/testdata/sf0.1 tmp/sf1 10'")
 
-    // minimal JSON pluck: the "queries" object is flat {"name":sec,...}
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(benchJson)), "UTF-8")
-    val qObj = txt.substring("\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).get.end)
-    val baseTimes = "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
-      .findAllMatchIn(qObj.substring(0, qObj.indexOf('}')))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val baseTimes = BenchJson.queryTimes(benchJson)
     val top = baseTimes.toSeq.sortBy(-_._2).take(topN)
     println(s"sf1 gate: top-$topN of ${baseTimes.size} queries from " +
       s"$benchJson at $sf1Dir")

@@ -57,18 +57,8 @@ object SkewGate {
         s"$d missing — generate with graft.tools.ScaleUpGen " +
           "(add 'skew' as the 4th arg for the skewed slice)"))
 
-    val bj = benchJson.getOrElse {
-      val fs = new java.io.File(".").listFiles()
-        .filter(_.getName.matches("bench_full_r\\d+(_final)?\\.json"))
-      require(fs.nonEmpty, "no bench_full_r*.json — run graft.Bench")
-      fs.maxBy(_.lastModified).getPath
-    }
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(bj)), "UTF-8")
-    val qObj = txt.substring("\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).get.end)
-    val baseTimes = "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
-      .findAllMatchIn(qObj.substring(0, qObj.indexOf('}')))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val bj = benchJson.getOrElse(BenchJson.newestBenchFile())
+    val baseTimes = BenchJson.queryTimes(bj)
     val top = baseTimes.toSeq.sortBy(-_._2).take(topN).map(_._1)
     val names = (top ++ skewTargets).distinct
       .filter(Catalog.queries.contains)

@@ -96,10 +96,13 @@ def main(sf_dir, out_dir):
             failures += 1
         else:
             print(f"OK   {name} ({len(got)} rows)")
-    # rows-only queries (no oracle)
-    import os
+    # rows-only queries (no oracle); respects the optional name filter —
+    # without this, a single-query invocation (the per-query skew-oracle
+    # loop) would print every OTHER dumped query as a bogus rows-only OK
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
+        if len(sys.argv) > 3 and name not in only:
+            continue
         if os.path.isdir(p) and name not in oracle:
             try:
                 n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]

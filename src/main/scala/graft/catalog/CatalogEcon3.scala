@@ -51,7 +51,8 @@ object CatalogEcon3 {
            |         datediff('day', fd, ld)::BIGINT AS t,
            |         CASE WHEN datediff('day', ld, md) > 180
            |              THEN 1 ELSE 0 END AS ev
-           |  FROM u, mx),
+           |  -- complete-case on the time axis (kaplanMeier contract)
+           |  FROM u, mx WHERE fd IS NOT NULL),
            |byt AS (
            |  SELECT t,
            |    sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END)::BIGINT AS c_a,

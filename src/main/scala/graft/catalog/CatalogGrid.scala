@@ -17,7 +17,16 @@ object CatalogGrid {
 
   /** X173: weekday × hour activity heatmap — the load-pattern grid
     * behind every ops dashboard; ISO weekday alignment as q259, hour
-    * from the UTC-pinned session. Share is per-cell of total (4dp). */
+    * from the UTC-pinned session. Share is per-cell of total (4dp).
+    *
+    * Round-15 exact-accumulation discipline, caught by the EXPANDED
+    * 54-query skew oracle on the first full run: the hot cell's
+    * share 5650/1e6 sits exactly on the .xxxx5 boundary (Spark's
+    * BigDecimal-repr HALF_UP said 0.0057, DuckDB's double said
+    * 0.0056), and sum_value = round(sum(4-dp grid), 2) is the same
+    * GRID-COARSE shape the q1 money sums had. share is now integer
+    * half-up over the exact (n_events, total) pair; sum_value
+    * accumulates in DECIMAL. Oracle mirrors both. */
   private val q282 = Q("q282_dow_hour_heatmap",
     (s, dir) => {
       import s.implicits._
@@ -26,18 +35,24 @@ object CatalogGrid {
         .groupBy((pmod(dayofweek($"ts") + 5, lit(7)) + 1).cast("int")
           .as("dow"), hour($"ts").as("hr"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum($"value"), 2).as("sum_value"))
-        .withColumn("share", round($"n_events" /
-          sum($"n_events").over(Window.partitionBy(lit(1)))
-            .cast("double"), 4))
+          round(sum($"value".cast("decimal(28,4)")), 2)
+            .cast("double").as("sum_value"))
+        .withColumn("__tot",
+          sum($"n_events").over(Window.partitionBy(lit(1))))
+        .withColumn("share",
+          expr("(2*n_events*10000 + __tot) div (2*__tot)") / 1e4)
+        .drop("__tot")
         .orderBy($"dow", $"hr")
     },
-    Some("""SELECT isodow(ts)::INT AS dow, hour(ts)::INT AS hr,
-           |  count(*)::BIGINT AS n_events,
-           |  round(sum(value), 2) AS sum_value,
-           |  round(count(*) / (SELECT count(*) FROM events)::DOUBLE, 4)
-           |    AS share
-           |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin))
+    Some("""WITH g AS (
+           |  SELECT isodow(ts)::INT AS dow, hour(ts)::INT AS hr,
+           |    count(*)::BIGINT AS n_events,
+           |    round(sum(value::DECIMAL(28,4)), 2)::DOUBLE AS sum_value
+           |  FROM events GROUP BY 1, 2),
+           |t AS (SELECT sum(n_events)::BIGINT AS tot FROM g)
+           |SELECT dow, hr, n_events, sum_value,
+           |  ((2*n_events*10000 + tot) // (2*tot)) / 1e4 AS share
+           |FROM g, t ORDER BY dow, hr""".stripMargin))
 
   /** X174: log₂-scale value histogram — bucket = floor(log2(cents)),
     * an exact INTEGER axis (bit length of the integer cents), so bin

@@ -124,7 +124,9 @@ object CatalogR12 {
            |    CASE WHEN datediff('day', ld, md) > 180 THEN 1
            |         ELSE 0 END AS ev
            |  FROM u CROSS JOIN mx
-           |  JOIN customer c ON c.c_custkey = u.o_custkey),
+           |  JOIN customer c ON c.c_custkey = u.o_custkey
+           |  -- complete-case on the time axis (rmstByGroup filter)
+           |  WHERE fd IS NOT NULL),
            |byt AS (SELECT g, t, sum(ev)::BIGINT AS ne,
            |          sum(1 - ev)::BIGINT AS nc
            |        FROM subj GROUP BY 1, 2),

@@ -202,10 +202,13 @@ object CatalogStats {
         .orderBy($"r_score", $"f_score", $"m_score")
     },
     Some("""WITH pe AS (
+           |  -- complete-case on the recency axis (Rfm.scores filter):
+           |  -- all-null-date entities have no observable recency
            |  SELECT o_custkey AS k, max(o_orderdate::DATE) AS last_d,
            |         count(*)::BIGINT AS frequency,
            |         round(sum(o_totalprice), 2) AS monetary
-           |  FROM orders GROUP BY 1),
+           |  FROM orders GROUP BY 1
+           |  HAVING max(o_orderdate::DATE) IS NOT NULL),
            |a AS (SELECT max(last_d) AS anchor_d FROM pe),
            |b AS (SELECT k, datediff('day', last_d, anchor_d)::BIGINT
            |        AS recency_days, frequency, monetary FROM pe, a),
@@ -410,14 +413,24 @@ object CatalogStats {
 
   /** §2.5 widening: the remaining analytic-window family — ntile,
     * nth_value / first_value / last_value over an explicit full frame,
-    * and lag — all on ONE (partition, order) sort; the unique
-    * (orderkey, linenumber) tie-break makes every cell deterministic. */
+    * and lag — all on ONE (partition, order) sort.
+    *
+    * Tie-break contract (fuzz-48): (orderkey, linenumber) is NOT
+    * unique in the corpus — the generator emits duplicate line ids —
+    * and the v4 suppkey collapse put duplicates with DIFFERENT
+    * quantities into one partition, where lag read an engine-dependent
+    * neighbor. The sort therefore totals over every emitted attribute
+    * (…, l_quantity with NULLS FIRST pinned — Spark's asc default,
+    * spelled explicitly in the oracle): rows still tied are identical
+    * in all output-relevant columns, so any interleaving yields the
+    * same output multiset. */
   private val q155 = Q("q155_window_battery",
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val wOrd = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber",
+          $"l_quantity".asc_nulls_first)
       val wFull = wOrd.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       t(s, dir, "lineitem")
@@ -439,9 +452,11 @@ object CatalogStats {
            |       last_value(l_quantity) OVER wf AS last_qty
            |FROM lineitem WHERE l_suppkey < 10
            |WINDOW wo AS (PARTITION BY l_suppkey
-           |              ORDER BY l_orderkey, l_linenumber),
+           |              ORDER BY l_orderkey, l_linenumber,
+           |                       l_quantity NULLS FIRST),
            |       wf AS (PARTITION BY l_suppkey
-           |              ORDER BY l_orderkey, l_linenumber
+           |              ORDER BY l_orderkey, l_linenumber,
+           |                       l_quantity NULLS FIRST
            |              ROWS BETWEEN UNBOUNDED PRECEDING
            |              AND UNBOUNDED FOLLOWING)
            |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin))

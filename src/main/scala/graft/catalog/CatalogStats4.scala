@@ -907,7 +907,10 @@ object CatalogStats4 {
            |    c.c_acctbal / 10000 AS x
            |  FROM u CROSS JOIN mx
            |  JOIN customer c ON c.c_custkey = u.o_custkey
-           |  WHERE c.c_acctbal IS NOT NULL),
+           |  -- covariate AND time-axis complete-case (coxPh filters
+           |  -- both; fuzz-48 all-null-date subjects count toward n
+           |  -- otherwise while never entering a risk set)
+           |  WHERE c.c_acctbal IS NOT NULL AND fd IS NOT NULL),
            |cells AS (SELECT t, x, count(*)::BIGINT AS n,
            |            sum(e)::BIGINT AS d
            |          FROM subj GROUP BY 1, 2),

@@ -34,10 +34,11 @@ object CatalogSurv {
       |  FROM orders GROUP BY 1),
       |mx AS (SELECT max(ld) AS md FROM u),
       |subj AS (
+      |  -- complete-case on the time axis (kaplanMeier contract)
       |  SELECT datediff('day', fd, ld)::BIGINT AS t,
       |         CASE WHEN datediff('day', ld, md) > 180
       |              THEN 1 ELSE 0 END AS ev
-      |  FROM u, mx),
+      |  FROM u, mx WHERE fd IS NOT NULL),
       |byt AS (SELECT t, sum(ev)::BIGINT AS n_event,
       |          sum(1 - ev)::BIGINT AS n_censored
       |        FROM subj GROUP BY 1),

@@ -32,11 +32,20 @@ object Survival {
     * Same bounded-duration-grain contract as [[logRank]]/[[coxPh]]:
     * the cumulative windows single-sort the distinct durations, so a
     * continuous (e.g. microsecond) duration domain fails fast with the
-    * remediation instead of silently serializing one task. */
+    * remediation instead of silently serializing one task.
+    *
+    * Complete-case on (duration, event), mirroring [[rmstByGroup]]/
+    * [[coxPh]]: a null duration is NO observation on the time axis —
+    * engines place the null time group at opposite ends of the
+    * cumulative-risk window sort, so keeping it shifts every risk set
+    * by the null count on one engine only (fuzz-48: the Zipf key
+    * remap concentrated null order dates into all-null subjects). */
   def kaplanMeier(df: DataFrame, durationCol: String,
                   eventCol: String,
                   maxDistinctTimes: Long = 200000L): DataFrame = {
-    val byT = df.groupBy(col(durationCol).as("t"))
+    val byT = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).as("t"))
       .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_event"),
         sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
       .persist()
@@ -205,7 +214,10 @@ object Survival {
   def nelsonAalen(df: DataFrame, durationCol: String,
                   eventCol: String,
                   maxDistinctTimes: Long = 200000L): DataFrame = {
-    val byT = df.groupBy(col(durationCol).as("t"))
+    // complete-case on the time axis — the kaplanMeier contract
+    val byT = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).as("t"))
       .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_event"),
         sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
       .persist()
@@ -255,7 +267,9 @@ object Survival {
               eventCol: String, a: String, b: String,
               maxDistinctTimes: Long = 200000L): DataFrame = {
     val isA = col(groupCol) === a
+    // complete-case on the time axis — the kaplanMeier contract
     val byT = df.filter(isA || col(groupCol) === b)
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
       .groupBy(col(durationCol).as("t"))
       .agg(
         sum(when(isA, 1L).otherwise(0L)).as("c_a"),

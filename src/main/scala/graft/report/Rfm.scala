@@ -29,7 +29,17 @@ object Rfm {
   /** Per-entity RFM scores: (key, recency_days, frequency, monetary,
     * r_score, f_score, m_score). `monetary` is rounded to 2 dp (money).
     * Ranks: recency_days ASC (most recent = score 5), frequency DESC,
-    * monetary DESC, each tie-broken by key ASC. */
+    * monetary DESC, each tie-broken by key ASC.
+    *
+    * Complete-case on the recency axis: an entity whose every order
+    * has a null timestamp has no observable recency and is DROPPED
+    * (before n, so quintile cuts see only scoreable entities) — the
+    * null-instant contract. Ranking it instead would put it at
+    * engine-dependent ends of the recency sort (Spark asc = nulls
+    * first = score 5, DuckDB nulls last = score 1 — fuzz-48's Zipf
+    * remap concentrated null dates into such entities). A null
+    * MONETARY (dates fine, all amounts null) stays: desc sorts rank
+    * nulls last on both engines. */
   def scores(orders: DataFrame, key: String, ts: String,
              amount: String,
              distributedThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
@@ -37,6 +47,7 @@ object Rfm {
       .agg(max(to_date(col(ts))).as("__last"),
         count(lit(1)).as("frequency"),
         round(sum(col(amount)), 2).as("monetary"))
+      .filter(col("__last").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = perEntity.count()
     val anchor = perEntity.agg(max(col("__last")).as("__asof"))

@@ -146,7 +146,16 @@ object CatalogBiz {
   /** X130: log-log price elasticity per brand
     * ([[graft.de.RankStats.groupedOls]] over part-grain ln(quantity) ~
     * ln(unit price) points — cross-part price variation within the
-    * brand). */
+    * brand).
+    *
+    * Domain contract (fuzz-49): a part cell with non-positive total
+    * quantity or revenue has no log-log point — filtered EXPLICITLY
+    * on both sides (q > 0 AND revenue > 0 ⟺ q > 0 AND price > 0;
+    * null sums fail the predicate too). Spark's non-ANSI `log` nulls
+    * the negative domain while DuckDB's `ln` ERRORS — the recurrent
+    * divergence class; the v4 Zipf part-key collapse first
+    * concentrated enough sign-flipped rows to go negative at this
+    * grouping grain. */
   private val q240 = Q("q240_elasticity",
     (s, dir) => {
       import s.implicits._
@@ -154,8 +163,10 @@ object CatalogBiz {
         .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand", $"l_partkey")
         .agg(sum($"l_quantity").as("q"),
-          (sum($"l_extendedprice") / sum($"l_quantity")).as("p"))
-        .select($"p_brand", log($"q").as("lnq"), log($"p").as("lnp"))
+          sum($"l_extendedprice").as("sp"))
+        .filter($"q" > 0 && $"sp" > 0)
+        .select($"p_brand", log($"q").as("lnq"),
+          log($"sp" / $"q").as("lnp"))
       graft.de.RankStats.groupedOls(pts, Seq("p_brand"), "lnq", "lnp")
         .orderBy($"p_brand")
     },
@@ -163,7 +174,9 @@ object CatalogBiz {
            |  SELECT p_brand, l_partkey, ln(sum(l_quantity)) AS lnq,
            |    ln(sum(l_extendedprice) / sum(l_quantity)) AS lnp
            |  FROM lineitem JOIN part ON l_partkey = p_partkey
-           |  GROUP BY 1, 2)
+           |  GROUP BY 1, 2
+           |  -- domain contract: positive quantity AND revenue only
+           |  HAVING sum(l_quantity) > 0 AND sum(l_extendedprice) > 0)
            |SELECT p_brand, round(regr_slope(lnq, lnp), 4) AS slope,
            |  round(regr_intercept(lnq, lnp), 4) AS intercept,
            |  round(regr_r2(lnq, lnp), 4) AS r2,

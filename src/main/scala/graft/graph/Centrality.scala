@@ -69,7 +69,8 @@ object Centrality {
                             edges: DataFrame,
                             sampleSources: Option[Int] = None,
                             maxDriverNodes: Long = 2000000L,
-                            maxDriverEdges: Long = 20000000L): DataFrame = {
+                            maxDriverEdges: Long = 20000000L): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     // Explicit contract guard: Brandes broadcasts the full adjacency,
     // so the edge list must be driver-collectable. The operator is
     // documented for dimension-bounded graphs (top-N construction);
@@ -153,7 +154,7 @@ object Centrality {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("gene", StringType, nullable = false),
         StructField("betweenness_centrality", DoubleType, nullable = false))))
-  }
+   }
 
   /** G4: eigenvector centrality, nx semantics: power iteration on (I + A)
     * from x = 1/n, L2-normalized each step, stop when sum|Δ| < n·tol.
@@ -171,13 +172,20 @@ object Centrality {
                             edges: DataFrame, maxIter: Int = 1000,
                             tol: Double = 1e-6,
                             distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
-                            edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
+                            edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     // dense sub-threshold-node graphs must also go distributed — the
     // driver path collects the edge list (see pageRank's dispatch note)
     val nNodes = nodes.count()
     if (nNodes > distributedThreshold || edges.count() > edgeThreshold)
-      return eigenvectorDistributedImpl(spark, nodes, edges, maxIter, tol,
+      eigenvectorDistributedImpl(spark, nodes, edges, maxIter, tol,
         nNodes)
+    else eigenvectorDriverImpl(spark, nodes, edges, maxIter, tol)
+   }
+
+  private def eigenvectorDriverImpl(spark: SparkSession, nodes: DataFrame,
+                                    edges: DataFrame, maxIter: Int,
+                                    tol: Double): DataFrame = {
     val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
     val edgeSeq = edges.select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -317,15 +325,22 @@ object Centrality {
   def pageRank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                damping: Double = 0.85, iters: Int = 20,
                distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
-               edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
+               edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     // dispatch on BOTH dimensions: a sub-threshold node count says
     // nothing about density, and the driver path collects the full edge
     // list — a 50k-node graph with 500M edges must take the distributed
     // branch (the union-find ≤2M-edge precedent)
     val nNodes = nodes.count()
     if (nNodes > distributedThreshold || edges.count() > edgeThreshold)
-      return pageRankDistributedImpl(spark, nodes, edges, damping, iters,
+      pageRankDistributedImpl(spark, nodes, edges, damping, iters,
         nNodes)
+    else pageRankDriverImpl(spark, nodes, edges, damping, iters)
+   }
+
+  private def pageRankDriverImpl(spark: SparkSession, nodes: DataFrame,
+                                 edges: DataFrame, damping: Double,
+                                 iters: Int): DataFrame = {
     val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
     val edgeSeq = edges.select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -434,9 +449,19 @@ object Centrality {
                        edges: DataFrame, damping: Double = 0.85,
                        iters: Int = 20,
                        distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
-                       edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
+                       edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     if (nodes.count() <= distributedThreshold &&
-        edges.count() <= edgeThreshold) {
+        edges.count() <= edgeThreshold)
+      pageRankWeightedDriverImpl(spark, nodes, edges, damping, iters)
+    else pageRankWeightedDistributed(spark, nodes, edges, damping, iters)
+   }
+
+  private def pageRankWeightedDriverImpl(spark: SparkSession,
+                                         nodes: DataFrame, edges: DataFrame,
+                                         damping: Double,
+                                         iters: Int): DataFrame = {
+    {
       val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
       val idx = nodeSeq.zipWithIndex.toMap
       val arcs = edges.select(col("src"), col("dst"), col("w")).collect()
@@ -464,12 +489,11 @@ object Centrality {
         x = xn; it += 1
       }
       val rows = nodeSeq.zipWithIndex.map { case (g, i) => Row(g, x(i)) }
-      return spark.createDataFrame(
+      spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("gene", StringType, nullable = false),
           StructField("pagerank", DoubleType, nullable = false))))
     }
-    pageRankWeightedDistributed(spark, nodes, edges, damping, iters)
   }
 
   /** The unbounded-scale weighted PageRank path — see
@@ -535,13 +559,21 @@ object Centrality {
   def hits(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
            iters: Int = 10,
            distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
-           edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
+           edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     // size dispatch, the pageRank/eigenvector precedent: under the
     // thresholds a driver loop does the whole fixed-point in ONE job's
     // worth of work, where the DataFrame loop pays ~4 jobs/iteration of
     // fixed overhead (q132's 25-node graph: 7.4 s looped, <1 s here)
     if (nodes.count() <= distributedThreshold &&
-        edges.count() <= edgeThreshold) {
+        edges.count() <= edgeThreshold)
+      hitsDriverImpl(spark, nodes, edges, iters)
+    else hitsDistributed(spark, nodes, edges, iters)
+   }
+
+  private def hitsDriverImpl(spark: SparkSession, nodes: DataFrame,
+                             edges: DataFrame, iters: Int): DataFrame = {
+    {
       val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
       val edgeSeq = edges.select("src", "dst").collect()
         .map(r => (r.getString(0), r.getString(1)))
@@ -574,14 +606,13 @@ object Centrality {
       val rows = nodeSeq.zipWithIndex.map { case (g, i) =>
         Row(g, h(i), a(i))
       }
-      return spark.createDataFrame(
+      spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType(Seq(
           StructField("gene", StringType, nullable = false),
           StructField("hub", DoubleType, nullable = false),
           StructField("authority", DoubleType, nullable = false))))
     }
-    hitsDistributed(spark, nodes, edges, iters)
   }
 
   /** The unbounded-scale HITS path — see [[hits]] for semantics. */

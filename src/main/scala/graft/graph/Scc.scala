@@ -31,12 +31,13 @@ object Scc {
   def components(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                  driverNodeThreshold: Long = graft.util.Dispatch.threshold(2000000L),
                  driverEdgeThreshold: Long = graft.util.Dispatch.threshold(20000000L),
-                 maxRounds: Int = 50): DataFrame = {
+                 maxRounds: Int = 50): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     if (nodes.count() <= driverNodeThreshold &&
         edges.count() <= driverEdgeThreshold)
       tarjanDriver(spark, nodes, edges)
     else coloringDistributed(spark, nodes, edges, maxRounds)
-  }
+   }
 
   /** Iterative Tarjan (explicit work stack; lowlink via the standard
     * two-phase visit) over the collected graph. */

@@ -31,9 +31,17 @@ object ShortestPaths {
   def fromSource(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                  source: String,
                  distributedThreshold: Long = graft.util.Dispatch.threshold(100000L),
-                 edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
+                 edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     if (nodes.count() <= distributedThreshold &&
-        edges.count() <= edgeThreshold) {
+        edges.count() <= edgeThreshold)
+      fromSourceDriver(spark, nodes, edges, source)
+    else fromSourceDistributed(spark, nodes, edges, source)
+   }
+
+  private def fromSourceDriver(spark: SparkSession, nodes: DataFrame,
+                               edges: DataFrame, source: String): DataFrame = {
+    {
       val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
       val idx = nodeSeq.zipWithIndex.toMap
       val arcs = edges.select(col("src"), col("dst"), col("w")).collect()
@@ -57,12 +65,11 @@ object ShortestPaths {
       val rows = nodeSeq.zipWithIndex.map { case (g, i) =>
         Row(g, if (dist(i) == Long.MaxValue) null else java.lang.Long.valueOf(dist(i)))
       }
-      return spark.createDataFrame(
+      spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1),
         StructType(Seq(StructField("gene", StringType, nullable = false),
           StructField("dist", LongType, nullable = true))))
     }
-    fromSourceDistributed(spark, nodes, edges, source)
   }
 
   /** The unbounded-scale relaxation loop — see [[fromSource]]. */
@@ -116,9 +123,17 @@ object ShortestPaths {
     * e.g. the nation/category flow graph, not the raw entity graph. */
   def allPairs(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                distributedThreshold: Long = graft.util.Dispatch.threshold(2000L),
-               edgeThreshold: Long = graft.util.Dispatch.threshold(200000L)): DataFrame = {
+               edgeThreshold: Long = graft.util.Dispatch.threshold(200000L)): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     if (nodes.count() <= distributedThreshold &&
-        edges.count() <= edgeThreshold) {
+        edges.count() <= edgeThreshold)
+      allPairsDriver(spark, nodes, edges)
+    else allPairsDistributed(spark, nodes, edges)
+   }
+
+  private def allPairsDriver(spark: SparkSession, nodes: DataFrame,
+                             edges: DataFrame): DataFrame = {
+    {
       val nodeSeq = nodes.select("gene").collect().map(_.getString(0)).toSeq
       val idx = nodeSeq.zipWithIndex.toMap
       val arcs = edges.select(col("src"), col("dst"), col("w")).collect()
@@ -146,13 +161,12 @@ object ShortestPaths {
             else java.lang.Long.valueOf(dist(i)))
         }
       }
-      return spark.createDataFrame(
+      spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("src", StringType, nullable = false),
           StructField("gene", StringType, nullable = false),
           StructField("dist", LongType, nullable = true))))
     }
-    allPairsDistributed(spark, nodes, edges)
   }
 
   /** The unbounded-scale multi-source relaxation — [[fromSourceDistributed]]

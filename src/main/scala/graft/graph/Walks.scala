@@ -27,7 +27,8 @@ object Walks {
                            edges: DataFrame, seed: Long,
                            damping: Double = 0.85, iters: Int = 20,
                            driverThreshold: Long = graft.util.Dispatch.threshold(100000L),
-                           edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
+                           edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     // size dispatch (the Centrality.pageRank discipline): a
     // fixed-iteration DataFrame loop on a dimension-bounded graph pays
     // ~20 rounds of job overhead for micro-work; below the thresholds
@@ -45,7 +46,13 @@ object Walks {
       s"personalizedPageRank: seed $seed is not in the node set")
     if (nStats.getLong(0) <= driverThreshold &&
         edges.count() <= edgeThreshold)
-      return pprDriver(spark, nodes, edges, seed, damping, iters)
+      pprDriver(spark, nodes, edges, seed, damping, iters)
+    else pprDistributedImpl(spark, nodes, edges, seed, damping, iters)
+   }
+
+  private def pprDistributedImpl(spark: SparkSession, nodes: DataFrame,
+                                 edges: DataFrame, seed: Long,
+                                 damping: Double, iters: Int): DataFrame = {
     val v = nodes.select(col("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col("src"), col("dst"))
@@ -92,10 +99,17 @@ object Walks {
   def katz(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
            alpha: Double, beta: Double = 1.0, iters: Int = 10,
            driverThreshold: Long = graft.util.Dispatch.threshold(100000L),
-           edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame = {
+           edgeThreshold: Long = graft.util.Dispatch.threshold(2000000L)): DataFrame =
+   graft.util.Pin.pinned(nodes, edges) {
     if (nodes.count() <= driverThreshold &&
         edges.count() <= edgeThreshold)
-      return katzDriver(spark, nodes, edges, alpha, beta, iters)
+      katzDriver(spark, nodes, edges, alpha, beta, iters)
+    else katzDistributedImpl(spark, nodes, edges, alpha, beta, iters)
+   }
+
+  private def katzDistributedImpl(spark: SparkSession, nodes: DataFrame,
+                                  edges: DataFrame, alpha: Double,
+                                  beta: Double, iters: Int): DataFrame = {
     val v = nodes.select(col("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col("src"), col("dst"))

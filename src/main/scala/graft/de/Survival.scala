@@ -555,19 +555,29 @@ object Survival {
     // (the bounded-duration-grain contract). Continuous durations at
     // fact scale would serialize it: fail fast and point at
     // timeBuckets instead (the Centrality driver-guard pattern).
-    val nTimes = cells.select(col("__t")).distinct().count()
+    // One probe action covers both the guard count and the cell count
+    // that sizes the per-iteration scans.
+    val probe = cells.agg(count(lit(1)).as("__nc"),
+      count_distinct(col("__t")).as("__nt")).head()
+    val nCells = probe.getLong(0)
+    val nTimes = probe.getLong(1)
     graft.util.CacheGuard.requireReleasing(
       nTimes <= maxDistinctTimes, cells)(
       s"coxPh: $nTimes distinct durations exceeds the single-sort " +
         s"guard ($maxDistinctTimes); risk-set sums serialize over " +
         "the duration domain — coarsen with timeBuckets (> 0) or " +
         "pre-bucket the duration column")
+    // Each Newton step re-scans the persisted cells; size that scan's
+    // partitioning from the measured cell count instead of inheriting
+    // the cached shuffle layout (32 near-empty blocks = 32 task
+    // launches per step; see util.Sized).
+    val cellsIt = graft.util.Sized.byRows(cells, nCells)
     val wDesc = Window.orderBy(col("__t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // score and information at a given beta — one pass over cells
     def ui(beta: Double): (Double, Double) = {
       val w = col("__n") * exp(lit(beta) * col("__x"))
-      val byT = cells
+      val byT = cellsIt
         .groupBy(col("__t"))
         .agg(sum(w).as("w0"), sum(col("__x") * w).as("w1"),
           sum(col("__x") * col("__x") * w).as("w2"),
@@ -596,7 +606,7 @@ object Survival {
     }
     val info = if (singular) Double.NaN else ui(beta)._2
     if (!singular && (info.isNaN || info <= 0.0)) singular = true
-    val counts = cells.agg(sum(col("__n")).as("n"),
+    val counts = cellsIt.agg(sum(col("__n")).as("n"),
       sum(col("__d")).as("ne")).head()
     cells.unpersist(false)
     val n = if (counts.isNullAt(0)) 0L else counts.getLong(0)

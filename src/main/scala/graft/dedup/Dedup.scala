@@ -603,11 +603,17 @@ object Dedup {
     var iter = 0
     var converged = nEdges == 0L
     while (!converged && iter < maxIter) {
-      // Each round's outputs feed two consumers (the next step's groupBy
-      // and join) and the next iteration; localCheckpoint keeps the
-      // logical plan constant-size and avoids recomputing the round.
-      val ls = largeStar(e).localCheckpoint()
-      val ss = smallStar(ls).localCheckpoint()
+      // ONE action per round (was three: large-star checkpoint,
+      // small-star checkpoint, signature agg — each a serial job on the
+      // round's critical path). The small-star checkpoint keeps the
+      // logical plan constant-size across rounds; largeStar's two
+      // consumers inside that single action recompute it in CONCURRENT
+      // stage branches, which is cheaper on the critical path than a
+      // blocking checkpoint of it (idle-core overlap, the measured
+      // ab_batch1 lesson); and the signature rides the checkpoint as an
+      // Observation (CollectMetrics over the rows already flowing to
+      // it — the warnCappedBuckets pattern) instead of a third job.
+      //
       // Edge-set signature: converged when the (unordered) edge set is
       // stable. Three independent components — count, sum of 32-bit
       // hashes widened to decimal(20,0) (headroom to ~2^61 edges even if
@@ -616,11 +622,24 @@ object Dedup {
       // signature because the edge set is distinct) — so a false
       // convergence needs a simultaneous ~2^-95 collision between
       // consecutive rounds, vs 2^-64 for the sum alone.
-      val sigRow = ss.agg(count(lit(1)).as("n"),
-        coalesce(sum(hash(col("u"), col("v")).cast("decimal(20,0)")),
-          lit(java.math.BigDecimal.ZERO)).as("h"),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
-        .first()
+      val obs = Observation()
+      val ss = smallStar(largeStar(e))
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(hash(col("u"), col("v")).cast("decimal(20,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("h"),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+        .localCheckpoint()
+      // The observation completes on the async listener bus; wait like
+      // warnCappedBuckets does, and fall back to a direct agg over the
+      // (checkpointed, cheap) round result if it never arrives.
+      val sigRow = scala.util.Try(scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(30, "s"))).toOption
+        .filter(_.schema.nonEmpty)
+        .getOrElse(ss.agg(count(lit(1)).as("n"),
+          coalesce(sum(hash(col("u"), col("v")).cast("decimal(20,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("h"),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+          .first())
       val sig = (sigRow.getLong(0), sigRow.getDecimal(1).toPlainString,
         sigRow.getLong(2))
       converged = sig == prevSig || sigRow.getLong(0) == 0L

@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -51,25 +50,42 @@ object KMeans {
         .select(col("__vid"), col("__m.__d").as("__d"),
           col("__m.__cell").as("__cell"), col("__m.__e").as("__e"))
 
-    var cent = v.orderBy(col("__vid")).limit(k)
-      .withColumn("__cell",
-        (row_number().over(Window.orderBy(col("__vid"))) - 1).cast("long"))
-      .select(col("__cell"), col("__e").as("__ce"))
-      .localCheckpoint()
+    // Centroids live on the DRIVER between rounds — k×dim doubles,
+    // bounded by the k parameter (the driver-bounded-collect contract).
+    // They used to round-trip through a per-iteration localCheckpoint
+    // (one extra job + cache write per round) and a cent join; the
+    // means aggregate is unchanged — same expressions, same 6-dp
+    // rounding, bit-identical values — it is collected instead of
+    // joined back, so each Lloyd round is exactly ONE job (assign +
+    // means) instead of two, with no growing cache. Empty clusters
+    // keep their previous centroid, as before; a present group's mean
+    // array is taken as-is (null components and all), mirroring the
+    // old coalesce-on-whole-array semantics.
+    import vecs.sparkSession.implicits._
+    var cent: Seq[(Long, Seq[Option[Double]])] =
+      v.orderBy(col("__vid")).limit(k).collect().zipWithIndex.map {
+        case (r, i) =>
+          i.toLong -> r.getSeq[Any](1)
+            .map(x => Option(x).map(_.asInstanceOf[Double])).toSeq
+      }.toSeq
+    def centDf: DataFrame =
+      cent.toDF("__cell", "__ce")
+        .select(col("__cell"), col("__ce").cast("array<double>"))
     var iter = 0
     while (iter < iters) {
       val meanCols = (0 until dim).map(j =>
         round(avg(element_at(col("__e"), j + 1)), 6).as(s"__c$j"))
-      val means = assign(cent).groupBy(col("__cell"))
+      val means = assign(centDf).groupBy(col("__cell"))
         .agg(meanCols.head, meanCols.tail: _*)
-        .select(col("__cell"),
-          array((0 until dim).map(j => col(s"__c$j")): _*).as("__new"))
-      cent = cent.join(means, Seq("__cell"), "left")
-        .select(col("__cell"), coalesce(col("__new"), col("__ce")).as("__ce"))
-        .localCheckpoint()
+        .collect().map { r =>
+          r.getLong(0) -> (1 to dim).map(j =>
+            if (r.isNullAt(j)) Option.empty[Double]
+            else Some(r.getDouble(j))).toSeq
+        }.toMap
+      cent = cent.map { case (c, old) => c -> means.getOrElse(c, old) }
       iter += 1
     }
-    val out = assign(cent).groupBy(col("__cell").as("cell"))
+    val out = assign(centDf).groupBy(col("__cell").as("cell"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("__d") * col("__d")), 2).as("inertia"))
       .orderBy(col("cell"))

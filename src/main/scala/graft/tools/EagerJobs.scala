@@ -23,18 +23,18 @@ object EagerJobs {
   val expected: Map[String, Int] = Map(
     "q15_bh_fdr" -> 5,
     "q19_positional_join" -> 2,
-    "q24_ngram_jaccard" -> 29,
+    "q24_ngram_jaccard" -> 32,
     "q25_simhash_banded" -> 8,
     "q32_embedding_dedup" -> 11,
     "q33_minhash_lsh" -> 18,
     "q43_tfidf_topk" -> 9,
     "q49_bm25" -> 12,
     "q51_ivf_ann" -> 1,
-    "q52_betweenness" -> 22,
-    "q53_eigenvector" -> 22,
+    "q52_betweenness" -> 16,
+    "q53_eigenvector" -> 16,
     "q68_bloom_incremental_dedup" -> 3,
     "q73_semantic_dedup" -> 9,
-    "q80_pagerank" -> 22,
+    "q80_pagerank" -> 16,
     "q90_temperature_sample" -> 2,
     "q93_minhash_clusters" -> 23,
     "q94_ppl_buckets" -> 9,
@@ -50,46 +50,46 @@ object EagerJobs {
     "q128_phrase_search" -> 6,
     "q129_golden_records" -> 6,
     "q130_naive_bayes" -> 23,
-    "q132_hits" -> 22,
-    "q133_kmeans" -> 26,
+    "q132_hits" -> 16,
+    "q133_kmeans" -> 20,
     "q137_pca" -> 9,
-    "q138_pagerank_weighted" -> 22,
-    "q139_shortest_paths" -> 22,
+    "q138_pagerank_weighted" -> 16,
+    "q139_shortest_paths" -> 16,
     "q141_kcore" -> 6,
     "q149_rfm" -> 4,
     "q152_dbscan" -> 27,
     "q153_item_neighbors" -> 23,
     "q154_link_jaccard" -> 15,
     "q156_hierarchy" -> 19,
-    // 6 in a cold CatalogInventory JVM; 9 in the shared-session test
-    // JVM (sketch-register evaluation differs with a warm catalog) —
-    // pinned at the spec's own environment, where drift is asserted
+    // q160: 6 in a cold CatalogInventory JVM; 9 in the shared-session
+    // test JVM (sketch-register evaluation differs with a warm catalog)
+    // — pinned at the spec's own environment, where drift is asserted
     "q160_cms_tokens" -> 9,
     "q161_kmv_distinct" -> 9,
     "q168_kaplan_meier" -> 10,
-    "q169_closeness" -> 22,
+    "q169_closeness" -> 16,
     "q172_bootstrap_ci" -> 4,
     "q181_log_rank" -> 10,
     "q196_by_fdr" -> 7,
     "q211_pr_curve" -> 6,
     "q212_lift_table" -> 2,
-    "q225_assoc3" -> 30,
+    "q225_assoc3" -> 31,
     "q230_modularity" -> 3,
     "q232_nelson_aalen" -> 10,
     "q237_label_prop" -> 34,
     "q239_abc_classes" -> 3,
-    "q241_ppr" -> 12,
-    "q242_katz" -> 12,
+    "q241_ppr" -> 11,
+    "q242_katz" -> 11,
     "q246_identity_stitch" -> 6,
     "q253_mmr" -> 24,
     "q254_trimmed_mean" -> 3,
-    "q258_containment" -> 21,
+    "q258_containment" -> 24,
     "q261_lorenz" -> 6,
     "q265_curriculum" -> 5,
     "q268_km_summary" -> 10,
     "q281_joinability" -> 44,
     "q292_abc_xyz" -> 4,
-    "q296_scc" -> 12,
+    "q296_scc" -> 11,
     "q301_fisher_exact" -> 3,
     "q307_holm_hochberg" -> 5,
     "q308_c_index" -> 2,
@@ -101,13 +101,13 @@ object EagerJobs {
     "q344_hodges_lehmann" -> 5,
     "q354_kendalls_w" -> 3,
     "q372_bayes_ab" -> 3,
-    "q376_articulation" -> 10,
-    "q377_bridges" -> 10,
+    "q376_articulation" -> 7,
+    "q377_bridges" -> 7,
     "q378_markov_attribution" -> 9,
     "q379_logistic" -> 19,
     "q384_poisson" -> 22,
-    "q385_huber" -> 17,
-    "q386_cox_ph" -> 39,
+    "q385_huber" -> 21,
+    "q386_cox_ph" -> 20,
     "q388_conformal" -> 2,
     "q389_aipw_ate" -> 25,
     "q390_hosmer_lemeshow" -> 17,
@@ -120,6 +120,6 @@ object EagerJobs {
     "q409_gmm_em" -> 29,
     "q414_rmst" -> 11,
     "q417_ordinal_assoc" -> 7,
-    "q421_url_canon" -> 4,
+    "q421_url_canon" -> 4
   )
 }

@@ -48,6 +48,13 @@ class CollectContractSpec extends AnyFunSuite {
     "graft/util/Ranks.scala" ->
       (2, "distributed-branch per-partition (count, sum) tuples — a " +
         "few longs per partition, not data rows"),
+    "graft/util/Quantiles.scala" ->
+      (3, "histogram rows (<= 65536 bucket counts); target-bucket " +
+        "values behind the CollectCap <= 262144 guard; window-fallback " +
+        "rows (<= 2 per requested percentile by construction)"),
+    "graft/ml/KMeans.scala" ->
+      (2, "seed centroids via orderBy().limit(k); per-round means " +
+        "(<= k group rows, k bounded by the API contract)"),
     "graft/sketch/Sketches.scala" ->
       (2, "1-row exact-count aggregate + bottom-k sketch via limit(k)"),
     "graft/ml/Pca.scala" ->

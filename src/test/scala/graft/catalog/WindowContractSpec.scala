@@ -53,9 +53,11 @@ class WindowContractSpec extends AnyFunSuite {
     "graft/report/Skyline.scala" ->
       (1, "x-distinct frontier domain; fact-grain callers run " +
         "localPrefilter first (documented contract)"),
-    "graft/ml/KMeans.scala" ->
-      (1, "seed-cell numbering over an orderBy().limit(k) frame — " +
-        "k rows by construction"),
+    "graft/util/Quantiles.scala" ->
+      (1, "last-resort ordered selection of ONE over-concentrated " +
+        "histogram bucket (reached only after two narrowing levels); " +
+        "never wider than the percentile aggregate's own single " +
+        "reducer, which this utility replaces"),
     "graft/catalog/CatalogMisc.scala" ->
       (2, "calendar-day lag windows (q272 runs test / q273 variance " +
         "ratio daily series — bounded by the date span)"),

@@ -39,7 +39,9 @@ object EagerJobs {
     "q93_minhash_clusters" -> 23,
     "q94_ppl_buckets" -> 9,
     "q96_pmi_pairs" -> 14,
-    "q100_profile" -> 3,
+    // union-of-per-column-aggregates profile: one job per branch's AQE
+    // stage materialization (was 3 with the fused Expand aggregate)
+    "q100_profile" -> 9,
     "q104_triangles" -> 17,
     "q116_auc" -> 6,
     "q118_interpolate" -> 6,

@@ -17,14 +17,17 @@ object Profile {
     * other pair null. Unsupported types (structs, arrays, binary)
     * profile counts only.
     *
-    * Scale shape: a SINGLE aggregate pass — Spark plans the n exact
-    * `count(DISTINCT col)`s as one Expand (n-way row replication) into
-    * one hash aggregate, so the table is scanned once; the expansion
-    * factor equals the profiled column count, which is the price of
-    * EXACT cardinalities in one job (trim `cols`, or swap in
-    * approx_count_distinct upstream, when n x rows is too hot). The
-    * per-column output assembles driver-side from that one aggregate
-    * row — bounded by column count, never data.
+    * Scale shape: one job whose plan is a UNION of per-column aggregate
+    * branches. The previous fused form planned the n exact
+    * `count(DISTINCT col)`s as ONE (n+1)-way Expand into one hash
+    * aggregate — the whole table replicated n+1× through a single
+    * reduce path (and, on a single-split input, a single task);
+    * as independent union branches the per-column scans and aggregates
+    * run CONCURRENTLY inside one job, and a single-distinct aggregate
+    * plans as a plain two-phase agg with no Expand at all. Aggregate
+    * expressions per column are unchanged, so the values are
+    * identical. The per-column output assembles driver-side from the
+    * n collected branch rows — bounded by column count, never data.
     *
     * Output: (column, n_rows, n_null, n_distinct, min_num, max_num,
     * min_str, max_str) in `cols` order.
@@ -32,39 +35,35 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String] = Seq.empty): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     val types = names.map(c => c -> df.schema(c).dataType).toMap
-    val aggs = names.flatMap { c =>
-      val base = Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"))
-      types(c) match {
-        case _: NumericType => base ++ Seq(
-          round(min(col(c)).cast("double"), 4).as(s"__min_$c"),
-          round(max(col(c)).cast("double"), 4).as(s"__max_$c"))
-        case StringType => base ++ Seq(
-          min(col(c)).as(s"__smin_$c"), max(col(c)).as(s"__smax_$c"))
-        case _ => base
+    val nullD = max(lit(null).cast("double"))
+    val nullS = max(lit(null).cast("string"))
+    val branches = names.map { c =>
+      val (minN, maxN, minS, maxS) = types(c) match {
+        case _: NumericType => (
+          round(min(col(c)).cast("double"), 4), // same exprs as before
+          round(max(col(c)).cast("double"), 4), nullS, nullS)
+        case StringType => (nullD, nullD, min(col(c)), max(col(c)))
+        case _ => (nullD, nullD, nullS, nullS)
       }
-    } :+ count(lit(1)).as("__rows")
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    def opt[T](name: String): Option[T] = {
-      val i = r.fieldIndex(name)
-      if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
+      df.agg(count(lit(1)).as("__rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("__null"),
+          countDistinct(col(c)).as("__dist"),
+          minN.as("__minn"), maxN.as("__maxn"),
+          minS.as("__mins"), maxS.as("__maxs"))
+        .select(lit(c).as("column"), col("__rows"), col("__null"),
+          col("__dist"), col("__minn"), col("__maxn"), col("__mins"),
+          col("__maxs"))
     }
+    // union row order = branch order = `names` order (union concatenates)
+    val rows = branches.reduce(_ unionByName _).collect()
     val spark = df.sparkSession
     import spark.implicits._
-    names.map { c =>
-      val (minN, maxN) = types(c) match {
-        case _: NumericType =>
-          (opt[Double](s"__min_$c"), opt[Double](s"__max_$c"))
-        case _ => (None, None)
-      }
-      val (minS, maxS) = types(c) match {
-        case StringType =>
-          (opt[String](s"__smin_$c"), opt[String](s"__smax_$c"))
-        case _ => (None, None)
-      }
-      (c, r.getAs[Long]("__rows"), r.getAs[Long](s"__null_$c"),
-        r.getAs[Long](s"__dist_$c"), minN, maxN, minS, maxS)
+    rows.toSeq.map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getString(6)),
+        if (r.isNullAt(7)) None else Some(r.getString(7)))
     }.toDF("column", "n_rows", "n_null", "n_distinct",
       "min_num", "max_num", "min_str", "max_str")
   }

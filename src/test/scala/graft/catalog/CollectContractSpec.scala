@@ -48,6 +48,9 @@ class CollectContractSpec extends AnyFunSuite {
     "graft/util/Ranks.scala" ->
       (2, "distributed-branch per-partition (count, sum) tuples — a " +
         "few longs per partition, not data rows"),
+    "graft/util/Profile.scala" ->
+      (1, "per-column profile branch rows — one row per profiled " +
+        "column by construction (replaces the previous 1-row head())"),
     "graft/util/Quantiles.scala" ->
       (3, "histogram rows (<= 65536 bucket counts); target-bucket " +
         "values behind the CollectCap <= 262144 guard; window-fallback " +

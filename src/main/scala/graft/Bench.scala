@@ -134,12 +134,15 @@ object Bench {
     } catch { case _: Throwable => "[]" }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"failed":$fails,"loadavg":$load,"runs":$runsPerQuery,"sf":"$sfDir"}"""
-    // Round 6's per-query timings were lost when the driver's tail capture
-    // truncated the (very long) single line. Defense in depth: (1) the
-    // timings dict goes out on its own, shorter line FIRST, (2) the full
-    // record is also written to bench_full.json in the working directory,
-    // (3) the canonical one-line JSON still closes stdout for the driver.
-    println(s"""{"queries":$qs,"value":$total}""")
+    // The driver captures only the TAIL (~2.3 KB) of stdout; a 428-query
+    // record is ~12 KB, so every round's per-query dict arrived truncated
+    // and unparseable (BENCH_r01..r14: parsed null). Defense in depth:
+    // (1) the full canonical record (with the per-query dict) is printed
+    // AND written to bench_full.json in the working directory, (2) the
+    // LAST stdout line is a compact fixed-size summary — total seconds,
+    // query count, failures, load — that always fits the tail capture
+    // whole and parses on its own.
+    println(full)
     try {
       val fname = shard.map { case (i, n) =>
         s"bench_full_shard_${i}_of_$n.json" }.getOrElse("bench_full.json")
@@ -147,7 +150,8 @@ object Bench {
       java.nio.file.Files.write(p,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(full)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"failed":$fails,"loadavg":$load,"runs":$runsPerQuery,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

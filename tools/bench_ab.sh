@@ -38,7 +38,7 @@ echo "building old ref $OLD_REF in $WT ..." >&2
       dir=$( [ "$side" = old ] && echo "$WT" || echo . )
       line=$(cd "$dir" && SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
         SPARK_GRAFT_SF_DIR="$SF_DIR" tools/run_main.sh graft.Bench 2>/dev/null \
-        | grep '"metric"' | tail -1)
+        | grep '"metric".*"queries"' | tail -1)
       echo "rep$rep $side $line"
     done
   done

@@ -574,9 +574,15 @@ object Survival {
     val cellsIt = graft.util.Sized.byRows(cells, nCells)
     val wDesc = Window.orderBy(col("__t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // score and information at a given beta — one pass over cells
+    // score and information at a given beta — one pass over cells.
+    // beta enters as a codegen-cache-friendly parameter constant
+    // (util.Param.scalar) instead of a fresh literal so every Newton
+    // step reuses ONE codegen source (the Janino cache keys on
+    // generated Java text; an inlined constant changed per step
+    // forced a recompile of every step stage — measured in
+    // tools/CodegenProbe).
     def ui(beta: Double): (Double, Double) = {
-      val w = col("__n") * exp(lit(beta) * col("__x"))
+      val w = col("__n") * exp(graft.util.Param.scalar(beta) * col("__x"))
       val byT = cellsIt
         .groupBy(col("__t"))
         .agg(sum(w).as("w0"), sum(col("__x") * w).as("w1"),

@@ -66,13 +66,23 @@ object Mixture {
       var m2 = mn + 3.0 * (mx - mn) / 4.0
       var v1 = math.max(vp / 4.0, vfloor)
       var v2 = v1
-      def phi(m: Double, v: Double): Column =
-        exp(-(col("__x") - m) * (col("__x") - m) / (2.0 * v)) /
-          sqrt(lit(2.0) * math.Pi * v)
-      def gammaCol(): Column = {
-        val den = lit(p) * phi(m1, v1) + lit(1.0 - p) * phi(m2, v2)
-        when(den > 0, lit(p) * phi(m1, v1) / den).otherwise(lit(0.5))
+      // round parameters enter as codegen-cache-friendly constants
+      // (util.Param.scalar, see Regression.newtonLogistic) so every
+      // EM round reuses one codegen source. Pure-double products the
+      // driver used to fold (2·v, 1−p, √(2πv)) are STILL computed on
+      // the driver and passed pre-folded, so the per-row arithmetic
+      // is the literal version's exactly.
+      def phi(m: Double, v: Double): Column = {
+        import graft.util.Param.scalar
+        exp(-(col("__x") - scalar(m)) * (col("__x") - scalar(m)) /
+          scalar(2.0 * v)) / scalar(math.sqrt(2.0 * math.Pi * v))
       }
+      def denC: Column =
+        graft.util.Param.scalar(p) * phi(m1, v1) +
+          graft.util.Param.scalar(1.0 - p) * phi(m2, v2)
+      def gammaCol(): Column =
+        when(denC > 0, graft.util.Param.scalar(p) * phi(m1, v1) / denC)
+          .otherwise(lit(0.5))
       var it = 0
       while (it < iters) {
         val g = gammaCol()
@@ -94,8 +104,7 @@ object Mixture {
         }
         it += 1
       }
-      val den = lit(p) * phi(m1, v1) + lit(1.0 - p) * phi(m2, v2)
-      val ll = d.agg(avg(log(den))).head().getDouble(0)
+      val ll = d.agg(avg(log(denC))).head().getDouble(0)
       Seq((n, math.rint(p * 1e4) / 1e4, math.rint(m1 * 1e4) / 1e4,
         math.rint(math.sqrt(v1) * 1e4) / 1e4,
         math.rint(m2 * 1e4) / 1e4,

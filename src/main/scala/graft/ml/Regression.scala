@@ -78,8 +78,13 @@ object Regression {
     var singular = false
     var it = 0
     while (it < iters && !singular) {
-      val eta = lit(beta(0)) + lit(beta(1)) * col("__x1") +
-        lit(beta(2)) * col("__x2")
+      // step coefficients as codegen-cache-friendly parameter
+      // constants instead of fresh literals, so every step reuses ONE
+      // codegen source and Janino compiles only step 1 (util.Param /
+      // ScalarParam; measured in tools/CodegenProbe)
+      val eta = graft.util.Param.scalar(beta(0)) +
+        graft.util.Param.scalar(beta(1)) * col("__x1") +
+        graft.util.Param.scalar(beta(2)) * col("__x2")
       val mu = lit(1.0) / (lit(1.0) + exp(-eta))
       val w = mu * (lit(1.0) - mu)
       val r = d.agg(
@@ -247,8 +252,10 @@ object Regression {
       0.0, 0.0)
     var it = 0
     while (it < iters && !singular) {
-      val mu = exp(lit(beta(0)) + lit(beta(1)) * col("__x1") +
-        lit(beta(2)) * col("__x2"))
+      // per-step coefficients via util.Param (see newtonLogistic)
+      val mu = exp(graft.util.Param.scalar(beta(0)) +
+        graft.util.Param.scalar(beta(1)) * col("__x1") +
+        graft.util.Param.scalar(beta(2)) * col("__x2"))
       val r = d.agg(
         sum(mu).as("a"), sum(mu * col("__x1")).as("b"),
         sum(mu * col("__x2")).as("c"),
@@ -332,12 +339,16 @@ object Regression {
       .filter(col("__y").isNotNull && col("__x1").isNotNull &&
         col("__x2").isNotNull)
       .persist()
-    // weighted normal-equation solve for given per-row weight column
-    def solve(w: Column): Option[Array[Double]] = olsBeta(d, w)
+    // per-step coefficients via util.Param (see newtonLogistic): the
+    // residual reads codegen-cache-friendly parameter constants, so
+    // the IRLS steps, the two median probes and the final readout
+    // share one codegen source instead of recompiling per
+    // fresh-literal plan
     def resid(beta: Array[Double]): Column =
-      col("__y") - lit(beta(0)) - lit(beta(1)) * col("__x1") -
-        lit(beta(2)) * col("__x2")
-    val out = solve(lit(1.0)) match {
+      col("__y") - graft.util.Param.scalar(beta(0)) -
+        graft.util.Param.scalar(beta(1)) * col("__x1") -
+        graft.util.Param.scalar(beta(2)) * col("__x2")
+    val out = olsBeta(d, lit(1.0)) match {
       case None =>
         d.agg(count(lit(1)).as("n"))
           .select(col("n"), lit(null).cast("double").as("b0"),
@@ -346,7 +357,6 @@ object Regression {
             lit(null).cast("double").as("scale"),
             lit(null).cast("double").as("share_downweighted"))
       case Some(ols) =>
-        val r0 = resid(ols)
         // MAD probe honors the Preprocess.pctAgg size dispatch: the
         // residual column is ONE group with unbounded cardinality, so
         // exact `percentile` buffers every row in a single task —
@@ -365,24 +375,27 @@ object Regression {
             graft.util.Quantiles.exactPercentiles(d, c, Seq(0.5)).get.head
           else d.agg(approx_percentile(c, lit(0.5), lit(10000))
             .cast("double")).head.getDouble(0)
+        val r0 = resid(ols)
         val medR = med50(r0)
-        val mad = med50(abs(r0 - medR))
+        val mad = med50(abs(r0 - graft.util.Param.scalar(medR)))
         val scale = mad / 0.6745
         var beta = ols
         if (scale > 0) {
           var it = 0
           var dead = false
           while (it < iters && !dead) {
-            val w = least(lit(1.0), lit(K * scale) / abs(resid(beta)))
-            solve(coalesce(w, lit(1.0))) match {
+            val w = least(lit(1.0),
+              graft.util.Param.scalar(K * scale) / abs(resid(beta)))
+            olsBeta(d, coalesce(w, lit(1.0))) match {
               case Some(b) => beta = b
               case None => dead = true
             }
             it += 1
           }
         }
-        val wFin = least(lit(1.0),
-          coalesce(lit(K * scale) / abs(resid(beta)), lit(1.0)))
+        val wFin = least(lit(1.0), coalesce(
+          graft.util.Param.scalar(K * scale) / abs(resid(beta)),
+          lit(1.0)))
         val fin = d.agg(count(lit(1)).as("n"),
           avg(when(wFin < 1.0, 1.0).otherwise(0.0)).as("sh")).head()
         import spark.implicits._
@@ -449,9 +462,13 @@ object Regression {
       .filter(col("__y").isNotNull && col("__x1").isNotNull &&
         col("__x2").isNotNull)
       .persist()
+    // per-step coefficients via util.Param (see newtonLogistic); tau
+    // and eps are per-CALL constants, so they stay literals — only the
+    // step-varying β would bust the codegen cache
     def resid(beta: Array[Double]): Column =
-      col("__y") - lit(beta(0)) - lit(beta(1)) * col("__x1") -
-        lit(beta(2)) * col("__x2")
+      col("__y") - graft.util.Param.scalar(beta(0)) -
+        graft.util.Param.scalar(beta(1)) * col("__x1") -
+        graft.util.Param.scalar(beta(2)) * col("__x2")
     val out = olsBeta(d, lit(1.0)) match {
       case None =>
         d.agg(count(lit(1)).as("n"))

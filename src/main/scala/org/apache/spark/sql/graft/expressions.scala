@@ -667,3 +667,53 @@ case class DictScrub(child: Expression, dict: Seq[String], mask: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** A driver-supplied double "parameter" constant that is deliberately
+  * NOT a literal: `foldable = false` keeps the optimizer from inlining
+  * the value into the generated Java source — it rides the codegen
+  * `references` array instead (`ctx.addReferenceObj`), so a
+  * fixed-iteration driver (Newton / IRLS / EM / Lloyd) that re-plans
+  * the same step shape with new coefficients produces byte-identical
+  * generated code every step and the Janino class cache hits after
+  * step 1. A plain `lit(beta)` changes the source text each step and
+  * forces a full recompile of every step stage (measured in
+  * tools/CodegenProbe: 2 compiles/step -> 0 after step 1).
+  *
+  * Runtime cost: one boxed-Double read per codegen'd evaluation —
+  * hoisted like any other expression; plan shape, partitioning and
+  * arithmetic are IDENTICAL to the literal version (same IEEE double,
+  * same expression tree). Constant folding over pure-literal subtrees
+  * that include the parameter is intentionally prevented; callers
+  * pass pre-computed products (e.g. K*scale) when they want
+  * driver-side folding.
+  */
+case class ScalarParam(value: Double)
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "scalar_param"
+  // VALUE-INDEPENDENT hash (equality stays value-sensitive, which is
+  // all the contract requires): subexpression-elimination buckets
+  // subtrees by semanticHash, and a value-dependent hash made the
+  // common-subexpression NUMBERING (subExprValue_3 vs _4) flip
+  // between steps with different coefficients — the only remaining
+  // source-text difference between two steps of a fixed-iteration
+  // driver, i.e. the last thing busting the Janino cache. A constant
+  // per-class hash keeps bucket order insertion-deterministic; the
+  // handful of params per plan makes collisions irrelevant.
+  override def hashCode: Int = "scalar_param".hashCode
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = value
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scalarParam", value, "java.lang.Double")
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(
+          new StringContext(s"double ${ev.value} = ", ".doubleValue();"))
+        .code(ref),
+      isNull =
+        org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+}

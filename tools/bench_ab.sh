@@ -31,7 +31,10 @@ echo "building old ref $OLD_REF in $WT ..." >&2
 (cd "$WT" && sbt -batch compile < /dev/null 2>&1 | tail -1) >&2
 
 {
-  echo "# bench A/B: old=$OLD_REF new=$(git rev-parse --short HEAD)"
+  # "new" is the WORKING TREE (compiled classes), not necessarily HEAD —
+  # label it that way (r14 verdict hygiene note)
+  dirty=$(git status --porcelain --untracked-files=no | head -1 | grep -q . && echo "+dirty" || true)
+  echo "# bench A/B: old=$OLD_REF new=worktree@$(git rev-parse --short HEAD)$dirty"
   echo "# queries=$QUERIES sf=$SF_DIR reps=$REPS host_date=$(date -u +%FT%TZ)"
   for rep in $(seq 1 "$REPS"); do
     for side in old new; do

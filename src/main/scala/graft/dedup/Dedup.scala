@@ -1098,11 +1098,7 @@ object Dedup {
         .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val cand = capPairsPerId(cand0, maxPairsPerId, "containmentPairs")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = cand
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    val common = commonShingleCounts(sh, cand)
     val out = common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")),
         Seq("id_a"))
@@ -1139,6 +1135,57 @@ object Dedup {
     if (hasDupIds) base.distinct() else base
   }
 
+  /** Materialize candidate pairs and measure their count in the SAME
+    * action (an [[Observation]] riding the localCheckpoint — the
+    * warnCappedBuckets discipline, no extra count job), so the
+    * CPU-dense verification join downstream can be given a
+    * measured-width partitioning ([[commonShingleCounts]]; round-15
+    * VERDICT item 1). Candidates are pair-proportional — bounded next
+    * to the corpus — so eager materialization is cheap, and the
+    * checkpoint keeps the verify phase from re-running candidate
+    * generation after the count is read. */
+  private def measuredCandidates(cand: DataFrame): (DataFrame, Long) = {
+    val obs = Observation()
+    val m = cand.observe(obs, count(lit(1)).as("n_pairs")).localCheckpoint()
+    val n = scala.util.Try(scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(30, "s"))).toOption
+      .flatMap { r =>
+        Option(r.schema).filter(_.fieldNames.contains("n_pairs"))
+          .map(_ => r.getAs[Long]("n_pairs"))
+      }
+      .getOrElse(m.count()) // fallback: cheap count over checkpointed blocks
+    (m, n)
+  }
+
+  /** The shared CPU-dense verification core: exact common-shingle
+    * counts per candidate pair, relationally. The candidate side is
+    * materialized + measured ([[measuredCandidates]]) and its join
+    * exchange pinned at [[graft.util.Sized.verifyParts]] width via
+    * repartition-by-num on the join key (reused by the join as its
+    * required partitioning, so no exchange is added — the
+    * user-specified count just replaces AQE's byte-based coalescing,
+    * which collapsed this byte-light but CPU-dense string-join stage
+    * to ~3 tasks at bench grain, 8+ s of CPU serialized). ONLY the
+    * candidate exchange is pinned: the (id_b, shingle) join and the
+    * pair-grain partial aggregation pipeline INSIDE the same stage
+    * (the postings side broadcasts / stays pair-pipelined), so the
+    * whole verify CPU inherits the pinned width without ever
+    * materializing the pair×shingle intermediate — an explicit
+    * repartition between the joins was measured shuffling 657 MB of
+    * exploded pairs and DOUBLING the query (profile in
+    * OPTIMIZATION_r15.md). Width derives from the measured pair
+    * count, so it is scale-adaptive, not a local[32] constant. */
+  private def commonShingleCounts(sh: DataFrame,
+                                  candidates: DataFrame): DataFrame = {
+    val (cand, nPairs) = measuredCandidates(candidates)
+    val parts = graft.util.Sized.verifyParts(nPairs)
+    cand.repartition(parts, col("id_a"))
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs from exploded
     * postings: count common shingles per pair relationally (join on
     * (doc, shingle)), Jaccard from per-doc set sizes. Work is
@@ -1152,9 +1199,17 @@ object Dedup {
     // prefix bound) pass them in instead of paying the aggregation twice
     val sizes = precomputedSizes.getOrElse(
       sh.groupBy("id").agg(count(lit(1)).as("n_sh")))
+    // NOT the measured-width form ([[commonShingleCounts]]): the
+    // prefix/LSH-filtered candidate sets here are small relative to
+    // their generation cost, and the measuring checkpoint SERIALIZES
+    // the one pipelined action — interleaved A/B measured q24 1.45x /
+    // q33 1.11x with it (ab_verifywidth.log) while q258 (425k
+    // candidates, verify-dominated) won 0.79x. Width dispatch stays
+    // with the operator whose candidate volume warrants it.
     val common = candidates
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))

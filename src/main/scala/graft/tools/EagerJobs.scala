@@ -85,7 +85,10 @@ object EagerJobs {
     "q246_identity_stitch" -> 6,
     "q253_mmr" -> 24,
     "q254_trimmed_mean" -> 3,
-    "q258_containment" -> 24,
+    // measured-width verify (r15): +1 candidate-checkpoint job, net
+    // -2 vs the old shape (the checkpoint also stops a duplicate
+    // candidate build the old one-action plan recomputed)
+    "q258_containment" -> 22,
     "q261_lorenz" -> 6,
     "q265_curriculum" -> 5,
     "q268_km_summary" -> 10,

@@ -38,4 +38,26 @@ object Sized {
     val want = math.max(1L, (rows + rowsPerPartition - 1) / rowsPerPartition)
     if (want < cur) df.coalesce(want.toInt) else df
   }
+
+  /** Partition count for a CPU-DENSE verification join, derived from
+    * the MEASURED candidate-pair count — [[byRows]] inverted: a
+    * width RAISER for stages whose post-shuffle partitions are
+    * byte-light but CPU-dense (string-shingle equi-joins), which
+    * AQE's byte-based coalescing collapses to a handful of tasks at
+    * small-byte grain (q258 at sf0.1: 8.1 s of verify CPU in 3
+    * AQE-coalesced tasks; `coalescePartitions.minPartitionSize`'s
+    * 1 MB floor wins over parallelismFirst). A global config floor
+    * was measured and rejected in r14 as local-grain-only; this is
+    * the operator-internal, scale-adaptive form: ~[[PairsPerVerifyPartition]]
+    * pairs/task ≈ 0.3-0.5 s of verify CPU at the measured per-pair
+    * cost (per-pair cost tracks document shingle counts, which are
+    * scale-invariant), and the width grows linearly with measured
+    * candidate volume, so cluster-scale candidate sets get
+    * cluster-scale widths without any tuned constant. Capped at 64k
+    * partitions as an absurdity guard. */
+  val PairsPerVerifyPartition: Long = 8192L
+  def verifyParts(pairs: Long,
+                  pairsPerPartition: Long = PairsPerVerifyPartition): Int =
+    math.max(1L, math.min(
+      (pairs + pairsPerPartition - 1) / pairsPerPartition, 1L << 16)).toInt
 }

@@ -513,6 +513,7 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Pin.primeShared(banded)
     val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col("key"),
@@ -786,6 +787,7 @@ object Dedup {
       explode(array_distinct(word_shingles(col(textCol), shingleSize)))
         .as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Pin.primeShared(posts)
     val mins = (0 until numHashes).map(i =>
       min(element_at(col("hs"), i + 1)).as(s"s$i"))
     val sigs = posts
@@ -795,6 +797,7 @@ object Dedup {
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Pin.primeShared(sigs)
     val banded = sigs.select(col("id"), explode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -1035,6 +1038,7 @@ object Dedup {
     // spills instead of evicting under pressure.
     val sh = postings(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Pin.primeShared(sh)
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val tauEff = math.max(0.0, minJaccard - 1e-4)
     val wDoc = Window.partitionBy("id")
@@ -1084,6 +1088,7 @@ object Dedup {
                        maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     val sh = postings(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Pin.primeShared(sh)
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf && col("df") >= 2)
@@ -1277,6 +1282,7 @@ object Dedup {
       .withTableBuckets(df, vecCol, tables, planesPerTable, dim)
       .select(col(idCol).as("id"), col("table"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Pin.primeShared(b)
     val cand = b.as("x").join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

@@ -32,6 +32,7 @@ object ItemSim {
     val b = df.select(col(basket).as("__bk"), col(item).as("__it"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.util.Pin.primeShared(b)
     val freq = b.groupBy(col("__it")).agg(count(lit(1)).as("__sup"))
       .filter(col("__sup") >= minSupport)
     val pruned = b.join(broadcast(freq), Seq("__it"))

@@ -75,6 +75,7 @@ object MarketBasket {
     val b = df.select(col(basket).as("__bk"), col(item).as("__it"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.util.Pin.primeShared(b)
     val nBaskets = b.agg(countDistinct(col("__bk")).as("__nb"))
     val freq = b.groupBy(col("__it")).agg(count(lit(1)).as("__sup"))
       .filter(col("__sup") >= minSupport)
@@ -114,6 +115,7 @@ object MarketBasket {
     val b = df.select(col(basket).as("__bk"), col(item).as("__it"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.util.Pin.primeShared(b)
     val freq = b.groupBy(col("__it")).agg(count(lit(1)).as("__sup"))
       .filter(col("__sup") >= minItemSupport)
     val pruned = capBaskets(

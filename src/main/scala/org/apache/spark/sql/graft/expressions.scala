@@ -717,3 +717,68 @@ case class ScalarParam(value: Double)
         org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 }
+
+/** One-pass URL decomposition into struct<scheme, auth, path, query>
+  * — the per-row kernel of UrlOps.canonicalizeUrl / urlHost, which
+  * previously ran the SAME anchored URL regex through 4+ separate
+  * `regexp_extract` calls per row (one per group plus the malformed
+  * guard; CSE merges exact duplicates but not distinct group
+  * numbers). One compiled-pattern match populates all four groups.
+  *
+  * EXACT `regexp_extract` replication, field by field (the DuckDB
+  * oracle replays the same regex decomposition, so outputs must be
+  * bit-identical): a non-matching non-null input yields "" in every
+  * field (regexp_extract's no-match value — the scheme field doubles
+  * as the malformed guard exactly as `regexp_extract(url, re, 1) =
+  * ''` did); a group that did not participate in the match (absent
+  * `?query`) yields "" (RegExpExtract's null-group convention); a
+  * null input nulls the struct (null-intolerant unary expression,
+  * same propagation as regexp_extract's). The pattern is anchored, so
+  * `find(0)` ≡ `matches` — the same entry point RegExpExtract uses.
+  */
+case class UrlParts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = UrlParts.schema
+  override def prettyName: String = "url_parts"
+  override def nullSafeEval(v: Any): Any =
+    UrlKernel.parts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.UrlKernel.parts($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UrlParts {
+  val schema: DataType = StructType(Seq(
+    StructField("scheme", StringType, nullable = false),
+    StructField("auth", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("query", StringType, nullable = false)))
+}
+
+object UrlKernel {
+  private val pattern = java.util.regex.Pattern.compile(
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$")
+  private val Empty = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+
+  def parts(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val m = pattern.matcher(u.toString)
+    if (!m.find(0))
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](Empty, Empty, Empty, Empty))
+    else {
+      def g(i: Int): org.apache.spark.unsafe.types.UTF8String = {
+        val s = m.group(i)
+        if (s == null) Empty
+        else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](g(1), g(2), g(3), g(4)))
+    }
+  }
+}
